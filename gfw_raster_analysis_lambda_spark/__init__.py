@@ -1,0 +1,15 @@
+"""gfw_raster_analysis_lambda_spark — a PySpark-native spatial-join + tiling engine.
+
+A from-scratch reimplementation of the query semantics of WRI's
+gfw-raster-analysis-lambda ("Raster SQL" zonal statistics) as idiomatic
+PySpark: the relational shell (filters, group-by, partial+final aggregation,
+order/limit) rides Catalyst; the spatial layer (cell grid, polygon
+rasterization, geodesic pixel area, image tile codecs) is custom vectorized
+numpy kernels carried by Arrow-batched pandas UDFs.
+
+Reference semantics studied at /root/reference (see SURVEY.md for the
+operator-by-operator mapping with file:line citations). No code is copied
+from the reference; this package targets Spark's execution model directly.
+"""
+
+__version__ = "0.1.0"

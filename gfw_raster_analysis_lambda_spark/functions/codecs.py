@@ -1,0 +1,227 @@
+"""Image tile codecs: encode/decode ``bytes`` <-> 2-D numpy arrays.
+
+The corpus stores each raster tile as an encoded image payload
+(input-table shape ``(image_id, bytes, w, h, fmt, caption, phash)``).
+Decoding happens **inside Arrow-batched pandas UDFs only** — never on the
+driver, never per-row Python in the hot path beyond the per-tile loop that
+is unavoidable for variable-length payloads.
+
+Formats:
+
+- ``png``      lossless grayscale PNG, bit depth 8 or 16 (uint8/uint16).
+               Pure stdlib (zlib) implementation of the public PNG spec —
+               the container ships no PIL/libpng.
+- ``raw_u8`` / ``raw_u16`` / ``raw_f32``  raw little-endian pixels.
+- ``jpeg``     STAND-IN LOSSY CODEC: the container has no libjpeg, so the
+               "jpeg" path is a deterministic 5-bit mid-rise quantizer over
+               a lossless PNG container. It is clearly lossy (exercises the
+               PSNR >= 40 dB invariant: 8->5 bits gives ~41.3 dB on uniform
+               data) and deterministic, so every Spark-side pipeline stage
+               (schema, batching, PSNR test) is real; only the entropy
+               transform is fake. Swap ``_jpeg_encode/_jpeg_decode`` for a
+               real libjpeg binding in production.
+
+Also here: ``phash64`` — 64-bit perceptual hash (8x8 block-mean average
+hash) used by the kNN tile-lookup operator.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+# ---------------------------------------------------------------------------
+# PNG (grayscale, bit depth 8/16, no interlace)
+# ---------------------------------------------------------------------------
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(arr: np.ndarray) -> bytes:
+    """Encode a 2-D uint8/uint16 array as grayscale PNG (filter 0 rows)."""
+    if arr.ndim != 2:
+        raise ValueError("png_encode expects a 2-D array")
+    if arr.dtype == np.uint8:
+        depth, data = 8, np.ascontiguousarray(arr)
+    elif arr.dtype == np.uint16:
+        depth, data = 16, np.ascontiguousarray(arr.astype(">u2"))
+    else:
+        raise ValueError(f"png_encode: unsupported dtype {arr.dtype}")
+    h, w = arr.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)  # color type 0 = gray
+    raw = data.view(np.uint8).reshape(h, -1)
+    scanlines = np.hstack([np.zeros((h, 1), dtype=np.uint8), raw]).tobytes()
+    return b"".join(
+        [
+            _PNG_SIG,
+            _chunk(b"IHDR", ihdr),
+            _chunk(b"IDAT", zlib.compress(scanlines, 6)),
+            _chunk(b"IEND", b""),
+        ]
+    )
+
+
+def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG per-row filters (types 0-4). Row-loop only (h rows)."""
+    rows = raw.reshape(h, stride + 1)
+    ftypes = rows[:, 0]
+    data = rows[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    prior = np.zeros(stride, dtype=np.int32)
+    for i in range(h):
+        f = ftypes[i]
+        cur = data[i].copy()
+        if f == 0:
+            pass
+        elif f == 2:  # Up
+            cur = (cur + prior) & 0xFF
+        else:  # Sub / Average / Paeth need left-to-right scan
+            cur_out = np.zeros(stride, dtype=np.int32)
+            for j in range(stride):
+                a = cur_out[j - bpp] if j >= bpp else 0
+                b = prior[j]
+                c = prior[j - bpp] if j >= bpp else 0
+                if f == 1:
+                    cur_out[j] = (cur[j] + a) & 0xFF
+                elif f == 3:
+                    cur_out[j] = (cur[j] + ((a + b) >> 1)) & 0xFF
+                elif f == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur_out[j] = (cur[j] + pr) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter {f}")
+            cur = cur_out
+        out[i] = cur
+        prior = cur
+    return out.astype(np.uint8)
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Decode grayscale PNG (bit depth 8/16) to uint8/uint16 array."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    off = 8
+    w = h = depth = None
+    idat = []
+    while off < len(data):
+        (length,) = struct.unpack_from(">I", data, off)
+        tag = data[off + 4 : off + 8]
+        payload = data[off + 8 : off + 8 + length]
+        off += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, color, comp, filt, inter = struct.unpack(">IIBBBBB", payload)
+            if color != 0 or inter != 0:
+                raise ValueError("only grayscale non-interlaced PNG supported")
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    bpp = depth // 8
+    stride = w * bpp
+    px = _unfilter(raw, h, stride, bpp)
+    if depth == 8:
+        return px.reshape(h, w)
+    return px.reshape(h, w * 2).view(np.uint8).reshape(h, -1).copy().view(">u2").astype(np.uint16).reshape(h, w)
+
+
+# ---------------------------------------------------------------------------
+# "JPEG" stand-in (deterministic lossy quantizer; see module docstring)
+# ---------------------------------------------------------------------------
+
+_JPEG_BITS = 5  # 8 -> 5 bits: max error 4 LSB/2 => PSNR ~41.3 dB >= 40 dB
+
+
+def _jpeg_encode(arr: np.ndarray) -> bytes:
+    if arr.dtype != np.uint8:
+        raise ValueError("jpeg stand-in supports uint8 only")
+    q = (arr >> (8 - _JPEG_BITS)).astype(np.uint8)
+    return b"JPGQ" + png_encode(q)
+
+
+def _jpeg_decode(data: bytes) -> np.ndarray:
+    if data[:4] != b"JPGQ":
+        raise ValueError("not a jpeg stand-in payload")
+    q = png_decode(data[4:])
+    # mid-rise reconstruction
+    shift = 8 - _JPEG_BITS
+    return np.minimum((q.astype(np.uint16) << shift) + (1 << (shift - 1)), 255).astype(
+        np.uint8
+    )
+
+
+# ---------------------------------------------------------------------------
+# Public codec API
+# ---------------------------------------------------------------------------
+
+def encode_tile(arr: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return png_encode(arr)
+    if fmt == "jpeg":
+        return _jpeg_encode(arr)
+    if fmt == "raw_u8":
+        return np.ascontiguousarray(arr.astype(np.uint8)).tobytes()
+    if fmt == "raw_u16":
+        return np.ascontiguousarray(arr.astype("<u2")).tobytes()
+    if fmt == "raw_f32":
+        return np.ascontiguousarray(arr.astype("<f4")).tobytes()
+    raise ValueError(f"unknown tile format {fmt!r}")
+
+
+def decode_tile(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    """Decode one tile payload to its 2-D pixel array."""
+    if fmt == "png":
+        arr = png_decode(bytes(data))
+    elif fmt == "jpeg":
+        arr = _jpeg_decode(bytes(data))
+    elif fmt == "raw_u8":
+        arr = np.frombuffer(data, dtype=np.uint8).reshape(h, w)
+    elif fmt == "raw_u16":
+        arr = np.frombuffer(data, dtype="<u2").astype(np.uint16).reshape(h, w)
+    elif fmt == "raw_f32":
+        arr = np.frombuffer(data, dtype="<f4").astype(np.float32).reshape(h, w)
+    else:
+        raise ValueError(f"unknown tile format {fmt!r}")
+    if arr.shape != (h, w):
+        raise ValueError(f"decoded shape {arr.shape} != ({h}, {w})")
+    return arr
+
+
+def psnr(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(peak * peak / mse)
+
+
+def phash64(arr: np.ndarray) -> int:
+    """64-bit perceptual hash: 8x8 block means thresholded at their mean
+    (average-hash family; DCT-free because scipy is unavailable).
+    Deterministic; Hamming distance on the int64 is the kNN metric."""
+    a = arr.astype(np.float64)
+    h, w = a.shape
+    # crop to a multiple of 8 then block-mean to 8x8
+    hh, ww = (h // 8) * 8, (w // 8) * 8
+    blocks = a[:hh, :ww].reshape(8, hh // 8, 8, ww // 8).mean(axis=(1, 3))
+    bits = (blocks > blocks.mean()).ravel()
+    val = 0
+    for i, b in enumerate(bits):
+        if b:
+            val |= 1 << i
+    # interpret as signed int64 (Spark LongType)
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val

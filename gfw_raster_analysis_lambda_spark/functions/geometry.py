@@ -1,0 +1,327 @@
+"""Pure-numpy planar geometry: WKB codec, point-in-polygon, rasterization.
+
+This replaces the reference's shapely + rasterio dependency surface
+(reference geometry.py, data_cube.py:74-109) with vectorized numpy kernels,
+because the execution environment ships neither library and because the
+kernels must run inside Arrow-batched pandas UDFs with no per-row Python.
+
+Geometry model
+--------------
+A geometry is a list of polygons; a polygon is a list of rings; a ring is
+an ``(N, 2)`` float64 array of (lon, lat) vertices (closure implicit).
+The first ring of a polygon is the exterior, the rest are holes — but all
+containment uses the **even-odd rule** over the union of all rings, which
+is also what burning a polygon onto a raster grid does (GDAL-style center
+containment, the reference's `geometry_mask(..., invert=True)` semantics,
+reference data_cube.py:39-41). Even-odd is robust to the self-touching /
+self-intersecting inputs the reference repairs with ``.buffer(0)``
+(reference tiling.py:52), so "validity repair" reduces to dropping
+degenerate rings here.
+
+Containment convention: a point exactly on a boundary is half-open
+(counted via the ``y1 <= y < y2`` crossing rule); fixtures place AOI edges
+off pixel centers so boundary ties never decide a test.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# WKB geometry type codes (OGC simple features, public spec)
+_WKB_POINT = 1
+_WKB_POLYGON = 3
+_WKB_MULTIPOLYGON = 6
+
+Ring = np.ndarray  # (N, 2) float64
+Polygon = list  # list[Ring]
+Geometry = list  # list[Polygon]
+
+
+# ---------------------------------------------------------------------------
+# WKB codec
+# ---------------------------------------------------------------------------
+
+def wkb_dumps(geom: Geometry) -> bytes:
+    """Serialize to little-endian WKB (MULTIPOLYGON always, for stability)."""
+    out = [b"\x01", struct.pack("<I", _WKB_MULTIPOLYGON), struct.pack("<I", len(geom))]
+    for poly in geom:
+        out.append(b"\x01")
+        out.append(struct.pack("<I", _WKB_POLYGON))
+        out.append(struct.pack("<I", len(poly)))
+        for ring in poly:
+            r = np.asarray(ring, dtype=np.float64)
+            # explicit closure on disk (WKB convention)
+            if len(r) and not np.array_equal(r[0], r[-1]):
+                r = np.vstack([r, r[:1]])
+            out.append(struct.pack("<I", len(r)))
+            out.append(r.astype("<f8").tobytes())
+    return b"".join(out)
+
+
+def _read_ring(buf: memoryview, off: int, bo: str) -> tuple[Ring, int]:
+    (n,) = struct.unpack_from(bo + "I", buf, off)
+    off += 4
+    pts = np.frombuffer(buf, dtype=("<f8" if bo == "<" else ">f8"), count=2 * n, offset=off)
+    off += 16 * n
+    ring = pts.reshape(n, 2).astype(np.float64)
+    # drop explicit closure for the in-memory form
+    if len(ring) > 1 and np.array_equal(ring[0], ring[-1]):
+        ring = ring[:-1]
+    return ring, off
+
+
+def _read_polygon_body(buf: memoryview, off: int, bo: str) -> tuple[Polygon, int]:
+    (nrings,) = struct.unpack_from(bo + "I", buf, off)
+    off += 4
+    rings = []
+    for _ in range(nrings):
+        ring, off = _read_ring(buf, off, bo)
+        if len(ring) >= 3:
+            rings.append(ring)
+    return rings, off
+
+
+def wkb_loads(data: bytes) -> Geometry:
+    """Parse WKB Polygon / MultiPolygon (either endianness) to a Geometry."""
+    buf = memoryview(data)
+    off = 0
+
+    def header(off: int) -> tuple[str, int, int]:
+        bo = "<" if buf[off] == 1 else ">"
+        (gtype,) = struct.unpack_from(bo + "I", buf, off + 1)
+        return bo, gtype & 0xFF, off + 5  # mask out SRID/Z flags
+
+    bo, gtype, off = header(off)
+    if gtype == _WKB_POLYGON:
+        poly, off = _read_polygon_body(buf, off, bo)
+        return [poly] if poly else []
+    if gtype == _WKB_MULTIPOLYGON:
+        (npoly,) = struct.unpack_from(bo + "I", buf, off)
+        off += 4
+        geom: Geometry = []
+        for _ in range(npoly):
+            bo2, gtype2, off = header(off)
+            if gtype2 != _WKB_POLYGON:
+                raise ValueError(f"unexpected member type {gtype2} in MultiPolygon")
+            poly, off = _read_polygon_body(buf, off, bo2)
+            if poly:
+                geom.append(poly)
+        return geom
+    raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+
+def box(minx: float, miny: float, maxx: float, maxy: float) -> Geometry:
+    """Axis-aligned box geometry (CCW exterior)."""
+    ring = np.array(
+        [[minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy]], dtype=np.float64
+    )
+    return [[ring]]
+
+
+# ---------------------------------------------------------------------------
+# Basic measures
+# ---------------------------------------------------------------------------
+
+def bounds(geom: Geometry) -> tuple[float, float, float, float]:
+    xs_min = ys_min = np.inf
+    xs_max = ys_max = -np.inf
+    for poly in geom:
+        for ring in poly:
+            xs_min = min(xs_min, float(ring[:, 0].min()))
+            xs_max = max(xs_max, float(ring[:, 0].max()))
+            ys_min = min(ys_min, float(ring[:, 1].min()))
+            ys_max = max(ys_max, float(ring[:, 1].max()))
+    return xs_min, ys_min, xs_max, ys_max
+
+
+def all_edges(geom: Geometry) -> np.ndarray:
+    """All ring edges as an (E, 4) array of (x1, y1, x2, y2)."""
+    segs = []
+    for poly in geom:
+        for ring in poly:
+            nxt = np.roll(ring, -1, axis=0)
+            segs.append(np.hstack([ring, nxt]))
+    if not segs:
+        return np.zeros((0, 4), dtype=np.float64)
+    return np.vstack(segs)
+
+
+def is_empty(geom: Geometry) -> bool:
+    return not geom or all(not poly for poly in geom)
+
+
+# ---------------------------------------------------------------------------
+# Containment (even-odd crossing number, vectorized)
+# ---------------------------------------------------------------------------
+
+def contains_points(geom: Geometry, xs, ys) -> np.ndarray:
+    """Even-odd point-in-polygon for arrays of points. O(E * P) broadcast,
+    chunked so memory stays bounded for large point sets."""
+    xs = np.asarray(xs, dtype=np.float64).ravel()
+    ys = np.asarray(ys, dtype=np.float64).ravel()
+    e = all_edges(geom)
+    if len(e) == 0 or len(xs) == 0:
+        return np.zeros(len(xs), dtype=bool)
+    x1, y1, x2, y2 = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
+    out = np.zeros(len(xs), dtype=bool)
+    chunk = max(1, int(4_000_000 // max(len(e), 1)))
+    for s in range(0, len(xs), chunk):
+        px = xs[s : s + chunk][:, None]
+        py = ys[s : s + chunk][:, None]
+        # half-open vertical rule avoids double counting shared vertices
+        straddles = (y1[None, :] <= py) != (y2[None, :] <= py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xcross = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+        hits = straddles & (xcross > px)
+        out[s : s + chunk] = (hits.sum(axis=1) % 2).astype(bool)
+    return out
+
+
+def rasterize_mask(
+    geom: Geometry,
+    x0: float,
+    y0: float,
+    pixel_size: float,
+    width: int,
+    height: int,
+) -> np.ndarray:
+    """Burn the geometry onto a north-up grid: ``mask[i, j]`` is True iff
+    the center of pixel (row i, col j) lies inside the geometry (even-odd).
+
+    Grid convention: pixel (0, 0) has its *top-left corner* at (x0, y0) and
+    rows increase southward — the reference's affine layout. The zonal AOI
+    mask (reference data_cube.py:74-109) is exactly this operator.
+
+    Scanline algorithm: for each pixel-center latitude, collect the edge
+    crossings' longitudes and count, per pixel center, how many crossings
+    lie strictly to its right via a sorted ``searchsorted`` — O(H * E log E)
+    and fully vectorized along the width axis.
+    """
+    e = all_edges(geom)
+    mask = np.zeros((height, width), dtype=bool)
+    if len(e) == 0:
+        return mask
+    cx = x0 + (np.arange(width, dtype=np.float64) + 0.5) * pixel_size
+    cy = y0 - (np.arange(height, dtype=np.float64) + 0.5) * pixel_size
+    x1, y1, x2, y2 = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
+    dy = y2 - y1
+    for i in range(height):
+        py = cy[i]
+        straddles = (y1 <= py) != (y2 <= py)
+        if not straddles.any():
+            continue
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xc = x1[straddles] + (py - y1[straddles]) * (x2[straddles] - x1[straddles]) / dy[straddles]
+        xc.sort()
+        # crossings strictly right of each center; odd count => inside
+        nright = len(xc) - np.searchsorted(xc, cx, side="right")
+        mask[i] = (nright % 2).astype(bool)
+    return mask
+
+
+# ---------------------------------------------------------------------------
+# Rectangle predicates / clipping (tile enumeration + per-tile clip)
+# ---------------------------------------------------------------------------
+
+def _segments_intersect_rect(e: np.ndarray, minx, miny, maxx, maxy) -> bool:
+    """Liang-Barsky: does any segment have a non-empty intersection with the
+    closed rectangle? Vectorized over segments."""
+    if len(e) == 0:
+        return False
+    x1, y1, x2, y2 = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
+    dx, dy = x2 - x1, y2 - y1
+    t0 = np.zeros(len(e))
+    t1 = np.ones(len(e))
+    ok = np.ones(len(e), dtype=bool)
+    for p, q in (
+        (-dx, x1 - minx),
+        (dx, maxx - x1),
+        (-dy, y1 - miny),
+        (dy, maxy - y1),
+    ):
+        para = p == 0
+        ok &= ~(para & (q < 0))  # parallel and fully outside
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.where(para, 0.0, q / np.where(p == 0, 1.0, p))
+        t0 = np.where(ok & ~para & (p < 0), np.maximum(t0, r), t0)
+        t1 = np.where(ok & ~para & (p > 0), np.minimum(t1, r), t1)
+    return bool((ok & (t0 <= t1)).any())
+
+
+def intersects_rect(geom: Geometry, minx, miny, maxx, maxy) -> bool:
+    """Closed-set intersection test between the geometry and a rectangle —
+    the tile-enumeration predicate (reference tiling.py:220-237 keeps every
+    grid tile with ``geom.intersects(tile)``; boundary touch counts)."""
+    if is_empty(geom):
+        return False
+    gminx, gminy, gmaxx, gmaxy = bounds(geom)
+    if gminx > maxx or gmaxx < minx or gminy > maxy or gmaxy < miny:
+        return False
+    # any rect corner or center strictly inside the polygon (rect within geom)
+    cxs = [minx, maxx, minx, maxx, (minx + maxx) / 2]
+    cys = [miny, miny, maxy, maxy, (miny + maxy) / 2]
+    if contains_points(geom, cxs, cys).any():
+        return True
+    # any edge touches the rect (covers geom-vertex-in-rect too)
+    return _segments_intersect_rect(all_edges(geom), minx, miny, maxx, maxy)
+
+
+def _clip_ring_rect(ring: Ring, minx, miny, maxx, maxy) -> Ring | None:
+    """Sutherland-Hodgman clip of one ring against the rectangle."""
+    pts = ring
+    for axis, bound, keep_ge in (
+        (0, minx, True),
+        (0, maxx, False),
+        (1, miny, True),
+        (1, maxy, False),
+    ):
+        if len(pts) == 0:
+            return None
+        out = []
+        n = len(pts)
+        for i in range(n):
+            cur = pts[i]
+            prv = pts[i - 1]
+            cur_in = cur[axis] >= bound if keep_ge else cur[axis] <= bound
+            prv_in = prv[axis] >= bound if keep_ge else prv[axis] <= bound
+            if cur_in != prv_in:
+                t = (bound - prv[axis]) / (cur[axis] - prv[axis])
+                out.append(prv + t * (cur - prv))
+            if cur_in:
+                out.append(cur)
+        pts = np.asarray(out, dtype=np.float64).reshape(-1, 2)
+    if len(pts) < 3:
+        return None
+    return pts
+
+
+def clip_to_rect(geom: Geometry, minx, miny, maxx, maxy) -> Geometry:
+    """Clip geometry to a rectangle (per-tile geometry, reference
+    geometry.py:11-40). Even-odd semantics let rings clip independently."""
+    out: Geometry = []
+    for poly in geom:
+        rings = []
+        for ring in poly:
+            c = _clip_ring_rect(ring, minx, miny, maxx, maxy)
+            if c is not None:
+                rings.append(c)
+        if rings:
+            out.append(rings)
+    return out
+
+
+def normalize(geom: Geometry) -> Geometry:
+    """Validity repair: drop rings with <3 distinct vertices and empty
+    polygons. Even-odd masking makes heavier repair (buffer(0)) unneeded."""
+    out: Geometry = []
+    for poly in geom:
+        rings = []
+        for ring in poly:
+            r = np.asarray(ring, dtype=np.float64)
+            if len(np.unique(r, axis=0)) >= 3:
+                rings.append(r)
+        if rings:
+            out.append(rings)
+    return out

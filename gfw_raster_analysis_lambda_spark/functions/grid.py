@@ -1,0 +1,201 @@
+"""Cell grid: the engine's spatial index (H3/S2 role).
+
+The reference tiles the world into fixed-degree blocks ("10/40000" = 10-deg
+blocks of 40000 px, i.e. 0.00025-deg pixels) and processes chunks of
+5000x5000 px = 1.25 deg (reference grid.py:33-51, README.md:358). Our cell
+grid keeps that geometry exactly — a *cell* is one tile chunk — but gives
+each cell a packed int64 id so that:
+
+- ``latlng_to_cell`` is pure integer/float arithmetic, batchable in numpy
+  (and mirrorable in ANSI SQL for the DuckDB oracle);
+- the images table can be hash/range partitioned and joined on ``cell_id``
+  (equi-join instead of a theta intersects-join — the key design move);
+- ``k_ring`` gives cheap spatial neighborhoods for kNN candidate pruning.
+
+Why not real H3/S2: neither library ships in this environment, and exact
+parity with the reference's degree-aligned tiles requires a degree-aligned
+grid anyway. The packing (res, x, y) is S2-like: cells of one resolution
+tile the planet disjointly; ids are stable and sortable so that sorting by
+cell_id gives spatial locality (row-major space filling).
+
+Packing: ``cell_id = (grid_index << 54) | (x << 27) | y`` where
+``x = floor((lon + 180) / tile_deg)``, ``y = floor((90 - lat) / tile_deg)``
+(row-major from the north-west corner, matching raster row order). Grid
+tile sizes are binary-exact fractions of a degree so the arithmetic is
+float-exact and reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import geometry as geo
+
+_X_BITS = 27
+_Y_BITS = 27
+_XY_MASK = (1 << _X_BITS) - 1
+
+
+@dataclass(frozen=True)
+class Grid:
+    """A fixed-resolution tiling of the WGS84 lon/lat plane.
+
+    ``degrees / pixels`` defines the pixel size (reference grid spec);
+    ``chunk_px`` is the tile-chunk side in pixels (reference CHUNK = 5000,
+    globals.py:21). ``tile_deg = pixel_size * chunk_px`` is the cell size.
+    """
+
+    name: str
+    degrees: float
+    pixels: int
+    chunk_px: int
+    index: int  # 8-bit registry slot, part of every cell_id
+
+    @property
+    def pixel_size(self) -> float:
+        return self.degrees / self.pixels
+
+    @property
+    def tile_deg(self) -> float:
+        return self.pixel_size * self.chunk_px
+
+    @property
+    def nx(self) -> int:
+        return int(round(360.0 / self.tile_deg))
+
+    @property
+    def ny(self) -> int:
+        return int(round(180.0 / self.tile_deg))
+
+
+# Registry: the two production grids (30 m and 10 m classes) plus a small
+# fixture grid whose numbers are binary-exact and tiny enough for tests.
+GRIDS: dict[str, Grid] = {}
+
+
+def _register(name: str, degrees: float, pixels: int, chunk_px: int) -> Grid:
+    g = Grid(name, degrees, pixels, chunk_px, index=len(GRIDS) + 1)
+    GRIDS[name] = g
+    return g
+
+
+GRID_30M = _register("10/40000", 10.0, 40000, 5000)   # 0.00025 deg px, 1.25 deg cells
+GRID_10M = _register("10/100000", 10.0, 100000, 5000)  # 0.0001 deg px, 0.5 deg cells
+GRID_FIXTURE = _register("4/1024", 4.0, 1024, 64)      # 0.00390625 deg px, 0.25 deg cells
+GRID_FIXTURE_FINE = _register("4/2048", 4.0, 2048, 64)  # finest-grid resampling tests
+
+_BY_INDEX = {g.index: g for g in GRIDS.values()}
+
+
+def get_grid(name: str) -> Grid:
+    return GRIDS[name]
+
+
+# ---------------------------------------------------------------------------
+# Cell codec (all vectorized over numpy arrays)
+# ---------------------------------------------------------------------------
+
+def cell_from_xy(grid: Grid, x, y):
+    x = np.asarray(x, dtype=np.int64)
+    y = np.asarray(y, dtype=np.int64)
+    return (np.int64(grid.index) << np.int64(_X_BITS + _Y_BITS)) | (x << np.int64(_Y_BITS)) | y
+
+
+def cell_to_xy(cell_id):
+    c = np.asarray(cell_id, dtype=np.int64)
+    return (c >> np.int64(_Y_BITS)) & np.int64(_XY_MASK), c & np.int64(_XY_MASK)
+
+
+def cell_grid_index(cell_id):
+    return np.asarray(cell_id, dtype=np.int64) >> np.int64(_X_BITS + _Y_BITS)
+
+
+def grid_of_cell(cell_id: int) -> Grid:
+    return _BY_INDEX[int(cell_grid_index(cell_id))]
+
+
+def latlng_to_cell(grid: Grid, lons, lats):
+    """Batched point -> cell (H3 ``latlng_to_cell`` role)."""
+    lons = np.asarray(lons, dtype=np.float64)
+    lats = np.asarray(lats, dtype=np.float64)
+    x = np.floor((lons + 180.0) / grid.tile_deg).astype(np.int64)
+    y = np.floor((90.0 - lats) / grid.tile_deg).astype(np.int64)
+    x = np.clip(x, 0, grid.nx - 1)
+    y = np.clip(y, 0, grid.ny - 1)
+    return cell_from_xy(grid, x, y)
+
+
+def cell_bounds(grid: Grid, cell_id):
+    """Vectorized cell -> (minx, miny, maxx, maxy)."""
+    x, y = cell_to_xy(cell_id)
+    minx = -180.0 + x.astype(np.float64) * grid.tile_deg
+    maxy = 90.0 - y.astype(np.float64) * grid.tile_deg
+    return minx, maxy - grid.tile_deg, minx + grid.tile_deg, maxy
+
+
+def cell_centroid_lat(grid: Grid, cell_id):
+    _, miny, _, maxy = cell_bounds(grid, cell_id)
+    return (miny + maxy) / 2.0
+
+
+def cell_affine(grid: Grid, cell_id: int) -> tuple[float, float, float]:
+    """(x0, y0, pixel_size) of the cell's raster window (north-up)."""
+    minx, _, _, maxy = cell_bounds(grid, cell_id)
+    return float(minx), float(maxy), grid.pixel_size
+
+
+def polygon_to_cells(grid: Grid, geom: geo.Geometry) -> np.ndarray:
+    """All cells whose tile rectangle intersects the geometry — the tile
+    enumeration that turns the spatial join into an equi-join (reference
+    tiling.py:220-250 semantics: snap bbox to the grid, keep intersecting
+    tiles; boundary touch counts)."""
+    geom = geo.normalize(geom)
+    if geo.is_empty(geom):
+        return np.zeros(0, dtype=np.int64)
+    minx, miny, maxx, maxy = geo.bounds(geom)
+    td = grid.tile_deg
+    x_lo = max(int(np.floor((minx + 180.0) / td)), 0)
+    x_hi = min(int(np.floor((maxx + 180.0) / td)), grid.nx - 1)
+    y_lo = max(int(np.floor((90.0 - maxy) / td)), 0)
+    y_hi = min(int(np.floor((90.0 - miny) / td)), grid.ny - 1)
+    out = []
+    for y in range(y_lo, y_hi + 1):
+        cmaxy = 90.0 - y * td
+        for x in range(x_lo, x_hi + 1):
+            cminx = -180.0 + x * td
+            if geo.intersects_rect(geom, cminx, cmaxy - td, cminx + td, cmaxy):
+                out.append((x, y))
+    if not out:
+        return np.zeros(0, dtype=np.int64)
+    arr = np.asarray(out, dtype=np.int64)
+    return np.asarray(cell_from_xy(grid, arr[:, 0], arr[:, 1]))
+
+
+def k_ring(grid: Grid, cell_id: int, k: int = 1) -> np.ndarray:
+    """The (2k+1)^2 neighborhood of a cell (kNN candidate pruning)."""
+    x, y = cell_to_xy(cell_id)
+    xs, ys = np.meshgrid(
+        np.arange(int(x) - k, int(x) + k + 1), np.arange(int(y) - k, int(y) + k + 1)
+    )
+    xs = np.mod(xs.ravel(), grid.nx)  # wrap antimeridian
+    ys = ys.ravel()
+    keep = (ys >= 0) & (ys < grid.ny)
+    return np.asarray(cell_from_xy(grid, xs[keep], ys[keep]))
+
+
+# ---------------------------------------------------------------------------
+# Reference tile-id string parity (source-URI naming shims, grid.py:53-127)
+# ---------------------------------------------------------------------------
+
+def tile_id_nw(lat_top: float, lon_left: float) -> str:
+    """GFW data-lake style NW-corner tile name, e.g. ``10N_010E``."""
+    ns = "N" if lat_top >= 0 else "S"
+    ew = "E" if lon_left >= 0 else "W"
+    return f"{abs(int(lat_top)):02d}{ns}_{abs(int(lon_left)):03d}{ew}"
+
+
+def tile_id_nwse(lon_w: float, lat_s: float, lon_e: float, lat_n: float) -> str:
+    """W_S_E_N style tile name used by some layers."""
+    return f"{int(lon_w)}_{int(lat_s)}_{int(lon_e)}_{int(lat_n)}"
