@@ -1,0 +1,320 @@
+"""The zonal kernel: per-(aoi, cell) vectorized raster statistics.
+
+This is the engine's one custom compute kernel — everything the reference
+does per Lambda invocation (reference lambdas/raster_analysis handler ->
+DataCube -> QueryExecutor, query_executor.py:23-134) happens here per
+``applyInPandas`` group, entirely in numpy:
+
+  decode tiles -> derive layers -> AOI rasterize (P6) -> filter mask
+  (P1-P5) -> base/group NoData masks (P7/P8) -> pack group values ->
+  unique/bincount partial aggregates (A1-A5)
+
+The output is a *partial* aggregate per (aoi, cell, group-tuple); Spark's
+hash aggregation does the final merge (A6) — the two-phase distributed
+aggregation the reference hand-rolls with DynamoDB partials
+(tiling.py:125-131) is Catalyst's native partial/final here.
+
+Scale notes:
+- Group key is (aoi_id, cell_id): skew-free by construction — a giant AOI
+  becomes many independent cell tasks, and a hot cell shared by many AOIs
+  becomes many independent AOI tasks.
+- The kernel pre-aggregates 64k-25M pixels down to a handful of group rows
+  before anything hits the shuffle, so shuffle volume is O(groups), not
+  O(pixels).
+- Arrow batches are bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
+  (tiles per batch) — the per-task memory bound replacing the reference's
+  3 GB lambda cap.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..functions import codecs, geodesy
+from ..functions import geometry as geo
+from ..functions import grid as G
+from ..functions.expressions import compile_expression
+from ..plans.ir import Aggregate, FilterAnd, FilterLeaf, FilterOr, ZonalQuery
+from ..sources.catalog import (
+    AREA_HA,
+    FROM_DATA,
+    LATITUDE,
+    LONGITUDE,
+    DataEnvironment,
+    DerivedLayer,
+    ReservedLayer,
+    SourceLayer,
+)
+
+_NP_DTYPES = {
+    "uint8": np.uint8, "uint16": np.uint16, "uint32": np.uint32,
+    "int16": np.int16, "int32": np.int32, "int64": np.int64,
+    "float32": np.float32, "float64": np.float64,
+}
+
+
+def _is_nan_nodata(nd) -> bool:
+    return nd is not None and isinstance(nd, float) and np.isnan(nd)
+
+
+def layer_is_float(env: DataEnvironment, name: str) -> bool:
+    src = env.resolve_source(name)
+    return src is not None and src.dtype.startswith("float")
+
+
+# ---------------------------------------------------------------------------
+# Partial-aggregate schema (plan-time; must match kernel output exactly)
+# ---------------------------------------------------------------------------
+
+def partial_columns(query: ZonalQuery) -> list[tuple[str, str]]:
+    """(name, spark_type) pairs of the kernel's output schema."""
+    cols: list[tuple[str, str]] = []
+    for g in query.group_layers:
+        cols.append((g, "double"))
+    for a in query.aggregates:
+        if a.func == "count":
+            cols.append((a.alias, "long"))
+        elif a.func == "avg" and not query.compat_avg:
+            cols.append((f"{a.alias}__sum", "double"))
+            cols.append((f"{a.alias}__cnt", "long"))
+        else:  # sum / min / max / compat-avg partial
+            cols.append((a.alias, "double"))
+    return cols
+
+
+def partial_schema_ddl(query: ZonalQuery) -> str:
+    return ", ".join(f"`{n}` {t}" for n, t in partial_columns(query))
+
+
+def pixel_schema_ddl(query: ZonalQuery) -> str:
+    return ", ".join(f"`{n}` double" for n in query.select_pixels)
+
+
+# ---------------------------------------------------------------------------
+# Kernel construction
+# ---------------------------------------------------------------------------
+
+def make_zonal_kernel(query: ZonalQuery, env_json: str, grid_name: str):
+    """Build the applyInPandas function for groupBy(aoi_id, cell_id).
+
+    Everything the closure captures is picklable (the env ships as JSON and
+    is deserialized once per executor via a module-level cache).
+    """
+    pixel_mode = bool(query.select_pixels)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        env = _env_cache(env_json)
+        grid = G.get_grid(grid_name)
+        cell_id = int(pdf["cell_id"].iloc[0])
+        geom = geo.wkb_loads(bytes(pdf["geom_wkb"].iloc[0]))
+
+        x0, y0, ps = G.cell_affine(grid, cell_id)
+        lat_c = float(G.cell_centroid_lat(grid, np.array([cell_id]))[0])
+        mean_area = float(geodesy.pixel_area_ha(lat_c, ps))
+
+        tile_px = grid.chunk_px
+        values = _decode_and_derive(pdf, env, query, tile_px, mean_area)
+
+        # -- masks (1-D pixel columns, reference ravel semantics) ------------
+        mask = np.ravel(geo.rasterize_mask(geom, x0, y0, ps, tile_px, tile_px))
+        if query.base_layer != FROM_DATA:
+            mask &= _data_mask(values[query.base_layer], env.nodata_of(query.base_layer))
+        if query.where is not None:
+            mask &= _eval_filter(query.where, values)
+
+        if pixel_mode:
+            return _select_pixels(query, values, mask, x0, y0, ps)
+
+        # group-layer NoData drop (P8) + NaN drop (A7)
+        for gname in query.group_layers:
+            arr = values[gname]
+            if np.issubdtype(np.asarray(arr).dtype, np.floating):
+                mask &= ~np.isnan(arr)
+            nd = env.nodata_of(gname)
+            if nd is not None and not env.keeps_nodata_groups(gname) and not _is_nan_nodata(nd):
+                mask &= arr != nd
+
+        return _aggregate(query, values, mask, mean_area)
+
+    return kernel
+
+
+_ENV_CACHE: dict[str, DataEnvironment] = {}
+
+
+def _env_cache(env_json: str) -> DataEnvironment:
+    env = _ENV_CACHE.get(env_json)
+    if env is None:
+        env = DataEnvironment.from_json(env_json)
+        _ENV_CACHE[env_json] = env
+    return env
+
+
+def _decode_and_derive(
+    pdf: pd.DataFrame, env: DataEnvironment, query: ZonalQuery, tile_px: int, mean_area: float
+) -> dict[str, np.ndarray]:
+    """Decode present tiles, synthesize zeros for missing ones (S2
+    missing-tile tolerance, reference window.py:103-119), evaluate derived
+    layers, and ravel everything to 1-D pixel columns."""
+    present: dict[str, np.ndarray] = {}
+    for _, row in pdf.iterrows():
+        if row["layer"] is None or (isinstance(row["layer"], float) and pd.isna(row["layer"])):
+            continue  # left-join null: AOI cell with no tiles at all
+        arr = codecs.decode_tile(bytes(row["bytes"]), int(row["w"]), int(row["h"]), str(row["fmt"]))
+        present[str(row["layer"])] = arr
+
+    values: dict[str, np.ndarray] = {}
+    for name in query.layer_names():
+        layer = env.get_layer(name)
+        if isinstance(layer, ReservedLayer):
+            continue  # handled at use sites (area__ha / lat / lon)
+        if isinstance(layer, SourceLayer):
+            arr = present.get(name)
+            if arr is None:
+                arr = np.zeros((tile_px, tile_px), dtype=_NP_DTYPES.get(layer.dtype, np.uint8))
+            values[name] = np.ravel(arr)
+        elif isinstance(layer, DerivedLayer):
+            src = present.get(layer.source_layer)
+            if src is None:
+                src_layer = env.get_layer(layer.source_layer)
+                src = np.zeros((tile_px, tile_px), dtype=_NP_DTYPES.get(getattr(src_layer, "dtype", "uint8"), np.uint8))
+            values[name] = np.ravel(compile_expression(layer.calc)(src, mean_area))
+    return values
+
+
+def _data_mask(arr: np.ndarray, nodata) -> np.ndarray:
+    """Non-NoData mask of a layer (NaN-aware; None = everything is data)."""
+    if nodata is None:
+        return np.ones(arr.shape, dtype=bool)
+    if _is_nan_nodata(nodata):
+        return ~np.isnan(arr)
+    m = arr != nodata
+    if np.issubdtype(np.asarray(arr).dtype, np.floating):
+        m &= ~np.isnan(arr)
+    return m
+
+
+def _eval_filter(node, values: dict[str, np.ndarray]) -> np.ndarray:
+    """Filter tree -> boolean pixel mask (P1-P5). Literals are already in
+    raw pixel space (encoded at plan time)."""
+    if isinstance(node, FilterLeaf):
+        arr = values[node.layer]
+        if node.op == "in":
+            return np.isin(arr, np.asarray(node.values))
+        v = node.values[0]
+        ops = {
+            ">": np.greater, "<": np.less, ">=": np.greater_equal,
+            "<=": np.less_equal, "==": np.equal, "!=": np.not_equal,
+        }
+        return ops[node.op](arr, v)
+    if isinstance(node, FilterAnd):
+        out = _eval_filter(node.children[0], values)
+        for c in node.children[1:]:
+            out = out & _eval_filter(c, values)
+        return out
+    if isinstance(node, FilterOr):
+        out = _eval_filter(node.children[0], values)
+        for c in node.children[1:]:
+            out = out | _eval_filter(c, values)
+        return out
+    raise TypeError(f"unknown filter node {type(node)}")
+
+
+def _select_pixels(query: ZonalQuery, values, mask, x0, y0, ps) -> pd.DataFrame:
+    """Pixel-row extraction (reference `_select`, query_executor.py:175-198):
+    lat/lon from the affine + raw layer values for unmasked pixels."""
+    idx = np.flatnonzero(mask)
+    tile_px = int(np.sqrt(mask.size))
+    rows, cols = np.divmod(idx, tile_px)
+    out = {}
+    for name in query.select_pixels:
+        if name == LATITUDE:
+            out[name] = y0 - (rows + 0.5) * ps
+        elif name == LONGITUDE:
+            out[name] = x0 + (cols + 0.5) * ps
+        elif name == AREA_HA:
+            out[name] = np.full(len(idx), geodesy.pixel_area_ha(y0 - ps / 2, ps))
+        else:
+            out[name] = np.asarray(values[name], dtype=np.float64)[idx]
+    return pd.DataFrame(out, dtype=np.float64)
+
+
+def _aggregate(query: ZonalQuery, values, mask, mean_area: float) -> pd.DataFrame:
+    """Masked (grouped) partial aggregation — the reference's
+    ravel_multi_index/unique/bincount hash aggregate (A1-A5,
+    query_executor.py:52-134), emitted as partial rows."""
+    masked_idx = np.flatnonzero(mask)
+    n_masked = len(masked_idx)
+    out: dict[str, np.ndarray] = {}
+
+    if query.group_layers:
+        if n_masked == 0:
+            return pd.DataFrame({n: pd.Series(dtype=t) for n, t in _pd_types(query)})
+        cols = [np.asarray(values[g], dtype=np.float64)[masked_idx] for g in query.group_layers]
+        key = np.stack(cols, axis=1)
+        uniq, inverse = np.unique(key, axis=0, return_inverse=True)
+        ngroups = len(uniq)
+        for k, g in enumerate(query.group_layers):
+            out[g] = uniq[:, k]
+    else:
+        ngroups = 1
+        inverse = np.zeros(n_masked, dtype=np.int64)
+
+    for a in query.aggregates:
+        _one_aggregate(a, query, values, masked_idx, inverse, ngroups, mean_area, n_masked, out)
+
+    pdf = pd.DataFrame(out)
+    # drop all-zero rows only in the ungrouped empty case
+    if not query.group_layers and n_masked == 0:
+        return pdf  # single zero row is the correct ungrouped result
+    return pdf
+
+
+def _one_aggregate(
+    a: Aggregate, query, values, masked_idx, inverse, ngroups, mean_area, n_masked, out
+):
+    if a.func == "count":
+        out[a.alias] = np.bincount(inverse, minlength=ngroups).astype(np.int64)
+        return
+    if a.layer == AREA_HA:
+        counts = np.bincount(inverse, minlength=ngroups)
+        if a.func == "sum":
+            out[a.alias] = counts * mean_area
+        elif a.func == "avg":
+            if query.compat_avg:
+                out[a.alias] = counts * mean_area / max(n_masked, 1)
+            else:
+                out[f"{a.alias}__sum"] = counts * mean_area
+                out[f"{a.alias}__cnt"] = counts.astype(np.int64)
+        return
+    data = np.asarray(values[a.layer], dtype=np.float64)[masked_idx]
+    finite = ~np.isnan(data)  # NaN exclusion inside aggregation (A7)
+    d, inv = data[finite], inverse[finite]
+    if a.func == "sum":
+        out[a.alias] = np.bincount(inv, weights=d, minlength=ngroups)
+    elif a.func == "avg":
+        sums = np.bincount(inv, weights=d, minlength=ngroups)
+        if query.compat_avg:
+            # reference quirk (A3): divide by the tile's total masked count
+            out[a.alias] = sums / max(n_masked, 1)
+        else:
+            out[f"{a.alias}__sum"] = sums
+            out[f"{a.alias}__cnt"] = np.bincount(inv, minlength=ngroups).astype(np.int64)
+    elif a.func == "min":
+        acc = np.full(ngroups, np.inf)
+        np.minimum.at(acc, inv, d)
+        # emit nulls (not NaN) for empty groups: Spark treats NaN as the
+        # greatest double, which would poison the final F.max/F.min merge
+        out[a.alias] = pd.array(np.where(np.isfinite(acc), acc, np.nan), dtype="Float64")
+    elif a.func == "max":
+        acc = np.full(ngroups, -np.inf)
+        np.maximum.at(acc, inv, d)
+        out[a.alias] = pd.array(np.where(np.isfinite(acc), acc, np.nan), dtype="Float64")
+    else:
+        raise ValueError(f"unsupported aggregate {a.func}")
+
+
+def _pd_types(query: ZonalQuery):
+    for n, t in partial_columns(query):
+        yield n, ("int64" if t == "long" else "float64")

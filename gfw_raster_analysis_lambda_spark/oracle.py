@@ -1,0 +1,271 @@
+"""Single-process numpy oracle.
+
+Recomputes any ZonalQuery over the fixture corpus without Spark: enumerate
+cells per AOI, regenerate tile pixels straight from the fixture formulas
+(bypassing the codecs), mask, group, aggregate, decode — one flat pass in
+plain numpy/pandas. This is the independent implementation the e2e tests
+diff Spark against (FIXTURES.md section 4; the reference's own tests use
+offline-computed golden values the same way).
+
+Shares only the leaf kernels (rasterize_mask, pixel_area_ha, grid math)
+with the engine; the dataflow (join, masking order, grouping, partial
+merge) is re-derived independently.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .functions import geodesy
+from .functions import geometry as geo
+from .functions import grid as G
+from .functions.expressions import compile_expression
+from .plans.ir import FilterAnd, FilterLeaf, FilterOr, ZonalQuery
+from .sources import fixtures
+from .sources.catalog import (
+    AREA_HA,
+    FROM_DATA,
+    LATITUDE,
+    LONGITUDE,
+    DataEnvironment,
+    DerivedLayer,
+    ReservedLayer,
+    SourceLayer,
+)
+
+
+def _filter_mask(node, values):
+    if isinstance(node, FilterLeaf):
+        arr = values[node.layer]
+        if node.op == "in":
+            return np.isin(arr, np.asarray(node.values))
+        v = node.values[0]
+        return {
+            ">": arr > v, "<": arr < v, ">=": arr >= v,
+            "<=": arr <= v, "==": arr == v, "!=": arr != v,
+        }[node.op]
+    if isinstance(node, FilterAnd):
+        out = _filter_mask(node.children[0], values)
+        for c in node.children[1:]:
+            out = out & _filter_mask(c, values)
+        return out
+    out = _filter_mask(node.children[0], values)
+    for c in node.children[1:]:
+        out = out | _filter_mask(c, values)
+    return out
+
+
+def run_oracle(
+    query: ZonalQuery,
+    env: DataEnvironment,
+    aois: list[tuple[str, bytes]],
+    grid: G.Grid = fixtures.GRID,
+    data_extent: tuple[int, int, int, int] = (fixtures.X0, fixtures.Y0, fixtures.NX, fixtures.NY),
+) -> pd.DataFrame:
+    """Compute the query result for each AOI; returns the concatenated
+    result frame with aoi_id first (matching the engine's output shape)."""
+    x0e, y0e, nxe, nye = data_extent
+    frames = []
+    for aoi_id, wkb in aois:
+        geom = geo.normalize(geo.wkb_loads(wkb))
+        cells = G.polygon_to_cells(grid, geom)
+        rows = []
+        for cell in cells.tolist():
+            x, y = (int(v) for v in G.cell_to_xy(np.int64(cell)))
+            has_data = x0e <= x < x0e + nxe and y0e <= y < y0e + nye
+            rows.append(_cell_frame(query, env, geom, grid, cell, x, y, has_data))
+        rows = [r for r in rows if r is not None]
+        if not rows:
+            if not query.group_layers and query.aggregates:
+                continue  # empty extent -> empty result
+            continue
+        pdf = pd.concat(rows, ignore_index=True)
+        pdf = _merge(query, env, pdf)
+        pdf.insert(0, "aoi_id", aoi_id)
+        frames.append(pdf)
+    if not frames:
+        return pd.DataFrame()
+    out = pd.concat(frames, ignore_index=True)
+    if query.order_by:
+        cols = [o.column for o in query.order_by]
+        asc = [o.ascending for o in query.order_by]
+        out = out.sort_values(["aoi_id", *cols], ascending=[True, *asc], kind="mergesort")
+    elif not query.select_pixels:
+        out = out.sort_values(list(out.columns[: 1 + len(query.group_layers)]), kind="mergesort")
+    if query.limit is not None:
+        out = out.groupby("aoi_id", group_keys=False).head(query.limit)
+    return out.reset_index(drop=True)
+
+
+def _cell_frame(query, env, geom, grid, cell, x, y, has_data):
+    tile_px = grid.chunk_px
+    cx0, cy0, ps = G.cell_affine(grid, cell)
+    lat_c = float(G.cell_centroid_lat(grid, np.array([cell]))[0])
+    mean_area = float(geodesy.pixel_area_ha(lat_c, ps))
+
+    values = {}
+    for name in query.layer_names():
+        layer = env.get_layer(name)
+        if isinstance(layer, ReservedLayer):
+            continue
+        if isinstance(layer, SourceLayer):
+            arr = (
+                fixtures.tile_array(name, x, y, tile_px)
+                if has_data and name in fixtures.PIXEL_NUMPY
+                else np.zeros((tile_px, tile_px))
+            )
+            values[name] = np.ravel(arr)
+        else:
+            src_name = layer.source_layer
+            src = (
+                fixtures.tile_array(src_name, x, y, tile_px)
+                if has_data and src_name in fixtures.PIXEL_NUMPY
+                else np.zeros((tile_px, tile_px))
+            )
+            values[name] = np.ravel(compile_expression(layer.calc)(src, mean_area))
+
+    # engine parity: FROM <layer> scans only cells having stored tiles of a
+    # needed layer (inner equi-join); FROM data also covers tile-less cells
+    if not has_data and query.base_layer != FROM_DATA:
+        return None
+    mask = np.ravel(geo.rasterize_mask(geom, cx0, cy0, ps, tile_px, tile_px))
+    if query.base_layer != FROM_DATA:
+        nd = env.nodata_of(query.base_layer)
+        base = values[query.base_layer]
+        if nd is None:
+            pass
+        elif isinstance(nd, float) and np.isnan(nd):
+            mask = mask & ~np.isnan(base)
+        else:
+            mask = mask & (base != nd)
+            if np.issubdtype(np.asarray(base).dtype, np.floating):
+                mask = mask & ~np.isnan(base)
+    if query.where is not None:
+        mask = mask & _filter_mask(query.where, values)
+
+    if query.select_pixels:
+        idx = np.flatnonzero(mask)
+        rows_i, cols_j = np.divmod(idx, tile_px)
+        out = {}
+        for name in query.select_pixels:
+            if name == LATITUDE:
+                out[name] = cy0 - (rows_i + 0.5) * ps
+            elif name == LONGITUDE:
+                out[name] = cx0 + (cols_j + 0.5) * ps
+            else:
+                out[name] = np.asarray(values[name], dtype=np.float64)[idx]
+        return pd.DataFrame(out, dtype=np.float64)
+
+    for g in query.group_layers:
+        arr = values[g]
+        if np.issubdtype(np.asarray(arr).dtype, np.floating):
+            mask = mask & ~np.isnan(arr)
+        nd = env.nodata_of(g)
+        if nd is not None and not env.keeps_nodata_groups(g) and not (
+            isinstance(nd, float) and np.isnan(nd)
+        ):
+            mask = mask & (arr != nd)
+
+    idx = np.flatnonzero(mask)
+    out = {}
+    if query.group_layers:
+        if len(idx) == 0:
+            return None
+        key = np.stack(
+            [np.asarray(values[g], dtype=np.float64)[idx] for g in query.group_layers], axis=1
+        )
+        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        ng = len(uniq)
+        for k, g in enumerate(query.group_layers):
+            out[g] = uniq[:, k]
+    else:
+        ng, inv = 1, np.zeros(len(idx), dtype=np.int64)
+    for a in query.aggregates:
+        if a.func == "count":
+            out[a.alias] = np.bincount(inv, minlength=ng).astype(np.int64)
+        elif a.layer == AREA_HA:
+            c = np.bincount(inv, minlength=ng)
+            out[a.alias if a.func == "sum" else f"{a.alias}__s"] = c * mean_area
+            if a.func == "avg":
+                out[f"{a.alias}__c"] = c
+        else:
+            d = np.asarray(values[a.layer], dtype=np.float64)[idx]
+            fin = ~np.isnan(d)
+            if a.func == "sum":
+                out[a.alias] = np.bincount(inv[fin], weights=d[fin], minlength=ng)
+            elif a.func == "avg":
+                out[f"{a.alias}__s"] = np.bincount(inv[fin], weights=d[fin], minlength=ng)
+                out[f"{a.alias}__c"] = np.bincount(inv[fin], minlength=ng)
+            elif a.func == "min":
+                acc = np.full(ng, np.inf)
+                np.minimum.at(acc, inv[fin], d[fin])
+                out[a.alias] = acc
+            elif a.func == "max":
+                acc = np.full(ng, -np.inf)
+                np.maximum.at(acc, inv[fin], d[fin])
+                out[a.alias] = acc
+    return pd.DataFrame(out)
+
+
+def _merge(query: ZonalQuery, env: DataEnvironment, pdf: pd.DataFrame) -> pd.DataFrame:
+    if query.select_pixels:
+        return pdf
+    gcols = list(query.group_layers)
+    if gcols:
+        agg_spec = {}
+        for a in query.aggregates:
+            if a.func in ("count", "sum"):
+                agg_spec[a.alias] = "sum"
+            elif a.func == "avg":
+                agg_spec[f"{a.alias}__s"] = "sum"
+                agg_spec[f"{a.alias}__c"] = "sum"
+            else:
+                agg_spec[a.alias] = a.func
+        pdf = pdf.groupby(gcols, as_index=False).agg(agg_spec)
+    else:
+        agg = {}
+        for a in query.aggregates:
+            if a.func in ("count", "sum"):
+                agg[a.alias] = pdf[a.alias].sum()
+            elif a.func == "avg":
+                agg[f"{a.alias}__s"] = pdf[f"{a.alias}__s"].sum()
+                agg[f"{a.alias}__c"] = pdf[f"{a.alias}__c"].sum()
+            else:
+                agg[a.alias] = pdf[a.alias].min() if a.func == "min" else pdf[a.alias].max()
+        pdf = pd.DataFrame([agg])
+    for a in query.aggregates:
+        if a.func == "avg":
+            pdf[a.alias] = pdf[f"{a.alias}__s"] / pdf[f"{a.alias}__c"]
+            pdf = pdf.drop(columns=[f"{a.alias}__s", f"{a.alias}__c"])
+        if a.func == "count":
+            pdf[a.alias] = pdf[a.alias].astype(np.int64)
+    # declaration column order (engine parity)
+    pdf = pdf[[*gcols, *[a.alias for a in query.aggregates]]]
+    # decode group columns (post-agg, P11)
+    for g in gcols:
+        layer = env.get_layer(g)
+        if isinstance(layer, (SourceLayer, DerivedLayer)):
+            if layer.raster_table or layer.decode_expression:
+                pdf[g] = env.decode_values(g, pdf[g].to_numpy())
+            else:
+                src = env.resolve_source(g)
+                if src is not None and not src.dtype.startswith("float"):
+                    pdf[g] = pdf[g].astype(np.int64)
+    # isoweek regroup (F1)
+    if query.isoweek_layers:
+        for g in query.isoweek_layers:
+            dates = pd.to_datetime(pdf[g])
+            iso = dates.dt.isocalendar()
+            pdf[f"{g}__isoyear"] = iso["year"].astype(np.int64)
+            pdf[f"{g}__isoweek"] = iso["week"].astype(np.int64)
+            pdf = pdf.drop(columns=[g])
+        new_g = [
+            c for g in gcols
+            for c in ([f"{g}__isoyear", f"{g}__isoweek"] if g in query.isoweek_layers else [g])
+        ]
+        spec = {}
+        for a in query.aggregates:
+            spec[a.alias] = "sum" if a.func in ("count", "sum", "avg") else a.func
+        pdf = pdf.groupby(new_g, as_index=False).agg(spec)
+    return pdf
