@@ -1,0 +1,117 @@
+"""Checkpoint / resume / lineage for zonal runs.
+
+Reimplements the reference's result cache + status-table semantics
+(reference results_store.py:208-224; tiling.py:164-181 — md5 cache key per
+(query, tile), cached tiles skipped on retry) on top of table snapshots:
+
+- partials are persisted keyed by a **query fingerprint** (md5 of the
+  query IR + environment + grid) and (aoi_id, cell_id);
+- a ``done`` marker table records which (aoi_id, cell_id) units committed,
+  written strictly *after* the partials commit, so a crash between the two
+  writes only ever causes recomputation, never double counting: readers
+  take, per cell, only the partial rows of the **first committed run**;
+- a ``lineage`` table gets one row per Spark partition per run (cells,
+  rows, kernel wall-ms) — the reference's per-tile status/heartbeat rows
+  (results_store.py:115-131) as queryable metrics.
+
+On a real deployment these three are Iceberg tables and the two-phase
+commit collapses into one atomic snapshot; this environment has no
+Iceberg runtime jar, so parquet directories emulate the layout (the
+protocol above is what makes that emulation safe).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .plans import planner
+from .plans.ir import ZonalQuery
+from .sources.catalog import DataEnvironment
+
+
+def query_fingerprint(query: ZonalQuery, env: DataEnvironment, grid_name: str) -> str:
+    blob = f"{query!r}|{env.to_json()}|{grid_name}".encode()
+    return hashlib.md5(blob).hexdigest()
+
+
+def _try_read(spark: SparkSession, path: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def run_zonal_checkpointed(
+    spark: SparkSession,
+    images: DataFrame,
+    aoi_df: DataFrame,
+    query: ZonalQuery,
+    env: DataEnvironment,
+    grid_name: str,
+    checkpoint_dir: str,
+    run_id: str | None = None,
+    broadcast_aoi: bool | None = None,
+) -> DataFrame:
+    """Execute with resume: (aoi, cell) units already committed under this
+    query fingerprint are anti-joined away and only the remainder runs.
+    Returns the finalized result over *all* partials (old + new)."""
+    if query.select_pixels:
+        raise ValueError("checkpointing applies to aggregate queries (partials)")
+    fp = query_fingerprint(query, env, grid_name)
+    run_id = run_id or f"r{time.time_ns():020d}"
+    pdir = f"{checkpoint_dir}/partials/q={fp}"
+    ddir = f"{checkpoint_dir}/done/q={fp}"
+    ldir = f"{checkpoint_dir}/lineage"
+
+    cells = planner.aoi_cells(aoi_df, grid_name)
+    done = _try_read(spark, ddir)
+    todo = (
+        cells.join(F.broadcast(done.select("aoi_id", "cell_id")), ["aoi_id", "cell_id"], "left_anti")
+        if done is not None
+        else cells
+    )
+
+    if not todo.isEmpty():
+        new_partials = (
+            planner.build_partials(images, todo, query, env, grid_name, broadcast_aoi)
+            .withColumn("_pid", F.spark_partition_id())
+            .withColumn("run_id", F.lit(run_id))
+        )
+        new_partials.write.mode("append").parquet(pdir)
+        # done markers AFTER the partials commit (see module docstring)
+        todo.select("aoi_id", "cell_id").withColumn("run_id", F.lit(run_id)).write.mode(
+            "append"
+        ).parquet(ddir)
+        # lineage: one row per Spark partition of this run
+        (
+            spark.read.parquet(pdir)
+            .filter(F.col("run_id") == run_id)
+            .groupBy("run_id", "_pid")
+            .agg(
+                F.countDistinct("cell_id").alias("n_cells"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("_ms").alias("kernel_ms"),
+            )
+            .withColumn("query_fp", F.lit(fp))
+            .withColumn("committed_at", F.current_timestamp())
+            .write.mode("append")
+            .parquet(ldir)
+        )
+
+    # authoritative run per (aoi, cell) = first committed marker
+    done_now = spark.read.parquet(ddir)
+    auth = done_now.groupBy("aoi_id", "cell_id").agg(F.min("run_id").alias("run_id"))
+    full = (
+        spark.read.parquet(pdir)
+        .join(F.broadcast(auth), ["aoi_id", "cell_id", "run_id"], "left_semi")
+        .drop("run_id", "_pid")
+    )
+    return planner.finalize_partials(full, query, env)
+
+
+def read_lineage(spark: SparkSession, checkpoint_dir: str) -> DataFrame | None:
+    return _try_read(spark, f"{checkpoint_dir}/lineage")

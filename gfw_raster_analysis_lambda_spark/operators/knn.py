@@ -1,0 +1,95 @@
+"""kNN tile lookup: Hamming-distance top-k over the 64-bit perceptual hash.
+
+North-rule operator with no reference counterpart (the reference has no
+similarity search). Two strategies:
+
+- ``knn_phash``        one full scan of the images table serves *all*
+                       queries at once: broadcast the (small) query set,
+                       compute ``bit_count(phash XOR q)`` entirely in
+                       codegen, then a per-query windowed top-k. No
+                       index; cost = one scan regardless of query count.
+- ``knn_phash_pruned`` spatially pruned variant: each query carries a
+                       cell, candidates restricted to its k-ring
+                       neighborhood via an equi-join on exploded ring
+                       cells — the 100-TB path when queries are local.
+
+Ties at the k-boundary break deterministically on (distance, image_id).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import grid as G
+
+
+def _hamming(a, b):
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def knn_phash(images: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+    """(query_id, q_phash) x images -> top-k nearest tiles per query.
+
+    ``rank <= k`` over a window is rewritten by Catalyst into a per-
+    partition TopK (no global sort); the crossJoin with a broadcast query
+    set is a single pass over images.
+    """
+    q = F.broadcast(queries.select("query_id", F.col("phash").alias("q_phash")))
+    scored = (
+        images.select("image_id", "phash")
+        .crossJoin(q)
+        .withColumn("hamming", _hamming(F.col("phash"), F.col("q_phash")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("image_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "image_id", "hamming", F.col("rn").alias("rank"))
+    )
+
+
+def knn_phash_pruned(
+    images: DataFrame,  # must carry cell_id (sources.images.with_derived_keys)
+    queries: DataFrame,  # (query_id, phash, cell_id)
+    k: int,
+    ring: int = 1,
+    grid_name: str = "4/1024",
+) -> DataFrame:
+    """Spatially pruned kNN: candidates come only from each query's
+    (2*ring+1)^2 cell neighborhood, turning the scan into a partition-
+    pruned equi-join. Returns fewer than k rows for queries whose
+    neighborhood has fewer tiles (caller widens the ring and retries —
+    the standard expanding-ring search)."""
+    grid = G.get_grid(grid_name)
+    rows = queries.select("query_id", "phash", "cell_id").collect()
+    ring_rows = []
+    for r in rows:
+        for c in G.k_ring(grid, int(r.cell_id), ring).tolist():
+            ring_rows.append((r.query_id, int(r.phash), int(c)))
+    spark = images.sparkSession
+    ringdf = F.broadcast(
+        spark.createDataFrame(ring_rows, "query_id string, q_phash long, cell_id long")
+    )
+    scored = images.select("image_id", "phash", "cell_id").join(
+        ringdf, "cell_id"
+    ).withColumn("hamming", _hamming(F.col("phash"), F.col("q_phash")))
+    w = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("image_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "image_id", "hamming", F.col("rn").alias("rank"))
+    )
+
+
+def hamming64(a: int, b: int) -> int:
+    """Driver-side Hamming for oracles/tests."""
+    return int(bin((int(a) ^ int(b)) & ((1 << 64) - 1)).count("1"))
+
+
+def knn_oracle(images_phash: list[tuple[str, int]], q_phash: int, k: int) -> list[str]:
+    d = sorted(
+        ((hamming64(p, q_phash), iid) for iid, p in images_phash),
+    )
+    return [iid for _, iid in d[:k]]

@@ -1,0 +1,121 @@
+"""Spatial join operators beyond the zonal pipeline.
+
+The north rule adds first-class spatial-join obligations the reference
+only has implicitly (its one join is AOI x tile-grid, J1):
+
+- ``cell_expr``            batched point -> cell encoding as a *pure
+                           Catalyst expression* (floor + bit packing) —
+                           stays inside whole-stage codegen, no Python.
+- ``point_in_polygon_join`` filter-refine PIP join: equi-join on cell_id
+                           (filter) + vectorized even-odd test (refine).
+- ``polygon_cell_join``    AOI x images equi-join with broadcast /
+                           shuffle / salted strategies for skew.
+- ``salted``               explicit skew salting helper (AQE's skew join
+                           handles most cases; salting is for the
+                           pathological hot-cell distributions).
+"""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import geometry as geo
+from ..functions import grid as G
+from ..plans.planner import aoi_cells
+
+_XY_BITS = 27
+
+
+def cell_expr(grid: G.Grid, lon: Column, lat: Column) -> Column:
+    """cell_id of the point — identical packing to
+    functions.grid.latlng_to_cell, expressed JVM-side so the encoding of
+    billions of points never leaves codegen."""
+    td = grid.tile_deg
+    x = F.floor((lon + F.lit(180.0)) / F.lit(td)).cast("long")
+    y = F.floor((F.lit(90.0) - lat) / F.lit(td)).cast("long")
+    x = F.greatest(F.lit(0), F.least(x, F.lit(grid.nx - 1)))
+    y = F.greatest(F.lit(0), F.least(y, F.lit(grid.ny - 1)))
+    return (
+        F.shiftleft(F.lit(grid.index).cast("long"), 2 * _XY_BITS)
+        .bitwiseOR(F.shiftleft(x, _XY_BITS))
+        .bitwiseOR(y)
+        .alias("cell_id")
+    )
+
+
+def point_in_polygon_join(
+    points: DataFrame,  # (..., lon double, lat double)
+    aoi: DataFrame,  # (aoi_id string, geom_wkb binary)
+    grid_name: str,
+    broadcast_aoi: bool = True,
+) -> DataFrame:
+    """Inner join of points to the polygons containing them.
+
+    Filter stage: encode each point's cell (codegen) and equi-join the
+    exploded AOI-cell list — this prunes candidates to O(points in AOI
+    bbox-ish). Refine stage: exact even-odd containment in an
+    Arrow-batched pandas UDF (the P6 kernel on points instead of pixels).
+    """
+    grid = G.get_grid(grid_name)
+    cells = aoi_cells(aoi, grid_name)  # (aoi_id, geom_wkb, cell_id)
+    pts = points.withColumn("cell_id", cell_expr(grid, F.col("lon"), F.col("lat")))
+    cand = pts.join(F.broadcast(cells) if broadcast_aoi else cells, "cell_id")
+
+    @F.pandas_udf(T.BooleanType())
+    def contains(geom_wkb: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+        out = np.zeros(len(lon), dtype=bool)
+        lon_v, lat_v = lon.to_numpy(float), lat.to_numpy(float)
+        # group by identical geometry payload so each polygon parses once
+        by_geom: dict[bytes, list[int]] = {}
+        for idx, wkb in enumerate(geom_wkb):
+            by_geom.setdefault(bytes(wkb), []).append(idx)
+        for wkb, idxs in by_geom.items():
+            g = geo.wkb_loads(wkb)
+            ii = np.asarray(idxs)
+            out[ii] = geo.contains_points(g, lon_v[ii], lat_v[ii])
+        return pd.Series(out)
+
+    return cand.filter(contains("geom_wkb", "lon", "lat")).drop("geom_wkb")
+
+
+def salted(df: DataFrame, key: str, n_salt: int, explode_side: bool) -> DataFrame:
+    """Skew salting: the big side gets a deterministic salt from row
+    content; the small side is replicated across all salt values so the
+    (key, salt) equi-join covers every pair. Use when one join key (a hot
+    cell under many AOIs) dwarfs the others and AQE's skew splitting is
+    not enough (e.g. a single key larger than one whole executor)."""
+    if explode_side:
+        return df.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+        )
+    return df.withColumn(
+        "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salt))
+    )
+
+
+def polygon_cell_join(
+    images: DataFrame,
+    aoi: DataFrame,
+    grid_name: str,
+    strategy: str = "broadcast",  # broadcast | shuffle | salted
+    n_salt: int = 8,
+) -> DataFrame:
+    """The J1 join with explicit strategy selection (SURVEY.md section 4):
+
+    - ``broadcast``: AOI-cell list broadcast; the images scan never
+      shuffles (the zonal default — AOI sets are << images).
+    - ``shuffle``:   plain equi-join; AQE skew-join splits hot cells.
+    - ``salted``:    explicit (cell_id, salt) join for pathological skew.
+    """
+    cells = aoi_cells(aoi, grid_name)
+    if strategy == "broadcast":
+        return images.join(F.broadcast(cells), "cell_id")
+    if strategy == "shuffle":
+        return images.join(cells, "cell_id")
+    if strategy == "salted":
+        big = salted(images, "cell_id", n_salt, explode_side=False)
+        small = salted(cells, "cell_id", n_salt, explode_side=True)
+        return big.join(small, ["cell_id", "_salt"]).drop("_salt")
+    raise ValueError(f"unknown join strategy {strategy!r}")

@@ -20,6 +20,8 @@ size — SURVEY.md section 4):
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -76,8 +78,22 @@ def run_zonal_query(
 ) -> DataFrame:
     """Execute a zonal query; returns the final result DataFrame with one
     block of rows per AOI (column ``aoi_id`` first when ``per_aoi``)."""
-    needed = env.source_layer_names(query.layer_names())
     cells = aoi_cells(aoi_df, grid_name)
+    if query.select_pixels:
+        out = build_pixels(images, cells, query, env, grid_name, broadcast_aoi)
+        return _finalize_pixels(out, query)
+    partials = build_partials(images, cells, query, env, grid_name, broadcast_aoi)
+    return finalize_partials(partials, query, env)
+
+
+def _joined_tiles(
+    images: DataFrame,
+    cells: DataFrame,
+    query: ZonalQuery,
+    env: DataEnvironment,
+    broadcast_aoi: bool | None,
+) -> DataFrame:
+    needed = env.source_layer_names(query.layer_names())
 
     # column-pruned, layer-pruned scan (Catalyst pushes layer IN (...) and
     # the join's cell_id filter down to the parquet/Iceberg scan)
@@ -107,30 +123,59 @@ def run_zonal_query(
             .withColumn("fmt", F.lit(None).cast("string"))
         )
         joined = joined.unionByName(missing.select(*joined.columns))
+    return joined
 
+
+def build_partials(
+    images: DataFrame,
+    cells: DataFrame,  # (aoi_id, geom_wkb, cell_id) — from aoi_cells()
+    query: ZonalQuery,
+    env: DataEnvironment,
+    grid_name: str,
+    broadcast_aoi: bool | None = None,
+) -> DataFrame:
+    """Partial-aggregate DataFrame keyed by (aoi_id, cell_id) — the unit
+    the checkpoint/lineage layer persists and resumes. Carries a ``_ms``
+    per-group kernel wall-time column for the lineage table."""
+    joined = _joined_tiles(images, cells, query, env, broadcast_aoi)
     kernel = zonal.make_zonal_kernel(query, env.to_json(), grid_name)
-
-    if query.select_pixels:
-        schema = "`aoi_id` string, " + zonal.pixel_schema_ddl(query)
-        out = joined.groupBy("aoi_id", "cell_id").applyInPandas(
-            _wrap_with_aoi(kernel), schema
-        )
-        return _finalize_pixels(out, query)
-
-    schema = "`aoi_id` string, " + zonal.partial_schema_ddl(query)
-    partials = joined.groupBy("aoi_id", "cell_id").applyInPandas(
-        _wrap_with_aoi(kernel), schema
+    schema = "`aoi_id` string, `cell_id` long, `_ms` double, " + zonal.partial_schema_ddl(query)
+    return joined.groupBy("aoi_id", "cell_id").applyInPandas(
+        _wrap_with_keys(kernel), schema
     )
-    return _finalize_aggregates(partials, query, env)
 
 
-def _wrap_with_aoi(kernel):
+def build_pixels(
+    images: DataFrame,
+    cells: DataFrame,
+    query: ZonalQuery,
+    env: DataEnvironment,
+    grid_name: str,
+    broadcast_aoi: bool | None = None,
+) -> DataFrame:
+    joined = _joined_tiles(images, cells, query, env, broadcast_aoi)
+    kernel = zonal.make_zonal_kernel(query, env.to_json(), grid_name)
+    schema = "`aoi_id` string, " + zonal.pixel_schema_ddl(query)
+    return joined.groupBy("aoi_id", "cell_id").applyInPandas(
+        _wrap_with_keys(kernel, with_cell=False), schema
+    )
+
+
+def _wrap_with_keys(kernel, with_cell: bool = True):
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.perf_counter()
         out = kernel(pdf)
+        if with_cell:
+            out.insert(0, "_ms", (time.perf_counter() - t0) * 1000.0)
+            out.insert(0, "cell_id", np.int64(pdf["cell_id"].iloc[0]))
         out.insert(0, "aoi_id", pdf["aoi_id"].iloc[0])
         return out
 
     return run
+
+
+def finalize_partials(partials: DataFrame, query: ZonalQuery, env: DataEnvironment) -> DataFrame:
+    return _finalize_aggregates(partials.drop("cell_id", "_ms"), query, env)
 
 
 # ---------------------------------------------------------------------------

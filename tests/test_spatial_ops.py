@@ -1,0 +1,152 @@
+"""Tests: point-in-polygon join, JVM-side cell encoding, salted join
+strategies, kNN phash lookup, checkpoint/resume/lineage."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gfw_raster_analysis_lambda_spark import checkpoint, oracle
+from gfw_raster_analysis_lambda_spark.functions import geometry as geo
+from gfw_raster_analysis_lambda_spark.functions import grid as G
+from gfw_raster_analysis_lambda_spark.operators import knn, spatial_join
+from gfw_raster_analysis_lambda_spark.plans.ir import Aggregate, ZonalQuery
+from gfw_raster_analysis_lambda_spark.sources import fixtures
+from gfw_raster_analysis_lambda_spark.sources.images import read_images
+
+from test_zonal_e2e import assert_frames_match
+
+GRID_NAME = fixtures.GRID.name
+
+
+def test_cell_expr_matches_numpy(spark):
+    rng = np.random.default_rng(5)
+    lons = rng.uniform(-179.9, 179.9, 500)
+    lats = rng.uniform(-89.9, 89.9, 500)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lons, lats)], "lon double, lat double"
+    )
+    grid = fixtures.GRID
+    got = (
+        df.withColumn("cell_id", spatial_join.cell_expr(grid, F.col("lon"), F.col("lat")))
+        .select("cell_id")
+        .toPandas()["cell_id"]
+        .to_numpy()
+    )
+    exp = np.asarray(G.latlng_to_cell(grid, lons, lats))
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_point_in_polygon_join(spark):
+    # deterministic points on a lattice; AOI = concave L with hole
+    pts = [
+        (i, 10.0 + (i % 40) * 0.02, 20.0 + (i // 40) * 0.02)
+        for i in range(1600)
+    ]
+    points = spark.createDataFrame(pts, "pid long, lon double, lat double")
+    aois = [a for a in fixtures.fixture_aois() if a[0] in ("aoi_concave_hole", "aoi_box_aligned")]
+    aoi_df = spark.createDataFrame(aois, "aoi_id string, geom_wkb binary")
+    got = spatial_join.point_in_polygon_join(points, aoi_df, GRID_NAME).toPandas()
+    # oracle: direct even-odd containment per polygon
+    exp_pairs = set()
+    for aoi_id, wkb in aois:
+        g = geo.wkb_loads(wkb)
+        inside = geo.contains_points(
+            g, [p[1] for p in pts], [p[2] for p in pts]
+        )
+        for (pid, _, _), ok in zip(pts, inside):
+            if ok:
+                exp_pairs.add((pid, aoi_id))
+    got_pairs = set(zip(got["pid"], got["aoi_id"]))
+    assert got_pairs == exp_pairs
+    assert len(got_pairs) > 100
+
+
+def test_join_strategies_agree(spark, corpus):
+    images = read_images(spark, corpus["images"])
+    aoi_df = spark.createDataFrame(
+        [a for a in fixtures.fixture_aois() if a[0] == "aoi_box_offset"],
+        "aoi_id string, geom_wkb binary",
+    )
+    counts = {}
+    for strat in ("broadcast", "shuffle", "salted"):
+        df = spatial_join.polygon_cell_join(images, aoi_df, GRID_NAME, strategy=strat)
+        counts[strat] = df.count()
+    assert counts["broadcast"] == counts["shuffle"] == counts["salted"] > 0
+
+
+def test_knn_phash(spark, corpus):
+    images = read_images(spark, corpus["images"])
+    rows = images.select("image_id", "phash").collect()
+    pairs = [(r.image_id, int(r.phash)) for r in rows]
+    q_phash = pairs[7][1]
+    queries = spark.createDataFrame([("q1", q_phash)], "query_id string, phash long")
+    got = knn.knn_phash(images, queries, k=5).toPandas()
+    assert list(got["rank"]) == [1, 2, 3, 4, 5]
+    assert got["hamming"].iloc[0] == 0  # exact self-match first
+    exp = knn.knn_oracle(pairs, q_phash, 5)
+    # oracle ties broken identically (distance, image_id)
+    d = sorted((knn.hamming64(p, q_phash), iid) for iid, p in pairs)[:5]
+    assert got["image_id"].tolist() == [iid for _, iid in d]
+
+
+def test_knn_phash_pruned(spark, corpus):
+    images = read_images(spark, corpus["images"])
+    center = int(G.cell_from_xy(fixtures.GRID, fixtures.X0 + 1, fixtures.Y0 + 1))
+    r = images.filter(F.col("cell_id") == center).select("phash").first()
+    queries = spark.createDataFrame(
+        [("q1", int(r.phash), center)], "query_id string, phash long, cell_id long"
+    )
+    got = knn.knn_phash_pruned(images, queries, k=3, ring=1, grid_name=GRID_NAME).toPandas()
+    assert len(got) == 3 and got["hamming"].iloc[0] == 0
+    # candidates restricted to the 9-cell neighborhood
+    ring_cells = set(G.k_ring(fixtures.GRID, center, 1).tolist())
+    cand = images.filter(F.col("cell_id").isin([int(c) for c in ring_cells]))
+    pairs = [(x.image_id, int(x.phash)) for x in cand.select("image_id", "phash").collect()]
+    d = sorted((knn.hamming64(p, int(r.phash)), iid) for iid, p in pairs)[:3]
+    assert got["image_id"].tolist() == [iid for _, iid in d]
+
+
+def test_checkpoint_resume_and_lineage(spark, corpus, tmp_path):
+    images = read_images(spark, corpus["images"])
+    env = fixtures.fixture_environment()
+    aois = fixtures.fixture_aois()
+    q = ZonalQuery(
+        base_layer="tcl_year",
+        group_layers=("tcl_year",),
+        aggregates=(Aggregate("sum", "area__ha", "a"), Aggregate("count", None, "n")),
+    )
+    ck = str(tmp_path / "ck")
+    aoi1 = spark.createDataFrame([aois[0]], "aoi_id string, geom_wkb binary")
+    r1 = checkpoint.run_zonal_checkpointed(
+        spark, images, aoi1, q, env, GRID_NAME, ck, run_id="r1"
+    ).toPandas()
+
+    # resume with a superset of AOIs: only the new AOI computes
+    aoi2 = spark.createDataFrame(aois[:2], "aoi_id string, geom_wkb binary")
+    r2 = checkpoint.run_zonal_checkpointed(
+        spark, images, aoi2, q, env, GRID_NAME, ck, run_id="r2"
+    ).toPandas()
+    done = spark.read.parquet(f"{ck}/done/q={checkpoint.query_fingerprint(q, env, GRID_NAME)}")
+    per_run = {r["run_id"]: r["n"] for r in done.groupBy("run_id").count().withColumnRenamed("count", "n").collect()}
+    assert set(per_run) == {"r1", "r2"} and per_run["r2"] > 0
+
+    # a third run with the same AOIs is a pure cache hit (no new markers)
+    r3 = checkpoint.run_zonal_checkpointed(
+        spark, images, aoi2, q, env, GRID_NAME, ck, run_id="r3"
+    ).toPandas()
+    done2 = spark.read.parquet(f"{ck}/done/q={checkpoint.query_fingerprint(q, env, GRID_NAME)}")
+    assert done2.filter("run_id = 'r3'").count() == 0
+
+    # results identical to the uncached oracle
+    exp = oracle.run_oracle(q, env, aois[:2])
+    assert_frames_match(
+        r3.sort_values(["aoi_id", "tcl_year"]).reset_index(drop=True),
+        exp.sort_values(["aoi_id", "tcl_year"]).reset_index(drop=True),
+    )
+    assert_frames_match(r2.reset_index(drop=True), r3.reset_index(drop=True))
+    assert len(r1) > 0
+
+    # lineage recorded per run/partition with kernel timings
+    lin = checkpoint.read_lineage(spark, ck).toPandas()
+    assert set(lin["run_id"]) == {"r1", "r2"}
+    assert (lin["kernel_ms"] > 0).all() and (lin["n_cells"] > 0).all()
