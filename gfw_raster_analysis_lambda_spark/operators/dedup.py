@@ -1,0 +1,233 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Design rules for 100-TB scale:
+- everything is relational (explode -> hash -> groupBy/join) so Catalyst
+  gets partial aggregation and AQE everywhere; no Python UDFs at all —
+  token hashing is ``conv(substr(md5(...)))`` which is verified to produce
+  bit-identical int64 in DuckDB, making every operator oracle-checkable;
+- candidate generation is always *bucketed* (LSH bands / simhash equality
+  / shared shingles) so the pair space never goes quadratic; exact
+  verification (Jaccard / cosine) runs only on candidates;
+- pairs are emitted with ``a < b`` ordering for determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared primitives
+# ---------------------------------------------------------------------------
+
+def token_hash(seed: Column, token: Column) -> Column:
+    """Deterministic 60-bit hash of (seed, token) via md5 — identical in
+    Spark and DuckDB."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", seed.cast("string"), token)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Distinct (id, token) pairs, lowercased whitespace tokens."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (positional window over
+    the token array, JVM-side)."""
+    arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    return (
+        df.select(F.col(id_col).alias("id"), arr.alias("toks"))
+        .select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
+                )
+            ).alias("shingle"),
+        )
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. exact dedup (hash group-by)
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (after trim) texts: (text_md5, n_dups,
+    keeper) for groups with more than one member. The keeper is the min id
+    (deterministic survivor policy)."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.md5(F.trim(F.col(text_col))).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("id").alias("keeper"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str, n_hashes: int = 8) -> DataFrame:
+    """(id, seed, minhash): n_hashes permutations approximated by seeded
+    md5 hashing; min per (doc, seed). Stays long-form (seed as a column)
+    so banding is a plain groupBy, no arrays needed."""
+    t = tokens(df, id_col, text_col)
+    seeded = t.select(
+        "id", F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"), "tok"
+    )
+    return seeded.select(
+        "id", "seed", token_hash(F.col("seed"), F.col("tok")).alias("h")
+    ).groupBy("id", "seed").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n_hashes: int = 8, bands: int = 4,
+) -> DataFrame:
+    """Candidate pairs (a < b) sharing at least one LSH band: band key =
+    md5 of the band's concatenated minhashes."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes)
+    banded = (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("id", "band")
+        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list(F.col("minhash").cast("string"))))).alias("band_key"))
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(right, (F.col("l.band") == F.col("r.band")) & (F.col("l.band_key") == F.col("r.band_key")) & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. n-gram Jaccard verification (on candidates or directly on small sets)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Pairs (a, b, jaccard) with word-n-gram Jaccard >= threshold.
+    With ``candidates`` given, verifies only those pairs (the LSH path);
+    otherwise generates pairs through shared shingles (never a cross
+    join — documents sharing zero shingles never meet)."""
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    if candidates is not None:
+        common = common.join(F.broadcast(candidates), ["a", "b"], "left_semi")
+    ja = (
+        common.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sz_a"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "sz_b"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return ja
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
+    """(id, simhash): per-bit majority vote of token hashes, fully
+    relational: tokens x bits -> sign sum -> weighted bit assembly."""
+    t = tokens(df, id_col, text_col).select("id", token_hash(F.lit(0), F.col("tok")).alias("h"))
+    # shift by a column: exact integer div/mul by pow(2, b) (2^b <= 2^62 is
+    # exactly representable, and the SQL shift functions take literal shifts only)
+    per_bit = (
+        t.select("id", "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"))
+        .withColumn("sign", F.expr("(h div cast(pow(2, b) as bigint)) % 2") * 2 - 1)
+        .groupBy("id", "b")
+        .agg(F.sum("sign").alias("s"))
+    )
+    return per_bit.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("cast(pow(2, b) as bigint)")).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+def simhash_duplicate_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """Documents sharing an identical simhash (near-dup buckets)."""
+    return (
+        simhash(df, id_col, text_col, bits)
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("id").alias("keeper"))
+        .filter(F.col("n") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def embedding_near_dups(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.95, bucket_col: str | None = None,
+) -> DataFrame:
+    """Pairs (a, b, cosine) with cosine >= threshold. ``bucket_col``
+    (e.g. an LSH bucket or a label) bounds the pair space; without it the
+    operator is brute-force and should only run on bounded inputs."""
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if bucket_col:
+        cols.append(F.col(bucket_col).alias("bk"))
+    e = emb.select(*cols)
+    a, b = e.alias("a"), e.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if bucket_col:
+        cond = cond & (F.col("a.bk") == F.col("b.bk"))
+    return (
+        a.join(b, cond)
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("a.v"), F.col("b.v"))
+                / (_norm(F.col("a.v")) * _norm(F.col("b.v"))),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"), "cosine")
+    )

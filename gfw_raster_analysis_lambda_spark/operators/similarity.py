@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine_topk``  brute-force exact top-k: one scan of the corpus serves
+  all queries (broadcast), dot products in Catalyst higher-order
+  functions (``zip_with``/``aggregate`` — JVM, no Python), windowed
+  top-k per query. The correctness baseline.
+- ``lsh_buckets`` / ``ann_lsh``  random-hyperplane LSH: deterministic
+  md5-seeded sign planes, bucket = sign-bit string of plane dots;
+  candidates = bucket collisions, exact cosine rerank. The scale path —
+  at 10^12 rows the bucketed join prunes the scan to colliding buckets
+  (and the bucket id is a partition key for the Iceberg layout).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,  # (query_id, embedding)
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine per query (ties broken on id)."""
+    q = F.broadcast(
+        queries.select(F.col("query_id"), F.col(vec_col).alias("qv"))
+    )
+    scored = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .crossJoin(q)
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv"))), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "cosine", "rank")
+    )
+
+
+def _plane_sign(plane: Column, comp: Column) -> Column:
+    """Deterministic pseudo-random +-1 for (plane, component) — md5 parity
+    of the pair; identical formula in the DuckDB oracle."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("_", plane.cast("string"), comp.cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("long")
+    return (h % 2) * 2 - 1
+
+
+def lsh_buckets(
+    emb: DataFrame, n_planes: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, bucket): sign-bit bucket of each vector under n_planes
+    md5-seeded hyperplanes. Fully relational: posexplode components ->
+    join nothing (signs are expressions) -> sum per plane -> bit pack."""
+    comp = emb.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("c", "x"),
+    )
+    per_plane = (
+        comp.select(
+            "id", "c", "x", F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("p")
+        )
+        .withColumn("contrib", F.col("x").cast("double") * _plane_sign(F.col("p"), F.col("c")))
+        .groupBy("id", "p")
+        .agg(F.sum("contrib").alias("dot"))
+    )
+    return per_plane.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("dot") > 0, F.expr("cast(pow(2, p) as bigint)")).otherwise(F.lit(0))
+        ).alias("bucket")
+    )
+
+
+def ann_lsh(
+    emb: DataFrame,
+    queries: DataFrame,  # (query_id, embedding)
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact rerank within LSH bucket collisions.
+    Recall < 1 by construction; pair with multiple plane sets (probe
+    tables) when recall matters more than cost."""
+    eb = lsh_buckets(emb, n_planes, id_col, vec_col)
+    qb = lsh_buckets(queries, n_planes, "query_id", vec_col).withColumnRenamed("id", "query_id")
+    corpus = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(eb, "id")
+    qs = queries.select("query_id", F.col(vec_col).alias("qv")).join(F.broadcast(qb), "query_id")
+    cand = corpus.join(F.broadcast(qs), "bucket")
+    scored = cand.withColumn(
+        "cosine",
+        F.round(_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv"))), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "cosine", "rank")
+    )

@@ -1,0 +1,94 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure Catalyst expressions (no Python in the hot path): language-ID by
+stopword-marker counting, quality scoring from length/punctuation/stopword
+ratios, whitespace + BPE-ish token counting, and md5 document
+fingerprinting. Every operator has an exact ANSI-SQL twin (the DuckDB
+oracle in ``__spark_entry__.py``) because it is deterministic integer/
+string arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marker stopwords per language for the n-gram/stopword language heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "de"],
+    "de": ["der", "und", "das"],
+    "fr": ["le", "et", "les"],
+}
+
+# BPE-ish token regex: words, numbers, or single punctuation marks
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def whitespace_token_count(text: Column) -> Column:
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-ish tokens via regexp extraction (JVM-side)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
+
+
+def marker_count(text: Column, word: str) -> Column:
+    """Occurrences of a word with word boundaries."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(rf"\b{word}\b"), 0))
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax of marker-stopword counts; deterministic tie-break by the
+    fixed language order; 'und' (undetermined) when no marker hits."""
+    scores = [
+        sum((marker_count(text, w) for w in words), F.lit(0)).alias(lang)
+        for lang, words in LANG_MARKERS.items()
+    ]
+    best = F.greatest(*scores)
+    out = F.lit("und")
+    # reversed so the FIRST language wins ties (nested CASE evaluation)
+    for lang, words in reversed(LANG_MARKERS.items()):
+        score = sum((marker_count(text, w) for w in words), F.lit(0))
+        out = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0, 1] quality heuristic:
+    0.4 * length_score + 0.3 * alpha_ratio + 0.3 * (1 - punct_ratio),
+    where length_score saturates at 1000 chars. Rounded to 6 decimals so
+    cross-engine float comparison is exact."""
+    n = F.length(text).cast("double")
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("double")
+    punct = F.length(F.regexp_replace(text, r"[^.,!?;:]", "")).cast("double")
+    length_score = F.least(n / F.lit(1000.0), F.lit(1.0))
+    alpha_ratio = alpha / F.greatest(n, F.lit(1.0))
+    punct_ratio = punct / F.greatest(n, F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * length_score + F.lit(0.3) * alpha_ratio + F.lit(0.3) * (F.lit(1.0) - punct_ratio),
+        6,
+    )
+
+
+def fingerprint64(text: Column) -> Column:
+    """64-bit-ish (60-bit) document fingerprint: md5 of the
+    whitespace-normalized lowercase text, first 15 hex digits as int64.
+    Identical formula runs in DuckDB (hex-cast parity verified)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long")
+
+
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per document with every text statistic — the composed
+    text-analysis operator."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        whitespace_token_count(t).alias("n_tokens_ws"),
+        bpe_token_count(t).alias("n_tokens_bpe"),
+        lang_id(t).alias("lang_pred"),
+        quality_score(t).alias("quality"),
+        fingerprint64(t).alias("fingerprint"),
+    )
