@@ -1,38 +1,835 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 plus the training-data pipeline operators; ``oracle_sql()``
+gives the DuckDB-runnable ANSI-SQL twin for each.
+
+Two input regimes:
+
+- **Zonal / spatial / kNN / multimodal queries** run on the engine's
+  deterministic synthetic image corpus (BASELINE.json input_hint shape:
+  ``image_id, bytes, w, h, fmt, caption, phash``), generated in-memory by
+  ``gfw_raster_analysis_lambda_spark.sources.fixtures``. Pixel values are
+  pure integer arithmetic over (cell x, cell y, row i, col j), so the
+  DuckDB oracle reconstructs the *decoded* pixels from ``generate_series``
+  arithmetic — an end-to-end independent check of codecs, masks, joins,
+  and aggregation. (sf_dir is ignored for these: the corpus is fixed-size
+  and deterministic, per the north rule's "synthesise it deterministically
+  at small scale".)
+- **Relational / text / dedup / similarity queries** run on the driver's
+  parquet tables under ``sf_dir`` (lineitem/orders/... and
+  documents/embeddings).
+
+Float outputs are rounded identically on both sides (aggregates to 3
+decimals, ratios to 6) so cross-engine value hashes are stable against
+summation-order ulps.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gfw_raster_analysis_lambda_spark.api import zonal_statistics  # noqa: E402
+from gfw_raster_analysis_lambda_spark.functions import geodesy  # noqa: E402
+from gfw_raster_analysis_lambda_spark.operators import (  # noqa: E402
+    dedup,
+    knn,
+    multimodal,
+    similarity,
+    text,
+)
+from gfw_raster_analysis_lambda_spark.sources import fixtures  # noqa: E402
+from gfw_raster_analysis_lambda_spark.sources.images import with_derived_keys  # noqa: E402
+
+GRID = fixtures.GRID
+TD = GRID.tile_deg          # 0.25 (binary-exact)
+PS = GRID.pixel_size        # 0.00390625 (binary-exact)
+X0, Y0, NX, NY = fixtures.X0, fixtures.Y0, fixtures.NX, fixtures.NY
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+# ---------------------------------------------------------------------------
+# Shared input loaders
+# ---------------------------------------------------------------------------
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+_FIXTURE_CACHE: dict[int, tuple] = {}
+
+
+def _fixture(spark: SparkSession):
+    """(images_df with layer/cell_id, aoi_df, env) — cached per session."""
+    key = id(spark)
+    if key not in _FIXTURE_CACHE:
+        images = with_derived_keys(
+            spark.createDataFrame(fixtures.generate_images_rows(), fixtures.IMAGES_SCHEMA)
+        ).cache()
+        aoi = spark.createDataFrame(fixtures.fixture_aois(), fixtures.AOI_SCHEMA)
+        _FIXTURE_CACHE[key] = (images, aoi, fixtures.fixture_environment())
+    return _FIXTURE_CACHE[key]
+
+
+def _zonal(spark: SparkSession, sql: str, aoi_ids: list[str], rounding=()) -> DataFrame:
+    images, aoi, env = _fixture(spark)
+    df = zonal_statistics(
+        spark, images, aoi.filter(F.col("aoi_id").isin(aoi_ids)), sql, env, GRID.name
+    )
+    for col, nd in rounding:
+        df = df.withColumn(col, F.round(F.col(col), nd))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Oracle-side scaffolding (DuckDB SQL)
+# ---------------------------------------------------------------------------
+
+# Per-row (y) mean pixel area literals — same geodesy call the Spark kernel
+# makes (gfw_raster_analysis_lambda_spark.functions.geodesy, unit-tested
+# against the WGS84 surface-area anchor). Inlined as literals because DuckDB
+# and numpy libm sin/ln differ by 1 ulp, which the 3-decimal rounding then
+# absorbs anyway.
+def _mean_area_case() -> str:
+    whens = []
+    for y in range(Y0, Y0 + NY):
+        lat_c = 90.0 - y * TD - TD / 2.0
+        whens.append(
+            f"WHEN {y} THEN CAST({float(geodesy.pixel_area_ha(lat_c, PS))!r} AS DOUBLE)"
+        )
+    return "CASE y " + " ".join(whens) + " END"
+
+
+# AOI boxes (subset of fixtures.fixture_aois() that is SQL-expressible;
+# concave/degenerate AOIs are covered by the pytest numpy oracle instead).
+_BOXES = {
+    "aoi_box_aligned": (10.0, 20.25, 10.5, 20.75),
+    "aoi_box_offset": (10.125, 20.375, 10.625, 20.875),
+}
+
+
+def _pix_cte(aoi_ids: list[str]) -> str:
+    vals = ", ".join(
+        f"('{a}', {_BOXES[a][0]!r}, {_BOXES[a][1]!r}, {_BOXES[a][2]!r}, {_BOXES[a][3]!r})"
+        for a in aoi_ids
+    )
+    f = {k: v.format(x="x", y="y", i="i", j="j") for k, v in fixtures.PIXEL_SQL.items()}
+    return f"""
+pix AS (
+  SELECT x, y, i, j,
+    (-180.0 + x*{TD!r} + (j+0.5)*{PS!r}) AS lon,
+    (90.0 - y*{TD!r} - (i+0.5)*{PS!r}) AS lat,
+    {_mean_area_case()} AS mean_area,
+    {f['tcl_year']} AS tcl,
+    {f['tcd_threshold']} AS tcd,
+    {f['is_primary']} AS prim,
+    CAST({f['emissions']} AS FLOAT) AS em,
+    {f['alert_date_conf']} AS alert,
+    {f['drivers']} AS drv,
+    {f['ttc_percent']} AS ttc,
+    {f['photo']} AS photo
+  FROM generate_series({X0}, {X0 + NX - 1}) tx(x),
+       generate_series({Y0}, {Y0 + NY - 1}) ty(y),
+       generate_series(0, {GRID.chunk_px - 1}) ti(i),
+       generate_series(0, {GRID.chunk_px - 1}) tj(j)
+),
+aoi(aoi_id, bx1, by1, bx2, by2) AS (VALUES {vals}),
+m AS (
+  SELECT aoi.aoi_id, pix.* FROM pix JOIN aoi
+  ON lon > bx1 AND lon < bx2 AND lat > by1 AND lat < by2
+)"""
+
+
+# ===========================================================================
+# Query registry
+# ===========================================================================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # -- zonal statistics engine (SURVEY §2.2/§2.4: P1-P11, A1-A6, J1-J3) ---
+
+    def zonal_group_sum(spark, sf_dir):
+        # flagship: grouped masked area sum + count, categorical decode
+        return _zonal(
+            spark,
+            "SELECT tcl_year, SUM(area__ha) AS loss_ha, COUNT(*) AS n "
+            "FROM tcl_year WHERE tcd_threshold >= 25 AND is_primary = 'true' "
+            "GROUP BY tcl_year",
+            list(_BOXES),
+            rounding=[("loss_ha", 3)],
+        )
+    q["zonal_group_sum"] = zonal_group_sum
+
+    def zonal_area_from_data(spark, sf_dir):
+        # ungrouped SUM(area__ha) FROM data (no base mask; reserved layer A4)
+        return _zonal(
+            spark,
+            "SELECT SUM(area__ha) AS area_ha, COUNT(*) AS n_px FROM data",
+            list(_BOXES),
+            rounding=[("area_ha", 3)],
+        )
+    q["zonal_area_from_data"] = zonal_area_from_data
+
+    def zonal_or_filter_multi_agg(spark, sf_dir):
+        # OR filter tree + multi-aggregate, float layer with NaN NoData
+        return _zonal(
+            spark,
+            "SELECT COUNT(*) AS n, SUM(emissions) AS em_sum, AVG(emissions) AS em_avg, "
+            "MIN(emissions) AS em_min, MAX(emissions) AS em_max "
+            "FROM emissions WHERE tcl_year >= 2015 OR is_primary = 'true'",
+            list(_BOXES),
+            rounding=[("em_sum", 3), ("em_avg", 6), ("em_min", 3), ("em_max", 3)],
+        )
+    q["zonal_or_filter_multi_agg"] = zonal_or_filter_multi_agg
+
+    def zonal_alert_isoweek(spark, sf_dir):
+        # packed date decode + isoweek(year, week) regroup (F1/F2)
+        return _zonal(
+            spark,
+            "SELECT isoweek(alert_date), COUNT(*) AS n FROM alert_date_conf GROUP BY 1",
+            list(_BOXES),
+        )
+    q["zonal_alert_isoweek"] = zonal_alert_isoweek
+
+    def zonal_drivers_default_group(spark, sf_dir):
+        # categorical decode with default_meaning keeps NoData groups (P8/P11)
+        return _zonal(
+            spark,
+            "SELECT drivers, COUNT(*) AS n FROM data GROUP BY drivers",
+            list(_BOXES),
+        )
+    q["zonal_drivers_default_group"] = zonal_drivers_default_group
+
+    def zonal_nodata255_topk(spark, sf_dir):
+        # non-zero NoData=255 + ORDER BY + per-AOI LIMIT (O1/O2)
+        return _zonal(
+            spark,
+            "SELECT ttc_percent, COUNT(*) AS n FROM ttc_percent "
+            "GROUP BY ttc_percent ORDER BY ttc_percent DESC LIMIT 10",
+            list(_BOXES),
+        )
+    q["zonal_nodata255_topk"] = zonal_nodata255_topk
+
+    def zonal_packed_date_filter(spark, sf_dir):
+        # date-string literal encoded to raw days (F2) + packed arithmetic (F3)
+        return _zonal(
+            spark,
+            "SELECT alert_conf, COUNT(*) AS n, SUM(alert_date) AS date_sum "
+            "FROM alert_date_conf WHERE alert_date >= '2015-10-01' "
+            "GROUP BY alert_conf ORDER BY alert_conf",
+            list(_BOXES),
+        )
+    q["zonal_packed_date_filter"] = zonal_packed_date_filter
+
+    def zonal_ha_auto_derive(spark, sf_dir):
+        # implicit __ha derivation: where(A > 0, area, 0) (P9)
+        return _zonal(
+            spark,
+            "SELECT SUM(tcl__ha) AS tcl_ha FROM data WHERE tcd_threshold >= 50",
+            list(_BOXES),
+            rounding=[("tcl_ha", 3)],
+        )
+    q["zonal_ha_auto_derive"] = zonal_ha_auto_derive
+
+    def zonal_pixel_select(spark, sf_dir):
+        # pixel-row extraction with lat/lon reserved layers (F5) + order/limit
+        return _zonal(
+            spark,
+            "SELECT longitude, latitude, tcl_year FROM tcl_year "
+            "ORDER BY latitude DESC, longitude ASC LIMIT 1000",
+            ["aoi_box_aligned"],
+        )
+    q["zonal_pixel_select"] = zonal_pixel_select
+
+    # -- kNN tile lookup (north-rule J-row) ---------------------------------
+
+    def knn_phash_lookup(spark, sf_dir):
+        images, _, _ = _fixture(spark)
+        qdf = spark.createDataFrame(_knn_queries(), "query_id string, phash long")
+        return knn.knn_phash(images, qdf, k=5)
+    q["knn_phash_lookup"] = knn_phash_lookup
+
+    # -- multimodal decode plumbing (image stats over all codecs) -----------
+
+    def mm_image_stats(spark, sf_dir):
+        images, _, _ = _fixture(spark)
+        s = multimodal.image_stats(images)
+        return s.select(
+            "image_id", "w", "h",
+            F.round("px_mean", 6).alias("px_mean"),
+            F.round("px_min", 6).alias("px_min"),
+            F.round("px_max", 6).alias("px_max"),
+        )
+    q["mm_image_stats"] = mm_image_stats
+
+    # -- relational shell on the driver's TPC-H-ish tables ------------------
+
+    def rel_pricing_summary(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem")
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 3).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 3).alias("sum_base_price"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 3
+                ).alias("sum_disc_price"),
+                F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        )
+    q["rel_pricing_summary"] = rel_pricing_summary
+
+    def rel_region_revenue(spark, sf_dir):
+        # broadcast dimension joins (J5): region -> nation -> customer -> orders
+        o = _t(spark, sf_dir, "orders")
+        c = _t(spark, sf_dir, "customer")
+        n = _t(spark, sf_dir, "nation")
+        r = _t(spark, sf_dir, "region")
+        return (
+            o.filter(F.year("o_orderdate") == 1995)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(
+                F.round(F.sum("o_totalprice"), 3).alias("revenue"),
+                F.count(F.lit(1)).alias("n_orders"),
+            )
+        )
+    q["rel_region_revenue"] = rel_region_revenue
+
+    def rel_events_isoweek(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        return (
+            ev.groupBy(
+                F.expr("extract(YEAROFWEEK FROM ts)").cast("long").alias("isoyear"),
+                F.weekofyear("ts").cast("long").alias("isoweek"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 3).alias("value_sum"),
+            )
+        )
+    q["rel_events_isoweek"] = rel_events_isoweek
+
+    def rel_part_topk(spark, sf_dir):
+        p = _t(spark, sf_dir, "part")
+        return (
+            p.filter(F.col("p_size").isin([10, 20, 30, 40]))
+            .orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+            .limit(20)
+            .select("p_partkey", "p_name", "p_size", "p_retailprice")
+        )
+    q["rel_part_topk"] = rel_part_topk
+
+    def rel_top_orders_per_customer(spark, sf_dir):
+        from pyspark.sql import Window
+
+        o = _t(spark, sf_dir, "orders")
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderkey")
+        )
+        return (
+            o.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+        )
+    q["rel_top_orders_per_customer"] = rel_top_orders_per_customer
+
+    # -- text analysis -------------------------------------------------------
+
+    def text_profile(spark, sf_dir):
+        return text.text_profile(_t(spark, sf_dir, "documents"))
+    q["text_profile"] = text_profile
+
+    # -- deduplication -------------------------------------------------------
+
+    def dedup_exact(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        # plant duplicates: the corpus has none, so dup every doc once
+        dup = d.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+        return dedup.exact_duplicates(d.unionByName(dup))
+    q["dedup_exact"] = dedup_exact
+
+    def dedup_minhash_lsh(spark, sf_dir):
+        return dedup.minhash_lsh_candidates(
+            _t(spark, sf_dir, "documents"), n_hashes=8, bands=4
+        )
+    q["dedup_minhash_lsh"] = dedup_minhash_lsh
+
+    def dedup_simhash(spark, sf_dir):
+        return dedup.simhash(_t(spark, sf_dir, "documents"), bits=16)
+    q["dedup_simhash"] = dedup_simhash
+
+    def dedup_ngram_jaccard(spark, sf_dir):
+        return dedup.ngram_jaccard_pairs(
+            _t(spark, sf_dir, "documents"), n=3, threshold=0.2
+        )
+    q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
+
+    def dedup_embedding_cosine(spark, sf_dir):
+        return dedup.embedding_near_dups(
+            _t(spark, sf_dir, "embeddings"), threshold=0.3, bucket_col="label"
+        )
+    q["dedup_embedding_cosine"] = dedup_embedding_cosine
+
+    # -- similarity search ---------------------------------------------------
+
+    def sim_cosine_topk(spark, sf_dir):
+        e = _t(spark, sf_dir, "embeddings")
+        qs = e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.cosine_topk(e, qs, k=10)
+    q["sim_cosine_topk"] = sim_cosine_topk
+
+    def sim_ann_lsh(spark, sf_dir):
+        e = _t(spark, sf_dir, "embeddings")
+        qs = e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.ann_lsh(e, qs, k=10, n_planes=8)
+    q["sim_ann_lsh"] = sim_ann_lsh
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# kNN fixture queries: 3 probe tiles (values computed from the deterministic
+# corpus generator at call time; inlined into the oracle as literals).
+# ---------------------------------------------------------------------------
+
+_KNN_CACHE: dict[str, list] = {}
+
+
+def _corpus_phashes() -> list[tuple[str, int]]:
+    if "rows" not in _KNN_CACHE:
+        _KNN_CACHE["rows"] = [
+            (r[0], int(r[6])) for r in fixtures.generate_images_rows()
+        ]
+    return _KNN_CACHE["rows"]
+
+
+def _knn_queries() -> list[tuple[str, int]]:
+    rows = _corpus_phashes()
+    # probe with the phash of every 40th tile (3-4 probes)
+    return [(f"q{k}", rows[idx][1]) for k, idx in enumerate(range(0, len(rows), 40))]
+
+
+# ===========================================================================
+# Oracle SQL (DuckDB)
+# ===========================================================================
+
+def _md5_int60(expr: str) -> str:
+    """DuckDB twin of Spark's conv(substring(md5(x),1,15),16,10)::long."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+_TCL_DECODE = "CAST(2000 + tcl AS BIGINT)"
+_TCD_MEANING = "CASE tcd WHEN 1 THEN 10 WHEN 2 THEN 15 WHEN 3 THEN 20 WHEN 4 THEN 25 WHEN 5 THEN 30 WHEN 6 THEN 50 WHEN 7 THEN 75 END"
+_DRV_DECODE = (
+    "CASE drv WHEN 1 THEN 'Agriculture' WHEN 2 THEN 'Forestry' WHEN 3 THEN 'Urban' "
+    "WHEN 4 THEN 'Fire' WHEN 5 THEN 'Mining' ELSE 'Unknown' END"
+)
+# '2015-10-01' encoded by days_since_epoch(A) - 16436 (fixtures DAYS_2015)
+_DATE_2015_10_01 = (16709 - 16436)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    # -- zonal ---------------------------------------------------------------
+
+    o["zonal_group_sum"] = f"""
+WITH {_pix_cte(list(_BOXES))}
+SELECT aoi_id, {_TCL_DECODE} AS tcl_year,
+       ROUND(SUM(mean_area), 3) AS loss_ha,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM m
+WHERE tcl != 0 AND {_TCD_MEANING} >= 25 AND prim = 1
+GROUP BY aoi_id, tcl
+"""
+
+    o["zonal_area_from_data"] = f"""
+WITH {_pix_cte(list(_BOXES))}
+SELECT aoi_id, ROUND(SUM(mean_area), 3) AS area_ha,
+       CAST(COUNT(*) AS BIGINT) AS n_px
+FROM m GROUP BY aoi_id
+"""
+
+    o["zonal_or_filter_multi_agg"] = f"""
+WITH {_pix_cte(list(_BOXES))}
+SELECT aoi_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(CAST(em AS DOUBLE)), 3) AS em_sum,
+       ROUND(SUM(CAST(em AS DOUBLE)) / COUNT(*), 6) AS em_avg,
+       ROUND(MIN(CAST(em AS DOUBLE)), 3) AS em_min,
+       ROUND(MAX(CAST(em AS DOUBLE)), 3) AS em_max
+FROM m
+WHERE em IS NOT NULL AND (tcl >= 15 AND tcl != 0 OR prim = 1)
+GROUP BY aoi_id
+"""
+
+    o["zonal_alert_isoweek"] = f"""
+WITH {_pix_cte(list(_BOXES))}
+SELECT aoi_id,
+       CAST(isoyear(DATE '1970-01-01' + CAST(16436 + alert % 10000 AS INT)) AS BIGINT)
+         AS alert_date__isoyear,
+       CAST(weekofyear(DATE '1970-01-01' + CAST(16436 + alert % 10000 AS INT)) AS BIGINT)
+         AS alert_date__isoweek,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM m WHERE alert != 0
+GROUP BY 1, 2, 3
+"""
+
+    o["zonal_drivers_default_group"] = f"""
+WITH {_pix_cte(list(_BOXES))}
+SELECT aoi_id, {_DRV_DECODE} AS drivers, CAST(COUNT(*) AS BIGINT) AS n
+FROM m GROUP BY aoi_id, drv
+"""
+
+    o["zonal_nodata255_topk"] = f"""
+WITH {_pix_cte(list(_BOXES))},
+g AS (
+  SELECT aoi_id, CAST(ttc AS BIGINT) AS ttc_percent, CAST(COUNT(*) AS BIGINT) AS n
+  FROM m WHERE ttc != 255 GROUP BY 1, 2
+)
+SELECT aoi_id, ttc_percent, n FROM (
+  SELECT *, row_number() OVER (PARTITION BY aoi_id ORDER BY ttc_percent DESC) AS rn
+  FROM g
+) WHERE rn <= 10
+"""
+
+    o["zonal_packed_date_filter"] = f"""
+WITH {_pix_cte(list(_BOXES))}
+SELECT aoi_id, CAST(FLOOR(alert / 10000.0) AS BIGINT) AS alert_conf,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(alert % 10000) AS DOUBLE) AS date_sum
+FROM m WHERE alert != 0 AND (alert % 10000) >= {_DATE_2015_10_01}
+GROUP BY 1, 2
+"""
+
+    o["zonal_ha_auto_derive"] = f"""
+WITH {_pix_cte(list(_BOXES))}
+SELECT aoi_id,
+       ROUND(SUM(CASE WHEN tcl > 0 THEN mean_area ELSE 0.0 END), 3) AS tcl_ha
+FROM m WHERE {_TCD_MEANING} >= 50
+GROUP BY aoi_id
+"""
+
+    o["zonal_pixel_select"] = f"""
+WITH {_pix_cte(["aoi_box_aligned"])}
+SELECT aoi_id, lon AS longitude, lat AS latitude, CAST(tcl AS DOUBLE) AS tcl_year
+FROM m WHERE tcl != 0
+ORDER BY latitude DESC, longitude ASC LIMIT 1000
+"""
+
+    # -- kNN (corpus + probes inlined as literals from the deterministic
+    #    generator; validates scan + hamming + windowed top-k) --------------
+    corpus_vals = ", ".join(f"('{i}', CAST({p} AS BIGINT))" for i, p in _corpus_phashes())
+    probe_vals = ", ".join(f"('{i}', CAST({p} AS BIGINT))" for i, p in _knn_queries())
+    o["knn_phash_lookup"] = f"""
+WITH imgs(image_id, phash) AS (VALUES {corpus_vals}),
+probes(query_id, q_phash) AS (VALUES {probe_vals}),
+scored AS (
+  SELECT query_id, image_id, bit_count(xor(phash, q_phash)) AS hamming
+  FROM imgs, probes
+)
+SELECT query_id, image_id, CAST(hamming AS INT) AS hamming, CAST(rn AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming ASC, image_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+    # -- multimodal image stats: decoded pixels == formula twins (incl. the
+    #    lossy 5-bit quantizer for fmt='jpeg' and NaN holes for raw_f32) ----
+    f = {k: v.format(x="x", y="y", i="i", j="j") for k, v in fixtures.PIXEL_SQL.items()}
+    layer_val = {
+        "tcl_year": f["tcl_year"],
+        "tcd_threshold": f["tcd_threshold"],
+        "is_primary": f["is_primary"],
+        "emissions": f"CAST(CAST({f['emissions']} AS FLOAT) AS DOUBLE)",
+        "alert_date_conf": f["alert_date_conf"],
+        "drivers": f["drivers"],
+        "ttc_percent": f["ttc_percent"],
+        # jpeg stand-in: 5-bit mid-rise quantize of the photo formula
+        "photo": f"LEAST(CAST(FLOOR(({f['photo']}) / 8.0) AS BIGINT) * 8 + 4, 255)",
+    }
+    unions = []
+    for layer, val in layer_val.items():
+        unions.append(f"""
+SELECT '{layer}' || '/' || lower(lpad(hex(CAST({GRID.index << 54} AS BIGINT) + x * {1 << 27} + y), 16, '0')) AS image_id,
+       {GRID.chunk_px} AS w, {GRID.chunk_px} AS h, CAST({val} AS DOUBLE) AS v
+FROM generate_series({X0}, {X0 + NX - 1}) tx(x),
+     generate_series({Y0}, {Y0 + NY - 1}) ty(y),
+     generate_series(0, {GRID.chunk_px - 1}) ti(i),
+     generate_series(0, {GRID.chunk_px - 1}) tj(j)""")
+    o["mm_image_stats"] = f"""
+WITH px AS ({' UNION ALL '.join(unions)})
+SELECT image_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+       ROUND(AVG(v), 6) AS px_mean,
+       ROUND(MIN(v), 6) AS px_min,
+       ROUND(MAX(v), 6) AS px_max
+FROM px WHERE v IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+
+    # -- relational ----------------------------------------------------------
+
+    o["rel_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 3) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 3) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 3) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    o["rel_region_revenue"] = """
+SELECT r_name, ROUND(SUM(o_totalprice), 3) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE year(o_orderdate) = 1995
+GROUP BY r_name
+"""
+
+    o["rel_events_isoweek"] = """
+SELECT CAST(isoyear(ts) AS BIGINT) AS isoyear,
+       CAST(weekofyear(ts) AS BIGINT) AS isoweek,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 3) AS value_sum
+FROM events GROUP BY 1, 2, 3
+"""
+
+    o["rel_part_topk"] = """
+SELECT p_partkey, p_name, p_size, p_retailprice
+FROM part WHERE p_size IN (10, 20, 30, 40)
+ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 20
+"""
+
+    o["rel_top_orders_per_customer"] = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+    # -- text analysis -------------------------------------------------------
+
+    langs = list(text.LANG_MARKERS.items())
+    score_exprs = {
+        lang: " + ".join(
+            f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))" for w in words
+        )
+        for lang, words in langs
+    }
+    best = "GREATEST(" + ", ".join(f"s_{lang}" for lang, _ in langs) + ")"
+    lang_case = "CASE " + " ".join(
+        f"WHEN best > 0 AND s_{lang} = best THEN '{lang}'" for lang, _ in langs
+    ) + " ELSE 'und' END"
+    score_cols = ", ".join(f"{e} AS s_{lang}" for lang, e in score_exprs.items())
+    ws_split = "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)"
+    fingerprint = _md5_int60("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")
+    bpe_re = text.BPE_TOKEN_RE
+    o["text_profile"] = f"""
+WITH s AS (
+  SELECT doc_id, text,
+         {score_cols}
+  FROM documents
+), s2 AS (SELECT *, {best} AS best FROM s)
+SELECT doc_id,
+  {ws_split} AS n_tokens_ws,
+  CAST(len(regexp_extract_all(text, '{bpe_re}')) AS INT) AS n_tokens_bpe,
+  {lang_case} AS lang_pred,
+  ROUND(0.4 * LEAST(length(text) / 1000.0, 1.0)
+      + 0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               / GREATEST(CAST(length(text) AS DOUBLE), 1.0))
+      + 0.3 * (1.0 - length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+               / GREATEST(CAST(length(text) AS DOUBLE), 1.0)), 6) AS quality,
+  {fingerprint} AS fingerprint
+FROM s2
+"""
+
+    # -- dedup ---------------------------------------------------------------
+
+    o["dedup_exact"] = """
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents
+)
+SELECT md5(trim(text)) AS text_md5, CAST(COUNT(*) AS BIGINT) AS n_dups,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper
+FROM u GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+    tok_cte = """
+toks AS (
+  SELECT DISTINCT doc_id AS id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+    FROM documents)
+  WHERE tok <> '')"""
+
+    h_seeded = _md5_int60("CAST(seed AS VARCHAR) || ':' || tok")
+    o["dedup_minhash_lsh"] = f"""
+WITH {tok_cte},
+sig AS (
+  SELECT id, seed, MIN({h_seeded}) AS minhash
+  FROM toks, generate_series(0, 7) s(seed) GROUP BY id, seed
+),
+banded AS (
+  SELECT id, CAST(seed // 2 AS INT) AS band,
+         md5(array_to_string(list_sort(list(CAST(minhash AS VARCHAR))), ',')) AS band_key
+  FROM sig GROUP BY id, CAST(seed // 2 AS INT)
+)
+SELECT DISTINCT a.id AS a, b.id AS b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+"""
+
+    h0 = _md5_int60("'0:' || tok")
+    o["dedup_simhash"] = f"""
+WITH {tok_cte},
+th AS (SELECT id, {h0} AS h FROM toks),
+per_bit AS (
+  SELECT id, b, SUM(((h // CAST(pow(2, b) AS BIGINT)) % 2) * 2 - 1) AS s
+  FROM th, generate_series(0, 15) bb(b) GROUP BY id, b
+)
+SELECT id, CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT)
+       AS simhash
+FROM per_bit GROUP BY id
+"""
+
+    o["dedup_ngram_jaccard"] = """
+WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+           FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id AS id, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM t, generate_series(1, 4096) g(i)
+  WHERE i <= GREATEST(len(toks) - 2, 1)
+    AND len(array_to_string(toks[i:i+2], ' ')) > 0
+),
+sz AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+common AS (
+  SELECT a.id AS a, b.id AS b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT a, b, ROUND(c / CAST(sa.sz + sb.sz - c AS DOUBLE), 6) AS jaccard
+FROM common JOIN sz sa ON sa.id = a JOIN sz sb ON sb.id = b
+WHERE c / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.2
+"""
+
+    dot_ab = (
+        "SUM(CAST(list_extract(a.embedding, i) AS DOUBLE)"
+        " * CAST(list_extract(b.embedding, i) AS DOUBLE))"
+    )
+    norm = (
+        "sqrt(SUM(CAST(list_extract({t}.embedding, i) AS DOUBLE)"
+        " * CAST(list_extract({t}.embedding, i) AS DOUBLE)))"
+    )
+    o["dedup_embedding_cosine"] = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         {dot_ab} / ({norm.format(t='a')} * {norm.format(t='b')}) AS cos
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id,
+  generate_series(1, 64) g(i)
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT a, b, ROUND(cos, 6) AS cosine FROM pairs WHERE ROUND(cos, 6) >= 0.3
+"""
+
+    o["sim_cosine_topk"] = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS id,
+         ROUND({dot_ab.replace('b.embedding', 'q.embedding')}
+               / ({norm.format(t='a')} * {norm.format(t='q')}), 6) AS cosine
+  FROM embeddings a
+  JOIN embeddings q ON q.vec_id < 5,
+  generate_series(1, 64) g(i)
+  GROUP BY q.vec_id, a.vec_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, id, cosine, CAST(rn AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id ASC) AS rn
+  FROM scored
+) WHERE rn <= 10
+"""
+
+    # random-hyperplane LSH: sign(p, c) via md5 parity, 0-based component c
+    sign = (
+        "((CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i - 1 AS VARCHAR)), 1, 4)) AS BIGINT) % 2) * 2 - 1)"
+    )
+    o["sim_ann_lsh"] = f"""
+WITH buckets AS (
+  SELECT vec_id, CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM (
+    SELECT e.vec_id, p, SUM(CAST(list_extract(e.embedding, i) AS DOUBLE) * {sign}) AS dot
+    FROM embeddings e, generate_series(1, 64) g(i), generate_series(0, 7) pp(p)
+    GROUP BY e.vec_id, p
+  ) GROUP BY vec_id
+),
+cand AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS id,
+         ROUND({dot_ab.replace('b.embedding', 'q.embedding')}
+               / ({norm.format(t='a')} * {norm.format(t='q')}), 6) AS cosine
+  FROM embeddings a
+  JOIN buckets ba ON ba.vec_id = a.vec_id
+  JOIN buckets bq ON bq.bucket = ba.bucket
+  JOIN embeddings q ON q.vec_id = bq.vec_id AND q.vec_id < 5,
+  generate_series(1, 64) g(i)
+  GROUP BY q.vec_id, a.vec_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, id, cosine, CAST(rn AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id ASC) AS rn
+  FROM cand
+) WHERE rn <= 10
+"""
+
+    return o
+
+
+# ---------------------------------------------------------------------------
+# Flagship smoke entry
+# ---------------------------------------------------------------------------
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship query on /root/testdata/sf0.001: the zonal-statistics
+    engine end-to-end (spatial join -> Arrow zonal kernel -> Catalyst
+    final agg), plus a broadcast-join relational probe on the driver's
+    parquet — unioned column-compatible so the driver sees one stable
+    schema with > 0 rows."""
+    sf_dir = "/root/testdata/sf0.001"
+    # probe the driver corpus (proves parquet IO path)
+    rel = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.round(F.sum("l_quantity"), 3).alias("metric"))
+        .select(F.concat(F.lit("rel/"), "l_returnflag").alias("key"), "metric")
+    )
+    # flagship zonal query on the deterministic image corpus
+    zonal = (
+        queries()["zonal_group_sum"](spark, sf_dir)
+        .select(
+            F.concat(F.lit("zonal/"), "aoi_id", F.lit("/"), F.col("tcl_year").cast("string")).alias("key"),
+            F.col("loss_ha").alias("metric"),
+        )
+    )
+    return zonal.unionByName(rel)
