@@ -1,0 +1,227 @@
+#!/usr/bin/env python
+"""Headline benchmark for the PySpark zonal/spatial engine.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "zonal_tiles": N, "tiles_per_sec": T}
+
+Workloads:
+
+- **Zonal / spatial / kNN** run on a deterministic synthetic image corpus
+  (input-hint shape) at bench scale: grid ``4/4096`` (0.25-deg cells,
+  256x256-px tiles), 48x48 cells x 4 layers = 9216 tiles, 512 AOI
+  polygons (25% stacked on one hotspot corner for skew realism). The
+  corpus is generated *distributed* (``mapInPandas`` encoders) and cached
+  as layer-partitioned parquet under ``.bench_cache/`` — generation is
+  not timed.
+- **Relational / text / dedup / similarity** run on the driver's parquet
+  tables under ``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``).
+
+Timing forces full materialization through the ``noop`` datasource (no
+driver collect, no disk write skew). ``$SPARK_GRAFT_CPUS`` controls
+``local[N]`` parallelism; run tools/bench_scaling.py for the N-vs-4N
+scaling-efficiency evidence (BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from gfw_raster_analysis_lambda_spark.api import zonal_statistics  # noqa: E402
+from gfw_raster_analysis_lambda_spark.functions import grid as G  # noqa: E402
+from gfw_raster_analysis_lambda_spark.operators import dedup, knn, similarity, text  # noqa: E402
+from gfw_raster_analysis_lambda_spark.plans.planner import aoi_cells  # noqa: E402
+from gfw_raster_analysis_lambda_spark.session import get_spark  # noqa: E402
+from gfw_raster_analysis_lambda_spark.sources import fixtures  # noqa: E402
+from gfw_raster_analysis_lambda_spark.sources.images import (  # noqa: E402
+    read_images,
+    write_images_partitioned,
+)
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# bench corpus shape (deterministic; cache key = these params)
+BGRID = G.GRID_BENCH                    # 4/4096: 0.25-deg cells, 256 px tiles
+BX0 = int((0.0 + 180.0) / BGRID.tile_deg)   # lon 0
+BY0 = int((90.0 - 12.0) / BGRID.tile_deg)   # lat 12 top
+BNX = BNY = 48                               # 2304 cells
+BLAYERS = ["tcl_year", "tcd_threshold", "is_primary", "alert_date_conf"]
+N_AOI = 512
+CELLS_PER_AOI = 36
+
+
+def corpus_dir() -> str:
+    tag = f"{BGRID.name.replace('/', '_')}_{BX0}_{BY0}_{BNX}x{BNY}_{len(BLAYERS)}L"
+    return os.path.join(REPO, ".bench_cache", f"corpus_{tag}")
+
+
+def ensure_corpus(spark) -> None:
+    path = corpus_dir()
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    df = fixtures.generate_images_df(
+        spark, BGRID, BLAYERS, BX0, BY0, BNX, BNY,
+        parallelism=spark.sparkContext.defaultParallelism * 2,
+    )
+    write_images_partitioned(df, path)
+
+
+def bench_queries(spark):
+    """name -> zero-arg callable returning the DataFrame to materialize."""
+    images = read_images(spark, corpus_dir())
+    aoi = spark.createDataFrame(
+        fixtures.bench_aois(BGRID, BX0, BY0, BNX, BNY, N_AOI, CELLS_PER_AOI),
+        fixtures.AOI_SCHEMA,
+    )
+    env = fixtures.fixture_environment()
+
+    def _t(name):
+        return spark.read.parquet(os.path.join(SF_DIR, f"{name}.parquet"))
+
+    q = {}
+
+    def zonal_flagship():
+        return zonal_statistics(
+            spark, images, aoi,
+            "SELECT tcl_year, SUM(area__ha) AS loss_ha, COUNT(*) AS n "
+            "FROM tcl_year WHERE tcd_threshold >= 25 AND is_primary = 'true' "
+            "GROUP BY tcl_year",
+            env, BGRID.name,
+        )
+    q["zonal_flagship"] = zonal_flagship
+
+    def zonal_alert_isoweek():
+        return zonal_statistics(
+            spark, images, aoi,
+            "SELECT isoweek(alert_date), COUNT(*) AS n "
+            "FROM alert_date_conf GROUP BY 1",
+            env, BGRID.name,
+        )
+    q["zonal_alert_isoweek"] = zonal_alert_isoweek
+
+    def knn_phash_bench():
+        from pyspark.sql import Window
+
+        probes = (
+            images.select("image_id", "phash")
+            .withColumn(
+                "rn",
+                F.row_number().over(Window.orderBy("image_id")),
+            )
+            .filter(F.pmod(F.col("rn"), F.lit(BNX * BNY // 16)) == 1)
+            .select(F.concat(F.lit("q"), "rn").alias("query_id"), "phash")
+        )
+        return knn.knn_phash(images, probes, k=10)
+    q["knn_phash"] = knn_phash_bench
+
+    def rel_pricing_summary():
+        li = _t("lineitem")
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.sum("l_extendedprice").alias("sum_base_price"),
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+                F.avg("l_quantity").alias("avg_qty"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        )
+    q["rel_pricing_summary"] = rel_pricing_summary
+
+    def rel_region_revenue():
+        o, c = _t("orders"), _t("customer")
+        n, r = _t("nation"), _t("region")
+        return (
+            o.filter(F.year("o_orderdate") == 1995)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.sum("o_totalprice").alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+        )
+    q["rel_region_revenue"] = rel_region_revenue
+
+    def rel_top_orders():
+        from pyspark.sql import Window
+
+        o = _t("orders")
+        w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        return (
+            o.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+        )
+    q["rel_top_orders_per_customer"] = rel_top_orders
+
+    q["text_profile"] = lambda: text.text_profile(_t("documents"))
+    q["dedup_exact"] = lambda: dedup.exact_duplicates(_t("documents"))
+    q["dedup_minhash_lsh"] = lambda: dedup.minhash_lsh_candidates(
+        _t("documents"), n_hashes=8, bands=4
+    )
+
+    def sim_cosine():
+        e = _t("embeddings")
+        qs = e.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.cosine_topk(e, qs, k=10)
+    q["sim_cosine_topk"] = sim_cosine
+
+    return q, images, aoi
+
+
+def main():
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_corpus(spark)
+    q, images, aoi = bench_queries(spark)
+
+    # zonal work unit: one (aoi, cell) tile-task (the reference's per-tile
+    # lambda invocation). Counted once, outside the timed section.
+    cells = aoi_cells(aoi, BGRID.name).select("aoi_id", "cell_id")
+    zonal_tiles = cells.join(
+        images.select("cell_id").distinct(), "cell_id"
+    ).count()
+
+    # warm the JVM + python workers (not timed)
+    q["rel_region_revenue"]().write.format("noop").mode("overwrite").save()
+
+    times = {}
+    for name, fn in q.items():
+        t0 = time.perf_counter()
+        fn().write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    zonal_sec = times["zonal_flagship"] + times["zonal_alert_isoweek"]
+    total = round(sum(times.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = SF_DIR
+    out = {
+        "metric": "total wall seconds, 10 headline queries (zonal+spatial on 9216-tile synthetic corpus, rel/text/dedup/sim on sf parquet)",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": CPUS,
+        "zonal_tiles": zonal_tiles,
+        "tiles_per_sec": round(2 * zonal_tiles / zonal_sec, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

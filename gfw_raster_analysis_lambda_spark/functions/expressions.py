@@ -178,7 +178,13 @@ def compile_expression(expr: str) -> Callable:
     ``"A % 10000"``, ``"floor(A / 10000)"``, ``"A * area"``,
     ``"where(A > 0, area, 0)"``,
     ``"(A + 16435).astype('datetime64[D]').astype('str')"``.
+
+    Memoized: the zonal kernel compiles derived-layer calcs once per
+    executor, not once per (aoi, cell) group.
     """
+    cached = _COMPILE_CACHE.get(expr)
+    if cached is not None:
+        return cached
     tree = ast.parse(expr, mode="eval")
     fn = _compile_node(tree)
 
@@ -186,4 +192,8 @@ def compile_expression(expr: str) -> Callable:
         return fn({"A": A, "area": area})
 
     run.__name__ = f"calc<{expr}>"
+    _COMPILE_CACHE[expr] = run
     return run
+
+
+_COMPILE_CACHE: dict[str, Callable] = {}

@@ -207,6 +207,20 @@ def rasterize_mask(
     cy = y0 - (np.arange(height, dtype=np.float64) + 0.5) * pixel_size
     x1, y1, x2, y2 = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
     dy = y2 - y1
+
+    # Fully vectorized path for modest edge counts (the common AOI-clip
+    # case): crossings for all (row, edge) pairs at once, then a broadcast
+    # count of crossings right of each pixel center. Peak temp is the
+    # H x E x W comparison cube, so gate on its size.
+    if len(e) * height * width <= 32_000_000:
+        py = cy[:, None]                                   # H x 1
+        straddles = (y1[None, :] <= py) != (y2[None, :] <= py)  # H x E
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xc = x1[None, :] + (py - y1[None, :]) * ((x2 - x1) / np.where(dy == 0, 1.0, dy))[None, :]
+        xc = np.where(straddles, xc, -np.inf)              # non-crossings never right of a center
+        nright = (xc[:, :, None] > cx[None, None, :]).sum(axis=1)  # H x W
+        return (nright % 2).astype(bool)
+
     for i in range(height):
         py = cy[i]
         straddles = (y1 <= py) != (y2 <= py)

@@ -85,6 +85,7 @@ GRID_30M = _register("10/40000", 10.0, 40000, 5000)   # 0.00025 deg px, 1.25 deg
 GRID_10M = _register("10/100000", 10.0, 100000, 5000)  # 0.0001 deg px, 0.5 deg cells
 GRID_FIXTURE = _register("4/1024", 4.0, 1024, 64)      # 0.00390625 deg px, 0.25 deg cells
 GRID_FIXTURE_FINE = _register("4/2048", 4.0, 2048, 64)  # finest-grid resampling tests
+GRID_BENCH = _register("4/4096", 4.0, 4096, 256)  # bench: 0.25 deg cells, 256x256 px tiles
 
 _BY_INDEX = {g.index: g for g in GRIDS.values()}
 

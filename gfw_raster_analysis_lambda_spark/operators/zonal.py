@@ -251,12 +251,10 @@ def _aggregate(query: ZonalQuery, values, mask, mean_area: float) -> pd.DataFram
     if query.group_layers:
         if n_masked == 0:
             return pd.DataFrame({n: pd.Series(dtype=t) for n, t in _pd_types(query)})
-        cols = [np.asarray(values[g], dtype=np.float64)[masked_idx] for g in query.group_layers]
-        key = np.stack(cols, axis=1)
-        uniq, inverse = np.unique(key, axis=0, return_inverse=True)
-        ngroups = len(uniq)
+        cols = [np.asarray(values[g])[masked_idx] for g in query.group_layers]
+        uniq_cols, inverse, ngroups = _group_key_inverse(cols)
         for k, g in enumerate(query.group_layers):
-            out[g] = uniq[:, k]
+            out[g] = uniq_cols[k]
     else:
         ngroups = 1
         inverse = np.zeros(n_masked, dtype=np.int64)
@@ -269,6 +267,52 @@ def _aggregate(query: ZonalQuery, values, mask, mean_area: float) -> pd.DataFram
     if not query.group_layers and n_masked == 0:
         return pdf  # single zero row is the correct ungrouped result
     return pdf
+
+
+def _group_key_inverse(cols: list[np.ndarray]):
+    """(unique group tuples, inverse index, ngroups) for the masked group
+    columns — the reference's dictionary-encoded hash aggregate
+    (ravel_multi_index + unique, query_executor.py:52-98), done O(n):
+    integer-valued columns are offset-packed into one int64 key and
+    histogrammed with ``bincount`` + a lookup table (no sort at all).
+    Float-valued or huge-domain keys fall back to lexicographic
+    ``np.unique``."""
+    ints: list[np.ndarray] | None = []
+    for c in cols:
+        if c.dtype.kind in "uib":
+            ints.append(c.astype(np.int64))
+        else:
+            f = np.asarray(c, dtype=np.float64)
+            if np.all(np.isfinite(f)) and np.array_equal(f, np.floor(f)):
+                ints.append(f.astype(np.int64))
+            else:
+                ints = None
+                break
+    if ints is not None:
+        mins = [int(c.min()) for c in ints]
+        dims = [int(c.max()) - m + 1 for c, m in zip(ints, mins)]
+        total = 1
+        for d in dims:
+            total *= d
+        if total <= 1 << 24:  # bincount table stays small (16M slots max)
+            packed = ints[0] - mins[0]
+            for c, m, d in zip(ints[1:], mins[1:], dims[1:]):
+                packed = packed * d + (c - m)
+            counts = np.bincount(packed, minlength=total)
+            uniq_packed = np.flatnonzero(counts)
+            lut = np.empty(total, dtype=np.int64)
+            lut[uniq_packed] = np.arange(len(uniq_packed))
+            inverse = lut[packed]
+            uniq_cols: list[np.ndarray] = []
+            rem = uniq_packed
+            for m, d in zip(reversed(mins), reversed(dims)):
+                uniq_cols.append((rem % d + m).astype(np.float64))
+                rem = rem // d
+            uniq_cols.reverse()
+            return uniq_cols, inverse, len(uniq_packed)
+    key = np.stack([np.asarray(c, dtype=np.float64) for c in cols], axis=1)
+    uniq, inverse = np.unique(key, axis=0, return_inverse=True)
+    return [uniq[:, k] for k in range(uniq.shape[1])], inverse, len(uniq)
 
 
 def _one_aggregate(

@@ -140,7 +140,7 @@ def build_partials(
     joined = _joined_tiles(images, cells, query, env, broadcast_aoi)
     kernel = zonal.make_zonal_kernel(query, env.to_json(), grid_name)
     schema = "`aoi_id` string, `cell_id` long, `_ms` double, " + zonal.partial_schema_ddl(query)
-    return joined.groupBy("aoi_id", "cell_id").applyInPandas(
+    return _cluster_for_kernel(joined).groupBy("aoi_id", "cell_id").applyInPandas(
         _wrap_with_keys(kernel), schema
     )
 
@@ -156,9 +156,25 @@ def build_pixels(
     joined = _joined_tiles(images, cells, query, env, broadcast_aoi)
     kernel = zonal.make_zonal_kernel(query, env.to_json(), grid_name)
     schema = "`aoi_id` string, " + zonal.pixel_schema_ddl(query)
-    return joined.groupBy("aoi_id", "cell_id").applyInPandas(
+    return _cluster_for_kernel(joined).groupBy("aoi_id", "cell_id").applyInPandas(
         _wrap_with_keys(kernel, with_cell=False), schema
     )
+
+
+def _cluster_for_kernel(joined: DataFrame) -> DataFrame:
+    """Partition the joined tiles for the kernel stage with an *explicit*
+    partition count. AQE's partition coalescing sizes partitions by shuffle
+    bytes, but a tile row is tiny on the wire (compressed payload) and huge
+    in CPU (w*h decoded pixels + masks) — byte-based coalescing collapses
+    the kernel stage to a handful of tasks and idles the cluster. An
+    explicit ``repartition(n, keys)`` is exempt from AQE coalescing, and
+    because it hash-clusters on exactly the groupBy keys, the downstream
+    ``groupBy(aoi_id, cell_id)`` reuses the partitioning instead of
+    shuffling again. n = 3x parallelism balances stragglers (cells per
+    task vary with AOI overlap)."""
+    spark = joined.sparkSession
+    n = spark.sparkContext.defaultParallelism * 3
+    return joined.repartition(n, "aoi_id", "cell_id")
 
 
 def _wrap_with_keys(kernel, with_cell: bool = True):

@@ -176,6 +176,33 @@ def image_id_for(layer: str, cell_id: int) -> str:
     return f"{layer}/{cell_id:016x}"
 
 
+def encode_image_row(
+    env: DataEnvironment, layer_name: str, x: int, y: int,
+    tile_px: int = TILE, grid: G.Grid = GRID,
+) -> tuple:
+    """One images-table row (input-hint shape) for (layer, cell x, cell y)."""
+    layer = env.get_layer(layer_name)
+    cell = int(G.cell_from_xy(grid, x, y))
+    arr = tile_array(layer_name, x, y, tile_px)
+    if layer.dtype == "uint16":
+        enc_arr = arr.astype(np.uint16)
+    elif layer.dtype == "float32":
+        enc_arr = arr.astype(np.float32)
+    else:
+        enc_arr = arr.astype(np.uint8)
+    payload = codecs.encode_tile(enc_arr, layer.fmt)
+    ph = codecs.phash64(np.nan_to_num(enc_arr.astype(np.float64)))
+    return (
+        image_id_for(layer_name, cell),
+        payload,
+        tile_px,
+        tile_px,
+        layer.fmt,
+        caption_for(layer_name, cell),
+        ph,
+    )
+
+
 def generate_images_rows(
     layers: list[str] | None = None,
     x0: int = X0, y0: int = Y0, nx: int = NX, ny: int = NY,
@@ -185,33 +212,81 @@ def generate_images_rows(
     (image_id, bytes, w, h, fmt, caption, phash)."""
     env = fixture_environment()
     layers = layers or [l.name for l in env.layers if isinstance(l, SourceLayer)]
-    rows = []
-    for layer_name in layers:
-        layer = env.get_layer(layer_name)
-        for y in range(y0, y0 + ny):
-            for x in range(x0, x0 + nx):
-                cell = int(G.cell_from_xy(GRID, x, y))
-                arr = tile_array(layer_name, x, y, tile_px)
-                if layer.dtype == "uint16":
-                    enc_arr = arr.astype(np.uint16)
-                elif layer.dtype == "float32":
-                    enc_arr = arr.astype(np.float32)
-                else:
-                    enc_arr = arr.astype(np.uint8)
-                payload = codecs.encode_tile(enc_arr, layer.fmt)
-                ph = codecs.phash64(np.nan_to_num(enc_arr.astype(np.float64)))
-                rows.append(
-                    (
-                        image_id_for(layer_name, cell),
-                        payload,
-                        tile_px,
-                        tile_px,
-                        layer.fmt,
-                        caption_for(layer_name, cell),
-                        ph,
-                    )
-                )
-    return rows
+    return [
+        encode_image_row(env, layer_name, x, y, tile_px)
+        for layer_name in layers
+        for y in range(y0, y0 + ny)
+        for x in range(x0, x0 + nx)
+    ]
+
+
+def generate_images_df(
+    spark,
+    grid: G.Grid,
+    layers: list[str],
+    x0: int, y0: int, nx: int, ny: int,
+    parallelism: int | None = None,
+):
+    """Distributed corpus generator (bench scale): the driver ships only
+    (layer, x, y) keys; tile synthesis + encoding runs on executors in an
+    Arrow-batched ``mapInPandas``. At 10^12-image scale this is the shape
+    of any backfill job: a key-range DataFrame fanned out to encoders,
+    never a driver-side loop."""
+    import pandas as pd
+
+    keys = [
+        (ln, x, y)
+        for ln in layers
+        for y in range(y0, y0 + ny)
+        for x in range(x0, x0 + nx)
+    ]
+    kdf = spark.createDataFrame(keys, "layer string, x int, y int")
+    kdf = kdf.repartition(parallelism or spark.sparkContext.defaultParallelism)
+    tile_px, grid_name = grid.chunk_px, grid.name
+
+    def gen(batches):
+        env = fixture_environment()
+        g = G.get_grid(grid_name)
+        for pdf in batches:
+            rows = [
+                encode_image_row(env, ln, int(x), int(y), tile_px, g)
+                for ln, x, y in zip(pdf["layer"], pdf["x"], pdf["y"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"],
+            )
+
+    return kdf.mapInPandas(gen, IMAGES_SCHEMA)
+
+
+def bench_aois(
+    grid: G.Grid, x0: int, y0: int, nx: int, ny: int,
+    n_aoi: int, cells_per_aoi: int = 36, hot_fraction: float = 0.25,
+) -> list[tuple[str, bytes]]:
+    """Deterministic AOI batch for throughput runs: boxes of
+    ~``cells_per_aoi`` cells scattered over the corpus extent, with
+    ``hot_fraction`` of them stacked onto the same corner — a controlled
+    skew hotspot (many AOIs hitting the same cells), the case the salted /
+    AQE-skew join strategies exist for."""
+    td = grid.tile_deg
+    side = max(1, int(round(cells_per_aoi ** 0.5)))
+    lon0 = -180.0 + x0 * td
+    lat_top = 90.0 - y0 * td
+    aois: list[tuple[str, bytes]] = []
+    for k in range(n_aoi):
+        if k < int(n_aoi * hot_fraction):
+            cx, cy = 1, 1  # hotspot corner
+        else:
+            # deterministic LCG scatter
+            cx = 1 + (k * 2654435761 % max(1, nx - side - 2))
+            cy = 1 + (k * 40503 % max(1, ny - side - 2))
+        x1 = lon0 + cx * td + 0.1 * td
+        y2 = lat_top - cy * td - 0.1 * td
+        x2 = x1 + side * td
+        y1 = y2 - side * td
+        aois.append((f"bench_aoi_{k:05d}", geo.wkb_dumps(geo.box(x1, y1, x2, y2))))
+    return aois
 
 
 # ---------------------------------------------------------------------------
