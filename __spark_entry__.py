@@ -687,18 +687,25 @@ toks AS (
     FROM documents)
   WHERE tok <> '')"""
 
-    h_seeded = _md5_int60("CAST(seed AS VARCHAR) || ':' || tok")
+    # same single-md5 + LCG-permutation formula as dedup.minhash_signatures
+    h0_31 = _md5_int60("'0:' || tok") + " % 2147483648"
+    mh_cols = ", ".join(
+        f"MIN(({dedup.MINHASH_A[i]} * h + {dedup.MINHASH_B[i]}) % {dedup.M31}) AS mh{i}"
+        for i in range(8)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, md5(CAST(mh{2 * b} AS VARCHAR) || ',' || "
+        f"CAST(mh{2 * b + 1} AS VARCHAR)) AS band_key FROM sig"
+        for b in range(4)
+    )
     o["dedup_minhash_lsh"] = f"""
-WITH {tok_cte},
-sig AS (
-  SELECT id, seed, MIN({h_seeded}) AS minhash
-  FROM toks, generate_series(0, 7) s(seed) GROUP BY id, seed
+WITH tk AS (
+  SELECT doc_id AS id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
 ),
-banded AS (
-  SELECT id, CAST(seed // 2 AS INT) AS band,
-         md5(array_to_string(list_sort(list(CAST(minhash AS VARCHAR))), ',')) AS band_key
-  FROM sig GROUP BY id, CAST(seed // 2 AS INT)
-)
+th AS (SELECT id, {h0_31} AS h FROM tk WHERE tok <> ''),
+sig AS (SELECT id, {mh_cols} FROM th GROUP BY id),
+banded AS ({band_rows})
 SELECT DISTINCT a.id AS a, b.id AS b
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id

@@ -29,16 +29,18 @@ def token_hash(seed: Column, token: Column) -> Column:
     ).cast("long")
 
 
-def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Distinct (id, token) pairs, lowercased whitespace tokens."""
-    return (
+def tokens(df: DataFrame, id_col: str, text_col: str, distinct: bool = True) -> DataFrame:
+    """(id, token) pairs, lowercased whitespace tokens. ``distinct=False``
+    skips the dedup shuffle for consumers whose aggregate is
+    duplicate-insensitive (MIN for minhash)."""
+    t = (
         df.select(
             F.col(id_col).alias("id"),
             F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
         )
         .filter(F.col("tok") != "")
-        .distinct()
     )
+    return t.distinct() if distinct else t
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
@@ -81,17 +83,32 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 # 2. MinHash + LSH banding
 # ---------------------------------------------------------------------------
 
+# Fixed permutation constants (odd, < 2^31): h_i = (A[i]*h + B[i]) mod M31.
+# Hardcoded (seeded-LCG generated once) so Spark and the DuckDB oracle can
+# both inline them as literals; all intermediates stay < 2^62 (no int64
+# overflow in either engine).
+MINHASH_A = [1301949169, 1273339599, 1171922645, 1289066979, 272379225, 672768791,
+             654743421, 189409131, 488080961, 1523276767, 660032165, 1218608499,
+             720674217, 2026705191, 695918669, 1256858619]
+MINHASH_B = [1783782289, 92637935, 733642869, 1473585923, 332277753, 322441527,
+             748802845, 1044906635, 218884833, 1473014783, 170328133, 1751108243,
+             203295817, 2115429191, 55750637, 2113536795]
+M31 = 2147483647  # 2^31 - 1
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str, n_hashes: int = 8) -> DataFrame:
-    """(id, seed, minhash): n_hashes permutations approximated by seeded
-    md5 hashing; min per (doc, seed). Stays long-form (seed as a column)
-    so banding is a plain groupBy, no arrays needed."""
-    t = tokens(df, id_col, text_col)
-    seeded = t.select(
-        "id", F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"), "tok"
-    )
-    return seeded.select(
-        "id", "seed", token_hash(F.col("seed"), F.col("tok")).alias("h")
-    ).groupBy("id", "seed").agg(F.min("h").alias("minhash"))
+    """(id, mh0..mh{n-1}): n permutations of the token set. Each token is
+    string-hashed ONCE (md5 -> int64), then the n permutations are integer
+    LCG remixes — n_hashes mins computed in a single groupBy. No per-seed
+    explode (the shuffle carries |tokens| rows, not n_hashes x |tokens|)
+    and no token-dedup shuffle (MIN is duplicate-insensitive)."""
+    t = tokens(df, id_col, text_col, distinct=False)
+    h31 = token_hash(F.lit(0), F.col("tok")) % F.lit(2147483648)
+    aggs = [
+        F.min((F.lit(MINHASH_A[i]) * h31 + F.lit(MINHASH_B[i])) % F.lit(M31)).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return t.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_candidates(
@@ -99,13 +116,21 @@ def minhash_lsh_candidates(
     n_hashes: int = 8, bands: int = 4,
 ) -> DataFrame:
     """Candidate pairs (a < b) sharing at least one LSH band: band key =
-    md5 of the band's concatenated minhashes."""
+    md5 of the band's concatenated minhashes (fixed hash order)."""
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n_hashes)
-    banded = (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("id", "band")
-        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list(F.col("minhash").cast("string"))))).alias("band_key"))
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *[
+                F.col(f"mh{b * rows_per_band + j}").cast("string")
+                for j in range(rows_per_band)
+            ])).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
     left = banded.alias("l")
     right = banded.alias("r")

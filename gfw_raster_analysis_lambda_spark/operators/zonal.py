@@ -68,10 +68,21 @@ def layer_is_float(env: DataEnvironment, name: str) -> bool:
 # ---------------------------------------------------------------------------
 
 def partial_columns(query: ZonalQuery) -> list[tuple[str, str]]:
-    """(name, spark_type) pairs of the kernel's output schema."""
+    """(name, spark_type) pairs of the kernel's output schema.
+
+    isoweek group layers (F1) are *pushed down* into the kernel: the
+    partial is keyed by (isoyear, isoweek) instead of the raw date value,
+    collapsing ~hundreds of per-tile date groups to ~tens of week groups
+    before the shuffle. Semantics-preserving because decode+isoweek is a
+    pure per-value function and the reference re-sums after the isoweek
+    regroup anyway (reference tiling.py:100-126)."""
     cols: list[tuple[str, str]] = []
     for g in query.group_layers:
-        cols.append((g, "double"))
+        if g in query.isoweek_layers:
+            cols.append((f"{g}__isoyear", "long"))
+            cols.append((f"{g}__isoweek", "long"))
+        else:
+            cols.append((g, "double"))
     for a in query.aggregates:
         if a.func == "count":
             cols.append((a.alias, "long"))
@@ -135,7 +146,10 @@ def make_zonal_kernel(query: ZonalQuery, env_json: str, grid_name: str):
             if nd is not None and not env.keeps_nodata_groups(gname) and not _is_nan_nodata(nd):
                 mask &= arr != nd
 
-        return _aggregate(query, values, mask, mean_area)
+        pdf = _aggregate(query, values, mask, mean_area)
+        if query.isoweek_layers and query.group_layers and not pdf.empty:
+            pdf = _isoweek_pushdown(pdf, query, env)
+        return pdf
 
     return kernel
 
@@ -362,3 +376,52 @@ def _one_aggregate(
 def _pd_types(query: ZonalQuery):
     for n, t in partial_columns(query):
         yield n, ("int64" if t == "long" else "float64")
+
+
+def _isoweek_pushdown(pdf: pd.DataFrame, query: ZonalQuery, env) -> pd.DataFrame:
+    """isoweek(date_layer) applied to the per-tile partial (F1, pushed
+    down): decode the raw group values (a few hundred uniques at most),
+    convert to ISO (year, week), and re-aggregate within the tile. The
+    reference runs this decode+regroup once at the coordinator over the
+    merged result (tiling.py:100-126); doing it per tile is equivalent —
+    decode is a pure per-value function and the coordinator re-*sums* —
+    and shrinks the shuffle from O(distinct dates) to O(distinct weeks)
+    rows per tile."""
+    new_groups: list[str] = []
+    for g in query.group_layers:
+        if g not in query.isoweek_layers:
+            new_groups.append(g)
+            continue
+        raw = pdf[g].to_numpy().astype(np.int64)
+        layer = env.get_layer(g)
+        decode_src = getattr(layer, "decode_expression", None)
+        # decode only the tile's unique raw values, then broadcast back
+        uniq, inv = np.unique(raw, return_inverse=True)
+        if decode_src:
+            decoded = np.asarray(compile_expression(decode_src)(uniq))
+            days = decoded.astype("datetime64[D]").astype(np.int64)
+        else:  # raw values are days since 1970-01-01
+            days = uniq
+        # ISO 8601 year/week in pure numpy: classify each date by the
+        # Thursday of its week (1970-01-01 was a Thursday -> Mon=0 weekday
+        # is (d + 3) % 7); week = ordinal of that Thursday within its year
+        thu = days + 3 - (days + 3) % 7
+        thu_d = thu.astype("datetime64[D]")
+        years = thu_d.astype("datetime64[Y]")
+        iso_year = years.astype(np.int64) + 1970
+        iso_week = (thu - years.astype("datetime64[D]").astype(np.int64)) // 7 + 1
+        idx = pdf.columns.get_loc(g)
+        pdf = pdf.drop(columns=[g])
+        pdf.insert(idx, f"{g}__isoweek", iso_week[inv])
+        pdf.insert(idx, f"{g}__isoyear", iso_year[inv])
+        new_groups += [f"{g}__isoyear", f"{g}__isoweek"]
+    aggmap: dict[str, str] = {}
+    for a in query.aggregates:
+        if a.func in ("count", "sum") or (a.func == "avg" and query.compat_avg):
+            aggmap[a.alias] = "sum"
+        elif a.func == "avg":
+            aggmap[f"{a.alias}__sum"] = "sum"
+            aggmap[f"{a.alias}__cnt"] = "sum"
+        else:  # min / max
+            aggmap[a.alias] = a.func
+    return pdf.groupby(new_groups, as_index=False).agg(aggmap)

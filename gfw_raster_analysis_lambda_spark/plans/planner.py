@@ -182,7 +182,9 @@ def _wrap_with_keys(kernel, with_cell: bool = True):
         t0 = time.perf_counter()
         out = kernel(pdf)
         if with_cell:
-            out.insert(0, "_ms", (time.perf_counter() - t0) * 1000.0)
+            # amortize over the group's rows so SUM(_ms) = true kernel time
+            ms = (time.perf_counter() - t0) * 1000.0 / max(len(out), 1)
+            out.insert(0, "_ms", ms)
             out.insert(0, "cell_id", np.int64(pdf["cell_id"].iloc[0]))
         out.insert(0, "aoi_id", pdf["aoi_id"].iloc[0])
         return out
@@ -199,7 +201,14 @@ def finalize_partials(partials: DataFrame, query: ZonalQuery, env: DataEnvironme
 # ---------------------------------------------------------------------------
 
 def _finalize_aggregates(partials: DataFrame, query: ZonalQuery, env: DataEnvironment) -> DataFrame:
-    group_cols = ["aoi_id", *query.group_layers]
+    group_cols = ["aoi_id"]
+    for g in query.group_layers:
+        if g in query.isoweek_layers:
+            # isoweek is pushed down into the kernel (zonal._isoweek_pushdown);
+            # partials already carry the (isoyear, isoweek) key columns
+            group_cols += [f"{g}__isoyear", f"{g}__isoweek"]
+        else:
+            group_cols.append(g)
 
     aggs = []
     for a in query.aggregates:
@@ -220,9 +229,9 @@ def _finalize_aggregates(partials: DataFrame, query: ZonalQuery, env: DataEnviro
             aggs.append(F.max(a.alias).alias(a.alias))
     df = partials.groupBy(*group_cols).agg(*aggs)
 
-    # decode group values raw -> meaning (P11), then isoweek regroup (F1)
+    # decode group values raw -> meaning (P11); isoweek (F1) already
+    # happened inside the kernel
     df = _decode_group_columns(df, query, env)
-    df = _isoweek_regroup(df, query, env)
 
     return _order_and_limit(df, query, [c for c in group_cols if c in df.columns])
 
@@ -254,6 +263,8 @@ def _order_and_limit(df: DataFrame, query: ZonalQuery, default_sort: list[str]) 
 
 def _decode_group_columns(df: DataFrame, query: ZonalQuery, env: DataEnvironment) -> DataFrame:
     for g in query.group_layers:
+        if g in query.isoweek_layers:
+            continue  # replaced by __isoyear/__isoweek in the kernel
         layer = env.get_layer(g)
         if not isinstance(layer, (SourceLayer, DerivedLayer)):
             continue
@@ -282,34 +293,6 @@ def _decode_group_columns(df: DataFrame, query: ZonalQuery, env: DataEnvironment
         elif not zonal.layer_is_float(env, g):
             df = df.withColumn(g, F.col(g).cast("long"))
     return df
-
-
-def _isoweek_regroup(df: DataFrame, query: ZonalQuery, env: DataEnvironment) -> DataFrame:
-    """isoweek(date_layer): replace the decoded date column with ISO
-    (year, week) columns and re-aggregate (reference tiling.py:100-126)."""
-    if not query.isoweek_layers:
-        return df
-    new_groups = ["aoi_id"]
-    for g in query.group_layers:
-        if g in query.isoweek_layers:
-            d = F.to_date(F.col(g))
-            df = df.withColumn(f"{g}__isoyear", F.expr(f"extract(YEAROFWEEK FROM to_date(`{g}`))").cast("long"))
-            df = df.withColumn(f"{g}__isoweek", F.weekofyear(d).cast("long"))
-            df = df.drop(g)
-            new_groups += [f"{g}__isoyear", f"{g}__isoweek"]
-        else:
-            new_groups.append(g)
-    aggs = []
-    for a in query.aggregates:
-        if a.func == "count":
-            aggs.append(F.sum(a.alias).cast("long").alias(a.alias))
-        elif a.func in ("sum", "avg"):
-            aggs.append(F.sum(a.alias).alias(a.alias))  # re-sum (reference semantics)
-        elif a.func == "min":
-            aggs.append(F.min(a.alias).alias(a.alias))
-        elif a.func == "max":
-            aggs.append(F.max(a.alias).alias(a.alias))
-    return df.groupBy(*new_groups).agg(*aggs)
 
 
 def _finalize_pixels(df: DataFrame, query: ZonalQuery) -> DataFrame:
