@@ -43,7 +43,7 @@ from gfw_raster_analysis_lambda_spark.session import get_spark  # noqa: E402
 from gfw_raster_analysis_lambda_spark.sources import fixtures  # noqa: E402
 from gfw_raster_analysis_lambda_spark.sources.images import (  # noqa: E402
     read_images,
-    write_images_partitioned,
+    write_images_cell_sorted,
 )
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -61,7 +61,7 @@ CELLS_PER_AOI = 36
 
 
 def corpus_dir() -> str:
-    tag = f"{BGRID.name.replace('/', '_')}_{BX0}_{BY0}_{BNX}x{BNY}_{len(BLAYERS)}L"
+    tag = f"{BGRID.name.replace('/', '_')}_{BX0}_{BY0}_{BNX}x{BNY}_{len(BLAYERS)}L_cs"
     return os.path.join(REPO, ".bench_cache", f"corpus_{tag}")
 
 
@@ -73,7 +73,7 @@ def ensure_corpus(spark) -> None:
         spark, BGRID, BLAYERS, BX0, BY0, BNX, BNY,
         parallelism=spark.sparkContext.defaultParallelism * 2,
     )
-    write_images_partitioned(df, path)
+    write_images_cell_sorted(df, path)
 
 
 def bench_queries(spark):
@@ -96,7 +96,7 @@ def bench_queries(spark):
             "SELECT tcl_year, SUM(area__ha) AS loss_ha, COUNT(*) AS n "
             "FROM tcl_year WHERE tcd_threshold >= 25 AND is_primary = 'true' "
             "GROUP BY tcl_year",
-            env, BGRID.name,
+            env, BGRID.name, strategy="colocated",
         )
     q["zonal_flagship"] = zonal_flagship
 
@@ -105,7 +105,7 @@ def bench_queries(spark):
             spark, images, aoi,
             "SELECT isoweek(alert_date), COUNT(*) AS n "
             "FROM alert_date_conf GROUP BY 1",
-            env, BGRID.name,
+            env, BGRID.name, strategy="colocated",
         )
     q["zonal_alert_isoweek"] = zonal_alert_isoweek
 

@@ -76,6 +76,8 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     """Undo PNG per-row filters (types 0-4). Row-loop only (h rows)."""
     rows = raw.reshape(h, stride + 1)
     ftypes = rows[:, 0]
+    if not ftypes.any():  # all filter 0 (what png_encode writes): zero-copy path
+        return np.ascontiguousarray(rows[:, 1:])
     data = rows[:, 1:].astype(np.int32)
     out = np.zeros((h, stride), dtype=np.int32)
     prior = np.zeros(stride, dtype=np.int32)

@@ -208,6 +208,19 @@ def rasterize_mask(
     x1, y1, x2, y2 = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
     dy = y2 - y1
 
+    # Axis-aligned rectangle fast path (the AOI-clip of a box AOI — the
+    # overwhelmingly common zonal shape): the even-odd mask is an outer
+    # product of two 1-D interval tests, O(H + W) instead of O(H*E*W).
+    if len(e) == 4 and np.all((x1 == x2) | (y1 == y2)):
+        minx, maxx = min(x1.min(), x2.min()), max(x1.max(), x2.max())
+        miny, maxy = min(y1.min(), y2.min()), max(y1.max(), y2.max())
+        # match the scanline parity exactly: the straddle test
+        # (y1 <= py) != (y2 <= py) admits miny <= py < maxy, and "odd
+        # crossings strictly right of the center" admits minx <= px < maxx
+        row_in = (cy >= miny) & (cy < maxy)
+        col_in = (cx >= minx) & (cx < maxx)
+        return np.logical_and(row_in[:, None], col_in[None, :])
+
     # Fully vectorized path for modest edge counts (the common AOI-clip
     # case): crossings for all (row, edge) pairs at once, then a broadcast
     # count of crossings right of each pixel center. Peak temp is the
@@ -280,6 +293,29 @@ def intersects_rect(geom: Geometry, minx, miny, maxx, maxy) -> bool:
         return True
     # any edge touches the rect (covers geom-vertex-in-rect too)
     return _segments_intersect_rect(all_edges(geom), minx, miny, maxx, maxy)
+
+
+def covers_rect(geom: Geometry, minx, miny, maxx, maxy) -> bool:
+    """CONSERVATIVE full-containment test: True only when the closed rect
+    is certainly inside the geometry. Used to skip rasterize+mask for tiles
+    interior to an AOI (their zonal mask is all-True by construction, so
+    the per-cell static-mask result can be reused). False negatives are
+    fine — callers fall back to rasterizing. The test: no geometry edge's
+    bbox touches the rect (so the rect sits entirely inside one region of
+    the even-odd decomposition — a hole inside the rect would bring its
+    edges with it) and the rect's corners are inside."""
+    e = all_edges(geom)
+    if len(e) == 0:
+        return False
+    ex_lo = np.minimum(e[:, 0], e[:, 2])
+    ex_hi = np.maximum(e[:, 0], e[:, 2])
+    ey_lo = np.minimum(e[:, 1], e[:, 3])
+    ey_hi = np.maximum(e[:, 1], e[:, 3])
+    if bool(np.any((ex_hi >= minx) & (ex_lo <= maxx) & (ey_hi >= miny) & (ey_lo <= maxy))):
+        return False
+    return bool(
+        contains_points(geom, [minx, maxx, minx, maxx], [miny, miny, maxy, maxy]).all()
+    )
 
 
 def _clip_ring_rect(ring: Ring, minx, miny, maxx, maxy) -> Ring | None:

@@ -86,6 +86,7 @@ GRID_10M = _register("10/100000", 10.0, 100000, 5000)  # 0.0001 deg px, 0.5 deg 
 GRID_FIXTURE = _register("4/1024", 4.0, 1024, 64)      # 0.00390625 deg px, 0.25 deg cells
 GRID_FIXTURE_FINE = _register("4/2048", 4.0, 2048, 64)  # finest-grid resampling tests
 GRID_BENCH = _register("4/4096", 4.0, 4096, 256)  # bench: 0.25 deg cells, 256x256 px tiles
+GRID_SCALE = _register("4/16384", 4.0, 16384, 1024)  # scaling bench: 1024x1024 px tiles
 
 _BY_INDEX = {g.index: g for g in GRIDS.values()}
 
@@ -161,6 +162,12 @@ def polygon_to_cells(grid: Grid, geom: geo.Geometry) -> np.ndarray:
     x_hi = min(int(np.floor((maxx + 180.0) / td)), grid.nx - 1)
     y_lo = max(int(np.floor((90.0 - maxy) / td)), 0)
     y_hi = min(int(np.floor((90.0 - miny) / td)), grid.ny - 1)
+    # axis-aligned rectangle fast path: the geometry equals its bbox, so
+    # every bbox-snapped candidate cell intersects — skip the per-cell test
+    e = geo.all_edges(geom)
+    if len(e) == 4 and np.all((e[:, 0] == e[:, 2]) | (e[:, 1] == e[:, 3])):
+        xs, ys = np.meshgrid(np.arange(x_lo, x_hi + 1), np.arange(y_lo, y_hi + 1))
+        return np.asarray(cell_from_xy(grid, xs.ravel(), ys.ravel()))
     out = []
     for y in range(y_lo, y_hi + 1):
         cmaxy = 90.0 - y * td

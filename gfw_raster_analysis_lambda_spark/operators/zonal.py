@@ -154,6 +154,129 @@ def make_zonal_kernel(query: ZonalQuery, env_json: str, grid_name: str):
     return kernel
 
 
+def _empty_partials(query: ZonalQuery) -> pd.DataFrame:
+    out = {"aoi_id": pd.Series(dtype=object)}
+    if query.select_pixels:
+        for n in query.select_pixels:
+            out[n] = pd.Series(dtype="float64")
+    else:
+        for n, t in _pd_types(query):
+            out[n] = pd.Series(dtype=t)
+    return pd.DataFrame(out)
+
+
+def make_cell_kernel(query: ZonalQuery, env_json: str, grid_name: str, aoi_lookup):
+    """Per-CELL kernel (groupBy(cell_id) / colocated-scan variant).
+
+    The per-(aoi, cell) kernel decodes a tile once per overlapping AOI and
+    ships its bytes through the shuffle once per AOI — quadratic pain on
+    hot cells (the reference never hits this because each Lambda fetches
+    from S3 by itself; on Spark the shuffle is ours to shape). This kernel
+    instead receives each tile ONCE, decodes once, precomputes the
+    AOI-independent masks (base NoData P7, filter P1-P5, group NoData P8)
+    once, and loops the cell's AOIs — only rasterize (P6) + the masked
+    bincount run per AOI.
+
+    ``aoi_lookup`` is a Broadcast of ``{cell_id: (n_salt, [(aoi_id, wkb),
+    ...])}``. When the input carries a ``_salt`` column (planner-side skew
+    salting duplicated the tile rows), instance (cell, s) processes the
+    deterministic slice ``aois[s::n_salt]``; without ``_salt`` it processes
+    every AOI of the cell.
+    """
+    pixel_mode = bool(query.select_pixels)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        env = _env_cache(env_json)
+        grid = G.get_grid(grid_name)
+        cell_id = int(pdf["cell_id"].iloc[0])
+        entry = aoi_lookup.value.get(cell_id)
+        if entry is None:
+            return _empty_partials(query)
+        n_salt, aois = entry
+        if "_salt" in pdf.columns:
+            aois = aois[int(pdf["_salt"].iloc[0])::n_salt]
+        if not aois:
+            return _empty_partials(query)
+
+        x0, y0, ps = G.cell_affine(grid, cell_id)
+        lat_c = float(G.cell_centroid_lat(grid, np.array([cell_id]))[0])
+        mean_area = float(geodesy.pixel_area_ha(lat_c, ps))
+        tile_px = grid.chunk_px
+        values = _decode_and_derive(pdf, env, query, tile_px, mean_area)
+
+        # AOI-independent masks, computed once per cell
+        static: np.ndarray | None = None
+        if query.base_layer != FROM_DATA:
+            static = _data_mask(values[query.base_layer], env.nodata_of(query.base_layer))
+        if query.where is not None:
+            m = _eval_filter(query.where, values)
+            static = m if static is None else static & m
+        if not pixel_mode:
+            for gname in query.group_layers:
+                arr = values[gname]
+                if np.issubdtype(np.asarray(arr).dtype, np.floating):
+                    m = ~np.isnan(arr)
+                    static = m if static is None else static & m
+                nd = env.nodata_of(gname)
+                if nd is not None and not env.keeps_nodata_groups(gname) and not _is_nan_nodata(nd):
+                    m = arr != nd
+                    static = m if static is None else static & m
+
+        if pixel_mode:
+            blocks = []
+            for aoi_id, wkb in aois:
+                geom = geo.wkb_loads(bytes(wkb))
+                mask = np.ravel(geo.rasterize_mask(geom, x0, y0, ps, tile_px, tile_px))
+                if static is not None:
+                    mask &= static
+                out = _select_pixels(query, values, mask, x0, y0, ps)
+                out.insert(0, "aoi_id", aoi_id)
+                blocks.append(out)
+            return pd.concat(blocks, ignore_index=True)
+
+        # aggregate mode: accumulate numpy per AOI, build ONE frame per cell
+        ctx = _CellAggContext(query, values, mean_area)
+        ids: list = []
+        lens: list = []
+        cols: dict[str, list] = {}
+        # full-cover memo: an AOI fully containing the cell rect has the
+        # all-True zonal mask, so its result is the (static-mask-only)
+        # per-cell constant — computed once, reused by every such AOI.
+        # This is the dominant case at scale (tiles interior to the AOI).
+        cell_rect = (x0, y0 - tile_px * ps, x0 + tile_px * ps, y0)
+        full_result = None
+        for aoi_id, wkb in aois:
+            geom = geo.wkb_loads(bytes(wkb))
+            if geo.covers_rect(geom, *cell_rect):
+                if full_result is None:
+                    m = static if static is not None else np.ones(tile_px * tile_px, dtype=bool)
+                    full_result = ctx.run(m)
+                part = full_result
+            else:
+                mask = np.ravel(geo.rasterize_mask(geom, x0, y0, ps, tile_px, tile_px))
+                if static is not None:
+                    mask &= static
+                part = ctx.run(mask)
+            n = len(next(iter(part.values()))) if part else 0
+            ids.append(aoi_id)
+            lens.append(n)
+            for k, v in part.items():
+                cols.setdefault(k, []).append(v)
+        if not cols or sum(lens) == 0:
+            return _empty_partials(query)
+        nullable = _nullable_minmax_cols(query)
+        data = {"aoi_id": np.repeat(np.asarray(ids, dtype=object), lens)}
+        for k, parts in cols.items():
+            v = np.concatenate(parts)
+            data[k] = pd.array(v, dtype="Float64") if k in nullable else v
+        pdf_out = pd.DataFrame(data)
+        if query.isoweek_layers and query.group_layers:
+            pdf_out = _isoweek_pushdown(pdf_out, query, env, id_cols=("aoi_id",))
+        return pdf_out
+
+    return kernel
+
+
 _ENV_CACHE: dict[str, DataEnvironment] = {}
 
 
@@ -346,9 +469,13 @@ def _one_aggregate(
                 out[f"{a.alias}__sum"] = counts * mean_area
                 out[f"{a.alias}__cnt"] = counts.astype(np.int64)
         return
-    data = np.asarray(values[a.layer], dtype=np.float64)[masked_idx]
-    finite = ~np.isnan(data)  # NaN exclusion inside aggregation (A7)
-    d, inv = data[finite], inverse[finite]
+    src = np.asarray(values[a.layer])
+    if src.dtype.kind == "f":
+        data = src[masked_idx].astype(np.float64, copy=False)
+        finite = ~np.isnan(data)  # NaN exclusion inside aggregation (A7)
+        d, inv = data[finite], inverse[finite]
+    else:  # integer layers can't hold NaN — skip two full-array passes
+        d, inv = src[masked_idx].astype(np.float64, copy=False), inverse
     if a.func == "sum":
         out[a.alias] = np.bincount(inv, weights=d, minlength=ngroups)
     elif a.func == "avg":
@@ -378,7 +505,159 @@ def _pd_types(query: ZonalQuery):
         yield n, ("int64" if t == "long" else "float64")
 
 
-def _isoweek_pushdown(pdf: pd.DataFrame, query: ZonalQuery, env) -> pd.DataFrame:
+class _CellAggContext:
+    """Per-cell precomputation for the cell kernel's AOI loop.
+
+    Group keys are offset-packed into one int64 per pixel ONCE per cell
+    (same dictionary-encoding as _group_key_inverse) and aggregate inputs
+    are float64-converted once, so the per-AOI work collapses to
+    ``flatnonzero(mask)`` + ``bincount``(s) — no per-AOI unique/LUT, no
+    per-AOI dtype conversions, no per-AOI pandas objects."""
+
+    def __init__(self, query: ZonalQuery, values: dict, mean_area: float):
+        self.query = query
+        self.values = values
+        self.mean_area = mean_area
+        self.fast = False
+        q = query
+        self.data: dict[str, np.ndarray] = {}
+        for a in q.aggregates:
+            if a.func != "count" and a.layer is not None and a.layer != AREA_HA:
+                d = np.asarray(values[a.layer])
+                if d.dtype.kind == "f" and np.isnan(d).any():
+                    return  # NaN exclusion differs per group -> generic path
+                self.data[a.layer] = d.astype(np.float64)
+        if not q.group_layers:
+            self.fast = True
+            return
+        ints: list[np.ndarray] = []
+        for g in q.group_layers:
+            c = np.asarray(values[g])
+            if c.dtype.kind in "uib":
+                ints.append(c.astype(np.int64))
+            else:
+                f = c.astype(np.float64)
+                if np.all(np.isfinite(f)) and np.array_equal(f, np.floor(f)):
+                    ints.append(f.astype(np.int64))
+                else:
+                    return  # non-integer group values -> generic path
+        mins = [int(c.min()) for c in ints]
+        dims = [int(c.max()) - m + 1 for c, m in zip(ints, mins)]
+        total = 1
+        for d in dims:
+            total *= d
+        if total > (1 << 20):  # keep the per-AOI bincount table <= 8 MB
+            return
+        packed = ints[0] - mins[0]
+        for c, m, d in zip(ints[1:], mins[1:], dims[1:]):
+            packed = packed * d + (c - m)
+        self.packed, self.mins, self.dims, self.total = packed, mins, dims, total
+        self.fast = True
+
+    def run(self, mask: np.ndarray) -> dict[str, np.ndarray]:
+        """Partial aggregate columns (raw group names) for one AOI mask."""
+        q = self.query
+        if not self.fast:
+            pdf = _aggregate(q, self.values, mask, self.mean_area)
+            return {
+                c: (
+                    pdf[c].to_numpy(dtype="float64", na_value=np.nan)
+                    if str(pdf[c].dtype) == "Float64"
+                    else pdf[c].to_numpy()
+                )
+                for c in pdf.columns
+            }
+        idx = np.flatnonzero(mask)
+        n_masked = len(idx)
+        out: dict[str, np.ndarray] = {}
+
+        if q.group_layers:
+            if n_masked == 0:
+                for g in q.group_layers:
+                    out[g] = np.empty(0, dtype=np.float64)
+                for a in q.aggregates:
+                    for n in _agg_partial_names(a, q):
+                        is_long = a.func == "count" or n.endswith("__cnt")
+                        out[n] = np.empty(0, dtype=np.int64 if is_long else np.float64)
+                return out
+            pk = self.packed[idx]
+            counts = np.bincount(pk, minlength=self.total)
+            nz = np.flatnonzero(counts)
+            counts_nz = counts[nz]
+            rem = nz
+            ucols: list[np.ndarray] = []
+            for m, d in zip(reversed(self.mins), reversed(self.dims)):
+                ucols.append((rem % d + m).astype(np.float64))
+                rem = rem // d
+            ucols.reverse()
+            for k, g in enumerate(q.group_layers):
+                out[g] = ucols[k]
+        else:
+            pk = None
+            nz = np.array([0])
+            counts_nz = np.array([n_masked])
+
+        for a in q.aggregates:
+            if a.func == "count":
+                out[a.alias] = counts_nz.astype(np.int64)
+                continue
+            if a.layer == AREA_HA:
+                if a.func == "sum":
+                    out[a.alias] = counts_nz * self.mean_area
+                elif a.func == "avg":
+                    if q.compat_avg:
+                        out[a.alias] = counts_nz * self.mean_area / max(n_masked, 1)
+                    else:
+                        out[f"{a.alias}__sum"] = counts_nz * self.mean_area
+                        out[f"{a.alias}__cnt"] = counts_nz.astype(np.int64)
+                continue
+            d = self.data[a.layer][idx]
+            if q.group_layers:
+                if a.func in ("sum", "avg"):
+                    sums = np.bincount(pk, weights=d, minlength=self.total)[nz]
+                if a.func == "sum":
+                    out[a.alias] = sums
+                elif a.func == "avg":
+                    if q.compat_avg:
+                        out[a.alias] = sums / max(n_masked, 1)
+                    else:
+                        out[f"{a.alias}__sum"] = sums
+                        out[f"{a.alias}__cnt"] = counts_nz.astype(np.int64)
+                elif a.func == "min":
+                    acc = np.full(self.total, np.inf)
+                    np.minimum.at(acc, pk, d)
+                    out[a.alias] = np.where(np.isfinite(acc[nz]), acc[nz], np.nan)
+                elif a.func == "max":
+                    acc = np.full(self.total, -np.inf)
+                    np.maximum.at(acc, pk, d)
+                    out[a.alias] = np.where(np.isfinite(acc[nz]), acc[nz], np.nan)
+            else:
+                if a.func == "sum":
+                    out[a.alias] = np.array([d.sum()])
+                elif a.func == "avg":
+                    if q.compat_avg:
+                        out[a.alias] = np.array([d.sum() / max(n_masked, 1)])
+                    else:
+                        out[f"{a.alias}__sum"] = np.array([d.sum()])
+                        out[f"{a.alias}__cnt"] = np.array([n_masked], dtype=np.int64)
+                elif a.func == "min":
+                    out[a.alias] = np.array([d.min() if n_masked else np.nan])
+                elif a.func == "max":
+                    out[a.alias] = np.array([d.max() if n_masked else np.nan])
+        return out
+
+
+def _agg_partial_names(a: Aggregate, q: ZonalQuery) -> list[str]:
+    if a.func == "avg" and not q.compat_avg:
+        return [f"{a.alias}__sum", f"{a.alias}__cnt"]
+    return [a.alias]
+
+
+def _nullable_minmax_cols(q: ZonalQuery) -> set:
+    return {a.alias for a in q.aggregates if a.func in ("min", "max")}
+
+
+def _isoweek_pushdown(pdf: pd.DataFrame, query: ZonalQuery, env, id_cols: tuple = ()) -> pd.DataFrame:
     """isoweek(date_layer) applied to the per-tile partial (F1, pushed
     down): decode the raw group values (a few hundred uniques at most),
     convert to ISO (year, week), and re-aggregate within the tile. The
@@ -387,7 +666,7 @@ def _isoweek_pushdown(pdf: pd.DataFrame, query: ZonalQuery, env) -> pd.DataFrame
     decode is a pure per-value function and the coordinator re-*sums* —
     and shrinks the shuffle from O(distinct dates) to O(distinct weeks)
     rows per tile."""
-    new_groups: list[str] = []
+    new_groups: list[str] = list(id_cols)
     for g in query.group_layers:
         if g not in query.isoweek_layers:
             new_groups.append(g)

@@ -36,6 +36,7 @@ from ..sources.catalog import FROM_DATA, DataEnvironment, DerivedLayer, SourceLa
 from .ir import ZonalQuery
 
 BROADCAST_CELL_LIMIT = 2_000_000  # aoi-cell rows we are happy to broadcast
+MAX_AOIS_PER_TASK = 64  # hot-cell salting threshold (cell kernel AOI loop)
 
 
 # ---------------------------------------------------------------------------
@@ -75,15 +76,215 @@ def run_zonal_query(
     grid_name: str = "4/1024",
     per_aoi: bool = True,
     broadcast_aoi: bool | None = None,
+    strategy: str | None = None,
 ) -> DataFrame:
     """Execute a zonal query; returns the final result DataFrame with one
-    block of rows per AOI (column ``aoi_id`` first when ``per_aoi``)."""
-    cells = aoi_cells(aoi_df, grid_name)
+    block of rows per AOI (column ``aoi_id`` first when ``per_aoi``).
+
+    ``strategy`` picks the kernel-stage physical plan:
+
+    - ``"cell"`` (default): one shuffle of the tile rows clustered by
+      ``cell_id``; each cell is decoded ONCE and its AOIs (from a broadcast
+      lookup) are looped in the kernel, with explicit salting (tile rows
+      duplicated per salt) for cells hotter than MAX_AOIS_PER_TASK AOIs.
+    - ``"colocated"``: ZERO shuffle of tile bytes — requires the images
+      input to be cell-sorted on disk (sources.images.write_images_cell_sorted);
+      the kernel streams over the scan with mapInPandas and regroups cells
+      within each partition. Only partial-aggregate rows ever shuffle.
+    - ``"aoi_cell"``: the reference-shaped plan (one task per (aoi, cell),
+      tile bytes shuffled per overlapping AOI). Skew-free by construction
+      but maximally redundant on hot cells; kept for parity testing.
+    """
+    if strategy in (None, "auto"):
+        strategy = "cell"
+    if strategy == "aoi_cell":
+        cells = aoi_cells(aoi_df, grid_name)
+        if query.select_pixels:
+            out = build_pixels(images, cells, query, env, grid_name, broadcast_aoi)
+            return _finalize_pixels(out, query)
+        partials = build_partials(images, cells, query, env, grid_name, broadcast_aoi)
+        return finalize_partials(partials, query, env)
+    out = build_partials_by_cell(
+        images, aoi_df, query, env, grid_name, colocated=(strategy == "colocated")
+    )
     if query.select_pixels:
-        out = build_pixels(images, cells, query, env, grid_name, broadcast_aoi)
         return _finalize_pixels(out, query)
-    partials = build_partials(images, cells, query, env, grid_name, broadcast_aoi)
-    return finalize_partials(partials, query, env)
+    return finalize_partials(out, query, env)
+
+
+# ---------------------------------------------------------------------------
+# Cell-clustered kernel plans (decode-once-per-cell; see operators.zonal)
+# ---------------------------------------------------------------------------
+
+DRIVER_ENUM_AOI_LIMIT = 100_000  # AOI rows enumerated driver-side
+
+
+def _aoi_lookup_from_aois(spark: SparkSession, rows: list, grid_name: str,
+                          max_aois_per_task: int):
+    """Driver-side polygon->cells enumeration — the reference's coordinator
+    does exactly this (tiling.py:220-237 enumerates tiles in-process). For
+    AOI batches within the broadcast bound this avoids a whole Spark job
+    (pandas-UDF workers + collect) per query; the distributed ``aoi_cells``
+    path remains for larger batches. ``rows`` are collected
+    (aoi_id, geom_wkb) rows."""
+    grid = G.get_grid(grid_name)
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        wkb = bytes(r["geom_wkb"])
+        for c in G.polygon_to_cells(grid, geo.wkb_loads(wkb)).tolist():
+            by_cell.setdefault(c, []).append((r["aoi_id"], wkb))
+    return _lookup_from_by_cell(spark, by_cell, max_aois_per_task)
+
+
+def _aoi_lookup(spark: SparkSession, cells: DataFrame, max_aois_per_task: int):
+    """Collect the (small, broadcastable — same bound as the broadcast
+    join) AOI-cell list to a dict {cell_id: (n_salt, [(aoi_id, wkb)...])}
+    and ship it as a Spark broadcast variable. n_salt > 1 flags hot cells
+    whose AOI loop the planner splits across salted replicas."""
+    rows = cells.select("cell_id", "aoi_id", "geom_wkb").collect()
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell_id"], []).append((r["aoi_id"], bytes(r["geom_wkb"])))
+    return _lookup_from_by_cell(spark, by_cell, max_aois_per_task)
+
+
+def _lookup_from_by_cell(spark: SparkSession, by_cell: dict, max_aois_per_task: int):
+    lookup: dict[int, tuple] = {}
+    salted: dict[int, int] = {}
+    for c, lst in by_cell.items():
+        lst.sort(key=lambda t: t[0])
+        n_salt = max(1, -(-len(lst) // max_aois_per_task))
+        lookup[c] = (n_salt, lst)
+        if n_salt > 1:
+            salted[c] = n_salt
+    return spark.sparkContext.broadcast(lookup), salted
+
+
+def build_partials_by_cell(
+    images: DataFrame,
+    aoi_df: DataFrame,  # (aoi_id, geom_wkb)
+    query: ZonalQuery,
+    env: DataEnvironment,
+    grid_name: str,
+    colocated: bool = False,
+    max_aois_per_task: int = MAX_AOIS_PER_TASK,
+) -> DataFrame:
+    """Partial rows via the per-cell kernel. Tile bytes cross the wire at
+    most once (``colocated=False``: one repartition by cell_id, plus salted
+    replicas of hot cells only) or never (``colocated=True``: mapInPandas
+    straight over a cell-sorted scan)."""
+    spark = images.sparkSession
+    probe = aoi_df.select("aoi_id", "geom_wkb").limit(DRIVER_ENUM_AOI_LIMIT + 1).collect()
+    if len(probe) <= DRIVER_ENUM_AOI_LIMIT:
+        # small batch: enumerate cells on the driver (one collect, no UDF job)
+        lookup, salted = _aoi_lookup_from_aois(spark, probe, grid_name, max_aois_per_task)
+    else:
+        lookup, salted = _aoi_lookup(
+            spark, aoi_cells(aoi_df, grid_name), max_aois_per_task
+        )
+    cell_ids = list(lookup.value.keys())
+    needed = env.source_layer_names(query.layer_names())
+
+    imgs = images.select("layer", "cell_id", "bytes", "w", "h", "fmt")
+    if needed:
+        imgs = imgs.filter(F.col("layer").isin(needed))
+    if not cell_ids:
+        imgs = imgs.filter(F.lit(False))
+    elif len(cell_ids) <= 2048:
+        # exact IN-set pushdown (small AOI batches: read only covered cells)
+        imgs = imgs.filter(F.col("cell_id").isin([int(c) for c in cell_ids]))
+    else:
+        # min/max prune pushes to parquet row-group stats (cell-sorted files)
+        imgs = imgs.filter(F.col("cell_id").between(min(cell_ids), max(cell_ids)))
+
+    # Missing-cell tolerance (S2): AOI cells with no stored tiles still
+    # produce rows when FROM data drops the base NoData mask
+    if query.base_layer == FROM_DATA:
+        present = imgs.select("cell_id").distinct()
+        missing = (
+            spark.createDataFrame([(int(c),) for c in cell_ids], "cell_id long")
+            .join(F.broadcast(present), "cell_id", "left_anti")
+            .select(
+                F.lit(None).cast("string").alias("layer"),
+                F.col("cell_id"),
+                F.lit(None).cast("binary").alias("bytes"),
+                F.lit(None).cast("int").alias("w"),
+                F.lit(None).cast("int").alias("h"),
+                F.lit(None).cast("string").alias("fmt"),
+            )
+        )
+        imgs = imgs.unionByName(missing)
+
+    kernel = zonal.make_cell_kernel(query, env.to_json(), grid_name, lookup)
+    if query.select_pixels:
+        schema = "`aoi_id` string, " + zonal.pixel_schema_ddl(query)
+        wrapped = _wrap_cell_kernel(kernel, with_cell=False)
+    else:
+        schema = "`aoi_id` string, `cell_id` long, `_ms` double, " + zonal.partial_schema_ddl(query)
+        wrapped = _wrap_cell_kernel(kernel)
+
+    if colocated:
+        # zero-shuffle: the scan is cell-sorted; regroup cells per partition
+        return imgs.mapInPandas(_streaming_cells(wrapped), schema)
+
+    group_keys = ["cell_id"]
+    if salted:
+        salt_dim = spark.createDataFrame(
+            [(int(c), int(n)) for c, n in salted.items()], "cell_id long, _n_salt int"
+        )
+        imgs = (
+            imgs.join(F.broadcast(salt_dim), "cell_id", "left")
+            .withColumn(
+                "_salt",
+                F.explode(F.sequence(F.lit(0), F.coalesce(F.col("_n_salt"), F.lit(1)) - 1)),
+            )
+            .drop("_n_salt")
+        )
+        group_keys = ["cell_id", "_salt"]
+    n = spark.sparkContext.defaultParallelism * 3
+    return imgs.repartition(n, *group_keys).groupBy(*group_keys).applyInPandas(wrapped, schema)
+
+
+def _wrap_cell_kernel(kernel, with_cell: bool = True):
+    """The cell kernel emits aoi_id itself; add cell_id + amortized _ms."""
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.perf_counter()
+        out = kernel(pdf)
+        if with_cell:
+            ms = (time.perf_counter() - t0) * 1000.0 / max(len(out), 1)
+            out.insert(1, "_ms", ms)
+            out.insert(1, "cell_id", np.int64(pdf["cell_id"].iloc[0]))
+        return out
+
+    return run
+
+
+def _streaming_cells(wrapped):
+    """mapInPandas adapter: regroup a cell-sorted row stream into per-cell
+    kernel calls. Correct whenever each cell's rows are contiguous within
+    the partition's stream (guaranteed by write_images_cell_sorted:
+    repartitionByRange(cell_id) makes files disjoint in cell ranges and
+    sortWithinPartitions makes cells contiguous within each file; Arrow
+    scan batches preserve file row order). The trailing run of each batch
+    is buffered in case the same cell continues in the next batch."""
+    def run(batches):
+        buf = None
+        for pdf in batches:
+            if buf is not None and len(buf):
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+                buf = None
+            if not len(pdf):
+                continue
+            ids = pdf["cell_id"].to_numpy()
+            nonlast = np.flatnonzero(ids != ids[-1])
+            k = int(nonlast.max() + 1) if len(nonlast) else 0
+            complete, buf = pdf.iloc[:k], pdf.iloc[k:].reset_index(drop=True)
+            for _, g in complete.groupby("cell_id", sort=False):
+                yield wrapped(g)
+        if buf is not None and len(buf):
+            yield wrapped(buf)
+
+    return run
 
 
 def _joined_tiles(

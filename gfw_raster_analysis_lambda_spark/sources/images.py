@@ -17,10 +17,14 @@ directories, cell pruning via parquet row-group min/max on the sorted
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 N_CELL_BUCKETS = 64
+_LAYOUT_SIDECAR = "_layout.json"
 
 
 def with_derived_keys(images: DataFrame) -> DataFrame:
@@ -51,3 +55,35 @@ def write_images_partitioned(images: DataFrame, path: str) -> None:
         .partitionBy("layer")
         .parquet(path)
     )
+
+
+def write_images_cell_sorted(images: DataFrame, path: str, n_files: int = 64) -> None:
+    """Cell-COLOCATED layout for the zero-shuffle zonal path: every row of
+    a cell (all layers) lands in the same file, contiguous.
+
+    ``repartitionByRange(cell_id)`` gives each file a disjoint cell range
+    and ``sortWithinPartitions(cell_id, layer)`` makes each cell's layer
+    rows adjacent, so any task's row stream presents whole cells
+    contiguously — the contract planner._streaming_cells relies on. The
+    Iceberg equivalent is ``PARTITIONED BY bucket(N, cell_id)`` with a
+    ``cell_id, layer`` sort order. A ``_layout.json`` sidecar records the
+    guarantee for readers."""
+    (
+        with_derived_keys(images)
+        .repartitionByRange(n_files, "cell_id")
+        .sortWithinPartitions("cell_id", "layer")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    with open(os.path.join(path, _LAYOUT_SIDECAR), "w") as f:
+        json.dump({"cell_sorted": True, "sorted_by": ["cell_id", "layer"]}, f)
+
+
+def images_cell_sorted(path: str) -> bool:
+    """True when the parquet dir was written by write_images_cell_sorted
+    (safe to run the colocated zonal strategy)."""
+    try:
+        with open(os.path.join(path, _LAYOUT_SIDECAR)) as f:
+            return bool(json.load(f).get("cell_sorted"))
+    except (OSError, ValueError):
+        return False

@@ -62,6 +62,31 @@ def test_rasterize_mask_full_and_partial():
     np.testing.assert_array_equal(m, expected)
 
 
+def test_rasterize_box_fast_path_matches_scanline():
+    # same rectangle as a 4-edge ring (fast path) and with a redundant
+    # collinear vertex (5 edges -> general scanline path) must agree,
+    # including boundary parity, on boxes on and off pixel-center lines
+    rng = np.random.default_rng(7)
+    for _ in range(25):
+        x1, y1 = rng.uniform(-1, 3, 2)
+        w, h = rng.uniform(0.3, 4, 2)
+        x2, y2 = x1 + w, y1 + h
+        fast = geo.box(x1, y1, x2, y2)
+        ring = np.array(
+            [[x1, y1], [x1 + w / 2, y1], [x2, y1], [x2, y2], [x1, y2]], float
+        )
+        slow = [[ring]]
+        mf = geo.rasterize_mask(fast, x0=-1.0, y0=7.0, pixel_size=0.5, width=16, height=16)
+        ms = geo.rasterize_mask(slow, x0=-1.0, y0=7.0, pixel_size=0.5, width=16, height=16)
+        np.testing.assert_array_equal(mf, ms)
+    # boundary exactly on pixel centers: box (0.5,0.5)-(2.5,2.5) on ps=1 grid
+    fast = geo.box(0.5, 0.5, 2.5, 2.5)
+    ring = np.array([[0.5, 0.5], [1.5, 0.5], [2.5, 0.5], [2.5, 2.5], [0.5, 2.5]], float)
+    mf = geo.rasterize_mask(fast, x0=0.0, y0=4.0, pixel_size=1.0, width=4, height=4)
+    ms = geo.rasterize_mask([[ring]], x0=0.0, y0=4.0, pixel_size=1.0, width=4, height=4)
+    np.testing.assert_array_equal(mf, ms)
+
+
 def test_rasterize_mask_triangle_center_containment():
     tri = [[np.array([[0, 0], [4, 0], [0, 4]], float)]]
     m = geo.rasterize_mask(tri, x0=0.0, y0=4.0, pixel_size=1.0, width=4, height=4)
@@ -227,3 +252,18 @@ def test_expression_rejects_unsafe():
     ]:
         with pytest.raises(expressions.UnsafeExpressionError):
             expressions.compile_expression(bad)
+
+
+def test_covers_rect_conservative():
+    big = geo.box(0, 0, 10, 10)
+    assert geo.covers_rect(big, 2, 2, 4, 4)          # interior rect
+    assert not geo.covers_rect(big, -1, 2, 4, 4)     # spills out
+    assert not geo.covers_rect(big, 0, 0, 4, 4)      # edge-touching -> conservative False
+    assert not geo.covers_rect(geo.box(5, 5, 6, 6), 2, 2, 8, 8)  # geom inside rect
+    # polygon with hole: rect containing the hole is NOT covered
+    outer = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float)
+    hole = np.array([[4, 4], [6, 4], [6, 6], [4, 6]], float)
+    g = [[outer, hole]]
+    assert not geo.covers_rect(g, 3, 3, 7, 7)
+    assert geo.covers_rect(g, 1, 1, 2, 2)            # beside the hole
+    assert not geo.covers_rect(g, 4.2, 4.2, 5.8, 5.8)  # inside the hole

@@ -274,3 +274,89 @@ def test_compat_avg_quirk(spark, tables, env):
     assert_frames_match(got2, exp2)
     # the quirk mode gives different (smaller) numbers than the true mean
     assert (got["m"].to_numpy() != got2["m"].to_numpy()).any()
+
+
+# 14. strategy parity: aoi_cell / cell / salted-cell / colocated must agree
+def _parity_query():
+    return ZonalQuery(
+        base_layer="tcl_year",
+        group_layers=("tcl_year",),
+        aggregates=(
+            Aggregate("sum", "area__ha", "loss_ha"),
+            Aggregate("count", None, "n"),
+        ),
+        where=FilterLeaf("tcd_threshold", "in", (5, 6, 7)),
+    )
+
+
+def test_strategy_parity_cell_vs_aoi_cell(spark, tables, env):
+    images, aoi_df = tables
+    q = _parity_query()
+    ref = run_zonal_query(spark, images, aoi_df, q, env, GRID_NAME, strategy="aoi_cell").toPandas()
+    got = run_zonal_query(spark, images, aoi_df, q, env, GRID_NAME, strategy="cell").toPandas()
+    assert_frames_match(got, ref)
+
+
+def test_strategy_parity_salted(spark, tables, env):
+    from gfw_raster_analysis_lambda_spark.plans import planner
+
+    images, aoi_df = tables
+    q = _parity_query()
+    ref = planner.finalize_partials(
+        planner.build_partials_by_cell(images, aoi_df, q, env, GRID_NAME), q, env
+    ).toPandas()
+    # max_aois_per_task=1 -> every multi-AOI cell gets salted replicas
+    salted = planner.finalize_partials(
+        planner.build_partials_by_cell(
+            images, aoi_df, q, env, GRID_NAME, max_aois_per_task=1
+        ),
+        q, env,
+    ).toPandas()
+    assert_frames_match(salted, ref)
+
+
+def test_strategy_parity_colocated(spark, tables, env, tmp_path):
+    from gfw_raster_analysis_lambda_spark.sources.images import (
+        images_cell_sorted,
+        write_images_cell_sorted,
+    )
+
+    images, aoi_df = tables
+    path = str(tmp_path / "sorted_images")
+    write_images_cell_sorted(images.select(
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
+    ), path, n_files=5)
+    assert images_cell_sorted(path)
+    sorted_images = read_images(spark, path)
+    q = _parity_query()
+    ref = run_zonal_query(spark, images, aoi_df, q, env, GRID_NAME, strategy="cell").toPandas()
+    got = run_zonal_query(
+        spark, sorted_images, aoi_df, q, env, GRID_NAME, strategy="colocated"
+    ).toPandas()
+    assert_frames_match(got, ref)
+
+
+def test_strategy_parity_pixel_mode(spark, tables, env):
+    images, aoi_df = tables
+    q = ZonalQuery(
+        base_layer="tcl_year",
+        select_pixels=("latitude", "longitude", "tcl_year"),
+        where=FilterLeaf("tcd_threshold", "in", (6, 7)),
+    )
+    ref = run_zonal_query(spark, images, aoi_df, q, env, GRID_NAME, strategy="aoi_cell").toPandas()
+    got = run_zonal_query(spark, images, aoi_df, q, env, GRID_NAME, strategy="cell").toPandas()
+    assert_frames_match(
+        got.sort_values(list(got.columns)).reset_index(drop=True),
+        ref.sort_values(list(ref.columns)).reset_index(drop=True),
+    )
+
+
+def test_lookup_paths_agree(spark, tables):
+    from gfw_raster_analysis_lambda_spark.plans import planner
+
+    _, aoi_df = tables
+    rows = aoi_df.select("aoi_id", "geom_wkb").collect()
+    b1, s1 = planner._aoi_lookup_from_aois(spark, rows, GRID_NAME, 64)
+    b2, s2 = planner._aoi_lookup(spark, planner.aoi_cells(aoi_df, GRID_NAME), 64)
+    assert s1 == s2
+    assert b1.value == b2.value
