@@ -55,10 +55,13 @@ def run_zonal_checkpointed(
     checkpoint_dir: str,
     run_id: str | None = None,
     broadcast_aoi: bool | None = None,
+    colocated: bool = False,
 ) -> DataFrame:
     """Execute with resume: (aoi, cell) units already committed under this
-    query fingerprint are anti-joined away and only the remainder runs.
-    Returns the finalized result over *all* partials (old + new)."""
+    query fingerprint are anti-joined away and only the remainder runs
+    (on the per-cell kernel plan — resume just drops committed pairs from
+    the broadcast lookup). Returns the finalized result over *all*
+    partials (old + new)."""
     if query.select_pixels:
         raise ValueError("checkpointing applies to aggregate queries (partials)")
     fp = query_fingerprint(query, env, grid_name)
@@ -76,8 +79,11 @@ def run_zonal_checkpointed(
     )
 
     if not todo.isEmpty():
+        lookup, salted = planner._aoi_lookup(spark, todo, planner.MAX_AOIS_PER_TASK)
         new_partials = (
-            planner.build_partials(images, todo, query, env, grid_name, broadcast_aoi)
+            planner.build_partials_with_lookup(
+                images, lookup, salted, query, env, grid_name, colocated
+            )
             .withColumn("_pid", F.spark_partition_id())
             .withColumn("run_id", F.lit(run_id))
         )

@@ -182,6 +182,24 @@ def build_partials_by_cell(
         lookup, salted = _aoi_lookup(
             spark, aoi_cells(aoi_df, grid_name), max_aois_per_task
         )
+    return build_partials_with_lookup(
+        images, lookup, salted, query, env, grid_name, colocated
+    )
+
+
+def build_partials_with_lookup(
+    images: DataFrame,
+    lookup,  # Broadcast[{cell_id: (n_salt, [(aoi_id, wkb)...])}]
+    salted: dict,
+    query: ZonalQuery,
+    env: DataEnvironment,
+    grid_name: str,
+    colocated: bool = False,
+) -> DataFrame:
+    """Cell-kernel plan over an explicit AOI-cell lookup (used directly by
+    the checkpoint layer, whose resume anti-join simply removes committed
+    (aoi, cell) pairs from the lookup)."""
+    spark = images.sparkSession
     cell_ids = list(lookup.value.keys())
     needed = env.source_layer_names(query.layer_names())
 

@@ -1,0 +1,73 @@
+"""End-to-end spark-submit --py-files deployment test (north rule: "jobs
+run via spark-submit --py-files on multi-executor clusters").
+
+Builds dist/gfw_raster_analysis_lambda_spark.zip, then launches a REAL
+``spark-submit --master local[4] --py-files <zip> jobs/zonal_submit.py``
+subprocess with an EMPTY PYTHONPATH for the package — every engine import
+must resolve from the shipped zip, proving the artifact is self-contained.
+The job's parquet output is compared against the in-process engine result.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_spark_submit_py_files(spark, corpus, tmp_path):
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import build_dist
+
+    zip_path = build_dist.build(str(tmp_path / "engine.zip"))
+    out_dir = str(tmp_path / "out")
+    sql = (
+        "SELECT tcl_year, SUM(area__ha) AS loss_ha, COUNT(*) AS n "
+        "FROM tcl_year WHERE tcd_threshold >= 30 GROUP BY tcl_year"
+    )
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # the zip must be self-sufficient
+    proc = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            os.path.join(REPO, "jobs", "zonal_submit.py"),
+            "--images", corpus["images"],
+            "--aoi", corpus["aoi"],
+            "--sql", sql,
+            "--env", corpus["layers"],
+            "--grid", "4/1024",
+            "--output", out_dir,
+            "--format", "parquet",
+        ],
+        capture_output=True, text=True, timeout=600, env=env, cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+
+    got = spark.read.parquet(out_dir).toPandas().sort_values(
+        ["aoi_id", "tcl_year"]).reset_index(drop=True)
+
+    from gfw_raster_analysis_lambda_spark.api import zonal_statistics
+    from gfw_raster_analysis_lambda_spark.sources.catalog import DataEnvironment
+    from gfw_raster_analysis_lambda_spark.sources.images import read_images
+
+    with open(corpus["layers"]) as f:
+        denv = DataEnvironment.from_json(f.read())
+    exp = zonal_statistics(
+        spark, read_images(spark, corpus["images"]),
+        spark.read.parquet(corpus["aoi"]), sql, denv, "4/1024",
+    ).toPandas().sort_values(["aoi_id", "tcl_year"]).reset_index(drop=True)
+
+    assert len(got) == len(exp) > 0
+    assert (got["n"].to_numpy() == exp["n"].to_numpy()).all()
+    import numpy as np
+    np.testing.assert_allclose(
+        got["loss_ha"].to_numpy(), exp["loss_ha"].to_numpy(), rtol=1e-12
+    )
