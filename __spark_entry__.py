@@ -38,6 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from gfw_raster_analysis_lambda_spark.api import zonal_statistics  # noqa: E402
 from gfw_raster_analysis_lambda_spark.functions import geodesy  # noqa: E402
+from gfw_raster_analysis_lambda_spark.functions import grid as _G  # noqa: E402
 from gfw_raster_analysis_lambda_spark.operators import (  # noqa: E402
     dedup,
     knn,
@@ -133,7 +134,8 @@ pix AS (
     {f['alert_date_conf']} AS alert,
     {f['drivers']} AS drv,
     {f['ttc_percent']} AS ttc,
-    {f['photo']} AS photo
+    {f['photo']} AS photo,
+    {f['biomass']} AS bio
   FROM generate_series({X0}, {X0 + NX - 1}) tx(x),
        generate_series({Y0}, {Y0 + NY - 1}) ty(y),
        generate_series(0, {GRID.chunk_px - 1}) ti(i),
@@ -166,6 +168,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rounding=[("loss_ha", 3)],
         )
     q["zonal_group_sum"] = zonal_group_sum
+
+    def zonal_biomass_multigrid(spark, sf_dir):
+        # finest-grid co-registration: biomass is stored on the 2x-coarser
+        # 4/512 grid and upsampled inside the kernel (SURVEY §4 rule)
+        return _zonal(
+            spark,
+            "SELECT tcl_year, SUM(biomass) AS bio_sum, COUNT(*) AS n "
+            "FROM tcl_year WHERE biomass > 50 GROUP BY tcl_year",
+            list(_BOXES),
+            rounding=[("bio_sum", 3)],
+        )
+    q["zonal_biomass_multigrid"] = zonal_biomass_multigrid
+
+    def zonal_minmax_avg(spark, sf_dir):
+        # A-family coverage: COUNT/AVG/MIN/MAX with NaN-holed float layer
+        return _zonal(
+            spark,
+            "SELECT COUNT(*) AS n, AVG(emissions) AS em_avg, "
+            "MIN(emissions) AS em_min, MAX(emissions) AS em_max "
+            "FROM tcl_year WHERE is_primary = 'true'",
+            list(_BOXES),
+            rounding=[("em_avg", 6), ("em_min", 6), ("em_max", 6)],
+        )
+    q["zonal_minmax_avg"] = zonal_minmax_avg
 
     def zonal_area_from_data(spark, sf_dir):
         # ungrouped SUM(area__ha) FROM data (no base mask; reserved layer A4)
@@ -460,6 +486,28 @@ WHERE tcl != 0 AND {_TCD_MEANING} >= 25 AND prim = 1
 GROUP BY aoi_id, tcl
 """
 
+    o["zonal_biomass_multigrid"] = f"""
+WITH {_pix_cte(list(_BOXES))}
+SELECT aoi_id, {_TCL_DECODE} AS tcl_year,
+       ROUND(SUM(bio), 3) AS bio_sum,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM m
+WHERE tcl != 0 AND bio > 50
+GROUP BY aoi_id, tcl
+"""
+
+    o["zonal_minmax_avg"] = f"""
+WITH {_pix_cte(list(_BOXES))}
+SELECT aoi_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(CAST(em AS DOUBLE)), 6) AS em_avg,
+       ROUND(MIN(CAST(em AS DOUBLE)), 6) AS em_min,
+       ROUND(MAX(CAST(em AS DOUBLE)), 6) AS em_max
+FROM m
+WHERE tcl != 0 AND prim = 1
+GROUP BY aoi_id
+"""
+
     o["zonal_area_from_data"] = f"""
 WITH {_pix_cte(list(_BOXES))}
 SELECT aoi_id, ROUND(SUM(mean_area), 3) AS area_ha,
@@ -574,6 +622,16 @@ FROM generate_series({X0}, {X0 + NX - 1}) tx(x),
      generate_series({Y0}, {Y0 + NY - 1}) ty(y),
      generate_series(0, {GRID.chunk_px - 1}) ti(i),
      generate_series(0, {GRID.chunk_px - 1}) tj(j)""")
+    # biomass lives on the 2x-coarser fixture grid (native coarse coords)
+    cg = _G.GRID_FIXTURE_COARSE
+    unions.append(f"""
+SELECT 'biomass' || '/' || lower(lpad(hex(CAST({cg.index << 54} AS BIGINT) + x * {1 << 27} + y), 16, '0')) AS image_id,
+       {cg.chunk_px} AS w, {cg.chunk_px} AS h,
+       CAST(((x*3 + y*7 + i*5 + j*13) % 200) AS DOUBLE) AS v
+FROM generate_series({X0 // 2}, {(X0 + NX) // 2 - 1}) tx(x),
+     generate_series({Y0 // 2}, {(Y0 + NY) // 2 - 1}) ty(y),
+     generate_series(0, {cg.chunk_px - 1}) ti(i),
+     generate_series(0, {cg.chunk_px - 1}) tj(j)""")
     o["mm_image_stats"] = f"""
 WITH px AS ({' UNION ALL '.join(unions)})
 SELECT image_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,

@@ -20,7 +20,7 @@ def zonal_statistics(
     aoi: DataFrame,
     sql: str,
     env: DataEnvironment,
-    grid_name: str = "4/1024",
+    grid_name: str | None = None,
     **kwargs,
 ) -> DataFrame:
     query = parse_raster_sql(sql, env)

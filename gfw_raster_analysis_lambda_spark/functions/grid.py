@@ -84,6 +84,7 @@ def _register(name: str, degrees: float, pixels: int, chunk_px: int) -> Grid:
 GRID_30M = _register("10/40000", 10.0, 40000, 5000)   # 0.00025 deg px, 1.25 deg cells
 GRID_10M = _register("10/100000", 10.0, 100000, 5000)  # 0.0001 deg px, 0.5 deg cells
 GRID_FIXTURE = _register("4/1024", 4.0, 1024, 64)      # 0.00390625 deg px, 0.25 deg cells
+GRID_FIXTURE_COARSE = _register("4/512", 4.0, 512, 64)  # 2x coarser px, 0.5 deg cells
 GRID_FIXTURE_FINE = _register("4/2048", 4.0, 2048, 64)  # finest-grid resampling tests
 GRID_BENCH = _register("4/4096", 4.0, 4096, 256)  # bench: 0.25 deg cells, 256x256 px tiles
 GRID_SCALE = _register("4/16384", 4.0, 16384, 1024)  # scaling bench: 1024x1024 px tiles
@@ -146,6 +147,33 @@ def cell_affine(grid: Grid, cell_id: int) -> tuple[float, float, float]:
     """(x0, y0, pixel_size) of the cell's raster window (north-up)."""
     minx, _, _, maxy = cell_bounds(grid, cell_id)
     return float(minx), float(maxy), grid.pixel_size
+
+
+def cell_ratio(src: Grid, dst: Grid) -> int:
+    """Integer tile-extent ratio src/dst (src coarser); raises otherwise."""
+    r = src.tile_deg / dst.tile_deg
+    if abs(r - round(r)) > 1e-9 or r < 1:
+        raise ValueError(f"grid {src.name} is not an integer coarsening of {dst.name}")
+    return int(round(r))
+
+
+def upsample_to_cell(arr: np.ndarray, src: Grid, dst: Grid, src_cell: int, dst_cell: int) -> np.ndarray:
+    """Resample a coarser grid's tile to one finer cell's window — the
+    finest-grid co-registration rule (reference query.py:196-210 +
+    window.py:96-101: all layers are read at the minimum-pixel grid;
+    coarser rasters resolve by nearest/repeat). Slices the finer cell's
+    sub-window out of the coarse tile, then pixel-repeats to the finer
+    resolution. Requires integer extent and pixel ratios."""
+    x0, y0, ps = cell_affine(dst, dst_cell)
+    cx0, cy0, cps = cell_affine(src, src_cell)
+    ncols = int(round(dst.chunk_px * ps / cps))  # fine extent in coarse px
+    if dst.chunk_px % ncols != 0:
+        raise ValueError(f"non-integer pixel ratio {src.name} -> {dst.name}")
+    col0 = int(round((x0 - cx0) / cps))
+    row0 = int(round((cy0 - y0) / cps))
+    sub = arr[row0:row0 + ncols, col0:col0 + ncols]
+    k = dst.chunk_px // ncols
+    return np.repeat(np.repeat(sub, k, axis=0), k, axis=1)
 
 
 def polygon_to_cells(grid: Grid, geom: geo.Geometry) -> np.ndarray:

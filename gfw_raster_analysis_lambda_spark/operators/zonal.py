@@ -125,7 +125,7 @@ def make_zonal_kernel(query: ZonalQuery, env_json: str, grid_name: str):
         mean_area = float(geodesy.pixel_area_ha(lat_c, ps))
 
         tile_px = grid.chunk_px
-        values = _decode_and_derive(pdf, env, query, tile_px, mean_area)
+        values = _decode_and_derive(pdf, env, query, grid, cell_id, mean_area)
 
         # -- masks (1-D pixel columns, reference ravel semantics) ------------
         mask = np.ravel(geo.rasterize_mask(geom, x0, y0, ps, tile_px, tile_px))
@@ -202,7 +202,7 @@ def make_cell_kernel(query: ZonalQuery, env_json: str, grid_name: str, aoi_looku
         lat_c = float(G.cell_centroid_lat(grid, np.array([cell_id]))[0])
         mean_area = float(geodesy.pixel_area_ha(lat_c, ps))
         tile_px = grid.chunk_px
-        values = _decode_and_derive(pdf, env, query, tile_px, mean_area)
+        values = _decode_and_derive(pdf, env, query, grid, cell_id, mean_area)
 
         # AOI-independent masks, computed once per cell
         static: np.ndarray | None = None
@@ -289,17 +289,28 @@ def _env_cache(env_json: str) -> DataEnvironment:
 
 
 def _decode_and_derive(
-    pdf: pd.DataFrame, env: DataEnvironment, query: ZonalQuery, tile_px: int, mean_area: float
+    pdf: pd.DataFrame, env: DataEnvironment, query: ZonalQuery, grid, cell_id: int,
+    mean_area: float
 ) -> dict[str, np.ndarray]:
     """Decode present tiles, synthesize zeros for missing ones (S2
-    missing-tile tolerance, reference window.py:103-119), evaluate derived
+    missing-tile tolerance, reference window.py:103-119), co-register
+    layers stored on a coarser grid onto the target (finest) grid
+    (reference query.py:196-210 / window.py:96-101), evaluate derived
     layers, and ravel everything to 1-D pixel columns."""
+    tile_px = grid.chunk_px
+    has_src = "src_cell_id" in pdf.columns
     present: dict[str, np.ndarray] = {}
     for _, row in pdf.iterrows():
         if row["layer"] is None or (isinstance(row["layer"], float) and pd.isna(row["layer"])):
             continue  # left-join null: AOI cell with no tiles at all
+        lname = str(row["layer"])
         arr = codecs.decode_tile(bytes(row["bytes"]), int(row["w"]), int(row["h"]), str(row["fmt"]))
-        present[str(row["layer"])] = arr
+        lgrid_name = getattr(env.get_layer(lname), "grid", None)
+        if has_src and lgrid_name and lgrid_name != grid.name:
+            arr = G.upsample_to_cell(
+                arr, G.get_grid(lgrid_name), grid, int(row["src_cell_id"]), cell_id
+            )
+        present[lname] = arr
 
     values: dict[str, np.ndarray] = {}
     for name in query.layer_names():

@@ -110,19 +110,11 @@ def _cell_frame(query, env, geom, grid, cell, x, y, has_data):
         if isinstance(layer, ReservedLayer):
             continue
         if isinstance(layer, SourceLayer):
-            arr = (
-                fixtures.tile_array(name, x, y, tile_px)
-                if has_data and name in fixtures.PIXEL_NUMPY
-                else np.zeros((tile_px, tile_px))
+            values[name] = np.ravel(
+                _source_tile(env, name, grid, cell, x, y, tile_px, has_data)
             )
-            values[name] = np.ravel(arr)
         else:
-            src_name = layer.source_layer
-            src = (
-                fixtures.tile_array(src_name, x, y, tile_px)
-                if has_data and src_name in fixtures.PIXEL_NUMPY
-                else np.zeros((tile_px, tile_px))
-            )
+            src = _source_tile(env, layer.source_layer, grid, cell, x, y, tile_px, has_data)
             values[name] = np.ravel(compile_expression(layer.calc)(src, mean_area))
 
     # engine parity: FROM <layer> scans only cells having stored tiles of a
@@ -206,6 +198,24 @@ def _cell_frame(query, env, geom, grid, cell, x, y, has_data):
                 np.maximum.at(acc, inv[fin], d[fin])
                 out[a.alias] = acc
     return pd.DataFrame(out)
+
+
+def _source_tile(env, name, grid, cell, x, y, tile_px, has_data) -> np.ndarray:
+    """Pixels of one source layer for the (fine) cell — regenerated from
+    the fixture formulas; coarser-grid layers are upsampled through the
+    same leaf helper the engine uses (finest-grid co-registration)."""
+    if not has_data or name not in fixtures.PIXEL_NUMPY:
+        return np.zeros((tile_px, tile_px))
+    lgrid_name = env.get_layer(name).grid
+    if lgrid_name == grid.name:
+        return fixtures.tile_array(name, x, y, tile_px)
+    src = G.get_grid(lgrid_name)
+    r = G.cell_ratio(src, grid)
+    xc, yc = x // r, y // r
+    coarse = fixtures.tile_array(name, xc, yc, src.chunk_px)
+    return G.upsample_to_cell(
+        coarse, src, grid, int(G.cell_from_xy(src, xc, yc)), cell
+    )
 
 
 def _merge(query: ZonalQuery, env: DataEnvironment, pdf: pd.DataFrame) -> pd.DataFrame:

@@ -73,7 +73,7 @@ def run_zonal_query(
     aoi_df: DataFrame,  # (aoi_id, geom_wkb)
     query: ZonalQuery,
     env: DataEnvironment,
-    grid_name: str = "4/1024",
+    grid_name: str | None = None,
     per_aoi: bool = True,
     broadcast_aoi: bool | None = None,
     strategy: str | None = None,
@@ -95,8 +95,12 @@ def run_zonal_query(
       tile bytes shuffled per overlapping AOI). Skew-free by construction
       but maximally redundant on hot cells; kept for parity testing.
     """
+    grid_name = resolve_target_grid(query, env, grid_name)
     if strategy in (None, "auto"):
         strategy = "cell"
+    needed = env.source_layer_names(query.layer_names())
+    if any(env.get_layer(n).grid != grid_name for n in needed) and strategy != "cell":
+        strategy = "cell"  # multi-grid co-registration needs the remapped plan
     if strategy == "aoi_cell":
         cells = aoi_cells(aoi_df, grid_name)
         if query.select_pixels:
@@ -187,6 +191,56 @@ def build_partials_by_cell(
     )
 
 
+def resolve_target_grid(query: ZonalQuery, env: DataEnvironment, grid_name: str | None) -> str:
+    """The finest-grid rule (reference query.py:196-210): unless overridden,
+    the query executes on the minimum-pixel grid among its source layers;
+    coarser layers are co-registered by upsampling inside the kernel."""
+    if grid_name:
+        return grid_name
+    names = env.source_layer_names(query.layer_names())
+    grids = {env.get_layer(n).grid for n in names}
+    if not grids:
+        return "4/1024"
+    return min(grids, key=lambda g: G.get_grid(g).pixel_size)
+
+
+def _regrid_images(imgs: DataFrame, env: DataEnvironment, needed: list, target: G.Grid) -> DataFrame:
+    """Attach ``src_cell_id`` and remap coarser-grid layers' rows onto the
+    target grid's cell ids: each coarse tile row explodes into the
+    ratio^2 finer cells it covers (pure Catalyst bit arithmetic on the
+    packed (grid, x, y) cell id). Same-grid layers pass through."""
+    xb, yb = G._X_BITS, G._Y_BITS
+    by_grid: dict[str, list] = {}
+    for n in needed:
+        by_grid.setdefault(env.get_layer(n).grid, []).append(n)
+    parts = []
+    for gname, lnames in by_grid.items():
+        sub = imgs.filter(F.col("layer").isin(lnames))
+        if gname == target.name:
+            parts.append(sub.withColumn("src_cell_id", F.col("cell_id")))
+            continue
+        src = G.get_grid(gname)
+        r = G.cell_ratio(src, target)
+        x = F.shiftright(F.col("cell_id"), yb).bitwiseAND(F.lit((1 << xb) - 1))
+        y = F.col("cell_id").bitwiseAND(F.lit((1 << yb) - 1))
+        base = F.lit(target.index << (xb + yb))
+        children = F.flatten(F.transform(
+            F.sequence(F.lit(0), F.lit(r - 1)),
+            lambda i: F.transform(
+                F.sequence(F.lit(0), F.lit(r - 1)),
+                lambda j: base + F.shiftleft(x * r + i, yb) + (y * r + j),
+            ),
+        ))
+        parts.append(
+            sub.withColumn("src_cell_id", F.col("cell_id"))
+            .withColumn("cell_id", F.explode(children))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def build_partials_with_lookup(
     images: DataFrame,
     lookup,  # Broadcast[{cell_id: (n_salt, [(aoi_id, wkb)...])}]
@@ -203,9 +257,21 @@ def build_partials_with_lookup(
     cell_ids = list(lookup.value.keys())
     needed = env.source_layer_names(query.layer_names())
 
+    target = G.get_grid(grid_name)
+    multigrid = any(env.get_layer(n).grid != grid_name for n in needed)
+    if multigrid and colocated:
+        raise ValueError(
+            "colocated strategy requires a single-grid query (coarse-layer "
+            "rows live at other cells' file positions); use strategy='cell'"
+        )
+
     imgs = images.select("layer", "cell_id", "bytes", "w", "h", "fmt")
     if needed:
         imgs = imgs.filter(F.col("layer").isin(needed))
+    if multigrid:
+        imgs = _regrid_images(imgs, env, needed, target)
+    else:
+        imgs = imgs.withColumn("src_cell_id", F.col("cell_id"))
     if not cell_ids:
         imgs = imgs.filter(F.lit(False))
     elif len(cell_ids) <= 2048:
@@ -229,6 +295,7 @@ def build_partials_with_lookup(
                 F.lit(None).cast("int").alias("w"),
                 F.lit(None).cast("int").alias("h"),
                 F.lit(None).cast("string").alias("fmt"),
+                F.col("cell_id").alias("src_cell_id"),
             )
         )
         imgs = imgs.unionByName(missing)

@@ -87,6 +87,12 @@ def _np_photo(x, y, i, j):
     return ((x * 29 + y * 23 + i * 19 + j * 31) % 256).astype(np.uint8)
 
 
+def _np_biomass(x, y, i, j):
+    # NATIVE COARSE coordinates (grid 4/512, 0.5-deg cells): exercises the
+    # finest-grid co-registration rule (upsample 2x inside the kernel)
+    return ((x * 3 + y * 7 + i * 5 + j * 13) % 200).astype(np.uint8)
+
+
 PIXEL_SQL: dict[str, str] = {
     # identical modular arithmetic in ANSI SQL (DuckDB + Spark compatible)
     "tcl_year": "(({x}*7 + {y}*11 + {i}*13 + {j}*17) % 21)",
@@ -107,6 +113,13 @@ PIXEL_SQL: dict[str, str] = {
         "ELSE ({x}*5 + {y}*13 + {i}*11 + {j}*3) % 128 END)"
     ),
     "photo": "(({x}*29 + {y}*23 + {i}*19 + {j}*31) % 256)",
+    # biomass in FINE (4/1024) coordinates: the coarse (4/512) formula at
+    # xc=x//2, yc=y//2, ic=(y%2)*32 + i//2, jc=(x%2)*32 + j//2 — exactly the
+    # kernel's slice+repeat upsample mapping
+    "biomass": (
+        "((({x}//2)*3 + ({y}//2)*7 + ((({y})%2)*32 + ({i}//2))*5 "
+        "+ ((({x})%2)*32 + ({j}//2))*13) % 200)"
+    ),
 }
 
 PIXEL_NUMPY = {
@@ -118,6 +131,7 @@ PIXEL_NUMPY = {
     "drivers": _np_drivers,
     "ttc_percent": _np_ttc,
     "photo": _np_photo,
+    "biomass": _np_biomass,  # native COARSE (4/512) coordinates
 }
 
 
@@ -155,6 +169,9 @@ def fixture_environment() -> DataEnvironment:
             ),
             SourceLayer("ttc_percent", dtype="uint8", fmt="png", no_data=255),
             SourceLayer("photo", dtype="uint8", fmt="jpeg", no_data=None),
+            # stored on a 2x-coarser grid: queries mixing it with 4/1024
+            # layers exercise the finest-grid co-registration rule
+            SourceLayer("biomass", grid="4/512", dtype="uint8", fmt="png", no_data=0),
         ]
     )
 
@@ -212,12 +229,22 @@ def generate_images_rows(
     (image_id, bytes, w, h, fmt, caption, phash)."""
     env = fixture_environment()
     layers = layers or [l.name for l in env.layers if isinstance(l, SourceLayer)]
-    return [
-        encode_image_row(env, layer_name, x, y, tile_px)
-        for layer_name in layers
-        for y in range(y0, y0 + ny)
-        for x in range(x0, x0 + nx)
-    ]
+    rows = []
+    for layer_name in layers:
+        lgrid = G.get_grid(env.get_layer(layer_name).grid)
+        if lgrid.name == GRID.name:
+            xs, ys, g = range(x0, x0 + nx), range(y0, y0 + ny), GRID
+        else:  # coarser layer: same world extent on its native grid
+            r = G.cell_ratio(lgrid, GRID)
+            xs = range(x0 // r, -(-(x0 + nx) // r))
+            ys = range(y0 // r, -(-(y0 + ny) // r))
+            g = lgrid
+        rows.extend(
+            encode_image_row(env, layer_name, x, y, tile_px, grid=g)
+            for y in ys
+            for x in xs
+        )
+    return rows
 
 
 def generate_images_df(

@@ -360,3 +360,35 @@ def test_lookup_paths_agree(spark, tables):
     b2, s2 = planner._aoi_lookup(spark, planner.aoi_cells(aoi_df, GRID_NAME), 64)
     assert s1 == s2
     assert b1.value == b2.value
+
+
+# 15. finest-grid co-registration: biomass lives on 4/512 (2x coarser);
+# querying it with 4/1024 layers must upsample it inside the kernel
+def test_multigrid_coarse_layer_upsample(spark, tables, env):
+    q = ZonalQuery(
+        base_layer="tcl_year",
+        group_layers=("tcl_year",),
+        aggregates=(
+            Aggregate("sum", "biomass", "bio_sum"),
+            Aggregate("count", None, "n"),
+        ),
+        where=FilterLeaf("biomass", ">", (50,)),
+    )
+    got, exp = run_both(spark, tables, env, q)
+    assert len(got) > 10
+    assert_frames_match(got, exp)
+
+
+def test_multigrid_target_grid_resolution(spark, tables, env):
+    from gfw_raster_analysis_lambda_spark.plans import planner
+
+    # finest rule: biomass-only query resolves to its native 4/512 grid
+    q1 = ZonalQuery(base_layer="biomass", aggregates=(Aggregate("count", None, "n"),))
+    assert planner.resolve_target_grid(q1, env, None) == "4/512"
+    # mixed query resolves to the finest grid among its layers
+    q2 = ZonalQuery(
+        base_layer="tcl_year",
+        aggregates=(Aggregate("sum", "biomass", "b"),),
+    )
+    assert planner.resolve_target_grid(q2, env, None) == "4/1024"
+    assert planner.resolve_target_grid(q2, env, "4/2048") == "4/2048"
