@@ -150,3 +150,23 @@ def test_checkpoint_resume_and_lineage(spark, corpus, tmp_path):
     lin = checkpoint.read_lineage(spark, ck).toPandas()
     assert set(lin["run_id"]) == {"r1", "r2"}
     assert (lin["kernel_ms"] > 0).all() and (lin["n_cells"] > 0).all()
+
+
+def test_batch_failed_aoi_side_output(spark, corpus):
+    from gfw_raster_analysis_lambda_spark.api import zonal_statistics_batch
+    from gfw_raster_analysis_lambda_spark.sources import fixtures
+    from gfw_raster_analysis_lambda_spark.sources.images import read_images
+
+    images = read_images(spark, corpus["images"])
+    good = fixtures.fixture_aois()[:2]
+    rows = [*good, ("aoi_corrupt", b"\x01\x02\x03not-wkb")]
+    aoi = spark.createDataFrame(rows, fixtures.AOI_SCHEMA)
+    res, failed = zonal_statistics_batch(
+        spark, images, aoi,
+        "SELECT tcl_year, COUNT(*) AS n FROM tcl_year GROUP BY tcl_year",
+        fixtures.fixture_environment(), fixtures.GRID.name,
+    )
+    f = failed.toPandas()
+    assert f["aoi_id"].tolist() == ["aoi_corrupt"] and f["error"].iloc[0]
+    r = res.toPandas()
+    assert set(r["aoi_id"]) == {g[0] for g in good}  # batch not aborted
