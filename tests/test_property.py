@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis) for the pure-numpy leaf kernels —
+codecs, cell codec, safe-expression compiler, rasterize parity, geodesy,
+multi-grid upsampling. No SparkSession needed."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gfw_raster_analysis_lambda_spark.functions import codecs, expressions, geodesy
+from gfw_raster_analysis_lambda_spark.functions import geometry as geo
+from gfw_raster_analysis_lambda_spark.functions import grid as G
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 70),
+    w=st.integers(1, 70),
+    seed=st.integers(0, 2**31 - 1),
+    depth=st.sampled_from([8, 16]),
+)
+def test_png_roundtrip_any_shape(h, w, seed, depth):
+    rng = np.random.default_rng(seed)
+    if depth == 8:
+        arr = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+    else:
+        arr = rng.integers(0, 65536, size=(h, w)).astype(np.uint16)
+    out = codecs.png_decode(codecs.png_encode(arr))
+    assert out.dtype == arr.dtype
+    np.testing.assert_array_equal(out, arr)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    lon=st.floats(-179.999, 179.999),
+    lat=st.floats(-89.999, 89.999),
+)
+def test_cell_codec_roundtrip_and_bounds(lon, lat):
+    g = G.GRID_FIXTURE
+    c = int(G.latlng_to_cell(g, [lon], [lat])[0])
+    minx, miny, maxx, maxy = G.cell_bounds(g, c)
+    # float addition at the snap (lon+180)/td can move a point within
+    # 1 ulp of a cell edge into the neighbor; allow that representational
+    # epsilon — what matters is the containment up to float resolution
+    eps = 1e-9 + abs(lon) * 1e-12
+    assert minx - eps <= lon < maxx + eps
+    eps = 1e-9 + abs(lat) * 1e-12
+    assert miny - eps <= lat < maxy + eps
+    x, y = G.cell_to_xy(c)
+    assert int(G.cell_from_xy(g, int(x), int(y))) == c
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    a=st.integers(0, 9999),
+    b=st.integers(1, 10000),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_expression_compiler_matches_numpy(a, b, seed):
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 60000, size=64).astype(np.uint16)
+    f = expressions.compile_expression(f"(A + {a}) % {b}")
+    # expected = what the reference's raw eval() would produce (same numpy
+    # dtype-promotion/wrap semantics, NOT widened to int64)
+    np.testing.assert_array_equal(f(arr), (arr + a) % b)
+    g = expressions.compile_expression("floor(A / 10000)")
+    np.testing.assert_array_equal(g(arr), np.floor(arr / 10000))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    x1=st.floats(-2, 6),
+    y1=st.floats(-2, 6),
+    w=st.floats(0.1, 5),
+    h=st.floats(0.1, 5),
+)
+def test_rasterize_box_parity_property(x1, y1, w, h):
+    fast = geo.box(x1, y1, x1 + w, y1 + h)
+    ring = np.array(
+        [[x1, y1], [x1 + w / 2, y1], [x1 + w, y1], [x1 + w, y1 + h], [x1, y1 + h]],
+        float,
+    )
+    mf = geo.rasterize_mask(fast, x0=-2.0, y0=8.0, pixel_size=0.5, width=20, height=20)
+    ms = geo.rasterize_mask([[ring]], x0=-2.0, y0=8.0, pixel_size=0.5, width=20, height=20)
+    np.testing.assert_array_equal(mf, ms)
+
+
+@settings(max_examples=40, deadline=None)
+@given(lat=st.floats(-89.0, 89.0), ps=st.sampled_from([0.001, 0.00025, 0.0001]))
+def test_pixel_area_positive_and_latitude_monotone(lat, ps):
+    a = geodesy.pixel_area_ha(lat, ps)
+    a_eq = geodesy.pixel_area_ha(0.0, ps)
+    assert 0 < a <= a_eq * 1.0000001
+
+
+@settings(max_examples=25, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), xf=st.integers(0, 63), yf=st.integers(0, 63))
+def test_upsample_to_cell_value_mapping(seed, xf, yf):
+    src, dst = G.GRID_FIXTURE_COARSE, G.GRID_FIXTURE
+    rng = np.random.default_rng(seed)
+    coarse = rng.integers(0, 200, size=(src.chunk_px, src.chunk_px)).astype(np.uint8)
+    xc, yc = xf // 2, yf // 2
+    src_cell = int(G.cell_from_xy(src, xc, yc))
+    dst_cell = int(G.cell_from_xy(dst, xf, yf))
+    fine = G.upsample_to_cell(coarse, src, dst, src_cell, dst_cell)
+    assert fine.shape == (dst.chunk_px, dst.chunk_px)
+    # fine pixel (i, j) reads coarse ((yf%2)*32 + i//2, (xf%2)*32 + j//2)
+    i, j = int(rng.integers(0, dst.chunk_px)), int(rng.integers(0, dst.chunk_px))
+    assert fine[i, j] == coarse[(yf % 2) * 32 + i // 2, (xf % 2) * 32 + j // 2]
