@@ -75,19 +75,26 @@ class Grid:
 GRIDS: dict[str, Grid] = {}
 
 
-def _register(name: str, degrees: float, pixels: int, chunk_px: int) -> Grid:
-    g = Grid(name, degrees, pixels, chunk_px, index=len(GRIDS) + 1)
+def _register(name: str, degrees: float, pixels: int, chunk_px: int, index: int) -> Grid:
+    """Register a grid under an EXPLICIT, permanent index. The index is
+    baked into every cell_id (high bits), so it must never depend on
+    registration order or shift between versions — stored corpora would
+    silently stop joining. New grids take fresh indices; old indices are
+    never reused."""
+    if index in {g.index for g in GRIDS.values()}:
+        raise ValueError(f"grid index {index} already taken")
+    g = Grid(name, degrees, pixels, chunk_px, index=index)
     GRIDS[name] = g
     return g
 
 
-GRID_30M = _register("10/40000", 10.0, 40000, 5000)   # 0.00025 deg px, 1.25 deg cells
-GRID_10M = _register("10/100000", 10.0, 100000, 5000)  # 0.0001 deg px, 0.5 deg cells
-GRID_FIXTURE = _register("4/1024", 4.0, 1024, 64)      # 0.00390625 deg px, 0.25 deg cells
-GRID_FIXTURE_COARSE = _register("4/512", 4.0, 512, 64)  # 2x coarser px, 0.5 deg cells
-GRID_FIXTURE_FINE = _register("4/2048", 4.0, 2048, 64)  # finest-grid resampling tests
-GRID_BENCH = _register("4/4096", 4.0, 4096, 256)  # bench: 0.25 deg cells, 256x256 px tiles
-GRID_SCALE = _register("4/16384", 4.0, 16384, 1024)  # scaling bench: 1024x1024 px tiles
+GRID_30M = _register("10/40000", 10.0, 40000, 5000, index=1)   # 0.00025 deg px, 1.25 deg cells
+GRID_10M = _register("10/100000", 10.0, 100000, 5000, index=2)  # 0.0001 deg px, 0.5 deg cells
+GRID_FIXTURE = _register("4/1024", 4.0, 1024, 64, index=3)      # 0.00390625 deg px, 0.25 deg cells
+GRID_FIXTURE_FINE = _register("4/2048", 4.0, 2048, 64, index=4)  # finest-grid resampling tests
+GRID_BENCH = _register("4/4096", 4.0, 4096, 256, index=5)  # bench: 0.25 deg cells, 256x256 px tiles
+GRID_FIXTURE_COARSE = _register("4/512", 4.0, 512, 64, index=6)  # 2x coarser px, 0.5 deg cells
+GRID_SCALE = _register("4/16384", 4.0, 16384, 1024, index=7)  # scaling bench: 1024x1024 px tiles
 
 _BY_INDEX = {g.index: g for g in GRIDS.values()}
 

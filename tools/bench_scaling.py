@@ -54,7 +54,7 @@ def _scale_inputs(spark):
     sx0 = int((0.0 + 180.0) / grid.tile_deg)
     sy0 = int((90.0 - 12.0) / grid.tile_deg)
     path = os.path.join(REPO, ".bench_cache",
-                        f"corpus_scale_{grid.name.replace('/', '_')}_{SNX}x{SNY}")
+                        f"corpus_scale_{grid.name.replace('/', '_')}_i{grid.index}_{SNX}x{SNY}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         df = fixtures.generate_images_df(
             spark, grid, bench.BLAYERS, sx0, sy0, SNX, SNY,
