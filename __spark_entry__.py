@@ -393,6 +393,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["dedup_minhash_lsh"] = dedup_minhash_lsh
 
+    def dedup_minhash_keepers(spark, sf_dir):
+        # scale path: O(docs) keeper assignments instead of O(pairs)
+        return dedup.minhash_dedup_keepers(
+            _t(spark, sf_dir, "documents"), n_hashes=8, bands=4
+        )
+    q["dedup_minhash_keepers"] = dedup_minhash_keepers
+
     def dedup_simhash(spark, sf_dir):
         return dedup.simhash(_t(spark, sf_dir, "documents"), bits=16)
     q["dedup_simhash"] = dedup_simhash
@@ -767,6 +774,23 @@ banded AS ({band_rows})
 SELECT DISTINCT a.id AS a, b.id AS b
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+"""
+
+    o["dedup_minhash_keepers"] = f"""
+WITH tk AS (
+  SELECT doc_id AS id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+),
+th AS (SELECT id, {h0_31} AS h FROM tk WHERE tok <> ''),
+sig AS (SELECT id, {mh_cols} FROM th GROUP BY id),
+banded AS ({band_rows}),
+buckets AS (
+  SELECT band, band_key, MIN(id) AS keeper, COUNT(*) AS n
+  FROM banded GROUP BY band, band_key HAVING COUNT(*) > 1
+)
+SELECT b.id, MIN(k.keeper) AS keeper
+FROM banded b JOIN buckets k ON b.band = k.band AND b.band_key = k.band_key
+GROUP BY b.id HAVING b.id != MIN(k.keeper)
 """
 
     h0 = _md5_int60("'0:' || tok")

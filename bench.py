@@ -169,6 +169,9 @@ def bench_queries(spark):
     q["dedup_minhash_lsh"] = lambda: dedup.minhash_lsh_candidates(
         _t("documents"), n_hashes=8, bands=4
     )
+    q["dedup_minhash_keepers"] = lambda: dedup.minhash_dedup_keepers(
+        _t("documents"), n_hashes=8, bands=4
+    )
 
     def sim_cosine():
         e = _t("embeddings")
@@ -182,7 +185,8 @@ def bench_queries(spark):
 
 
 def main():
-    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS,
+                  arrow_batch_rows=256)  # 256px tiles: ~16 MB/batch
     spark.sparkContext.setLogLevel("ERROR")
     ensure_corpus(spark)
     q, images, aoi = bench_queries(spark)
@@ -216,7 +220,7 @@ def main():
     except ValueError:
         sf = SF_DIR
     out = {
-        "metric": "total wall seconds, 10 headline queries (zonal+spatial on 9216-tile synthetic corpus, rel/text/dedup/sim on sf parquet)",
+        "metric": "total wall seconds, 11 headline queries (zonal+spatial on 9216-tile synthetic corpus, rel/text/dedup/sim on sf parquet)",
         "value": total,
         "unit": "sec",
         "queries": times,

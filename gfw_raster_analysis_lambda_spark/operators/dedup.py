@@ -141,6 +141,44 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_dedup_keepers(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n_hashes: int = 8, bands: int = 4,
+) -> DataFrame:
+    """Scale path for near-dup-heavy corpora: (id, keeper) assignments
+    instead of candidate pairs. A hot LSH bucket of B near-identical
+    documents yields B-1 assignment rows here versus B(B-1)/2 pair rows
+    from minhash_lsh_candidates — output stays O(docs) no matter how
+    duplicated the corpus is. keeper = min id over the doc's buckets (one
+    union-find hop; iterate for full transitive closure if needed)."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *[
+                F.col(f"mh{b * rows_per_band + j}").cast("string")
+                for j in range(rows_per_band)
+            ])).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(F.min("id").alias("keeper"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    return (
+        banded.join(buckets, ["band", "band_key"])
+        .groupBy("id")
+        .agg(F.min("keeper").alias("keeper"))
+        .filter(F.col("id") != F.col("keeper"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # 3. n-gram Jaccard verification (on candidates or directly on small sets)
 # ---------------------------------------------------------------------------

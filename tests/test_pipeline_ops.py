@@ -164,3 +164,24 @@ def test_audio_video_stubs(spark):
     # the real (non-fake) path is an explicit stub
     with pytest.raises(Exception, match="NotImplementedError|audio decode"):
         multimodal.audio_features(adf, fake_codec=False).collect()
+
+
+def test_minhash_keepers_consistent_with_pairs(spark):
+    import pandas as pd
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "the quick brown fox jumps over the lazy dog today"),
+        (4, "completely different text about spark and parquet files"),
+        (5, "another unrelated document mentioning zonal statistics"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    keep = dedup.minhash_dedup_keepers(df, n_hashes=8, bands=4).toPandas()
+    pairs = dedup.minhash_lsh_candidates(df, n_hashes=8, bands=4).toPandas()
+    # every assigned doc appears in some candidate pair with its keeper's
+    # component, and keepers are strictly smaller ids
+    assert (keep["keeper"] < keep["id"]).all()
+    dup_ids = set(pairs["a"]) | set(pairs["b"])
+    assert set(keep["id"]).issubset(dup_ids)
+    assert 4 not in set(keep["id"]) and 5 not in set(keep["id"])

@@ -75,7 +75,8 @@ def worker(cpus: int) -> None:
     from gfw_raster_analysis_lambda_spark.plans.planner import aoi_cells
     from gfw_raster_analysis_lambda_spark.session import get_spark
 
-    spark = get_spark(f"scale{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark = get_spark(f"scale{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus,
+                      arrow_batch_rows=64)  # 1024px tiles: ~64 MB/batch
     spark.sparkContext.setLogLevel("ERROR")
     grid, images, aoi, env = _scale_inputs(spark)
 
