@@ -40,6 +40,8 @@ def main() -> None:
     ap.add_argument("--strategy", default=None,
                     choices=["auto", "cell", "colocated", "aoi_cell"])
     ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--csv-output", default=None,
+                    help="also write a CSV copy (reference %%.5f float format)")
     args = ap.parse_args()
 
     # imports resolve from --py-files on executors and driver alike
@@ -75,7 +77,7 @@ def main() -> None:
             spark, images, aoi, args.sql, env, args.grid, strategy=strategy
         )
 
-    if args.format == "csv":
+    def write_csv(df, path):
         # reference output parity: floats at 5 decimals (tiling.py:71)
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
@@ -84,13 +86,18 @@ def main() -> None:
             F.format_string("%.5f", F.col(f.name)).alias(f.name)
             if isinstance(f.dataType, (T.DoubleType, T.FloatType))
             else F.col(f.name)
-            for f in result.schema.fields
+            for f in df.schema.fields
         ]
-        result.select(cols).write.mode("overwrite").option("header", True).csv(args.output)
+        df.select(cols).write.mode("overwrite").option("header", True).csv(path)
+
+    if args.format == "csv":
+        write_csv(result, args.output)
     elif args.format == "json":
         result.write.mode("overwrite").json(args.output)
     else:
         result.write.mode("overwrite").parquet(args.output)
+    if args.csv_output:
+        write_csv(result, args.csv_output)
     print(f"wrote {args.output}")
 
 

@@ -46,6 +46,7 @@ def test_spark_submit_py_files(spark, corpus, tmp_path):
             "--grid", "4/1024",
             "--output", out_dir,
             "--format", "parquet",
+            "--csv-output", str(tmp_path / "out_csv"),
         ],
         capture_output=True, text=True, timeout=600, env=env, cwd=str(tmp_path),
     )
@@ -53,6 +54,13 @@ def test_spark_submit_py_files(spark, corpus, tmp_path):
 
     got = spark.read.parquet(out_dir).toPandas().sort_values(
         ["aoi_id", "tcl_year"]).reset_index(drop=True)
+
+    # S9 parity: csv floats at exactly 5 decimals (reference tiling.py:71)
+    csv = spark.read.option("header", True).csv(str(tmp_path / "out_csv")).toPandas()
+    assert len(csv) == len(got)
+    assert all(
+        len(v.split(".")[1]) == 5 for v in csv["loss_ha"].tolist()
+    ), csv["loss_ha"].head()
 
     from gfw_raster_analysis_lambda_spark.api import zonal_statistics
     from gfw_raster_analysis_lambda_spark.sources.catalog import DataEnvironment
