@@ -83,7 +83,7 @@ def bench_queries(spark):
         fixtures.bench_aois(BGRID, BX0, BY0, BNX, BNY, N_AOI, CELLS_PER_AOI),
         fixtures.AOI_SCHEMA,
     )
-    env = fixtures.fixture_environment()
+    env = fixtures.fixture_environment(grid=BGRID.name)
 
     def _t(name):
         return spark.read.parquet(os.path.join(SF_DIR, f"{name}.parquet"))

@@ -135,25 +135,29 @@ PIXEL_NUMPY = {
 }
 
 
-def fixture_environment() -> DataEnvironment:
-    """The fixture layer catalog (data-environment analog)."""
+def fixture_environment(grid: str = GRID.name) -> DataEnvironment:
+    """The fixture layer catalog (data-environment analog). ``grid`` is the
+    storage grid of the standard layers (the bench corpora reuse this
+    catalog on their own grids); ``biomass`` always sits one 2x step
+    coarser than the fixture grid to exercise multi-grid co-registration."""
+    g = grid
     return DataEnvironment(
         layers=[
             SourceLayer(
-                "tcl_year", dtype="uint8", fmt="png", no_data=0,
+                "tcl_year", grid=g, dtype="uint8", fmt="png", no_data=0,
                 raster_table={v: 2000 + v for v in range(1, 21)},
             ),
             SourceLayer(
-                "tcd_threshold", dtype="uint8", fmt="png", no_data=0,
+                "tcd_threshold", grid=g, dtype="uint8", fmt="png", no_data=0,
                 raster_table={1: 10, 2: 15, 3: 20, 4: 25, 5: 30, 6: 50, 7: 75},
             ),
             SourceLayer(
-                "is_primary", dtype="uint8", fmt="png", no_data=0,
+                "is_primary", grid=g, dtype="uint8", fmt="png", no_data=0,
                 raster_table={0: "false", 1: "true"},
             ),
-            SourceLayer("emissions", dtype="float32", fmt="raw_f32", no_data=float("nan")),
+            SourceLayer("emissions", grid=g, dtype="float32", fmt="raw_f32", no_data=float("nan")),
             DerivedLayer("emissions_Mg", source_layer="emissions", calc="A * area"),
-            SourceLayer("alert_date_conf", dtype="uint16", fmt="png", no_data=0),
+            SourceLayer("alert_date_conf", grid=g, dtype="uint16", fmt="png", no_data=0),
             DerivedLayer(
                 "alert_date", source_layer="alert_date_conf", calc="A % 10000",
                 decode_expression=f"(A + {DAYS_2015}).astype('datetime64[D]').astype('str')",
@@ -163,12 +167,12 @@ def fixture_environment() -> DataEnvironment:
                 "alert_conf", source_layer="alert_date_conf", calc="floor(A / 10000)",
             ),
             SourceLayer(
-                "drivers", dtype="uint8", fmt="png", no_data=0,
+                "drivers", grid=g, dtype="uint8", fmt="png", no_data=0,
                 raster_table={1: "Agriculture", 2: "Forestry", 3: "Urban", 4: "Fire", 5: "Mining"},
                 default_meaning="Unknown",
             ),
-            SourceLayer("ttc_percent", dtype="uint8", fmt="png", no_data=255),
-            SourceLayer("photo", dtype="uint8", fmt="jpeg", no_data=None),
+            SourceLayer("ttc_percent", grid=g, dtype="uint8", fmt="png", no_data=255),
+            SourceLayer("photo", grid=g, dtype="uint8", fmt="jpeg", no_data=None),
             # stored on a 2x-coarser grid: queries mixing it with 4/1024
             # layers exercise the finest-grid co-registration rule
             SourceLayer("biomass", grid="4/512", dtype="uint8", fmt="png", no_data=0),

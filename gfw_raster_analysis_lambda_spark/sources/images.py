@@ -39,7 +39,14 @@ def with_derived_keys(images: DataFrame) -> DataFrame:
 
 
 def read_images(spark: SparkSession, path: str) -> DataFrame:
-    return with_derived_keys(spark.read.parquet(path))
+    df = spark.read.parquet(path)
+    if "cell_id" in df.columns and "layer" in df.columns:
+        # engine-written layout stores the derived keys as real columns:
+        # keep them so layer/cell_id predicates push down to parquet
+        # row-group stats (re-deriving via withColumn would turn them into
+        # expressions over image_id and kill the pushdown)
+        return df
+    return with_derived_keys(df)
 
 
 def write_images_partitioned(images: DataFrame, path: str) -> None:

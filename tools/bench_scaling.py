@@ -66,7 +66,7 @@ def _scale_inputs(spark):
         fixtures.bench_aois(grid, sx0, sy0, SNX, SNY, N_AOI_SCALE, bench.CELLS_PER_AOI),
         fixtures.AOI_SCHEMA,
     )
-    return grid, images, aoi, fixtures.fixture_environment()
+    return grid, images, aoi, fixtures.fixture_environment(grid=grid.name)
 
 
 def worker(cpus: int) -> None:
