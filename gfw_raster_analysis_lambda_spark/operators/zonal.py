@@ -562,6 +562,12 @@ class _CellAggContext:
         packed = ints[0] - mins[0]
         for c, m, d in zip(ints[1:], mins[1:], dims[1:]):
             packed = packed * d + (c - m)
+        # smallest dtype that fits: the per-AOI gather traffic scales with
+        # the packed array's width (uint8 vs int64 = 8x less memory moved)
+        for dt in (np.uint8, np.uint16, np.uint32):
+            if total <= np.iinfo(dt).max + 1:
+                packed = packed.astype(dt)
+                break
         self.packed, self.mins, self.dims, self.total = packed, mins, dims, total
         self.fast = True
 
