@@ -434,6 +434,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.ann_lsh(e, qs, k=10, n_planes=8)
     q["sim_ann_lsh"] = sim_ann_lsh
 
+    def sim_ann_ivf(spark, sf_dir):
+        # IVF-Flat scale path: probe 4 of 16 coarse buckets per query
+        e = _t(spark, sf_dir, "embeddings")
+        qs = e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.ann_ivf(e, qs, k=10, n_centroids=16, n_probe=4)
+    q["sim_ann_ivf"] = sim_ann_ivf
+
     return q
 
 
@@ -885,6 +894,51 @@ cand AS (
   JOIN embeddings q ON q.vec_id = bq.vec_id AND q.vec_id < 5,
   generate_series(1, 64) g(i)
   GROUP BY q.vec_id, a.vec_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, id, cosine, CAST(rn AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id ASC) AS rn
+  FROM cand
+) WHERE rn <= 10
+"""
+
+    # IVF-Flat: centroids = 16 lowest-id vectors; assign each vector to its
+    # nearest centroid; probe 4 nearest centroids per query
+    cos_xc = (
+        "SUM(CAST(list_extract(x.embedding, i) AS DOUBLE)"
+        " * CAST(list_extract(c.embedding, i) AS DOUBLE))"
+        f" / ({norm.format(t='x')} * {norm.format(t='c')})"
+    )
+    o["sim_ann_ivf"] = f"""
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16
+),
+assign AS (
+  SELECT vec_id AS id, centroid_id FROM (
+    SELECT x.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY x.vec_id ORDER BY {cos_xc} DESC, c.centroid_id ASC) AS rn
+    FROM embeddings x, centroids c, generate_series(1, 64) g(i)
+    GROUP BY x.vec_id, c.centroid_id
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, centroid_id FROM (
+    SELECT x.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY x.vec_id ORDER BY {cos_xc} DESC, c.centroid_id ASC) AS rn
+    FROM embeddings x, centroids c, generate_series(1, 64) g(i)
+    WHERE x.vec_id < 5
+    GROUP BY x.vec_id, c.centroid_id
+  ) WHERE rn <= 4
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS id,
+         ROUND({dot_ab.replace('b.embedding', 'q.embedding')}
+               / ({norm.format(t='a')} * {norm.format(t='q')}), 6) AS cosine
+  FROM embeddings a
+  JOIN assign s ON s.id = a.vec_id
+  JOIN probes p ON p.centroid_id = s.centroid_id
+  JOIN embeddings q ON q.vec_id = p.query_id,
+  generate_series(1, 64) g(i)
+  GROUP BY p.query_id, a.vec_id
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, id, cosine, CAST(rn AS INT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id ASC) AS rn

@@ -13,3 +13,7 @@ from the reference; this package targets Spark's execution model directly.
 """
 
 __version__ = "0.1.0"
+
+from .api import zonal_statistics, zonal_statistics_batch  # noqa: E402,F401
+from .checkpoint import run_zonal_checkpointed  # noqa: E402,F401
+from .session import get_spark  # noqa: E402,F401

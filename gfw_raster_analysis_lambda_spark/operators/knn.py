@@ -19,8 +19,10 @@ Ties at the k-boundary break deterministically on (distance, image_id).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions import grid as G
 
@@ -62,15 +64,20 @@ def knn_phash_pruned(
     pruned equi-join. Returns fewer than k rows for queries whose
     neighborhood has fewer tiles (caller widens the ring and retries —
     the standard expanding-ring search)."""
-    grid = G.get_grid(grid_name)
-    rows = queries.select("query_id", "phash", "cell_id").collect()
-    ring_rows = []
-    for r in rows:
-        for c in G.k_ring(grid, int(r.cell_id), ring).tolist():
-            ring_rows.append((r.query_id, int(r.phash), int(c)))
-    spark = images.sparkSession
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def ring_cells(cells: pd.Series) -> pd.Series:
+        grid = G.get_grid(grid_name)
+        return pd.Series(
+            [G.k_ring(grid, int(c), ring).tolist() for c in cells]
+        )
+
+    # relational ring expansion (no driver collect — query sets can be big)
     ringdf = F.broadcast(
-        spark.createDataFrame(ring_rows, "query_id string, q_phash long, cell_id long")
+        queries.select(
+            "query_id",
+            F.col("phash").alias("q_phash"),
+            F.explode(ring_cells("cell_id")).alias("cell_id"),
+        )
     )
     scored = images.select("image_id", "phash", "cell_id").join(
         ringdf, "cell_id"

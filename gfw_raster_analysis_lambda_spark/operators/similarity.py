@@ -118,3 +118,77 @@ def ann_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "id", "cosine", "rank")
     )
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, centroid_id): nearest coarse centroid by cosine — the IVF
+    index build. One broadcast pass over the corpus; at 100 TB this is the
+    write-side job whose output is stored as a partition column so bucket
+    probes become partition-pruned scans."""
+    c = F.broadcast(
+        centroids.select("centroid_id", F.col(vec_col).alias("cv"))
+    )
+    scored = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .crossJoin(c)
+        .withColumn("cos", _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv"))))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "centroid_id")
+    )
+
+
+def ann_ivf(
+    emb: DataFrame,
+    queries: DataFrame,  # (query_id, embedding)
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat approximate top-k: the scale path for embedding search.
+
+    Coarse quantizer = the ``n_centroids`` lowest-id vectors (deterministic
+    and oracle-expressible; substitute k-means centroids in production —
+    the plan shape is identical). Every vector is assigned to its nearest
+    centroid once; each query probes its ``n_probe`` nearest centroids and
+    brute-forces ONLY those buckets — cost scales with n_probe/n_centroids
+    of the corpus instead of all of it. Recall < 1 by construction."""
+    centroids = (
+        emb.orderBy(F.asc(id_col)).limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
+    )
+    assign = ivf_assign(emb, centroids, id_col, vec_col)
+
+    qc = F.broadcast(centroids.select("centroid_id", F.col(vec_col).alias("cv")))
+    qscored = (
+        queries.select("query_id", F.col(vec_col).alias("qv"))
+        .crossJoin(qc)
+        .withColumn("cos", _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
+    probes = (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "centroid_id")
+    )
+
+    corpus = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(assign, "id")
+    cand = corpus.join(F.broadcast(probes), "centroid_id")
+    scored = cand.withColumn(
+        "cosine",
+        F.round(_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv"))), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "cosine", "rank")
+    )

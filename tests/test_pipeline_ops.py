@@ -185,3 +185,22 @@ def test_minhash_keepers_consistent_with_pairs(spark):
     dup_ids = set(pairs["a"]) | set(pairs["b"])
     assert set(keep["id"]).issubset(dup_ids)
     assert 4 not in set(keep["id"]) and 5 not in set(keep["id"])
+
+
+def test_ann_ivf_probes_subset_and_ranks(spark, emb):
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(emb, qs, k=5).toPandas()
+    ivf = similarity.ann_ivf(emb, qs, k=5, n_centroids=8, n_probe=8).toPandas()
+    # probing ALL centroids == exact search (recall 1 by construction)
+    for qid in exact["query_id"].unique():
+        e = exact[exact.query_id == qid].sort_values("rank")["id"].tolist()
+        g = ivf[ivf.query_id == qid].sort_values("rank")["id"].tolist()
+        assert g == e
+    # with a strict probe subset, results are a subset of the corpus and
+    # ranked by cosine descending
+    narrow = similarity.ann_ivf(emb, qs, k=5, n_centroids=8, n_probe=2).toPandas()
+    for qid, grp in narrow.groupby("query_id"):
+        cos = grp.sort_values("rank")["cosine"].tolist()
+        assert cos == sorted(cos, reverse=True)

@@ -162,10 +162,24 @@ def main() -> None:
         control(int(sys.argv[2]))
         return
 
-    spark_r = {c: _sub(["--worker", str(c)]) for c in LEVELS}
+    # Interleave levels round-robin and keep the best run per level: this
+    # box drifts on multi-minute scales (identical runs swing 2x), and
+    # measuring each level in one contiguous block lets a slow period bias
+    # one level. Round-robin spreads drift across all levels.
+    rounds = int(os.environ.get("SCALING_ROUNDS", "3"))
+    spark_r: dict = {}
+    ctrl_r: dict = {}
+    for _ in range(rounds):
+        for c in LEVELS:
+            r = _sub(["--worker", str(c)])
+            if c not in spark_r or r["tiles_per_sec"] > spark_r[c]["tiles_per_sec"]:
+                spark_r[c] = r
+        for c in LEVELS:
+            r = _sub(["--control", str(c)])
+            if c not in ctrl_r or r["tiles_per_sec"] > ctrl_r[c]["tiles_per_sec"]:
+                ctrl_r[c] = r
     for c in LEVELS:
         print(json.dumps(spark_r[c]))
-    ctrl_r = {c: _sub(["--control", str(c)]) for c in LEVELS}
     for c in LEVELS:
         print(json.dumps(ctrl_r[c]))
 
@@ -218,8 +232,11 @@ single shared-memory box requires for the numbers to mean anything.
   scheduler. It measures what this ONE machine's memory system allows; a
   real 4N-executor cluster adds sockets and DRAM channels with the nodes,
   which this box cannot emulate.
-- 1 warmup + {RUNS_PER_LEVEL} timed runs per level in fresh subprocesses
-  (fresh JVM); best run kept; full materialization through the noop sink.
+- levels run INTERLEAVED round-robin (3 rounds x fresh subprocess each,
+  1 warmup + {RUNS_PER_LEVEL} timed runs inside, best kept per level): this
+  box's throughput drifts on multi-minute scales, and interleaving spreads
+  the drift across levels instead of biasing one. Full materialization
+  through the noop sink.
 
 | parallelism | spark wall sec | spark tiles/sec | control tiles/sec |
 |---|---|---|---|
