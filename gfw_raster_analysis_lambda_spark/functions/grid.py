@@ -156,6 +156,9 @@ def cell_affine(grid: Grid, cell_id: int) -> tuple[float, float, float]:
     return float(minx), float(maxy), grid.pixel_size
 
 
+BIG_ENUM_THRESHOLD = 4096  # bbox candidate cells before the vectorized path
+
+
 def cell_ratio(src: Grid, dst: Grid) -> int:
     """Integer tile-extent ratio src/dst (src coarser); raises otherwise."""
     r = src.tile_deg / dst.tile_deg
@@ -203,6 +206,11 @@ def polygon_to_cells(grid: Grid, geom: geo.Geometry) -> np.ndarray:
     if len(e) == 4 and np.all((e[:, 0] == e[:, 2]) | (e[:, 1] == e[:, 3])):
         xs, ys = np.meshgrid(np.arange(x_lo, x_hi + 1), np.arange(y_lo, y_hi + 1))
         return np.asarray(cell_from_xy(grid, xs.ravel(), ys.ravel()))
+    # giant-AOI path (the reference's ">1 billion ha" case): the per-cell
+    # Python intersects test is O(bbox cells x edges); switch to the
+    # vectorized boundary-walk + interior-fill enumeration
+    if (x_hi - x_lo + 1) * (y_hi - y_lo + 1) > BIG_ENUM_THRESHOLD:
+        return _polygon_to_cells_big(grid, geom, e, x_lo, x_hi, y_lo, y_hi)
     out = []
     for y in range(y_lo, y_hi + 1):
         cmaxy = 90.0 - y * td
@@ -214,6 +222,86 @@ def polygon_to_cells(grid: Grid, geom: geo.Geometry) -> np.ndarray:
         return np.zeros(0, dtype=np.int64)
     arr = np.asarray(out, dtype=np.int64)
     return np.asarray(cell_from_xy(grid, arr[:, 0], arr[:, 1]))
+
+
+def _polygon_to_cells_big(grid: Grid, geom, e: np.ndarray,
+                          x_lo: int, x_hi: int, y_lo: int, y_hi: int) -> np.ndarray:
+    """Vectorized cell enumeration for large bboxes.
+
+    Pixel-contribution-exact: returns every cell that can contribute pixels
+    (any pixel CENTER could be inside), as the union of
+
+    - cells whose center lies inside the polygon (vectorized even-odd per
+      scanline row), and
+    - cells the polygon BOUNDARY passes through: for every edge, its
+      endpoints' cells plus, at each crossing of a grid line, the cells on
+      both sides — all computed as flat numpy batches, no per-cell Python.
+
+    Cells touched only on their closed boundary (zero interior overlap)
+    may differ from the small-path `intersects_rect` answer; such cells
+    contain no pixel centers of the polygon and contribute no rows, so
+    tile ASSIGNMENTS (cells with actual pixel overlap) are identical.
+    """
+    td = grid.tile_deg
+    nx_c = x_hi - x_lo + 1
+    ny_c = y_hi - y_lo + 1
+
+    # -- interior: cell-center containment, row-vectorized scanline --------
+    cx = -180.0 + (np.arange(x_lo, x_hi + 1) + 0.5) * td
+    cy = 90.0 - (np.arange(y_lo, y_hi + 1) + 0.5) * td
+    x1, y1, x2, y2 = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
+    dy = y2 - y1
+    keep = np.zeros((ny_c, nx_c), dtype=bool)
+    slope = (x2 - x1) / np.where(dy == 0, 1.0, dy)
+    for r in range(ny_c):
+        py = cy[r]
+        straddles = (y1 <= py) != (y2 <= py)
+        if straddles.any():
+            xc = x1[straddles] + (py - y1[straddles]) * slope[straddles]
+            xc.sort()
+            nright = len(xc) - np.searchsorted(xc, cx, side="right")
+            keep[r] = (nright % 2).astype(bool)
+
+    # -- boundary: cells crossed by edges ----------------------------------
+    def mark(xs: np.ndarray, ys: np.ndarray) -> None:
+        gx = np.clip(np.floor((xs + 180.0) / td).astype(np.int64), x_lo, x_hi) - x_lo
+        gy = np.clip(np.floor((90.0 - ys) / td).astype(np.int64), y_lo, y_hi) - y_lo
+        keep[gy, gx] = True
+
+    mark(np.concatenate([x1, x2]), np.concatenate([y1, y2]))  # endpoints
+    # crossings with vertical grid lines x = k*td: mark both neighbor cells
+    exmin, exmax = np.minimum(x1, x2), np.maximum(x1, x2)
+    k_lo = np.ceil((exmin + 180.0) / td).astype(np.int64)
+    k_hi = np.floor((exmax + 180.0) / td).astype(np.int64)
+    counts = np.maximum(k_hi - k_lo + 1, 0)
+    if counts.sum() > 0:
+        eidx = np.repeat(np.arange(len(e)), counts)
+        ks = np.concatenate([np.arange(a, b + 1) for a, b in zip(k_lo, k_hi) if b >= a])
+        xs = -180.0 + ks * td
+        dx = x2[eidx] - x1[eidx]
+        t = np.where(dx == 0, 0.0, (xs - x1[eidx]) / np.where(dx == 0, 1.0, dx))
+        ys = y1[eidx] + t * (y2[eidx] - y1[eidx])
+        half = td * 1e-6
+        mark(xs - half, ys)
+        mark(xs + half, ys)
+    # crossings with horizontal grid lines y = 90 - k*td
+    eymin, eymax = np.minimum(y1, y2), np.maximum(y1, y2)
+    k_lo = np.ceil((90.0 - eymax) / td).astype(np.int64)
+    k_hi = np.floor((90.0 - eymin) / td).astype(np.int64)
+    counts = np.maximum(k_hi - k_lo + 1, 0)
+    if counts.sum() > 0:
+        eidx = np.repeat(np.arange(len(e)), counts)
+        ks = np.concatenate([np.arange(a, b + 1) for a, b in zip(k_lo, k_hi) if b >= a])
+        ys = 90.0 - ks * td
+        dyv = y2[eidx] - y1[eidx]
+        t = np.where(dyv == 0, 0.0, (ys - y1[eidx]) / np.where(dyv == 0, 1.0, dyv))
+        xs = x1[eidx] + t * (x2[eidx] - x1[eidx])
+        half = td * 1e-6
+        mark(xs, ys - half)
+        mark(xs, ys + half)
+
+    gy, gx = np.nonzero(keep)
+    return np.asarray(cell_from_xy(grid, gx + x_lo, gy + y_lo))
 
 
 def k_ring(grid: Grid, cell_id: int, k: int = 1) -> np.ndarray:

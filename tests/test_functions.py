@@ -267,3 +267,38 @@ def test_covers_rect_conservative():
     assert not geo.covers_rect(g, 3, 3, 7, 7)
     assert geo.covers_rect(g, 1, 1, 2, 2)            # beside the hole
     assert not geo.covers_rect(g, 4.2, 4.2, 5.8, 5.8)  # inside the hole
+
+
+def test_polygon_to_cells_big_path_parity():
+    """The vectorized giant-AOI enumeration must return every cell with
+    interior pixel overlap and only cells the exact path also returns;
+    any difference must be touch-only cells (no pixel centers inside)."""
+    g = G.GRID_FIXTURE
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        # random concave polygon with bbox ~ 20x20 .. 90x90 cells
+        n = int(rng.integers(5, 12))
+        cx0, cy0 = rng.uniform(-20, 20, 2)
+        r_out = rng.uniform(2.0, 11.0)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        rad = r_out * rng.uniform(0.3, 1.0, n)
+        ring = np.stack([cx0 + rad * np.cos(ang), cy0 + rad * np.sin(ang)], axis=1)
+        geom = [[ring]]
+
+        old = G.BIG_ENUM_THRESHOLD
+        try:
+            G.BIG_ENUM_THRESHOLD = 10**9
+            exact = set(G.polygon_to_cells(g, geom).tolist())
+            G.BIG_ENUM_THRESHOLD = 1
+            fast = set(G.polygon_to_cells(g, geom).tolist())
+        finally:
+            G.BIG_ENUM_THRESHOLD = old
+
+        assert fast <= exact, f"trial {trial}: fast returned non-intersecting cells"
+        # any cell the fast path dropped must have NO pixel centers inside
+        for c in exact - fast:
+            minx, miny, maxx, maxy = G.cell_bounds(g, c)
+            px = (np.arange(g.chunk_px) + 0.5) * g.pixel_size
+            xs, ys = np.meshgrid(minx + px, maxy - px)
+            inside = geo.contains_points(geom, xs.ravel(), ys.ravel())
+            assert not inside.any(), f"trial {trial}: dropped cell {c} has pixels"
