@@ -93,7 +93,10 @@ def run_zonal_query(
       within each partition. Only partial-aggregate rows ever shuffle.
     - ``"aoi_cell"``: the reference-shaped plan (one task per (aoi, cell),
       tile bytes shuffled per overlapping AOI). Skew-free by construction
-      but maximally redundant on hot cells; kept for parity testing.
+      but maximally redundant on hot cells; kept for parity testing AND as
+      the fallback for AOI batches too large to broadcast as a lookup
+      (pass ``broadcast_aoi=False`` for a plain shuffle join with AQE
+      skew splitting — nothing is ever collected to the driver).
     """
     grid_name = resolve_target_grid(query, env, grid_name)
     if strategy in (None, "auto"):
