@@ -170,3 +170,45 @@ def test_batch_failed_aoi_side_output(spark, corpus):
     assert f["aoi_id"].tolist() == ["aoi_corrupt"] and f["error"].iloc[0]
     r = res.toPandas()
     assert set(r["aoi_id"]) == {g[0] for g in good}  # batch not aborted
+
+
+def test_checkpoint_resume_colocated(spark, corpus, tmp_path):
+    from gfw_raster_analysis_lambda_spark.checkpoint import run_zonal_checkpointed
+    from gfw_raster_analysis_lambda_spark.plans.ir import Aggregate, ZonalQuery
+    from gfw_raster_analysis_lambda_spark.sources import fixtures
+    from gfw_raster_analysis_lambda_spark.sources.images import (
+        read_images,
+        write_images_cell_sorted,
+    )
+
+    # cell-sorted copy of the corpus for the zero-shuffle resume path
+    src = read_images(spark, corpus["images"])
+    path = str(tmp_path / "sorted")
+    write_images_cell_sorted(
+        src.select("image_id", "bytes", "w", "h", "fmt", "caption", "phash"), path, n_files=4
+    )
+    images = read_images(spark, path)
+    env = fixtures.fixture_environment()
+    aoi_all = spark.read.parquet(corpus["aoi"])
+    q = ZonalQuery(
+        base_layer="tcl_year",
+        group_layers=("tcl_year",),
+        aggregates=(Aggregate("count", None, "n"),),
+    )
+    ck = str(tmp_path / "ck")
+    first = run_zonal_checkpointed(
+        spark, images, aoi_all.limit(2), q, env, fixtures.GRID.name, ck, colocated=True
+    ).toPandas()
+    # resume over the full AOI set: committed pairs must not recompute or
+    # double-count; the result covers all AOIs
+    full = run_zonal_checkpointed(
+        spark, images, aoi_all, q, env, fixtures.GRID.name, ck, colocated=True
+    ).toPandas()
+    assert set(first["aoi_id"]).issubset(set(full["aoi_id"]))
+    direct = run_zonal_checkpointed(
+        spark, images, aoi_all, q, env, fixtures.GRID.name, str(tmp_path / "ck2"),
+        colocated=True,
+    ).toPandas()
+    a = full.sort_values(["aoi_id", "tcl_year"]).reset_index(drop=True)
+    b = direct.sort_values(["aoi_id", "tcl_year"]).reset_index(drop=True)
+    assert a["n"].tolist() == b["n"].tolist()

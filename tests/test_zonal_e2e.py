@@ -392,3 +392,29 @@ def test_multigrid_target_grid_resolution(spark, tables, env):
     )
     assert planner.resolve_target_grid(q2, env, None) == "4/1024"
     assert planner.resolve_target_grid(q2, env, "4/2048") == "4/2048"
+
+
+def test_streaming_cells_regroup_unit():
+    """_streaming_cells must reassemble cells that span Arrow batch
+    boundaries (incl. one cell spanning 3 batches) and call the kernel
+    exactly once per cell with all its rows."""
+    import pandas as pd
+
+    from gfw_raster_analysis_lambda_spark.plans.planner import _streaming_cells
+
+    calls = []
+
+    def fake_kernel(pdf):
+        calls.append((int(pdf["cell_id"].iloc[0]), len(pdf)))
+        return pd.DataFrame({"cell_id": [int(pdf["cell_id"].iloc[0])], "n": [len(pdf)]})
+
+    def batches():
+        # cell 1 (2 rows) | cell 2 spans 3 batches (1+2+1) | cell 3 (1 row)
+        yield pd.DataFrame({"cell_id": [1, 1, 2]})
+        yield pd.DataFrame({"cell_id": [2, 2]})
+        yield pd.DataFrame({"cell_id": [2, 3]})
+        yield pd.DataFrame({"cell_id": []}).astype({"cell_id": "int64"})
+
+    out = list(_streaming_cells(fake_kernel)(batches()))
+    assert calls == [(1, 2), (2, 4), (3, 1)]
+    assert len(out) == 3
