@@ -293,7 +293,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("px_min", 6).alias("px_min"),
             F.round("px_max", 6).alias("px_max"),
         )
+
+    def mm_resize_stats(spark, sf_dir):
+        # decode -> 2x block-mean downsample -> re-encode -> stats; the
+        # DuckDB twin recomputes FLOOR(AVG(2x2 block)) from the formulas
+        images, _, _ = _fixture(spark)
+        src = images.filter(F.col("layer") != "emissions").select(
+            "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
+        )
+        s = multimodal.image_stats(multimodal.resize_tiles(src, factor=2))
+        return s.select(
+            "image_id", "w", "h",
+            F.round("px_mean", 6).alias("px_mean"),
+            F.round("px_min", 6).alias("px_min"),
+            F.round("px_max", 6).alias("px_max"),
+        )
     q["mm_image_stats"] = mm_image_stats
+    q["mm_resize_stats"] = mm_resize_stats
 
     # -- relational shell on the driver's TPC-H-ish tables ------------------
 
@@ -656,6 +672,41 @@ SELECT image_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
        ROUND(MAX(v), 6) AS px_max
 FROM px WHERE v IS NOT NULL
 GROUP BY 1, 2, 3
+"""
+
+    # resize twin: the engine block-means 2x2 then truncates back to the
+    # integer dtype (astype) — FLOOR(AVG(...)) per output pixel. emissions
+    # (float32/NaN) is excluded from the query; unions must expose i, j.
+    resize_unions = []
+    for layer, val in layer_val.items():
+        if layer == "emissions":
+            continue
+        resize_unions.append(f"""
+SELECT '{layer}' || '/' || lower(lpad(hex(CAST({GRID.index << 54} AS BIGINT) + x * {1 << 27} + y), 16, '0')) AS image_id,
+       i, j, CAST({val} AS DOUBLE) AS v
+FROM generate_series({X0}, {X0 + NX - 1}) tx(x),
+     generate_series({Y0}, {Y0 + NY - 1}) ty(y),
+     generate_series(0, {GRID.chunk_px - 1}) ti(i),
+     generate_series(0, {GRID.chunk_px - 1}) tj(j)""")
+    resize_unions.append(f"""
+SELECT 'biomass' || '/' || lower(lpad(hex(CAST({cg.index << 54} AS BIGINT) + x * {1 << 27} + y), 16, '0')) AS image_id,
+       i, j, CAST(((x*3 + y*7 + i*5 + j*13) % 200) AS DOUBLE) AS v
+FROM generate_series({X0 // 2}, {(X0 + NX) // 2 - 1}) tx(x),
+     generate_series({Y0 // 2}, {(Y0 + NY) // 2 - 1}) ty(y),
+     generate_series(0, {cg.chunk_px - 1}) ti(i),
+     generate_series(0, {cg.chunk_px - 1}) tj(j)""")
+    half_px = GRID.chunk_px // 2
+    o["mm_resize_stats"] = f"""
+WITH px AS ({' UNION ALL '.join(resize_unions)}),
+rs AS (
+  SELECT image_id, FLOOR(AVG(v)) AS v2
+  FROM px GROUP BY image_id, i // 2, j // 2
+)
+SELECT image_id, {half_px} AS w, {half_px} AS h,
+       ROUND(AVG(v2), 6) AS px_mean,
+       ROUND(MIN(v2), 6) AS px_min,
+       ROUND(MAX(v2), 6) AS px_max
+FROM rs GROUP BY 1, 2, 3
 """
 
     # -- relational ----------------------------------------------------------
