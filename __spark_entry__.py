@@ -421,8 +421,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_simhash"] = dedup_simhash
 
     def dedup_ngram_jaccard(spark, sf_dir):
+        # df_cap bounds the shared-shingle self-join (stop-shingle removal)
         return dedup.ngram_jaccard_pairs(
-            _t(spark, sf_dir, "documents"), n=3, threshold=0.2
+            _t(spark, sf_dir, "documents"), n=3, threshold=0.2, df_cap=64
         )
     q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
 
@@ -875,10 +876,14 @@ sh AS (
   WHERE i <= GREATEST(len(toks) - 2, 1)
     AND len(array_to_string(toks[i:i+2], ' ')) > 0
 ),
-sz AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+shc AS (
+  SELECT id, shingle FROM sh
+  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 64)
+),
+sz AS (SELECT id, COUNT(*) AS sz FROM shc GROUP BY id),
 common AS (
   SELECT a.id AS a, b.id AS b, COUNT(*) AS c
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
   GROUP BY 1, 2
 )
 SELECT a, b, ROUND(c / CAST(sa.sz + sb.sz - c AS DOUBLE), 6) AS jaccard

@@ -187,12 +187,30 @@ def ngram_jaccard_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     n: int = 3, threshold: float = 0.5,
     candidates: DataFrame | None = None,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Pairs (a, b, jaccard) with word-n-gram Jaccard >= threshold.
     With ``candidates`` given, verifies only those pairs (the LSH path);
     otherwise generates pairs through shared shingles (never a cross
-    join — documents sharing zero shingles never meet)."""
+    join — documents sharing zero shingles never meet).
+
+    ``df_cap`` drops shingles whose DOCUMENT FREQUENCY exceeds the cap
+    before anything else (standard stop-shingle removal). Without it the
+    shared-shingle self-join is quadratic in the hottest shingle's df — one
+    boilerplate phrase shared by millions of web documents explodes the
+    join. Jaccard is then computed over the capped vocabulary (both the
+    intersection and the set sizes), which keeps the statistic internally
+    consistent and oracle-expressible; pairs that share ONLY near-universal
+    shingles are the ones the LSH candidate path already covers."""
     sh = shingles(df, id_col, text_col, n)
+    if df_cap is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

@@ -92,6 +92,47 @@ def lsh_buckets(
     )
 
 
+def lsh_buckets_fast(
+    emb: DataFrame, n_planes: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, bucket) — PRODUCTION builder for :func:`lsh_buckets`.
+
+    Same md5-derived sign matrix, same buckets bit-for-bit (asserted by
+    test_lsh_bucket_builders_agree), but computed as ONE Arrow-batched
+    matmul per partition: vectors (rows x dims) @ signs.T (dims x planes),
+    zero shuffles. The relational twin explodes N x dims x planes rows
+    through two shuffles — fine as a DuckDB-checkable oracle, impossible
+    at 10^12 x 64-dim x 8-plane scale (5e14 shuffle rows); this path's
+    cost is a single pass over the vectors."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    id_type = dict(emb.dtypes)[id_col]
+
+    def run(batches):
+        signs = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            dims = len(pdf[vec_col].iloc[0])
+            if signs is None or signs.shape[1] != dims:
+                signs = np.empty((n_planes, dims), dtype=np.float64)
+                for p in range(n_planes):
+                    for c in range(dims):
+                        h = int(hashlib.md5(f"{p}_{c}".encode()).hexdigest()[:4], 16)
+                        signs[p, c] = (h % 2) * 2 - 1
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            dots = vecs @ signs.T  # rows x planes
+            buckets = ((dots > 0) << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
+            yield pd.DataFrame({"id": pdf[id_col], "bucket": buckets.astype(np.int64)})
+
+    return emb.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        run, f"id {id_type}, bucket long"
+    )
+
+
 def ann_lsh(
     emb: DataFrame,
     queries: DataFrame,  # (query_id, embedding)
@@ -99,12 +140,17 @@ def ann_lsh(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_builder=None,
 ) -> DataFrame:
     """Approximate top-k: exact rerank within LSH bucket collisions.
     Recall < 1 by construction; pair with multiple plane sets (probe
-    tables) when recall matters more than cost."""
-    eb = lsh_buckets(emb, n_planes, id_col, vec_col)
-    qb = lsh_buckets(queries, n_planes, "query_id", vec_col).withColumnRenamed("id", "query_id")
+    tables) when recall matters more than cost. Buckets come from
+    :func:`lsh_buckets_fast` (one matmul pass) unless ``bucket_builder``
+    overrides — the relational :func:`lsh_buckets` produces identical ids
+    and exists as the oracle twin."""
+    build = bucket_builder or lsh_buckets_fast
+    eb = build(emb, n_planes, id_col, vec_col)
+    qb = build(queries, n_planes, "query_id", vec_col).withColumnRenamed("id", "query_id")
     corpus = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(eb, "id")
     qs = queries.select("query_id", F.col(vec_col).alias("qv")).join(F.broadcast(qb), "query_id")
     cand = corpus.join(F.broadcast(qs), "bucket")

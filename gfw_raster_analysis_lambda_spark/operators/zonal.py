@@ -575,6 +575,21 @@ class _CellAggContext:
         """Partial aggregate columns (raw group names) for one AOI mask."""
         q = self.query
         if not self.fast:
+            if q.group_layers and not mask.any():
+                # normalize the empty result to RAW group-layer names: the
+                # generic _aggregate would emit plan-schema names (e.g. the
+                # g__isoyear/g__isoweek pushdown pair) here, which must not
+                # mix with the raw names nonzero AOIs of the same cell emit
+                # (the per-cell frame is assembled column-wise; mixed keys
+                # crash pd.DataFrame with unequal column lengths)
+                out: dict[str, np.ndarray] = {}
+                for g in q.group_layers:
+                    out[g] = np.empty(0, dtype=np.float64)
+                for a in q.aggregates:
+                    for n in _agg_partial_names(a, q):
+                        is_long = a.func == "count" or n.endswith("__cnt")
+                        out[n] = np.empty(0, dtype=np.int64 if is_long else np.float64)
+                return out
             pdf = _aggregate(q, self.values, mask, self.mean_area)
             return {
                 c: (

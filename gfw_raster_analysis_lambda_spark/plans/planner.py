@@ -127,18 +127,29 @@ DRIVER_ENUM_AOI_LIMIT = 100_000  # AOI rows enumerated driver-side
 
 
 def _aoi_lookup_from_aois(spark: SparkSession, rows: list, grid_name: str,
-                          max_aois_per_task: int):
+                          max_aois_per_task: int, cell_limit: int | None = None):
     """Driver-side polygon->cells enumeration — the reference's coordinator
     does exactly this (tiling.py:220-237 enumerates tiles in-process). For
     AOI batches within the broadcast bound this avoids a whole Spark job
     (pandas-UDF workers + collect) per query; the distributed ``aoi_cells``
     path remains for larger batches. ``rows`` are collected
-    (aoi_id, geom_wkb) rows."""
+    (aoi_id, geom_wkb) rows.
+
+    With ``cell_limit`` set, enumeration aborts as soon as the total
+    aoi-cell count exceeds it and returns ``(None, None)`` — the caller
+    must route to the distributed shuffle-join plan instead of holding an
+    over-bound lookup on the driver (a single ">1 billion ha" AOI, the
+    reference's own envelope, would otherwise OOM here)."""
     grid = G.get_grid(grid_name)
     by_cell: dict[int, list] = {}
+    total = 0
     for r in rows:
         wkb = bytes(r["geom_wkb"])
-        for c in G.polygon_to_cells(grid, geo.wkb_loads(wkb)).tolist():
+        cells = G.polygon_to_cells(grid, geo.wkb_loads(wkb)).tolist()
+        total += len(cells)
+        if cell_limit is not None and total > cell_limit:
+            return None, None
+        for c in cells:
             by_cell.setdefault(c, []).append((r["aoi_id"], wkb))
     return _lookup_from_by_cell(spark, by_cell, max_aois_per_task)
 
@@ -179,19 +190,40 @@ def build_partials_by_cell(
     """Partial rows via the per-cell kernel. Tile bytes cross the wire at
     most once (``colocated=False``: one repartition by cell_id, plus salted
     replicas of hot cells only) or never (``colocated=True``: mapInPandas
-    straight over a cell-sorted scan)."""
+    straight over a cell-sorted scan).
+
+    The cell-kernel plans need the AOI-cell map on the driver (it ships as
+    a broadcast). That is only safe up to ``BROADCAST_CELL_LIMIT`` aoi-cell
+    rows; beyond it — a giant AOI or a country-scale batch — this function
+    automatically falls back to the distributed shuffle-join plan
+    (``build_partials``/``build_pixels`` with ``broadcast_aoi=False``),
+    which collects NOTHING and relies on AQE skew splitting. Both plans
+    emit the identical partial schema, so callers never notice beyond the
+    physical strategy."""
     spark = images.sparkSession
     probe = aoi_df.select("aoi_id", "geom_wkb").limit(DRIVER_ENUM_AOI_LIMIT + 1).collect()
+    lookup = salted = None
     if len(probe) <= DRIVER_ENUM_AOI_LIMIT:
-        # small batch: enumerate cells on the driver (one collect, no UDF job)
-        lookup, salted = _aoi_lookup_from_aois(spark, probe, grid_name, max_aois_per_task)
-    else:
-        lookup, salted = _aoi_lookup(
-            spark, aoi_cells(aoi_df, grid_name), max_aois_per_task
+        # small batch: enumerate cells on the driver (one collect, no UDF
+        # job), aborting early if the volume exceeds the broadcast bound
+        lookup, salted = _aoi_lookup_from_aois(
+            spark, probe, grid_name, max_aois_per_task,
+            cell_limit=BROADCAST_CELL_LIMIT,
         )
-    return build_partials_with_lookup(
-        images, lookup, salted, query, env, grid_name, colocated
-    )
+    else:
+        # big batch: count the aoi-cell rows DISTRIBUTED first; collect the
+        # lookup only when it provably fits the broadcast bound
+        cells = aoi_cells(aoi_df, grid_name)
+        if cells.count() <= BROADCAST_CELL_LIMIT:
+            lookup, salted = _aoi_lookup(spark, cells, max_aois_per_task)
+    if lookup is not None:
+        return build_partials_with_lookup(
+            images, lookup, salted, query, env, grid_name, colocated
+        )
+    # over the broadcast bound: reference-shaped shuffle-join plan
+    cells = aoi_cells(aoi_df, grid_name)
+    builder = build_pixels if query.select_pixels else build_partials
+    return builder(images, cells, query, env, grid_name, broadcast_aoi=False)
 
 
 def resolve_target_grid(query: ZonalQuery, env: DataEnvironment, grid_name: str | None) -> str:

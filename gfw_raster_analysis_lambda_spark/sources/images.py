@@ -39,6 +39,10 @@ def with_derived_keys(images: DataFrame) -> DataFrame:
 
 
 def read_images(spark: SparkSession, path: str) -> DataFrame:
+    if images_cell_sorted(path):
+        # the colocated zonal strategy depends on whole-cell-per-task scans;
+        # make the session split-safe BEFORE any plan over this table
+        ensure_colocated_split_safe(spark, path)
     df = spark.read.parquet(path)
     if "cell_id" in df.columns and "layer" in df.columns:
         # engine-written layout stores the derived keys as real columns:
@@ -82,15 +86,89 @@ def write_images_cell_sorted(images: DataFrame, path: str, n_files: int = 64) ->
         .write.mode("overwrite")
         .parquet(path)
     )
+    # record the largest data file so readers can guarantee one-file-per-
+    # task scans (ensure_colocated_split_safe); parquet is splittable and
+    # Spark's FilePartition will otherwise split any file larger than
+    # min(maxPartitionBytes, max(openCostInBytes, bytesPerCore)) across
+    # tasks, breaking the whole-cells-per-partition contract
+    max_bytes = _max_data_file_bytes(images.sparkSession, path)
     with open(os.path.join(path, _LAYOUT_SIDECAR), "w") as f:
-        json.dump({"cell_sorted": True, "sorted_by": ["cell_id", "layer"]}, f)
+        json.dump(
+            {
+                "cell_sorted": True,
+                "sorted_by": ["cell_id", "layer"],
+                "max_file_bytes": max_bytes,
+            },
+            f,
+        )
+
+
+def _max_data_file_bytes(spark: SparkSession, path: str) -> int:
+    """Largest data file in a table directory, via the Hadoop FileSystem
+    API (works for local paths and object stores alike)."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    best = 0
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if status.isFile() and not name.startswith(("_", ".")):
+            best = max(best, int(status.getLen()))
+    return best
+
+
+def ensure_colocated_split_safe(spark: SparkSession, path: str) -> int:
+    """Guarantee that a scan of the cell-sorted layout never splits one
+    file across tasks (planner._streaming_cells requires each cell's rows
+    contiguous within one task's stream; a cell straddling a split would be
+    processed twice, each half zero-filling the other's layers — silently
+    wrong results).
+
+    Raises ``spark.sql.files.maxPartitionBytes`` AND
+    ``spark.sql.files.openCostInBytes`` to at least the layout's largest
+    file: Spark's split size is ``min(maxPartitionBytes, max(openCost,
+    bytesPerCore))``, and ``bytesPerCore`` shrinks under partition pruning,
+    so both knobs must clear the file size. The side effect — each file
+    becomes exactly one partition — is the intended physical plan for this
+    layout (the writer's ``n_files`` is the scan parallelism). Returns the
+    byte bound applied."""
+    meta = _layout_sidecar(path)
+    if not meta.get("cell_sorted"):
+        return 0
+    max_bytes = int(meta.get("max_file_bytes") or 0)
+    if not max_bytes:  # pre-sidecar-v2 layout: measure directly
+        max_bytes = _max_data_file_bytes(spark, path)
+    need = max_bytes + (1 << 20)  # headroom over exact equality
+    for key in ("spark.sql.files.maxPartitionBytes", "spark.sql.files.openCostInBytes"):
+        if _parse_bytes(spark.conf.get(key)) < need:
+            spark.conf.set(key, str(need))
+    return need
+
+
+_BYTE_SUFFIX = {
+    "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def _parse_bytes(v: str) -> int:
+    s = str(v).strip().lower()
+    for suf in sorted(_BYTE_SUFFIX, key=len, reverse=True):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)]) * _BYTE_SUFFIX[suf])
+    return int(float(s))
+
+
+def _layout_sidecar(path: str) -> dict:
+    try:
+        with open(os.path.join(path, _LAYOUT_SIDECAR)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
 
 
 def images_cell_sorted(path: str) -> bool:
     """True when the parquet dir was written by write_images_cell_sorted
     (safe to run the colocated zonal strategy)."""
-    try:
-        with open(os.path.join(path, _LAYOUT_SIDECAR)) as f:
-            return bool(json.load(f).get("cell_sorted"))
-    except (OSError, ValueError):
-        return False
+    return bool(_layout_sidecar(path).get("cell_sorted"))

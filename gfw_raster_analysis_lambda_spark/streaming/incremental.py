@@ -9,19 +9,39 @@ module keeps zonal partials CONTINUOUSLY up to date as new tiles land.
 
 Design: `readStream` over the images directory (file source tracks new
 parquet files exactly-once via its own source checkpoint) ->
-`foreachBatch` runs the per-cell zonal kernel on just the micro-batch's
-tiles and APPENDS the (aoi, cell)-keyed partial rows to the same
-partials/lineage layout the batch checkpoint layer uses. Because zonal
-aggregates are associative partial sums, the up-to-date result is always
-one `finalize_partials` over everything appended so far — no state store
-needed, late tiles are just late partials, and a crashed stream resumes
-from the source checkpoint without double-counting (micro-batch id keyed
-idempotent writes).
+`foreachBatch` RECOMPUTES every cell the micro-batch touched from the
+*full* corpus and overwrites exactly those cells' partial partitions
+(dynamic partition overwrite keyed by cell). The micro-batch is used only
+as a CHANGE SIGNAL — which cells have new data — never as the compute
+input, because a cell's layers are not guaranteed to co-arrive in one
+batch (the base layer may land today and the filter layer tomorrow; the
+kernel zero-fills absent layers, so computing from a partial layer set
+would silently under-count). Recompute-from-source is a pure function of
+the current corpus state, so:
+
+- late layers are handled: the late tile's batch touches the cell again
+  and the recompute now sees both layers;
+- replays are idempotent: a crashed/replayed micro-batch overwrites the
+  same cell partitions with the same (or newer) data — no markers, no
+  append double-counting;
+- the result is always `finalize_partials` over the partial table.
+
+Cost note (100 TB): per batch the work is O(touched cells), not
+O(corpus) — the full-source read is pruned to the touched cell ids
+(IN-list / min-max pushdown in build_partials_with_lookup). Partition-
+per-cell is the overwrite unit; a production deployment on Iceberg would
+use `bucket(N, cell_id)` partitioning with row-level replace (MERGE) to
+bound directory counts — the parquet emulation here keeps one directory
+per touched cell.
+
+FROM-data queries additionally need rows for AOI cells that have *never*
+received a tile (missing-tile tolerance S2). Those are synthesized ONCE
+at read time — `read_incremental_result(..., aoi_df=...)` unions kernel
+partials for lookup cells with no stored partition — rather than per
+batch (the round-1 design re-emitted them every batch and double-counted).
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -29,13 +49,20 @@ from pyspark.sql import functions as F
 from ..checkpoint import query_fingerprint
 from ..plans import planner
 from ..plans.ir import ZonalQuery
-from ..sources.catalog import DataEnvironment
+from ..sources.catalog import FROM_DATA, DataEnvironment
 from ..sources.images import with_derived_keys
 
 IMAGES_SCHEMA_DDL = (
     "image_id string, bytes binary, w int, h int, fmt string, "
     "caption string, phash long"
 )
+
+
+def _aoi_lookup(spark: SparkSession, aoi_df: DataFrame, grid_name: str):
+    return planner._aoi_lookup_from_aois(
+        spark, aoi_df.select("aoi_id", "geom_wkb").collect(), grid_name,
+        planner.MAX_AOIS_PER_TASK,
+    )
 
 
 def incremental_zonal(
@@ -50,30 +77,51 @@ def incremental_zonal(
 ):
     """Start (and by default run-once) the incremental zonal stream.
 
-    Returns the StreamingQuery. Partials accumulate under
-    ``{out_dir}/partials/q={fingerprint}``; read the current result with
+    Partials accumulate under ``{out_dir}/partials/q={fingerprint}``,
+    partitioned by cell; read the current result with
     :func:`read_incremental_result`. ``trigger_once=False`` leaves a
-    continuous micro-batch stream running."""
+    continuous micro-batch stream running. Returns the StreamingQuery."""
     fp = query_fingerprint(query, env, grid_name)
     pdir = f"{out_dir}/partials/q={fp}"
-    bdir = f"{out_dir}/batches/q={fp}"
 
-    lookup, salted = planner._aoi_lookup_from_aois(
-        spark, aoi_df.select("aoi_id", "geom_wkb").collect(), grid_name,
-        planner.MAX_AOIS_PER_TASK,
-    )
+    lookup, salted = _aoi_lookup(spark, aoi_df, grid_name)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # idempotence across restarts: a replayed micro-batch id skips
-        done_marker = os.path.join(bdir, f"b={batch_id}")
-        if os.path.exists(done_marker):
+        # the batch is a change signal only: which cells got new tiles?
+        touched = [
+            int(r["cell_id"])
+            for r in with_derived_keys(batch_df)
+            .select("cell_id").distinct().collect()
+        ]
+        sub = {c: lookup.value[c] for c in touched if c in lookup.value}
+        if not sub:
             return
-        imgs = with_derived_keys(batch_df)
+        sub_lookup = spark.sparkContext.broadcast(sub)
+        sub_salted = {c: n for c, n in salted.items() if c in sub}
+        # recompute touched cells from the FULL corpus (cell-pruned scan),
+        # so a cell whose layers arrived in different batches is correct
+        imgs = with_derived_keys(
+            spark.read.schema(IMAGES_SCHEMA_DDL).parquet(images_dir)
+        )
         partials = planner.build_partials_with_lookup(
-            imgs, lookup, salted, query, env, grid_name
-        ).withColumn("_batch", F.lit(batch_id))
-        partials.write.mode("append").parquet(pdir)
-        os.makedirs(done_marker, exist_ok=True)
+            imgs, sub_lookup, sub_salted, query, env, grid_name
+        ).withColumn("_pcell", F.col("cell_id"))
+        # sentinel row per recomputed cell: guarantees the cell's partition
+        # is overwritten even when the recompute yields zero partial rows
+        # (a newly-arrived filter layer can legitimately SHRINK a cell's
+        # result — stale rows must not survive)
+        sent = spark.createDataFrame([(int(c),) for c in sub], "_pcell long")
+        for f in partials.schema.fields:
+            if f.name != "_pcell":
+                sent = sent.withColumn(f.name, F.lit(None).cast(f.dataType))
+        (
+            partials.unionByName(sent.select(partials.columns))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_pcell")
+            .parquet(pdir)
+        )
+        sub_lookup.unpersist()
 
     stream = (
         spark.readStream.schema(IMAGES_SCHEMA_DDL)
@@ -92,8 +140,37 @@ def read_incremental_result(
     env: DataEnvironment,
     grid_name: str,
     out_dir: str,
+    aoi_df: DataFrame | None = None,
 ) -> DataFrame:
-    """The current zonal result over every tile ingested so far."""
+    """The current zonal result over every tile ingested so far.
+
+    ``aoi_df`` is required for FROM-data queries: AOI cells that never
+    received any tile still owe rows (missing-tile tolerance S2); they are
+    synthesized here, once, from the AOI lookup minus the stored cell
+    partitions."""
     fp = query_fingerprint(query, env, grid_name)
-    partials = spark.read.parquet(f"{out_dir}/partials/q={fp}").drop("_batch")
+    pdir = f"{out_dir}/partials/q={fp}"
+    stored = spark.read.parquet(pdir)
+    partials = stored.filter(F.col("aoi_id").isNotNull()).drop("_pcell")
+    if query.base_layer == FROM_DATA:
+        if aoi_df is None:
+            raise ValueError(
+                "FROM-data incremental queries need aoi_df to synthesize "
+                "rows for never-ingested AOI cells"
+            )
+        lookup, _ = _aoi_lookup(spark, aoi_df, grid_name)
+        seen = {
+            int(r["_pcell"])
+            for r in stored.select("_pcell").distinct().collect()
+        }
+        missing = {c: v for c, v in lookup.value.items() if c not in seen}
+        if missing:
+            empty = with_derived_keys(
+                spark.createDataFrame([], IMAGES_SCHEMA_DDL)
+            )
+            synth = planner.build_partials_with_lookup(
+                empty, spark.sparkContext.broadcast(missing), {},
+                query, env, grid_name,
+            )
+            partials = partials.unionByName(synth)
     return planner.finalize_partials(partials, query, env)

@@ -204,3 +204,31 @@ def test_ann_ivf_probes_subset_and_ranks(spark, emb):
     for qid, grp in narrow.groupby("query_id"):
         cos = grp.sort_values("rank")["cosine"].tolist()
         assert cos == sorted(cos, reverse=True)
+
+
+def test_lsh_bucket_builders_agree(spark, emb):
+    """The mapInPandas matmul builder must produce bit-identical buckets to
+    the relational (oracle-twin) builder."""
+    rel = similarity.lsh_buckets(emb, n_planes=8).toPandas().set_index("id")["bucket"]
+    fast = similarity.lsh_buckets_fast(emb, n_planes=8).toPandas().set_index("id")["bucket"]
+    assert len(rel) == len(fast)
+    pd.testing.assert_series_equal(rel.sort_index(), fast.sort_index(), check_names=False)
+
+
+def test_ngram_df_cap_bounds_candidates(spark):
+    """A planted universal shingle must not send the shared-shingle join
+    quadratic: with df_cap the candidate pair count collapses to the pairs
+    that share RARE shingles."""
+    # "the quick brown" is one 3-gram shared by every filler doc
+    rows = [(i, f"the quick brown unique{i} filler{i} tail{i}") for i in range(60)]
+    rows.append((100, "alpha beta gamma delta one two"))
+    rows.append((101, "alpha beta gamma delta one two"))  # true near-dups
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.0).toPandas()
+    capped = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.0, df_cap=10).toPandas()
+    # uncapped: the stop shingle alone creates 60*59/2 candidate pairs
+    assert len(uncapped) >= 60 * 59 // 2
+    # capped: only the genuine near-dup pair survives candidate generation
+    assert set(zip(capped["a"], capped["b"])) == {(100, 101)}
+    assert capped["jaccard"].iloc[0] == pytest.approx(1.0, abs=1e-6)

@@ -212,3 +212,40 @@ def test_checkpoint_resume_colocated(spark, corpus, tmp_path):
     a = full.sort_values(["aoi_id", "tcl_year"]).reset_index(drop=True)
     b = direct.sort_values(["aoi_id", "tcl_year"]).reset_index(drop=True)
     assert a["n"].tolist() == b["n"].tolist()
+
+
+@pytest.mark.slow
+def test_batch_large_distributed_validation(spark, corpus):
+    """A batch too large to be comfortable collecting: validation happens in
+    a pandas UDF and the good/failed split is relational (api.py no longer
+    collects the AOI list to the driver)."""
+    from gfw_raster_analysis_lambda_spark.api import zonal_statistics_batch
+    from gfw_raster_analysis_lambda_spark.functions import geometry as geo
+    from gfw_raster_analysis_lambda_spark.sources import fixtures
+    from gfw_raster_analysis_lambda_spark.sources.images import read_images
+
+    images = read_images(spark, corpus["images"])
+    rows = []
+    n, bad = 20_000, set()
+    for i in range(n):
+        aid = f"aoi_{i:05d}"
+        if i % 997 == 0:
+            rows.append((aid, b"\x01\x02\x03not-wkb"))
+            bad.add(aid)
+        else:
+            # deterministic tiny box inside the fixture world (lon 10..11,
+            # lat 20..21)
+            lon = 10.0 + (i * 37 % 1000) / 1000.0 * 0.9
+            lat = 20.05 + (i * 61 % 1000) / 1000.0 * 0.9
+            rows.append((aid, geo.wkb_dumps(geo.box(lon, lat, lon + 0.02, lat + 0.02))))
+    aoi = spark.createDataFrame(rows, fixtures.AOI_SCHEMA).repartition(8)
+    res, failed = zonal_statistics_batch(
+        spark, images, aoi,
+        "SELECT COUNT(*) AS n FROM tcl_year",
+        fixtures.fixture_environment(), fixtures.GRID.name,
+    )
+    f = failed.toPandas()
+    assert set(f["aoi_id"]) == bad and (f["error"].str.len() > 0).all()
+    r = res.toPandas()
+    assert len(set(r["aoi_id"])) == n - len(bad)  # every good AOI returned
+    assert (r["n"] > 0).all()

@@ -1,6 +1,19 @@
-"""Incremental zonal via Structured Streaming: tiles arriving in two
-waves must converge to exactly the batch result, and a replayed stream
-must not double-count."""
+"""Incremental zonal via Structured Streaming.
+
+The hard cases round 1 got wrong (caught in review):
+
+- a cell's layers arriving in DIFFERENT micro-batches (base layer today,
+  filter layer tomorrow) — waves here are split BY LAYER so batch 1 has
+  only `tcl_year` and batch 2 only `tcd_threshold`; the kernel zero-fills
+  absent layers, so any design that computes from the batch's rows alone
+  under-counts silently;
+- a late layer SHRINKING a cell's result (the zero-filled filter layer
+  passed pixels that the real data excludes) — stale partials must be
+  overwritten, not appended to;
+- replaying the stream must not double-count;
+- FROM-data queries owe rows for AOI cells that never received any tile —
+  exactly once, however many batches ran.
+"""
 
 import os
 
@@ -10,7 +23,8 @@ import pytest
 from gfw_raster_analysis_lambda_spark.plans.ir import Aggregate, FilterLeaf, ZonalQuery
 from gfw_raster_analysis_lambda_spark.plans.planner import run_zonal_query
 from gfw_raster_analysis_lambda_spark.sources import fixtures
-from gfw_raster_analysis_lambda_spark.sources.images import read_images
+from gfw_raster_analysis_lambda_spark.sources.catalog import FROM_DATA
+from gfw_raster_analysis_lambda_spark.sources.images import read_images, with_derived_keys
 from gfw_raster_analysis_lambda_spark.streaming import (
     incremental_zonal,
     read_incremental_result,
@@ -31,51 +45,151 @@ def _query():
     )
 
 
+def _ingest(spark, stream_dir, batch_rows):
+    spark.createDataFrame(batch_rows, fixtures.IMAGES_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(stream_dir)
+
+
+def _run_stream(spark, stream_dir, aoi, q, env, out_dir):
+    sq = incremental_zonal(spark, stream_dir, aoi, q, env, GRID_NAME, out_dir)
+    sq.awaitTermination(120)
+
+
 @pytest.mark.slow
-def test_incremental_matches_batch(spark, corpus, tmp_path):
+def test_incremental_matches_batch_layers_split_across_batches(spark, corpus, tmp_path):
     env = fixtures.fixture_environment()
     aoi = spark.read.parquet(corpus["aoi"])
     q = _query()
 
+    # wave 1 = ONLY the base/group layer; wave 2 = ONLY the filter layer.
+    # generate_images_rows emits layer-by-layer, so slicing by layer name
+    # guarantees every cell's layer set straddles the two micro-batches.
     rows = fixtures.generate_images_rows()
-    half = len(rows) // 2
+    wave1 = [r for r in rows if r[0].startswith("tcl_year/")]
+    wave2 = [r for r in rows if not r[0].startswith("tcl_year/")]
+    assert wave1 and wave2
     stream_dir = str(tmp_path / "stream_images")
     out_dir = str(tmp_path / "inc")
     os.makedirs(stream_dir, exist_ok=True)
 
-    def ingest(batch_rows, n):
-        spark.createDataFrame(batch_rows, fixtures.IMAGES_SCHEMA).coalesce(1).write.mode(
-            "append"
-        ).parquet(stream_dir)
-        sq = incremental_zonal(spark, stream_dir, aoi, q, env, GRID_NAME, out_dir)
-        sq.awaitTermination(120)
+    def batch_result(images_path_or_rows):
+        if isinstance(images_path_or_rows, str):
+            imgs = read_images(spark, images_path_or_rows)
+        else:
+            imgs = with_derived_keys(
+                spark.createDataFrame(images_path_or_rows, fixtures.IMAGES_SCHEMA)
+            )
+        return (
+            run_zonal_query(spark, imgs, aoi, q, env, GRID_NAME)
+            .toPandas().sort_values(["aoi_id", "tcl_year"]).reset_index(drop=True)
+        )
 
-    # wave 1: half the tiles
-    ingest(rows[:half], 1)
-    partial_result = read_incremental_result(spark, q, env, GRID_NAME, out_dir).toPandas()
-    assert len(partial_result) > 0
+    # wave 1: base layer only. tcd_threshold zero-fills -> the IN (5,6,7)
+    # filter excludes everything; the incremental result must equal the
+    # batch engine run over exactly the wave-1 corpus (both empty here).
+    _ingest(spark, stream_dir, wave1)
+    _run_stream(spark, stream_dir, aoi, q, env, out_dir)
+    got1 = (
+        read_incremental_result(spark, q, env, GRID_NAME, out_dir)
+        .toPandas().sort_values(["aoi_id", "tcl_year"]).reset_index(drop=True)
+    )
+    exp1 = batch_result(wave1)
+    assert got1["n"].tolist() == exp1["n"].tolist()
 
-    # wave 2: the rest; a second availableNow run picks up only new files
-    ingest(rows[half:], 2)
+    # wave 2: the filter layer lands late; touched cells recompute against
+    # the full corpus and converge to the all-at-once batch result.
+    _ingest(spark, stream_dir, wave2)
+    _run_stream(spark, stream_dir, aoi, q, env, out_dir)
     got = (
         read_incremental_result(spark, q, env, GRID_NAME, out_dir)
         .toPandas().sort_values(["aoi_id", "tcl_year"]).reset_index(drop=True)
     )
-
-    exp = (
-        run_zonal_query(spark, read_images(spark, corpus["images"]),
-                        aoi, q, env, GRID_NAME)
-        .toPandas().sort_values(["aoi_id", "tcl_year"]).reset_index(drop=True)
-    )
+    exp = batch_result(corpus["images"])
     assert got["aoi_id"].tolist() == exp["aoi_id"].tolist()
     assert got["n"].tolist() == exp["n"].tolist()
     np.testing.assert_allclose(got["loss_ha"], exp["loss_ha"], rtol=1e-9)
 
     # replay: re-running with no new files must not change anything
-    sq = incremental_zonal(spark, stream_dir, aoi, q, env, GRID_NAME, out_dir)
-    sq.awaitTermination(120)
+    _run_stream(spark, stream_dir, aoi, q, env, out_dir)
     again = (
         read_incremental_result(spark, q, env, GRID_NAME, out_dir)
         .toPandas().sort_values(["aoi_id", "tcl_year"]).reset_index(drop=True)
     )
     assert again["n"].tolist() == got["n"].tolist()
+
+
+@pytest.mark.slow
+def test_incremental_late_filter_layer_shrinks_result(spark, corpus, tmp_path):
+    """A late-arriving filter layer can legitimately REMOVE pixels that the
+    zero-filled placeholder admitted; overwrite semantics (not append) must
+    let the result shrink."""
+    env = fixtures.fixture_environment()
+    aoi = spark.read.parquet(corpus["aoi"])
+    q = ZonalQuery(
+        base_layer="tcl_year",
+        aggregates=(Aggregate("count", None, "n"),),
+        where=FilterLeaf("tcd_threshold", "==", (0,)),  # passes on zero-fill
+    )
+    rows = fixtures.generate_images_rows()
+    wave1 = [r for r in rows if r[0].startswith("tcl_year/")]
+    wave2 = [r for r in rows if r[0].startswith("tcd_threshold/")]
+    stream_dir = str(tmp_path / "stream_images")
+    out_dir = str(tmp_path / "inc")
+    os.makedirs(stream_dir, exist_ok=True)
+
+    _ingest(spark, stream_dir, wave1)
+    _run_stream(spark, stream_dir, aoi, q, env, out_dir)
+    n1 = (
+        read_incremental_result(spark, q, env, GRID_NAME, out_dir)
+        .toPandas()["n"].sum()
+    )
+    assert n1 > 0  # zero-filled threshold == 0 admits pixels
+
+    _ingest(spark, stream_dir, wave2)
+    _run_stream(spark, stream_dir, aoi, q, env, out_dir)
+    got = (
+        read_incremental_result(spark, q, env, GRID_NAME, out_dir)
+        .toPandas().sort_values("aoi_id").reset_index(drop=True)
+    )
+    imgs = with_derived_keys(spark.createDataFrame(wave1 + wave2, fixtures.IMAGES_SCHEMA))
+    exp = (
+        run_zonal_query(spark, imgs, aoi, q, env, GRID_NAME)
+        .toPandas().sort_values("aoi_id").reset_index(drop=True)
+    )
+    assert got["n"].tolist() == exp["n"].tolist()
+    assert got["n"].sum() < n1  # the real layer shrank the result
+
+
+@pytest.mark.slow
+def test_incremental_from_data_missing_cells_once(spark, corpus, tmp_path):
+    """FROM-data: AOI cells with no ingested tiles still owe area rows —
+    synthesized once at read time, regardless of how many batches ran."""
+    env = fixtures.fixture_environment()
+    aoi = spark.read.parquet(corpus["aoi"])
+    q = ZonalQuery(
+        base_layer=FROM_DATA,
+        aggregates=(Aggregate("sum", "area__ha", "area_ha"),),
+    )
+    rows = fixtures.generate_images_rows(layers=["tcl_year"])
+    half = len(rows) // 2
+    stream_dir = str(tmp_path / "stream_images")
+    out_dir = str(tmp_path / "inc")
+    os.makedirs(stream_dir, exist_ok=True)
+
+    _ingest(spark, stream_dir, rows[:half])
+    _run_stream(spark, stream_dir, aoi, q, env, out_dir)
+    _ingest(spark, stream_dir, rows[half:])
+    _run_stream(spark, stream_dir, aoi, q, env, out_dir)
+
+    got = (
+        read_incremental_result(spark, q, env, GRID_NAME, out_dir, aoi_df=aoi)
+        .toPandas().sort_values("aoi_id").reset_index(drop=True)
+    )
+    imgs = with_derived_keys(spark.createDataFrame(rows, fixtures.IMAGES_SCHEMA))
+    exp = (
+        run_zonal_query(spark, imgs, aoi, q, env, GRID_NAME)
+        .toPandas().sort_values("aoi_id").reset_index(drop=True)
+    )
+    assert got["aoi_id"].tolist() == exp["aoi_id"].tolist()
+    np.testing.assert_allclose(got["area_ha"], exp["area_ha"], rtol=1e-9)

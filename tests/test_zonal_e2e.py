@@ -418,3 +418,150 @@ def test_streaming_cells_regroup_unit():
     out = list(_streaming_cells(fake_kernel)(batches()))
     assert calls == [(1, 2), (2, 4), (3, 1)]
     assert len(out) == 3
+
+
+# 16. generic-kernel path (NaN aggregate layer) + isoweek groups + a
+# zero-masked AOI sharing a cell with a nonzero AOI: the empty AOI's
+# column set must match the raw group names the nonzero AOIs emit
+# (regression: mixed g vs g__isoyear/g__isoweek keys crashed the task)
+def test_generic_path_isoweek_zero_masked_aoi(spark, tables, env):
+    from gfw_raster_analysis_lambda_spark.functions import geometry as geo
+
+    q = ZonalQuery(
+        base_layer="alert_date_conf",
+        group_layers=("alert_date",),
+        aggregates=(Aggregate("sum", "emissions", "em_sum"),),  # NaN -> generic
+        isoweek_layers=("alert_date",),
+    )
+    # both AOIs intersect the same fixture cell (lon 10..10.25, lat 20.75..21);
+    # the sliver sits between pixel-center columns so it rasterizes to ZERO px
+    normal = ("aoi_norm", geo.wkb_dumps(geo.box(10.01, 20.80, 10.20, 20.95)))
+    sliver = ("aoi_sliver", geo.wkb_dumps(geo.box(10.0021, 20.80, 10.0035, 20.95)))
+    images, _ = tables
+    aoi_df = spark.createDataFrame([normal, sliver], "aoi_id string, geom_wkb binary")
+    got = (
+        run_zonal_query(spark, images, aoi_df, q, env, GRID_NAME, strategy="cell")
+        .toPandas().reset_index(drop=True)
+    )
+    exp = (
+        run_zonal_query(spark, images, aoi_df, q, env, GRID_NAME, strategy="aoi_cell")
+        .toPandas().reset_index(drop=True)
+    )
+    assert set(got["aoi_id"]) == {"aoi_norm"}  # sliver legitimately empty
+    assert_frames_match(got, exp)
+
+
+# 17. colocated scans must never split a file across tasks (a cell
+# straddling a split is processed by two tasks, each zero-filling the
+# other's layers). The writer records max_file_bytes; read_images raises
+# maxPartitionBytes + openCostInBytes above it (split size is
+# min(maxPartitionBytes, max(openCost, bytesPerCore)), and bytesPerCore
+# shrinks under pruning, so both knobs matter).
+def test_colocated_split_safe_guard(spark, corpus, env, tmp_path):
+    from pyspark.sql import functions as F
+
+    from gfw_raster_analysis_lambda_spark.sources.images import (
+        _parse_bytes,
+        read_images,
+        write_images_cell_sorted,
+    )
+
+    path = str(tmp_path / "cs_small_groups")
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old_block = hconf.get("parquet.block.size")
+    hconf.set("parquet.block.size", "16384")  # many row groups per file
+    try:
+        write_images_cell_sorted(spark.read.parquet(corpus["images"]), path, n_files=1)
+    finally:
+        if old_block is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", old_block)
+
+    keys = ("spark.sql.files.maxPartitionBytes", "spark.sql.files.openCostInBytes")
+    saved = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set(keys[0], "65536")
+        spark.conf.set(keys[1], "0")
+
+        def cells_spanning_tasks(df):
+            return (
+                df.select("cell_id")
+                .withColumn("pid", F.spark_partition_id())
+                .groupBy("cell_id").agg(F.countDistinct("pid").alias("np"))
+                .filter("np > 1").count()
+            )
+
+        # hazard is real: a guard-less read at this conf splits cells
+        assert cells_spanning_tasks(spark.read.parquet(path)) > 0
+
+        # read_images applies the guard: confs bumped, no cell splits,
+        # and the colocated result matches the shuffle-join plan
+        images = read_images(spark, path)
+        assert _parse_bytes(spark.conf.get(keys[0])) > 65536
+        assert _parse_bytes(spark.conf.get(keys[1])) > 0
+        assert cells_spanning_tasks(images) == 0
+
+        q = ZonalQuery(
+            base_layer="tcl_year",
+            group_layers=("tcl_year",),
+            aggregates=(Aggregate("count", None, "n"),),
+        )
+        aois = fixtures.fixture_aois()[:2]
+        aoi_df = spark.createDataFrame(aois, "aoi_id string, geom_wkb binary")
+        got = (
+            run_zonal_query(spark, images, aoi_df, q, env, GRID_NAME,
+                            strategy="colocated")
+            .toPandas().reset_index(drop=True)
+        )
+        exp = (
+            run_zonal_query(spark, images, aoi_df, q, env, GRID_NAME,
+                            strategy="aoi_cell")
+            .toPandas().reset_index(drop=True)
+        )
+        assert_frames_match(got, exp)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+# 18. broadcast-volume guard: an AOI batch whose aoi-cell map exceeds
+# BROADCAST_CELL_LIMIT must take the distributed shuffle-join plan —
+# nothing collected to the driver — and agree with the broadcast plan
+def test_auto_fallback_over_broadcast_limit(spark, tables, env, monkeypatch):
+    from gfw_raster_analysis_lambda_spark.plans import planner
+
+    q = ZonalQuery(
+        base_layer="tcl_year",
+        group_layers=("tcl_year",),
+        aggregates=(Aggregate("count", None, "n"),),
+    )
+    images, _ = tables
+    aois = fixtures.fixture_aois()[:2]
+    aoi_df = spark.createDataFrame(aois, "aoi_id string, geom_wkb binary")
+    exp = (
+        run_zonal_query(spark, images, aoi_df, q, env, GRID_NAME, strategy="cell")
+        .toPandas().reset_index(drop=True)
+    )
+
+    monkeypatch.setattr(planner, "BROADCAST_CELL_LIMIT", 2)  # force over-bound
+    took = {}
+    orig = planner.build_partials
+
+    def spy(images_, cells_, query_, env_, grid_name_, broadcast_aoi=None):
+        took["shuffle_plan"] = True
+        assert broadcast_aoi is False
+        return orig(images_, cells_, query_, env_, grid_name_, broadcast_aoi)
+
+    monkeypatch.setattr(planner, "build_partials", spy)
+
+    def no_collect(*a, **k):
+        raise AssertionError("over-bound batch collected the cell map to the driver")
+
+    monkeypatch.setattr(planner, "_aoi_lookup", no_collect)
+    got = (
+        run_zonal_query(spark, images, aoi_df, q, env, GRID_NAME, strategy="cell")
+        .toPandas().reset_index(drop=True)
+    )
+    assert took.get("shuffle_plan")
+    assert_frames_match(got, exp)
