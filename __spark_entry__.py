@@ -115,11 +115,7 @@ _BOXES = {
 }
 
 
-def _pix_cte(aoi_ids: list[str]) -> str:
-    vals = ", ".join(
-        f"('{a}', {_BOXES[a][0]!r}, {_BOXES[a][1]!r}, {_BOXES[a][2]!r}, {_BOXES[a][3]!r})"
-        for a in aoi_ids
-    )
+def _pix_only() -> str:
     f = {k: v.format(x="x", y="y", i="i", j="j") for k, v in fixtures.PIXEL_SQL.items()}
     return f"""
 pix AS (
@@ -140,11 +136,36 @@ pix AS (
        generate_series({Y0}, {Y0 + NY - 1}) ty(y),
        generate_series(0, {GRID.chunk_px - 1}) ti(i),
        generate_series(0, {GRID.chunk_px - 1}) tj(j)
-),
+)"""
+
+
+def _pix_cte(aoi_ids: list[str]) -> str:
+    vals = ", ".join(
+        f"('{a}', {_BOXES[a][0]!r}, {_BOXES[a][1]!r}, {_BOXES[a][2]!r}, {_BOXES[a][3]!r})"
+        for a in aoi_ids
+    )
+    return _pix_only() + f""",
 aoi(aoi_id, bx1, by1, bx2, by2) AS (VALUES {vals}),
 m AS (
   SELECT aoi.aoi_id, pix.* FROM pix JOIN aoi
   ON lon > bx1 AND lon < bx2 AND lat > by1 AND lat < by2
+)"""
+
+
+# Non-rectangular oracle AOI: a right triangle whose hypotenuse has slope
+# -1; vertices chosen so no pixel CENTER lies exactly on any edge (centers
+# live on the 1/256-deg lattice; the edge offsets .003/.251/.742 are not
+# representable there), so strict half-plane predicates in DuckDB equal
+# the engine's even-odd scanline rasterization.
+_TRI = ((10.003, 20.251), (10.491, 20.251), (10.003, 20.739))
+
+
+def _tri_cte() -> str:
+    return _pix_only() + f""",
+m AS (
+  SELECT 'aoi_triangle' AS aoi_id, pix.* FROM pix
+  WHERE lon > {_TRI[0][0]!r} AND lat > {_TRI[0][1]!r}
+    AND lon + lat < {_TRI[1][0] + _TRI[1][1]!r}
 )"""
 
 
@@ -273,6 +294,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["aoi_box_aligned"],
         )
     q["zonal_pixel_select"] = zonal_pixel_select
+
+    def zonal_triangle_group_sum(spark, sf_dir):
+        # non-rectangular AOI: the P6 scanline rasterizer cross-checked
+        # against half-plane predicates on a sloped boundary (the box AOIs
+        # only exercise axis-aligned edges)
+        import numpy as np
+
+        from gfw_raster_analysis_lambda_spark.functions import geometry as geo
+
+        images, _, env = _fixture(spark)
+        aoi = spark.createDataFrame(
+            [("aoi_triangle", geo.wkb_dumps([[np.asarray(_TRI, dtype=float)]]))],
+            fixtures.AOI_SCHEMA,
+        )
+        df = zonal_statistics(
+            spark, images, aoi,
+            "SELECT tcl_year, SUM(area__ha) AS loss_ha, COUNT(*) AS n "
+            "FROM tcl_year WHERE tcd_threshold >= 25 GROUP BY tcl_year",
+            env, GRID.name,
+        )
+        return df.withColumn("loss_ha", F.round("loss_ha", 3))
+    q["zonal_triangle_group_sum"] = zonal_triangle_group_sum
+
+    def zonal_compat_avg(spark, sf_dir):
+        # reference AVG quirk (A3): each tile's sum is divided by the
+        # tile's TOTAL masked pixel count, then the ratios are re-SUMMED
+        # across tiles (reference query_executor.py:131-132 +
+        # tiling.py:125-131) — deliberately not a true mean
+        from gfw_raster_analysis_lambda_spark.plans.ir import (
+            Aggregate,
+            FilterLeaf,
+            ZonalQuery,
+        )
+        from gfw_raster_analysis_lambda_spark.plans.planner import run_zonal_query
+
+        images, aoi, env = _fixture(spark)
+        q_ = ZonalQuery(
+            base_layer="tcl_year",
+            aggregates=(
+                Aggregate("avg", "emissions", "em_avg"),
+                Aggregate("count", None, "n"),
+            ),
+            where=FilterLeaf("is_primary", "in", (1,)),
+            compat_avg=True,
+        )
+        df = run_zonal_query(
+            spark, images, aoi.filter(F.col("aoi_id").isin(list(_BOXES))),
+            q_, env, GRID.name,
+        )
+        return df.withColumn("em_avg", F.round("em_avg", 6))
+    q["zonal_compat_avg"] = zonal_compat_avg
+
+    def zonal_isoweek_boundary(spark, sf_dir):
+        # pins the kernel's hand-rolled ISO year/week math against DuckDB
+        # exactly at the Dec 29 - Jan 3 boundaries the fixture range
+        # crosses: 2015-12-28..2016-01-05 (week 53 of ISO 2015) and
+        # 2016-12-26..2017-01-04 (Jan 1 2017 belongs to ISO 2016 week 52)
+        return _zonal(
+            spark,
+            "SELECT isoweek(alert_date), COUNT(*) AS n FROM alert_date_conf "
+            "WHERE alert_date >= '2015-12-28' AND alert_date <= '2016-01-05' "
+            "OR alert_date >= '2016-12-26' AND alert_date <= '2017-01-04' "
+            "GROUP BY 1",
+            list(_BOXES),
+        )
+    q["zonal_isoweek_boundary"] = zonal_isoweek_boundary
 
     # -- kNN tile lookup (north-rule J-row) ---------------------------------
 
@@ -613,6 +700,42 @@ WITH {_pix_cte(["aoi_box_aligned"])}
 SELECT aoi_id, lon AS longitude, lat AS latitude, CAST(tcl AS DOUBLE) AS tcl_year
 FROM m WHERE tcl != 0
 ORDER BY latitude DESC, longitude ASC LIMIT 1000
+"""
+
+    o["zonal_triangle_group_sum"] = f"""
+WITH {_tri_cte()}
+SELECT aoi_id, {_TCL_DECODE} AS tcl_year,
+       ROUND(SUM(mean_area), 3) AS loss_ha,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM m
+WHERE tcl != 0 AND {_TCD_MEANING} >= 25
+GROUP BY aoi_id, tcl
+"""
+
+    o["zonal_compat_avg"] = f"""
+WITH {_pix_cte(list(_BOXES))},
+t AS (
+  SELECT aoi_id, x, y,
+         SUM(CASE WHEN em IS NOT NULL THEN CAST(em AS DOUBLE) ELSE 0 END) AS s,
+         COUNT(*) AS nm
+  FROM m WHERE tcl != 0 AND prim = 1
+  GROUP BY 1, 2, 3
+)
+SELECT aoi_id, ROUND(SUM(s / nm), 6) AS em_avg, CAST(SUM(nm) AS BIGINT) AS n
+FROM t GROUP BY aoi_id
+"""
+
+    o["zonal_isoweek_boundary"] = f"""
+WITH {_pix_cte(list(_BOXES))}
+SELECT aoi_id,
+       CAST(isoyear(DATE '1970-01-01' + CAST(16436 + alert % 10000 AS INT)) AS BIGINT)
+         AS alert_date__isoyear,
+       CAST(weekofyear(DATE '1970-01-01' + CAST(16436 + alert % 10000 AS INT)) AS BIGINT)
+         AS alert_date__isoweek,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM m WHERE alert != 0
+  AND (alert % 10000 BETWEEN 361 AND 369 OR alert % 10000 BETWEEN 725 AND 734)
+GROUP BY 1, 2, 3
 """
 
     # -- kNN (corpus + probes inlined as literals from the deterministic

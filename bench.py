@@ -173,6 +173,15 @@ def bench_queries(spark):
         _t("documents"), n_hashes=8, bands=4
     )
 
+    # LSH bucket build twins: the relational (oracle) builder vs the
+    # mapInPandas matmul production path — the bench records the ratio
+    q["sim_lsh_buckets_rel"] = lambda: similarity.lsh_buckets(
+        _t("embeddings"), n_planes=8
+    )
+    q["sim_lsh_buckets_fast"] = lambda: similarity.lsh_buckets_fast(
+        _t("embeddings"), n_planes=8
+    )
+
     def sim_cosine():
         e = _t("embeddings")
         qs = e.filter(F.col("vec_id") < 16).select(
@@ -222,7 +231,7 @@ def main():
     except ValueError:
         sf = SF_DIR
     out = {
-        "metric": "total wall seconds, 11 headline queries (zonal+spatial on 9216-tile synthetic corpus, rel/text/dedup/sim on sf parquet)",
+        "metric": f"total wall seconds, {len(times)} headline queries (zonal+spatial on 9216-tile synthetic corpus, rel/text/dedup/sim on sf parquet)",
         "value": total,
         "unit": "sec",
         "queries": times,

@@ -27,6 +27,78 @@ def zonal_statistics(
     return run_zonal_query(spark, images, aoi, query, env, grid_name, **kwargs)
 
 
+def aoi_from_geojson(
+    spark: SparkSession,
+    src,
+    id_property: str = "id",
+) -> DataFrame:
+    """Normalize GeoJSON input to the engine's AOI table
+    ``(aoi_id string, geom_wkb binary)``.
+
+    The reference's preprocessing lambda accepts a feature collection, a
+    single feature/geometry, or a file URI and emits the geometry list the
+    analysis fans out over (reference lambdas/preprocessing/src/
+    lambda_function.py:30-90). ``src`` here is a path to a ``.geojson``
+    file, an already-parsed GeoJSON ``dict``, or a ``list`` of features.
+    Accepted shapes: FeatureCollection, Feature, bare Polygon /
+    MultiPolygon. Geometries get the engine's validity repair
+    (:func:`functions.geometry.normalize` — degenerate rings dropped).
+
+    AOI ids come from the feature ``id`` field, then
+    ``properties[id_property]``, then a stable ``feature_{i}`` fallback.
+
+    Parsing is driver-side (GeoJSON is a single-document format and this
+    mirrors the reference's preprocessing step); country-scale AOI batches
+    should land as parquet and skip this helper entirely."""
+    import json as _json
+
+    import numpy as np
+
+    from .functions import geometry as geo
+
+    if isinstance(src, str):
+        with open(src) as f:
+            src = _json.load(f)
+    if isinstance(src, dict):
+        t = src.get("type")
+        if t == "FeatureCollection":
+            features = src.get("features", [])
+        elif t == "Feature":
+            features = [src]
+        elif t in ("Polygon", "MultiPolygon"):
+            features = [{"type": "Feature", "geometry": src, "properties": {}}]
+        else:
+            raise ValueError(f"unsupported GeoJSON type: {t!r}")
+    elif isinstance(src, list):
+        features = src
+    else:
+        raise TypeError("src must be a path, GeoJSON dict, or feature list")
+
+    rows = []
+    for i, feat in enumerate(features):
+        g = feat.get("geometry") or {}
+        gt = g.get("type")
+        coords = g.get("coordinates", [])
+        if gt == "Polygon":
+            polys = [coords]
+        elif gt == "MultiPolygon":
+            polys = coords
+        else:
+            raise ValueError(
+                f"feature {i}: unsupported geometry type {gt!r} "
+                "(Polygon/MultiPolygon only)"
+            )
+        geom = [
+            [np.asarray(ring, dtype=np.float64)[:, :2] for ring in poly]
+            for poly in polys
+        ]
+        geom = geo.normalize(geom)
+        props = feat.get("properties") or {}
+        aoi_id = feat.get("id") or props.get(id_property) or f"feature_{i}"
+        rows.append((str(aoi_id), geo.wkb_dumps(geom)))
+    return spark.createDataFrame(rows or [], "aoi_id string, geom_wkb binary")
+
+
 def zonal_statistics_batch(
     spark: SparkSession,
     images: DataFrame,

@@ -31,11 +31,15 @@ IMAGE_STATS_SCHEMA = (
 )
 
 
-def image_stats(images: DataFrame) -> DataFrame:
+def image_stats(images: DataFrame, with_psnr: bool = False) -> DataFrame:
     """Decode every tile and emit per-image pixel statistics + a recomputed
-    phash + the decode-fidelity PSNR vs a lossless re-encode (inf for
-    lossless formats; >= 40 dB required for lossy ones — the input-hint
-    invariant)."""
+    phash + (opt-in) the decode-fidelity PSNR vs a lossless re-encode.
+
+    ``with_psnr=False`` (default) emits null psnr and skips the
+    re-encode+re-decode round trip — it doubles the codec cost of the hot
+    path for a fidelity stat most callers never read. With
+    ``with_psnr=True``: inf for lossless formats; >= 40 dB required for
+    lossy ones (the input-hint invariant)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -46,7 +50,9 @@ def image_stats(images: DataFrame) -> DataFrame:
                 finite = a[~np.isnan(a)]
                 # fidelity: lossy formats quantize; compare against their
                 # own decode->encode->decode fixpoint (deterministic)
-                if str(r.fmt) == "jpeg":
+                if not with_psnr:
+                    fid = None
+                elif str(r.fmt) == "jpeg":
                     rt = codecs.decode_tile(codecs.encode_tile(arr, "jpeg"), int(r.w), int(r.h), "jpeg")
                     fid = codecs.psnr(arr, rt)
                 else:

@@ -344,9 +344,31 @@ def build_partials_with_lookup(
         wrapped = _wrap_cell_kernel(kernel)
 
     if colocated:
+        if salted:
+            # hot-cell diversion: a cell shared by thousands of AOIs would
+            # be ONE serial AOI loop in one colocated task. Cells hotter
+            # than MAX_AOIS_PER_TASK leave the zero-shuffle stream and take
+            # the salted cell plan (their tile rows shuffle, duplicated per
+            # salt, so the AOI loop splits across tasks); everything else
+            # still streams shuffle-free. The hot list is small by
+            # construction (it is the driver-side lookup's skew summary).
+            hot = [int(c) for c in salted]
+            cold_part = imgs.filter(~F.col("cell_id").isin(hot)).mapInPandas(
+                _streaming_cells(wrapped), schema
+            )
+            hot_part = _salted_cell_plan(
+                spark, imgs.filter(F.col("cell_id").isin(hot)), salted, wrapped, schema
+            )
+            return cold_part.unionByName(hot_part)
         # zero-shuffle: the scan is cell-sorted; regroup cells per partition
         return imgs.mapInPandas(_streaming_cells(wrapped), schema)
+    return _salted_cell_plan(spark, imgs, salted, wrapped, schema)
 
+
+def _salted_cell_plan(spark, imgs: DataFrame, salted: dict, wrapped, schema: str) -> DataFrame:
+    """The shuffle-clustered cell-kernel stage: tile rows repartitioned by
+    cell (plus a salt replica per MAX_AOIS_PER_TASK-sized AOI slice of hot
+    cells) and fed to the kernel via applyInPandas."""
     group_keys = ["cell_id"]
     if salted:
         salt_dim = spark.createDataFrame(

@@ -135,10 +135,13 @@ def test_ann_lsh_recall(spark, emb):
 
 def test_image_stats_and_psnr(spark, corpus):
     images = spark.read.parquet(corpus["images"])
-    got = multimodal.image_stats(images).toPandas()
+    got = multimodal.image_stats(images, with_psnr=True).toPandas()
     assert len(got) == images.count()
     jp = got[got["image_id"].str.startswith("photo/")]
     assert len(jp) > 0 and (jp["psnr"] >= 40.0).all()  # input-hint invariant
+    # default path skips the re-encode round trip entirely (psnr null)
+    fast = multimodal.image_stats(images.limit(4)).toPandas()
+    assert fast["psnr"].isna().all()
     # phash recomputed from decode matches the stored column
     stored = images.select("image_id", "phash").toPandas().set_index("image_id")["phash"]
     for _, r in got.iterrows():

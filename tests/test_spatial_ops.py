@@ -249,3 +249,60 @@ def test_batch_large_distributed_validation(spark, corpus):
     r = res.toPandas()
     assert len(set(r["aoi_id"])) == n - len(bad)  # every good AOI returned
     assert (r["n"] > 0).all()
+
+
+def test_aoi_from_geojson(spark, corpus, tmp_path):
+    """GeoJSON feature-collection ingest (reference preprocessing parity):
+    ids resolve from feature id / properties / fallback, degenerate rings
+    are repaired away, and the result runs through the batch e2e."""
+    import json
+
+    from gfw_raster_analysis_lambda_spark.api import (
+        aoi_from_geojson,
+        zonal_statistics_batch,
+    )
+    from gfw_raster_analysis_lambda_spark.functions import geometry as geo
+    from gfw_raster_analysis_lambda_spark.sources import fixtures
+    from gfw_raster_analysis_lambda_spark.sources.images import read_images
+
+    ring = [[10.01, 20.80], [10.20, 20.80], [10.20, 20.95], [10.01, 20.95], [10.01, 20.80]]
+    degenerate = [[10.5, 20.5], [10.5, 20.5], [10.5, 20.5], [10.5, 20.5]]
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "id": "by_id",
+             "geometry": {"type": "Polygon", "coordinates": [ring]}},
+            {"type": "Feature", "properties": {"id": "by_prop"},
+             "geometry": {"type": "MultiPolygon",
+                          "coordinates": [[ring], [degenerate]]}},
+            {"type": "Feature", "properties": {},
+             "geometry": {"type": "Polygon", "coordinates": [ring]}},
+        ],
+    }
+    path = str(tmp_path / "aoi.geojson")
+    with open(path, "w") as f:
+        json.dump(fc, f)
+
+    aoi = aoi_from_geojson(spark, path)
+    rows = {r["aoi_id"]: bytes(r["geom_wkb"]) for r in aoi.collect()}
+    assert set(rows) == {"by_id", "by_prop", "feature_2"}
+    # degenerate ring repaired away; surviving polygon identical to by_id's
+    assert len(geo.wkb_loads(rows["by_prop"])) == 1
+    assert rows["by_prop"] == rows["by_id"]
+
+    # single-feature and bare-geometry shapes
+    assert aoi_from_geojson(spark, fc["features"][0]["geometry"]).count() == 1
+    assert aoi_from_geojson(spark, fc["features"][0]).count() == 1
+
+    res, failed = zonal_statistics_batch(
+        spark, read_images(spark, corpus["images"]), aoi,
+        "SELECT tcl_year, COUNT(*) AS n FROM tcl_year GROUP BY tcl_year",
+        fixtures.fixture_environment(), fixtures.GRID.name,
+    )
+    assert failed.count() == 0
+    r = res.toPandas()
+    assert set(r["aoi_id"]) == {"by_id", "by_prop", "feature_2"}
+    # identical geometries -> identical results
+    a = r[r.aoi_id == "by_id"].drop(columns="aoi_id").reset_index(drop=True)
+    b = r[r.aoi_id == "by_prop"].drop(columns="aoi_id").reset_index(drop=True)
+    assert a.equals(b)

@@ -565,3 +565,55 @@ def test_auto_fallback_over_broadcast_limit(spark, tables, env, monkeypatch):
     )
     assert took.get("shuffle_plan")
     assert_frames_match(got, exp)
+
+
+# 19. colocated hot-cell diversion: a cell stacked with hundreds of AOIs
+# must not serialize into one colocated task — it takes the salted cell
+# plan while cold cells keep the zero-shuffle stream; results must match
+# the reference-shaped aoi_cell plan exactly
+def test_colocated_hot_cell_diversion(spark, corpus, env, tmp_path, monkeypatch):
+    from gfw_raster_analysis_lambda_spark.functions import geometry as geo
+    from gfw_raster_analysis_lambda_spark.plans import planner
+    from gfw_raster_analysis_lambda_spark.sources.images import (
+        read_images,
+        write_images_cell_sorted,
+    )
+
+    path = str(tmp_path / "cs_hot")
+    write_images_cell_sorted(spark.read.parquet(corpus["images"]), path)
+    images = read_images(spark, path)
+
+    # 300 tiny AOIs stacked inside ONE cell (lon 10..10.25, lat 20.75..21)
+    # -> n_salt = ceil(300/64) = 5 salted slices; plus two normal AOIs
+    rows = []
+    for i in range(300):
+        lon = 10.01 + (i % 20) * 0.011
+        lat = 20.76 + (i // 20) * 0.015
+        rows.append((f"hot_{i:03d}", geo.wkb_dumps(geo.box(lon, lat, lon + 0.009, lat + 0.012))))
+    rows += [(a, w) for a, w in fixtures.fixture_aois()[:2]]
+    aoi_df = spark.createDataFrame(rows, "aoi_id string, geom_wkb binary")
+
+    q = ZonalQuery(
+        base_layer="tcl_year",
+        group_layers=("tcl_year",),
+        aggregates=(Aggregate("count", None, "n"),),
+    )
+
+    took = {}
+    orig = planner._salted_cell_plan
+
+    def spy(spark_, imgs_, salted_, wrapped_, schema_):
+        took["salted"] = dict(salted_)
+        return orig(spark_, imgs_, salted_, wrapped_, schema_)
+
+    monkeypatch.setattr(planner, "_salted_cell_plan", spy)
+    got = (
+        run_zonal_query(spark, images, aoi_df, q, env, GRID_NAME, strategy="colocated")
+        .toPandas().reset_index(drop=True)
+    )
+    assert took["salted"] and max(took["salted"].values()) >= 5  # diverted + salted
+    exp = (
+        run_zonal_query(spark, images, aoi_df, q, env, GRID_NAME, strategy="aoi_cell")
+        .toPandas().reset_index(drop=True)
+    )
+    assert_frames_match(got, exp)
