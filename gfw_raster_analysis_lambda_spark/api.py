@@ -31,6 +31,7 @@ def aoi_from_geojson(
     spark: SparkSession,
     src,
     id_property: str = "id",
+    simplify_tolerance: float | None = None,
 ) -> DataFrame:
     """Normalize GeoJSON input to the engine's AOI table
     ``(aoi_id string, geom_wkb binary)``.
@@ -93,6 +94,10 @@ def aoi_from_geojson(
             for poly in polys
         ]
         geom = geo.normalize(geom)
+        if simplify_tolerance:
+            # huge-vertex AOIs inflate the broadcast AOI-cell lookup; the
+            # reference's progressive simplify fallback, made opt-in here
+            geom = geo.simplify(geom, simplify_tolerance)
         props = feat.get("properties") or {}
         aoi_id = feat.get("id") or props.get(id_property) or f"feature_{i}"
         rows.append((str(aoi_id), geo.wkb_dumps(geom)))

@@ -362,6 +362,56 @@ def clip_to_rect(geom: Geometry, minx, miny, maxx, maxy) -> Geometry:
     return out
 
 
+def simplify(geom: Geometry, tolerance: float) -> Geometry:
+    """Douglas–Peucker ring simplification (max perpendicular deviation
+    <= ``tolerance`` degrees). The reference shrinks over-limit geometry
+    payloads with progressive shapely ``simplify(0.005/0.01)`` (reference
+    geometry.py:43-63, a Lambda payload-size workaround); here the use
+    case is shrinking multi-million-vertex AOIs before they enter the
+    broadcast AOI-cell lookup. Rings that collapse below 3 distinct
+    vertices are dropped (same repair rule as :func:`normalize`)."""
+    out: Geometry = []
+    for poly in geom:
+        rings = []
+        for ring in poly:
+            r = np.asarray(ring, dtype=np.float64)
+            closed = np.vstack([r, r[:1]]) if len(r) and not np.array_equal(r[0], r[-1]) else r
+            kept = _douglas_peucker(closed, float(tolerance))
+            if np.array_equal(kept[0], kept[-1]):
+                kept = kept[:-1]
+            if len(np.unique(kept, axis=0)) >= 3:
+                rings.append(kept)
+        if rings:
+            out.append(rings)
+    return out
+
+
+def _douglas_peucker(points: np.ndarray, tol: float) -> np.ndarray:
+    n = len(points)
+    if n <= 2:
+        return points
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = points[j] - points[i]
+        length = float(np.hypot(seg[0], seg[1]))
+        rel = points[i + 1: j] - points[i]
+        if length == 0.0:
+            d = np.hypot(rel[:, 0], rel[:, 1])
+        else:
+            d = np.abs(seg[0] * rel[:, 1] - seg[1] * rel[:, 0]) / length
+        k = int(np.argmax(d))
+        if d[k] > tol:
+            keep[i + 1 + k] = True
+            stack.append((i, i + 1 + k))
+            stack.append((i + 1 + k, j))
+    return points[keep]
+
+
 def normalize(geom: Geometry) -> Geometry:
     """Validity repair: drop rings with <3 distinct vertices and empty
     polygons. Even-odd masking makes heavier repair (buffer(0)) unneeded."""

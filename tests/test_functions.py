@@ -302,3 +302,25 @@ def test_polygon_to_cells_big_path_parity():
             xs, ys = np.meshgrid(minx + px, maxy - px)
             inside = geo.contains_points(geom, xs.ravel(), ys.ravel())
             assert not inside.any(), f"trial {trial}: dropped cell {c} has pixels"
+
+
+def test_simplify_douglas_peucker():
+    # a square with collinear edge midpoints: tolerance removes exactly the
+    # midpoints and preserves corners (and therefore the rasterized mask)
+    ring = np.array([
+        [0, 0], [5, 0], [10, 0], [10, 5], [10, 10],
+        [5, 10], [0, 10], [0, 5],
+    ], dtype=float)
+    g = [[ring]]
+    s = geo.simplify(g, 0.01)
+    assert len(s[0][0]) == 4
+    m0 = geo.rasterize_mask(g, 0.0, 10.0, 1.0, 10, 10)
+    m1 = geo.rasterize_mask(s, 0.0, 10.0, 1.0, 10, 10)
+    np.testing.assert_array_equal(m0, m1)
+    # a wiggly edge within tolerance collapses; outside tolerance survives
+    wig = np.array([[0, 0], [5, 0.4], [10, 0], [10, 10], [0, 10]], dtype=float)
+    assert len(geo.simplify([[wig]], 0.5)[0][0]) == 4
+    assert len(geo.simplify([[wig]], 0.1)[0][0]) == 5
+    # rings that collapse entirely are dropped (normalize repair rule)
+    sliver = np.array([[0, 0], [10, 0.001], [20, 0]], dtype=float)
+    assert geo.simplify([[sliver]], 0.5) == []
