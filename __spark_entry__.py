@@ -361,6 +361,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["zonal_isoweek_boundary"] = zonal_isoweek_boundary
 
+    def zonal_streaming_incremental(spark, sf_dir):
+        # Structured Streaming ingest in two LAYER-SPLIT waves (base/group
+        # layers land first, the filter layers a micro-batch later) must
+        # converge to the batch result — the DuckDB twin is the same
+        # pixel arithmetic, so the streaming path itself is hash-checked
+        import shutil
+        import tempfile
+
+        from gfw_raster_analysis_lambda_spark.plans.ir import (
+            Aggregate,
+            FilterAnd,
+            FilterLeaf,
+            ZonalQuery,
+        )
+        from gfw_raster_analysis_lambda_spark.streaming import (
+            incremental_zonal,
+            read_incremental_result,
+        )
+
+        _, aoi, env = _fixture(spark)
+        aoi2 = aoi.filter(F.col("aoi_id").isin(list(_BOXES)))
+        q_ = ZonalQuery(
+            base_layer="tcl_year",
+            group_layers=("tcl_year",),
+            aggregates=(
+                Aggregate("sum", "area__ha", "loss_ha"),
+                Aggregate("count", None, "n"),
+            ),
+            # raw-encoded flagship filter: tcd meaning >= 25, is_primary true
+            where=FilterAnd((
+                FilterLeaf("tcd_threshold", "in", (4, 5, 6, 7)),
+                FilterLeaf("is_primary", "in", (1,)),
+            )),
+        )
+        rows = fixtures.generate_images_rows()
+        wave1 = [r for r in rows if r[0].startswith("tcl_year/")]
+        wave2 = [r for r in rows if not r[0].startswith("tcl_year/")]
+        work = tempfile.mkdtemp(prefix="inc_gate_")
+        try:
+            stream_dir = os.path.join(work, "images")
+            out_dir = os.path.join(work, "out")
+            os.makedirs(stream_dir, exist_ok=True)
+            for wave in (wave1, wave2):
+                spark.createDataFrame(wave, fixtures.IMAGES_SCHEMA).coalesce(1)                     .write.mode("append").parquet(stream_dir)
+                sq = incremental_zonal(
+                    spark, stream_dir, aoi2, q_, env, GRID.name, out_dir
+                )
+                sq.awaitTermination(120)
+            df = read_incremental_result(spark, q_, env, GRID.name, out_dir)
+            # materialize before the temp dir disappears
+            out = spark.createDataFrame(
+                df.withColumn("loss_ha", F.round("loss_ha", 3)).collect(),
+                df.schema,
+            )
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+        return out
+    q["zonal_streaming_incremental"] = zonal_streaming_incremental
+
     # -- kNN tile lookup (north-rule J-row) ---------------------------------
 
     def knn_phash_lookup(spark, sf_dir):
@@ -723,6 +782,16 @@ t AS (
 )
 SELECT aoi_id, ROUND(SUM(s / nm), 6) AS em_avg, CAST(SUM(nm) AS BIGINT) AS n
 FROM t GROUP BY aoi_id
+"""
+
+    o["zonal_streaming_incremental"] = f"""
+WITH {_pix_cte(list(_BOXES))}
+SELECT aoi_id, {_TCL_DECODE} AS tcl_year,
+       ROUND(SUM(mean_area), 3) AS loss_ha,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM m
+WHERE tcl != 0 AND {_TCD_MEANING} >= 25 AND prim = 1
+GROUP BY aoi_id, tcl
 """
 
     o["zonal_isoweek_boundary"] = f"""
