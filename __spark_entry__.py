@@ -420,6 +420,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out
     q["zonal_streaming_incremental"] = zonal_streaming_incremental
 
+    def _stream_events_run(spark, sf_dir, op, read_filter):
+        # shared harness: ingest the sf events table as one sorted wave,
+        # then two far-future sentinel waves (the watermark lags one
+        # micro-batch, and session timeouts need it past last_ts + gap)
+        import glob
+        import shutil
+        import tempfile
+
+        import pandas as pd
+
+        pdf = (
+            _t(spark, sf_dir, "events").toPandas()
+            .sort_values("ts").reset_index(drop=True)
+        )
+        cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        pdf = pdf[cols]
+        work = tempfile.mkdtemp(prefix="ev_gate_")
+        try:
+            stream_dir = os.path.join(work, "events")
+            out_dir = os.path.join(work, "out")
+            os.makedirs(stream_dir, exist_ok=True)
+            waves = [pdf]
+            for i, days in enumerate((60, 120)):
+                waves.append(pd.DataFrame(
+                    [(10_000_000 + i, pdf["ts"].max() + pd.Timedelta(days=days),
+                      -1, "__sentinel__", 0.0, "{}")], columns=cols,
+                ))
+            for wave in waves:
+                spark.createDataFrame(wave).coalesce(1).write.mode("append")                     .parquet(stream_dir)
+                op(spark, stream_dir, out_dir).awaitTermination(120)
+            got = pd.concat(
+                [pd.read_parquet(f) for f in glob.glob(f"{out_dir}/data/*.parquet")]
+            )
+            got = got[read_filter(got)].reset_index(drop=True)
+            return spark.createDataFrame(got)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    def stream_windowed_events(spark, sf_dir):
+        # watermarked tumbling-window aggregation (readStream -> window()
+        # groupBy -> append sink); each window emitted exactly once
+        from gfw_raster_analysis_lambda_spark.streaming.events import (
+            windowed_event_stats,
+        )
+
+        return _stream_events_run(
+            spark, sf_dir, windowed_event_stats,
+            lambda g: g["event_type"] != "__sentinel__",
+        )
+    q["stream_windowed_events"] = stream_windowed_events
+
+    def stream_sessionize(spark, sf_dir):
+        # applyInPandasWithState gap sessionization (custom stateful op);
+        # sessions close via event-time state timeout
+        from gfw_raster_analysis_lambda_spark.streaming.events import (
+            sessionize_events,
+        )
+
+        return _stream_events_run(
+            spark, sf_dir, sessionize_events,
+            lambda g: g["user_id"] >= 0,
+        )
+    q["stream_sessionize"] = stream_sessionize
+
     # -- kNN tile lookup (north-rule J-row) ---------------------------------
 
     def knn_phash_lookup(spark, sf_dir):
@@ -792,6 +856,33 @@ SELECT aoi_id, {_TCL_DECODE} AS tcl_year,
 FROM m
 WHERE tcl != 0 AND {_TCD_MEANING} >= 25 AND prim = 1
 GROUP BY aoi_id, tcl
+"""
+
+    o["stream_windowed_events"] = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 3) AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+    o["stream_sessionize"] = """
+WITH d AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, SUM(brk) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ) AS sess FROM d
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 3) AS value_sum
+FROM s GROUP BY user_id, sess
 """
 
     o["zonal_isoweek_boundary"] = f"""

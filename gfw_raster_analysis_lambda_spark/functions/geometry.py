@@ -156,12 +156,13 @@ def is_empty(geom: Geometry) -> bool:
 # Containment (even-odd crossing number, vectorized)
 # ---------------------------------------------------------------------------
 
-def contains_points(geom: Geometry, xs, ys) -> np.ndarray:
+def contains_points(geom: Geometry, xs, ys, edges: np.ndarray | None = None) -> np.ndarray:
     """Even-odd point-in-polygon for arrays of points. O(E * P) broadcast,
-    chunked so memory stays bounded for large point sets."""
+    chunked so memory stays bounded for large point sets. ``edges`` lets
+    hot callers reuse a precomputed :func:`all_edges` array."""
     xs = np.asarray(xs, dtype=np.float64).ravel()
     ys = np.asarray(ys, dtype=np.float64).ravel()
-    e = all_edges(geom)
+    e = all_edges(geom) if edges is None else edges
     if len(e) == 0 or len(xs) == 0:
         return np.zeros(len(xs), dtype=bool)
     x1, y1, x2, y2 = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
@@ -186,6 +187,7 @@ def rasterize_mask(
     pixel_size: float,
     width: int,
     height: int,
+    edges: np.ndarray | None = None,
 ) -> np.ndarray:
     """Burn the geometry onto a north-up grid: ``mask[i, j]`` is True iff
     the center of pixel (row i, col j) lies inside the geometry (even-odd).
@@ -199,7 +201,7 @@ def rasterize_mask(
     lie strictly to its right via a sorted ``searchsorted`` — O(H * E log E)
     and fully vectorized along the width axis.
     """
-    e = all_edges(geom)
+    e = all_edges(geom) if edges is None else edges
     mask = np.zeros((height, width), dtype=bool)
     if len(e) == 0:
         return mask
@@ -295,7 +297,8 @@ def intersects_rect(geom: Geometry, minx, miny, maxx, maxy) -> bool:
     return _segments_intersect_rect(all_edges(geom), minx, miny, maxx, maxy)
 
 
-def covers_rect(geom: Geometry, minx, miny, maxx, maxy) -> bool:
+def covers_rect(geom: Geometry, minx, miny, maxx, maxy,
+                edges: np.ndarray | None = None) -> bool:
     """CONSERVATIVE full-containment test: True only when the closed rect
     is certainly inside the geometry. Used to skip rasterize+mask for tiles
     interior to an AOI (their zonal mask is all-True by construction, so
@@ -304,7 +307,7 @@ def covers_rect(geom: Geometry, minx, miny, maxx, maxy) -> bool:
     bbox touches the rect (so the rect sits entirely inside one region of
     the even-odd decomposition — a hole inside the rect would bring its
     edges with it) and the rect's corners are inside."""
-    e = all_edges(geom)
+    e = all_edges(geom) if edges is None else edges
     if len(e) == 0:
         return False
     ex_lo = np.minimum(e[:, 0], e[:, 2])
@@ -314,7 +317,9 @@ def covers_rect(geom: Geometry, minx, miny, maxx, maxy) -> bool:
     if bool(np.any((ex_hi >= minx) & (ex_lo <= maxx) & (ey_hi >= miny) & (ey_lo <= maxy))):
         return False
     return bool(
-        contains_points(geom, [minx, maxx, minx, maxx], [miny, miny, maxy, maxy]).all()
+        contains_points(
+            geom, [minx, maxx, minx, maxx], [miny, miny, maxy, maxy], edges=e
+        ).all()
     )
 
 

@@ -1,0 +1,182 @@
+"""Event-stream operators: watermarked windowed aggregation and custom
+stateful sessionization (``applyInPandasWithState``).
+
+The reference is batch request/response only; these cover the two
+Structured Streaming idioms the images-incremental path does not:
+
+- :func:`windowed_event_stats` — the canonical ``readStream ->
+  withWatermark -> window() groupBy -> append sink`` pipeline. Late rows
+  within the watermark merge into their window; a window is emitted
+  exactly once, when the watermark passes its end.
+- :func:`sessionize_events` — gap-based per-user sessions via
+  ``applyInPandasWithState`` (arbitrary stateful processing). Sessions
+  close when the event-time watermark passes ``last_event + gap`` (state
+  timeout), so ordering within a micro-batch doesn't matter and the
+  output is deterministic for a deterministic input.
+
+Both run on the ``events`` table shape (BASELINE input hint):
+``(event_id long, ts timestamp, user_id long, event_type string,
+value double, props string)``.
+
+Scale notes: both are single-shuffle plans (hash by window/event_type or
+by user_id); state is O(open sessions), bounded by the watermark — the
+exact shape a 100-TB/day event stream needs. Watermark semantics mean a
+window/session is emitted by the micro-batch AFTER the one whose data
+advanced the watermark past it (Spark computes each batch's watermark
+from the previous batch's max event time).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def windowed_event_stats(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    window_duration: str = "1 day",
+    watermark: str = "0 seconds",
+    trigger_once: bool = True,
+):
+    """Per-(time window, event_type) counts and value sums, append mode.
+
+    Returns the StreamingQuery; results land as parquet under
+    ``{out_dir}/data`` with columns
+    ``(window_start, event_type, n, value_sum)``."""
+    src = spark.readStream.schema(EVENTS_SCHEMA_DDL).parquet(events_dir)
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 3).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "value_sum"
+        )
+    )
+    stream = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{out_dir}/data")
+        .option("checkpointLocation", f"{out_dir}/ckpt")
+    )
+    if trigger_once:
+        stream = stream.trigger(availableNow=True)
+    return stream.start()
+
+
+SESSION_SCHEMA_DDL = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, value_sum double"
+)
+_STATE_SCHEMA_DDL = "start long, last long, n long, vsum double"
+
+
+def sessionize_events(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    gap_minutes: int = 30,
+    trigger_once: bool = True,
+):
+    """Gap-based sessionization: consecutive events of a user belong to one
+    session while the gap between them is <= ``gap_minutes``; a session is
+    emitted once the event-time watermark passes ``last_event + gap``
+    (EventTimeTimeout state timeout — no reliance on batch boundaries).
+
+    ``applyInPandasWithState`` is the custom-stateful-operator surface:
+    state per user is the open session's ``(start, last, n, value_sum)``
+    epoch-microsecond tuple. Output parquet under ``{out_dir}/data`` has
+    ``(user_id, session_start, session_end, n_events, value_sum)``."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+
+    def fn(key, pdfs, state):
+        user_id = int(key[0])
+        ts_all = []
+        val_all = []
+        for pdf in pdfs:
+            if len(pdf):
+                ts_all.append(pdf["ts"].astype("datetime64[us]").astype("int64"))
+                val_all.append(pdf["value"].astype("float64"))
+        closed = []
+        if state.exists:
+            start, last, n, vsum = state.get
+            have_state = True
+        else:
+            start, last, n, vsum = 0, 0, 0, 0.0
+            have_state = False
+
+        if ts_all:
+            ts = pd.concat(ts_all).to_numpy()
+            vals = pd.concat(val_all).to_numpy()
+            order = ts.argsort(kind="stable")
+            ts, vals = ts[order], vals[order]
+            for t, v in zip(ts.tolist(), vals.tolist()):
+                if not have_state:
+                    start, last, n, vsum = t, t, 1, float(v)
+                    have_state = True
+                elif t - last > gap_us:
+                    closed.append((user_id, start, last, n, vsum))
+                    start, last, n, vsum = t, t, 1, float(v)
+                else:
+                    last = t
+                    n += 1
+                    vsum += float(v)
+
+        if ts_all:
+            state.update((int(start), int(last), int(n), float(vsum)))
+            state.setTimeoutTimestamp(int(last) // 1000 + gap_us // 1000)
+        elif state.hasTimedOut and have_state:
+            closed.append((user_id, start, last, n, vsum))
+            state.remove()
+
+        if closed:
+            yield pd.DataFrame(
+                [
+                    (
+                        u,
+                        pd.Timestamp(s, unit="us"),
+                        pd.Timestamp(e, unit="us"),
+                        cn,
+                        round(cv, 3),
+                    )
+                    for (u, s, e, cn, cv) in closed
+                ],
+                columns=[
+                    "user_id", "session_start", "session_end",
+                    "n_events", "value_sum",
+                ],
+            )
+
+    src = spark.readStream.schema(EVENTS_SCHEMA_DDL).parquet(events_dir)
+    sessions = (
+        src.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA_DDL,
+            stateStructType=_STATE_SCHEMA_DDL,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    stream = (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{out_dir}/data")
+        .option("checkpointLocation", f"{out_dir}/ckpt")
+    )
+    if trigger_once:
+        stream = stream.trigger(availableNow=True)
+    return stream.start()

@@ -1,0 +1,129 @@
+"""Event-stream operators: watermarked windowed aggregation and
+applyInPandasWithState sessionization, both driven with availableNow
+micro-batch waves and checked against batch oracles.
+
+Watermark mechanics under test: Spark computes each micro-batch's
+watermark from the PREVIOUS batch's max event time, so emission of the
+final windows/sessions requires a later wave (sentinel rows with a
+far-future timestamp, fake user/type filtered from the assertions)."""
+
+import glob
+import os
+
+import pandas as pd
+import pytest
+
+from gfw_raster_analysis_lambda_spark.streaming.events import (
+    sessionize_events,
+    windowed_event_stats,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+EVENTS_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def _events_pdf():
+    return pd.read_parquet(f"{SF_DIR}/events.parquet")[EVENTS_COLS]
+
+
+def _write_wave(spark, stream_dir, pdf):
+    os.makedirs(stream_dir, exist_ok=True)
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(stream_dir)
+
+
+def _sentinel(i, ts, user=-1):
+    return pd.DataFrame(
+        [(10_000_000 + i, ts, user, "__sentinel__", 0.0, "{}")],
+        columns=EVENTS_COLS,
+    )
+
+
+@pytest.mark.slow
+def test_windowed_event_stats_with_late_rows(spark, tmp_path):
+    pdf = _events_pdf().sort_values("ts").reset_index(drop=True)
+    # wave 1: all but 50 rows; wave 2: 50 LATE rows (earlier ts than wave
+    # 1's max, still within the un-emitted tail) + a far-future sentinel
+    late = pdf.iloc[-300:-250]
+    wave1 = pdf.drop(late.index)
+    stream_dir, out_dir = str(tmp_path / "ev"), str(tmp_path / "out")
+    # late rows are ~8.5-10 days older than wave 1's max ts: a 12-day
+    # watermark delay admits them; a short one would (correctly) drop them
+    wm = "12 days"
+
+    _write_wave(spark, stream_dir, wave1)
+    windowed_event_stats(spark, stream_dir, out_dir, watermark=wm).awaitTermination(120)
+    _write_wave(spark, stream_dir, pd.concat(
+        [late, _sentinel(0, pdf["ts"].max() + pd.Timedelta(days=60))]
+    ))
+    windowed_event_stats(spark, stream_dir, out_dir, watermark=wm).awaitTermination(120)
+    # one more wave so the watermark (lagging one batch) passes everything
+    _write_wave(spark, stream_dir, _sentinel(1, pdf["ts"].max() + pd.Timedelta(days=120)))
+    windowed_event_stats(spark, stream_dir, out_dir, watermark=wm).awaitTermination(120)
+
+    got = (
+        pd.concat([pd.read_parquet(f) for f in glob.glob(f"{out_dir}/data/*.parquet")])
+        .query("event_type != '__sentinel__'")
+        .sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    )
+    exp = (
+        pdf.assign(window_start=pdf["ts"].dt.floor("1D"))
+        .groupby(["window_start", "event_type"], as_index=False)
+        .agg(n=("value", "size"), value_sum=("value", "sum"))
+        .sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    )
+    exp["value_sum"] = exp["value_sum"].round(3)
+    assert got["n"].tolist() == exp["n"].tolist()
+    assert got["window_start"].tolist() == exp["window_start"].tolist()
+    pd.testing.assert_series_equal(
+        got["value_sum"], exp["value_sum"], check_exact=False, rtol=1e-9
+    )
+    # windows emitted exactly once (append mode)
+    assert not got.duplicated(["window_start", "event_type"]).any()
+
+
+def _session_oracle(pdf, gap_minutes=30):
+    d = pdf.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    gap = pd.Timedelta(minutes=gap_minutes)
+    brk = (d["ts"] - d.groupby("user_id")["ts"].shift()).gt(gap) | (
+        d.groupby("user_id").cumcount() == 0
+    )
+    d["sess"] = brk.groupby(d["user_id"]).cumsum()
+    out = d.groupby(["user_id", "sess"], as_index=False).agg(
+        session_start=("ts", "min"),
+        session_end=("ts", "max"),
+        n_events=("ts", "size"),
+        value_sum=("value", "sum"),
+    )
+    out["value_sum"] = out["value_sum"].round(3)
+    return out.drop(columns="sess").sort_values(
+        ["user_id", "session_start"]
+    ).reset_index(drop=True)
+
+
+@pytest.mark.slow
+def test_sessionize_events_matches_oracle(spark, tmp_path):
+    pdf = _events_pdf().sort_values("ts").reset_index(drop=True)
+    stream_dir, out_dir = str(tmp_path / "ev"), str(tmp_path / "out")
+
+    _write_wave(spark, stream_dir, pdf)
+    sessionize_events(spark, stream_dir, out_dir).awaitTermination(120)
+    # two sentinel waves: wave N's data only advances the watermark used by
+    # wave N+1, and the last session times out only past last_ts + gap
+    for i, days in enumerate((60, 120)):
+        _write_wave(spark, stream_dir, _sentinel(i, pdf["ts"].max() + pd.Timedelta(days=days)))
+        sessionize_events(spark, stream_dir, out_dir).awaitTermination(120)
+
+    got = (
+        pd.concat([pd.read_parquet(f) for f in glob.glob(f"{out_dir}/data/*.parquet")])
+        .query("user_id >= 0")
+        .sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    )
+    exp = _session_oracle(pdf)
+    assert len(got) == len(exp)
+    assert got["user_id"].tolist() == exp["user_id"].tolist()
+    assert got["session_start"].tolist() == exp["session_start"].tolist()
+    assert got["session_end"].tolist() == exp["session_end"].tolist()
+    assert got["n_events"].tolist() == exp["n_events"].tolist()
+    pd.testing.assert_series_equal(
+        got["value_sum"], exp["value_sum"], check_exact=False, rtol=1e-9
+    )
