@@ -670,6 +670,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.ann_ivf(e, qs, k=10, n_centroids=16, n_probe=4)
     q["sim_ann_ivf"] = sim_ann_ivf
 
+    def sim_ann_ivf_kmeans(spark, sf_dir):
+        # IVF with a Lloyd-refined quantizer (1 deterministic iteration:
+        # cosine rounded to 6 before the argmin, ties -> centroid_id) —
+        # the production index build, oracle-checked end to end
+        e = _t(spark, sf_dir, "embeddings")
+        qs = e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        cents = similarity.kmeans_centroids(e, k=16, iters=1)
+        return similarity.ann_ivf(e, qs, k=10, n_probe=4, centroids=cents)
+    q["sim_ann_ivf_kmeans"] = sim_ann_ivf_kmeans
+
     return q
 
 
@@ -1247,6 +1259,60 @@ SELECT CAST(query_id AS BIGINT) AS query_id, id, cosine, CAST(rn AS INT) AS rank
         " * CAST(list_extract(c.embedding, i) AS DOUBLE))"
         f" / ({norm.format(t='x')} * {norm.format(t='c')})"
     )
+    o["sim_ann_ivf_kmeans"] = f"""
+WITH c0 AS (
+  SELECT CAST(vec_id AS BIGINT) AS centroid_id, embedding
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+a0 AS (
+  SELECT vec_id AS id, centroid_id FROM (
+    SELECT x.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY x.vec_id
+             ORDER BY ROUND({cos_xc}, 6) DESC, c.centroid_id ASC) AS rn
+    FROM embeddings x, c0 c, generate_series(1, 64) g(i)
+    GROUP BY x.vec_id, c.centroid_id
+  ) WHERE rn = 1
+),
+cm AS (
+  SELECT a0.centroid_id, i, AVG(CAST(list_extract(x.embedding, i) AS DOUBLE)) AS m
+  FROM embeddings x JOIN a0 ON a0.id = x.vec_id, generate_series(1, 64) g(i)
+  GROUP BY 1, 2
+),
+c1 AS (SELECT centroid_id, list(m ORDER BY i) AS embedding FROM cm GROUP BY centroid_id),
+assign AS (
+  SELECT vec_id AS id, centroid_id FROM (
+    SELECT x.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY x.vec_id ORDER BY SUM(CAST(list_extract(x.embedding, i) AS DOUBLE) * list_extract(c.embedding, i)) / (sqrt(SUM(CAST(list_extract(x.embedding, i) AS DOUBLE) * CAST(list_extract(x.embedding, i) AS DOUBLE))) * sqrt(SUM(list_extract(c.embedding, i) * list_extract(c.embedding, i)))) DESC, c.centroid_id ASC) AS rn
+    FROM embeddings x, c1 c, generate_series(1, 64) g(i)
+    GROUP BY x.vec_id, c.centroid_id
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, centroid_id FROM (
+    SELECT x.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY x.vec_id ORDER BY SUM(CAST(list_extract(x.embedding, i) AS DOUBLE) * list_extract(c.embedding, i)) / (sqrt(SUM(CAST(list_extract(x.embedding, i) AS DOUBLE) * CAST(list_extract(x.embedding, i) AS DOUBLE))) * sqrt(SUM(list_extract(c.embedding, i) * list_extract(c.embedding, i)))) DESC, c.centroid_id ASC) AS rn
+    FROM embeddings x, c1 c, generate_series(1, 64) g(i)
+    WHERE x.vec_id < 5
+    GROUP BY x.vec_id, c.centroid_id
+  ) WHERE rn <= 4
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS id,
+         ROUND({dot_ab.replace('b.embedding', 'q.embedding')}
+               / ({norm.format(t='a')} * {norm.format(t='q')}), 6) AS cosine
+  FROM embeddings a
+  JOIN assign s ON s.id = a.vec_id
+  JOIN probes p ON p.centroid_id = s.centroid_id
+  JOIN embeddings q ON q.vec_id = p.query_id,
+  generate_series(1, 64) g(i)
+  GROUP BY p.query_id, a.vec_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, id, cosine, CAST(rn AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id ASC) AS rn
+  FROM cand
+) WHERE rn <= 10
+"""
+
     o["sim_ann_ivf"] = f"""
 WITH centroids AS (
   SELECT vec_id AS centroid_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16

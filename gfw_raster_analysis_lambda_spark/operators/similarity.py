@@ -190,6 +190,65 @@ def ivf_assign(
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd refinement of the coarse IVF quantizer:
+    seeds = the ``k`` lowest-id vectors, then ``iters`` rounds of
+    (assign to nearest centroid by cosine, re-center on the member mean).
+
+    Fully relational and DETERMINISTIC (cosine rounded to 6 before the
+    argmin, ties broken on centroid_id), so one or two iterations are
+    DuckDB-expressible and the refined-IVF search is oracle-checkable.
+    Each iteration is one broadcast pass over the corpus plus an
+    O(k x dims)-row aggregate — the standard distributed Lloyd shape; at
+    100 TB this is the write-side index-build job. Empty clusters keep
+    their previous centroid."""
+    centroids = (
+        emb.orderBy(F.asc(id_col)).limit(k)
+        .select(F.col(id_col).cast("long").alias("centroid_id"), F.col(vec_col).alias("cv"))
+    )
+    corpus = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    for _ in range(int(iters)):
+        scored = (
+            corpus.crossJoin(F.broadcast(centroids))
+            .withColumn(
+                "cos",
+                F.round(_dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv"))), 6),
+            )
+        )
+        w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("centroid_id"))
+        assign = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", "centroid_id", "v")
+        )
+        comp_means = (
+            assign.select("centroid_id", F.posexplode("v").alias("i", "x"))
+            .groupBy("centroid_id", "i")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        )
+        updated = comp_means.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+            ).alias("cv")
+        )
+        # empty clusters keep their previous centroid (left join fallback)
+        centroids = (
+            centroids.select("centroid_id", F.col("cv").alias("cv_prev"))
+            .join(updated, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("cv"), F.col("cv_prev").cast("array<double>")).alias("cv"),
+            )
+        )
+    return centroids.select("centroid_id", F.col("cv").alias(vec_col))
+
+
 def ann_ivf(
     emb: DataFrame,
     queries: DataFrame,  # (query_id, embedding)
@@ -198,19 +257,24 @@ def ann_ivf(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-Flat approximate top-k: the scale path for embedding search.
 
     Coarse quantizer = the ``n_centroids`` lowest-id vectors (deterministic
-    and oracle-expressible; substitute k-means centroids in production —
-    the plan shape is identical). Every vector is assigned to its nearest
-    centroid once; each query probes its ``n_probe`` nearest centroids and
-    brute-forces ONLY those buckets — cost scales with n_probe/n_centroids
-    of the corpus instead of all of it. Recall < 1 by construction."""
-    centroids = (
-        emb.orderBy(F.asc(id_col)).limit(n_centroids)
-        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
-    )
+    and oracle-expressible), or pass ``centroids=kmeans_centroids(...)``
+    for the Lloyd-refined quantizer (also deterministic/oracle-checkable).
+    Every vector is assigned to its nearest centroid once; each query
+    probes its ``n_probe`` nearest centroids and brute-forces ONLY those
+    buckets — cost scales with n_probe/n_centroids of the corpus instead
+    of all of it. Recall < 1 by construction."""
+    if centroids is None:
+        centroids = (
+            emb.orderBy(F.asc(id_col)).limit(n_centroids)
+            .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
+        )
+    else:
+        centroids = centroids.select("centroid_id", F.col(vec_col))
     assign = ivf_assign(emb, centroids, id_col, vec_col)
 
     qc = F.broadcast(centroids.select("centroid_id", F.col(vec_col).alias("cv")))

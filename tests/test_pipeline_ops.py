@@ -235,3 +235,43 @@ def test_ngram_df_cap_bounds_candidates(spark):
     # capped: only the genuine near-dup pair survives candidate generation
     assert set(zip(capped["a"], capped["b"])) == {(100, 101)}
     assert capped["jaccard"].iloc[0] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_kmeans_centroids_refine_and_deterministic(spark, emb):
+    """Lloyd refinement must (a) be bit-deterministic across runs, (b) not
+    worsen mean quantization error vs the lowest-id seed, and (c) plug
+    into ann_ivf."""
+    seed = (
+        emb.orderBy(F.asc("vec_id")).limit(16)
+        .selectExpr("CAST(vec_id AS LONG) AS centroid_id", "embedding")
+    )
+    ref1 = similarity.kmeans_centroids(emb, k=16, iters=2).toPandas()
+    ref2 = similarity.kmeans_centroids(emb, k=16, iters=2).toPandas()
+    a = ref1.sort_values("centroid_id").reset_index(drop=True)
+    b = ref2.sort_values("centroid_id").reset_index(drop=True)
+    assert a["centroid_id"].tolist() == b["centroid_id"].tolist()
+    for va, vb in zip(a["embedding"], b["embedding"]):
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+    def mean_err(cdf):
+        assign = similarity.ivf_assign(emb, cdf)
+        joined = (
+            emb.selectExpr("vec_id AS id", "embedding AS v").join(assign, "id")
+            .join(cdf.selectExpr("centroid_id", "embedding AS cv"), "centroid_id")
+        )
+        from gfw_raster_analysis_lambda_spark.operators.similarity import _dot, _norm
+        return (
+            joined.select(
+                (1 - _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))).alias("e")
+            ).agg(F.avg("e")).collect()[0][0]
+        )
+
+    refined = similarity.kmeans_centroids(emb, k=16, iters=2)
+    assert mean_err(refined) <= mean_err(seed) + 1e-12
+
+    qs = emb.filter(F.col("vec_id") < 3).selectExpr("vec_id AS query_id", "embedding")
+    got = similarity.ann_ivf(emb, qs, k=5, n_probe=4, centroids=refined).toPandas()
+    assert set(got["query_id"]) == {0, 1, 2}
+    # each query finds itself (cos 1.0 at rank 1)
+    top = got[got["rank"] == 1]
+    assert (top["cosine"] >= 0.999999).all()

@@ -106,3 +106,46 @@ def test_upsample_to_cell_value_mapping(seed, xf, yf):
     # fine pixel (i, j) reads coarse ((yf%2)*32 + i//2, (xf%2)*32 + j//2)
     i, j = int(rng.integers(0, dst.chunk_px)), int(rng.integers(0, dst.chunk_px))
     assert fine[i, j] == coarse[(yf % 2) * 32 + i // 2, (xf % 2) * 32 + j // 2]
+
+
+@given(seed=st.integers(0, 2**31 - 1), n=st.integers(0, 300))
+@settings(max_examples=40, deadline=None)
+def test_regroup_matches_pandas_groupby(seed, n):
+    """zonal._regroup (factorize+bincount/fmin/fmax) must agree with pandas
+    groupby().agg for every agg kind it claims, including Float64 NaN
+    min/max semantics (skip-NaN, all-NaN -> NA)."""
+    import pandas as pd
+
+    from gfw_raster_analysis_lambda_spark.operators import zonal
+
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({
+        "aoi_id": rng.choice(["a", "b", "c", "d"], n),
+        "y": rng.integers(2014, 2018, n),
+        "w": rng.integers(1, 54, n),
+        "s": rng.normal(size=n),
+        "cnt": rng.integers(0, 9, n).astype(np.int64),
+        "mn": pd.array(
+            np.where(rng.random(n) < 0.3, np.nan, rng.normal(size=n)),
+            dtype="Float64",
+        ),
+        "mx": pd.array(
+            np.where(rng.random(n) < 0.95, np.nan, rng.normal(size=n)),
+            dtype="Float64",
+        ),
+    })
+    gc = ["aoi_id", "y", "w"]
+    am = {"s": "sum", "cnt": "sum", "mn": "min", "mx": "max"}
+    got = zonal._regroup(df, gc, am).sort_values(gc).reset_index(drop=True)
+    exp = df.groupby(gc, as_index=False).agg(am).sort_values(gc).reset_index(drop=True)
+    assert len(got) == len(exp)
+    for c in gc:
+        assert got[c].tolist() == exp[c].tolist()
+    np.testing.assert_allclose(
+        got["s"].to_numpy(float), exp["s"].to_numpy(float), rtol=1e-12
+    )
+    assert got["cnt"].tolist() == exp["cnt"].tolist()
+    for c in ("mn", "mx"):
+        g = got[c].to_numpy(dtype="float64", na_value=np.nan)
+        e = exp[c].to_numpy(dtype="float64", na_value=np.nan)
+        np.testing.assert_allclose(g, e, rtol=1e-12, equal_nan=True)
