@@ -99,7 +99,12 @@ def aoi_from_geojson(
             # reference's progressive simplify fallback, made opt-in here
             geom = geo.simplify(geom, simplify_tolerance)
         props = feat.get("properties") or {}
-        aoi_id = feat.get("id") or props.get(id_property) or f"feature_{i}"
+        # RFC 7946 allows id 0 / "": falsy ids are still ids
+        aoi_id = feat.get("id")
+        if aoi_id is None:
+            aoi_id = props.get(id_property)
+        if aoi_id is None:
+            aoi_id = f"feature_{i}"
         rows.append((str(aoi_id), geo.wkb_dumps(geom)))
     return spark.createDataFrame(rows or [], "aoi_id string, geom_wkb binary")
 
@@ -153,7 +158,9 @@ def zonal_statistics_batch(
 
     checked = aoi.select("aoi_id", "geom_wkb").withColumn(
         "_err", validation_error("geom_wkb")
-    )
+    ).persist()  # good/failed splits and the planner probe each drive an
+    # action; without the persist the WKB parse+repair would re-run per
+    # consumer (3-4x on exactly the country-scale batches this targets)
     good_df = checked.filter(F.col("_err").isNull()).drop("_err")
     failed_df = checked.filter(F.col("_err").isNotNull()).select(
         "aoi_id", F.col("_err").alias("error")

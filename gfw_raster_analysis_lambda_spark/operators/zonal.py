@@ -279,21 +279,29 @@ def make_cell_kernel(query: ZonalQuery, env_json: str, grid_name: str, aoi_looku
 
 _ENV_CACHE: dict[str, DataEnvironment] = {}
 _GEOM_CACHE: dict[bytes, tuple] = {}
+_GEOM_CACHE_BYTES = 0
+_GEOM_CACHE_MAX_BYTES = 256 << 20  # per-executor bound on cached edge arrays
 
 
 def _geom_edges(wkb: bytes):
     """(geometry, precomputed edge array) memoized by WKB bytes. An AOI
     overlaps MANY cells, and the colocated stream runs one task over many
     cells sequentially — parsing the WKB and rebuilding ring edges per
-    (aoi, cell) pair was pure rework. Bounded (clear-on-overflow) because
-    executors are long-lived."""
+    (aoi, cell) pair was pure rework. Bounded by accumulated BYTES
+    (clear-on-overflow), not entry count: the large-vertex AOIs this cache
+    exists for are exactly the ones whose edge arrays would blow an
+    entry-count bound (a 1M-vertex AOI holds ~32 MB of edges)."""
+    global _GEOM_CACHE_BYTES
     hit = _GEOM_CACHE.get(wkb)
     if hit is None:
         geom = geo.wkb_loads(wkb)
-        hit = (geom, geo.all_edges(geom))
-        if len(_GEOM_CACHE) >= 8192:
+        edges = geo.all_edges(geom)
+        hit = (geom, edges)
+        if _GEOM_CACHE_BYTES + edges.nbytes > _GEOM_CACHE_MAX_BYTES:
             _GEOM_CACHE.clear()
+            _GEOM_CACHE_BYTES = 0
         _GEOM_CACHE[wkb] = hit
+        _GEOM_CACHE_BYTES += edges.nbytes + len(wkb)
     return hit
 
 
@@ -769,7 +777,14 @@ def _regroup(pdf: pd.DataFrame, group_cols: list, aggmap: dict) -> pd.DataFrame:
         return pdf.groupby(group_cols, as_index=False).agg(aggmap)
     packed = np.zeros(n, dtype=np.int64)
     for c in group_cols:
-        codes, uniques = pd.factorize(pdf[c].to_numpy(), sort=False)
+        # use_na_sentinel=False: a NaN key becomes its own group code
+        # instead of -1 (the sentinel would collide with the previous
+        # group's last code under offset packing). The kernel masks NaN
+        # group pixels out long before this point, so the branch is
+        # defensive, but a collision would silently merge groups.
+        codes, uniques = pd.factorize(
+            pdf[c].to_numpy(), sort=False, use_na_sentinel=False
+        )
         if len(uniques) and packed.max() > (1 << 62) // len(uniques):
             return pdf.groupby(group_cols, as_index=False).agg(aggmap)
         packed = packed * max(len(uniques), 1) + codes
@@ -787,7 +802,12 @@ def _regroup(pdf: pd.DataFrame, group_cols: list, aggmap: dict) -> pd.DataFrame:
             else col.to_numpy()
         )
         if how == "sum":
-            acc = np.bincount(inv, weights=v.astype(np.float64), minlength=ngroups)
+            # skip-NaN like pandas sum (partial sums are NaN-free by
+            # construction, but the fallback path would skip, so match it)
+            w = v.astype(np.float64)
+            if w.dtype.kind == "f" and np.isnan(w).any():
+                w = np.nan_to_num(w)
+            acc = np.bincount(inv, weights=w, minlength=ngroups)
             if v.dtype.kind in "iu":
                 acc = acc.astype(np.int64)  # counts stay integral (< 2^53)
         elif how == "min":

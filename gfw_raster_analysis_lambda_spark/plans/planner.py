@@ -210,18 +210,23 @@ def build_partials_by_cell(
             spark, probe, grid_name, max_aois_per_task,
             cell_limit=BROADCAST_CELL_LIMIT,
         )
+        cells = None
     else:
         # big batch: count the aoi-cell rows DISTRIBUTED first; collect the
-        # lookup only when it provably fits the broadcast bound
-        cells = aoi_cells(aoi_df, grid_name)
+        # lookup only when it provably fits the broadcast bound. The
+        # polygon->cells enumeration is the expensive part, so persist it:
+        # count, (collect | shuffle-join plan) all reuse one job's output.
+        cells = aoi_cells(aoi_df, grid_name).persist()
         if cells.count() <= BROADCAST_CELL_LIMIT:
             lookup, salted = _aoi_lookup(spark, cells, max_aois_per_task)
+            cells.unpersist()
     if lookup is not None:
         return build_partials_with_lookup(
             images, lookup, salted, query, env, grid_name, colocated
         )
     # over the broadcast bound: reference-shaped shuffle-join plan
-    cells = aoi_cells(aoi_df, grid_name)
+    if cells is None:
+        cells = aoi_cells(aoi_df, grid_name)
     builder = build_pixels if query.select_pixels else build_partials
     return builder(images, cells, query, env, grid_name, broadcast_aoi=False)
 

@@ -85,6 +85,7 @@ def sessionize_events(
     events_dir: str,
     out_dir: str,
     gap_minutes: int = 30,
+    watermark: str = "0 seconds",
     trigger_once: bool = True,
 ):
     """Gap-based sessionization: consecutive events of a user belong to one
@@ -95,7 +96,15 @@ def sessionize_events(
     ``applyInPandasWithState`` is the custom-stateful-operator surface:
     state per user is the open session's ``(start, last, n, value_sum)``
     epoch-microsecond tuple. Output parquet under ``{out_dir}/data`` has
-    ``(user_id, session_start, session_end, n_events, value_sum)``."""
+    ``(user_id, session_start, session_end, n_events, value_sum)``.
+
+    Late-data semantics: rows older than the ``watermark`` delay are
+    dropped by Spark before they reach the operator (the streaming
+    contract); rows late-but-within-the-watermark merge into the user's
+    OPEN session conservatively — they extend its bounds, but never
+    retroactively split it or reopen an already-emitted session (append
+    mode cannot retract). A within-watermark row older than
+    ``session_start - gap`` is emitted as its own single-event session."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -126,11 +135,18 @@ def sessionize_events(
                 if not have_state:
                     start, last, n, vsum = t, t, 1, float(v)
                     have_state = True
+                elif t < start - gap_us:
+                    # late orphan (within the watermark, before the open
+                    # session): its own immediately-closed session
+                    closed.append((user_id, t, t, 1, float(v)))
                 elif t - last > gap_us:
                     closed.append((user_id, start, last, n, vsum))
                     start, last, n, vsum = t, t, 1, float(v)
                 else:
-                    last = t
+                    # in-session, incl. late rows within the watermark that
+                    # arrive out of order across batches (t may be < last)
+                    start = min(start, t)
+                    last = max(last, t)
                     n += 1
                     vsum += float(v)
 
@@ -161,7 +177,7 @@ def sessionize_events(
 
     src = spark.readStream.schema(EVENTS_SCHEMA_DDL).parquet(events_dir)
     sessions = (
-        src.withWatermark("ts", "0 seconds")
+        src.withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,

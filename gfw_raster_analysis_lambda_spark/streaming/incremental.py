@@ -65,6 +65,35 @@ def _aoi_lookup(spark: SparkSession, aoi_df: DataFrame, grid_name: str):
     )
 
 
+def _touched_target_cells(touched: list, grid_name: str) -> set:
+    """Map the micro-batch's touched cell ids onto the QUERY grid.
+
+    Cell ids embed their grid's index in the top bits, so a batch carrying
+    a layer stored on a different grid (the multigrid co-registration case
+    — e.g. coarse biomass tiles arriving on their own schedule) would never
+    intersect a lookup keyed by the target grid. A coarser touched cell
+    expands to the ratio^2 target cells it covers; a finer one maps to its
+    target-grid ancestor."""
+    from ..functions import grid as G
+
+    target = G.get_grid(grid_name)
+    out: set = set()
+    for c in touched:
+        src = G.grid_of_cell(c)
+        x, y = (int(v) for v in G.cell_to_xy(c))
+        if src.name == target.name:
+            out.add(c)
+        elif src.tile_deg >= target.tile_deg:  # coarser -> expand to children
+            r = G.cell_ratio(src, target)
+            for i in range(r):
+                for j in range(r):
+                    out.add(int(G.cell_from_xy(target, x * r + i, y * r + j)))
+        else:  # finer -> ancestor
+            r = G.cell_ratio(target, src)
+            out.add(int(G.cell_from_xy(target, x // r, y // r)))
+    return out
+
+
 def incremental_zonal(
     spark: SparkSession,
     images_dir: str,
@@ -93,7 +122,8 @@ def incremental_zonal(
             for r in with_derived_keys(batch_df)
             .select("cell_id").distinct().collect()
         ]
-        sub = {c: lookup.value[c] for c in touched if c in lookup.value}
+        target = _touched_target_cells(touched, grid_name)
+        sub = {c: lookup.value[c] for c in target if c in lookup.value}
         if not sub:
             return
         sub_lookup = spark.sparkContext.broadcast(sub)
@@ -150,7 +180,16 @@ def read_incremental_result(
     partitions."""
     fp = query_fingerprint(query, env, grid_name)
     pdir = f"{out_dir}/partials/q={fp}"
-    stored = spark.read.parquet(pdir)
+    try:
+        stored = spark.read.parquet(pdir)
+    except Exception:
+        # no batch has written partials yet (no ingested tile intersected
+        # any AOI): the current result is empty — or, FROM data, entirely
+        # the synthesized missing-cell rows below
+        empty = with_derived_keys(spark.createDataFrame([], IMAGES_SCHEMA_DDL))
+        stored = planner.build_partials_with_lookup(
+            empty, spark.sparkContext.broadcast({}), {}, query, env, grid_name
+        ).withColumn("_pcell", F.col("cell_id"))
     partials = stored.filter(F.col("aoi_id").isNotNull()).drop("_pcell")
     if query.base_layer == FROM_DATA:
         if aoi_df is None:

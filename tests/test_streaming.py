@@ -51,8 +51,8 @@ def _ingest(spark, stream_dir, batch_rows):
     ).parquet(stream_dir)
 
 
-def _run_stream(spark, stream_dir, aoi, q, env, out_dir):
-    sq = incremental_zonal(spark, stream_dir, aoi, q, env, GRID_NAME, out_dir)
+def _run_stream(spark, stream_dir, aoi, q, env, grid_name, out_dir):
+    sq = incremental_zonal(spark, stream_dir, aoi, q, env, grid_name, out_dir)
     sq.awaitTermination(120)
 
 
@@ -89,7 +89,7 @@ def test_incremental_matches_batch_layers_split_across_batches(spark, corpus, tm
     # filter excludes everything; the incremental result must equal the
     # batch engine run over exactly the wave-1 corpus (both empty here).
     _ingest(spark, stream_dir, wave1)
-    _run_stream(spark, stream_dir, aoi, q, env, out_dir)
+    _run_stream(spark, stream_dir, aoi, q, env, GRID_NAME, out_dir)
     got1 = (
         read_incremental_result(spark, q, env, GRID_NAME, out_dir)
         .toPandas().sort_values(["aoi_id", "tcl_year"]).reset_index(drop=True)
@@ -100,7 +100,7 @@ def test_incremental_matches_batch_layers_split_across_batches(spark, corpus, tm
     # wave 2: the filter layer lands late; touched cells recompute against
     # the full corpus and converge to the all-at-once batch result.
     _ingest(spark, stream_dir, wave2)
-    _run_stream(spark, stream_dir, aoi, q, env, out_dir)
+    _run_stream(spark, stream_dir, aoi, q, env, GRID_NAME, out_dir)
     got = (
         read_incremental_result(spark, q, env, GRID_NAME, out_dir)
         .toPandas().sort_values(["aoi_id", "tcl_year"]).reset_index(drop=True)
@@ -111,7 +111,7 @@ def test_incremental_matches_batch_layers_split_across_batches(spark, corpus, tm
     np.testing.assert_allclose(got["loss_ha"], exp["loss_ha"], rtol=1e-9)
 
     # replay: re-running with no new files must not change anything
-    _run_stream(spark, stream_dir, aoi, q, env, out_dir)
+    _run_stream(spark, stream_dir, aoi, q, env, GRID_NAME, out_dir)
     again = (
         read_incremental_result(spark, q, env, GRID_NAME, out_dir)
         .toPandas().sort_values(["aoi_id", "tcl_year"]).reset_index(drop=True)
@@ -139,7 +139,7 @@ def test_incremental_late_filter_layer_shrinks_result(spark, corpus, tmp_path):
     os.makedirs(stream_dir, exist_ok=True)
 
     _ingest(spark, stream_dir, wave1)
-    _run_stream(spark, stream_dir, aoi, q, env, out_dir)
+    _run_stream(spark, stream_dir, aoi, q, env, GRID_NAME, out_dir)
     n1 = (
         read_incremental_result(spark, q, env, GRID_NAME, out_dir)
         .toPandas()["n"].sum()
@@ -147,7 +147,7 @@ def test_incremental_late_filter_layer_shrinks_result(spark, corpus, tmp_path):
     assert n1 > 0  # zero-filled threshold == 0 admits pixels
 
     _ingest(spark, stream_dir, wave2)
-    _run_stream(spark, stream_dir, aoi, q, env, out_dir)
+    _run_stream(spark, stream_dir, aoi, q, env, GRID_NAME, out_dir)
     got = (
         read_incremental_result(spark, q, env, GRID_NAME, out_dir)
         .toPandas().sort_values("aoi_id").reset_index(drop=True)
@@ -178,9 +178,9 @@ def test_incremental_from_data_missing_cells_once(spark, corpus, tmp_path):
     os.makedirs(stream_dir, exist_ok=True)
 
     _ingest(spark, stream_dir, rows[:half])
-    _run_stream(spark, stream_dir, aoi, q, env, out_dir)
+    _run_stream(spark, stream_dir, aoi, q, env, GRID_NAME, out_dir)
     _ingest(spark, stream_dir, rows[half:])
-    _run_stream(spark, stream_dir, aoi, q, env, out_dir)
+    _run_stream(spark, stream_dir, aoi, q, env, GRID_NAME, out_dir)
 
     got = (
         read_incremental_result(spark, q, env, GRID_NAME, out_dir, aoi_df=aoi)
@@ -189,6 +189,78 @@ def test_incremental_from_data_missing_cells_once(spark, corpus, tmp_path):
     imgs = with_derived_keys(spark.createDataFrame(rows, fixtures.IMAGES_SCHEMA))
     exp = (
         run_zonal_query(spark, imgs, aoi, q, env, GRID_NAME)
+        .toPandas().sort_values("aoi_id").reset_index(drop=True)
+    )
+    assert got["aoi_id"].tolist() == exp["aoi_id"].tolist()
+    np.testing.assert_allclose(got["area_ha"], exp["area_ha"], rtol=1e-9)
+
+
+@pytest.mark.slow
+def test_incremental_multigrid_coarse_batch_triggers_recompute(spark, corpus, tmp_path):
+    """A micro-batch carrying ONLY a coarser-grid layer (biomass on 4/512)
+    must still trigger recompute: its cell ids live on the source grid and
+    must be mapped onto the query-grid lookup (regression: the change
+    signal used raw ids and silently skipped the batch forever)."""
+    env = fixtures.fixture_environment()
+    aoi = spark.read.parquet(corpus["aoi"])
+    q = ZonalQuery(
+        base_layer="tcl_year",
+        group_layers=("tcl_year",),
+        aggregates=(Aggregate("count", None, "n"),),
+        where=FilterLeaf("biomass", ">", (50,)),
+    )
+    rows = fixtures.generate_images_rows(layers=["tcl_year", "biomass"])
+    wave1 = [r for r in rows if r[0].startswith("tcl_year/")]
+    wave2 = [r for r in rows if r[0].startswith("biomass/")]
+    assert wave1 and wave2
+    stream_dir = str(tmp_path / "stream_images")
+    out_dir = str(tmp_path / "inc")
+    os.makedirs(stream_dir, exist_ok=True)
+
+    _ingest(spark, stream_dir, wave1)
+    _run_stream(spark, stream_dir, aoi, q, env, GRID_NAME, out_dir)
+    n1 = read_incremental_result(spark, q, env, GRID_NAME, out_dir).toPandas()["n"].sum()
+    assert n1 == 0  # biomass zero-fills -> filter excludes everything
+
+    _ingest(spark, stream_dir, wave2)  # coarse-grid cell ids only
+    _run_stream(spark, stream_dir, aoi, q, env, GRID_NAME, out_dir)
+    got = (
+        read_incremental_result(spark, q, env, GRID_NAME, out_dir)
+        .toPandas().sort_values(["aoi_id", "tcl_year"]).reset_index(drop=True)
+    )
+    imgs = with_derived_keys(spark.createDataFrame(rows, fixtures.IMAGES_SCHEMA))
+    exp = (
+        run_zonal_query(spark, imgs, aoi, q, env, GRID_NAME)
+        .toPandas().sort_values(["aoi_id", "tcl_year"]).reset_index(drop=True)
+    )
+    assert got["n"].sum() > 0
+    assert got["n"].tolist() == exp["n"].tolist()
+
+
+def test_incremental_read_before_any_partials(spark, corpus, tmp_path):
+    """read_incremental_result on an out_dir no batch has written yet must
+    return the correct empty / FROM-data-synthesized result, not crash."""
+    env = fixtures.fixture_environment()
+    aoi = spark.read.parquet(corpus["aoi"])
+    out_dir = str(tmp_path / "never_written")
+
+    q = _query()
+    assert read_incremental_result(spark, q, env, GRID_NAME, out_dir).count() == 0
+
+    qd = ZonalQuery(
+        base_layer=FROM_DATA,
+        aggregates=(Aggregate("sum", "area__ha", "area_ha"),),
+    )
+    got = (
+        read_incremental_result(spark, qd, env, GRID_NAME, out_dir, aoi_df=aoi)
+        .toPandas().sort_values("aoi_id").reset_index(drop=True)
+    )
+    # FROM data with zero ingested tiles = full zero-filled AOI area
+    empty_imgs = with_derived_keys(
+        spark.createDataFrame([], fixtures.IMAGES_SCHEMA)
+    )
+    exp = (
+        run_zonal_query(spark, empty_imgs, aoi, qd, env, GRID_NAME)
         .toPandas().sort_values("aoi_id").reset_index(drop=True)
     )
     assert got["aoi_id"].tolist() == exp["aoi_id"].tolist()

@@ -127,3 +127,64 @@ def test_sessionize_events_matches_oracle(spark, tmp_path):
     pd.testing.assert_series_equal(
         got["value_sum"], exp["value_sum"], check_exact=False, rtol=1e-9
     )
+
+
+@pytest.mark.slow
+def test_sessionize_late_rows_within_watermark_merge(spark, tmp_path):
+    """Rows arriving a micro-batch late but within the watermark must merge
+    into their (still-open) session. Withheld rows are chosen INTERIOR to
+    a session whose remaining events still chain within the gap, so the
+    conservative merge reproduces the batch oracle exactly."""
+    pdf = _events_pdf().sort_values("ts").reset_index(drop=True)
+    # sf0.001 events are ~1 per user per 11 h: use a 12 h gap so sessions
+    # actually chain (the default 30 min would make every event its own)
+    gap_min = 720
+    gap = pd.Timedelta(minutes=gap_min)
+    d = pdf.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    prev_ts = d.groupby("user_id")["ts"].shift()
+    next_ts = d.groupby("user_id")["ts"].shift(-1)
+    # session assignment (same rule as the oracle)
+    brk = (d["ts"] - prev_ts).gt(gap) | prev_ts.isna()
+    d["sess"] = brk.groupby(d["user_id"]).cumsum()
+    last_sess = d.groupby("user_id")["sess"].transform("max")
+    # withhold rows interior to each user's LAST session only: earlier
+    # sessions were already emitted by wave 1 (append mode cannot retract,
+    # so a late row into a closed session becomes an orphan by design);
+    # rows in the still-open final session merge exactly. Removal must not
+    # split the session (neighbors still bridge) and one row per user
+    # (adjacent withheld rows would re-open the gap).
+    interior = (
+        (d["sess"] == last_sess)
+        & (d["ts"] - prev_ts <= gap)
+        & (next_ts - d["ts"] <= gap)
+        & (next_ts - prev_ts <= gap)
+    )
+    late = d[interior].groupby("user_id").head(1).drop(columns="sess")
+    assert len(late) >= 3
+    wave1 = pdf[~pdf["event_id"].isin(late["event_id"])]
+
+    stream_dir, out_dir = str(tmp_path / "ev"), str(tmp_path / "out")
+    # watermark larger than the whole data span: nothing closes during the
+    # late wave, so every late row lands in an open session
+    wm = "40 days"
+
+    _write_wave(spark, stream_dir, wave1)
+    sessionize_events(spark, stream_dir, out_dir, gap_minutes=gap_min, watermark=wm).awaitTermination(120)
+    _write_wave(spark, stream_dir, pd.concat(
+        [late, _sentinel(0, pdf["ts"].max() + pd.Timedelta(days=60))]
+    ))
+    sessionize_events(spark, stream_dir, out_dir, gap_minutes=gap_min, watermark=wm).awaitTermination(120)
+    for i, days in enumerate((120, 180)):
+        _write_wave(spark, stream_dir, _sentinel(1 + i, pdf["ts"].max() + pd.Timedelta(days=days)))
+        sessionize_events(spark, stream_dir, out_dir, gap_minutes=gap_min, watermark=wm).awaitTermination(120)
+
+    got = (
+        pd.concat([pd.read_parquet(f) for f in glob.glob(f"{out_dir}/data/*.parquet")])
+        .query("user_id >= 0")
+        .sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    )
+    exp = _session_oracle(pdf, gap_minutes=gap_min)
+    assert got["n_events"].sum() == exp["n_events"].sum()  # no late row lost
+    assert len(got) == len(exp)
+    assert got["session_start"].tolist() == exp["session_start"].tolist()
+    assert got["n_events"].tolist() == exp["n_events"].tolist()
