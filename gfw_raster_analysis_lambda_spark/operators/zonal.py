@@ -118,7 +118,7 @@ def make_zonal_kernel(query: ZonalQuery, env_json: str, grid_name: str):
         env = _env_cache(env_json)
         grid = G.get_grid(grid_name)
         cell_id = int(pdf["cell_id"].iloc[0])
-        geom, g_edges = _geom_edges(bytes(pdf["geom_wkb"].iloc[0]))
+        geom, g_edges, _ = _geom_edges(bytes(pdf["geom_wkb"].iloc[0]))
 
         x0, y0, ps = G.cell_affine(grid, cell_id)
         lat_c = float(G.cell_centroid_lat(grid, np.array([cell_id]))[0])
@@ -184,6 +184,9 @@ def make_cell_kernel(query: ZonalQuery, env_json: str, grid_name: str, aoi_looku
     every AOI of the cell.
     """
     pixel_mode = bool(query.select_pixels)
+    # built once per query (driver side): constructing an empty typed frame
+    # costs ~1.4 ms in pandas, and sparse corpora return it for most cells
+    empty = _empty_partials(query)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         env = _env_cache(env_json)
@@ -191,12 +194,12 @@ def make_cell_kernel(query: ZonalQuery, env_json: str, grid_name: str, aoi_looku
         cell_id = int(pdf["cell_id"].iloc[0])
         entry = aoi_lookup.value.get(cell_id)
         if entry is None:
-            return _empty_partials(query)
+            return empty.copy()
         n_salt, aois = entry
         if "_salt" in pdf.columns:
             aois = aois[int(pdf["_salt"].iloc[0])::n_salt]
         if not aois:
-            return _empty_partials(query)
+            return empty.copy()
 
         x0, y0, ps = G.cell_affine(grid, cell_id)
         lat_c = float(G.cell_centroid_lat(grid, np.array([cell_id]))[0])
@@ -225,7 +228,7 @@ def make_cell_kernel(query: ZonalQuery, env_json: str, grid_name: str, aoi_looku
         if pixel_mode:
             blocks = []
             for aoi_id, wkb in aois:
-                geom, g_edges = _geom_edges(bytes(wkb))
+                geom, g_edges, _ = _geom_edges(bytes(wkb))
                 mask = np.ravel(geo.rasterize_mask(geom, x0, y0, ps, tile_px, tile_px, edges=g_edges))
                 if static is not None:
                     mask &= static
@@ -235,7 +238,7 @@ def make_cell_kernel(query: ZonalQuery, env_json: str, grid_name: str, aoi_looku
             return pd.concat(blocks, ignore_index=True)
 
         # aggregate mode: accumulate numpy per AOI, build ONE frame per cell
-        ctx = _CellAggContext(query, values, mean_area)
+        ctx = _CellAggContext(query, values, mean_area, env)
         ids: list = []
         lens: list = []
         cols: dict[str, list] = {}
@@ -246,8 +249,8 @@ def make_cell_kernel(query: ZonalQuery, env_json: str, grid_name: str, aoi_looku
         cell_rect = (x0, y0 - tile_px * ps, x0 + tile_px * ps, y0)
         full_result = None
         for aoi_id, wkb in aois:
-            geom, g_edges = _geom_edges(bytes(wkb))
-            if geo.covers_rect(geom, *cell_rect, edges=g_edges):
+            geom, g_edges, g_meta = _geom_edges(bytes(wkb))
+            if geo.covers_rect(geom, *cell_rect, edges=g_edges, meta=g_meta):
                 if full_result is None:
                     m = static if static is not None else np.ones(tile_px * tile_px, dtype=bool)
                     full_result = ctx.run(m)
@@ -263,14 +266,14 @@ def make_cell_kernel(query: ZonalQuery, env_json: str, grid_name: str, aoi_looku
             for k, v in part.items():
                 cols.setdefault(k, []).append(v)
         if not cols or sum(lens) == 0:
-            return _empty_partials(query)
+            return empty.copy()
         nullable = _nullable_minmax_cols(query)
         data = {"aoi_id": np.repeat(np.asarray(ids, dtype=object), lens)}
         for k, parts in cols.items():
             v = np.concatenate(parts)
             data[k] = pd.array(v, dtype="Float64") if k in nullable else v
         pdf_out = pd.DataFrame(data)
-        if query.isoweek_layers and query.group_layers:
+        if query.isoweek_layers and query.group_layers and not ctx.emits_iso:
             pdf_out = _isoweek_pushdown(pdf_out, query, env, id_cols=("aoi_id",))
         return pdf_out
 
@@ -284,24 +287,30 @@ _GEOM_CACHE_MAX_BYTES = 256 << 20  # per-executor bound on cached edge arrays
 
 
 def _geom_edges(wkb: bytes):
-    """(geometry, precomputed edge array) memoized by WKB bytes. An AOI
-    overlaps MANY cells, and the colocated stream runs one task over many
-    cells sequentially — parsing the WKB and rebuilding ring edges per
-    (aoi, cell) pair was pure rework. Bounded by accumulated BYTES
-    (clear-on-overflow), not entry count: the large-vertex AOIs this cache
-    exists for are exactly the ones whose edge arrays would blow an
-    entry-count bound (a 1M-vertex AOI holds ~32 MB of edges)."""
+    """(geometry, precomputed edge array, cover meta) memoized by WKB
+    bytes. An AOI overlaps MANY cells, and the colocated stream runs one
+    task over many cells sequentially — parsing the WKB and rebuilding ring
+    edges per (aoi, cell) pair was pure rework; likewise the per-edge bbox
+    arrays that :func:`geo.covers_rect` needs (the full-cover memo probes
+    covers_rect once per (aoi, cell), so its O(E) setup has to be hoisted
+    here). Bounded by accumulated BYTES (clear-on-overflow), not entry
+    count: the large-vertex AOIs this cache exists for are exactly the ones
+    whose edge arrays would blow an entry-count bound (a 1M-vertex AOI
+    holds ~32 MB of edges)."""
     global _GEOM_CACHE_BYTES
     hit = _GEOM_CACHE.get(wkb)
     if hit is None:
         geom = geo.wkb_loads(wkb)
         edges = geo.all_edges(geom)
-        hit = (geom, edges)
-        if _GEOM_CACHE_BYTES + edges.nbytes > _GEOM_CACHE_MAX_BYTES:
+        meta = geo.cover_meta(geom, edges)
+        hit = (geom, edges, meta)
+        # meta holds 4 float64 arrays of len(edges) -> ~2x the edge bytes
+        nbytes = 3 * edges.nbytes + len(wkb)
+        if _GEOM_CACHE_BYTES + nbytes > _GEOM_CACHE_MAX_BYTES:
             _GEOM_CACHE.clear()
             _GEOM_CACHE_BYTES = 0
         _GEOM_CACHE[wkb] = hit
-        _GEOM_CACHE_BYTES += edges.nbytes + len(wkb)
+        _GEOM_CACHE_BYTES += nbytes
     return hit
 
 
@@ -325,15 +334,19 @@ def _decode_and_derive(
     tile_px = grid.chunk_px
     has_src = "src_cell_id" in pdf.columns
     present: dict[str, np.ndarray] = {}
-    for _, row in pdf.iterrows():
-        if row["layer"] is None or (isinstance(row["layer"], float) and pd.isna(row["layer"])):
+    src_cells = pdf["src_cell_id"].to_numpy() if has_src else np.zeros(len(pdf))
+    for lval, b, w, h, fmt, src_cell in zip(
+        pdf["layer"].to_numpy(), pdf["bytes"].to_numpy(), pdf["w"].to_numpy(),
+        pdf["h"].to_numpy(), pdf["fmt"].to_numpy(), src_cells,
+    ):
+        if lval is None or (isinstance(lval, float) and pd.isna(lval)):
             continue  # left-join null: AOI cell with no tiles at all
-        lname = str(row["layer"])
-        arr = codecs.decode_tile(bytes(row["bytes"]), int(row["w"]), int(row["h"]), str(row["fmt"]))
+        lname = str(lval)
+        arr = codecs.decode_tile(bytes(b), int(w), int(h), str(fmt))
         lgrid_name = getattr(env.get_layer(lname), "grid", None)
         if has_src and lgrid_name and lgrid_name != grid.name:
             arr = G.upsample_to_cell(
-                arr, G.get_grid(lgrid_name), grid, int(row["src_cell_id"]), cell_id
+                arr, G.get_grid(lgrid_name), grid, int(src_cell), cell_id
             )
         present[lname] = arr
 
@@ -368,13 +381,50 @@ def _data_mask(arr: np.ndarray, nodata) -> np.ndarray:
     return m
 
 
+_IN_LUT_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def _in_mask(arr: np.ndarray, vals) -> np.ndarray:
+    """Set-membership pixel mask. ``np.isin`` sorts/searches per call —
+    ~40% of flagship kernel time once IN-expanded meaning filters (P5) hit
+    every tile. For <=16-bit integer rasters (the norm: categorical and
+    thresholded layers are uint8) a cached boolean LUT over the dtype's
+    domain turns the test into one fancy-index gather."""
+    a = np.asarray(arr)
+    if a.dtype.kind in "ui" and a.dtype.itemsize <= 2:
+        info = np.iinfo(a.dtype)
+        key = (a.dtype.str, tuple(vals))
+        hit = _IN_LUT_CACHE.get(key)
+        if hit is None:
+            v = np.asarray(vals, dtype=np.float64)
+            v = np.unique(v[(v >= info.min) & (v <= info.max) & (v == np.floor(v))])
+            iv = v.astype(np.int64)
+            if len(iv) and len(iv) == iv[-1] - iv[0] + 1:
+                # contiguous raw-code range (the usual shape of a >=/<
+                # meaning filter after IN expansion): two compares beat a
+                # 64k-gather ~10x
+                hit = ("range", int(iv[0]), int(iv[-1]))
+            else:
+                lut = np.zeros(int(info.max) - int(info.min) + 1, dtype=bool)
+                lut[iv - int(info.min)] = True
+                hit = ("lut", lut, int(info.min))
+            _IN_LUT_CACHE[key] = hit
+        if hit[0] == "range":
+            return (a >= hit[1]) & (a <= hit[2])
+        lut, lo = hit[1], hit[2]
+        if lo == 0:
+            return lut[a]
+        return lut[a.astype(np.int32) - lo]
+    return np.isin(a, np.asarray(vals))
+
+
 def _eval_filter(node, values: dict[str, np.ndarray]) -> np.ndarray:
     """Filter tree -> boolean pixel mask (P1-P5). Literals are already in
     raw pixel space (encoded at plan time)."""
     if isinstance(node, FilterLeaf):
         arr = values[node.layer]
         if node.op == "in":
-            return np.isin(arr, np.asarray(node.values))
+            return _in_mask(arr, node.values)
         v = node.values[0]
         ops = {
             ">": np.greater, "<": np.less, ">=": np.greater_equal,
@@ -548,13 +598,22 @@ class _CellAggContext:
     (same dictionary-encoding as _group_key_inverse) and aggregate inputs
     are float64-converted once, so the per-AOI work collapses to
     ``flatnonzero(mask)`` + ``bincount``(s) — no per-AOI unique/LUT, no
-    per-AOI dtype conversions, no per-AOI pandas objects."""
+    per-AOI dtype conversions, no per-AOI pandas objects.
 
-    def __init__(self, query: ZonalQuery, values: dict, mean_area: float):
+    isoweek group layers (F1) are folded into the PIXEL key here (decode
+    the tile's unique raw dates once, broadcast (isoyear, isoweek) back to
+    pixels): the bincount then groups by week directly, the group domain
+    shrinks from O(distinct dates) to O(distinct weeks), and the per-cell
+    ``_isoweek_pushdown`` regroup disappears from the hot path entirely —
+    it was ~half the kernel's wall time on alert-date queries."""
+
+    def __init__(self, query: ZonalQuery, values: dict, mean_area: float,
+                 env: DataEnvironment | None = None):
         self.query = query
         self.values = values
         self.mean_area = mean_area
         self.fast = False
+        self.emits_iso = False
         q = query
         self.data: dict[str, np.ndarray] = {}
         for a in q.aggregates:
@@ -567,16 +626,33 @@ class _CellAggContext:
             self.fast = True
             return
         ints: list[np.ndarray] = []
+        names: list[str] = []
+        iso_names: set = set()
         for g in q.group_layers:
             c = np.asarray(values[g])
+            as_int = None
             if c.dtype.kind in "uib":
-                ints.append(c.astype(np.int64))
+                as_int = c.astype(np.int64)
             else:
                 f = c.astype(np.float64)
                 if np.all(np.isfinite(f)) and np.array_equal(f, np.floor(f)):
-                    ints.append(f.astype(np.int64))
+                    as_int = f.astype(np.int64)
                 else:
                     return  # non-integer group values -> generic path
+            if g in q.isoweek_layers and env is not None:
+                iy, iw = _iso_year_week_of_raw(as_int, env.get_layer(g))
+                ints.append(iy)
+                names.append(f"{g}__isoyear")
+                ints.append(iw)
+                names.append(f"{g}__isoweek")
+                iso_names.update(names[-2:])
+            else:
+                ints.append(as_int)
+                names.append(g)
+        self.out_group_names = names
+        self.iso_out_names = iso_names
+        # emits_iso only flips once the fast path is certain — a later
+        # bail-out (domain overflow) must leave the generic+pushdown flow
         mins = [int(c.min()) for c in ints]
         dims = [int(c.max()) - m + 1 for c, m in zip(ints, mins)]
         total = 1
@@ -595,6 +671,7 @@ class _CellAggContext:
                 break
         self.packed, self.mins, self.dims, self.total = packed, mins, dims, total
         self.fast = True
+        self.emits_iso = bool(self.iso_out_names)
 
     def run(self, mask: np.ndarray) -> dict[str, np.ndarray]:
         """Partial aggregate columns (raw group names) for one AOI mask."""
@@ -630,8 +707,9 @@ class _CellAggContext:
 
         if q.group_layers:
             if n_masked == 0:
-                for g in q.group_layers:
-                    out[g] = np.empty(0, dtype=np.float64)
+                for g in self.out_group_names:
+                    is_iso = g in self.iso_out_names
+                    out[g] = np.empty(0, dtype=np.int64 if is_iso else np.float64)
                 for a in q.aggregates:
                     for n in _agg_partial_names(a, q):
                         is_long = a.func == "count" or n.endswith("__cnt")
@@ -644,11 +722,12 @@ class _CellAggContext:
             rem = nz
             ucols: list[np.ndarray] = []
             for m, d in zip(reversed(self.mins), reversed(self.dims)):
-                ucols.append((rem % d + m).astype(np.float64))
+                ucols.append(rem % d + m)
                 rem = rem // d
             ucols.reverse()
-            for k, g in enumerate(q.group_layers):
-                out[g] = ucols[k]
+            for k, g in enumerate(self.out_group_names):
+                c = ucols[k]
+                out[g] = c if g in self.iso_out_names else c.astype(np.float64)
         else:
             pk = None
             nz = np.array([0])
@@ -714,6 +793,51 @@ def _nullable_minmax_cols(q: ZonalQuery) -> set:
     return {a.alias for a in q.aggregates if a.func in ("min", "max")}
 
 
+def _iso_of_values(vals: np.ndarray, decode_src) -> tuple[np.ndarray, np.ndarray]:
+    """ISO-8601 (year, week) of raw int64 values after date decode. ISO
+    math in pure numpy: classify each date by the Thursday of its week
+    (1970-01-01 was a Thursday -> Mon=0 weekday is ``(d + 3) % 7``); the
+    week number is that Thursday's ordinal within its year."""
+    if decode_src:
+        decoded = np.asarray(compile_expression(decode_src)(vals))
+        days = decoded.astype("datetime64[D]").astype(np.int64)
+    else:  # raw values are days since 1970-01-01
+        days = vals
+    thu = days + 3 - (days + 3) % 7
+    years = thu.astype("datetime64[D]").astype("datetime64[Y]")
+    iso_year = years.astype(np.int64) + 1970
+    iso_week = (thu - years.astype("datetime64[D]").astype(np.int64)) // 7 + 1
+    return iso_year, iso_week
+
+
+_ISO_LUT_CACHE: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _iso_year_week_of_raw(raw: np.ndarray, layer) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized ISO-8601 (year, week) of RAW group values. Raster date
+    codes live in a small non-negative integer domain (uint16 day-offsets),
+    so the per-pixel path is two gathers through a cached decode LUT over
+    ``0..max`` — no 65k-element sort per tile (np.unique's argsort was the
+    kernel's top cost on alert-date queries). Values outside the LUT-able
+    domain fall back to unique+inverse. Shared by the per-pixel fast path
+    (_CellAggContext) and the per-group pushdown (_isoweek_pushdown)."""
+    raw = np.asarray(raw)
+    decode_src = getattr(layer, "decode_expression", None)
+    if raw.size and raw.dtype.kind in "ui":
+        rmin, rmax = int(raw.min()), int(raw.max())
+        if rmin >= 0 and rmax <= (1 << 20):
+            key = decode_src or "__days__"
+            lut = _ISO_LUT_CACHE.get(key)
+            if lut is None or len(lut[0]) <= rmax:
+                dom = np.arange(max(rmax, 4095) + 1, dtype=np.int64)
+                _ISO_LUT_CACHE[key] = lut = _iso_of_values(dom, decode_src)
+            a = raw.astype(np.int64) if raw.dtype != np.int64 else raw
+            return lut[0][a], lut[1][a]
+    uniq, inv = np.unique(raw, return_inverse=True)
+    iy, iw = _iso_of_values(uniq.astype(np.int64), decode_src)
+    return iy[inv], iw[inv]
+
+
 def _isoweek_pushdown(pdf: pd.DataFrame, query: ZonalQuery, env, id_cols: tuple = ()) -> pd.DataFrame:
     """isoweek(date_layer) applied to the per-tile partial (F1, pushed
     down): decode the raw group values (a few hundred uniques at most),
@@ -729,27 +853,11 @@ def _isoweek_pushdown(pdf: pd.DataFrame, query: ZonalQuery, env, id_cols: tuple 
             new_groups.append(g)
             continue
         raw = pdf[g].to_numpy().astype(np.int64)
-        layer = env.get_layer(g)
-        decode_src = getattr(layer, "decode_expression", None)
-        # decode only the tile's unique raw values, then broadcast back
-        uniq, inv = np.unique(raw, return_inverse=True)
-        if decode_src:
-            decoded = np.asarray(compile_expression(decode_src)(uniq))
-            days = decoded.astype("datetime64[D]").astype(np.int64)
-        else:  # raw values are days since 1970-01-01
-            days = uniq
-        # ISO 8601 year/week in pure numpy: classify each date by the
-        # Thursday of its week (1970-01-01 was a Thursday -> Mon=0 weekday
-        # is (d + 3) % 7); week = ordinal of that Thursday within its year
-        thu = days + 3 - (days + 3) % 7
-        thu_d = thu.astype("datetime64[D]")
-        years = thu_d.astype("datetime64[Y]")
-        iso_year = years.astype(np.int64) + 1970
-        iso_week = (thu - years.astype("datetime64[D]").astype(np.int64)) // 7 + 1
+        iso_year, iso_week = _iso_year_week_of_raw(raw, env.get_layer(g))
         idx = pdf.columns.get_loc(g)
         pdf = pdf.drop(columns=[g])
-        pdf.insert(idx, f"{g}__isoweek", iso_week[inv])
-        pdf.insert(idx, f"{g}__isoyear", iso_year[inv])
+        pdf.insert(idx, f"{g}__isoweek", iso_week)
+        pdf.insert(idx, f"{g}__isoyear", iso_year)
         new_groups += [f"{g}__isoyear", f"{g}__isoweek"]
     aggmap: dict[str, str] = {}
     for a in query.aggregates:

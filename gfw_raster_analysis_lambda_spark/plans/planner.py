@@ -39,6 +39,14 @@ BROADCAST_CELL_LIMIT = 2_000_000  # aoi-cell rows we are happy to broadcast
 MAX_AOIS_PER_TASK = 64  # hot-cell salting threshold (cell kernel AOI loop)
 
 
+def _in_long_set(col: str, ids) -> "F.Column":
+    """``col IN (<literal longs>)`` as ONE parsed SQL expression.
+    ``Column.isin`` builds a py4j literal per element — one driver<->JVM
+    round trip each, ~1 s of plan-construction time for a 2k-cell AOI
+    batch. One expr string is one round trip regardless of set size."""
+    return F.expr(f"`{col}` IN ({','.join(str(int(c)) for c in ids)})")
+
+
 # ---------------------------------------------------------------------------
 # J1: polygon -> cells (the spatial join key derivation)
 # ---------------------------------------------------------------------------
@@ -77,6 +85,7 @@ def run_zonal_query(
     per_aoi: bool = True,
     broadcast_aoi: bool | None = None,
     strategy: str | None = None,
+    aoi_index: "AoiIndex | None" = None,
 ) -> DataFrame:
     """Execute a zonal query; returns the final result DataFrame with one
     block of rows per AOI (column ``aoi_id`` first when ``per_aoi``).
@@ -111,9 +120,20 @@ def run_zonal_query(
             return _finalize_pixels(out, query)
         partials = build_partials(images, cells, query, env, grid_name, broadcast_aoi)
         return finalize_partials(partials, query, env)
-    out = build_partials_by_cell(
-        images, aoi_df, query, env, grid_name, colocated=(strategy == "colocated")
-    )
+    if aoi_index is not None:
+        if aoi_index.grid_name != grid_name:
+            raise ValueError(
+                f"aoi_index was prepared on grid {aoi_index.grid_name!r} but the "
+                f"query resolves to {grid_name!r}; prepare one per target grid"
+            )
+        out = build_partials_with_lookup(
+            images, aoi_index.lookup, aoi_index.salted, query, env, grid_name,
+            colocated=(strategy == "colocated"),
+        )
+    else:
+        out = build_partials_by_cell(
+            images, aoi_df, query, env, grid_name, colocated=(strategy == "colocated")
+        )
     if query.select_pixels:
         return _finalize_pixels(out, query)
     return finalize_partials(out, query, env)
@@ -176,6 +196,48 @@ def _lookup_from_by_cell(spark: SparkSession, by_cell: dict, max_aois_per_task: 
         if n_salt > 1:
             salted[c] = n_salt
     return spark.sparkContext.broadcast(lookup), salted
+
+
+class AoiIndex:
+    """Driver-prepared AOI->cell index, reusable across queries.
+
+    A real batch workload runs MANY queries over ONE geometry list — the
+    reference enumerates tiles once per request and feeds every analysis
+    from that list (reference tiling.py:220-237). Preparing the index once
+    amortizes the per-query AOI collect + polygon->cells enumeration +
+    broadcast (~1-2 s of driver time per query on a 512-AOI batch) across
+    the whole query set. Only valid for the grid it was built on."""
+
+    __slots__ = ("grid_name", "lookup", "salted")
+
+    def __init__(self, grid_name: str, lookup, salted: dict):
+        self.grid_name = grid_name
+        self.lookup = lookup          # Broadcast[{cell: (n_salt, [(aoi, wkb)...])}]
+        self.salted = salted          # {cell_id: n_salt} hot-cell summary
+
+    def unpersist(self):
+        self.lookup.unpersist()
+
+
+def prepare_aoi_index(
+    spark: SparkSession,
+    aoi_df: DataFrame,
+    grid_name: str,
+    max_aois_per_task: int = MAX_AOIS_PER_TASK,
+) -> AoiIndex | None:
+    """Build an :class:`AoiIndex` for ``aoi_df`` on ``grid_name``; returns
+    ``None`` when the batch exceeds the broadcast bound (callers then run
+    the normal per-query path, which routes to the distributed
+    shuffle-join plan)."""
+    probe = aoi_df.select("aoi_id", "geom_wkb").limit(DRIVER_ENUM_AOI_LIMIT + 1).collect()
+    if len(probe) > DRIVER_ENUM_AOI_LIMIT:
+        return None
+    lookup, salted = _aoi_lookup_from_aois(
+        spark, probe, grid_name, max_aois_per_task, cell_limit=BROADCAST_CELL_LIMIT
+    )
+    if lookup is None:
+        return None
+    return AoiIndex(grid_name, lookup, salted)
 
 
 def build_partials_by_cell(
@@ -316,7 +378,7 @@ def build_partials_with_lookup(
         imgs = imgs.filter(F.lit(False))
     elif len(cell_ids) <= 2048:
         # exact IN-set pushdown (small AOI batches: read only covered cells)
-        imgs = imgs.filter(F.col("cell_id").isin([int(c) for c in cell_ids]))
+        imgs = imgs.filter(_in_long_set("cell_id", cell_ids))
     else:
         # min/max prune pushes to parquet row-group stats (cell-sorted files)
         imgs = imgs.filter(F.col("cell_id").between(min(cell_ids), max(cell_ids)))
@@ -358,11 +420,11 @@ def build_partials_with_lookup(
             # still streams shuffle-free. The hot list is small by
             # construction (it is the driver-side lookup's skew summary).
             hot = [int(c) for c in salted]
-            cold_part = imgs.filter(~F.col("cell_id").isin(hot)).mapInPandas(
+            cold_part = imgs.filter(~_in_long_set("cell_id", hot)).mapInPandas(
                 _streaming_cells(wrapped), schema
             )
             hot_part = _salted_cell_plan(
-                spark, imgs.filter(F.col("cell_id").isin(hot)), salted, wrapped, schema
+                spark, imgs.filter(_in_long_set("cell_id", hot)), salted, wrapped, schema
             )
             return cold_part.unionByName(hot_part)
         # zero-shuffle: the scan is cell-sorted; regroup cells per partition

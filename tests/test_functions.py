@@ -258,7 +258,14 @@ def test_covers_rect_conservative():
     big = geo.box(0, 0, 10, 10)
     assert geo.covers_rect(big, 2, 2, 4, 4)          # interior rect
     assert not geo.covers_rect(big, -1, 2, 4, 4)     # spills out
-    assert not geo.covers_rect(big, 0, 0, 4, 4)      # edge-touching -> conservative False
+    # axis-aligned box fast path is EXACT: edge-touching rect is covered
+    # (every pixel center of the rect is strictly inside the closed box
+    # under the rasterize parity rule)
+    assert geo.covers_rect(big, 0, 0, 4, 4)
+    # ...but a non-box geometry with the same shape stays conservative
+    pent = [[np.array([[0, 0], [10, 0], [10, 10], [5, 10], [0, 10]], float)]]
+    assert not geo.covers_rect(pent, 0, 0, 4, 4)
+    assert geo.covers_rect(pent, 2, 2, 4, 4)
     assert not geo.covers_rect(geo.box(5, 5, 6, 6), 2, 2, 8, 8)  # geom inside rect
     # polygon with hole: rect containing the hole is NOT covered
     outer = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float)

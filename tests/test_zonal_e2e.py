@@ -297,6 +297,37 @@ def test_strategy_parity_cell_vs_aoi_cell(spark, tables, env):
     assert_frames_match(got, ref)
 
 
+def test_prepared_aoi_index_parity(spark, tables, env):
+    """A prepared AoiIndex (enumerate+salt+broadcast once, reuse across
+    queries) must produce bit-identical results to the per-query path, and
+    reject grid mismatches."""
+    from gfw_raster_analysis_lambda_spark.plans import planner
+
+    images, aoi_df = tables
+    q = _parity_query()
+    idx = planner.prepare_aoi_index(spark, aoi_df, GRID_NAME)
+    assert idx is not None
+    ref = run_zonal_query(spark, images, aoi_df, q, env, GRID_NAME, strategy="cell").toPandas()
+    got = run_zonal_query(
+        spark, images, aoi_df, q, env, GRID_NAME, strategy="cell", aoi_index=idx
+    ).toPandas()
+    assert_frames_match(got, ref)
+    # second query over the SAME index (the amortization the API exists for)
+    q2 = ZonalQuery(
+        base_layer="tcl_year",
+        aggregates=(Aggregate("count", None, "n"),),
+    )
+    ref2 = run_zonal_query(spark, images, aoi_df, q2, env, GRID_NAME, strategy="cell").toPandas()
+    got2 = run_zonal_query(
+        spark, images, aoi_df, q2, env, GRID_NAME, strategy="cell", aoi_index=idx
+    ).toPandas()
+    assert_frames_match(got2, ref2)
+    with pytest.raises(ValueError, match="prepared on grid"):
+        run_zonal_query(
+            spark, images, aoi_df, q, env, "4/4096", strategy="cell", aoi_index=idx
+        )
+
+
 def test_strategy_parity_salted(spark, tables, env):
     from gfw_raster_analysis_lambda_spark.plans import planner
 
