@@ -643,6 +643,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["dedup_embedding_cosine"] = dedup_embedding_cosine
 
+    # -- image near-dup by perceptual hash (Manku-style bit banding) ---------
+    # The DuckDB twins are BRUTE-FORCE all-pairs hamming scans, so they
+    # independently certify the banding's exact-recall guarantee
+    # (max_hamming <= bands - 1), not just the arithmetic.
+
+    def dedup_phash_images(spark, sf_dir):
+        df = spark.createDataFrame(_phash_dedup_corpus(), "image_id string, phash long")
+        return dedup.phash_near_duplicates(df, max_hamming=3, bands=4).select(
+            "a", "b", F.col("hamming").cast("int").alias("hamming")
+        )
+    q["dedup_phash_images"] = dedup_phash_images
+
+    def dedup_phash_keepers(spark, sf_dir):
+        df = spark.createDataFrame(_phash_dedup_corpus(), "image_id string, phash long")
+        return dedup.phash_dedup_keepers(df, max_hamming=3, bands=4)
+    q["dedup_phash_keepers"] = dedup_phash_keepers
+
     # -- similarity search ---------------------------------------------------
 
     def sim_cosine_topk(spark, sf_dir):
@@ -705,6 +722,22 @@ def _knn_queries() -> list[tuple[str, int]]:
     rows = _corpus_phashes()
     # probe with the phash of every 40th tile (3-4 probes)
     return [(f"q{k}", rows[idx][1]) for k, idx in enumerate(range(0, len(rows), 40))]
+
+
+def _phash_dedup_corpus() -> list[tuple[str, int]]:
+    """Fixture phashes + deterministically planted near-dup variants
+    (1-2 bit flips, hamming <= 3) for the image-dedup contract queries."""
+    if "dedup_rows" not in _KNN_CACHE:
+        rows = _corpus_phashes()
+        out = list(rows)
+        for i, (iid, p) in enumerate(rows):
+            if i % 5 == 0:
+                v = p ^ (1 << (i % 61))
+                if i % 10 == 0:
+                    v ^= 1 << ((i * 7 + 13) % 61)
+                out.append((iid + "~v", v))
+        _KNN_CACHE["dedup_rows"] = out
+    return _KNN_CACHE["dedup_rows"]
 
 
 # ===========================================================================
@@ -1204,6 +1237,38 @@ WITH pairs AS (
   GROUP BY a.vec_id, b.vec_id
 )
 SELECT a, b, ROUND(cos, 6) AS cosine FROM pairs WHERE ROUND(cos, 6) >= 0.3
+"""
+
+    # -- image near-dup by phash: brute-force all-pairs hamming twins ------
+    phash_vals = ", ".join(
+        f"('{i}', CAST({p} AS BIGINT))" for i, p in _phash_dedup_corpus()
+    )
+    o["dedup_phash_images"] = f"""
+WITH imgs(image_id, phash) AS (VALUES {phash_vals})
+SELECT a.image_id AS a, b.image_id AS b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM imgs a JOIN imgs b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+"""
+    o["dedup_phash_keepers"] = f"""
+WITH imgs(image_id, phash) AS (VALUES {phash_vals}),
+grp AS (SELECT phash, MIN(image_id) AS rep FROM imgs GROUP BY phash),
+pairs AS (
+  SELECT a.rep AS a, b.rep AS b FROM grp a JOIN grp b ON a.rep < b.rep
+  WHERE bit_count(xor(a.phash, b.phash)) <= 3
+),
+neigh AS (
+  SELECT rep, MIN(other) AS min_other FROM (
+    SELECT a AS rep, b AS other FROM pairs
+    UNION ALL SELECT b AS rep, a AS other FROM pairs
+  ) GROUP BY rep
+),
+rk AS (
+  SELECT g.phash, LEAST(g.rep, COALESCE(n.min_other, g.rep)) AS keeper
+  FROM grp g LEFT JOIN neigh n ON g.rep = n.rep
+)
+SELECT i.image_id AS id, r.keeper FROM imgs i JOIN rk r ON i.phash = r.phash
+WHERE i.image_id != r.keeper
 """
 
     o["sim_cosine_topk"] = f"""

@@ -179,6 +179,12 @@ def bench_queries(spark):
     q["dedup_minhash_keepers"] = lambda: dedup.minhash_dedup_keepers(
         _t("documents"), n_hashes=8, bands=4
     )
+    # image near-dup over the tile corpus phashes: the corpus is extremely
+    # duplicate-heavy (556 distinct hashes / 9216 tiles), exactly the shape
+    # the distinct-first keepers path exists for
+    q["dedup_phash_keepers"] = lambda: dedup.phash_dedup_keepers(
+        images.select("image_id", "phash"), max_hamming=3, bands=4
+    )
 
     # LSH bucket build twins: the relational (oracle) builder vs the
     # mapInPandas matmul production path — the bench records the ratio

@@ -190,6 +190,38 @@ def test_minhash_keepers_consistent_with_pairs(spark):
     assert 4 not in set(keep["id"]) and 5 not in set(keep["id"])
 
 
+def test_phash_near_duplicates_exact_recall(spark):
+    """Banding must find EVERY pair within max_hamming <= bands-1 (the
+    pigeonhole regime) exactly once, and the keepers variant must stay
+    O(images) on a hot bucket of identical hashes."""
+    base = 0x1234_5678_9ABC_DEF0
+    rows = [
+        ("a0", base),
+        ("a1", base ^ (1 << 3)),               # hamming 1 from a0
+        ("a2", base ^ (1 << 3) ^ (1 << 40)),   # hamming 2 from a0
+        ("b0", ~base & 0x7FFF_FFFF_FFFF_FFFF),  # far away
+    ]
+    # hot bucket: 50 tiles sharing ONE phash (the synthetic-corpus shape)
+    rows += [(f"h{i:02d}", 0x0F0F_0F0F_0F0F_0F0F) for i in range(50)]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    pairs = dedup.phash_near_duplicates(df, max_hamming=3, bands=4).toPandas()
+    got = {(r.a, r.b): r.hamming for r in pairs.itertuples()}
+    # brute force oracle over the distinct-hash part
+    assert got[("a0", "a1")] == 1 and got[("a0", "a2")] == 2 and got[("a1", "a2")] == 1
+    assert not any("b0" in k for k in got)
+    # no duplicate pair emission despite multi-band matches
+    assert len(pairs) == len(pairs.drop_duplicates(["a", "b"]))
+    keep = dedup.phash_dedup_keepers(df, max_hamming=3, bands=4).toPandas()
+    # O(images): 49 hot-bucket members -> h00, a1/a2 -> a0; never pairs^2
+    by_id = dict(zip(keep["id"], keep["keeper"]))
+    assert by_id["a1"] == "a0" and by_id["a2"] == "a0"
+    assert sum(1 for k in by_id if k.startswith("h")) == 49
+    assert all(v == "h00" for k, v in by_id.items() if k.startswith("h"))
+    assert len(keep) == 51
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.phash_near_duplicates(df, max_hamming=4, bands=4)
+
+
 def test_ann_ivf_probes_subset_and_ranks(spark, emb):
     qs = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
