@@ -521,6 +521,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mm_image_stats"] = mm_image_stats
     q["mm_resize_stats"] = mm_resize_stats
 
+    def mm_overview_stats(spark, sf_dir):
+        # build one pyramid level (fixture grid -> 2x coarser, 2x2 cells
+        # per parent) with block-mean reduction, then stat the parents;
+        # the DuckDB twin recomputes FLOOR(AVG(2x2)) from the pixel
+        # formulas across the reassembled 4-child window
+        from gfw_raster_analysis_lambda_spark.operators import pyramid
+
+        images, _, _ = _fixture(spark)
+        keep = ["tcl_year", "tcd_threshold", "is_primary",
+                "alert_date_conf", "drivers", "ttc_percent"]
+        src = images.filter(F.col("layer").isin(keep)).select(
+            "layer", "cell_id", "bytes", "w", "h", "fmt"
+        )
+        ov = pyramid.build_overviews(
+            src, GRID.name, _G.GRID_FIXTURE_COARSE.name, method="mean"
+        )
+        s = multimodal.image_stats(ov)
+        return s.select(
+            "image_id", "w", "h",
+            F.round("px_mean", 6).alias("px_mean"),
+            F.round("px_min", 6).alias("px_min"),
+            F.round("px_max", 6).alias("px_max"),
+        )
+    q["mm_overview_stats"] = mm_overview_stats
+
     # -- relational shell on the driver's TPC-H-ish tables ------------------
 
     def rel_pricing_summary(spark, sf_dir):
@@ -1036,6 +1061,42 @@ SELECT image_id, {half_px} AS w, {half_px} AS h,
        ROUND(MIN(v2), 6) AS px_min,
        ROUND(MAX(v2), 6) AS px_max
 FROM rs GROUP BY 1, 2, 3
+"""
+
+    # overview twin: each parent pixel (I, J) on the 2x-coarser grid is
+    # FLOOR(AVG) of a 2x2 fine block; the block always falls inside ONE
+    # child tile (even offsets), child cell = (2X + J//32, 2Y + I//32),
+    # within-child pixel = ((2I)%64 + di, (2J)%64 + dj)
+    ov_f = {
+        k: v.format(
+            x="(2*X + J // 32)", y="(2*Y + I // 32)",
+            i="((2*I) % 64 + di)", j="((2*J) % 64 + dj)",
+        )
+        for k, v in fixtures.PIXEL_SQL.items()
+    }
+    ov_layers = ["tcl_year", "tcd_threshold", "is_primary",
+                 "alert_date_conf", "drivers", "ttc_percent"]
+    ov_unions = []
+    for layer in ov_layers:
+        ov_unions.append(f"""
+SELECT '{layer}' || '/' || lower(lpad(hex(CAST({cg.index << 54} AS BIGINT) + X * {1 << 27} + Y), 16, '0')) AS image_id,
+       I, J, CAST({ov_f[layer]} AS DOUBLE) AS v
+FROM generate_series({X0 // 2}, {(X0 + NX) // 2 - 1}) tX(X),
+     generate_series({Y0 // 2}, {(Y0 + NY) // 2 - 1}) tY(Y),
+     generate_series(0, {cg.chunk_px - 1}) tI(I),
+     generate_series(0, {cg.chunk_px - 1}) tJ(J),
+     generate_series(0, 1) tdi(di),
+     generate_series(0, 1) tdj(dj)""")
+    o["mm_overview_stats"] = f"""
+WITH pp AS ({' UNION ALL '.join(ov_unions)}),
+red AS (
+  SELECT image_id, I, J, FLOOR(AVG(v)) AS v FROM pp GROUP BY image_id, I, J
+)
+SELECT image_id, {cg.chunk_px} AS w, {cg.chunk_px} AS h,
+       ROUND(AVG(v), 6) AS px_mean,
+       ROUND(MIN(v), 6) AS px_min,
+       ROUND(MAX(v), 6) AS px_max
+FROM red GROUP BY 1, 2, 3
 """
 
     # -- relational ----------------------------------------------------------

@@ -1,0 +1,125 @@
+"""Tile-pyramid overview builder: aggregate fine-grid tiles into coarser
+grid levels (the COG/`gdaladdo` overview step, and the inverse of the
+finest-grid co-registration upsample in functions.grid.upsample_to_cell).
+
+The reference serves pre-built raster pyramids and co-registers by
+upsampling at query time (reference query.py:196-210, window.py:96-101);
+building the coarser levels from the base level is the companion
+write-side job. Spark shape: derive each tile's parent cell id with pure
+bit arithmetic (one Catalyst projection), ``groupBy(layer, parent)`` and
+assemble+reduce each parent window in an Arrow-batched kernel. The
+shuffle carries each tile's bytes exactly once, grouped k^2-to-1 — the
+natural tree reduction; chaining calls builds the full pyramid in
+log(levels) jobs.
+
+Reduction methods (GDAL resampling names):
+- ``mean``: block average, truncated back to the integer dtype
+  (FLOOR(AVG) — matches multimodal.resize_tiles); NaN-skipping for float
+  layers (all-NaN blocks stay NaN, the raster NoData convention).
+- ``nearest``: top-left sample of each block (categorical layers).
+- ``max``: block maximum (presence/alert layers).
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import codecs
+from ..functions import grid as G
+
+_METHODS = ("mean", "nearest", "max")
+
+
+def parent_cell_col(src: G.Grid, dst: G.Grid):
+    """Catalyst expression: parent cell id on ``dst`` of a ``cell_id`` on
+    ``src`` (integer-divide the packed (x, y) by the cell ratio)."""
+    k = _cell_ratio(src, dst)
+    xb, yb = G._X_BITS, G._Y_BITS
+    x = F.shiftright(F.col("cell_id"), yb).bitwiseAND(F.lit((1 << xb) - 1))
+    y = F.col("cell_id").bitwiseAND(F.lit((1 << yb) - 1))
+    base = F.lit(dst.index << (xb + yb))
+    # `/` on Columns is FLOAT division in Spark SQL; subtract the modulo
+    # first so the quotient is exact, then cast back to long
+    px = ((x - x % k) / k).cast("long")
+    py = ((y - y % k) / k).cast("long")
+    return base + F.shiftleft(px, yb) + py
+
+
+def _cell_ratio(src: G.Grid, dst: G.Grid) -> int:
+    k = dst.tile_deg / src.tile_deg
+    if abs(k - round(k)) > 1e-9 or round(k) < 1:
+        raise ValueError(f"{dst.name} cells must be an integer multiple of {src.name} cells")
+    return int(round(k))
+
+
+def build_overviews(
+    images: DataFrame,  # (layer, cell_id, bytes, w, h, fmt) on src grid
+    src_grid_name: str,
+    dst_grid_name: str,
+    method: str = "mean",
+) -> DataFrame:
+    """One overview level: tiles on ``src_grid_name`` -> tiles on the
+    coarser ``dst_grid_name``. Missing child tiles zero-fill their window
+    (S2 missing-tile convention; NaN for float layers so ``mean`` does not
+    dilute real data with synthetic zeros)."""
+    if method not in _METHODS:
+        raise ValueError(f"method must be one of {_METHODS}")
+    src, dst = G.get_grid(src_grid_name), G.get_grid(dst_grid_name)
+    k = _cell_ratio(src, dst)
+    if (k * src.chunk_px) % dst.chunk_px != 0:
+        raise ValueError(
+            f"window {k}x{src.chunk_px}px does not divide into {dst.chunk_px}px tiles"
+        )
+    f = (k * src.chunk_px) // dst.chunk_px
+    chunk = src.chunk_px
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        layer = str(pdf["layer"].iloc[0])
+        parent = int(pdf["parent_cell"].iloc[0])
+        px, py = (int(v) for v in G.cell_to_xy(parent))
+        fmt = str(pdf["fmt"].iloc[0])
+        canvas = None
+        for r in pdf.itertuples(index=False):
+            arr = codecs.decode_tile(bytes(r.bytes), int(r.w), int(r.h), str(r.fmt)
+                                     )
+            if canvas is None:
+                fill = np.nan if arr.dtype.kind == "f" else 0
+                canvas = np.full((k * chunk, k * chunk), fill, dtype=arr.dtype)
+            cx, cy = (int(v) for v in G.cell_to_xy(int(r.cell_id)))
+            row0, col0 = (cy - py * k) * chunk, (cx - px * k) * chunk
+            canvas[row0:row0 + chunk, col0:col0 + chunk] = arr
+        blocks = canvas.reshape(dst.chunk_px, f, dst.chunk_px, f)
+        if method == "nearest":
+            out = canvas[::f, ::f]
+        elif method == "max":
+            out = blocks.max(axis=(1, 3))
+        elif canvas.dtype.kind == "f":
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN blocks
+                out = np.nanmean(blocks, axis=(1, 3)).astype(canvas.dtype)
+        else:
+            out = np.floor(blocks.mean(axis=(1, 3))).astype(canvas.dtype)
+        payload = codecs.encode_tile(np.ascontiguousarray(out), fmt)
+        return pd.DataFrame({
+            "image_id": [f"{layer}/{parent:016x}"],
+            "layer": [layer],
+            "cell_id": np.array([parent], dtype=np.int64),
+            "bytes": [payload],
+            "w": np.array([dst.chunk_px], dtype=np.int32),
+            "h": np.array([dst.chunk_px], dtype=np.int32),
+            "fmt": [fmt],
+        })
+
+    tiles = images.select("layer", "cell_id", "bytes", "w", "h", "fmt").withColumn(
+        "parent_cell", parent_cell_col(src, dst)
+    )
+    return tiles.groupBy("layer", "parent_cell").applyInPandas(
+        assemble,
+        "image_id string, layer string, cell_id long, bytes binary, w int, h int, fmt string",
+    )

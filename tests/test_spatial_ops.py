@@ -306,3 +306,71 @@ def test_aoi_from_geojson(spark, corpus, tmp_path):
     a = r[r.aoi_id == "by_id"].drop(columns="aoi_id").reset_index(drop=True)
     b = r[r.aoi_id == "by_prop"].drop(columns="aoi_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_build_overviews_matches_numpy(spark):
+    """Overview tiles must equal the numpy block-reduction of the
+    assembled child window, including zero-fill for missing children and
+    NaN-skipping means for float layers."""
+    import numpy as np
+    import pandas as pd
+
+    from gfw_raster_analysis_lambda_spark.functions import codecs
+    from gfw_raster_analysis_lambda_spark.functions import grid as G
+    from gfw_raster_analysis_lambda_spark.operators import pyramid
+
+    src, dst = G.GRID_FIXTURE, G.GRID_FIXTURE_COARSE
+    chunk = src.chunk_px
+    rng = np.random.RandomState(7)
+    rows = []
+    child_arrays = {}
+    # parent (380, 138) covers children x in {760, 761}, y in {276, 277};
+    # drop child (761, 277) to exercise the missing-tile zero fill
+    for cx in (760, 761):
+        for cy in (276, 277):
+            if (cx, cy) == (761, 277):
+                continue
+            arr = rng.randint(0, 200, size=(chunk, chunk)).astype(np.uint8)
+            cell = int(G.cell_from_xy(src, cx, cy))
+            child_arrays[(cx, cy)] = arr
+            rows.append(("u8", cell, codecs.encode_tile(arr, "png"), chunk, chunk, "png"))
+    df = spark.createDataFrame(
+        rows, "layer string, cell_id long, bytes binary, w int, h int, fmt string"
+    )
+    for method in ("mean", "nearest", "max"):
+        out = pyramid.build_overviews(df, src.name, dst.name, method=method).toPandas()
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert r["w"] == dst.chunk_px and r["fmt"] == "png"
+        px, py = G.cell_to_xy(int(r["cell_id"]))
+        assert (int(px), int(py)) == (380, 138)
+        got = codecs.decode_tile(bytes(r["bytes"]), int(r["w"]), int(r["h"]), "png")
+        canvas = np.zeros((2 * chunk, 2 * chunk), dtype=np.uint8)
+        for (cx, cy), arr in child_arrays.items():
+            canvas[(cy - 276) * chunk:(cy - 275) * chunk,
+                   (cx - 760) * chunk:(cx - 759) * chunk] = arr
+        blocks = canvas.reshape(dst.chunk_px, 2, dst.chunk_px, 2)
+        if method == "mean":
+            exp = np.floor(blocks.mean(axis=(1, 3))).astype(np.uint8)
+        elif method == "nearest":
+            exp = canvas[::2, ::2]
+        else:
+            exp = blocks.max(axis=(1, 3))
+        np.testing.assert_array_equal(got, exp)
+
+    # float layer: NaN holes are skipped by mean, all-NaN blocks stay NaN
+    f = np.full((chunk, chunk), 2.5, dtype=np.float32)
+    f[0, 0] = np.nan          # partial block -> mean of remaining 3
+    f[2:4, 0:2] = np.nan      # full 2x2 block -> NaN
+    cell = int(G.cell_from_xy(src, 760, 276))
+    fdf = spark.createDataFrame(
+        [("f32", cell, codecs.encode_tile(f, "raw_f32"), chunk, chunk, "raw_f32")],
+        "layer string, cell_id long, bytes binary, w int, h int, fmt string",
+    )
+    out = pyramid.build_overviews(fdf, src.name, dst.name, method="mean").toPandas()
+    got = codecs.decode_tile(bytes(out.iloc[0]["bytes"]), dst.chunk_px, dst.chunk_px, "raw_f32")
+    assert got[0, 0] == np.float32(2.5)      # NaN skipped
+    assert np.isnan(got[1, 0])               # all-NaN block
+    # missing sibling children zero-fill as NaN for floats -> their
+    # quadrants stay NaN instead of diluting to fake zeros
+    assert np.isnan(got[0, 32])
