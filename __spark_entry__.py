@@ -546,6 +546,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["mm_overview_stats"] = mm_overview_stats
 
+    def mm_tile_diff(spark, sf_dir):
+        # per-cell raster change detection (two layers standing in for two
+        # snapshots of one layer; the DuckDB twin recomputes pixel-exact
+        # diff counts from the two formulas)
+        from gfw_raster_analysis_lambda_spark.operators import pyramid
+
+        images, _, _ = _fixture(spark)
+        d = pyramid.tile_diff(images, "tcl_year", "drivers")
+        return d.select(
+            "cell_id", "n_px", "n_diff",
+            F.round("mean_abs_diff", 6).alias("mean_abs_diff"),
+            "max_abs_diff",
+        )
+    q["mm_tile_diff"] = mm_tile_diff
+
     # -- relational shell on the driver's TPC-H-ish tables ------------------
 
     def rel_pricing_summary(spark, sf_dir):
@@ -1097,6 +1112,24 @@ SELECT image_id, {cg.chunk_px} AS w, {cg.chunk_px} AS h,
        ROUND(MIN(v), 6) AS px_min,
        ROUND(MAX(v), 6) AS px_max
 FROM red GROUP BY 1, 2, 3
+"""
+
+    # tile-diff twin: pixel-exact change stats between two layer formulas
+    o["mm_tile_diff"] = f"""
+WITH px AS (
+  SELECT CAST({GRID.index << 54} AS BIGINT) + x * {1 << 27} + y AS cell_id,
+         CAST({f['tcl_year']} AS DOUBLE) AS va,
+         CAST({f['drivers']} AS DOUBLE) AS vb
+  FROM generate_series({X0}, {X0 + NX - 1}) tx(x),
+       generate_series({Y0}, {Y0 + NY - 1}) ty(y),
+       generate_series(0, {GRID.chunk_px - 1}) ti(i),
+       generate_series(0, {GRID.chunk_px - 1}) tj(j)
+)
+SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(CASE WHEN va != vb THEN 1 ELSE 0 END) AS BIGINT) AS n_diff,
+       ROUND(AVG(ABS(va - vb)), 6) AS mean_abs_diff,
+       MAX(ABS(va - vb)) AS max_abs_diff
+FROM px GROUP BY cell_id
 """
 
     # -- relational ----------------------------------------------------------

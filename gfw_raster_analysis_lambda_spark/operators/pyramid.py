@@ -123,3 +123,79 @@ def build_overviews(
         assemble,
         "image_id string, layer string, cell_id long, bytes binary, w int, h int, fmt string",
     )
+
+
+def touched_parent_overviews(
+    base_images: DataFrame,  # the CURRENT base level (must include the batch)
+    batch: DataFrame,        # newly arrived/changed tiles (layer, cell_id, ...)
+    src_grid_name: str,
+    dst_grid_name: str,
+    method: str = "mean",
+) -> DataFrame:
+    """Incremental overview maintenance: recompute ONLY the parent tiles
+    whose windows a batch of new/changed base tiles touched. Work is
+    O(touched parents), not O(corpus) — the streaming-ingest companion to
+    :func:`build_overviews` (call from ``foreachBatch`` and overwrite the
+    affected parent partitions; parent recompute is idempotent, so replays
+    are exact). The touched-parent set of a micro-batch is small by
+    construction and broadcasts."""
+    src, dst = G.get_grid(src_grid_name), G.get_grid(dst_grid_name)
+    touched = batch.select(
+        "layer", parent_cell_col(src, dst).alias("_p")
+    ).distinct()
+    scoped = (
+        base_images.withColumn("_p", parent_cell_col(src, dst))
+        .join(F.broadcast(touched), ["layer", "_p"], "left_semi")
+        .drop("_p")
+    )
+    return build_overviews(scoped, src_grid_name, dst_grid_name, method)
+
+
+def tile_diff(
+    images: DataFrame,
+    layer_a: str,
+    layer_b: str,
+    images_b: DataFrame | None = None,
+) -> DataFrame:
+    """Per-cell change detection between two raster layers (or two
+    VERSIONS of one layer when ``images_b`` carries the second snapshot):
+    ``(cell_id, n_px, n_diff, mean_abs_diff, max_abs_diff)``.
+
+    The raster-version diff job (what changed between two corpus drops) as
+    one equi-join on cell_id + an Arrow kernel — tile bytes cross the wire
+    once per side, stats are O(cells) rows. NaN pixels (float NoData)
+    count as different from any value except another NaN."""
+    a = images.filter(F.col("layer") == layer_a).select(
+        "cell_id", F.col("bytes").alias("bytes_a"), F.col("w").alias("w_a"),
+        F.col("h").alias("h_a"), F.col("fmt").alias("fmt_a"),
+    )
+    bsrc = images if images_b is None else images_b
+    b = bsrc.filter(F.col("layer") == layer_b).select(
+        "cell_id", F.col("bytes").alias("bytes_b"), F.col("w").alias("w_b"),
+        F.col("h").alias("h_b"), F.col("fmt").alias("fmt_b"),
+    )
+
+    def diff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                va = codecs.decode_tile(bytes(r.bytes_a), int(r.w_a), int(r.h_a), str(r.fmt_a)).astype(np.float64)
+                vb = codecs.decode_tile(bytes(r.bytes_b), int(r.w_b), int(r.h_b), str(r.fmt_b)).astype(np.float64)
+                d = np.abs(va - vb)
+                nan_a, nan_b = np.isnan(va), np.isnan(vb)
+                changed = (d > 0) | (nan_a != nan_b)
+                changed[nan_a & nan_b] = False
+                finite = d[~(nan_a | nan_b)]
+                rows.append((
+                    int(r.cell_id), int(va.size), int(changed.sum()),
+                    float(finite.mean()) if finite.size else 0.0,
+                    float(finite.max()) if finite.size else 0.0,
+                ))
+            yield pd.DataFrame(
+                rows, columns=["cell_id", "n_px", "n_diff", "mean_abs_diff", "max_abs_diff"]
+            )
+
+    return a.join(b, "cell_id").mapInPandas(
+        diff,
+        "cell_id long, n_px long, n_diff long, mean_abs_diff double, max_abs_diff double",
+    )

@@ -374,3 +374,68 @@ def test_build_overviews_matches_numpy(spark):
     # missing sibling children zero-fill as NaN for floats -> their
     # quadrants stay NaN instead of diluting to fake zeros
     assert np.isnan(got[0, 32])
+
+
+def test_tile_diff_two_snapshots(spark):
+    """tile_diff across two corpus snapshots: changed pixels counted
+    exactly, NaN==NaN treated as unchanged, NaN vs value as changed."""
+    import numpy as np
+
+    from gfw_raster_analysis_lambda_spark.functions import codecs
+    from gfw_raster_analysis_lambda_spark.functions import grid as G
+    from gfw_raster_analysis_lambda_spark.operators import pyramid
+
+    src = G.GRID_FIXTURE
+    chunk = src.chunk_px
+    cell = int(G.cell_from_xy(src, 700, 100))
+    a = np.full((chunk, chunk), 1.0, dtype=np.float32)
+    a[0, 0] = np.nan
+    a[0, 1] = np.nan
+    b = a.copy()
+    b[5, 5] = 3.5            # value change
+    b[0, 1] = 2.0            # NaN -> value
+    rows_a = [("emissions", cell, codecs.encode_tile(a, "raw_f32"), chunk, chunk, "raw_f32")]
+    rows_b = [("emissions", cell, codecs.encode_tile(b, "raw_f32"), chunk, chunk, "raw_f32")]
+    schema = "layer string, cell_id long, bytes binary, w int, h int, fmt string"
+    da = spark.createDataFrame(rows_a, schema)
+    db = spark.createDataFrame(rows_b, schema)
+    out = pyramid.tile_diff(da, "emissions", "emissions", images_b=db).toPandas()
+    r = out.iloc[0]
+    assert r["n_px"] == chunk * chunk
+    assert r["n_diff"] == 2                     # (5,5) and the NaN->value px
+    assert abs(r["max_abs_diff"] - 2.5) < 1e-9  # over non-NaN pixels only
+
+
+def test_touched_parent_overviews_incremental(spark):
+    """Incremental overview maintenance recomputes exactly the parents a
+    batch touched, and those tiles are byte-identical to a full rebuild."""
+    import numpy as np
+    import pandas as pd
+
+    from gfw_raster_analysis_lambda_spark.functions import codecs
+    from gfw_raster_analysis_lambda_spark.functions import grid as G
+    from gfw_raster_analysis_lambda_spark.operators import pyramid
+
+    src, dst = G.GRID_FIXTURE, G.GRID_FIXTURE_COARSE
+    chunk = src.chunk_px
+    rng = np.random.RandomState(11)
+    rows = []
+    # 4x4 child cells -> 2x2 parents, all children present
+    for cx in range(760, 764):
+        for cy in range(276, 280):
+            arr = rng.randint(0, 255, size=(chunk, chunk)).astype(np.uint8)
+            rows.append(("u8", int(G.cell_from_xy(src, cx, cy)),
+                         codecs.encode_tile(arr, "png"), chunk, chunk, "png"))
+    schema = "layer string, cell_id long, bytes binary, w int, h int, fmt string"
+    base = spark.createDataFrame(rows, schema)
+    # batch touches children of ONE parent (761 -> parent x 380)
+    batch = base.filter(F.col("cell_id").isin(
+        [int(G.cell_from_xy(src, 761, 277))]
+    ))
+    inc = pyramid.touched_parent_overviews(base, batch, src.name, dst.name).toPandas()
+    full = pyramid.build_overviews(base, src.name, dst.name).toPandas()
+    assert len(full) == 4
+    assert len(inc) == 1                       # only the touched parent
+    fid = inc.iloc[0]["image_id"]
+    frow = full[full["image_id"] == fid].iloc[0]
+    assert bytes(inc.iloc[0]["bytes"]) == bytes(frow["bytes"])  # bit-identical
