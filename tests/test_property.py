@@ -149,3 +149,51 @@ def test_regroup_matches_pandas_groupby(seed, n):
         g = got[c].to_numpy(dtype="float64", na_value=np.nan)
         e = exp[c].to_numpy(dtype="float64", na_value=np.nan)
         np.testing.assert_allclose(g, e, rtol=1e-12, equal_nan=True)
+
+
+@given(
+    st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=2, max_size=30),
+    st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=60, deadline=None)
+def test_phash_banding_recall_property(hashes, seed):
+    """Pigeonhole invariant behind dedup.phash_near_duplicates: any two
+    64-bit values within hamming <= bands-1 MUST share at least one of the
+    4 16-bit bands (the exact-recall regime the operator promises)."""
+    rng = np.random.RandomState(seed % (2**31))
+    vals = [h & ((1 << 64) - 1) for h in hashes]
+    # plant a near pair: flip up to 3 random bits of the first value
+    v = vals[0]
+    for b in rng.choice(64, size=rng.randint(0, 4), replace=False):
+        v ^= 1 << int(b)
+    vals.append(v)
+    for i, a in enumerate(vals):
+        for b in vals[i + 1:]:
+            ham = bin(a ^ b).count("1")
+            shares = any(
+                ((a >> (16 * k)) & 0xFFFF) == ((b >> (16 * k)) & 0xFFFF)
+                for k in range(4)
+            )
+            if ham <= 3:
+                assert shares, (hex(a), hex(b), ham)
+
+
+@given(
+    st.integers(min_value=0, max_value=2**20),
+    st.integers(min_value=0, max_value=2**20),
+)
+@settings(max_examples=100, deadline=None)
+def test_iso_year_week_of_raw_matches_datetime(days, extra):
+    """The zonal kernel's LUT-based ISO year/week equals Python's
+    datetime.isocalendar for arbitrary day offsets (raw = days since
+    epoch path, no decode expression)."""
+    import datetime
+
+    from gfw_raster_analysis_lambda_spark.operators import zonal
+
+    raw = np.array([days % 40000, extra % 40000], dtype=np.int64)
+    iy, iw = zonal._iso_year_week_of_raw(raw, object())
+    for k, d in enumerate(raw):
+        date = datetime.date(1970, 1, 1) + datetime.timedelta(days=int(d))
+        iso = date.isocalendar()
+        assert (int(iy[k]), int(iw[k])) == (iso[0], iso[1])
