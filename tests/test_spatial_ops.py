@@ -439,3 +439,54 @@ def test_touched_parent_overviews_incremental(spark):
     fid = inc.iloc[0]["image_id"]
     frow = full[full["image_id"] == fid].iloc[0]
     assert bytes(inc.iloc[0]["bytes"]) == bytes(frow["bytes"])  # bit-identical
+
+
+def test_choose_overview_grid_routing(spark):
+    """Resolution-aware routing picks coarse levels for big AOIs, the base
+    level for small ones, and a zonal area sum over the routed overview
+    stays within ~2% of the base level on an aligned box."""
+    import numpy as np
+
+    from gfw_raster_analysis_lambda_spark.functions import geometry as geo
+    from gfw_raster_analysis_lambda_spark.functions import grid as G
+    from gfw_raster_analysis_lambda_spark.operators import pyramid
+    from gfw_raster_analysis_lambda_spark.api import zonal_statistics
+    from gfw_raster_analysis_lambda_spark.sources import fixtures
+    from gfw_raster_analysis_lambda_spark.sources.images import read_images, with_derived_keys
+
+    cands = [G.GRID_FIXTURE.name, G.GRID_FIXTURE_COARSE.name]
+    # 2x2-cell fixture box (0.5 deg): 16k px at base, 4k at coarse ->
+    # the coarse level fails min_pixels and routing stays at base
+    small = spark.createDataFrame(
+        [("s", geo.wkb_dumps(geo.box(10.0, 20.25, 10.5, 20.75)))],
+        fixtures.AOI_SCHEMA,
+    )
+    assert pyramid.choose_overview_grid(small, cands, min_pixels=10_000) == G.GRID_FIXTURE.name
+    # a 10-degree AOI covers plenty of pixels even at the coarse level
+    big = spark.createDataFrame(
+        [("b", geo.wkb_dumps(geo.box(0.0, 10.0, 10.0, 20.0)))], fixtures.AOI_SCHEMA
+    )
+    assert (
+        pyramid.choose_overview_grid(big, cands, min_pixels=10_000)
+        == G.GRID_FIXTURE_COARSE.name
+    )
+
+    # integration: area sum over the routed overview approximates base
+    images = with_derived_keys(
+        spark.createDataFrame(fixtures.generate_images_rows(), fixtures.IMAGES_SCHEMA)
+    )
+    env = fixtures.fixture_environment()
+    ov = pyramid.build_overviews(
+        images.select("layer", "cell_id", "bytes", "w", "h", "fmt"),
+        G.GRID_FIXTURE.name, G.GRID_FIXTURE_COARSE.name, method="nearest",
+    ).withColumn("caption", F.lit(None).cast("string")).withColumn(
+        "phash", F.lit(0).cast("long")
+    )
+    sql = "SELECT SUM(area__ha) AS ha FROM data"
+    env_c = fixtures.fixture_environment(grid=G.GRID_FIXTURE_COARSE.name)
+    base = zonal_statistics(spark, images, small, sql, env, G.GRID_FIXTURE.name).toPandas()
+    coarse = zonal_statistics(
+        spark, ov, small, sql, env_c, G.GRID_FIXTURE_COARSE.name
+    ).toPandas()
+    b, c = float(base["ha"][0]), float(coarse["ha"][0])
+    assert abs(b - c) / b < 0.02, (b, c)
