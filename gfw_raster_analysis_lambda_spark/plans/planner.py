@@ -109,7 +109,10 @@ def run_zonal_query(
     """
     grid_name = resolve_target_grid(query, env, grid_name)
     if strategy in (None, "auto"):
-        strategy = "cell"
+        # frames read straight off a cell-sorted layout (sources.images
+        # sidecar) default to the zero-shuffle colocated scan; anything
+        # else takes the one-shuffle cell-clustered plan
+        strategy = "colocated" if getattr(images, "_gfw_cell_sorted", False) else "cell"
     needed = env.source_layer_names(query.layer_names())
     if any(env.get_layer(n).grid != grid_name for n in needed) and strategy != "cell":
         strategy = "cell"  # multi-grid co-registration needs the remapped plan

@@ -39,18 +39,27 @@ def with_derived_keys(images: DataFrame) -> DataFrame:
 
 
 def read_images(spark: SparkSession, path: str) -> DataFrame:
-    if images_cell_sorted(path):
+    sorted_layout = images_cell_sorted(path)
+    if sorted_layout:
         # the colocated zonal strategy depends on whole-cell-per-task scans;
         # make the session split-safe BEFORE any plan over this table
         ensure_colocated_split_safe(spark, path)
     df = spark.read.parquet(path)
-    if "cell_id" in df.columns and "layer" in df.columns:
+    if not ("cell_id" in df.columns and "layer" in df.columns):
         # engine-written layout stores the derived keys as real columns:
         # keep them so layer/cell_id predicates push down to parquet
         # row-group stats (re-deriving via withColumn would turn them into
         # expressions over image_id and kill the pushdown)
-        return df
-    return with_derived_keys(df)
+        df = with_derived_keys(df)
+    if sorted_layout:
+        # tag the frame so the planner's auto strategy can take the
+        # zero-shuffle colocated plan without the caller asking (the tag
+        # does not survive further transformations, which is correct: a
+        # filtered/reshaped frame no longer guarantees the scan layout —
+        # except planner-side pushdowns, which filter on cell/layer only
+        # and preserve file order)
+        df._gfw_cell_sorted = True
+    return df
 
 
 def write_images_partitioned(images: DataFrame, path: str) -> None:

@@ -648,3 +648,31 @@ def test_colocated_hot_cell_diversion(spark, corpus, env, tmp_path, monkeypatch)
         .toPandas().reset_index(drop=True)
     )
     assert_frames_match(got, exp)
+
+
+def test_auto_strategy_prefers_colocated_on_sorted_layout(spark, tables, env, tmp_path):
+    """strategy=None over a read_images() frame from a cell-sorted layout
+    must take the zero-shuffle colocated plan (MapInPandas, no grouped
+    shuffle) and match the explicit cell strategy's results."""
+    from gfw_raster_analysis_lambda_spark.sources.images import (
+        read_images,
+        write_images_cell_sorted,
+    )
+
+    images, aoi_df = tables
+    path = str(tmp_path / "auto_sorted")
+    write_images_cell_sorted(images.select(
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
+    ), path, n_files=5)
+    sorted_images = read_images(spark, path)
+    q = _parity_query()
+    auto = run_zonal_query(spark, sorted_images, aoi_df, q, env, GRID_NAME)
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan  # no grouped-shuffle kernel
+    ref = run_zonal_query(spark, images, aoi_df, q, env, GRID_NAME, strategy="cell").toPandas()
+    assert_frames_match(auto.toPandas(), ref)
+    # a frame NOT read from a sorted layout keeps the cell plan
+    plain = run_zonal_query(spark, images, aoi_df, q, env, GRID_NAME)
+    plan2 = plain._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan2
