@@ -302,3 +302,77 @@ def ann_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "id", "cosine", "rank")
     )
+
+
+def write_ivf_index(
+    emb: DataFrame,
+    path: str,
+    centroids: DataFrame | None = None,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index on disk: vectors PARTITIONED by their
+    centroid assignment (``<path>/vectors/centroid_id=N/``) plus the
+    quantizer itself (``<path>/centroids``). This is the write-side job
+    :func:`ann_ivf` re-derives per query; once stored, a probe touches
+    only its ``n_probe`` partition directories — the scan never opens the
+    other ``1 - n_probe/n_centroids`` of a 100-TB corpus (Catalyst
+    partition pruning, visible as ``PartitionFilters`` in the plan)."""
+    if centroids is None:
+        centroids = (
+            emb.orderBy(F.asc(id_col)).limit(n_centroids)
+            .select(F.col(id_col).cast("long").alias("centroid_id"), F.col(vec_col))
+        )
+    centroids = centroids.select("centroid_id", F.col(vec_col))
+    assign = ivf_assign(emb, centroids, id_col, vec_col)
+    (
+        emb.join(assign.withColumnRenamed("id", id_col), id_col)
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(f"{path}/vectors")
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ann_ivf_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,  # (query_id, embedding)
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat search over a :func:`write_ivf_index` store. The probed
+    centroid ids are resolved first (tiny: queries x n_probe) and pushed
+    into the vectors scan as a partition predicate, so only the probed
+    partition directories are read. Identical results to :func:`ann_ivf`
+    with the same quantizer."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    qc = F.broadcast(centroids.select("centroid_id", F.col(vec_col).alias("cv")))
+    qscored = (
+        queries.select("query_id", F.col(vec_col).alias("qv"))
+        .crossJoin(qc)
+        .withColumn("cos", _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
+    probes = (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    probed = sorted({int(r["centroid_id"]) for r in probes.select("centroid_id").distinct().collect()})
+    vecs = spark.read.parquet(f"{path}/vectors").filter(F.col("centroid_id").isin(probed))
+    cand = vecs.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "centroid_id"
+    ).join(F.broadcast(probes), "centroid_id")
+    scored = cand.withColumn(
+        "cosine",
+        F.round(_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv"))), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "cosine", "rank")
+    )

@@ -307,3 +307,23 @@ def test_kmeans_centroids_refine_and_deterministic(spark, emb):
     # each query finds itself (cos 1.0 at rank 1)
     top = got[got["rank"] == 1]
     assert (top["cosine"] >= 0.999999).all()
+
+
+def test_ivf_index_persisted_partition_pruned(spark, emb, tmp_path):
+    """write_ivf_index + ann_ivf_indexed: identical results to the
+    in-memory ann_ivf with the same quantizer, and the vectors scan is
+    partition-pruned to the probed centroid directories."""
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_index(emb, path, n_centroids=8)
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got_df = similarity.ann_ivf_indexed(spark, path, qs, k=5, n_probe=2)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+    got = got_df.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    exp = (
+        similarity.ann_ivf(emb, qs, k=5, n_centroids=8, n_probe=2)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
