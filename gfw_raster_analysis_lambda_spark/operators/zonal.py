@@ -396,6 +396,8 @@ def _in_mask(arr: np.ndarray, vals) -> np.ndarray:
         key = (a.dtype.str, tuple(vals))
         hit = _IN_LUT_CACHE.get(key)
         if hit is None:
+            if len(_IN_LUT_CACHE) >= 256:  # long-lived executor hygiene
+                _IN_LUT_CACHE.clear()
             v = np.asarray(vals, dtype=np.float64)
             v = np.unique(v[(v >= info.min) & (v <= info.max) & (v == np.floor(v))])
             iv = v.astype(np.int64)
@@ -829,6 +831,8 @@ def _iso_year_week_of_raw(raw: np.ndarray, layer) -> tuple[np.ndarray, np.ndarra
             key = decode_src or "__days__"
             lut = _ISO_LUT_CACHE.get(key)
             if lut is None or len(lut[0]) <= rmax:
+                if len(_ISO_LUT_CACHE) >= 64:  # long-lived executor hygiene
+                    _ISO_LUT_CACHE.clear()
                 dom = np.arange(max(rmax, 4095) + 1, dtype=np.int64)
                 _ISO_LUT_CACHE[key] = lut = _iso_of_values(dom, decode_src)
             a = raw.astype(np.int64) if raw.dtype != np.int64 else raw
