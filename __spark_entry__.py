@@ -561,6 +561,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["mm_tile_diff"] = mm_tile_diff
 
+    def mm_crop_stats(spark, sf_dir):
+        # deterministic augmentation: crop rows 8..39 x cols 16..39 of
+        # every tile, restat; the DuckDB twin restricts the pixel-formula
+        # series to the crop window
+        images, _, _ = _fixture(spark)
+        aug = multimodal.augment_tiles(images, op="crop", crop=(8, 16, 32, 24))
+        s = multimodal.image_stats(aug)
+        return s.select(
+            "image_id", "w", "h",
+            F.round("px_mean", 6).alias("px_mean"),
+            F.round("px_min", 6).alias("px_min"),
+            F.round("px_max", 6).alias("px_max"),
+        )
+    q["mm_crop_stats"] = mm_crop_stats
+
     # -- relational shell on the driver's TPC-H-ish tables ------------------
 
     def rel_pricing_summary(spark, sf_dir):
@@ -1112,6 +1127,33 @@ SELECT image_id, {cg.chunk_px} AS w, {cg.chunk_px} AS h,
        ROUND(MIN(v), 6) AS px_min,
        ROUND(MAX(v), 6) AS px_max
 FROM red GROUP BY 1, 2, 3
+"""
+
+    # crop-augmentation twin: restat over the (8..39, 16..39) pixel window
+    crop_unions = []
+    for layer, val in layer_val.items():
+        crop_unions.append(f"""
+SELECT '{layer}' || '/' || lower(lpad(hex(CAST({GRID.index << 54} AS BIGINT) + x * {1 << 27} + y), 16, '0')) AS image_id,
+       CAST({val} AS DOUBLE) AS v
+FROM generate_series({X0}, {X0 + NX - 1}) tx(x),
+     generate_series({Y0}, {Y0 + NY - 1}) ty(y),
+     generate_series(8, 39) ti(i),
+     generate_series(16, 39) tj(j)""")
+    crop_unions.append(f"""
+SELECT 'biomass' || '/' || lower(lpad(hex(CAST({cg.index << 54} AS BIGINT) + x * {1 << 27} + y), 16, '0')) AS image_id,
+       CAST(((x*3 + y*7 + i*5 + j*13) % 200) AS DOUBLE) AS v
+FROM generate_series({X0 // 2}, {(X0 + NX) // 2 - 1}) tx(x),
+     generate_series({Y0 // 2}, {(Y0 + NY) // 2 - 1}) ty(y),
+     generate_series(8, 39) ti(i),
+     generate_series(16, 39) tj(j)""")
+    o["mm_crop_stats"] = f"""
+WITH cr AS ({' UNION ALL '.join(crop_unions)})
+SELECT image_id, 24 AS w, 32 AS h,
+       ROUND(AVG(v), 6) AS px_mean,
+       ROUND(MIN(v), 6) AS px_min,
+       ROUND(MAX(v), 6) AS px_max
+FROM cr WHERE v IS NOT NULL
+GROUP BY 1, 2, 3
 """
 
     # tile-diff twin: pixel-exact change stats between two layer formulas

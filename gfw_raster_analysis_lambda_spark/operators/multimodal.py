@@ -111,6 +111,59 @@ def resize_tiles(images: DataFrame, factor: int = 2) -> DataFrame:
     )
 
 
+def augment_tiles(
+    images: DataFrame,
+    op: str = "fliph",
+    crop: tuple[int, int, int, int] | None = None,
+) -> DataFrame:
+    """Deterministic image augmentation for training-data pipelines:
+    ``op`` in {fliph, flipv, rot90, rot180, rot270, crop}. ``crop`` is
+    (row0, col0, h, w). Decode -> transform -> lossless re-encode; output
+    keeps the input-hint schema (caption passes through byte-equal, phash
+    recomputed on the transformed pixels). Deterministic on purpose — a
+    training corpus rebuild must reproduce bit-identical augmented tiles."""
+    if op == "crop" and crop is None:
+        raise ValueError("op='crop' requires crop=(row0, col0, h, w)")
+    if op not in ("fliph", "flipv", "rot90", "rot180", "rot270", "crop"):
+        raise ValueError(f"unknown op {op!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode_tile(bytes(r.bytes), int(r.w), int(r.h), str(r.fmt))
+                if op == "fliph":
+                    out = arr[:, ::-1]
+                elif op == "flipv":
+                    out = arr[::-1, :]
+                elif op == "rot90":
+                    out = np.rot90(arr, 1)
+                elif op == "rot180":
+                    out = np.rot90(arr, 2)
+                elif op == "rot270":
+                    out = np.rot90(arr, 3)
+                else:
+                    r0, c0, hh, ww = crop
+                    out = arr[r0:r0 + hh, c0:c0 + ww]
+                out = np.ascontiguousarray(out)
+                fmt = "raw_f32" if out.dtype == np.float32 else (
+                    "raw_u16" if out.dtype == np.uint16 else "raw_u8"
+                )
+                rows.append((
+                    r.image_id, codecs.encode_tile(out, fmt),
+                    out.shape[1], out.shape[0], fmt, r.caption,
+                    codecs.phash64(np.nan_to_num(out.astype(np.float64))),
+                ))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt", "caption").mapInPandas(
+        run,
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Audio / video: STUBS (no libsndfile/ffmpeg in this environment)
 # ---------------------------------------------------------------------------

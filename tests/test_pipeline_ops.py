@@ -327,3 +327,32 @@ def test_ivf_index_persisted_partition_pruned(spark, emb, tmp_path):
         .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_augment_tiles_numpy_parity(spark, corpus):
+    """Every augmentation op decodes back to the exact numpy transform of
+    the source pixels; captions pass through byte-equal."""
+    from gfw_raster_analysis_lambda_spark.functions import codecs
+
+    images = spark.read.parquet(corpus["images"]).filter(F.col("fmt") == "png").limit(3)
+    src = {
+        r["image_id"]: codecs.decode_tile(bytes(r["bytes"]), r["w"], r["h"], r["fmt"])
+        for r in images.collect()
+    }
+    for op, fn in [
+        ("fliph", lambda a: a[:, ::-1]),
+        ("flipv", lambda a: a[::-1, :]),
+        ("rot90", lambda a: np.rot90(a, 1)),
+        ("rot270", lambda a: np.rot90(a, 3)),
+        ("crop", lambda a: a[4:20, 8:40]),
+    ]:
+        out = multimodal.augment_tiles(
+            images, op=op, crop=(4, 8, 16, 32) if op == "crop" else None
+        ).toPandas()
+        for _, r in out.iterrows():
+            got = codecs.decode_tile(bytes(r["bytes"]), r["w"], r["h"], r["fmt"])
+            np.testing.assert_array_equal(got, fn(src[r["image_id"]]))
+    cap = images.select("image_id", "caption").toPandas().set_index("image_id")["caption"]
+    assert (out.set_index("image_id")["caption"] == cap).all()
+    with pytest.raises(ValueError, match="crop"):
+        multimodal.augment_tiles(images, op="crop")
