@@ -79,3 +79,32 @@ def test_spark_submit_py_files(spark, corpus, tmp_path):
     np.testing.assert_allclose(
         got["loss_ha"].to_numpy(), exp["loss_ha"].to_numpy(), rtol=1e-12
     )
+
+
+def test_pyramid_submit_main_inprocess(spark, corpus, tmp_path):
+    """jobs/pyramid_submit.py main() builds a cell-sorted overview level
+    equal to a direct build_overviews call (reuses the test session via
+    getOrCreate)."""
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    import pyramid_submit
+
+    from gfw_raster_analysis_lambda_spark.functions import grid as G
+    from gfw_raster_analysis_lambda_spark.operators.pyramid import build_overviews
+    from gfw_raster_analysis_lambda_spark.sources.images import read_images
+
+    out = str(tmp_path / "ov")
+    pyramid_submit.main([
+        "--images", corpus["images"], "--src-grid", G.GRID_FIXTURE.name,
+        "--dst-grids", G.GRID_FIXTURE_COARSE.name, "--output", out,
+        "--method", "nearest", "--cell-sorted",
+    ])
+    level_path = os.path.join(out, G.GRID_FIXTURE_COARSE.name.replace("/", "_"))
+    got = read_images(spark, level_path).select("image_id", "bytes").toPandas()
+    exp = build_overviews(
+        read_images(spark, corpus["images"]),
+        G.GRID_FIXTURE.name, G.GRID_FIXTURE_COARSE.name, method="nearest",
+    ).select("image_id", "bytes").toPandas()
+    g = got.sort_values("image_id").reset_index(drop=True)
+    e = exp.sort_values("image_id").reset_index(drop=True)
+    assert g["image_id"].tolist() == e["image_id"].tolist()
+    assert all(bytes(a) == bytes(b) for a, b in zip(g["bytes"], e["bytes"]))
