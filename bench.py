@@ -37,7 +37,13 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from gfw_raster_analysis_lambda_spark.api import zonal_statistics  # noqa: E402
 from gfw_raster_analysis_lambda_spark.functions import grid as G  # noqa: E402
-from gfw_raster_analysis_lambda_spark.operators import dedup, knn, similarity, text  # noqa: E402
+from gfw_raster_analysis_lambda_spark.operators import (  # noqa: E402
+    dedup,
+    knn,
+    pyramid,
+    similarity,
+    text,
+)
 from gfw_raster_analysis_lambda_spark.plans.planner import (  # noqa: E402
     aoi_cells,
     prepare_aoi_index,
@@ -184,6 +190,12 @@ def bench_queries(spark):
     # the distinct-first keepers path exists for
     q["dedup_phash_keepers"] = lambda: dedup.phash_dedup_keepers(
         images.select("image_id", "phash"), max_hamming=3, bands=4
+    )
+    # write-side pyramid build over the full tile corpus: 4/4096 (0.25-deg,
+    # 256px) -> 4/512 (0.5-deg, 64px), 2x2 cells and 8x8 px per parent px
+    q["pyramid_overviews"] = lambda: pyramid.build_overviews(
+        images.select("layer", "cell_id", "bytes", "w", "h", "fmt"),
+        BGRID.name, "4/512", method="mean",
     )
 
     # LSH bucket build twins: the relational (oracle) builder vs the
