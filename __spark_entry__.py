@@ -169,6 +169,24 @@ m AS (
 )"""
 
 
+# Polygon-with-hole oracle AOI: outer box minus an inner box (even-odd
+# rule); same lattice-avoiding offsets so strict box predicates in DuckDB
+# equal the engine's rasterization with the hole ring excluded.
+_HOLE_OUTER = (10.006, 20.256, 10.494, 20.744)
+_HOLE_INNER = (10.131, 20.381, 10.369, 20.619)
+
+
+def _hole_cte() -> str:
+    x1, y1, x2, y2 = _HOLE_OUTER
+    hx1, hy1, hx2, hy2 = _HOLE_INNER
+    return _pix_only() + f""",
+m AS (
+  SELECT 'aoi_hole' AS aoi_id, pix.* FROM pix
+  WHERE lon > {x1!r} AND lon < {x2!r} AND lat > {y1!r} AND lat < {y2!r}
+    AND NOT (lon > {hx1!r} AND lon < {hx2!r} AND lat > {hy1!r} AND lat < {hy2!r})
+)"""
+
+
 # ===========================================================================
 # Query registry
 # ===========================================================================
@@ -316,6 +334,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return df.withColumn("loss_ha", F.round("loss_ha", 3))
     q["zonal_triangle_group_sum"] = zonal_triangle_group_sum
+
+    def zonal_hole_group_sum(spark, sf_dir):
+        # polygon WITH HOLE: the even-odd rasterizer's hole handling
+        # cross-checked against outer-minus-inner box predicates
+        import numpy as np
+
+        from gfw_raster_analysis_lambda_spark.functions import geometry as geo
+
+        images, _, env = _fixture(spark)
+        x1, y1, x2, y2 = _HOLE_OUTER
+        hx1, hy1, hx2, hy2 = _HOLE_INNER
+        outer = np.array([[x1, y1], [x2, y1], [x2, y2], [x1, y2]], float)
+        hole = np.array([[hx1, hy1], [hx2, hy1], [hx2, hy2], [hx1, hy2]], float)
+        aoi = spark.createDataFrame(
+            [("aoi_hole", geo.wkb_dumps([[outer, hole]]))], fixtures.AOI_SCHEMA
+        )
+        df = zonal_statistics(
+            spark, images, aoi,
+            "SELECT tcl_year, SUM(area__ha) AS loss_ha, COUNT(*) AS n "
+            "FROM tcl_year WHERE tcd_threshold >= 25 GROUP BY tcl_year",
+            env, GRID.name,
+        )
+        return df.withColumn("loss_ha", F.round("loss_ha", 3))
+    q["zonal_hole_group_sum"] = zonal_hole_group_sum
 
     def zonal_compat_avg(spark, sf_dir):
         # reference AVG quirk (A3): each tile's sum is divided by the
@@ -927,6 +969,16 @@ ORDER BY latitude DESC, longitude ASC LIMIT 1000
 
     o["zonal_triangle_group_sum"] = f"""
 WITH {_tri_cte()}
+SELECT aoi_id, {_TCL_DECODE} AS tcl_year,
+       ROUND(SUM(mean_area), 3) AS loss_ha,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM m
+WHERE tcl != 0 AND {_TCD_MEANING} >= 25
+GROUP BY aoi_id, tcl
+"""
+
+    o["zonal_hole_group_sum"] = f"""
+WITH {_hole_cte()}
 SELECT aoi_id, {_TCL_DECODE} AS tcl_year,
        ROUND(SUM(mean_area), 3) AS loss_ha,
        CAST(COUNT(*) AS BIGINT) AS n
