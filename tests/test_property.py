@@ -197,3 +197,35 @@ def test_iso_year_week_of_raw_matches_datetime(days, extra):
         date = datetime.date(1970, 1, 1) + datetime.timedelta(days=int(d))
         iso = date.isocalendar()
         assert (int(iy[k]), int(iw[k])) == (iso[0], iso[1])
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=0.0, max_value=10.0, allow_nan=False),
+            st.floats(min_value=0.0, max_value=10.0, allow_nan=False),
+        ),
+        min_size=3,
+        max_size=9,
+    ),
+    st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=40, deadline=None)
+def test_rasterize_matches_contains_points(pts, seed):
+    """P6 cross-implementation property: the scanline rasterizer (sorted
+    crossing counts per row) must agree pixel-for-pixel with the
+    independent per-point even-odd crossing test on arbitrary (possibly
+    self-intersecting) rings."""
+    ring = np.asarray(pts, dtype=np.float64)
+    geom = [[ring]]
+    rng = np.random.RandomState(seed % (2**31))
+    x0 = float(rng.uniform(-1, 8))
+    y0 = float(rng.uniform(3, 12))
+    ps = float(rng.uniform(0.05, 0.8))
+    w = h = 16
+    mask = geo.rasterize_mask(geom, x0, y0, ps, w, h)
+    cx = x0 + (np.arange(w) + 0.5) * ps
+    cy = y0 - (np.arange(h) + 0.5) * ps
+    gx, gy = np.meshgrid(cx, cy)
+    exp = geo.contains_points(geom, gx.ravel(), gy.ravel()).reshape(h, w)
+    np.testing.assert_array_equal(mask, exp)
