@@ -618,6 +618,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["mm_crop_stats"] = mm_crop_stats
 
+    def cc_alert_cells(spark, sf_dir):
+        # iterative graph operator: hash-to-min connected components over
+        # a cell set (contiguous-alert clustering); the DuckDB twin is a
+        # recursive reachability CTE + MIN over reached — fully
+        # engine-independent labels
+        from gfw_raster_analysis_lambda_spark.operators import components
+
+        df = spark.createDataFrame([(c,) for c in _cc_cell_set()], "cell_id long")
+        return components.connected_cell_components(df, diagonal=True)
+    q["cc_alert_cells"] = cc_alert_cells
+
     # -- relational shell on the driver's TPC-H-ish tables ------------------
 
     def rel_pricing_summary(spark, sf_dir):
@@ -819,6 +830,18 @@ def _knn_queries() -> list[tuple[str, int]]:
     rows = _corpus_phashes()
     # probe with the phash of every 40th tile (3-4 probes)
     return [(f"q{k}", rows[idx][1]) for k, idx in enumerate(range(0, len(rows), 40))]
+
+
+def _cc_cell_set() -> list[int]:
+    """Deterministic cell set for the connected-components contract query:
+    a 3x2 blob, a second blob touching it only DIAGONALLY (merges under
+    8-connectivity), an isolated singleton, and a 6-cell snake whose
+    label needs several hash-to-min rounds to converge."""
+    pts = [(760 + dx, 276 + dy) for dx in range(3) for dy in range(2)]
+    pts += [(763, 278), (764, 278), (764, 279)]
+    pts += [(770, 290)]
+    pts += [(780, 300), (781, 300), (782, 300), (782, 301), (782, 302), (781, 302)]
+    return sorted(int(_G.cell_from_xy(GRID, x, y)) for x, y in pts)
 
 
 def _phash_dedup_corpus() -> list[tuple[str, int]]:
@@ -1206,6 +1229,28 @@ SELECT image_id, 24 AS w, 32 AS h,
        ROUND(MAX(v), 6) AS px_max
 FROM cr WHERE v IS NOT NULL
 GROUP BY 1, 2, 3
+"""
+
+    # connected-components twin: recursive reachability + MIN over reached
+    cc_vals = ", ".join(f"({c})" for c in _cc_cell_set())
+    xy_mask = (1 << 27) - 1
+    o["cc_alert_cells"] = f"""
+WITH RECURSIVE c(cell_id) AS (VALUES {cc_vals}),
+n AS (
+  SELECT cell_id, (cell_id >> 27) & {xy_mask} AS x, cell_id & {xy_mask} AS y
+  FROM c
+),
+e AS (
+  SELECT a.cell_id AS a, b.cell_id AS b
+  FROM n a JOIN n b
+    ON abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1 AND a.cell_id != b.cell_id
+),
+r(src, dst) AS (
+  SELECT cell_id, cell_id FROM c
+  UNION
+  SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a
+)
+SELECT src AS cell_id, MIN(dst) AS component FROM r GROUP BY src
 """
 
     # tile-diff twin: pixel-exact change stats between two layer formulas

@@ -490,3 +490,31 @@ def test_choose_overview_grid_routing(spark):
     ).toPandas()
     b, c = float(base["ha"][0]), float(coarse["ha"][0])
     assert abs(b - c) / b < 0.02, (b, c)
+
+
+def test_connected_components_connectivity(spark):
+    """8- vs 4-connectivity, multi-round convergence on a snake, and
+    min-label determinism."""
+    from gfw_raster_analysis_lambda_spark.functions import grid as G
+    from gfw_raster_analysis_lambda_spark.operators import components
+    from gfw_raster_analysis_lambda_spark.sources import fixtures
+
+    grid = fixtures.GRID
+    pts = [(100, 100), (101, 100), (102, 101),     # diagonal link at (101,100)-(102,101)
+           (200, 200),                              # isolated
+           (300, 300), (301, 300), (302, 300), (302, 301), (302, 302)]  # snake
+    cells = {p: int(G.cell_from_xy(grid, *p)) for p in pts}
+    df = spark.createDataFrame([(c,) for c in cells.values()], "cell_id long")
+
+    lab8 = components.connected_cell_components(df, diagonal=True).toPandas()
+    m8 = dict(zip(lab8["cell_id"], lab8["component"]))
+    assert m8[cells[(102, 101)]] == m8[cells[(100, 100)]]       # diagonal merges
+    assert m8[cells[(200, 200)]] == cells[(200, 200)]           # singleton keeps own id
+    snake = [cells[p] for p in pts[4:]]
+    assert all(m8[c] == min(snake) for c in snake)              # converged end-to-end
+    assert len(set(m8.values())) == 3
+
+    lab4 = components.connected_cell_components(df, diagonal=False).toPandas()
+    m4 = dict(zip(lab4["cell_id"], lab4["component"]))
+    assert m4[cells[(102, 101)]] != m4[cells[(100, 100)]]       # no diagonal edge
+    assert len(set(m4.values())) == 4
