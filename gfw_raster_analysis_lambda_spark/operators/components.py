@@ -56,35 +56,35 @@ def cell_adjacency(cells: DataFrame, diagonal: bool = True) -> DataFrame:
     ).select(F.col("cell_id").alias("a"), F.col("nbr").alias("b"))
 
 
-def connected_cell_components(
-    cells: DataFrame,
-    diagonal: bool = True,
+def hash_to_min(
+    nodes: DataFrame,  # one column: id (long)
+    edges: DataFrame,  # columns: a, b (long, directed — pass both directions)
     max_iter: int = 30,
 ) -> DataFrame:
-    """(cell_id, component): component = min cell_id reachable through
-    the adjacency graph. Hash-to-min iterated until no label changes
-    (early-stop count per round) or ``max_iter``."""
-    spark = cells.sparkSession
-    edges = cell_adjacency(cells, diagonal).persist()
+    """(id, component): component = min node id reachable through the
+    edge set. The generic hash-to-min loop shared by cell-level and
+    pixel-level clustering; each round is one join + one min-aggregate,
+    early-stopped on a changed-label count."""
+    edges = edges.persist()
     labels = (
-        cells.select(F.col("cell_id").cast("long")).distinct()
-        .withColumn("component", F.col("cell_id"))
+        nodes.select(F.col("id").cast("long")).distinct()
+        .withColumn("component", F.col("id"))
         .persist()
     )
     labels.count()
     for _ in range(max_iter):
-        prop = edges.join(
-            labels, edges.a == labels.cell_id
-        ).select(F.col("b").alias("cell_id"), "component")
+        prop = edges.join(labels, edges.a == labels.id).select(
+            F.col("b").alias("id"), "component"
+        )
         new = (
-            labels.select("cell_id", "component").unionByName(prop)
-            .groupBy("cell_id")
+            labels.select("id", "component").unionByName(prop)
+            .groupBy("id")
             .agg(F.min("component").alias("component"))
             .persist()
         )
         changed = (
             new.alias("n")
-            .join(labels.alias("o"), "cell_id")
+            .join(labels.alias("o"), "id")
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
@@ -93,4 +93,235 @@ def connected_cell_components(
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select("cell_id", "component")
+    return labels.select("id", "component")
+
+
+def connected_cell_components(
+    cells: DataFrame,
+    diagonal: bool = True,
+    max_iter: int = 30,
+) -> DataFrame:
+    """(cell_id, component): component = min cell_id reachable through
+    the adjacency graph."""
+    edges = cell_adjacency(cells, diagonal)
+    labels = hash_to_min(
+        cells.select(F.col("cell_id").cast("long").alias("id")),
+        edges.select(F.col("a"), F.col("b")),
+        max_iter,
+    )
+    return labels.select(F.col("id").alias("cell_id"), "component")
+
+
+# ---------------------------------------------------------------------------
+# Pixel-level connected components across tile boundaries
+# ---------------------------------------------------------------------------
+
+def _label_tile(mask, diagonal: bool = False):
+    """Two-pass run-based union-find labeling of one boolean tile.
+    Vectorized run extraction per row; the Python loop is over RUNS (not
+    pixels), so a 1024px tile costs O(runs) find/union ops. Returns an
+    int32 label image (0 = background, labels 1..n dense)."""
+    import numpy as np
+
+    h, w = mask.shape
+    labels = np.zeros((h, w), dtype=np.int32)
+    parent: list = [0]
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def union(i: int, j: int) -> None:
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[max(ri, rj)] = min(ri, rj)
+
+    prev_runs: list = []  # (start, end_exclusive, label)
+    for r in range(h):
+        row = mask[r]
+        if not row.any():
+            prev_runs = []
+            continue
+        d = np.diff(row.astype(np.int8))
+        starts = np.flatnonzero(d == 1) + 1
+        ends = np.flatnonzero(d == -1) + 1
+        if row[0]:
+            starts = np.insert(starts, 0, 0)
+        if row[-1]:
+            ends = np.append(ends, w)
+        runs = []
+        slack = 1 if diagonal else 0
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            lab = 0
+            for ps, pe, pl in prev_runs:
+                # overlap test (8-conn widens the window by one pixel)
+                if ps < e + slack and pe > s - slack:
+                    if lab == 0:
+                        lab = pl
+                    else:
+                        union(lab, pl)
+            if lab == 0:
+                parent.append(len(parent))
+                lab = len(parent) - 1
+            labels[r, s:e] = lab
+            runs.append((s, e, lab))
+        # merge runs that got unioned via a shared previous-row run
+        prev_runs = [(s, e, find(l)) for s, e, l in runs]
+        for s, e, l in prev_runs:
+            labels[r, s:e] = l
+    # resolve + densify
+    if len(parent) > 1:
+        import numpy as np
+        roots = np.array([find(i) for i in range(len(parent))], dtype=np.int32)
+        uniq = np.unique(roots[1:])
+        dense = np.zeros(len(parent), dtype=np.int32)
+        dense[uniq] = np.arange(1, len(uniq) + 1, dtype=np.int32)
+        labels = dense[roots[labels]]
+    return labels
+
+
+def pixel_components(
+    images: DataFrame,  # (layer, cell_id, bytes, w, h, fmt)
+    layer: str,
+    in_values: list,
+    grid_name: str,
+    diagonal: bool = False,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components of the pixels whose value is in
+    ``in_values``, ACROSS tile boundaries — the distributed form of
+    GDAL-style region labeling (alert blobs, burn scars, contiguous loss
+    patches). Returns ``(component, n_px, n_cells)`` per global region.
+
+    Three-stage plan, the canonical split of a raster graph problem:
+    1. per-cell kernel: two-pass union-find labels each tile locally and
+       emits (a) per-label pixel counts and (b) the four boundary strips
+       (edge position -> local label);
+    2. relational stitch: strips of grid-adjacent cells join on position
+       (±1 when ``diagonal``) producing an equivalence edge list between
+       (cell, label) nodes — O(boundary pixels), never O(pixels);
+    3. :func:`hash_to_min` merges the equivalence graph; component ids
+       are md5-derived 60-bit node hashes (deterministic, order-free).
+
+    Only strips and label counts leave the kernel: shuffle volume is
+    O(tile edge) per cell, pixels never cross the wire."""
+    import pandas as pd
+
+    from ..functions import codecs
+
+    xb, yb = G._X_BITS, G._Y_BITS
+    vals = set(int(v) for v in in_values)
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            yield _kernel_one(pdf, np)
+
+    def _kernel_one(pdf: "pd.DataFrame", np):
+        out_counts = []
+        out_strips = []
+        for r in pdf.itertuples(index=False):
+            arr = codecs.decode_tile(bytes(r.bytes), int(r.w), int(r.h), str(r.fmt))
+            mask = np.isin(arr, list(vals))
+            if not mask.any():
+                continue
+            lab = _label_tile(mask, diagonal)
+            cell = int(r.cell_id)
+            nz = lab[lab > 0]
+            ids, cnts = np.unique(nz, return_counts=True)
+            for i, c in zip(ids.tolist(), cnts.tolist()):
+                out_counts.append((cell, i, c))
+            h, w = lab.shape
+            for side, vec, elen in (("N", lab[0, :], w), ("S", lab[-1, :], w),
+                                    ("W", lab[:, 0], h), ("E", lab[:, -1], h)):
+                pos = np.flatnonzero(vec)
+                for p in pos.tolist():
+                    out_strips.append((cell, side, p, int(vec[p]), elen))
+        counts = pd.DataFrame(out_counts, columns=["cell_id", "label", "n_px"])
+        strips = pd.DataFrame(
+            out_strips, columns=["cell_id", "side", "pos", "label", "elen"]
+        )
+        counts["kind"] = 0
+        strips["kind"] = 1
+        both = pd.concat([
+            counts.rename(columns={"n_px": "v"}).assign(side="", pos=0, elen=0)[
+                ["kind", "cell_id", "label", "v", "side", "pos", "elen"]],
+            strips.assign(v=0)[["kind", "cell_id", "label", "v", "side", "pos", "elen"]],
+        ], ignore_index=True)
+        return both
+
+    tiles = images.filter(F.col("layer") == layer).select(
+        "cell_id", "bytes", "w", "h", "fmt"
+    )
+    rows = tiles.mapInPandas(
+        kernel,
+        "kind int, cell_id long, label int, v long, side string, pos int, elen int",
+    ).persist()
+
+    node = F.conv(
+        F.substring(F.md5(F.concat_ws(":", "cell_id", "label")), 1, 15), 16, 10
+    ).cast("long")
+    counts = rows.filter(F.col("kind") == 0).select(
+        "cell_id", "label", F.col("v").alias("n_px"), node.alias("id")
+    )
+    strips = rows.filter(F.col("kind") == 1).select(
+        "cell_id", "side", "pos", "elen", "label", node.alias("id")
+    )
+
+    # adjacency between strips: my E edge meets the W edge of the cell one
+    # x-step east (cell_id + (1 << yb)), my S edge meets the N edge of the
+    # cell one y-step south (cell_id + 1); positions equal (or ±1 diagonal)
+    def meet(side_a, side_b, delta):
+        a = strips.filter(F.col("side") == side_a).select(
+            (F.col("cell_id") + F.lit(delta)).alias("cell_id"),
+            F.col("pos"), F.col("id").alias("ia"),
+        )
+        b = strips.filter(F.col("side") == side_b).select(
+            "cell_id", F.col("pos").alias("pos_b"), F.col("id").alias("ib")
+        )
+        cond = (a.cell_id == b.cell_id) & (
+            (F.abs(a.pos - F.col("pos_b")) <= 1) if diagonal
+            else (a.pos == F.col("pos_b"))
+        )
+        return a.join(b, cond).select(F.col("ia").alias("a"), F.col("ib").alias("b"))
+
+    e1 = meet("E", "W", 1 << yb)
+    e2 = meet("S", "N", 1)
+    edges = e1.unionByName(e2)
+    if diagonal:
+        # four-cells corner: my S-edge END pixel is diagonally adjacent to
+        # the N-edge START pixel of the diagonal neighbor (and mirrored)
+        def corner(end_a: bool, delta: int):
+            a = strips.filter(
+                (F.col("side") == "S")
+                & (F.col("pos") == (F.col("elen") - 1 if end_a else F.lit(0)))
+            ).select(
+                (F.col("cell_id") + F.lit(delta)).alias("cell_id"),
+                F.col("id").alias("ia"),
+            )
+            b = strips.filter(
+                (F.col("side") == "N")
+                & (F.col("pos") == (F.lit(0) if end_a else F.col("elen") - 1))
+            ).select("cell_id", F.col("id").alias("ib"))
+            return a.join(b, "cell_id").select(
+                F.col("ia").alias("a"), F.col("ib").alias("b")
+            )
+
+        edges = edges.unionByName(corner(True, (1 << yb) + 1))   # SE diagonal
+        edges = edges.unionByName(corner(False, -(1 << yb) + 1))  # SW diagonal
+    edges = edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+
+    labels = hash_to_min(counts.select("id"), edges, max_iter)
+    out = (
+        counts.join(labels, "id")
+        .groupBy("component")
+        .agg(
+            F.sum("n_px").alias("n_px"),
+            F.countDistinct("cell_id").alias("n_cells"),
+        )
+    )
+    rows.unpersist()
+    return out

@@ -518,3 +518,69 @@ def test_connected_components_connectivity(spark):
     m4 = dict(zip(lab4["cell_id"], lab4["component"]))
     assert m4[cells[(102, 101)]] != m4[cells[(100, 100)]]       # no diagonal edge
     assert len(set(m4.values())) == 4
+
+
+def test_pixel_components_cross_tile(spark):
+    """Pixel-level connected components across tile boundaries match a
+    single-process BFS over the assembled global mask — blobs spanning
+    edges, a corner-only diagonal link, and isolated speckles."""
+    import numpy as np
+
+    from gfw_raster_analysis_lambda_spark.functions import codecs
+    from gfw_raster_analysis_lambda_spark.functions import grid as G
+    from gfw_raster_analysis_lambda_spark.operators import components
+    from gfw_raster_analysis_lambda_spark.sources import fixtures
+
+    grid = fixtures.GRID
+    chunk = grid.chunk_px
+    gw = 2 * chunk
+    world = np.zeros((gw, gw), dtype=np.uint8)
+    world[10:14, 60:70] = 7          # blob crossing the E/W tile edge
+    world[60:70, 20:24] = 7          # blob crossing the S/N tile edge
+    world[63, 63] = 7                # corner-only diagonal pair across
+    world[64, 64] = 7                #   the four-cells corner point
+    world[5:8, 5:8] = 7              # interior blob
+    world[100:102, 100:103] = 7      # interior blob in the SE tile
+    world[30, 90] = 9                # non-matching value: excluded
+
+    rows = []
+    for dx in range(2):
+        for dy in range(2):
+            arr = world[dy * chunk:(dy + 1) * chunk, dx * chunk:(dx + 1) * chunk]
+            cell = int(G.cell_from_xy(grid, 500 + dx, 400 + dy))
+            rows.append(("pat", cell, codecs.encode_tile(
+                np.ascontiguousarray(arr), "png"), chunk, chunk, "png"))
+    df = spark.createDataFrame(
+        rows, "layer string, cell_id long, bytes binary, w int, h int, fmt string"
+    )
+
+    def bfs_sizes(diag):
+        mask = world == 7
+        seen = np.zeros_like(mask)
+        sizes = []
+        nbrs = [(-1, 0), (1, 0), (0, -1), (0, 1)] + (
+            [(-1, -1), (-1, 1), (1, -1), (1, 1)] if diag else []
+        )
+        for r in range(gw):
+            for c in range(gw):
+                if mask[r, c] and not seen[r, c]:
+                    stack, n = [(r, c)], 0
+                    seen[r, c] = True
+                    while stack:
+                        y, x = stack.pop()
+                        n += 1
+                        for dy2, dx2 in nbrs:
+                            yy, xx = y + dy2, x + dx2
+                            if 0 <= yy < gw and 0 <= xx < gw and mask[yy, xx] and not seen[yy, xx]:
+                                seen[yy, xx] = True
+                                stack.append((yy, xx))
+                    sizes.append(n)
+        return sorted(sizes)
+
+    for diag in (False, True):
+        got = components.pixel_components(
+            df, "pat", [7], grid.name, diagonal=diag
+        ).toPandas()
+        assert sorted(got["n_px"].tolist()) == bfs_sizes(diag), f"diagonal={diag}"
+    # the corner pair merges ONLY under 8-connectivity
+    assert len(bfs_sizes(True)) == len(bfs_sizes(False)) - 1
