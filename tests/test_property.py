@@ -229,3 +229,43 @@ def test_rasterize_matches_contains_points(pts, seed):
     gx, gy = np.meshgrid(cx, cy)
     exp = geo.contains_points(geom, gx.ravel(), gy.ravel()).reshape(h, w)
     np.testing.assert_array_equal(mask, exp)
+
+
+@given(st.integers(min_value=0, max_value=2**31 - 1), st.floats(min_value=0.2, max_value=0.7))
+@settings(max_examples=60, deadline=None)
+def test_label_tile_matches_bfs(seed, density):
+    """components._label_tile (run-based union-find) equals BFS labeling
+    on random masks, both connectivities: same component count and the
+    same pixel partition."""
+    from gfw_raster_analysis_lambda_spark.operators.components import _label_tile
+
+    rng = np.random.RandomState(seed)
+    mask = rng.random((12, 12)) < density
+    for diag in (False, True):
+        lab = _label_tile(mask, diagonal=diag)
+        assert (lab > 0).sum() == mask.sum()
+        # BFS partition
+        seen = np.zeros_like(mask)
+        nbrs = [(-1, 0), (1, 0), (0, -1), (0, 1)] + (
+            [(-1, -1), (-1, 1), (1, -1), (1, 1)] if diag else []
+        )
+        comps = []
+        for r in range(12):
+            for c in range(12):
+                if mask[r, c] and not seen[r, c]:
+                    comp = set()
+                    stack = [(r, c)]
+                    seen[r, c] = True
+                    while stack:
+                        y, x = stack.pop()
+                        comp.add((y, x))
+                        for dy, dx in nbrs:
+                            yy, xx = y + dy, x + dx
+                            if 0 <= yy < 12 and 0 <= xx < 12 and mask[yy, xx] and not seen[yy, xx]:
+                                seen[yy, xx] = True
+                                stack.append((yy, xx))
+                    comps.append(comp)
+        # every BFS component must carry exactly one label
+        labs_of = [{int(lab[y, x]) for (y, x) in comp} for comp in comps]
+        assert all(len(s) == 1 for s in labs_of), (mask, lab, diag)
+        assert len({next(iter(s)) for s in labs_of}) == len(comps)
