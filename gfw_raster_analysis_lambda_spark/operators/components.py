@@ -189,11 +189,16 @@ def pixel_components(
     grid_name: str,
     diagonal: bool = False,
     max_iter: int = 30,
+    aoi_df: DataFrame | None = None,
 ) -> DataFrame:
     """Connected components of the pixels whose value is in
     ``in_values``, ACROSS tile boundaries — the distributed form of
     GDAL-style region labeling (alert blobs, burn scars, contiguous loss
-    patches). Returns ``(component, n_px, n_cells)`` per global region.
+    patches). Returns ``(component, n_px, n_cells)`` per global region,
+    or per-AOI patch metrics ``(aoi_id, component, n_px, n_cells)`` when
+    ``aoi_df`` (aoi_id, geom_wkb) is given: the landscape-ecology
+    patch-analysis ask — each AOI's mask clips the value mask before
+    labeling, so patches are contiguous WITHIN the AOI.
 
     Three-stage plan, the canonical split of a raster graph problem:
     1. per-cell kernel: two-pass union-find labels each tile locally and
@@ -213,6 +218,15 @@ def pixel_components(
 
     xb, yb = G._X_BITS, G._Y_BITS
     vals = set(int(v) for v in in_values)
+    per_aoi = aoi_df is not None
+    aoi_lookup = None
+    if per_aoi:
+        from ..plans.planner import prepare_aoi_index
+
+        idx = prepare_aoi_index(images.sparkSession, aoi_df, grid_name)
+        if idx is None:
+            raise ValueError("AOI batch exceeds the broadcastable index bound")
+        aoi_lookup = idx.lookup
 
     def kernel(batches):
         import numpy as np
@@ -221,35 +235,58 @@ def pixel_components(
             yield _kernel_one(pdf, np)
 
     def _kernel_one(pdf: "pd.DataFrame", np):
+        from . import zonal as _zonal
+        from ..functions import geometry as geo
+
         out_counts = []
         out_strips = []
+        grid = G.get_grid(grid_name)
         for r in pdf.itertuples(index=False):
             arr = codecs.decode_tile(bytes(r.bytes), int(r.w), int(r.h), str(r.fmt))
-            mask = np.isin(arr, list(vals))
-            if not mask.any():
+            base = np.isin(arr, list(vals))
+            if not base.any():
                 continue
-            lab = _label_tile(mask, diagonal)
             cell = int(r.cell_id)
-            nz = lab[lab > 0]
-            ids, cnts = np.unique(nz, return_counts=True)
-            for i, c in zip(ids.tolist(), cnts.tolist()):
-                out_counts.append((cell, i, c))
-            h, w = lab.shape
-            for side, vec, elen in (("N", lab[0, :], w), ("S", lab[-1, :], w),
-                                    ("W", lab[:, 0], h), ("E", lab[:, -1], h)):
-                pos = np.flatnonzero(vec)
-                for p in pos.tolist():
-                    out_strips.append((cell, side, p, int(vec[p]), elen))
-        counts = pd.DataFrame(out_counts, columns=["cell_id", "label", "n_px"])
+            if per_aoi:
+                entry = aoi_lookup.value.get(cell)
+                if entry is None:
+                    continue
+                x0, y0, ps = G.cell_affine(grid, cell)
+                tp = grid.chunk_px
+                passes = []
+                for aoi_id, wkb in entry[1]:
+                    geom, g_edges, _ = _zonal._geom_edges(bytes(wkb))
+                    amask = base & geo.rasterize_mask(
+                        geom, x0, y0, ps, tp, tp, edges=g_edges
+                    )
+                    passes.append((aoi_id, amask))
+            else:
+                passes = [("", base)]
+            for aoi_id, mask in passes:
+                if not mask.any():
+                    continue
+                lab = _label_tile(mask, diagonal)
+                nz = lab[lab > 0]
+                ids, cnts = np.unique(nz, return_counts=True)
+                for i, c in zip(ids.tolist(), cnts.tolist()):
+                    out_counts.append((aoi_id, cell, i, c))
+                h, w = lab.shape
+                for side, vec, elen in (("N", lab[0, :], w), ("S", lab[-1, :], w),
+                                        ("W", lab[:, 0], h), ("E", lab[:, -1], h)):
+                    pos = np.flatnonzero(vec)
+                    for p in pos.tolist():
+                        out_strips.append((aoi_id, cell, side, p, int(vec[p]), elen))
+        counts = pd.DataFrame(out_counts, columns=["aoi", "cell_id", "label", "n_px"])
         strips = pd.DataFrame(
-            out_strips, columns=["cell_id", "side", "pos", "label", "elen"]
+            out_strips, columns=["aoi", "cell_id", "side", "pos", "label", "elen"]
         )
         counts["kind"] = 0
         strips["kind"] = 1
         both = pd.concat([
             counts.rename(columns={"n_px": "v"}).assign(side="", pos=0, elen=0)[
-                ["kind", "cell_id", "label", "v", "side", "pos", "elen"]],
-            strips.assign(v=0)[["kind", "cell_id", "label", "v", "side", "pos", "elen"]],
+                ["kind", "aoi", "cell_id", "label", "v", "side", "pos", "elen"]],
+            strips.assign(v=0)[
+                ["kind", "aoi", "cell_id", "label", "v", "side", "pos", "elen"]],
         ], ignore_index=True)
         return both
 
@@ -258,17 +295,18 @@ def pixel_components(
     )
     rows = tiles.mapInPandas(
         kernel,
-        "kind int, cell_id long, label int, v long, side string, pos int, elen int",
+        "kind int, aoi string, cell_id long, label int, v long, "
+        "side string, pos int, elen int",
     ).persist()
 
     node = F.conv(
-        F.substring(F.md5(F.concat_ws(":", "cell_id", "label")), 1, 15), 16, 10
+        F.substring(F.md5(F.concat_ws(":", "aoi", "cell_id", "label")), 1, 15), 16, 10
     ).cast("long")
     counts = rows.filter(F.col("kind") == 0).select(
-        "cell_id", "label", F.col("v").alias("n_px"), node.alias("id")
+        "aoi", "cell_id", "label", F.col("v").alias("n_px"), node.alias("id")
     )
     strips = rows.filter(F.col("kind") == 1).select(
-        "cell_id", "side", "pos", "elen", "label", node.alias("id")
+        "aoi", "cell_id", "side", "pos", "elen", "label", node.alias("id")
     )
 
     # adjacency between strips: my E edge meets the W edge of the cell one
@@ -276,13 +314,15 @@ def pixel_components(
     # cell one y-step south (cell_id + 1); positions equal (or ±1 diagonal)
     def meet(side_a, side_b, delta):
         a = strips.filter(F.col("side") == side_a).select(
+            "aoi",
             (F.col("cell_id") + F.lit(delta)).alias("cell_id"),
             F.col("pos"), F.col("id").alias("ia"),
         )
         b = strips.filter(F.col("side") == side_b).select(
-            "cell_id", F.col("pos").alias("pos_b"), F.col("id").alias("ib")
+            F.col("aoi").alias("aoi_b"), "cell_id",
+            F.col("pos").alias("pos_b"), F.col("id").alias("ib"),
         )
-        cond = (a.cell_id == b.cell_id) & (
+        cond = (a.cell_id == b.cell_id) & (a.aoi == F.col("aoi_b")) & (
             (F.abs(a.pos - F.col("pos_b")) <= 1) if diagonal
             else (a.pos == F.col("pos_b"))
         )
@@ -299,14 +339,15 @@ def pixel_components(
                 (F.col("side") == "S")
                 & (F.col("pos") == (F.col("elen") - 1 if end_a else F.lit(0)))
             ).select(
+                "aoi",
                 (F.col("cell_id") + F.lit(delta)).alias("cell_id"),
                 F.col("id").alias("ia"),
             )
             b = strips.filter(
                 (F.col("side") == "N")
                 & (F.col("pos") == (F.lit(0) if end_a else F.col("elen") - 1))
-            ).select("cell_id", F.col("id").alias("ib"))
-            return a.join(b, "cell_id").select(
+            ).select("aoi", "cell_id", F.col("id").alias("ib"))
+            return a.join(b, ["aoi", "cell_id"]).select(
                 F.col("ia").alias("a"), F.col("ib").alias("b")
             )
 
@@ -315,13 +356,16 @@ def pixel_components(
     edges = edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
 
     labels = hash_to_min(counts.select("id"), edges, max_iter)
+    keys = (["aoi"] if per_aoi else []) + ["component"]
     out = (
         counts.join(labels, "id")
-        .groupBy("component")
+        .groupBy(*keys)
         .agg(
             F.sum("n_px").alias("n_px"),
             F.countDistinct("cell_id").alias("n_cells"),
         )
     )
+    if per_aoi:
+        out = out.withColumnRenamed("aoi", "aoi_id")
     rows.unpersist()
     return out

@@ -584,3 +584,42 @@ def test_pixel_components_cross_tile(spark):
         assert sorted(got["n_px"].tolist()) == bfs_sizes(diag), f"diagonal={diag}"
     # the corner pair merges ONLY under 8-connectivity
     assert len(bfs_sizes(True)) == len(bfs_sizes(False)) - 1
+
+
+def test_pixel_components_per_aoi(spark):
+    """Per-AOI patch metrics: the AOI mask clips before labeling, so a
+    blob straddling an AOI edge splits, and each AOI gets its own patch
+    partition (landscape-ecology patch analysis)."""
+    import numpy as np
+
+    from gfw_raster_analysis_lambda_spark.functions import codecs
+    from gfw_raster_analysis_lambda_spark.functions import geometry as geo
+    from gfw_raster_analysis_lambda_spark.functions import grid as G
+    from gfw_raster_analysis_lambda_spark.operators import components
+    from gfw_raster_analysis_lambda_spark.sources import fixtures
+
+    grid = fixtures.GRID
+    chunk = grid.chunk_px
+    # one cell at (760, 276): lon [10, 10.25], lat [20.75, 21]
+    cell = int(G.cell_from_xy(grid, 760, 276))
+    arr = np.zeros((chunk, chunk), dtype=np.uint8)
+    arr[10:20, 20:44] = 7           # horizontal bar crossing lon 10.125
+    arr[40:44, 50:54] = 7           # second blob, east half only
+    df = spark.createDataFrame(
+        [("pat", cell, codecs.encode_tile(arr, "png"), chunk, chunk, "png")],
+        "layer string, cell_id long, bytes binary, w int, h int, fmt string",
+    )
+    # west / east half-cell AOIs split at lon 10.125 (col 32)
+    aois = spark.createDataFrame(
+        [("west", geo.wkb_dumps(geo.box(10.0, 20.75, 10.125, 21.0))),
+         ("east", geo.wkb_dumps(geo.box(10.125, 20.75, 10.25, 21.0)))],
+        fixtures.AOI_SCHEMA,
+    )
+    out = components.pixel_components(
+        df, "pat", [7], grid.name, diagonal=False, aoi_df=aois
+    ).toPandas()
+    by_aoi = {a: sorted(g["n_px"].tolist()) for a, g in out.groupby("aoi_id")}
+    # bar cols 20..43 (24 wide, 10 tall): west part cols 20..31 = 12x10,
+    # east part cols 32..43 = 12x10; second blob 4x4 east only
+    assert by_aoi["west"] == [120]
+    assert by_aoi["east"] == [16, 120]
