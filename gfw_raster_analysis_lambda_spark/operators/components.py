@@ -60,11 +60,17 @@ def hash_to_min(
     nodes: DataFrame,  # one column: id (long)
     edges: DataFrame,  # columns: a, b (long, directed — pass both directions)
     max_iter: int = 30,
+    shortcut: bool = True,
 ) -> DataFrame:
     """(id, component): component = min node id reachable through the
-    edge set. The generic hash-to-min loop shared by cell-level and
-    pixel-level clustering; each round is one join + one min-aggregate,
-    early-stopped on a changed-label count."""
+    edge set. The generic label-propagation loop shared by cell-level and
+    pixel-level clustering: each round propagates labels across edges,
+    min-combines, and (``shortcut``) pointer-jumps — every node also
+    adopts its current component's own label, which doubles the
+    propagation distance per round. Convergence is O(log diameter) with
+    shortcutting instead of O(diameter) — the difference between ~15 and
+    ~1000 rounds for a continent-spanning contiguous region. Early-stops
+    on a changed-label count."""
     edges = edges.persist()
     labels = (
         nodes.select(F.col("id").cast("long")).distinct()
@@ -80,8 +86,19 @@ def hash_to_min(
             labels.select("id", "component").unionByName(prop)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .persist()
         )
+        if shortcut:
+            # pointer jumping: component <- component's own component
+            hop = new.select(
+                F.col("id").alias("component"), F.col("component").alias("c2")
+            )
+            new = new.join(hop, "component", "left").select(
+                "id", F.coalesce("c2", "component").alias("component")
+            )
+        # localCheckpoint truncates lineage: without it each round's plan
+        # embeds every previous round and Catalyst analysis time grows
+        # superlinearly with the iteration count
+        new = new.localCheckpoint(eager=True)
         changed = (
             new.alias("n")
             .join(labels.alias("o"), "id")

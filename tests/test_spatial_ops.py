@@ -623,3 +623,21 @@ def test_pixel_components_per_aoi(spark):
     # east part cols 32..43 = 12x10; second blob 4x4 east only
     assert by_aoi["west"] == [120]
     assert by_aoi["east"] == [16, 120]
+
+
+def test_hash_to_min_shortcut_log_convergence(spark):
+    """Pointer jumping converges a 64-cell path in O(log n) rounds: with
+    max_iter=8 the shortcut loop finishes a diameter-64 chain that plain
+    hash-to-min provably cannot (it moves labels one hop per round)."""
+    from pyspark.sql import functions as F
+
+    from gfw_raster_analysis_lambda_spark.operators import components
+
+    n = 64
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    e = [(i, i + 1) for i in range(n - 1)]
+    edges = spark.createDataFrame(e + [(b, a) for a, b in e], "a long, b long")
+    fast = components.hash_to_min(nodes, edges, max_iter=8, shortcut=True).toPandas()
+    assert set(fast["component"]) == {0}
+    slow = components.hash_to_min(nodes, edges, max_iter=8, shortcut=False).toPandas()
+    assert set(slow["component"]) != {0}  # one-hop propagation can't finish
