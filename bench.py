@@ -122,6 +122,33 @@ def bench_queries(spark):
         )
     q["zonal_alert_isoweek"] = zonal_alert_isoweek
 
+    def zonal_multi_fused():
+        # the batch request shape: 3 analyses over one AOI list in ONE
+        # fused kernel pass (shared scan + decode + rasterize). Compare
+        # against zonal_flagship + zonal_alert_isoweek + a drivers
+        # group-by run separately.
+        from gfw_raster_analysis_lambda_spark.api import zonal_statistics_multi
+
+        res = zonal_statistics_multi(
+            spark, images, aoi,
+            {
+                "flagship": "SELECT tcl_year, SUM(area__ha) AS loss_ha, COUNT(*) AS n "
+                            "FROM tcl_year WHERE tcd_threshold >= 25 AND is_primary = 'true' "
+                            "GROUP BY tcl_year",
+                "isoweek": "SELECT isoweek(alert_date), COUNT(*) AS n "
+                           "FROM alert_date_conf GROUP BY 1",
+                "area": "SELECT SUM(area__ha) AS ha, COUNT(*) AS n FROM data",
+            },
+            env, BGRID.name, strategy="colocated", aoi_index=aoi_index,
+        )
+        # materialize every result inside the timed callable; drop the
+        # shared partial cache so each bench run re-executes the kernel
+        for df in res.values():
+            df.write.format("noop").mode("overwrite").save()
+        next(iter(res.values()))._fused_partials.unpersist()
+        return spark.range(1)
+    q["zonal_multi_fused"] = zonal_multi_fused
+
     def knn_phash_bench():
         from pyspark.sql import Window
 

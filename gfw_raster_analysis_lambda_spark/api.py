@@ -27,6 +27,24 @@ def zonal_statistics(
     return run_zonal_query(spark, images, aoi, query, env, grid_name, **kwargs)
 
 
+def zonal_statistics_multi(
+    spark: SparkSession,
+    images: DataFrame,
+    aoi: DataFrame,
+    sqls: "dict[str, str]",
+    env: DataEnvironment,
+    grid_name: str | None = None,
+    **kwargs,
+) -> "dict[str, DataFrame]":
+    """Run a WHOLE Raster-SQL query set over one AOI batch in a single
+    fused pass (shared scan/decode/rasterize — the reference runs its
+    per-request query set serially; see plans.planner.run_zonal_queries)."""
+    from .plans.planner import run_zonal_queries
+
+    queries = {name: parse_raster_sql(s, env) for name, s in sqls.items()}
+    return run_zonal_queries(spark, images, aoi, queries, env, grid_name, **kwargs)
+
+
 def aoi_from_geojson(
     spark: SparkSession,
     src,

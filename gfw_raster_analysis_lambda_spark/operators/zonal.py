@@ -125,7 +125,7 @@ def make_zonal_kernel(query: ZonalQuery, env_json: str, grid_name: str):
         mean_area = float(geodesy.pixel_area_ha(lat_c, ps))
 
         tile_px = grid.chunk_px
-        values = _decode_and_derive(pdf, env, query, grid, cell_id, mean_area)
+        values = _decode_and_derive(pdf, env, query.layer_names(), grid, cell_id, mean_area)
 
         # -- masks (1-D pixel columns, reference ravel semantics) ------------
         mask = np.ravel(geo.rasterize_mask(geom, x0, y0, ps, tile_px, tile_px, edges=g_edges))
@@ -205,7 +205,7 @@ def make_cell_kernel(query: ZonalQuery, env_json: str, grid_name: str, aoi_looku
         lat_c = float(G.cell_centroid_lat(grid, np.array([cell_id]))[0])
         mean_area = float(geodesy.pixel_area_ha(lat_c, ps))
         tile_px = grid.chunk_px
-        values = _decode_and_derive(pdf, env, query, grid, cell_id, mean_area)
+        values = _decode_and_derive(pdf, env, query.layer_names(), grid, cell_id, mean_area)
 
         # AOI-independent masks, computed once per cell
         static: np.ndarray | None = None
@@ -323,7 +323,7 @@ def _env_cache(env_json: str) -> DataEnvironment:
 
 
 def _decode_and_derive(
-    pdf: pd.DataFrame, env: DataEnvironment, query: ZonalQuery, grid, cell_id: int,
+    pdf: pd.DataFrame, env: DataEnvironment, names: list, grid, cell_id: int,
     mean_area: float
 ) -> dict[str, np.ndarray]:
     """Decode present tiles, synthesize zeros for missing ones (S2
@@ -351,7 +351,7 @@ def _decode_and_derive(
         present[lname] = arr
 
     values: dict[str, np.ndarray] = {}
-    for name in query.layer_names():
+    for name in names:
         layer = env.get_layer(name)
         if isinstance(layer, ReservedLayer):
             continue  # handled at use sites (area__ha / lat / lon)
@@ -932,3 +932,160 @@ def _regroup(pdf: pd.DataFrame, group_cols: list, aggmap: dict) -> pd.DataFrame:
             return pdf.groupby(group_cols, as_index=False).agg(aggmap)
         out[c] = pd.array(acc, dtype="Float64") if nullable else acc
     return pd.DataFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# Fused multi-query cell kernel (batch request shape: one AOI list, many
+# analyses — the reference runs its query set serially per request;
+# fusing shares the scan, decode, and per-(aoi, cell) rasterize across
+# every query in the set)
+# ---------------------------------------------------------------------------
+
+def multi_partial_columns(queries: list) -> list[tuple[str, str]]:
+    """Combined tagged-union schema: ``_q`` selects the query; each
+    query's partial columns appear prefixed ``q{i}__`` (all queries' rows
+    share one frame, other queries' columns are null)."""
+    cols: list[tuple[str, str]] = [("_q", "int")]
+    for i, q in enumerate(queries):
+        cols += [(f"q{i}__{n}", t) for n, t in partial_columns(q)]
+    return cols
+
+
+def multi_partial_schema_ddl(queries: list) -> str:
+    return ", ".join(f"`{n}` {t}" for n, t in multi_partial_columns(queries))
+
+
+def make_multi_cell_kernel(queries: list, env_json: str, grid_name: str, aoi_lookup):
+    """Per-cell kernel evaluating EVERY query of a batch in one pass:
+    decode once, rasterize each AOI once, then run each query's
+    aggregation context against the shared masks. Aggregate-mode queries
+    only (no select_pixels)."""
+    if any(q.select_pixels for q in queries):
+        raise ValueError("fused execution supports aggregate queries only")
+    union_names: list = []
+    for q in queries:
+        for n in q.layer_names():
+            if n not in union_names:
+                union_names.append(n)
+    long_cols = [
+        f"q{i}__{n}"
+        for i, q in enumerate(queries)
+        for n, t in partial_columns(q)
+        if t == "long"
+    ]
+
+    def empty_frame() -> pd.DataFrame:
+        out = {"aoi_id": pd.Series(dtype=object), "_q": pd.Series(dtype="int32")}
+        for i, q in enumerate(queries):
+            for n, t in _pd_types(q):
+                out[f"q{i}__{n}"] = pd.Series(
+                    dtype="Int64" if (f"q{i}__{n}" in long_cols) else t
+                )
+        return pd.DataFrame(out)
+
+    empty = empty_frame()
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        env = _env_cache(env_json)
+        grid = G.get_grid(grid_name)
+        cell_id = int(pdf["cell_id"].iloc[0])
+        entry = aoi_lookup.value.get(cell_id)
+        if entry is None:
+            return empty.copy()
+        n_salt, aois = entry
+        if "_salt" in pdf.columns:
+            aois = aois[int(pdf["_salt"].iloc[0])::n_salt]
+        if not aois:
+            return empty.copy()
+
+        x0, y0, ps = G.cell_affine(grid, cell_id)
+        lat_c = float(G.cell_centroid_lat(grid, np.array([cell_id]))[0])
+        mean_area = float(geodesy.pixel_area_ha(lat_c, ps))
+        tile_px = grid.chunk_px
+        # synthetic missing-cell group (all layer values null): only
+        # FROM_DATA queries may count implicit zero tiles
+        is_missing = pdf["layer"].isna().all()
+        values = _decode_and_derive(pdf, env, union_names, grid, cell_id, mean_area)
+
+        per_query = []
+        for q in queries:
+            if is_missing and q.base_layer != FROM_DATA:
+                per_query.append(None)
+                continue
+            static: np.ndarray | None = None
+            if q.base_layer != FROM_DATA:
+                static = _data_mask(values[q.base_layer], env.nodata_of(q.base_layer))
+            if q.where is not None:
+                m = _eval_filter(q.where, values)
+                static = m if static is None else static & m
+            for gname in q.group_layers:
+                arr = values[gname]
+                if np.issubdtype(np.asarray(arr).dtype, np.floating):
+                    m = ~np.isnan(arr)
+                    static = m if static is None else static & m
+                nd = env.nodata_of(gname)
+                if nd is not None and not env.keeps_nodata_groups(gname) and not _is_nan_nodata(nd):
+                    m = arr != nd
+                    static = m if static is None else static & m
+            per_query.append((static, _CellAggContext(q, values, mean_area, env)))
+
+        nq = len(queries)
+        ids: list[list] = [[] for _ in range(nq)]
+        lens: list[list] = [[] for _ in range(nq)]
+        cols: list[dict] = [{} for _ in range(nq)]
+        full_results: list = [None] * nq
+        cell_rect = (x0, y0 - tile_px * ps, x0 + tile_px * ps, y0)
+        for aoi_id, wkb in aois:
+            geom, g_edges, g_meta = _geom_edges(bytes(wkb))
+            covered = geo.covers_rect(geom, *cell_rect, edges=g_edges, meta=g_meta)
+            amask = None
+            if not covered:
+                # rasterized ONCE per (aoi, cell), shared by every query
+                amask = np.ravel(
+                    geo.rasterize_mask(geom, x0, y0, ps, tile_px, tile_px, edges=g_edges)
+                )
+            for qi in range(nq):
+                if per_query[qi] is None:
+                    continue
+                static, ctx = per_query[qi]
+                if covered:
+                    if full_results[qi] is None:
+                        m = static if static is not None else np.ones(tile_px * tile_px, dtype=bool)
+                        full_results[qi] = ctx.run(m)
+                    part = full_results[qi]
+                else:
+                    m = (amask & static) if static is not None else amask
+                    part = ctx.run(m)
+                n = len(next(iter(part.values()))) if part else 0
+                ids[qi].append(aoi_id)
+                lens[qi].append(n)
+                for k, v in part.items():
+                    cols[qi].setdefault(k, []).append(v)
+
+        blocks: list[pd.DataFrame] = []
+        for qi, q in enumerate(queries):
+            if per_query[qi] is None or not cols[qi] or sum(lens[qi]) == 0:
+                continue
+            _, ctx = per_query[qi]
+            nullable = _nullable_minmax_cols(q)
+            data = {"aoi_id": np.repeat(np.asarray(ids[qi], dtype=object), lens[qi])}
+            for k, parts in cols[qi].items():
+                v = np.concatenate(parts)
+                data[k] = pd.array(v, dtype="Float64") if k in nullable else v
+            block = pd.DataFrame(data)
+            if q.isoweek_layers and q.group_layers and not ctx.emits_iso:
+                block = _isoweek_pushdown(block, q, env, id_cols=("aoi_id",))
+            block.insert(1, "_q", np.int32(qi))
+            block.columns = ["aoi_id", "_q"] + [
+                f"q{qi}__{c}" for c in block.columns[2:]
+            ]
+            blocks.append(block)
+        if not blocks:
+            return empty.copy()
+        out = pd.concat([empty] + blocks, ignore_index=True)
+        for c in long_cols:
+            # integral by construction; Int64 keeps other blocks' holes as NA
+            out[c] = out[c].astype("Int64")
+        return out[list(empty.columns)]
+
+    return kernel

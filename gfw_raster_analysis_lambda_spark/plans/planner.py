@@ -435,6 +435,152 @@ def build_partials_with_lookup(
     return _salted_cell_plan(spark, imgs, salted, wrapped, schema)
 
 
+def build_multi_partials_with_lookup(
+    images: DataFrame,
+    lookup,
+    salted: dict,
+    queries: list,  # [ZonalQuery] — aggregate-mode, single-grid
+    env: DataEnvironment,
+    grid_name: str,
+    colocated: bool = False,
+) -> DataFrame:
+    """FUSED cell-kernel plan: one scan + decode + per-(aoi, cell)
+    rasterize serving every query of a batch (zonal.make_multi_cell_kernel).
+    Output is the tagged union of all queries' partial rows (``_q`` +
+    ``q{i}__``-prefixed columns); split per query with
+    :func:`split_multi_partials`."""
+    spark = images.sparkSession
+    cell_ids = list(lookup.value.keys())
+    union_layers: list = []
+    for q in queries:
+        for n in env.source_layer_names(q.layer_names()):
+            if n not in union_layers:
+                union_layers.append(n)
+    if any(env.get_layer(n).grid != grid_name for n in union_layers):
+        raise ValueError("fused execution requires a single-grid query set")
+
+    imgs = images.select("layer", "cell_id", "bytes", "w", "h", "fmt")
+    if union_layers:
+        imgs = imgs.filter(F.col("layer").isin(union_layers))
+    imgs = imgs.withColumn("src_cell_id", F.col("cell_id"))
+    if not cell_ids:
+        imgs = imgs.filter(F.lit(False))
+    elif len(cell_ids) <= 2048:
+        imgs = imgs.filter(_in_long_set("cell_id", cell_ids))
+    else:
+        imgs = imgs.filter(F.col("cell_id").between(min(cell_ids), max(cell_ids)))
+
+    if any(q.base_layer == FROM_DATA for q in queries):
+        present = imgs.select("cell_id").distinct()
+        missing = (
+            spark.createDataFrame([(int(c),) for c in cell_ids], "cell_id long")
+            .join(F.broadcast(present), "cell_id", "left_anti")
+            .select(
+                F.lit(None).cast("string").alias("layer"),
+                F.col("cell_id"),
+                F.lit(None).cast("binary").alias("bytes"),
+                F.lit(None).cast("int").alias("w"),
+                F.lit(None).cast("int").alias("h"),
+                F.lit(None).cast("string").alias("fmt"),
+                F.col("cell_id").alias("src_cell_id"),
+            )
+        )
+        imgs = imgs.unionByName(missing)
+
+    kernel = zonal.make_multi_cell_kernel(queries, env.to_json(), grid_name, lookup)
+    schema = (
+        "`aoi_id` string, `cell_id` long, `_ms` double, "
+        + zonal.multi_partial_schema_ddl(queries)
+    )
+    wrapped = _wrap_cell_kernel(kernel)
+    if colocated:
+        if salted:
+            hot = [int(c) for c in salted]
+            cold_part = imgs.filter(~_in_long_set("cell_id", hot)).mapInPandas(
+                _streaming_cells(wrapped), schema
+            )
+            hot_part = _salted_cell_plan(
+                spark, imgs.filter(_in_long_set("cell_id", hot)), salted, wrapped, schema
+            )
+            return cold_part.unionByName(hot_part)
+        return imgs.mapInPandas(_streaming_cells(wrapped), schema)
+    return _salted_cell_plan(spark, imgs, salted, wrapped, schema)
+
+
+def split_multi_partials(partials: DataFrame, qi: int, query: ZonalQuery) -> DataFrame:
+    """Project query ``qi``'s rows and columns back out of the fused
+    tagged-union partial frame (prefix stripped — the result feeds
+    :func:`finalize_partials` unchanged)."""
+    pref = f"q{qi}__"
+    cols = [F.col("aoi_id"), F.col("cell_id"), F.col("_ms")] + [
+        F.col(pref + n).alias(n) for n, _ in zonal.partial_columns(query)
+    ]
+    return partials.filter(F.col("_q") == qi).select(*cols)
+
+
+def run_zonal_queries(
+    spark: SparkSession,
+    images: DataFrame,
+    aoi_df: DataFrame,
+    queries: "dict[str, ZonalQuery]",
+    env: DataEnvironment,
+    grid_name: str | None = None,
+    strategy: str | None = None,
+    aoi_index: "AoiIndex | None" = None,
+) -> "dict[str, DataFrame]":
+    """Execute a WHOLE query set over one AOI batch in ONE fused pass —
+    the reference's request shape (each analysis request runs several
+    canned queries over the same geostore list, reference lambdas run
+    them serially). The scan, tile decode, and per-(aoi, cell) rasterize
+    are shared across the set; the fused partial frame is cached so each
+    query's final aggregation reads it without re-running the kernel.
+
+    Falls back to per-query :func:`run_zonal_query` when the set cannot
+    fuse (pixel-select queries, multigrid layers, or an AOI batch over
+    the broadcast bound). Returns {name: result DataFrame}; the fused
+    partial cache is attached as ``results_dict_values[0]._fused_partials``
+    for explicit unpersist."""
+    qlist = list(queries.values())
+    names = list(queries.keys())
+    grids = {resolve_target_grid(q, env, grid_name) for q in qlist}
+    fusable = (
+        len(grids) == 1
+        and not any(q.select_pixels for q in qlist)
+        and strategy in (None, "auto", "cell", "colocated")
+    )
+    target = grids.pop() if len(grids) == 1 else None
+    if fusable:
+        union_layers = {
+            n for q in qlist for n in env.source_layer_names(q.layer_names())
+        }
+        fusable = all(env.get_layer(n).grid == target for n in union_layers)
+    idx = aoi_index
+    if fusable and idx is None:
+        idx = prepare_aoi_index(spark, aoi_df, target)
+        fusable = idx is not None
+    if not fusable:
+        return {
+            name: run_zonal_query(
+                spark, images, aoi_df, q, env, grid_name,
+                strategy=strategy, aoi_index=aoi_index,
+            )
+            for name, q in queries.items()
+        }
+    if strategy in (None, "auto"):
+        colocated = bool(getattr(images, "_gfw_cell_sorted", False))
+    else:
+        colocated = strategy == "colocated"
+    partials = build_multi_partials_with_lookup(
+        images, idx.lookup, idx.salted, qlist, env, target, colocated=colocated
+    ).persist()
+    out: "dict[str, DataFrame]" = {}
+    for qi, (name, q) in enumerate(zip(names, qlist)):
+        res = finalize_partials(split_multi_partials(partials, qi, q), q, env)
+        res._fused_partials = partials
+        out[name] = res
+    return out
+
+
 def _salted_cell_plan(spark, imgs: DataFrame, salted: dict, wrapped, schema: str) -> DataFrame:
     """The shuffle-clustered cell-kernel stage: tile rows repartitioned by
     cell (plus a salt replica per MAX_AOIS_PER_TASK-sized AOI slice of hot

@@ -676,3 +676,41 @@ def test_auto_strategy_prefers_colocated_on_sorted_layout(spark, tables, env, tm
     plain = run_zonal_query(spark, images, aoi_df, q, env, GRID_NAME)
     plan2 = plain._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan2
+
+
+def test_fused_multi_query_parity(spark, tables, env):
+    """run_zonal_queries (one fused kernel pass for the whole query set)
+    must produce bit-identical results to per-query execution, across a
+    mixed set: grouped masked sum, FROM_DATA area (missing-cell union),
+    and an isoweek date query."""
+    from gfw_raster_analysis_lambda_spark.plans.planner import run_zonal_queries
+
+    images, aoi_df = tables
+    qs = {
+        "grouped": _parity_query(),
+        "from_data": ZonalQuery(
+            base_layer="data",
+            aggregates=(Aggregate("sum", "area__ha", "area_ha"),
+                        Aggregate("count", None, "n_px")),
+        ),
+        "isoweek": ZonalQuery(
+            base_layer="alert_date_conf",
+            group_layers=("alert_date",),
+            aggregates=(Aggregate("count", None, "alert_count"),),
+            isoweek_layers=("alert_date",),
+        ),
+        "minmax": ZonalQuery(
+            base_layer="tcl_year",
+            aggregates=(Aggregate("min", "emissions", "em_min"),
+                        Aggregate("max", "emissions", "em_max"),
+                        Aggregate("avg", "emissions", "em_avg")),
+        ),
+    }
+    fused = run_zonal_queries(spark, images, aoi_df, qs, env, GRID_NAME)
+    for name, q in qs.items():
+        single = run_zonal_query(spark, images, aoi_df, q, env, GRID_NAME).toPandas()
+        got = fused[name].toPandas()
+        assert_frames_match(got, single)
+    # the fused partial frame is cached and shared by every result
+    assert fused["grouped"]._fused_partials is fused["isoweek"]._fused_partials
+    fused["grouped"]._fused_partials.unpersist()
