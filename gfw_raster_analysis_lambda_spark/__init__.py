@@ -14,6 +14,11 @@ from the reference; this package targets Spark's execution model directly.
 
 __version__ = "0.1.0"
 
-from .api import zonal_statistics, zonal_statistics_batch  # noqa: E402,F401
+from .api import (  # noqa: E402,F401
+    aoi_from_geojson,
+    zonal_statistics,
+    zonal_statistics_batch,
+    zonal_statistics_multi,
+)
 from .checkpoint import run_zonal_checkpointed  # noqa: E402,F401
 from .session import get_spark  # noqa: E402,F401
