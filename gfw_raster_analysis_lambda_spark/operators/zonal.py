@@ -944,10 +944,15 @@ def _regroup(pdf: pd.DataFrame, group_cols: list, aggmap: dict) -> pd.DataFrame:
 def multi_partial_columns(queries: list) -> list[tuple[str, str]]:
     """Combined tagged-union schema: ``_q`` selects the query; each
     query's partial columns appear prefixed ``q{i}__`` (all queries' rows
-    share one frame, other queries' columns are null)."""
+    share one frame, other queries' columns are null). Every value column
+    is DOUBLE — long partials are integral doubles (< 2^53 per tile by
+    construction) and are cast back per query at split time; keeping one
+    float dtype lets the kernel assemble the union frame with plain NaN
+    promotion instead of per-cell nullable-Int64 masking (which measurably
+    cost more than the fused decode saved)."""
     cols: list[tuple[str, str]] = [("_q", "int")]
     for i, q in enumerate(queries):
-        cols += [(f"q{i}__{n}", t) for n, t in partial_columns(q)]
+        cols += [(f"q{i}__{n}", "double") for n, _ in partial_columns(q)]
     return cols
 
 
@@ -967,20 +972,11 @@ def make_multi_cell_kernel(queries: list, env_json: str, grid_name: str, aoi_loo
         for n in q.layer_names():
             if n not in union_names:
                 union_names.append(n)
-    long_cols = [
-        f"q{i}__{n}"
-        for i, q in enumerate(queries)
-        for n, t in partial_columns(q)
-        if t == "long"
-    ]
-
     def empty_frame() -> pd.DataFrame:
         out = {"aoi_id": pd.Series(dtype=object), "_q": pd.Series(dtype="int32")}
         for i, q in enumerate(queries):
-            for n, t in _pd_types(q):
-                out[f"q{i}__{n}"] = pd.Series(
-                    dtype="Int64" if (f"q{i}__{n}" in long_cols) else t
-                )
+            for n, _ in _pd_types(q):
+                out[f"q{i}__{n}"] = pd.Series(dtype="float64")
         return pd.DataFrame(out)
 
     empty = empty_frame()
@@ -1082,10 +1078,8 @@ def make_multi_cell_kernel(queries: list, env_json: str, grid_name: str, aoi_loo
             blocks.append(block)
         if not blocks:
             return empty.copy()
-        out = pd.concat([empty] + blocks, ignore_index=True)
-        for c in long_cols:
-            # integral by construction; Int64 keeps other blocks' holes as NA
-            out[c] = out[c].astype("Int64")
-        return out[list(empty.columns)]
+        # the empty frame leads the concat so column order is canonical;
+        # absent columns NaN-promote to float64, matching the all-double DDL
+        return pd.concat([empty] + blocks, ignore_index=True)
 
     return kernel

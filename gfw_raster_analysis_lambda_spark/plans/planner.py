@@ -512,8 +512,10 @@ def split_multi_partials(partials: DataFrame, qi: int, query: ZonalQuery) -> Dat
     tagged-union partial frame (prefix stripped — the result feeds
     :func:`finalize_partials` unchanged)."""
     pref = f"q{qi}__"
+    # fused partials are all-double; restore each column's single-path
+    # type (count partials are integral doubles, the cast is exact)
     cols = [F.col("aoi_id"), F.col("cell_id"), F.col("_ms")] + [
-        F.col(pref + n).alias(n) for n, _ in zonal.partial_columns(query)
+        F.col(pref + n).cast(t).alias(n) for n, t in zonal.partial_columns(query)
     ]
     return partials.filter(F.col("_q") == qi).select(*cols)
 
