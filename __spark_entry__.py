@@ -359,6 +359,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return df.withColumn("loss_ha", F.round("loss_ha", 3))
     q["zonal_hole_group_sum"] = zonal_hole_group_sum
 
+    def zonal_percentile_ttc(spark, sf_dir):
+        # discrete percentile as a plan rewrite (group-by-value counts +
+        # windowed cumulative selection); semantics = DuckDB quantile_disc
+        return _zonal(
+            spark,
+            "SELECT percentile(ttc_percent, 0.75) AS p75 FROM ttc_percent",
+            list(_BOXES),
+        )
+    q["zonal_percentile_ttc"] = zonal_percentile_ttc
+
+    def zonal_median_emissions(spark, sf_dir):
+        # MEDIAN sugar over a FLOAT layer with a WHERE mask (NaN holes
+        # excluded by the group NaN drop)
+        return _zonal(
+            spark,
+            "SELECT median(emissions) AS med FROM tcl_year WHERE is_primary = 'true'",
+            list(_BOXES),
+        )
+    q["zonal_median_emissions"] = zonal_median_emissions
+
     def zonal_compat_avg(spark, sf_dir):
         # reference AVG quirk (A3): each tile's sum is divided by the
         # tile's TOTAL masked pixel count, then the ratios are re-SUMMED
@@ -1008,6 +1028,20 @@ SELECT aoi_id, {_TCL_DECODE} AS tcl_year,
 FROM m
 WHERE tcl != 0 AND {_TCD_MEANING} >= 25
 GROUP BY aoi_id, tcl
+"""
+
+    o["zonal_percentile_ttc"] = f"""
+WITH {_pix_cte(list(_BOXES))}
+SELECT aoi_id, CAST(quantile_disc(ttc, 0.75) AS DOUBLE) AS p75
+FROM m WHERE ttc != 255
+GROUP BY aoi_id
+"""
+
+    o["zonal_median_emissions"] = f"""
+WITH {_pix_cte(list(_BOXES))}
+SELECT aoi_id, CAST(quantile_disc(em, 0.5) AS DOUBLE) AS med
+FROM m WHERE tcl != 0 AND prim = 1 AND em IS NOT NULL
+GROUP BY aoi_id
 """
 
     o["zonal_compat_avg"] = f"""

@@ -41,9 +41,10 @@ Filter = Union[FilterLeaf, FilterAnd, FilterOr]
 
 @dataclass(frozen=True)
 class Aggregate:
-    func: str  # count | sum | avg | min | max
+    func: str  # count | sum | avg | min | max | percentile
     layer: Optional[str]  # None for count(*); may be area__ha / reserved
     alias: str
+    param: Optional[float] = None  # percentile fraction (0, 1]
 
 
 @dataclass(frozen=True)

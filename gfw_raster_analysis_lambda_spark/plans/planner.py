@@ -33,7 +33,7 @@ from ..functions import grid as G
 from ..functions.expressions import compile_expression
 from ..operators import zonal
 from ..sources.catalog import FROM_DATA, DataEnvironment, DerivedLayer, SourceLayer
-from .ir import ZonalQuery
+from .ir import Aggregate, ZonalQuery
 
 BROADCAST_CELL_LIMIT = 2_000_000  # aoi-cell rows we are happy to broadcast
 MAX_AOIS_PER_TASK = 64  # hot-cell salting threshold (cell kernel AOI loop)
@@ -108,6 +108,11 @@ def run_zonal_query(
       skew splitting — nothing is ever collected to the driver).
     """
     grid_name = resolve_target_grid(query, env, grid_name)
+    if any(a.func == "percentile" for a in query.aggregates):
+        return _run_percentile_query(
+            spark, images, aoi_df, query, env, grid_name,
+            strategy=strategy, aoi_index=aoi_index,
+        )
     if strategy in (None, "auto"):
         # frames read straight off a cell-sorted layout (sources.images
         # sidecar) default to the zero-shuffle colocated scan; anything
@@ -140,6 +145,65 @@ def run_zonal_query(
     if query.select_pixels:
         return _finalize_pixels(out, query)
     return finalize_partials(out, query, env)
+
+
+def _run_percentile_query(
+    spark, images, aoi_df, query: ZonalQuery, env, grid_name,
+    strategy=None, aoi_index=None,
+) -> DataFrame:
+    """PERCENTILE/MEDIAN as a PLAN REWRITE, no kernel changes: percentile
+    over a raster layer = group-by-value counts (the kernel's native
+    bincount partial, shuffle volume O(distinct values) not O(pixels))
+    followed by a windowed cumulative-count selection. Discrete-percentile
+    semantics match DuckDB's ``quantile_disc`` exactly: the 1-based
+    ``ceil(p * n)``-th ordered element. v1 restriction: a percentile query
+    carries exactly one percentile aggregate and no other selectors
+    (``SELECT PERCENTILE(layer, p) FROM base WHERE ...``)."""
+    from pyspark.sql import Window
+
+    aggs = query.aggregates
+    if len(aggs) != 1 or query.group_layers or query.select_pixels:
+        raise ValueError(
+            "percentile queries take exactly one PERCENTILE/MEDIAN selector "
+            "and no group/pixel selectors"
+        )
+    a = aggs[0]
+    layer = env.get_layer(a.layer)
+    if getattr(layer, "decode_expression", None) or getattr(layer, "raster_table", None):
+        raise ValueError(
+            "percentile is defined over raw numeric layers; "
+            f"{a.layer!r} has a decode/meaning mapping"
+        )
+    inner = ZonalQuery(
+        base_layer=query.base_layer,
+        group_layers=(a.layer,),
+        aggregates=(Aggregate("count", None, "__pc_n"),),
+        where=query.where,
+    )
+    # the inner result is the FINAL (aoi_id, <layer>, __pc_n) frame —
+    # group-by-value counts straight off the kernel's bincount partial
+    partials = run_zonal_query(
+        spark, images, aoi_df, inner, env, grid_name,
+        per_aoi=True, strategy=strategy, aoi_index=aoi_index,
+    )
+    vcol = a.layer
+    w_cum = (
+        Window.partitionBy("aoi_id").orderBy(F.col(vcol))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("aoi_id")
+    w_rn = Window.partitionBy("aoi_id").orderBy(F.col(vcol))
+    ranked = (
+        partials
+        .withColumn("__cum", F.sum("__pc_n").over(w_cum))
+        .withColumn("__tot", F.sum("__pc_n").over(w_tot))
+    )
+    return (
+        ranked.filter(F.col("__cum") >= F.ceil(F.lit(float(a.param)) * F.col("__tot")))
+        .withColumn("__rn", F.row_number().over(w_rn))
+        .filter(F.col("__rn") == 1)
+        .select("aoi_id", F.col(vcol).cast("double").alias(a.alias))
+    )
 
 
 # ---------------------------------------------------------------------------

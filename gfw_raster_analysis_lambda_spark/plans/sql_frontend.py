@@ -129,6 +129,21 @@ class _Parser:
     def _selector(self):
         t = self.next()
         tl = t.lower()
+        if tl in ("percentile", "median") and self.peek() == "(":
+            self.next()
+            layer = self.next()
+            self._check_layer(layer)
+            frac = 0.5
+            if tl == "percentile":
+                if self.next() != ",":
+                    raise QueryParseError("percentile(layer, fraction)")
+                frac = float(self.next())
+                if not (0.0 < frac <= 1.0):
+                    raise QueryParseError("percentile fraction must be in (0, 1]")
+            if self.next() != ")":
+                raise QueryParseError(f"expected ) after {tl} argument")
+            alias = self._alias() or f"{tl}_{layer.replace('.', '_')}"
+            return ("agg", Aggregate("percentile", layer, alias, param=frac))
         if tl in AGG_FUNCS and self.peek() == "(":
             self.next()
             arg = self.next()

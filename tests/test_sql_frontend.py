@@ -109,3 +109,22 @@ def test_sql_e2e_isoweek(spark, corpus, env):
         q, env, [a for a in fixtures.fixture_aois() if a[0] == "aoi_box_offset"]
     )
     assert_frames_match(got, exp)
+
+
+def test_percentile_parse_and_validation():
+    from gfw_raster_analysis_lambda_spark.plans.sql_frontend import (
+        QueryParseError,
+        parse_raster_sql,
+    )
+    from gfw_raster_analysis_lambda_spark.sources import fixtures
+
+    env = fixtures.fixture_environment()
+    q = parse_raster_sql(
+        "SELECT percentile(ttc_percent, 0.75) AS p75 FROM ttc_percent", env
+    )
+    a = q.aggregates[0]
+    assert (a.func, a.layer, a.alias, a.param) == ("percentile", "ttc_percent", "p75", 0.75)
+    m = parse_raster_sql("SELECT median(emissions) FROM tcl_year", env)
+    assert m.aggregates[0].param == 0.5
+    with pytest.raises(QueryParseError):
+        parse_raster_sql("SELECT percentile(ttc_percent, 1.5) FROM ttc_percent", env)
