@@ -612,6 +612,7 @@ def run_zonal_queries(
     fusable = (
         len(grids) == 1
         and not any(q.select_pixels for q in qlist)
+        and not any(a.func == "percentile" for q in qlist for a in q.aggregates)
         and strategy in (None, "auto", "cell", "colocated")
     )
     target = grids.pop() if len(grids) == 1 else None

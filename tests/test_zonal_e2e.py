@@ -714,3 +714,25 @@ def test_fused_multi_query_parity(spark, tables, env):
     # the fused partial frame is cached and shared by every result
     assert fused["grouped"]._fused_partials is fused["isoweek"]._fused_partials
     fused["grouped"]._fused_partials.unpersist()
+
+
+def test_fused_set_with_percentile_falls_back(spark, tables, env):
+    """A query set containing a percentile query cannot fuse; the multi
+    API must transparently fall back to per-query execution and still
+    return correct results."""
+    from gfw_raster_analysis_lambda_spark.plans.ir import Aggregate as Agg
+    from gfw_raster_analysis_lambda_spark.plans.planner import run_zonal_queries
+
+    images, aoi_df = tables
+    qs = {
+        "grouped": _parity_query(),
+        "p50": ZonalQuery(
+            base_layer="ttc_percent",
+            aggregates=(Agg("percentile", "ttc_percent", "p50", param=0.5),),
+        ),
+    }
+    res = run_zonal_queries(spark, images, aoi_df, qs, env, GRID_NAME)
+    single = run_zonal_query(spark, images, aoi_df, qs["p50"], env, GRID_NAME).toPandas()
+    assert_frames_match(res["p50"].toPandas(), single)
+    g = run_zonal_query(spark, images, aoi_df, qs["grouped"], env, GRID_NAME).toPandas()
+    assert_frames_match(res["grouped"].toPandas(), g)
