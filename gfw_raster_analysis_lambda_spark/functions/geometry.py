@@ -312,14 +312,27 @@ def cover_meta(geom: Geometry, edges: np.ndarray | None = None) -> tuple:
     ey_lo = np.minimum(e[:, 1], e[:, 3])
     ey_hi = np.maximum(e[:, 1], e[:, 3])
     bbox = (float(ex_lo.min()), float(ey_lo.min()), float(ex_hi.max()), float(ey_hi.max()))
-    is_aa_box = (
-        len(geom) == 1
-        and len(geom[0]) == 1
-        and len(e) == 4
-        and bool(np.all((e[:, 0] == e[:, 2]) | (e[:, 1] == e[:, 3])))
-        and bbox[2] > bbox[0]
-        and bbox[3] > bbox[1]
-    )
+    is_aa_box = False
+    if (
+        len(geom) == 1 and len(geom[0]) == 1 and len(e) == 4
+        and bbox[2] > bbox[0] and bbox[3] > bbox[1]
+    ):
+        horiz = e[e[:, 1] == e[:, 3]]
+        vert = e[e[:, 0] == e[:, 2]]
+        # a true rectangle: exactly two horizontal edges spanning the full
+        # x-extent at y=miny/maxy and two verticals spanning the full
+        # y-extent at x=minx/maxx. A degenerate zero-area ring (repeated
+        # vertices) can also present 4 axis-aligned edges with a fat bbox,
+        # but encloses nothing under the even-odd rule.
+        is_aa_box = (
+            len(horiz) == 2 and len(vert) == 2
+            and sorted(horiz[:, 1].tolist()) == [bbox[1], bbox[3]]
+            and sorted(vert[:, 0].tolist()) == [bbox[0], bbox[2]]
+            and bool(np.all(np.minimum(horiz[:, 0], horiz[:, 2]) == bbox[0]))
+            and bool(np.all(np.maximum(horiz[:, 0], horiz[:, 2]) == bbox[2]))
+            and bool(np.all(np.minimum(vert[:, 1], vert[:, 3]) == bbox[1]))
+            and bool(np.all(np.maximum(vert[:, 1], vert[:, 3]) == bbox[3]))
+        )
     return (is_aa_box, bbox, ex_lo, ex_hi, ey_lo, ey_hi)
 
 

@@ -319,9 +319,12 @@ def pixel_components(
     node = F.conv(
         F.substring(F.md5(F.concat_ws(":", "aoi", "cell_id", "label")), 1, 15), 16, 10
     ).cast("long")
+    # counts is tiny (one row per local label); localCheckpoint it so the
+    # returned lazy frame does not re-run the decode+label kernel after
+    # `rows` is unpersisted below
     counts = rows.filter(F.col("kind") == 0).select(
         "aoi", "cell_id", "label", F.col("v").alias("n_px"), node.alias("id")
-    )
+    ).localCheckpoint(eager=True)
     strips = rows.filter(F.col("kind") == 1).select(
         "aoi", "cell_id", "side", "pos", "elen", "label", node.alias("id")
     )

@@ -998,14 +998,21 @@ def make_multi_cell_kernel(queries: list, env_json: str, grid_name: str, aoi_loo
         lat_c = float(G.cell_centroid_lat(grid, np.array([cell_id]))[0])
         mean_area = float(geodesy.pixel_area_ha(lat_c, ps))
         tile_px = grid.chunk_px
-        # synthetic missing-cell group (all layer values null): only
-        # FROM_DATA queries may count implicit zero tiles
-        is_missing = pdf["layer"].isna().all()
+        # the fused scan reads the UNION of all queries' layers, so a cell
+        # may hold none of query q's own source layers. Serial execution
+        # filters q's scan to q's layers and never visits such a cell —
+        # match that exactly: q runs on a cell only when at least one of
+        # its source layers is present (FROM_DATA queries always run; the
+        # missing-cell union exists for them). Without this, q would see
+        # zero-synthesized tiles here and emit rows the serial plan never
+        # produces (fake full-count rows for no_data=None base layers).
+        present_layers = set(pdf["layer"].dropna().astype(str))
+        q_sources = [set(env.source_layer_names(q.layer_names())) for q in queries]
         values = _decode_and_derive(pdf, env, union_names, grid, cell_id, mean_area)
 
         per_query = []
-        for q in queries:
-            if is_missing and q.base_layer != FROM_DATA:
+        for qi, q in enumerate(queries):
+            if q.base_layer != FROM_DATA and not (q_sources[qi] & present_layers):
                 per_query.append(None)
                 continue
             static: np.ndarray | None = None

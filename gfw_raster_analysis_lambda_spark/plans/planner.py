@@ -162,10 +162,13 @@ def _run_percentile_query(
     from pyspark.sql import Window
 
     aggs = query.aggregates
-    if len(aggs) != 1 or query.group_layers or query.select_pixels:
+    if (
+        len(aggs) != 1 or query.group_layers or query.select_pixels
+        or query.order_by or query.limit
+    ):
         raise ValueError(
             "percentile queries take exactly one PERCENTILE/MEDIAN selector "
-            "and no group/pixel selectors"
+            "and no group/pixel/order/limit clauses"
         )
     a = aggs[0]
     layer = env.get_layer(a.layer)
@@ -199,7 +202,13 @@ def _run_percentile_query(
         .withColumn("__tot", F.sum("__pc_n").over(w_tot))
     )
     return (
-        ranked.filter(F.col("__cum") >= F.ceil(F.lit(float(a.param)) * F.col("__tot")))
+        # epsilon guards binary-float overshoot: 0.07*100 = 7.0000000000000009
+        # in doubles, and naive ceil would pick the 8th element where
+        # quantile_disc picks the 7th
+        ranked.filter(
+            F.col("__cum")
+            >= F.ceil(F.lit(float(a.param)) * F.col("__tot") - F.lit(1e-9))
+        )
         .withColumn("__rn", F.row_number().over(w_rn))
         .filter(F.col("__rn") == 1)
         .select("aoi_id", F.col(vcol).cast("double").alias(a.alias))
@@ -622,14 +631,28 @@ def run_zonal_queries(
         }
         fusable = all(env.get_layer(n).grid == target for n in union_layers)
     idx = aoi_index
+    if fusable and idx is not None and idx.grid_name != target:
+        raise ValueError(
+            f"aoi_index was prepared on grid {idx.grid_name!r} but the query "
+            f"set resolves to {target!r}; prepare one per target grid"
+        )
     if fusable and idx is None:
         idx = prepare_aoi_index(spark, aoi_df, target)
         fusable = idx is not None
     if not fusable:
+        # per-query fallback: forward the caller's index only to queries
+        # whose resolved grid matches it (mixed-grid sets would otherwise
+        # crash on the single-path grid check)
         return {
             name: run_zonal_query(
                 spark, images, aoi_df, q, env, grid_name,
-                strategy=strategy, aoi_index=aoi_index,
+                strategy=strategy,
+                aoi_index=(
+                    aoi_index
+                    if aoi_index is not None
+                    and resolve_target_grid(q, env, grid_name) == aoi_index.grid_name
+                    else None
+                ),
             )
             for name, q in queries.items()
         }
@@ -644,6 +667,7 @@ def run_zonal_queries(
     for qi, (name, q) in enumerate(zip(names, qlist)):
         res = finalize_partials(split_multi_partials(partials, qi, q), q, env)
         res._fused_partials = partials
+        res._fused_aoi_index = idx  # handle for explicit broadcast release
         out[name] = res
     return out
 

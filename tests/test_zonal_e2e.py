@@ -736,3 +736,50 @@ def test_fused_set_with_percentile_falls_back(spark, tables, env):
     assert_frames_match(res["p50"].toPandas(), single)
     g = run_zonal_query(spark, images, aoi_df, qs["grouped"], env, GRID_NAME).toPandas()
     assert_frames_match(res["grouped"].toPandas(), g)
+
+
+def test_fused_disjoint_layer_cells_parity(spark, env):
+    """A cell holding only query B's layer must not leak zero-synthesized
+    tiles into query A (worst case: A's base layer has no_data=None, so a
+    fake zero tile would count every pixel). Fused == serial on a corpus
+    where the two queries' layers live in disjoint cells."""
+    import numpy as np
+
+    from gfw_raster_analysis_lambda_spark.functions import codecs
+    from gfw_raster_analysis_lambda_spark.functions import geometry as geo
+    from gfw_raster_analysis_lambda_spark.functions import grid as G
+    from gfw_raster_analysis_lambda_spark.plans.planner import run_zonal_queries
+    from gfw_raster_analysis_lambda_spark.sources import fixtures
+
+    grid = fixtures.GRID
+    chunk = grid.chunk_px
+    c1 = int(G.cell_from_xy(grid, 760, 276))  # tcl_year only
+    c2 = int(G.cell_from_xy(grid, 761, 276))  # photo only
+    arr = np.full((chunk, chunk), 5, dtype=np.uint8)
+    rows = []
+    for cell, layer in ((c1, "tcl_year"), (c2, "photo")):
+        rows.append((
+            f"{layer}/{cell:016x}", layer, cell,
+            codecs.encode_tile(arr, "png"), chunk, chunk, "png",
+        ))
+    images = spark.createDataFrame(
+        rows,
+        "image_id string, layer string, cell_id long, bytes binary, w int, h int, fmt string",
+    )
+    aoi = spark.createDataFrame(
+        [("both", geo.wkb_dumps(geo.box(10.0, 20.75, 10.5, 21.0)))],
+        fixtures.AOI_SCHEMA,
+    )
+    qs = {
+        "photo_n": ZonalQuery(base_layer="photo",
+                              aggregates=(Aggregate("count", None, "n"),)),
+        "tcl_n": ZonalQuery(base_layer="tcl_year",
+                            aggregates=(Aggregate("count", None, "n"),)),
+    }
+    fused = run_zonal_queries(spark, images, aoi, qs, env, GRID_NAME)
+    for name, q in qs.items():
+        single = run_zonal_query(spark, images, aoi, q, env, GRID_NAME).toPandas()
+        assert_frames_match(fused[name].toPandas(), single)
+        # each query must see exactly one cell's pixels
+        assert single["n"].tolist() == [chunk * chunk]
+    fused["photo_n"]._fused_partials.unpersist()
