@@ -521,7 +521,12 @@ def build_multi_partials_with_lookup(
     rasterize serving every query of a batch (zonal.make_multi_cell_kernel).
     Output is the tagged union of all queries' partial rows (``_q`` +
     ``q{i}__``-prefixed columns); split per query with
-    :func:`split_multi_partials`."""
+    :func:`split_multi_partials`.
+
+    NOTE: the scan pruning / missing-cell union / colocated+salted
+    dispatch below deliberately mirrors :func:`build_partials_with_lookup`
+    (single-grid specialization) — fixes to either copy must land in
+    both."""
     spark = images.sparkSession
     cell_ids = list(lookup.value.keys())
     union_layers: list = []
