@@ -379,6 +379,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["zonal_median_emissions"] = zonal_median_emissions
 
+    def zonal_grouped_median(spark, sf_dir):
+        # GROUPED percentile: one median per (aoi, decoded group value)
+        return _zonal(
+            spark,
+            "SELECT tcl_year, median(emissions) AS med FROM tcl_year "
+            "WHERE is_primary = 'true' GROUP BY tcl_year",
+            list(_BOXES),
+        )
+    q["zonal_grouped_median"] = zonal_grouped_median
+
     def zonal_compat_avg(spark, sf_dir):
         # reference AVG quirk (A3): each tile's sum is divided by the
         # tile's TOTAL masked pixel count, then the ratios are re-SUMMED
@@ -1042,6 +1052,14 @@ WITH {_pix_cte(list(_BOXES))}
 SELECT aoi_id, CAST(quantile_disc(em, 0.5) AS DOUBLE) AS med
 FROM m WHERE tcl != 0 AND prim = 1 AND em IS NOT NULL
 GROUP BY aoi_id
+"""
+
+    o["zonal_grouped_median"] = f"""
+WITH {_pix_cte(list(_BOXES))}
+SELECT aoi_id, {_TCL_DECODE} AS tcl_year,
+       CAST(quantile_disc(em, 0.5) AS DOUBLE) AS med
+FROM m WHERE tcl != 0 AND prim = 1 AND em IS NOT NULL
+GROUP BY aoi_id, tcl
 """
 
     o["zonal_compat_avg"] = f"""

@@ -154,21 +154,23 @@ def _run_percentile_query(
     """PERCENTILE/MEDIAN as a PLAN REWRITE, no kernel changes: percentile
     over a raster layer = group-by-value counts (the kernel's native
     bincount partial, shuffle volume O(distinct values) not O(pixels))
-    followed by a windowed cumulative-count selection. Discrete-percentile
-    semantics match DuckDB's ``quantile_disc`` exactly: the 1-based
-    ``ceil(p * n)``-th ordered element. v1 restriction: a percentile query
-    carries exactly one percentile aggregate and no other selectors
-    (``SELECT PERCENTILE(layer, p) FROM base WHERE ...``)."""
+    followed by a windowed cumulative-count selection (partitioned by the
+    query's group keys when present, so ``SELECT g, PERCENTILE(x, p) ...
+    GROUP BY g`` yields one percentile per (aoi, group)). Discrete-
+    percentile semantics match DuckDB's ``quantile_disc`` exactly: the
+    1-based ``ceil(p * n)``-th ordered element. Restriction: exactly one
+    PERCENTILE/MEDIAN selector, no other aggregates, no isoweek/pixel/
+    order/limit clauses."""
     from pyspark.sql import Window
 
     aggs = query.aggregates
     if (
-        len(aggs) != 1 or query.group_layers or query.select_pixels
+        len(aggs) != 1 or query.select_pixels or query.isoweek_layers
         or query.order_by or query.limit
     ):
         raise ValueError(
             "percentile queries take exactly one PERCENTILE/MEDIAN selector "
-            "and no group/pixel/order/limit clauses"
+            "and no isoweek/pixel/order/limit clauses"
         )
     a = aggs[0]
     layer = env.get_layer(a.layer)
@@ -177,9 +179,11 @@ def _run_percentile_query(
             "percentile is defined over raw numeric layers; "
             f"{a.layer!r} has a decode/meaning mapping"
         )
+    if a.layer in query.group_layers:
+        raise ValueError("percentile layer cannot also be a GROUP BY key")
     inner = ZonalQuery(
         base_layer=query.base_layer,
-        group_layers=(a.layer,),
+        group_layers=tuple(query.group_layers) + (a.layer,),
         aggregates=(Aggregate("count", None, "__pc_n"),),
         where=query.where,
     )
@@ -190,12 +194,13 @@ def _run_percentile_query(
         per_aoi=True, strategy=strategy, aoi_index=aoi_index,
     )
     vcol = a.layer
+    keys = ["aoi_id"] + list(query.group_layers)
     w_cum = (
-        Window.partitionBy("aoi_id").orderBy(F.col(vcol))
+        Window.partitionBy(*keys).orderBy(F.col(vcol))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    w_tot = Window.partitionBy("aoi_id")
-    w_rn = Window.partitionBy("aoi_id").orderBy(F.col(vcol))
+    w_tot = Window.partitionBy(*keys)
+    w_rn = Window.partitionBy(*keys).orderBy(F.col(vcol))
     ranked = (
         partials
         .withColumn("__cum", F.sum("__pc_n").over(w_cum))
@@ -211,7 +216,7 @@ def _run_percentile_query(
         )
         .withColumn("__rn", F.row_number().over(w_rn))
         .filter(F.col("__rn") == 1)
-        .select("aoi_id", F.col(vcol).cast("double").alias(a.alias))
+        .select(*keys, F.col(vcol).cast("double").alias(a.alias))
     )
 
 
