@@ -84,6 +84,11 @@ def partial_columns(query: ZonalQuery) -> list[tuple[str, str]]:
         else:
             cols.append((g, "double"))
     for a in query.aggregates:
+        if a.func not in ("count", "sum", "avg", "min", "max"):
+            # percentile etc. are PLAN REWRITES (planner._run_percentile_query);
+            # they must never reach the partial/kernel machinery, which would
+            # silently treat them as sums
+            raise ValueError(f"aggregate {a.func!r} has no partial form")
         if a.func == "count":
             cols.append((a.alias, "long"))
         elif a.func == "avg" and not query.compat_avg:
