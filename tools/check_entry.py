@@ -5,7 +5,7 @@ DuckDB over the same sf_dir, then compares row count, column names, and
 (column-name-sorted, row-sorted) values — flagging any numeric mismatch
 with the max abs diff so float-parity issues are visible.
 
-Usage: python tools/check_entry.py [sf_dir] [only_query_prefix]
+Usage: python tools/check_entry.py [sf_dir] [query_prefix ...]
 """
 
 from __future__ import annotations
@@ -48,7 +48,7 @@ def frame_key(cols, rows):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    prefix = sys.argv[2] if len(sys.argv) > 2 else ""
+    prefixes = tuple(sys.argv[2:])
     spark = get_spark("check_entry", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -62,7 +62,7 @@ def main():
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
-        if prefix and not name.startswith(prefix):
+        if prefixes and not name.startswith(prefixes):
             continue
         t0 = time.time()
         try:
