@@ -68,18 +68,24 @@ def _plane_sign(plane: Column, comp: Column) -> Column:
 
 
 def lsh_buckets(
-    emb: DataFrame, n_planes: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame, n_planes: int = 8, id_col: str = "vec_id", vec_col: str = "embedding",
+    plane_offset: int = 0,
 ) -> DataFrame:
     """(id, bucket): sign-bit bucket of each vector under n_planes
     md5-seeded hyperplanes. Fully relational: posexplode components ->
-    join nothing (signs are expressions) -> sum per plane -> bit pack."""
+    join nothing (signs are expressions) -> sum per plane -> bit pack.
+    ``plane_offset`` selects an independent plane set (probe table t uses
+    planes ``t*n_planes .. (t+1)*n_planes - 1``)."""
     comp = emb.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.col(vec_col)).alias("c", "x"),
     )
     per_plane = (
         comp.select(
-            "id", "c", "x", F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("p")
+            "id", "c", "x",
+            F.explode(
+                F.sequence(F.lit(plane_offset), F.lit(plane_offset + n_planes - 1))
+            ).alias("p"),
         )
         .withColumn("contrib", F.col("x").cast("double") * _plane_sign(F.col("p"), F.col("c")))
         .groupBy("id", "p")
@@ -87,13 +93,17 @@ def lsh_buckets(
     )
     return per_plane.groupBy("id").agg(
         F.sum(
-            F.when(F.col("dot") > 0, F.expr("cast(pow(2, p) as bigint)")).otherwise(F.lit(0))
+            F.when(
+                F.col("dot") > 0,
+                F.expr(f"cast(pow(2, p - {plane_offset}) as bigint)"),
+            ).otherwise(F.lit(0))
         ).alias("bucket")
     )
 
 
 def lsh_buckets_fast(
-    emb: DataFrame, n_planes: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame, n_planes: int = 8, id_col: str = "vec_id", vec_col: str = "embedding",
+    plane_offset: int = 0,
 ) -> DataFrame:
     """(id, bucket) — PRODUCTION builder for :func:`lsh_buckets`.
 
@@ -121,7 +131,7 @@ def lsh_buckets_fast(
                 signs = np.empty((n_planes, dims), dtype=np.float64)
                 for p in range(n_planes):
                     for c in range(dims):
-                        h = int(hashlib.md5(f"{p}_{c}".encode()).hexdigest()[:4], 16)
+                        h = int(hashlib.md5(f"{p + plane_offset}_{c}".encode()).hexdigest()[:4], 16)
                         signs[p, c] = (h % 2) * 2 - 1
             vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             dots = vecs @ signs.T  # rows x planes
@@ -375,4 +385,66 @@ def ann_ivf_indexed(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "id", "cosine", "rank")
+    )
+
+
+def ann_lsh_multiprobe(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table LSH ANN: ``n_tables`` independent plane sets (probe
+    tables), candidates = union of per-table bucket collisions, exact
+    cosine rerank once over the deduplicated candidate set. The standard
+    recall lever for hyperplane LSH — each extra table multiplies the
+    chance a true neighbor collides in at least one table while the
+    rerank cost grows only with the (deduped) candidate union."""
+    corpus = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    qs = queries.select("query_id", F.col(vec_col).alias("qv"))
+    cand = None
+    for t in range(n_tables):
+        eb = lsh_buckets_fast(emb, n_planes, id_col, vec_col, plane_offset=t * n_planes)
+        qb = lsh_buckets_fast(
+            queries, n_planes, "query_id", vec_col, plane_offset=t * n_planes
+        ).withColumnRenamed("id", "query_id")
+        pairs = eb.join(F.broadcast(qb), "bucket").select("id", "query_id")
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.dropDuplicates(["id", "query_id"])
+    scored = (
+        cand.join(corpus, "id")
+        .join(F.broadcast(qs), "query_id")
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv"))), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "cosine", "rank")
+    )
+
+
+def recall_at_k(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """(query_id, recall): |approx top-k ∩ exact top-k| / k per query —
+    the standard ANN evaluation metric, computed relationally so it runs
+    over full query logs. Feed the outputs of :func:`cosine_topk` (exact)
+    and any ANN variant."""
+    e = exact.filter(F.col("rank") <= k).select("query_id", "id")
+    a = approx.filter(F.col("rank") <= k).select("query_id", "id")
+    hits = e.join(a, ["query_id", "id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        e.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(float(k))).alias("recall"),
+        )
     )

@@ -356,3 +356,25 @@ def test_augment_tiles_numpy_parity(spark, corpus):
     assert (out.set_index("image_id")["caption"] == cap).all()
     with pytest.raises(ValueError, match="crop"):
         multimodal.augment_tiles(images, op="crop")
+
+
+def test_multiprobe_lsh_recall_dominates_single(spark, emb):
+    """Multi-table LSH recall (vs exact top-k) must dominate single-table
+    recall — every single-table candidate is also a multiprobe candidate
+    (table 0 uses the same plane set) — and recall_at_k computes the
+    containment correctly."""
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(emb, qs, k=5)
+    single = similarity.ann_lsh(emb, qs, k=5, n_planes=8)
+    multi = similarity.ann_lsh_multiprobe(emb, qs, k=5, n_planes=8, n_tables=4)
+    r1 = similarity.recall_at_k(exact, single, 5).toPandas().set_index("query_id")["recall"]
+    r4 = similarity.recall_at_k(exact, multi, 5).toPandas().set_index("query_id")["recall"]
+    assert (r4 >= r1.reindex(r4.index).fillna(0)).all()
+    assert r4.mean() >= r1.mean()
+    # self-match always collides in table 0 -> recall > 0 everywhere
+    assert (r4 > 0).all()
+    # exact-vs-exact recall is 1 by definition
+    r_self = similarity.recall_at_k(exact, exact, 5).toPandas()
+    assert (r_self["recall"] == 1.0).all()
