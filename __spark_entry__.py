@@ -825,6 +825,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.ann_ivf(e, qs, k=10, n_centroids=16, n_probe=4)
     q["sim_ann_ivf"] = sim_ann_ivf
 
+    def sim_ann_lsh_multiprobe(spark, sf_dir):
+        e = _t(spark, sf_dir, "embeddings")
+        qs = e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.ann_lsh_multiprobe(e, qs, k=10, n_planes=8, n_tables=2)
+    q["sim_ann_lsh_multiprobe"] = sim_ann_lsh_multiprobe
+
     def sim_ann_ivf_kmeans(spark, sf_dir):
         # IVF with a Lloyd-refined quantizer (1 deterministic iteration:
         # cosine rounded to 6 before the argmin, ties -> centroid_id) —
@@ -1592,6 +1600,37 @@ cand AS (
   FROM embeddings a
   JOIN buckets ba ON ba.vec_id = a.vec_id
   JOIN buckets bq ON bq.bucket = ba.bucket
+  JOIN embeddings q ON q.vec_id = bq.vec_id AND q.vec_id < 5,
+  generate_series(1, 64) g(i)
+  GROUP BY q.vec_id, a.vec_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, id, cosine, CAST(rn AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id ASC) AS rn
+  FROM cand
+) WHERE rn <= 10
+"""
+
+    # multi-table LSH: two independent plane sets (absolute plane indices
+    # 0..7 and 8..15 — the engine's plane_offset), candidates unioned
+    # across tables (the GROUP BY q,a dedups multi-table collisions)
+    o["sim_ann_lsh_multiprobe"] = f"""
+WITH buckets AS (
+  SELECT vec_id, t,
+         CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, p % 8) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM (
+    SELECT e.vec_id, p, p // 8 AS t,
+           SUM(CAST(list_extract(e.embedding, i) AS DOUBLE) * {sign}) AS dot
+    FROM embeddings e, generate_series(1, 64) g(i), generate_series(0, 15) pp(p)
+    GROUP BY e.vec_id, p
+  ) GROUP BY vec_id, t
+),
+cand AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS id,
+         ROUND({dot_ab.replace('b.embedding', 'q.embedding')}
+               / ({norm.format(t='a')} * {norm.format(t='q')}), 6) AS cosine
+  FROM embeddings a
+  JOIN buckets ba ON ba.vec_id = a.vec_id
+  JOIN buckets bq ON bq.bucket = ba.bucket AND bq.t = ba.t
   JOIN embeddings q ON q.vec_id = bq.vec_id AND q.vec_id < 5,
   generate_series(1, 64) g(i)
   GROUP BY q.vec_id, a.vec_id
