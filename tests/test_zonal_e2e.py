@@ -783,3 +783,43 @@ def test_fused_disjoint_layer_cells_parity(spark, env):
         # each query must see exactly one cell's pixels
         assert single["n"].tolist() == [chunk * chunk]
     fused["photo_n"]._fused_partials.unpersist()
+
+
+def test_percentile_float_hazard_rank(spark, env):
+    """p*n that overshoots in binary floats (0.07*100 = 7.000...01) must
+    still pick the 7th element like DuckDB quantile_disc, not the 8th."""
+    import numpy as np
+
+    from gfw_raster_analysis_lambda_spark.functions import codecs
+    from gfw_raster_analysis_lambda_spark.functions import geometry as geo
+    from gfw_raster_analysis_lambda_spark.functions import grid as G
+    from gfw_raster_analysis_lambda_spark.sources import fixtures
+
+    grid = fixtures.GRID
+    chunk = grid.chunk_px
+    cell = int(G.cell_from_xy(grid, 760, 276))
+    # 100 pixels of values 1..100 (ttc_percent dtype u8, nodata 255 -> the
+    # remaining pixels are 255 and masked out)
+    arr = np.full((chunk, chunk), 255, dtype=np.uint8)
+    arr.flat[:100] = np.arange(1, 101)
+    images = spark.createDataFrame(
+        [(f"ttc_percent/{cell:016x}", "ttc_percent", cell,
+          codecs.encode_tile(arr, "png"), chunk, chunk, "png")],
+        "image_id string, layer string, cell_id long, bytes binary, w int, h int, fmt string",
+    )
+    aoi = spark.createDataFrame(
+        [("a", geo.wkb_dumps(geo.box(10.0, 20.75, 10.25, 21.0)))], fixtures.AOI_SCHEMA
+    )
+    from gfw_raster_analysis_lambda_spark.plans.ir import Aggregate as Agg
+
+    q = ZonalQuery(
+        base_layer="ttc_percent",
+        aggregates=(Agg("percentile", "ttc_percent", "p", param=0.07),),
+    )
+    got = run_zonal_query(spark, images, aoi, q, env, GRID_NAME).toPandas()
+    import duckdb
+
+    exp = duckdb.sql(
+        "SELECT quantile_disc(x, 0.07) FROM (SELECT unnest(range(1, 101)) AS x)"
+    ).fetchone()[0]
+    assert got["p"].tolist() == [float(exp)] == [7.0]
