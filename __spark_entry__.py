@@ -736,6 +736,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["rel_top_orders_per_customer"] = rel_top_orders_per_customer
 
+    def rel_asof_attribution(spark, sf_dir):
+        # point-in-time attribution: every purchase picks the user's
+        # latest preceding click (as-of join, one keyed shuffle + running
+        # window — the timeseries primitive Spark's join set lacks)
+        from gfw_raster_analysis_lambda_spark.operators import asof
+
+        ev = _t(spark, sf_dir, "events")
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id", "value"
+        )
+        out = asof.asof_join(
+            purchases, clicks, on="ts", by="user_id",
+            right_cols=["event_id", "value"], prefix="click_",
+        )
+        return out.select(
+            "event_id", "user_id",
+            F.col("click_event_id").cast("long").alias("click_event_id"),
+            F.round("click_value", 3).alias("click_value"),
+        )
+    q["rel_asof_attribution"] = rel_asof_attribution
+
     # -- text analysis -------------------------------------------------------
 
     def text_profile(spark, sf_dir):
@@ -1377,6 +1401,17 @@ SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rank FROM (
                             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
   FROM orders
 ) WHERE rn <= 3
+"""
+
+    # as-of attribution twin: DuckDB's native ASOF LEFT JOIN (greatest
+    # click.ts <= purchase.ts per user, inclusive; unmatched keep nulls)
+    o["rel_asof_attribution"] = """
+SELECT l.event_id, l.user_id,
+       CAST(r.event_id AS BIGINT) AS click_event_id,
+       ROUND(r.value, 3) AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
     # -- text analysis -------------------------------------------------------

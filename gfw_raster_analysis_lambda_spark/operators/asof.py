@@ -1,0 +1,78 @@
+"""As-of (point-in-time) join — the timeseries primitive Spark's built-in
+join set lacks: for every left row, the single right row with the
+greatest ``on`` value <= the left's (per ``by`` key), the attribution /
+last-known-state join of event pipelines.
+
+Spark shape: the classic union trick — tag both sides, sort each ``by``
+partition by (``on``, side) and carry the last-seen right payload forward
+with ``last(..., ignorenulls=True)`` over a running window. ONE shuffle of
+both inputs on the ``by`` key, no range join, no per-key collect; at any
+corpus size this is the same plan a sort-merge join would pay, and skew
+follows the ``by``-key distribution exactly like any keyed window.
+
+Oracle twin: DuckDB's native ``ASOF LEFT JOIN`` (driver contract query
+``rel_asof_attribution``) — identical greatest-ts<=ts semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: "list[str] | str" = "user_id",
+    right_cols: "list[str] | None" = None,
+    prefix: str = "asof_",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Left as-of join: every ``left`` row picks the latest ``right`` row
+    with ``right.on <= left.on`` within the same ``by`` key (inclusive;
+    unmatched lefts keep nulls). ``right_cols`` (default: all non-key
+    right columns) arrive prefixed. ``tolerance_seconds`` voids matches
+    older than the window (timestamp ``on`` columns)."""
+    by = [by] if isinstance(by, str) else list(by)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in by and c != on]
+    carry = [on] + right_cols
+
+    lhs = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in carry],
+    )
+    rhs = right.select(
+        *[F.col(c) for c in by],
+        F.col(on),
+        F.lit(0).alias("__side"),  # sorts BEFORE left at equal `on` (inclusive)
+        *[F.col(c).alias(f"__r_{c}") for c in carry],
+    )
+    # right rows contribute nothing but their carried payload
+    for c in left.columns:
+        if c not in by and c != on:
+            rhs = rhs.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    rhs = rhs.select(*lhs.columns)
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = lhs.unionByName(rhs)
+    for c in carry:
+        merged = merged.withColumn(
+            f"__m_{c}", F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w)
+        )
+    out = merged.filter(F.col("__side") == 1)
+    if tolerance_seconds is not None:
+        fresh = (
+            F.col(on).cast("double") - F.col(f"__m_{on}").cast("double")
+        ) <= F.lit(float(tolerance_seconds))
+        for c in carry:
+            out = out.withColumn(f"__m_{c}", F.when(fresh, F.col(f"__m_{c}")))
+    keep = [F.col(c) for c in left.columns]
+    keep += [F.col(f"__m_{c}").alias(f"{prefix}{c}") for c in carry]
+    return out.select(*keep)

@@ -378,3 +378,31 @@ def test_multiprobe_lsh_recall_dominates_single(spark, emb):
     # exact-vs-exact recall is 1 by definition
     r_self = similarity.recall_at_k(exact, exact, 5).toPandas()
     assert (r_self["recall"] == 1.0).all()
+
+
+def test_asof_join_semantics(spark):
+    """Inclusive backward as-of: equal timestamps match, unmatched lefts
+    keep nulls, tolerance voids stale matches."""
+    from gfw_raster_analysis_lambda_spark.operators import asof
+
+    left = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 200.0), (2, 5, 50.0)],
+        "user_id long, ts long, amount double",
+    ).select("user_id", F.col("ts").cast("timestamp").cast("long").alias("ts"), "amount")
+    right = spark.createDataFrame(
+        [(1, 10, 7), (1, 15, 8), (2, 9, 9)],
+        "user_id long, ts long, tag int",
+    )
+    out = asof.asof_join(
+        left, right, on="ts", by="user_id", right_cols=["tag"], prefix="m_"
+    ).toPandas().sort_values(["user_id", "ts"]).reset_index(drop=True)
+    # (1,10) matches equal-ts right (inclusive); (1,20) takes latest (15);
+    # (2,5) has no preceding right row -> nulls
+    assert out["m_tag"].tolist()[:2] == [7, 8]
+    assert pd.isna(out["m_tag"].iloc[2])
+    tol = asof.asof_join(
+        left, right, on="ts", by="user_id", right_cols=["tag"], prefix="m_",
+        tolerance_seconds=3,
+    ).toPandas().sort_values(["user_id", "ts"]).reset_index(drop=True)
+    assert tol["m_tag"].tolist()[0] == 7           # age 0 <= 3
+    assert pd.isna(tol["m_tag"].iloc[1])           # age 5 > 3 -> voided
