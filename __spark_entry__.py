@@ -760,6 +760,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["rel_asof_attribution"] = rel_asof_attribution
 
+    def rel_interval_join(spark, sf_dir):
+        # binned point-in-interval join (equi-join on time bins + codegen
+        # verify) vs DuckDB's plain range join
+        from gfw_raster_analysis_lambda_spark.operators import asof
+
+        ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+        w = spark.createDataFrame(
+            _interval_windows(), "window_id string, s string, e string"
+        ).select(
+            "window_id",
+            F.to_timestamp("s").alias("start_ts"),
+            F.to_timestamp("e").alias("end_ts"),
+        )
+        out = asof.interval_join(ev, w, point_col="ts", bin_seconds=3600)
+        return out.select("window_id", "event_id", "event_type")
+    q["rel_interval_join"] = rel_interval_join
+
     # -- text analysis -------------------------------------------------------
 
     def text_profile(spark, sf_dir):
@@ -904,6 +921,19 @@ def _cc_cell_set() -> list[int]:
     pts += [(770, 290)]
     pts += [(780, 300), (781, 300), (782, 300), (782, 301), (782, 302), (781, 302)]
     return sorted(int(_G.cell_from_xy(GRID, x, y)) for x, y in pts)
+
+
+def _interval_windows() -> list[tuple[str, str, str]]:
+    """Deterministic maintenance windows over the events table's range."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 2)
+    out = []
+    for k in range(10):
+        s = base + datetime.timedelta(hours=k * 37)
+        e = s + datetime.timedelta(hours=5 + (k % 4) * 3)
+        out.append((f"w{k}", s.isoformat(sep=" "), e.isoformat(sep=" ")))
+    return out
 
 
 def _phash_dedup_corpus() -> list[tuple[str, int]]:
@@ -1412,6 +1442,15 @@ SELECT l.event_id, l.user_id,
 FROM (SELECT * FROM events WHERE event_type = 'purchase') l
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
   ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+    wvals = ", ".join(
+        f"('{w}', TIMESTAMP '{s}', TIMESTAMP '{e}')" for w, s, e in _interval_windows()
+    )
+    o["rel_interval_join"] = f"""
+WITH w(window_id, s, e) AS (VALUES {wvals})
+SELECT w.window_id, ev.event_id, ev.event_type
+FROM events ev JOIN w ON ev.ts >= w.s AND ev.ts < w.e
 """
 
     # -- text analysis -------------------------------------------------------

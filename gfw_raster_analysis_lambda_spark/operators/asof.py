@@ -20,6 +20,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _epoch_seconds(col: "F.Column") -> "F.Column":
+    """Numeric seconds from a numeric, TIMESTAMP, or TIMESTAMP_NTZ column
+    (NTZ cannot cast straight to double; route through TIMESTAMP)."""
+    return col.cast("timestamp").cast("double")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -69,10 +75,46 @@ def asof_join(
     out = merged.filter(F.col("__side") == 1)
     if tolerance_seconds is not None:
         fresh = (
-            F.col(on).cast("double") - F.col(f"__m_{on}").cast("double")
+            _epoch_seconds(F.col(on)) - _epoch_seconds(F.col(f"__m_{on}"))
         ) <= F.lit(float(tolerance_seconds))
         for c in carry:
             out = out.withColumn(f"__m_{c}", F.when(fresh, F.col(f"__m_{c}")))
     keep = [F.col(c) for c in left.columns]
     keep += [F.col(f"__m_{c}").alias(f"{prefix}{c}") for c in carry]
     return out.select(*keep)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bin_seconds: float = 3600.0,
+) -> DataFrame:
+    """Point-in-interval join without the quadratic theta-join: bucketize
+    time into ``bin_seconds`` bins, explode each interval over the bins it
+    covers, equi-join points on their bin, then verify exact containment
+    (half-open ``start <= p < end``). Spark plans a bare inequality join
+    as BroadcastNestedLoop/cartesian — O(points x intervals); the binned
+    plan shuffles O(points + interval-bins) rows and the verify filter is
+    codegen. Pick ``bin_seconds`` near the median interval length (each
+    interval then covers ~2 bins).
+
+    Output: every (point, containing interval) pair — all point columns
+    plus the interval's columns."""
+    p_bin = F.floor(_epoch_seconds(F.col(point_col)) / F.lit(float(bin_seconds)))
+    s_bin = F.floor(_epoch_seconds(F.col(start_col)) / F.lit(float(bin_seconds)))
+    e_bin = F.floor(_epoch_seconds(F.col(end_col)) / F.lit(float(bin_seconds)))
+    iv = intervals.withColumn(
+        "__bin", F.explode(F.sequence(s_bin.cast("long"), e_bin.cast("long")))
+    )
+    pt = points.withColumn("__bin", p_bin.cast("long"))
+    return (
+        pt.join(iv, "__bin")
+        .filter(
+            (_epoch_seconds(F.col(point_col)) >= _epoch_seconds(F.col(start_col)))
+            & (_epoch_seconds(F.col(point_col)) < _epoch_seconds(F.col(end_col)))
+        )
+        .drop("__bin")
+    )
