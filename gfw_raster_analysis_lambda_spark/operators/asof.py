@@ -62,9 +62,14 @@ def asof_join(
             rhs = rhs.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     rhs = rhs.select(*lhs.columns)
 
+    # deterministic tie handling: several right rows sharing (by, on) sort
+    # by their carried payload, so the match is always the greatest tuple
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .orderBy(
+            F.col(on).asc(), F.col("__side").asc(),
+            *[F.col(f"__r_{c}").asc_nulls_first() for c in carry],
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     merged = lhs.unionByName(rhs)
