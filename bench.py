@@ -273,9 +273,13 @@ def main():
             t0 = time.perf_counter()
             fn().write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
-        # throttle resilience: when the samples disagree badly the box was
-        # bursting — take one more shot at a calmer window
-        while max(samples) / min(samples) > 1.5 and len(samples) < runs + 2:
+        # throttle resilience: extra shots until the TWO BEST samples agree
+        # (comparing max/min would keep the original outlier in play and
+        # always exhaust the retry budget)
+        def settled(s):
+            lo = sorted(s)[:2]
+            return lo[1] / lo[0] <= 1.5
+        while not settled(samples) and len(samples) < runs + 2:
             t0 = time.perf_counter()
             fn().write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)

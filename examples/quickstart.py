@@ -34,7 +34,6 @@ from gfw_raster_analysis_lambda_spark.operators import (  # noqa: E402
 from gfw_raster_analysis_lambda_spark.sources import fixtures  # noqa: E402
 from gfw_raster_analysis_lambda_spark.sources.images import (  # noqa: E402
     read_images,
-    with_derived_keys,
     write_images_cell_sorted,
 )
 
@@ -47,13 +46,9 @@ def main() -> None:
 
     # 1. corpus: deterministic synthetic tiles, written CELL-SORTED so the
     #    planner auto-selects the zero-shuffle colocated scan
-    raw = with_derived_keys(
-        spark.createDataFrame(fixtures.generate_images_rows(), fixtures.IMAGES_SCHEMA)
-    )
+    raw = spark.createDataFrame(fixtures.generate_images_rows(), fixtures.IMAGES_SCHEMA)
     corpus = os.path.join(work, "images")
-    write_images_cell_sorted(raw.select(
-        "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
-    ), corpus, n_files=4)
+    write_images_cell_sorted(raw, corpus, n_files=4)  # derives layer/cell keys itself
     images = read_images(spark, corpus)
     aoi = spark.createDataFrame(fixtures.fixture_aois()[:2], fixtures.AOI_SCHEMA)
 

@@ -45,16 +45,25 @@ def asof_join(
         right_cols = [c for c in right.columns if c not in by and c != on]
     carry = [on] + right_cols
 
+    # the carried payload travels as ONE struct: last(ignorenulls) then
+    # picks whole right ROWS atomically. Per-column lasts would stitch
+    # fields from different rows whenever the matched row has NULL in one
+    # carried column (a row that never existed).
+    payload = F.struct(*[F.col(c).alias(c) for c in carry])
+    rtypes = dict(right.dtypes)
+    null_payload = F.lit(None).cast(
+        "struct<" + ",".join(f"{c}:{rtypes[c]}" for c in carry) + ">"
+    )
     lhs = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in carry],
+        null_payload.alias("__r"),
     )
     rhs = right.select(
         *[F.col(c) for c in by],
         F.col(on),
         F.lit(0).alias("__side"),  # sorts BEFORE left at equal `on` (inclusive)
-        *[F.col(c).alias(f"__r_{c}") for c in carry],
+        payload.alias("__r"),
     )
     # right rows contribute nothing but their carried payload
     for c in left.columns:
@@ -62,30 +71,24 @@ def asof_join(
             rhs = rhs.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     rhs = rhs.select(*lhs.columns)
 
-    # deterministic tie handling: several right rows sharing (by, on) sort
-    # by their carried payload, so the match is always the greatest tuple
+    # deterministic tie handling: right rows sharing (by, on) sort by the
+    # whole payload struct, so the match is the greatest tuple
     w = (
         Window.partitionBy(*by)
-        .orderBy(
-            F.col(on).asc(), F.col("__side").asc(),
-            *[F.col(f"__r_{c}").asc_nulls_first() for c in carry],
-        )
+        .orderBy(F.col(on).asc(), F.col("__side").asc(), F.col("__r").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    merged = lhs.unionByName(rhs)
-    for c in carry:
-        merged = merged.withColumn(
-            f"__m_{c}", F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w)
-        )
+    merged = lhs.unionByName(rhs).withColumn(
+        "__m", F.last(F.col("__r"), ignorenulls=True).over(w)
+    )
     out = merged.filter(F.col("__side") == 1)
     if tolerance_seconds is not None:
         fresh = (
-            _epoch_seconds(F.col(on)) - _epoch_seconds(F.col(f"__m_{on}"))
+            _epoch_seconds(F.col(on)) - _epoch_seconds(F.col(f"__m.{on}"))
         ) <= F.lit(float(tolerance_seconds))
-        for c in carry:
-            out = out.withColumn(f"__m_{c}", F.when(fresh, F.col(f"__m_{c}")))
+        out = out.withColumn("__m", F.when(fresh, F.col("__m")))
     keep = [F.col(c) for c in left.columns]
-    keep += [F.col(f"__m_{c}").alias(f"{prefix}{c}") for c in carry]
+    keep += [F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in carry]
     return out.select(*keep)
 
 
@@ -96,6 +99,7 @@ def interval_join(
     start_col: str = "start_ts",
     end_col: str = "end_ts",
     bin_seconds: float = 3600.0,
+    max_bins_per_interval: int = 100_000,
 ) -> DataFrame:
     """Point-in-interval join without the quadratic theta-join: bucketize
     time into ``bin_seconds`` bins, explode each interval over the bins it
@@ -111,7 +115,18 @@ def interval_join(
     p_bin = F.floor(_epoch_seconds(F.col(point_col)) / F.lit(float(bin_seconds)))
     s_bin = F.floor(_epoch_seconds(F.col(start_col)) / F.lit(float(bin_seconds)))
     e_bin = F.floor(_epoch_seconds(F.col(end_col)) / F.lit(float(bin_seconds)))
+    nbins = e_bin.cast("long") - s_bin.cast("long") + 1
     iv = intervals.withColumn(
+        "__ok",
+        F.assert_true(
+            (nbins >= 1) & (nbins <= F.lit(int(max_bins_per_interval))),
+            F.concat(
+                F.lit("interval_join: interval covers an invalid/huge bin count "
+                      "(inverted interval or open-ended sentinel?): "),
+                nbins.cast("string"),
+            ),
+        ),
+    ).drop("__ok").withColumn(
         "__bin", F.explode(F.sequence(s_bin.cast("long"), e_bin.cast("long")))
     )
     pt = points.withColumn("__bin", p_bin.cast("long"))

@@ -388,6 +388,55 @@ def ann_ivf_indexed(
     )
 
 
+def lsh_buckets_multi(
+    emb: DataFrame,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, t, bucket) for every probe table in ONE Arrow pass: one
+    (n_tables*n_planes x dims) sign matmul per batch, bit-packed per
+    table. Table t's planes are the absolute indices t*n_planes..,
+    identical to ``lsh_buckets_fast(plane_offset=t*n_planes)``."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    id_type = dict(emb.dtypes)[id_col]
+    total = n_planes * n_tables
+
+    def run(batches):
+        signs = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            dims = len(pdf[vec_col].iloc[0])
+            if signs is None or signs.shape[1] != dims:
+                signs = np.empty((total, dims), dtype=np.float64)
+                for p in range(total):
+                    for c in range(dims):
+                        h = int(hashlib.md5(f"{p}_{c}".encode()).hexdigest()[:4], 16)
+                        signs[p, c] = (h % 2) * 2 - 1
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (vecs @ signs.T) > 0  # rows x (tables*planes)
+            out = []
+            for t in range(n_tables):
+                blk = bits[:, t * n_planes:(t + 1) * n_planes]
+                bucket = (blk << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
+                out.append(pd.DataFrame({
+                    "id": pdf[id_col],
+                    "t": np.int32(t),
+                    "bucket": bucket.astype(np.int64),
+                }))
+            yield pd.concat(out, ignore_index=True)
+
+    return emb.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        run, f"id {id_type}, t int, bucket long"
+    )
+
+
 def ann_lsh_multiprobe(
     emb: DataFrame,
     queries: DataFrame,
@@ -405,15 +454,17 @@ def ann_lsh_multiprobe(
     rerank cost grows only with the (deduped) candidate union."""
     corpus = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     qs = queries.select("query_id", F.col(vec_col).alias("qv"))
-    cand = None
-    for t in range(n_tables):
-        eb = lsh_buckets_fast(emb, n_planes, id_col, vec_col, plane_offset=t * n_planes)
-        qb = lsh_buckets_fast(
-            queries, n_planes, "query_id", vec_col, plane_offset=t * n_planes
-        ).withColumnRenamed("id", "query_id")
-        pairs = eb.join(F.broadcast(qb), "bucket").select("id", "query_id")
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.dropDuplicates(["id", "query_id"])
+    # ONE corpus pass computes every table's bucket (a single
+    # (n_tables*n_planes x dims) sign matmul), not n_tables scans
+    eb = lsh_buckets_multi(emb, n_planes, n_tables, id_col, vec_col)
+    qb = lsh_buckets_multi(
+        queries, n_planes, n_tables, "query_id", vec_col
+    ).withColumnRenamed("id", "query_id")
+    cand = (
+        eb.join(F.broadcast(qb), ["t", "bucket"])
+        .select("id", "query_id")
+        .dropDuplicates(["id", "query_id"])
+    )
     scored = (
         cand.join(corpus, "id")
         .join(F.broadcast(qs), "query_id")
@@ -440,11 +491,14 @@ def recall_at_k(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
     hits = e.join(a, ["query_id", "id"]).groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_hit")
     )
+    # denominator = the per-query EXACT result size, not k: a corpus
+    # smaller than k caps the exact top-k, and a perfect approximation
+    # must still score 1.0
+    denom = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
     return (
-        e.select("query_id").distinct()
-        .join(hits, "query_id", "left")
+        denom.join(hits, "query_id", "left")
         .select(
             "query_id",
-            (F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(float(k))).alias("recall"),
+            (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")).alias("recall"),
         )
     )
