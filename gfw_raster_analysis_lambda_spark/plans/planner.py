@@ -209,10 +209,18 @@ def _run_percentile_query(
     return (
         # epsilon guards binary-float overshoot: 0.07*100 = 7.0000000000000009
         # in doubles, and naive ceil would pick the 8th element where
-        # quantile_disc picks the 7th
+        # quantile_disc picks the 7th. RELATIVE epsilon (a few hundred
+        # ulps) plus an absolute floor: a fixed 1e-9 is smaller than one
+        # ulp of p*tot once totals pass ~4.5e6 pixels, letting the
+        # off-by-one reappear at raster scale
         ranked.filter(
-            F.col("__cum")
-            >= F.ceil(F.lit(float(a.param)) * F.col("__tot") - F.lit(1e-9))
+            F.col("__cum") >= F.ceil(
+                F.lit(float(a.param)) * F.col("__tot")
+                - F.greatest(
+                    F.lit(1e-9),
+                    F.lit(float(a.param)) * F.col("__tot") * F.lit(1e-13),
+                )
+            )
         )
         .withColumn("__rn", F.row_number().over(w_rn))
         .filter(F.col("__rn") == 1)
