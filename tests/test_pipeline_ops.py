@@ -406,3 +406,21 @@ def test_asof_join_semantics(spark):
     ).toPandas().sort_values(["user_id", "ts"]).reset_index(drop=True)
     assert tol["m_tag"].tolist()[0] == 7           # age 0 <= 3
     assert pd.isna(tol["m_tag"].iloc[1])           # age 5 > 3 -> voided
+
+
+def test_asof_join_null_fields_stay_atomic(spark):
+    """The matched right ROW is carried atomically: a NULL field in the
+    true latest row must surface as NULL, never backfilled from an older
+    row (the per-column last(ignorenulls) stitching bug)."""
+    from gfw_raster_analysis_lambda_spark.operators import asof
+
+    left = spark.createDataFrame([(1, 10)], "user_id long, ts long")
+    right = spark.createDataFrame(
+        [(1, 5, 100, 3.0), (1, 9, 200, None)],
+        "user_id long, ts long, tag long, score double",
+    )
+    out = asof.asof_join(
+        left, right, on="ts", by="user_id", right_cols=["tag", "score"], prefix="m_"
+    ).toPandas()
+    assert out["m_tag"].tolist() == [200]          # the ts=9 row matched
+    assert pd.isna(out["m_score"].iloc[0])         # its NULL preserved
