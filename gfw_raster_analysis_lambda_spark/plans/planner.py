@@ -432,6 +432,58 @@ def _regrid_images(imgs: DataFrame, env: DataEnvironment, needed: list, target: 
     return out
 
 
+def _prune_cells(imgs: DataFrame, cell_ids: list) -> DataFrame:
+    """Push the AOI-cell set into the tile scan: exact IN for small sets,
+    min/max range (parquet row-group stats) for large ones."""
+    if not cell_ids:
+        return imgs.filter(F.lit(False))
+    if len(cell_ids) <= 2048:
+        return imgs.filter(_in_long_set("cell_id", cell_ids))
+    return imgs.filter(F.col("cell_id").between(min(cell_ids), max(cell_ids)))
+
+
+def _with_missing_cells(spark, imgs: DataFrame, cell_ids: list) -> DataFrame:
+    """Missing-cell tolerance (S2): synthesize one null tile row for each
+    AOI cell with no stored tiles, so FROM_DATA queries count them."""
+    present = imgs.select("cell_id").distinct()
+    missing = (
+        spark.createDataFrame([(int(c),) for c in cell_ids], "cell_id long")
+        .join(F.broadcast(present), "cell_id", "left_anti")
+        .select(
+            F.lit(None).cast("string").alias("layer"),
+            F.col("cell_id"),
+            F.lit(None).cast("binary").alias("bytes"),
+            F.lit(None).cast("int").alias("w"),
+            F.lit(None).cast("int").alias("h"),
+            F.lit(None).cast("string").alias("fmt"),
+            F.col("cell_id").alias("src_cell_id"),
+        )
+    )
+    return imgs.unionByName(missing)
+
+
+def _dispatch_cell_plan(spark, imgs: DataFrame, salted: dict, wrapped, schema: str,
+                        colocated: bool) -> DataFrame:
+    """Kernel-stage dispatch shared by the single and fused builders:
+    colocated zero-shuffle stream (with hot-cell diversion — a cell shared
+    by thousands of AOIs would be ONE serial AOI loop in one colocated
+    task, so cells hotter than MAX_AOIS_PER_TASK take the salted cell
+    plan while everything else streams shuffle-free) or the salted
+    cell-clustered shuffle plan."""
+    if colocated:
+        if salted:
+            hot = [int(c) for c in salted]
+            cold_part = imgs.filter(~_in_long_set("cell_id", hot)).mapInPandas(
+                _streaming_cells(wrapped), schema
+            )
+            hot_part = _salted_cell_plan(
+                spark, imgs.filter(_in_long_set("cell_id", hot)), salted, wrapped, schema
+            )
+            return cold_part.unionByName(hot_part)
+        return imgs.mapInPandas(_streaming_cells(wrapped), schema)
+    return _salted_cell_plan(spark, imgs, salted, wrapped, schema)
+
+
 def build_partials_with_lookup(
     images: DataFrame,
     lookup,  # Broadcast[{cell_id: (n_salt, [(aoi_id, wkb)...])}]
@@ -463,33 +515,9 @@ def build_partials_with_lookup(
         imgs = _regrid_images(imgs, env, needed, target)
     else:
         imgs = imgs.withColumn("src_cell_id", F.col("cell_id"))
-    if not cell_ids:
-        imgs = imgs.filter(F.lit(False))
-    elif len(cell_ids) <= 2048:
-        # exact IN-set pushdown (small AOI batches: read only covered cells)
-        imgs = imgs.filter(_in_long_set("cell_id", cell_ids))
-    else:
-        # min/max prune pushes to parquet row-group stats (cell-sorted files)
-        imgs = imgs.filter(F.col("cell_id").between(min(cell_ids), max(cell_ids)))
-
-    # Missing-cell tolerance (S2): AOI cells with no stored tiles still
-    # produce rows when FROM data drops the base NoData mask
+    imgs = _prune_cells(imgs, cell_ids)
     if query.base_layer == FROM_DATA:
-        present = imgs.select("cell_id").distinct()
-        missing = (
-            spark.createDataFrame([(int(c),) for c in cell_ids], "cell_id long")
-            .join(F.broadcast(present), "cell_id", "left_anti")
-            .select(
-                F.lit(None).cast("string").alias("layer"),
-                F.col("cell_id"),
-                F.lit(None).cast("binary").alias("bytes"),
-                F.lit(None).cast("int").alias("w"),
-                F.lit(None).cast("int").alias("h"),
-                F.lit(None).cast("string").alias("fmt"),
-                F.col("cell_id").alias("src_cell_id"),
-            )
-        )
-        imgs = imgs.unionByName(missing)
+        imgs = _with_missing_cells(spark, imgs, cell_ids)
 
     kernel = zonal.make_cell_kernel(query, env.to_json(), grid_name, lookup)
     if query.select_pixels:
@@ -498,27 +526,7 @@ def build_partials_with_lookup(
     else:
         schema = "`aoi_id` string, `cell_id` long, `_ms` double, " + zonal.partial_schema_ddl(query)
         wrapped = _wrap_cell_kernel(kernel)
-
-    if colocated:
-        if salted:
-            # hot-cell diversion: a cell shared by thousands of AOIs would
-            # be ONE serial AOI loop in one colocated task. Cells hotter
-            # than MAX_AOIS_PER_TASK leave the zero-shuffle stream and take
-            # the salted cell plan (their tile rows shuffle, duplicated per
-            # salt, so the AOI loop splits across tasks); everything else
-            # still streams shuffle-free. The hot list is small by
-            # construction (it is the driver-side lookup's skew summary).
-            hot = [int(c) for c in salted]
-            cold_part = imgs.filter(~_in_long_set("cell_id", hot)).mapInPandas(
-                _streaming_cells(wrapped), schema
-            )
-            hot_part = _salted_cell_plan(
-                spark, imgs.filter(_in_long_set("cell_id", hot)), salted, wrapped, schema
-            )
-            return cold_part.unionByName(hot_part)
-        # zero-shuffle: the scan is cell-sorted; regroup cells per partition
-        return imgs.mapInPandas(_streaming_cells(wrapped), schema)
-    return _salted_cell_plan(spark, imgs, salted, wrapped, schema)
+    return _dispatch_cell_plan(spark, imgs, salted, wrapped, schema, colocated)
 
 
 def build_multi_partials_with_lookup(
@@ -534,12 +542,7 @@ def build_multi_partials_with_lookup(
     rasterize serving every query of a batch (zonal.make_multi_cell_kernel).
     Output is the tagged union of all queries' partial rows (``_q`` +
     ``q{i}__``-prefixed columns); split per query with
-    :func:`split_multi_partials`.
-
-    NOTE: the scan pruning / missing-cell union / colocated+salted
-    dispatch below deliberately mirrors :func:`build_partials_with_lookup`
-    (single-grid specialization) — fixes to either copy must land in
-    both."""
+    :func:`split_multi_partials`."""
     spark = images.sparkSession
     cell_ids = list(lookup.value.keys())
     union_layers: list = []
@@ -554,29 +557,9 @@ def build_multi_partials_with_lookup(
     if union_layers:
         imgs = imgs.filter(F.col("layer").isin(union_layers))
     imgs = imgs.withColumn("src_cell_id", F.col("cell_id"))
-    if not cell_ids:
-        imgs = imgs.filter(F.lit(False))
-    elif len(cell_ids) <= 2048:
-        imgs = imgs.filter(_in_long_set("cell_id", cell_ids))
-    else:
-        imgs = imgs.filter(F.col("cell_id").between(min(cell_ids), max(cell_ids)))
-
+    imgs = _prune_cells(imgs, cell_ids)
     if any(q.base_layer == FROM_DATA for q in queries):
-        present = imgs.select("cell_id").distinct()
-        missing = (
-            spark.createDataFrame([(int(c),) for c in cell_ids], "cell_id long")
-            .join(F.broadcast(present), "cell_id", "left_anti")
-            .select(
-                F.lit(None).cast("string").alias("layer"),
-                F.col("cell_id"),
-                F.lit(None).cast("binary").alias("bytes"),
-                F.lit(None).cast("int").alias("w"),
-                F.lit(None).cast("int").alias("h"),
-                F.lit(None).cast("string").alias("fmt"),
-                F.col("cell_id").alias("src_cell_id"),
-            )
-        )
-        imgs = imgs.unionByName(missing)
+        imgs = _with_missing_cells(spark, imgs, cell_ids)
 
     kernel = zonal.make_multi_cell_kernel(queries, env.to_json(), grid_name, lookup)
     schema = (
@@ -584,18 +567,7 @@ def build_multi_partials_with_lookup(
         + zonal.multi_partial_schema_ddl(queries)
     )
     wrapped = _wrap_cell_kernel(kernel)
-    if colocated:
-        if salted:
-            hot = [int(c) for c in salted]
-            cold_part = imgs.filter(~_in_long_set("cell_id", hot)).mapInPandas(
-                _streaming_cells(wrapped), schema
-            )
-            hot_part = _salted_cell_plan(
-                spark, imgs.filter(_in_long_set("cell_id", hot)), salted, wrapped, schema
-            )
-            return cold_part.unionByName(hot_part)
-        return imgs.mapInPandas(_streaming_cells(wrapped), schema)
-    return _salted_cell_plan(spark, imgs, salted, wrapped, schema)
+    return _dispatch_cell_plan(spark, imgs, salted, wrapped, schema, colocated)
 
 
 def split_multi_partials(partials: DataFrame, qi: int, query: ZonalQuery) -> DataFrame:
