@@ -839,6 +839,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.phash_dedup_keepers(df, max_hamming=3, bands=4)
     q["dedup_phash_keepers"] = dedup_phash_keepers
 
+    def sample_split_assign(spark, sf_dir):
+        # deterministic hash-threshold sampling + train/val/test split:
+        # membership re-derived bit-for-bit by the DuckDB twin
+        from gfw_raster_analysis_lambda_spark.operators import sampling
+
+        d = _t(spark, sf_dir, "documents")
+        sampled = sampling.deterministic_sample(d, 0.25, id_col="doc_id")
+        return sampling.split_assign(
+            sampled, {"train": 0.8, "val": 0.1, "test": 0.1}, id_col="doc_id"
+        ).select("doc_id", "split")
+    q["sample_split_assign"] = sample_split_assign
+
     # -- similarity search ---------------------------------------------------
 
     def sim_cosine_topk(spark, sf_dir):
@@ -1604,6 +1616,20 @@ WITH pairs AS (
   GROUP BY a.vec_id, b.vec_id
 )
 SELECT a, b, ROUND(cos, 6) AS cosine FROM pairs WHERE ROUND(cos, 6) >= 0.3
+"""
+
+    # deterministic sampling/split twin: identical md5->uniform thresholds
+    hu = (
+        "(CAST(('0x' || substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)"
+        " / 281474976710656.0)"
+    )
+    o["sample_split_assign"] = f"""
+SELECT doc_id,
+       CASE WHEN {hu.format(salt='split')} < 0.8 THEN 'train'
+            WHEN {hu.format(salt='split')} < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+WHERE {hu.format(salt='sample')} < 0.25
 """
 
     # -- image near-dup by phash: brute-force all-pairs hamming twins ------

@@ -1,0 +1,82 @@
+"""Deterministic sampling and split assignment for training-data
+pipelines.
+
+A corpus rebuild must reproduce the SAME sample and the SAME
+train/val/test membership — so nothing here uses ``rand()``. Every
+decision derives from an md5 hash of (salt, id) mapped to a uniform
+[0, 1) — one Catalyst expression, embarrassingly parallel, identical in
+DuckDB (the driver-contract twins re-derive membership bit-for-bit).
+Membership is stable under corpus growth: adding documents never flips
+an existing document's split (the property rand-based splits lack).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 2^48 — the hash is truncated to 12 hex digits, so u = h / 2^48 is an
+# exact dyadic rational both engines compute identically
+_HASH_DENOM = float(1 << 48)
+
+
+def hash_uniform(id_col: Column, salt: str = "") -> Column:
+    """Deterministic uniform [0, 1) from an id: md5(salt:id) -> first 12
+    hex digits -> / 2^48. Same formula in the DuckDB oracle twins."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(salt), id_col.cast("string"))), 1, 12),
+        16, 10,
+    ).cast("double")
+    return h / F.lit(_HASH_DENOM)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep each row iff its hash-uniform < ``fraction``. Reproducible,
+    collect-free, and composable: a 0.1 sample is a superset of a 0.05
+    sample under the same salt (nested subsamples for ablations)."""
+    return df.filter(hash_uniform(F.col(id_col), salt) < F.lit(float(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: "dict[str, float]",
+    strata_col: str,
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (balance a skewed corpus):
+    stratum s keeps its rows with hash-uniform < fractions[s]."""
+    frac = F.lit(float(default_fraction))
+    for k, v in fractions.items():
+        frac = F.when(F.col(strata_col) == F.lit(k), F.lit(float(v))).otherwise(frac)
+    return df.filter(hash_uniform(F.col(id_col), salt) < frac)
+
+
+def split_assign(
+    df: DataFrame,
+    weights: "dict[str, float]",
+    id_col: str = "doc_id",
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to one split by cumulative weight intervals over
+    the hash-uniform (e.g. ``{"train": 0.8, "val": 0.1, "test": 0.1}``).
+    Deterministic and growth-stable; weights are normalized; the final
+    split absorbs the remainder so every row is assigned."""
+    total = float(sum(weights.values()))
+    u = hash_uniform(F.col(id_col), salt)
+    expr = None
+    cum = 0.0
+    names = list(weights.keys())
+    for name in names[:-1]:
+        cum += float(weights[name]) / total
+        cond = u < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(out_col, expr)

@@ -424,3 +424,30 @@ def test_asof_join_null_fields_stay_atomic(spark):
     ).toPandas()
     assert out["m_tag"].tolist() == [200]          # the ts=9 row matched
     assert pd.isna(out["m_score"].iloc[0])         # its NULL preserved
+
+
+def test_deterministic_sampling_properties(spark, docs):
+    """Nested subsamples, growth stability, stratified fractions, and
+    exhaustive split assignment."""
+    from gfw_raster_analysis_lambda_spark.operators import sampling
+
+    s10 = set(sampling.deterministic_sample(docs, 0.10).toPandas()["doc_id"])
+    s05 = set(sampling.deterministic_sample(docs, 0.05).toPandas()["doc_id"])
+    assert s05 <= s10                       # nested under one salt
+    n = docs.count()
+    assert abs(len(s10) / n - 0.10) < 0.08  # ~fraction at small n
+    # growth stability: sampling half the corpus keeps the same members
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    sh = set(sampling.deterministic_sample(half, 0.10).toPandas()["doc_id"])
+    assert sh == {d for d in s10 if d % 2 == 0}
+    # stratified: label fractions honored per stratum
+    st = sampling.stratified_sample(
+        docs, {"en": 0.5}, strata_col="lang", default_fraction=0.0
+    ).toPandas()
+    assert set(st["lang"]) <= {"en"}
+    # split: every row assigned, splits disjoint, ~weights
+    sp = sampling.split_assign(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).toPandas()
+    assert len(sp) == n and set(sp["split"]) == {"train", "val", "test"}
+    assert abs((sp["split"] == "train").mean() - 0.8) < 0.1
