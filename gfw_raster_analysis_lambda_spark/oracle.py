@@ -192,11 +192,13 @@ def _cell_frame(query, env, geom, grid, cell, x, y, has_data):
             elif a.func == "min":
                 acc = np.full(ng, np.inf)
                 np.minimum.at(acc, inv[fin], d[fin])
-                out[a.alias] = acc
+                # a group whose pixels were all NaN-excluded has no min:
+                # NULL (NaN), never the accumulator sentinel
+                out[a.alias] = np.where(np.isfinite(acc), acc, np.nan)
             elif a.func == "max":
                 acc = np.full(ng, -np.inf)
                 np.maximum.at(acc, inv[fin], d[fin])
-                out[a.alias] = acc
+                out[a.alias] = np.where(np.isfinite(acc), acc, np.nan)
     return pd.DataFrame(out)
 
 

@@ -823,3 +823,44 @@ def test_percentile_float_hazard_rank(spark, env):
         "SELECT quantile_disc(x, 0.07) FROM (SELECT unnest(range(1, 101)) AS x)"
     ).fetchone()[0]
     assert got["p"].tolist() == [float(exp)] == [7.0]
+
+
+@pytest.mark.parametrize("seed", [3, 11, 29, 47, 101, 137, 211, 499])
+def test_random_query_fuzz_vs_oracle(spark, tables, env, seed):
+    """Randomized query shapes (base/filters/groups/aggs drawn per seed)
+    must match the single-process numpy oracle — guards the operator
+    COMBINATIONS no hand-written test exercises."""
+    rng = np.random.RandomState(seed)
+    bases = ["tcl_year", "ttc_percent", "data", "alert_date_conf"]
+    base = bases[rng.randint(len(bases))]
+    leaves = [
+        FilterLeaf("tcd_threshold", "in", (4, 5, 6, 7)),
+        FilterLeaf("tcl_year", ">=", (int(rng.randint(1, 20)),)),
+        FilterLeaf("is_primary", "in", (1,)),
+        FilterLeaf("drivers", "!=", (0,)),
+    ]
+    picked = [leaves[i] for i in rng.choice(len(leaves), rng.randint(0, 3), replace=False)]
+    where = None
+    if len(picked) == 1:
+        where = picked[0]
+    elif len(picked) == 2:
+        where = (FilterAnd if rng.rand() < 0.5 else FilterOr)(tuple(picked))
+    group_pool = ["tcl_year", "tcd_threshold", "drivers"]
+    groups = tuple(
+        group_pool[i] for i in rng.choice(3, rng.randint(0, 3), replace=False)
+    )
+    agg_pool = [
+        Aggregate("count", None, "n"),
+        Aggregate("sum", "area__ha", "ha"),
+        Aggregate("sum", "emissions", "em"),
+        Aggregate("min", "emissions", "em_min"),
+        Aggregate("max", "emissions", "em_max"),
+    ]
+    kept = [agg_pool[i] for i in rng.choice(len(agg_pool), 1 + rng.randint(3), replace=False)]
+    if not any(a.func == "count" for a in kept):
+        kept.append(agg_pool[0])
+    q = ZonalQuery(
+        base_layer=base, group_layers=groups, aggregates=tuple(kept), where=where
+    )
+    got, exp = run_both(spark, tables, env, q)
+    assert_frames_match(got, exp)
