@@ -432,14 +432,55 @@ def _regrid_images(imgs: DataFrame, env: DataEnvironment, needed: list, target: 
     return out
 
 
+MAX_EXACT_IN_CELLS = 2048   # below this: one literal IN predicate
+MAX_PRUNE_RANGES = 64       # above: OR of <= this many disjoint BETWEENs
+
+
+def _gap_split_ranges(cell_ids, max_ranges: int = MAX_PRUNE_RANGES) -> list:
+    """Split a cell-id set into <= max_ranges disjoint [lo, hi] runs, cut
+    at the largest gaps. Packed (grid, x, y) ids are spatially ordered, so
+    a real AOI batch — even a scattered one (two countries on opposite
+    sides of the world) — collapses into a handful of dense runs; the
+    pathological single min/max BETWEEN that spans the whole corpus only
+    happens if we refuse to split. Contiguous ids (gap == 1) never split."""
+    ids = np.asarray(sorted({int(c) for c in cell_ids}), dtype=np.int64)
+    if ids.size == 0:
+        return []
+    if ids.size == 1:
+        return [(int(ids[0]), int(ids[0]))]
+    gaps = np.diff(ids)
+    k = min(max_ranges - 1, int(gaps.size))
+    if k <= 0:
+        return [(int(ids[0]), int(ids[-1]))]
+    cand = np.argpartition(gaps, -k)[-k:]
+    splits = np.sort(cand[gaps[cand] > 1])
+    ranges, start = [], 0
+    for s in splits:
+        ranges.append((int(ids[start]), int(ids[s])))
+        start = int(s) + 1
+    ranges.append((int(ids[start]), int(ids[-1])))
+    return ranges
+
+
 def _prune_cells(imgs: DataFrame, cell_ids: list) -> DataFrame:
-    """Push the AOI-cell set into the tile scan: exact IN for small sets,
-    min/max range (parquet row-group stats) for large ones."""
+    """Push the AOI-cell set into the tile scan: exact IN for small sets;
+    for large ones, an OR of gap-split BETWEEN ranges (pushed to the
+    parquet scan for row-group/file pruning — a scattered AOI batch scans
+    its footprint, not the corpus) followed by an exact broadcast
+    semi-join so non-AOI cells inside a range never cross the kernel
+    shuffle either."""
     if not cell_ids:
         return imgs.filter(F.lit(False))
-    if len(cell_ids) <= 2048:
+    if len(cell_ids) <= MAX_EXACT_IN_CELLS:
         return imgs.filter(_in_long_set("cell_id", cell_ids))
-    return imgs.filter(F.col("cell_id").between(min(cell_ids), max(cell_ids)))
+    ranges = _gap_split_ranges(cell_ids)
+    cond = " OR ".join(f"(`cell_id` BETWEEN {lo} AND {hi})" for lo, hi in ranges)
+    imgs = imgs.filter(F.expr(cond))
+    spark = imgs.sparkSession
+    cells_df = spark.createDataFrame(
+        pd.DataFrame({"cell_id": np.asarray(sorted({int(c) for c in cell_ids}), dtype=np.int64)})
+    )
+    return imgs.join(F.broadcast(cells_df), "cell_id", "left_semi")
 
 
 def _with_missing_cells(spark, imgs: DataFrame, cell_ids: list) -> DataFrame:

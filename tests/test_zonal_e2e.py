@@ -864,3 +864,68 @@ def test_random_query_fuzz_vs_oracle(spark, tables, env, seed):
     )
     got, exp = run_both(spark, tables, env, q)
     assert_frames_match(got, exp)
+
+
+# 22. multi-range cell pruning: a scattered AOI batch (two far-apart
+# clusters) must scan its footprint, not the min..max span of the corpus.
+# Above MAX_EXACT_IN_CELLS the pruner pushes an OR of gap-split BETWEEN
+# ranges to the scan and an exact broadcast semi-join before the kernel
+# shuffle — nothing outside the clusters crosses the wire.
+def test_prune_cells_multirange_footprint(spark, tables, env, monkeypatch):
+    from gfw_raster_analysis_lambda_spark.functions import grid as G
+    from gfw_raster_analysis_lambda_spark.plans import planner
+
+    images, _ = tables
+    imgs = images.select("layer", "cell_id", "bytes", "w", "h", "fmt")
+    grid, x0, y0 = fixtures.GRID, fixtures.X0, fixtures.Y0
+    cluster_a = [int(G.cell_from_xy(grid, x0, y0)), int(G.cell_from_xy(grid, x0, y0 + 1))]
+    cluster_b = [int(G.cell_from_xy(grid, x0 + 3, y0 + 2)), int(G.cell_from_xy(grid, x0 + 3, y0 + 3))]
+    cells = cluster_a + cluster_b
+
+    # gap-split: two disjoint ranges, together covering a tiny fraction of
+    # the min..max span the old single-BETWEEN fallback would have scanned
+    ranges = planner._gap_split_ranges(cells)
+    assert len(ranges) == 2
+    assert ranges[0][1] < ranges[1][0]
+    covered = sum(hi - lo + 1 for lo, hi in ranges)
+    assert covered * 10 < (max(cells) - min(cells) + 1)
+
+    monkeypatch.setattr(planner, "MAX_EXACT_IN_CELLS", 2)  # force range path
+    pruned = planner._prune_cells(imgs, cells)
+    got = {r.cell_id for r in pruned.select("cell_id").distinct().collect()}
+    assert got == set(cells)
+    assert pruned.count() == imgs.filter(imgs.cell_id.isin(cells)).count()
+
+    # what reaches the scan (the range predicates alone) already reads only
+    # footprint rows — no corpus-wide span
+    cond = " OR ".join(f"(cell_id BETWEEN {lo} AND {hi})" for lo, hi in ranges)
+    assert imgs.filter(cond).count() == imgs.filter(imgs.cell_id.isin(cells)).count()
+
+
+def test_gap_split_ranges_properties():
+    import numpy as np
+
+    from gfw_raster_analysis_lambda_spark.plans.planner import _gap_split_ranges
+
+    rng = np.random.RandomState(7)
+    clusters = [
+        np.arange(1_000_000, 1_001_000),
+        np.arange(5_000_000, 5_000_500),
+        rng.randint(9_000_000, 9_100_000, size=2000),
+    ]
+    ids = np.concatenate(clusters)
+    ranges = _gap_split_ranges(ids, max_ranges=16)
+    assert 1 <= len(ranges) <= 16
+    arr = np.sort(np.unique(ids))
+    # disjoint, sorted, and every id covered
+    for (lo, hi), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert lo <= hi < lo2
+    covered = np.zeros(arr.shape, dtype=bool)
+    for lo, hi in ranges:
+        covered |= (arr >= lo) & (arr <= hi)
+    assert covered.all()
+    # the two dense runs must not be merged across the 4M gap
+    assert len(ranges) >= 3
+    assert _gap_split_ranges([]) == []
+    assert _gap_split_ranges([42]) == [(42, 42)]
+    assert _gap_split_ranges(np.arange(100), max_ranges=4) == [(0, 99)]
