@@ -233,6 +233,22 @@ def _run_percentile_query(
 # ---------------------------------------------------------------------------
 
 DRIVER_ENUM_AOI_LIMIT = 100_000  # AOI rows enumerated driver-side
+DRIVER_ENUM_WKB_BYTES = 256 * 2**20  # total geometry bytes collected driver-side
+
+
+def _probe_aoi_batch(aoi_df: DataFrame) -> list | None:
+    """Collect the AOI batch for driver-side enumeration — or return None
+    when it must take the distributed path. The row-count AND total WKB
+    bytes are probed RELATIONALLY first (one tiny agg job, no geometry
+    crosses the wire), so a batch of million-vertex country polygons is
+    rejected before a single vertex is materialized on the driver."""
+    stats = aoi_df.select(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.length("geom_wkb")), F.lit(0)).alias("b"),
+    ).collect()[0]
+    if stats["n"] > DRIVER_ENUM_AOI_LIMIT or stats["b"] > DRIVER_ENUM_WKB_BYTES:
+        return None
+    return aoi_df.select("aoi_id", "geom_wkb").collect()
 
 
 def _aoi_lookup_from_aois(spark: SparkSession, rows: list, grid_name: str,
@@ -318,8 +334,8 @@ def prepare_aoi_index(
     ``None`` when the batch exceeds the broadcast bound (callers then run
     the normal per-query path, which routes to the distributed
     shuffle-join plan)."""
-    probe = aoi_df.select("aoi_id", "geom_wkb").limit(DRIVER_ENUM_AOI_LIMIT + 1).collect()
-    if len(probe) > DRIVER_ENUM_AOI_LIMIT:
+    probe = _probe_aoi_batch(aoi_df)
+    if probe is None:
         return None
     lookup, salted = _aoi_lookup_from_aois(
         spark, probe, grid_name, max_aois_per_task, cell_limit=BROADCAST_CELL_LIMIT
@@ -352,9 +368,9 @@ def build_partials_by_cell(
     emit the identical partial schema, so callers never notice beyond the
     physical strategy."""
     spark = images.sparkSession
-    probe = aoi_df.select("aoi_id", "geom_wkb").limit(DRIVER_ENUM_AOI_LIMIT + 1).collect()
+    probe = _probe_aoi_batch(aoi_df)
     lookup = salted = None
-    if len(probe) <= DRIVER_ENUM_AOI_LIMIT:
+    if probe is not None:
         # small batch: enumerate cells on the driver (one collect, no UDF
         # job), aborting early if the volume exceeds the broadcast bound
         lookup, salted = _aoi_lookup_from_aois(
@@ -368,7 +384,13 @@ def build_partials_by_cell(
         # polygon->cells enumeration is the expensive part, so persist it:
         # count, (collect | shuffle-join plan) all reuse one job's output.
         cells = aoi_cells(aoi_df, grid_name).persist()
-        if cells.count() <= BROADCAST_CELL_LIMIT:
+        stats = cells.select(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.length("geom_wkb")), F.lit(0)).alias("b"),
+        ).collect()[0]
+        # collecting the lookup pulls one geometry copy PER aoi-cell row,
+        # so the byte bound applies here too — over it, never collect
+        if stats["n"] <= BROADCAST_CELL_LIMIT and stats["b"] <= DRIVER_ENUM_WKB_BYTES:
             lookup, salted = _aoi_lookup(spark, cells, max_aois_per_task)
             cells.unpersist()
     if lookup is not None:

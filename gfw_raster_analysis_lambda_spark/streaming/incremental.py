@@ -59,10 +59,24 @@ IMAGES_SCHEMA_DDL = (
 
 
 def _aoi_lookup(spark: SparkSession, aoi_df: DataFrame, grid_name: str):
-    return planner._aoi_lookup_from_aois(
-        spark, aoi_df.select("aoi_id", "geom_wkb").collect(), grid_name,
-        planner.MAX_AOIS_PER_TASK,
-    )
+    """Bounded AOI index for the stream — same guards as the batch path
+    (``prepare_aoi_index``: relational row-count + WKB-bytes probe, then
+    cell-limit-aborted enumeration). The incremental design keys its
+    partial store and per-batch change signal on a driver broadcast, so an
+    over-bound batch cannot silently fall back to a distributed plan here
+    — it gets a clear refusal instead of an unbounded collect/OOM."""
+    idx = planner.prepare_aoi_index(spark, aoi_df, grid_name)
+    if idx is None:
+        raise ValueError(
+            "AOI batch exceeds the driver broadcast bound "
+            f"(> {planner.DRIVER_ENUM_AOI_LIMIT} AOI rows, "
+            f"> {planner.DRIVER_ENUM_WKB_BYTES} geometry bytes, or "
+            f"> {planner.BROADCAST_CELL_LIMIT} aoi-cell rows): the "
+            "incremental stream requires a broadcastable AOI index. Split "
+            "the AOI batch across streams, or use the batch path "
+            "(run_zonal_query), which falls back to a distributed plan."
+        )
+    return idx.lookup, idx.salted
 
 
 def _touched_target_cells(touched: list, grid_name: str) -> set:

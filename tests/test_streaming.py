@@ -265,3 +265,36 @@ def test_incremental_read_before_any_partials(spark, corpus, tmp_path):
     )
     assert got["aoi_id"].tolist() == exp["aoi_id"].tolist()
     np.testing.assert_allclose(got["area_ha"], exp["area_ha"], rtol=1e-9)
+
+
+# over-bound AOI batches must be REFUSED by the streaming entry (its
+# partial store is keyed on a driver broadcast — there is no distributed
+# fallback shape here), and nothing unbounded may be collected first:
+# the probe is relational, so no geometry bytes reach the driver.
+def test_incremental_over_bound_aoi_batch_refused(spark, corpus, tmp_path, monkeypatch):
+    from gfw_raster_analysis_lambda_spark.plans import planner
+    from gfw_raster_analysis_lambda_spark.streaming import incremental as inc
+
+    aoi = spark.read.parquet(corpus["aoi"])
+    env = fixtures.fixture_environment()
+
+    monkeypatch.setattr(planner, "DRIVER_ENUM_AOI_LIMIT", 1)
+
+    def no_enum(*a, **k):
+        raise AssertionError("over-bound batch reached driver-side enumeration")
+
+    monkeypatch.setattr(planner, "_aoi_lookup_from_aois", no_enum)
+    with pytest.raises(ValueError, match="broadcast bound"):
+        incremental_zonal(
+            spark, str(tmp_path / "stream"), aoi, _query(), env, GRID_NAME,
+            str(tmp_path / "out"),
+        )
+
+    # same refusal when the batch is few rows but huge geometry payloads
+    monkeypatch.setattr(planner, "DRIVER_ENUM_AOI_LIMIT", 100_000)
+    monkeypatch.setattr(planner, "DRIVER_ENUM_WKB_BYTES", 8)
+    with pytest.raises(ValueError, match="broadcast bound"):
+        incremental_zonal(
+            spark, str(tmp_path / "stream"), aoi, _query(), env, GRID_NAME,
+            str(tmp_path / "out"),
+        )

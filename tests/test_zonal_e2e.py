@@ -929,3 +929,37 @@ def test_gap_split_ranges_properties():
     assert _gap_split_ranges([]) == []
     assert _gap_split_ranges([42]) == [(42, 42)]
     assert _gap_split_ranges(np.arange(100), max_ranges=4) == [(0, 99)]
+
+
+# 23. WKB-bytes probe: a batch of few-but-huge polygons must take the
+# distributed plan WITHOUT materializing any geometry on the driver —
+# the probe is a relational sum(length(geom_wkb)), not a collect.
+def test_wkb_bytes_cap_routes_distributed(spark, tables, env, monkeypatch):
+    from gfw_raster_analysis_lambda_spark.plans import planner
+
+    q = ZonalQuery(
+        base_layer="tcl_year",
+        group_layers=("tcl_year",),
+        aggregates=(Aggregate("count", None, "n"),),
+    )
+    images, _ = tables
+    aois = fixtures.fixture_aois()[:2]
+    aoi_df = spark.createDataFrame(aois, "aoi_id string, geom_wkb binary")
+    exp = (
+        run_zonal_query(spark, images, aoi_df, q, env, GRID_NAME, strategy="cell")
+        .toPandas().reset_index(drop=True)
+    )
+
+    monkeypatch.setattr(planner, "DRIVER_ENUM_WKB_BYTES", 4)  # force over-bound
+
+    def no_enum(*a, **k):
+        raise AssertionError("over-bound WKB batch was enumerated on the driver")
+
+    monkeypatch.setattr(planner, "_aoi_lookup_from_aois", no_enum)
+    monkeypatch.setattr(planner, "_aoi_lookup", no_enum)  # cells-collect path too
+    got = (
+        run_zonal_query(spark, images, aoi_df, q, env, GRID_NAME, strategy="cell")
+        .toPandas().reset_index(drop=True)
+    )
+    assert_frames_match(got, exp)
+    assert planner.prepare_aoi_index(spark, aoi_df, GRID_NAME) is None
