@@ -200,6 +200,61 @@ def ivf_assign(
     )
 
 
+def ivf_assign_fast(
+    emb: DataFrame, centroids: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    round_to: int | None = None,
+    carry_vec: bool = False,
+) -> DataFrame:
+    """(id, centroid_id) — PRODUCTION twin of :func:`ivf_assign`.
+
+    Same nearest-centroid-by-cosine assignment (ties -> lowest
+    centroid_id; asserted bit-identical by test_ivf_assigners_agree), but
+    computed as one Arrow-batched matmul per partition against the
+    driver-collected centroid matrix: ZERO shuffles, zero joins. The
+    relational twin crossJoins the corpus with k centroids then runs a
+    row_number window partitioned by id — a full shuffle of N x k rows
+    per call (1.6e13 shuffled rows per Lloyd iteration at 10^12 x 16) for
+    a per-row argmax that needs none; it stays as the DuckDB-checkable
+    oracle. ``round_to`` mirrors the relational F.round(cos, n) used by
+    the kmeans loop; ``carry_vec`` passes the vector column through so
+    the re-center aggregate needs no join back."""
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(
+        ((int(r["centroid_id"]), np.asarray(r[vec_col], dtype=np.float64))
+         for r in centroids.select("centroid_id", F.col(vec_col)).collect()),
+        key=lambda t: t[0],
+    )
+    cids = np.array([t[0] for t in rows], dtype=np.int64)
+    cmat = np.stack([t[1] for t in rows])                      # k x dims
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+
+    id_type = dict(emb.dtypes)[id_col]
+    vec_type = dict(emb.dtypes)[vec_col]
+    schema = f"id {id_type}, centroid_id long" + (f", v {vec_type}" if carry_vec else "")
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vnorm = np.sqrt((vecs * vecs).sum(axis=1))
+            cos = (vecs @ cmat.T) / np.outer(vnorm, cnorm)     # rows x k
+            if round_to is not None:
+                cos = np.round(cos, round_to)
+            # argmax returns the FIRST max; centroids are sorted by id, so
+            # ties break to the lowest centroid_id, same as the window
+            best = cids[np.argmax(cos, axis=1)]
+            out = {"id": pdf[id_col], "centroid_id": best}
+            if carry_vec:
+                out["v"] = pdf[vec_col]
+            yield pd.DataFrame(out)
+
+    return emb.select(F.col(id_col), F.col(vec_col)).mapInPandas(run, schema)
+
+
 def kmeans_centroids(
     emb: DataFrame,
     k: int = 16,
@@ -224,18 +279,11 @@ def kmeans_centroids(
     )
     corpus = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     for _ in range(int(iters)):
-        scored = (
-            corpus.crossJoin(F.broadcast(centroids))
-            .withColumn(
-                "cos",
-                F.round(_dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv"))), 6),
-            )
-        )
-        w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("centroid_id"))
-        assign = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("id", "centroid_id", "v")
+        # zero-shuffle argmax (ivf_assign_fast, round-6 like the relational
+        # twin); carry_vec feeds the re-center aggregate without a join back
+        assign = ivf_assign_fast(
+            corpus, centroids.select("centroid_id", F.col("cv").alias("v")),
+            id_col="id", vec_col="v", round_to=6, carry_vec=True,
         )
         comp_means = (
             assign.select("centroid_id", F.posexplode("v").alias("i", "x"))
@@ -268,6 +316,7 @@ def ann_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    assigner=None,
 ) -> DataFrame:
     """IVF-Flat approximate top-k: the scale path for embedding search.
 
@@ -277,7 +326,10 @@ def ann_ivf(
     Every vector is assigned to its nearest centroid once; each query
     probes its ``n_probe`` nearest centroids and brute-forces ONLY those
     buckets — cost scales with n_probe/n_centroids of the corpus instead
-    of all of it. Recall < 1 by construction."""
+    of all of it. Recall < 1 by construction. Corpus assignment uses the
+    zero-shuffle :func:`ivf_assign_fast` (pass ``assigner=ivf_assign``
+    for the relational DuckDB twin); the query-side probe ranking keeps
+    the relational window — queries are the broadcast-small side."""
     if centroids is None:
         centroids = (
             emb.orderBy(F.asc(id_col)).limit(n_centroids)
@@ -285,7 +337,7 @@ def ann_ivf(
         )
     else:
         centroids = centroids.select("centroid_id", F.col(vec_col))
-    assign = ivf_assign(emb, centroids, id_col, vec_col)
+    assign = (assigner or ivf_assign_fast)(emb, centroids, id_col, vec_col)
 
     qc = F.broadcast(centroids.select("centroid_id", F.col(vec_col).alias("cv")))
     qscored = (
@@ -335,7 +387,7 @@ def write_ivf_index(
             .select(F.col(id_col).cast("long").alias("centroid_id"), F.col(vec_col))
         )
     centroids = centroids.select("centroid_id", F.col(vec_col))
-    assign = ivf_assign(emb, centroids, id_col, vec_col)
+    assign = ivf_assign_fast(emb, centroids, id_col, vec_col)
     (
         emb.join(assign.withColumnRenamed("id", id_col), id_col)
         .write.mode("overwrite").partitionBy("centroid_id")

@@ -451,3 +451,44 @@ def test_deterministic_sampling_properties(spark, docs):
     ).toPandas()
     assert len(sp) == n and set(sp["split"]) == {"train", "val", "test"}
     assert abs((sp["split"] == "train").mean() - 0.8) < 0.1
+
+
+def test_ivf_assigners_agree(spark, emb):
+    """ivf_assign_fast (zero-shuffle matmul) must be bit-identical to the
+    relational DuckDB twin, unrounded and round-6 alike, and its plan must
+    contain NO Exchange — the whole point is that a per-row argmax over a
+    broadcast centroid set never shuffles."""
+    cdf = (
+        emb.orderBy(F.asc("vec_id")).limit(16)
+        .selectExpr("CAST(vec_id AS LONG) AS centroid_id", "embedding")
+    )
+    rel = similarity.ivf_assign(emb, cdf).toPandas().sort_values("id").reset_index(drop=True)
+    fast = similarity.ivf_assign_fast(emb, cdf).toPandas().sort_values("id").reset_index(drop=True)
+    assert rel["id"].tolist() == fast["id"].tolist()
+    assert rel["centroid_id"].tolist() == fast["centroid_id"].tolist()
+
+    # round-6 variant (the kmeans-loop contract), with the vector carried
+    carried = (
+        similarity.ivf_assign_fast(emb, cdf, round_to=6, carry_vec=True)
+        .toPandas().sort_values("id").reset_index(drop=True)
+    )
+    assert carried["centroid_id"].tolist() == fast["centroid_id"].tolist()
+    src = emb.orderBy("vec_id").toPandas()
+    np.testing.assert_array_equal(
+        np.stack(carried["v"].to_numpy()), np.stack(src["embedding"].to_numpy())
+    )
+
+    plan = similarity.ivf_assign_fast(emb, cdf)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_kmeans_assign_stage_has_no_exchange(spark, emb):
+    """The Lloyd assign stage must not shuffle; the only Exchange in one
+    kmeans iteration is the O(k x dims) re-center aggregate (partial-agg
+    combine), never an N x k argmin shuffle."""
+    one = similarity.kmeans_centroids(emb, k=8, iters=1)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    # re-center HashAggregate exchanges by (centroid_id, i) — tiny keys;
+    # no Window/row_number over the corpus remains anywhere in the plan
+    assert "Window" not in plan
+    assert "row_number" not in plan
