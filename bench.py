@@ -145,7 +145,7 @@ def bench_queries(spark):
         # shared partial cache so each bench run re-executes the kernel
         for df in res.values():
             df.write.format("noop").mode("overwrite").save()
-        next(iter(res.values()))._fused_partials.unpersist()
+        res.close()
         return spark.range(1)
     q["zonal_multi_fused"] = zonal_multi_fused
 

@@ -81,7 +81,7 @@ def main() -> None:
     )
     for name, df in results.items():
         print(f"-- {name}: {df.count()} rows")
-    next(iter(results.values()))._fused_partials.unpersist()
+    results.close()
 
     # 4. overview pyramid + resolution-aware routing
     level = pyramid.build_overviews(

@@ -116,19 +116,24 @@ def interval_join(
     s_bin = F.floor(_epoch_seconds(F.col(start_col)) / F.lit(float(bin_seconds)))
     e_bin = F.floor(_epoch_seconds(F.col(end_col)) / F.lit(float(bin_seconds)))
     nbins = e_bin.cast("long") - s_bin.cast("long") + 1
-    iv = intervals.withColumn(
-        "__ok",
+    # the validity check lives INSIDE the consumed __bin expression — an
+    # assert in a separate dropped column is pruned away by Catalyst and
+    # never fires (a sentinel end_ts would then explode each interval
+    # into up to max_bins_per_interval rows). assert_true returns NULL on
+    # success, so the when() branch both gates and checks.
+    ok = (nbins >= 1) & (nbins <= F.lit(int(max_bins_per_interval)))
+    checked_bins = F.when(
         F.assert_true(
-            (nbins >= 1) & (nbins <= F.lit(int(max_bins_per_interval))),
+            ok,
             F.concat(
                 F.lit("interval_join: interval covers an invalid/huge bin count "
                       "(inverted interval or open-ended sentinel?): "),
                 nbins.cast("string"),
             ),
-        ),
-    ).drop("__ok").withColumn(
-        "__bin", F.explode(F.sequence(s_bin.cast("long"), e_bin.cast("long")))
+        ).isNull(),
+        F.sequence(s_bin.cast("long"), e_bin.cast("long")),
     )
+    iv = intervals.withColumn("__bin", F.explode(checked_bins))
     pt = points.withColumn("__bin", p_bin.cast("long"))
     return (
         pt.join(iv, "__bin")

@@ -78,6 +78,7 @@ def hash_to_min(
         .persist()
     )
     labels.count()
+    changed = 0
     for _ in range(max_iter):
         prop = edges.join(labels, edges.a == labels.id).select(
             F.col("b").alias("id"), "component"
@@ -110,6 +111,14 @@ def hash_to_min(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # partially-merged labels are silently WRONG component ids — never
+        # hand them back as if converged
+        raise RuntimeError(
+            f"hash_to_min did not converge within max_iter={max_iter} "
+            f"({changed} labels still changing); raise max_iter — with "
+            "shortcutting, rounds needed grow as log2(component diameter)"
+        )
     return labels.select("id", "component")
 
 
@@ -236,7 +245,7 @@ def pixel_components(
     xb, yb = G._X_BITS, G._Y_BITS
     vals = set(int(v) for v in in_values)
     per_aoi = aoi_df is not None
-    aoi_lookup = None
+    aoi_lookup = idx = None
     if per_aoi:
         from ..plans.planner import prepare_aoi_index
 
@@ -307,85 +316,92 @@ def pixel_components(
         ], ignore_index=True)
         return both
 
-    tiles = images.filter(F.col("layer") == layer).select(
-        "cell_id", "bytes", "w", "h", "fmt"
-    )
-    rows = tiles.mapInPandas(
-        kernel,
-        "kind int, aoi string, cell_id long, label int, v long, "
-        "side string, pos int, elen int",
-    ).persist()
-
-    node = F.conv(
-        F.substring(F.md5(F.concat_ws(":", "aoi", "cell_id", "label")), 1, 15), 16, 10
-    ).cast("long")
-    # counts is tiny (one row per local label); localCheckpoint it so the
-    # returned lazy frame does not re-run the decode+label kernel after
-    # `rows` is unpersisted below
-    counts = rows.filter(F.col("kind") == 0).select(
-        "aoi", "cell_id", "label", F.col("v").alias("n_px"), node.alias("id")
-    ).localCheckpoint(eager=True)
-    strips = rows.filter(F.col("kind") == 1).select(
-        "aoi", "cell_id", "side", "pos", "elen", "label", node.alias("id")
-    )
-
-    # adjacency between strips: my E edge meets the W edge of the cell one
-    # x-step east (cell_id + (1 << yb)), my S edge meets the N edge of the
-    # cell one y-step south (cell_id + 1); positions equal (or ±1 diagonal)
-    def meet(side_a, side_b, delta):
-        a = strips.filter(F.col("side") == side_a).select(
-            "aoi",
-            (F.col("cell_id") + F.lit(delta)).alias("cell_id"),
-            F.col("pos"), F.col("id").alias("ia"),
+    try:
+        tiles = images.filter(F.col("layer") == layer).select(
+            "cell_id", "bytes", "w", "h", "fmt"
         )
-        b = strips.filter(F.col("side") == side_b).select(
-            F.col("aoi").alias("aoi_b"), "cell_id",
-            F.col("pos").alias("pos_b"), F.col("id").alias("ib"),
-        )
-        cond = (a.cell_id == b.cell_id) & (a.aoi == F.col("aoi_b")) & (
-            (F.abs(a.pos - F.col("pos_b")) <= 1) if diagonal
-            else (a.pos == F.col("pos_b"))
-        )
-        return a.join(b, cond).select(F.col("ia").alias("a"), F.col("ib").alias("b"))
+        rows = tiles.mapInPandas(
+            kernel,
+            "kind int, aoi string, cell_id long, label int, v long, "
+            "side string, pos int, elen int",
+        ).persist()
 
-    e1 = meet("E", "W", 1 << yb)
-    e2 = meet("S", "N", 1)
-    edges = e1.unionByName(e2)
-    if diagonal:
-        # four-cells corner: my S-edge END pixel is diagonally adjacent to
-        # the N-edge START pixel of the diagonal neighbor (and mirrored)
-        def corner(end_a: bool, delta: int):
-            a = strips.filter(
-                (F.col("side") == "S")
-                & (F.col("pos") == (F.col("elen") - 1 if end_a else F.lit(0)))
-            ).select(
+        node = F.conv(
+            F.substring(F.md5(F.concat_ws(":", "aoi", "cell_id", "label")), 1, 15), 16, 10
+        ).cast("long")
+        # counts is tiny (one row per local label); localCheckpoint it so the
+        # returned lazy frame does not re-run the decode+label kernel after
+        # `rows` is unpersisted below
+        counts = rows.filter(F.col("kind") == 0).select(
+            "aoi", "cell_id", "label", F.col("v").alias("n_px"), node.alias("id")
+        ).localCheckpoint(eager=True)
+        strips = rows.filter(F.col("kind") == 1).select(
+            "aoi", "cell_id", "side", "pos", "elen", "label", node.alias("id")
+        )
+
+        # adjacency between strips: my E edge meets the W edge of the cell one
+        # x-step east (cell_id + (1 << yb)), my S edge meets the N edge of the
+        # cell one y-step south (cell_id + 1); positions equal (or ±1 diagonal)
+        def meet(side_a, side_b, delta):
+            a = strips.filter(F.col("side") == side_a).select(
                 "aoi",
                 (F.col("cell_id") + F.lit(delta)).alias("cell_id"),
-                F.col("id").alias("ia"),
+                F.col("pos"), F.col("id").alias("ia"),
             )
-            b = strips.filter(
-                (F.col("side") == "N")
-                & (F.col("pos") == (F.lit(0) if end_a else F.col("elen") - 1))
-            ).select("aoi", "cell_id", F.col("id").alias("ib"))
-            return a.join(b, ["aoi", "cell_id"]).select(
-                F.col("ia").alias("a"), F.col("ib").alias("b")
+            b = strips.filter(F.col("side") == side_b).select(
+                F.col("aoi").alias("aoi_b"), "cell_id",
+                F.col("pos").alias("pos_b"), F.col("id").alias("ib"),
             )
+            cond = (a.cell_id == b.cell_id) & (a.aoi == F.col("aoi_b")) & (
+                (F.abs(a.pos - F.col("pos_b")) <= 1) if diagonal
+                else (a.pos == F.col("pos_b"))
+            )
+            return a.join(b, cond).select(F.col("ia").alias("a"), F.col("ib").alias("b"))
 
-        edges = edges.unionByName(corner(True, (1 << yb) + 1))   # SE diagonal
-        edges = edges.unionByName(corner(False, -(1 << yb) + 1))  # SW diagonal
-    edges = edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        e1 = meet("E", "W", 1 << yb)
+        e2 = meet("S", "N", 1)
+        edges = e1.unionByName(e2)
+        if diagonal:
+            # four-cells corner: my S-edge END pixel is diagonally adjacent to
+            # the N-edge START pixel of the diagonal neighbor (and mirrored)
+            def corner(end_a: bool, delta: int):
+                a = strips.filter(
+                    (F.col("side") == "S")
+                    & (F.col("pos") == (F.col("elen") - 1 if end_a else F.lit(0)))
+                ).select(
+                    "aoi",
+                    (F.col("cell_id") + F.lit(delta)).alias("cell_id"),
+                    F.col("id").alias("ia"),
+                )
+                b = strips.filter(
+                    (F.col("side") == "N")
+                    & (F.col("pos") == (F.lit(0) if end_a else F.col("elen") - 1))
+                ).select("aoi", "cell_id", F.col("id").alias("ib"))
+                return a.join(b, ["aoi", "cell_id"]).select(
+                    F.col("ia").alias("a"), F.col("ib").alias("b")
+                )
 
-    labels = hash_to_min(counts.select("id"), edges, max_iter)
-    keys = (["aoi"] if per_aoi else []) + ["component"]
-    out = (
-        counts.join(labels, "id")
-        .groupBy(*keys)
-        .agg(
-            F.sum("n_px").alias("n_px"),
-            F.countDistinct("cell_id").alias("n_cells"),
+            edges = edges.unionByName(corner(True, (1 << yb) + 1))   # SE diagonal
+            edges = edges.unionByName(corner(False, -(1 << yb) + 1))  # SW diagonal
+        edges = edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+
+        labels = hash_to_min(counts.select("id"), edges, max_iter)
+        keys = (["aoi"] if per_aoi else []) + ["component"]
+        out = (
+            counts.join(labels, "id")
+            .groupBy(*keys)
+            .agg(
+                F.sum("n_px").alias("n_px"),
+                F.countDistinct("cell_id").alias("n_cells"),
+            )
         )
-    )
-    if per_aoi:
-        out = out.withColumnRenamed("aoi", "aoi_id")
-    rows.unpersist()
-    return out
+        if per_aoi:
+            out = out.withColumnRenamed("aoi", "aoi_id")
+        rows.unpersist()
+        return out
+    finally:
+        if idx is not None:
+            # every returned frame is localCheckpoint-derived, so the
+            # kernel (the only consumer of the broadcast) has already
+            # run — release the executor copies now, not at session end
+            idx.unpersist()

@@ -646,6 +646,36 @@ def split_multi_partials(partials: DataFrame, qi: int, query: ZonalQuery) -> Dat
     return partials.filter(F.col("_q") == qi).select(*cols)
 
 
+class ZonalResultSet(dict):
+    """{name: result DataFrame} plus an EXPLICIT cleanup handle for the
+    fused execution's shared state (the persisted partial frame and, when
+    this call built it, the AOI-index broadcast). DataFrame-attribute
+    stamping is fragile — the attribute vanishes after any further
+    transformation — so the handle lives on the returned mapping itself.
+    Use as a context manager, or call :meth:`close` after materializing
+    the results; on the non-fused fallback close() is a no-op."""
+
+    def __init__(self, results, partials=None, aoi_index=None, owns_index=False):
+        super().__init__(results)
+        self._partials = partials
+        self._aoi_index = aoi_index
+        self._owns_index = owns_index
+
+    def close(self) -> None:
+        if self._partials is not None:
+            self._partials.unpersist()
+            self._partials = None
+        if self._owns_index and self._aoi_index is not None:
+            self._aoi_index.unpersist()
+        self._aoi_index = None
+
+    def __enter__(self) -> "ZonalResultSet":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
 def run_zonal_queries(
     spark: SparkSession,
     images: DataFrame,
@@ -665,9 +695,10 @@ def run_zonal_queries(
 
     Falls back to per-query :func:`run_zonal_query` when the set cannot
     fuse (pixel-select queries, multigrid layers, or an AOI batch over
-    the broadcast bound). Returns {name: result DataFrame}; the fused
-    partial cache is attached as ``results_dict_values[0]._fused_partials``
-    for explicit unpersist."""
+    the broadcast bound). Returns a :class:`ZonalResultSet` — a plain
+    {name: result DataFrame} mapping whose ``close()`` (or context-manager
+    exit) releases the fused partial cache and, when this call built it,
+    the AOI-index broadcast."""
     qlist = list(queries.values())
     names = list(queries.keys())
     grids = {resolve_target_grid(q, env, grid_name) for q in qlist}
@@ -696,7 +727,7 @@ def run_zonal_queries(
         # per-query fallback: forward the caller's index only to queries
         # whose resolved grid matches it (mixed-grid sets would otherwise
         # crash on the single-path grid check)
-        return {
+        return ZonalResultSet({
             name: run_zonal_query(
                 spark, images, aoi_df, q, env, grid_name,
                 strategy=strategy,
@@ -708,7 +739,7 @@ def run_zonal_queries(
                 ),
             )
             for name, q in queries.items()
-        }
+        })
     if strategy in (None, "auto"):
         colocated = bool(getattr(images, "_gfw_cell_sorted", False))
     else:
@@ -718,11 +749,10 @@ def run_zonal_queries(
     ).persist()
     out: "dict[str, DataFrame]" = {}
     for qi, (name, q) in enumerate(zip(names, qlist)):
-        res = finalize_partials(split_multi_partials(partials, qi, q), q, env)
-        res._fused_partials = partials
-        res._fused_aoi_index = idx  # handle for explicit broadcast release
-        out[name] = res
-    return out
+        out[name] = finalize_partials(split_multi_partials(partials, qi, q), q, env)
+    return ZonalResultSet(
+        out, partials=partials, aoi_index=idx, owns_index=aoi_index is None
+    )
 
 
 def _salted_cell_plan(spark, imgs: DataFrame, salted: dict, wrapped, schema: str) -> DataFrame:

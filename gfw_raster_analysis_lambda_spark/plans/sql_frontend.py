@@ -137,7 +137,13 @@ class _Parser:
             if tl == "percentile":
                 if self.next() != ",":
                     raise QueryParseError("percentile(layer, fraction)")
-                frac = float(self.next())
+                tok = self.next()
+                try:
+                    frac = float(tok)
+                except ValueError:
+                    raise QueryParseError(
+                        f"percentile(layer, fraction): not a number: {tok!r}"
+                    ) from None
                 if not (0.0 < frac <= 1.0):
                     raise QueryParseError("percentile fraction must be in (0, 1]")
             if self.next() != ")":

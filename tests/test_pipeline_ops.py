@@ -492,3 +492,43 @@ def test_kmeans_assign_stage_has_no_exchange(spark, emb):
     # no Window/row_number over the corpus remains anywhere in the plan
     assert "Window" not in plan
     assert "row_number" not in plan
+
+
+def test_interval_join_semantics_and_guard(spark):
+    from gfw_raster_analysis_lambda_spark.operators import asof
+
+    iv = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2024-01-01 03:00:00"),
+         (2, "2024-01-01 02:30:00", "2024-01-01 04:00:00")],
+        "iv_id long, start_s string, end_s string",
+    ).select("iv_id", F.col("start_s").cast("timestamp").alias("start_ts"),
+             F.col("end_s").cast("timestamp").alias("end_ts"))
+    pts = spark.createDataFrame(
+        [(10, "2024-01-01 00:00:00"), (11, "2024-01-01 02:45:00"),
+         (12, "2024-01-01 03:00:00"), (13, "2024-01-01 05:00:00")],
+        "p_id long, ts_s string",
+    ).select("p_id", F.col("ts_s").cast("timestamp").alias("ts"))
+
+    got = asof.interval_join(pts, iv).select("p_id", "iv_id").toPandas()
+    pairs = set(zip(got["p_id"], got["iv_id"]))
+    # half-open [start, end): point 10 at start included; 12 at iv1 end
+    # excluded but inside iv2; 13 outside everything
+    assert pairs == {(10, 1), (11, 1), (11, 2), (12, 2)}
+
+    # the guard must FIRE (not be pruned): inverted interval
+    bad = spark.createDataFrame(
+        [(9, "2024-01-02 00:00:00", "2024-01-01 00:00:00")],
+        "iv_id long, start_s string, end_s string",
+    ).select("iv_id", F.col("start_s").cast("timestamp").alias("start_ts"),
+             F.col("end_s").cast("timestamp").alias("end_ts"))
+    with pytest.raises(Exception, match="interval_join"):
+        asof.interval_join(pts, bad).collect()
+
+    # ... and for an open-ended sentinel blowing the bin cap
+    sentinel = spark.createDataFrame(
+        [(9, "2024-01-01 00:00:00", "9999-12-31 00:00:00")],
+        "iv_id long, start_s string, end_s string",
+    ).select("iv_id", F.col("start_s").cast("timestamp").alias("start_ts"),
+             F.col("end_s").cast("timestamp").alias("end_ts"))
+    with pytest.raises(Exception, match="interval_join"):
+        asof.interval_join(pts, sentinel, max_bins_per_interval=1000).collect()

@@ -639,5 +639,7 @@ def test_hash_to_min_shortcut_log_convergence(spark):
     edges = spark.createDataFrame(e + [(b, a) for a, b in e], "a long, b long")
     fast = components.hash_to_min(nodes, edges, max_iter=8, shortcut=True).toPandas()
     assert set(fast["component"]) == {0}
-    slow = components.hash_to_min(nodes, edges, max_iter=8, shortcut=False).toPandas()
-    assert set(slow["component"]) != {0}  # one-hop propagation can't finish
+    # one-hop propagation can't finish in 8 rounds — and partially-merged
+    # labels must be a loud error, never a silently-wrong result
+    with pytest.raises(RuntimeError, match="did not converge"):
+        components.hash_to_min(nodes, edges, max_iter=8, shortcut=False)

@@ -80,6 +80,9 @@ def test_parse_errors(env):
         parse_raster_sql("SELECT tcl_year, SUM(area__ha) AS a FROM tcl_year", env)
     with pytest.raises(QueryParseError):
         parse_raster_sql("DROP TABLE images", env)
+    # malformed percentile fraction: frontend contract, not a bare ValueError
+    with pytest.raises(QueryParseError, match="not a number"):
+        parse_raster_sql("SELECT PERCENTILE(emissions, abc) FROM data", env)
 
 
 def test_sql_e2e_vs_oracle(spark, corpus, env):

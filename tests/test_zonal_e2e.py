@@ -711,9 +711,12 @@ def test_fused_multi_query_parity(spark, tables, env):
         single = run_zonal_query(spark, images, aoi_df, q, env, GRID_NAME).toPandas()
         got = fused[name].toPandas()
         assert_frames_match(got, single)
-    # the fused partial frame is cached and shared by every result
-    assert fused["grouped"]._fused_partials is fused["isoweek"]._fused_partials
-    fused["grouped"]._fused_partials.unpersist()
+    # the fused partial frame is cached once, shared by every result, and
+    # released through the explicit handle (not a fragile DataFrame attr)
+    assert fused._partials is not None
+    assert fused._partials.storageLevel.useMemory
+    fused.close()
+    assert fused._partials is None
 
 
 def test_fused_set_with_percentile_falls_back(spark, tables, env):
@@ -782,7 +785,7 @@ def test_fused_disjoint_layer_cells_parity(spark, env):
         assert_frames_match(fused[name].toPandas(), single)
         # each query must see exactly one cell's pixels
         assert single["n"].tolist() == [chunk * chunk]
-    fused["photo_n"]._fused_partials.unpersist()
+    fused.close()
 
 
 def test_percentile_float_hazard_rank(spark, env):
