@@ -659,6 +659,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return components.connected_cell_components(df, diagonal=True)
     q["cc_alert_cells"] = cc_alert_cells
 
+    def cc_pixel_blobs(spark, sf_dir):
+        # PIXEL-level connected components across tile boundaries
+        # (operators/components.pixel_components: per-tile union-find +
+        # boundary-strip stitch + corner diagonals). The blob set includes
+        # a component spanning the E/W tile edge, one spanning S/N, and a
+        # CORNER-ONLY diagonal pair across the four-cells point; the
+        # DuckDB twin labels the same pixels with a recursive reachability
+        # CTE over global coordinates. Components are compared by their
+        # engine-independent key (min member cell) + size metrics.
+        import numpy as np
+
+        from gfw_raster_analysis_lambda_spark.functions import codecs
+        from gfw_raster_analysis_lambda_spark.operators import components
+
+        chunk = GRID.chunk_px
+        world = np.zeros((2 * chunk, 2 * chunk), dtype=np.uint8)
+        for gx, gy in _cc_pixel_pts():
+            world[gy, gx] = 7
+        rows = []
+        for dx in range(2):
+            for dy in range(2):
+                arr = world[dy * chunk:(dy + 1) * chunk, dx * chunk:(dx + 1) * chunk]
+                cell = int(_G.cell_from_xy(GRID, X0 + dx, Y0 + dy))
+                rows.append(("blob", cell, codecs.encode_tile(
+                    np.ascontiguousarray(arr), "png"), chunk, chunk, "png"))
+        df = spark.createDataFrame(
+            rows, "layer string, cell_id long, bytes binary, w int, h int, fmt string"
+        )
+        return components.pixel_components(
+            df, "blob", [7], GRID.name, diagonal=True
+        ).select("min_cell", "n_px", "n_cells")
+    q["cc_pixel_blobs"] = cc_pixel_blobs
+
     # -- relational shell on the driver's TPC-H-ish tables ------------------
 
     def rel_pricing_summary(spark, sf_dir):
@@ -933,6 +966,19 @@ def _cc_cell_set() -> list[int]:
     pts += [(770, 290)]
     pts += [(780, 300), (781, 300), (782, 300), (782, 301), (782, 302), (781, 302)]
     return sorted(int(_G.cell_from_xy(GRID, x, y)) for x, y in pts)
+
+
+def _cc_pixel_pts() -> list[tuple[int, int]]:
+    """Deterministic global pixel coords (gx, gy) on a 2x2-cell window of
+    the fixture grid (chunk 64): a blob crossing the E/W tile edge, one
+    crossing S/N, a corner-only diagonal pair across the four-cells
+    point, an interior blob, and an isolated singleton."""
+    pts = [(gx, gy) for gy in range(10, 13) for gx in range(62, 67)]   # E/W span
+    pts += [(gx, gy) for gy in range(62, 67) for gx in range(20, 23)]  # S/N span
+    pts += [(63, 63), (64, 64)]                                        # corner pair
+    pts += [(gx, gy) for gy in range(5, 8) for gx in range(5, 8)]      # interior
+    pts += [(100, 100)]                                                # singleton
+    return sorted(set(pts))
 
 
 def _interval_windows() -> list[tuple[str, str, str]]:
@@ -1377,6 +1423,34 @@ r(src, dst) AS (
   SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a
 )
 SELECT src AS cell_id, MIN(dst) AS component FROM r GROUP BY src
+"""
+
+    cc_px_vals = ", ".join(f"({gx}, {gy})" for gx, gy in _cc_pixel_pts())
+    chunk = GRID.chunk_px
+    o["cc_pixel_blobs"] = f"""
+WITH RECURSIVE p(gx, gy) AS (VALUES {cc_px_vals}),
+n AS (
+  SELECT gx, gy, gx * 100000 + gy AS pid,
+         CAST({GRID.index << 54} AS BIGINT)
+           + CAST({X0} + gx // {chunk} AS BIGINT) * {1 << 27}
+           + ({Y0} + gy // {chunk}) AS cell_id
+  FROM p
+),
+e AS (
+  SELECT a.pid AS a, b.pid AS b
+  FROM n a JOIN n b
+    ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1 AND a.pid != b.pid
+),
+r(src, dst) AS (
+  SELECT pid, pid FROM n
+  UNION
+  SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a
+),
+comp AS (SELECT src AS pid, MIN(dst) AS component FROM r GROUP BY src)
+SELECT MIN(n.cell_id) AS min_cell, CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(COUNT(DISTINCT n.cell_id) AS BIGINT) AS n_cells
+FROM comp JOIN n USING (pid)
+GROUP BY comp.component
 """
 
     # tile-diff twin: pixel-exact change stats between two layer formulas

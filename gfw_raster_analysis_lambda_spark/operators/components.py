@@ -393,6 +393,11 @@ def pixel_components(
             .agg(
                 F.sum("n_px").alias("n_px"),
                 F.countDistinct("cell_id").alias("n_cells"),
+                # engine-independent component key (the hash-derived
+                # `component` id is not reproducible outside this engine;
+                # the minimum member cell is) — lets a DuckDB recursive-CTE
+                # twin verify the labeling cross-engine
+                F.min("cell_id").alias("min_cell"),
             )
         )
         if per_aoi:
