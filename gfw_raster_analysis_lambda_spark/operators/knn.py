@@ -90,6 +90,49 @@ def knn_phash_pruned(
     )
 
 
+def knn_phash_pruned_auto(
+    images: DataFrame,
+    queries: DataFrame,  # (query_id, phash, cell_id)
+    k: int,
+    ring: int = 1,
+    max_ring: int = 8,
+    grid_name: str = "4/1024",
+) -> DataFrame:
+    """Expanding-ring kNN: runs :func:`knn_phash_pruned` and WIDENS the
+    ring (doubling, capped at ``max_ring``) for any query that received
+    fewer than ``k`` rows, so callers get k rows per query without hand-
+    rolling the retry loop. Semantics are the standard expanding-ring
+    search: each query's result is the hamming top-k within the SMALLEST
+    tried ring that yields >= k candidates (a sparser-but-closer-in-hash
+    tile farther away is out of scope by design — this is the local-
+    search operator; use :func:`knn_phash` for the global scan). Queries
+    whose ``max_ring`` neighborhood still holds fewer than k tiles return
+    what exists. Each round's result is localCheckpoint-ed, so no kernel
+    re-runs across rounds; the per-round driver sync is one count over
+    the (broadcast-small) query set."""
+    spark = images.sparkSession
+    pending = queries
+    parts = []
+    r = int(ring)
+    while True:
+        got = knn_phash_pruned(images, pending, k, r, grid_name).localCheckpoint(eager=True)
+        if r >= max_ring:
+            parts.append(got)
+            break
+        counts = got.groupBy("query_id").count().collect()
+        sat = [row["query_id"] for row in counts if row["count"] >= k]
+        if sat:
+            parts.append(got.filter(F.col("query_id").isin(sat)))
+            pending = pending.filter(~F.col("query_id").isin(sat))
+        if pending.limit(1).count() == 0:
+            break
+        r = min(r * 2, int(max_ring))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def hamming64(a: int, b: int) -> int:
     """Driver-side Hamming for oracles/tests."""
     return int(bin((int(a) ^ int(b)) & ((1 << 64) - 1)).count("1"))

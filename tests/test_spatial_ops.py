@@ -643,3 +643,45 @@ def test_hash_to_min_shortcut_log_convergence(spark):
     # labels must be a loud error, never a silently-wrong result
     with pytest.raises(RuntimeError, match="did not converge"):
         components.hash_to_min(nodes, edges, max_iter=8, shortcut=False)
+
+
+def test_knn_phash_pruned_auto_expands_ring(spark, corpus):
+    """ring=1 at a corner cell cannot supply k rows when k exceeds the
+    neighborhood's tile count; the auto variant widens the ring and still
+    returns exactly k rows per query, matching a direct wide-ring run.
+    A query already satisfied at ring=1 keeps its small-ring result."""
+    images = read_images(spark, corpus["images"])
+    corner = int(G.cell_from_xy(fixtures.GRID, fixtures.X0, fixtures.Y0))
+    n_ring1 = images.filter(
+        F.col("cell_id").isin([int(c) for c in G.k_ring(fixtures.GRID, corner, 1)])
+    ).count()
+    k = n_ring1 + 3  # strictly more than ring-1 can supply
+    r0 = images.filter(F.col("cell_id") == corner).select("phash").first()
+    queries = spark.createDataFrame(
+        [("q1", int(r0.phash), corner)], "query_id string, phash long, cell_id long"
+    )
+    short = knn.knn_phash_pruned(images, queries, k=k, ring=1, grid_name=GRID_NAME)
+    assert short.count() < k  # the documented gap the auto variant closes
+    got = knn.knn_phash_pruned_auto(
+        images, queries, k=k, ring=1, max_ring=4, grid_name=GRID_NAME
+    ).toPandas()
+    assert len(got) == k and list(got["rank"]) == list(range(1, k + 1))
+    exp = knn.knn_phash_pruned(
+        images, queries, k=k, ring=2, grid_name=GRID_NAME
+    ).toPandas()
+    assert got["image_id"].tolist() == exp["image_id"].tolist()
+
+    # two queries, one satisfied immediately: its rows come from ring 1
+    center = int(G.cell_from_xy(fixtures.GRID, fixtures.X0 + 1, fixtures.Y0 + 1))
+    r1 = images.filter(F.col("cell_id") == center).select("phash").first()
+    q2 = spark.createDataFrame(
+        [("qa", int(r0.phash), corner), ("qb", int(r1.phash), center)],
+        "query_id string, phash long, cell_id long",
+    )
+    both = knn.knn_phash_pruned_auto(
+        images, q2, k=3, ring=1, max_ring=4, grid_name=GRID_NAME
+    ).toPandas()
+    ring1 = knn.knn_phash_pruned(images, q2, k=3, ring=1, grid_name=GRID_NAME).toPandas()
+    b = both[both["query_id"] == "qb"].sort_values("rank")
+    e = ring1[ring1["query_id"] == "qb"].sort_values("rank")
+    assert b["image_id"].tolist() == e["image_id"].tolist()
