@@ -692,6 +692,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("min_cell", "n_px", "n_cells")
     q["cc_pixel_blobs"] = cc_pixel_blobs
 
+    def mm_audio_features(spark, sf_dir):
+        # REAL WAV/PCM decode (stdlib wave) in an Arrow-batched kernel;
+        # corpus = deterministic PCM16 sine waves whose quantized samples
+        # the DuckDB twin regenerates analytically (same floor(x+0.5)
+        # quantizer), incl. a stereo mixdown case
+        from gfw_raster_analysis_lambda_spark.operators import multimodal
+
+        rows = [
+            (f"wav/{i}", multimodal.synthesize_wav_pcm16(
+                _WAV_PARAMS[i][0], _WAV_PARAMS[i][1], _WAV_PARAMS[i][2],
+                _WAV_PARAMS[i][3], _WAV_PARAMS[i][4]))
+            for i in range(len(_WAV_PARAMS))
+        ]
+        adf = spark.createDataFrame(rows, "media_id string, payload binary")
+        return multimodal.audio_features(adf)
+    q["mm_audio_features"] = mm_audio_features
+
     # -- relational shell on the driver's TPC-H-ish tables ------------------
 
     def rel_pricing_summary(spark, sf_dir):
@@ -966,6 +983,13 @@ def _cc_cell_set() -> list[int]:
     pts += [(770, 290)]
     pts += [(780, 300), (781, 300), (782, 300), (782, 301), (782, 302), (781, 302)]
     return sorted(int(_G.cell_from_xy(GRID, x, y)) for x, y in pts)
+
+
+# (freq_hz, amp, sample_rate, n_frames, channels) per synthetic WAV row
+_WAV_PARAMS = [
+    (220.0 + 37.0 * i, 0.1 + 0.06 * i, 8000, 2000 + 128 * i, 1 + (i % 2))
+    for i in range(12)
+]
 
 
 def _cc_pixel_pts() -> list[tuple[int, int]]:
@@ -1423,6 +1447,28 @@ r(src, dst) AS (
   SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a
 )
 SELECT src AS cell_id, MIN(dst) AS component FROM r GROUP BY src
+"""
+
+    wav_vals = ", ".join(
+        f"('wav/{i}', CAST({f!r} AS DOUBLE), CAST({a!r} AS DOUBLE), {sr}, {nf}, {nch})"
+        for i, (f_, a, sr, nf, nch) in enumerate(_WAV_PARAMS)
+        for f in [f_]
+    )
+    max_nf = max(p[3] for p in _WAV_PARAMS)
+    o["mm_audio_features"] = f"""
+WITH params(media_id, freq, amp, sr, nf, nch) AS (VALUES {wav_vals}),
+s AS (
+  SELECT p.media_id, p.sr, p.nf, p.nch,
+         floor(32767.0 * p.amp * sin(2 * pi() * p.freq * g.n / p.sr) + 0.5)
+           / 32768.0 AS v
+  FROM params p JOIN generate_series(0, {max_nf - 1}) g(n) ON g.n < p.nf
+)
+SELECT media_id, CAST(nf AS BIGINT) AS n_samples, CAST(sr AS INT) AS sample_rate,
+       CAST(nch AS INT) AS n_channels,
+       ROUND(sqrt(AVG(v * v)), 6) AS rms,
+       ROUND(MAX(abs(v)), 6) AS peak,
+       ROUND(nf / CAST(sr AS DOUBLE), 6) AS duration_s
+FROM s GROUP BY media_id, sr, nf, nch
 """
 
     cc_px_vals = ", ".join(f"({gx}, {gy})" for gx, gy in _cc_pixel_pts())

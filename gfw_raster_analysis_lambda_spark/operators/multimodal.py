@@ -4,10 +4,12 @@ frame-sample over opaque ``binary`` payload columns.
 The Spark-side mechanics are fully real — schemas, Arrow batch shapes,
 ``mapInPandas`` iteration, partition-size control — while the media
 codecs follow the environment's reality: the image path uses this repo's
-own PNG/raw/quantizer codecs (real, tested); audio/video decode is a
-clearly marked STUB (`NotImplementedError`) with a deterministic fake
-behind a flag so the plumbing stays testable. Swap the `_decode_audio` /
-`_decode_video` bodies for libsndfile/ffmpeg bindings in production.
+own PNG/raw/quantizer codecs (real, tested); audio decodes RIFF/WAVE PCM
+for real via stdlib ``wave`` (compressed formats would need libsndfile
+and stay an explicit stub); video decode is the one remaining clearly
+marked STUB (`NotImplementedError`) with a deterministic fake behind a
+flag so the plumbing stays testable — swap the `_decode_video` body for
+an ffmpeg binding in production.
 
 Iterator-of-batches (`mapInPandas`) rather than scalar UDFs because media
 work wants per-batch amortization (shared codec state) and bounded
@@ -165,16 +167,68 @@ def augment_tiles(
 
 
 # ---------------------------------------------------------------------------
-# Audio / video: STUBS (no libsndfile/ffmpeg in this environment)
+# Audio: real WAV/PCM decode (stdlib wave — no external codec needed).
+# Video: STUB (ffmpeg not present in this environment).
 # ---------------------------------------------------------------------------
 
-def _decode_audio(payload: bytes, fake: bool) -> np.ndarray:
+def synthesize_wav_pcm16(
+    freq_hz: float, amp: float, sample_rate: int, n_frames: int, channels: int = 1,
+) -> bytes:
+    """Deterministic PCM16 WAV: per-frame sample
+    ``floor(32767 * amp * sin(2 pi freq n / rate) + 0.5)`` replicated
+    across channels. floor(x+0.5) (not banker's round) so a SQL twin can
+    regenerate the exact quantized samples."""
+    import io
+    import wave
+
+    n = np.arange(int(n_frames), dtype=np.float64)
+    x = np.floor(32767.0 * float(amp) * np.sin(2.0 * np.pi * float(freq_hz) * n / float(sample_rate)) + 0.5)
+    mono = x.astype("<i2")
+    frames = np.repeat(mono, int(channels)).tobytes() if channels > 1 else mono.tobytes()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(int(channels))
+        wf.setsampwidth(2)
+        wf.setframerate(int(sample_rate))
+        wf.writeframes(frames)
+    return buf.getvalue()
+
+
+def _decode_audio(payload: bytes, fake: bool):
+    """-> (mono float32 waveform in [-1, 1), sample_rate, n_channels).
+    RIFF/WAVE PCM (8/16/32-bit) decodes for real via stdlib ``wave``;
+    multi-channel mixes down by channel mean. Compressed formats (mp3,
+    flac, ...) would need libsndfile/ffmpeg — not in this environment —
+    and stay an explicit stub; ``fake=True`` keeps the deterministic
+    raw-bytes test codec."""
+    if bytes(payload[:4]) == b"RIFF":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(bytes(payload))) as wf:
+            sr, nch, sw = wf.getframerate(), wf.getnchannels(), wf.getsampwidth()
+            raw = wf.readframes(wf.getnframes())
+        if sw == 2:
+            arr = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        elif sw == 1:  # WAV 8-bit is unsigned
+            arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        elif sw == 4:
+            arr = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+        else:
+            raise NotImplementedError(f"unsupported PCM sample width {sw}")
+        if nch > 1:
+            arr = arr.reshape(-1, nch).mean(axis=1).astype(np.float32)
+        return arr, sr, nch
     if fake:
         # deterministic fake: payload bytes as int16 PCM
-        return np.frombuffer(payload[: (len(payload) // 2) * 2], dtype="<i2").astype(np.float32) / 32768.0
+        arr = np.frombuffer(
+            payload[: (len(payload) // 2) * 2], dtype="<i2"
+        ).astype(np.float32) / 32768.0
+        return arr, 0, 1
     raise NotImplementedError(
-        "audio decode requires libsndfile/ffmpeg, not present in this "
-        "environment; pass fake=True for the deterministic test codec"
+        "non-WAV audio decode requires libsndfile/ffmpeg, not present in "
+        "this environment; supply RIFF/WAVE PCM payloads or pass "
+        "fake=True for the deterministic test codec"
     )
 
 
@@ -190,20 +244,36 @@ def _decode_video(payload: bytes, fake: bool) -> np.ndarray:
 
 
 def audio_features(df: DataFrame, fake_codec: bool = False) -> DataFrame:
-    """(media_id, n_samples, rms) per audio payload. Real plumbing,
-    stubbed entropy decode (see module docstring)."""
+    """(media_id, n_samples, sample_rate, n_channels, rms, peak,
+    duration_s) per audio payload — REAL WAV/PCM decode (stdlib wave)
+    inside an Arrow-batched kernel; rms/duration rounded to 6 so a SQL
+    twin regenerating the quantized samples compares exactly."""
+
+    def _r6(x: float) -> float:
+        # floor(x*1e6 + 0.5)/1e6 == SQL ROUND(x, 6) for positive x
+        # (python round() is banker's and would tie-break differently)
+        return float(np.floor(x * 1e6 + 0.5) / 1e6)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                pcm = _decode_audio(bytes(r.payload), fake_codec)
-                rms = float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0
-                rows.append((r.media_id, len(pcm), rms))
-            yield pd.DataFrame(rows, columns=["media_id", "n_samples", "rms"])
+                pcm, sr, nch = _decode_audio(bytes(r.payload), fake_codec)
+                n = len(pcm)
+                rms = _r6(float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2)))) if n else 0.0
+                peak = _r6(float(np.max(np.abs(pcm)))) if n else 0.0
+                dur = _r6(n / sr) if sr else 0.0
+                rows.append((r.media_id, n, sr, nch, rms, peak, dur))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_samples", "sample_rate", "n_channels",
+                         "rms", "peak", "duration_s"],
+            )
 
     return df.select("media_id", "payload").mapInPandas(
-        run, "media_id string, n_samples long, rms double"
+        run,
+        "media_id string, n_samples long, sample_rate int, n_channels int, "
+        "rms double, peak double, duration_s double",
     )
 
 

@@ -532,3 +532,38 @@ def test_interval_join_semantics_and_guard(spark):
              F.col("end_s").cast("timestamp").alias("end_ts"))
     with pytest.raises(Exception, match="interval_join"):
         asof.interval_join(pts, sentinel, max_bins_per_interval=1000).collect()
+
+
+def test_audio_features_real_wav_decode(spark):
+    """Real WAV path: PCM16 sines (incl. a stereo mixdown and an 8-bit
+    payload) decode via stdlib wave and the features match numpy computed
+    directly from the quantized samples."""
+    import io
+    import wave as wavemod
+
+    sr, nf = 8000, 2048
+    mono = multimodal.synthesize_wav_pcm16(440.0, 0.5, sr, nf, channels=1)
+    stereo = multimodal.synthesize_wav_pcm16(440.0, 0.5, sr, nf, channels=2)
+    # 8-bit unsigned WAV with a known ramp
+    buf = io.BytesIO()
+    with wavemod.open(buf, "wb") as wf:
+        wf.setnchannels(1); wf.setsampwidth(1); wf.setframerate(sr)
+        wf.writeframes(bytes(range(256)))
+    adf = spark.createDataFrame(
+        [("mono", mono), ("stereo", stereo), ("u8", buf.getvalue())],
+        "media_id string, payload binary",
+    )
+    got = multimodal.audio_features(adf).toPandas().set_index("media_id")
+
+    n = np.arange(nf, dtype=np.float64)
+    s = np.floor(32767.0 * 0.5 * np.sin(2.0 * np.pi * 440.0 * n / sr) + 0.5) / 32768.0
+    rms = float(np.floor(np.sqrt(np.mean(s * s)) * 1e6 + 0.5) / 1e6)
+    for mid in ("mono", "stereo"):  # identical channels mix down to the same mono
+        assert got.loc[mid, "n_samples"] == nf
+        assert got.loc[mid, "sample_rate"] == sr
+        assert got.loc[mid, "rms"] == rms
+        assert got.loc[mid, "duration_s"] == nf / sr
+    assert got.loc["stereo", "n_channels"] == 2
+    u8 = (np.arange(256.0) - 128.0) / 128.0
+    assert got.loc["u8", "rms"] == float(np.floor(np.sqrt(np.mean(u8 * u8)) * 1e6 + 0.5) / 1e6)
+    assert got.loc["u8", "peak"] == 1.0
