@@ -947,18 +947,16 @@ def _regroup(pdf: pd.DataFrame, group_cols: list, aggmap: dict) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 def multi_partial_columns(queries: list) -> list[tuple[str, str]]:
-    """Combined tagged-union schema: ``_q`` selects the query; each
-    query's partial columns appear prefixed ``q{i}__`` (all queries' rows
-    share one frame, other queries' columns are null). Every value column
-    is DOUBLE — long partials are integral doubles (< 2^53 per tile by
-    construction) and are cast back per query at split time; keeping one
-    float dtype lets the kernel assemble the union frame with plain NaN
-    promotion instead of per-cell nullable-Int64 masking (which measurably
-    cost more than the fused decode saved)."""
-    cols: list[tuple[str, str]] = [("_q", "int")]
-    for i, q in enumerate(queries):
-        cols += [(f"q{i}__{n}", "double") for n, _ in partial_columns(q)]
-    return cols
+    """NARROW tagged-union schema: ``_q`` selects the query and ``vals``
+    packs exactly that query's partial values (``partial_columns(q)``
+    order) as one array<double>. A row carries only its own query's
+    values — the earlier all-queries-wide flat frame stored width =
+    sum(all queries' widths) nulls per row, and caching that width
+    measurably cost back part of the fusion win. Long partials are
+    integral doubles (< 2^53 per tile by construction) cast back at
+    split time; empty-group min/max NULLs survive as array-element
+    nulls (never coerced to NaN)."""
+    return [("_q", "int"), ("vals", "array<double>")]
 
 
 def multi_partial_schema_ddl(queries: list) -> str:
@@ -978,11 +976,11 @@ def make_multi_cell_kernel(queries: list, env_json: str, grid_name: str, aoi_loo
             if n not in union_names:
                 union_names.append(n)
     def empty_frame() -> pd.DataFrame:
-        out = {"aoi_id": pd.Series(dtype=object), "_q": pd.Series(dtype="int32")}
-        for i, q in enumerate(queries):
-            for n, _ in _pd_types(q):
-                out[f"q{i}__{n}"] = pd.Series(dtype="float64")
-        return pd.DataFrame(out)
+        return pd.DataFrame({
+            "aoi_id": pd.Series(dtype=object),
+            "_q": pd.Series(dtype="int32"),
+            "vals": pd.Series(dtype=object),
+        })
 
     empty = empty_frame()
 
@@ -1083,15 +1081,20 @@ def make_multi_cell_kernel(queries: list, env_json: str, grid_name: str, aoi_loo
             block = pd.DataFrame(data)
             if q.isoweek_layers and q.group_layers and not ctx.emits_iso:
                 block = _isoweek_pushdown(block, q, env, id_cols=("aoi_id",))
-            block.insert(1, "_q", np.int32(qi))
-            block.columns = ["aoi_id", "_q"] + [
-                f"q{qi}__{c}" for c in block.columns[2:]
-            ]
-            blocks.append(block)
+            # pack this query's partial values (partial_columns order) into
+            # ONE array<double> per row — the persisted fused frame carries
+            # only the owning query's width, not every query's. None (not
+            # NaN) preserves empty-group min/max NULLs across the packing.
+            pc = [n for n, _ in partial_columns(q)]
+            obj = block[pc].astype(object)
+            packed = obj.where(pd.notna(obj), None).to_numpy().tolist()
+            blocks.append(pd.DataFrame({
+                "aoi_id": block["aoi_id"].to_numpy(),
+                "_q": np.int32(qi),
+                "vals": packed,
+            }))
         if not blocks:
             return empty.copy()
-        # the empty frame leads the concat so column order is canonical;
-        # absent columns NaN-promote to float64, matching the all-double DDL
         return pd.concat([empty] + blocks, ignore_index=True)
 
     return kernel

@@ -635,13 +635,15 @@ def build_multi_partials_with_lookup(
 
 def split_multi_partials(partials: DataFrame, qi: int, query: ZonalQuery) -> DataFrame:
     """Project query ``qi``'s rows and columns back out of the fused
-    tagged-union partial frame (prefix stripped — the result feeds
-    :func:`finalize_partials` unchanged)."""
-    pref = f"q{qi}__"
-    # fused partials are all-double; restore each column's single-path
-    # type (count partials are integral doubles, the cast is exact)
+    narrow partial frame: filter on the ``_q`` tag, then unpack the
+    ``vals`` array positionally into the query's named partial columns
+    (the result feeds :func:`finalize_partials` unchanged). Packed
+    values are all-double; the cast restores each column's single-path
+    type (count partials are integral doubles, the cast is exact; null
+    elements — empty-group min/max — stay NULL)."""
     cols = [F.col("aoi_id"), F.col("cell_id"), F.col("_ms")] + [
-        F.col(pref + n).cast(t).alias(n) for n, t in zonal.partial_columns(query)
+        F.col("vals").getItem(j).cast(t).alias(n)
+        for j, (n, t) in enumerate(zonal.partial_columns(query))
     ]
     return partials.filter(F.col("_q") == qi).select(*cols)
 
