@@ -1,0 +1,294 @@
+#!/usr/bin/env python
+"""Data-size scaling evidence: the rel/text/dedup/sim headline set at
+sf0.01 / sf0.1 / synthetic sf1, plus a 4x tile-corpus zonal run.
+
+No sf1 parquet ships with the sandbox, so sf1 is SYNTHESIZED
+deterministically from sf0.1 (factor 10), shaped so workload density
+stays constant as rows grow — the honest scaling experiment:
+
+- documents: 10 copies per doc; each copy's text is vowel-rotated by
+  (copy mod 5), so copies k and k+5 are near-duplicates of each other
+  (constant near-dup density — naive replication would make every doc a
+  10-way dup group and near-dup pair counts quadratic BY CONSTRUCTION,
+  which would measure the corpus shape, not the engine).
+- embeddings: 10 copies, each scaled by (1 + k/100) — cosine geometry
+  (and therefore LSH bucket shape) is preserved exactly.
+- lineitem / orders: 10 copies with key offsets (per-customer /
+  per-order group sizes unchanged -> window/groupBy partition sizes
+  constant).
+
+Each op runs best-of-3 per size; the table reports time and the
+time-growth vs row-growth ratio (<= ~1 = linear or better). Results are
+appended as markdown to BENCH/DATASCALE_r03.md.
+
+The 4x zonal corpus doubles the bench grid extent (48x48 -> 96x96
+cells, 36864 tiles) with the same 512-AOI batch shape scaled to 2048
+AOIs, reporting tiles/sec at both sizes.
+
+Usage: python tools/bench_datascale.py [--skip-zonal]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+FACTOR = 10
+SF01 = "/root/testdata/sf0.01"
+SF1 = "/root/testdata/sf0.1"
+SYNTH = os.path.join(REPO, ".bench_cache", f"sf1_synth_x{FACTOR}")
+
+VOWELS = "aeiou"
+
+
+def ensure_synth(spark) -> None:
+    if os.path.exists(os.path.join(SYNTH, "documents.parquet", "_SUCCESS")):
+        return
+    os.makedirs(SYNTH, exist_ok=True)
+    docs = spark.read.parquet(os.path.join(SF1, "documents.parquet"))
+    n_docs = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    copies = spark.range(FACTOR).withColumnRenamed("id", "k")
+    # translate() wants literal alphabets; pick the k%5 rotation via CASE
+    rot = F.expr(
+        "CASE CAST(k % 5 AS INT) " + " ".join(
+            f"WHEN {i} THEN translate(text, '{VOWELS}', '{VOWELS[i:] + VOWELS[:i]}')"
+            for i in range(5)
+        ) + " END"
+    )
+    (
+        docs.crossJoin(copies)
+        .select(
+            (F.col("doc_id") + F.col("k") * n_docs).alias("doc_id"),
+            rot.alias("text"),
+            "lang", "source", "n_chars",
+        )
+        .write.mode("overwrite").parquet(os.path.join(SYNTH, "documents.parquet"))
+    )
+    emb = spark.read.parquet(os.path.join(SF1, "embeddings.parquet"))
+    n_vec = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    (
+        emb.crossJoin(copies)
+        .select(
+            (F.col("vec_id") + F.col("k") * n_vec).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: (x * (1 + F.col("k") / 100)).cast("float")
+            ).alias("embedding"),
+            "label",
+        )
+        .write.mode("overwrite").parquet(os.path.join(SYNTH, "embeddings.parquet"))
+    )
+    li = spark.read.parquet(os.path.join(SF1, "lineitem.parquet"))
+    okey = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
+    (
+        li.crossJoin(copies)
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("k") * okey)
+        .drop("k")
+        .write.mode("overwrite").parquet(os.path.join(SYNTH, "lineitem.parquet"))
+    )
+    o = spark.read.parquet(os.path.join(SF1, "orders.parquet"))
+    ckey = o.agg(F.max("o_custkey")).collect()[0][0] + 1
+    (
+        o.crossJoin(copies)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("k") * okey)
+        .withColumn("o_custkey", F.col("o_custkey") + F.col("k") * ckey)
+        .drop("k")
+        .write.mode("overwrite").parquet(os.path.join(SYNTH, "orders.parquet"))
+    )
+
+
+def workloads(spark, sf_dir):
+    from gfw_raster_analysis_lambda_spark.operators import dedup, similarity, text
+
+    def t(name):
+        return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+    def sim_cosine():
+        e = t("embeddings")
+        qs = e.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.cosine_topk(e, qs, k=10)
+
+    def rel_pricing():
+        return (
+            t("lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity").alias("sum_qty"),
+                 F.avg("l_quantity").alias("avg_qty"),
+                 F.count(F.lit(1)).alias("n"))
+        )
+
+    def rel_top_orders():
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderkey"))
+        return (
+            t("orders").withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+        )
+
+    return {
+        "text_profile": lambda: text.text_profile(t("documents")),
+        "dedup_exact": lambda: dedup.exact_duplicates(t("documents")),
+        "dedup_minhash_lsh": lambda: dedup.minhash_lsh_candidates(
+            t("documents"), n_hashes=8, bands=4),
+        "dedup_minhash_keepers": lambda: dedup.minhash_dedup_keepers(
+            t("documents"), n_hashes=8, bands=4),
+        "sim_lsh_buckets_fast": lambda: similarity.lsh_buckets_fast(
+            t("embeddings"), n_planes=8),
+        "sim_cosine_topk": sim_cosine,
+        "rel_pricing_summary": rel_pricing,
+        "rel_top_orders_per_customer": rel_top_orders,
+    }
+
+
+def best_of(fn, n=3):
+    samples = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn().write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+    return min(samples), samples
+
+
+def zonal_4x(spark):
+    """tiles/sec at the 48x48 bench corpus vs a 4x (96x96) corpus with a
+    proportionally scaled AOI batch."""
+    import bench
+    from gfw_raster_analysis_lambda_spark.api import zonal_statistics
+    from gfw_raster_analysis_lambda_spark.plans.planner import (
+        aoi_cells,
+        prepare_aoi_index,
+    )
+    from gfw_raster_analysis_lambda_spark.sources import fixtures
+    from gfw_raster_analysis_lambda_spark.sources.images import (
+        read_images,
+        write_images_cell_sorted,
+    )
+
+    sql = ("SELECT tcl_year, SUM(area__ha) AS loss_ha, COUNT(*) AS n "
+           "FROM tcl_year WHERE tcd_threshold >= 25 AND is_primary = 'true' "
+           "GROUP BY tcl_year")
+    out = {}
+    for mult, tag in ((1, "48x48"), (2, "96x96")):
+        nx = ny = 48 * mult
+        n_aoi = 512 * mult * mult
+        path = os.path.join(
+            REPO, ".bench_cache",
+            f"corpus_scale4x_{bench.BGRID.name.replace('/', '_')}_{nx}x{ny}_cs")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            df = fixtures.generate_images_df(
+                spark, bench.BGRID, bench.BLAYERS, bench.BX0, bench.BY0, nx, ny,
+                parallelism=spark.sparkContext.defaultParallelism * 2)
+            write_images_cell_sorted(df, path)
+        images = read_images(spark, path)
+        aoi = spark.createDataFrame(
+            fixtures.bench_aois(bench.BGRID, bench.BX0, bench.BY0, nx, ny,
+                                n_aoi, bench.CELLS_PER_AOI),
+            fixtures.AOI_SCHEMA)
+        idx = prepare_aoi_index(spark, aoi, bench.BGRID.name)
+        tiles = (
+            aoi_cells(aoi, bench.BGRID.name).select("aoi_id", "cell_id")
+            .join(images.select("cell_id").distinct(), "cell_id").count()
+        )
+        env = fixtures.fixture_environment(grid=bench.BGRID.name)
+
+        def run():
+            return zonal_statistics(spark, images, aoi, sql, env,
+                                    bench.BGRID.name, strategy="colocated",
+                                    aoi_index=idx)
+
+        sec, samples = best_of(run, 3)
+        out[tag] = {"tiles": tiles, "sec": sec, "tiles_per_sec": tiles / sec,
+                    "samples": [round(s, 3) for s in samples]}
+        idx.unpersist()
+    return out
+
+
+def main():
+    from gfw_raster_analysis_lambda_spark.session import get_spark
+
+    skip_zonal = "--skip-zonal" in sys.argv
+    spark = get_spark("datascale", master="local[32]", shuffle_partitions=32,
+                      arrow_batch_rows=256)
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_synth(spark)
+
+    sizes = [("sf0.01", SF01), ("sf0.1", SF1), ("sf1 (synth 10x)", SYNTH)]
+    rows = {}
+    for tag, d in sizes:
+        rows[tag] = {
+            "documents": spark.read.parquet(os.path.join(d, "documents.parquet")).count(),
+            "embeddings": spark.read.parquet(os.path.join(d, "embeddings.parquet")).count(),
+            "lineitem": spark.read.parquet(os.path.join(d, "lineitem.parquet")).count(),
+            "orders": spark.read.parquet(os.path.join(d, "orders.parquet")).count(),
+        }
+
+    # warm
+    workloads(spark, SF01)["rel_pricing_summary"]().write.format("noop").mode("overwrite").save()
+
+    table = {}
+    for tag, d in sizes:
+        for name, fn in workloads(spark, d).items():
+            sec, samples = best_of(fn)
+            table.setdefault(name, {})[tag] = (sec, samples)
+            print(f"{tag:16s} {name:28s} {sec:8.3f}s  {samples}", flush=True)
+
+    tbl_of = {"text_profile": "documents", "dedup_exact": "documents",
+              "dedup_minhash_lsh": "documents", "dedup_minhash_keepers": "documents",
+              "sim_lsh_buckets_fast": "embeddings", "sim_cosine_topk": "embeddings",
+              "rel_pricing_summary": "lineitem", "rel_top_orders_per_customer": "orders"}
+
+    lines = [
+        "## Data-size scaling (round 3)", "",
+        "Best-of-3 seconds per op at three data sizes (synthetic sf1 = "
+        f"deterministic {FACTOR}x of sf0.1, constant workload density — see "
+        "tools/bench_datascale.py). `growth` = (time sf1 / time sf0.1) / "
+        "(rows sf1 / rows sf0.1); <= ~1 means linear or better.", "",
+        "| op | rows sf0.01 | sf0.01 s | rows sf0.1 | sf0.1 s | rows sf1 | sf1 s | growth |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for name, by in table.items():
+        t01, t1, ts = by["sf0.01"][0], by["sf0.1"][0], by["sf1 (synth 10x)"][0]
+        tb = tbl_of[name]
+        r01, r1, rs = (rows[s][tb] for s in ("sf0.01", "sf0.1", "sf1 (synth 10x)"))
+        growth = (ts / t1) / (rs / r1)
+        lines.append(
+            f"| {name} | {r01} | {t01:.3f} | {r1} | {t1:.3f} | {rs} | {ts:.3f} "
+            f"| {growth:.2f} |")
+    lines.append("")
+    lines.append("Raw samples per cell: " + repr(
+        {n: {s: v[1] for s, v in by.items()} for n, by in table.items()}))
+    lines.append("")
+
+    if not skip_zonal:
+        z = zonal_4x(spark)
+        lines += [
+            "### 4x tile corpus (zonal flagship, colocated)", "",
+            "| corpus | aoi-cell tiles | best-of-3 s | tiles/sec |",
+            "|---|---|---|---|",
+        ]
+        for tag, v in z.items():
+            lines.append(f"| {tag} | {v['tiles']} | {v['sec']:.3f} | {v['tiles_per_sec']:.0f} |")
+        r = z["96x96"]["tiles_per_sec"] / z["48x48"]["tiles_per_sec"]
+        lines.append("")
+        lines.append(
+            f"4x-corpus throughput ratio: {r:.2f} (1.0 = perfectly linear in "
+            f"work; samples {z['48x48']['samples']} vs {z['96x96']['samples']}).")
+        lines.append("")
+
+    out_path = os.path.join(REPO, "BENCH", "DATASCALE_r03.md")
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()
