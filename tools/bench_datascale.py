@@ -6,11 +6,15 @@ No sf1 parquet ships with the sandbox, so sf1 is SYNTHESIZED
 deterministically from sf0.1 (factor 10), shaped so workload density
 stays constant as rows grow — the honest scaling experiment:
 
-- documents: 10 copies per doc; each copy's text is vowel-rotated by
-  (copy mod 5), so copies k and k+5 are near-duplicates of each other
-  (constant near-dup density — naive replication would make every doc a
-  10-way dup group and near-dup pair counts quadratic BY CONSTRUCTION,
-  which would measure the corpus shape, not the engine).
+- documents: 10 copies per doc; copy k's text is Caesar-shifted by k
+  over a-z, so every copy class reproduces sf0.1's duplicate structure
+  exactly and NOTHING is similar across classes — duplicate-group sizes
+  (and therefore candidate-pair density) stay constant as rows grow.
+  (First attempt used 5 vowel rotations for 10 copies: that DOUBLED
+  every dup group, and since LSH candidate pairs grow with group size
+  squared, minhash_lsh measured 3.4x superlinear — corpus shape, not
+  the engine. Naive replication is even worse: every doc becomes a
+  10-way group, pair counts quadratic by construction.)
 - embeddings: 10 copies, each scaled by (1 + k/100) — cosine geometry
   (and therefore LSH bucket shape) is preserved exactly.
 - lineitem / orders: 10 copies with key offsets (per-customer /
@@ -54,11 +58,12 @@ def ensure_synth(spark) -> None:
     docs = spark.read.parquet(os.path.join(SF1, "documents.parquet"))
     n_docs = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     copies = spark.range(FACTOR).withColumnRenamed("id", "k")
-    # translate() wants literal alphabets; pick the k%5 rotation via CASE
+    # translate() wants literal alphabets; pick copy k's Caesar shift via CASE
+    az = "abcdefghijklmnopqrstuvwxyz"
     rot = F.expr(
-        "CASE CAST(k % 5 AS INT) " + " ".join(
-            f"WHEN {i} THEN translate(text, '{VOWELS}', '{VOWELS[i:] + VOWELS[:i]}')"
-            for i in range(5)
+        "CASE CAST(k AS INT) " + " ".join(
+            f"WHEN {i} THEN translate(text, '{az}', '{az[i:] + az[:i]}')"
+            for i in range(FACTOR)
         ) + " END"
     )
     (
