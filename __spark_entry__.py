@@ -709,6 +709,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multimodal.audio_features(adf)
     q["mm_audio_features"] = mm_audio_features
 
+    def mm_video_frames(spark, sf_dir):
+        # REAL video decode: YUV4MPEG2 (raw planar YUV) parsed with numpy
+        # in the frame-sampling kernel; every 2nd frame is re-encoded PNG
+        # and per-frame luma stats are hash-matched against a DuckDB twin
+        # regenerating the synthetic luma formula
+        from gfw_raster_analysis_lambda_spark.operators import multimodal
+
+        rows = [
+            (f"vid/{i}", multimodal.synthesize_y4m(
+                _Y4M_PARAMS[i][0], _Y4M_PARAMS[i][1], _Y4M_PARAMS[i][2], seed=i))
+            for i in range(len(_Y4M_PARAMS))
+        ]
+        vdf = spark.createDataFrame(rows, "media_id string, payload binary")
+        frames = multimodal.video_frame_sample(vdf, every_n=2)
+        return multimodal.video_frame_stats(frames)
+    q["mm_video_frames"] = mm_video_frames
+
     # -- relational shell on the driver's TPC-H-ish tables ------------------
 
     def rel_pricing_summary(spark, sf_dir):
@@ -983,6 +1000,10 @@ def _cc_cell_set() -> list[int]:
     pts += [(770, 290)]
     pts += [(780, 300), (781, 300), (782, 300), (782, 301), (782, 302), (781, 302)]
     return sorted(int(_G.cell_from_xy(GRID, x, y)) for x, y in pts)
+
+
+# (w, h, n_frames) per synthetic Y4M row (seed = row index)
+_Y4M_PARAMS = [(16 + 4 * (i % 3), 12 + 2 * (i % 2), 5 + i) for i in range(8)]
 
 
 # (freq_hz, amp, sample_rate, n_frames, channels) per synthetic WAV row
@@ -1469,6 +1490,32 @@ SELECT media_id, CAST(nf AS BIGINT) AS n_samples, CAST(sr AS INT) AS sample_rate
        ROUND(MAX(abs(v)), 6) AS peak,
        ROUND(nf / CAST(sr AS DOUBLE), 6) AS duration_s
 FROM s GROUP BY media_id, sr, nf, nch
+"""
+
+    y4m_vals = ", ".join(
+        f"('vid/{i}', {w}, {h}, {nf}, {i})"
+        for i, (w, h, nf) in enumerate(_Y4M_PARAMS)
+    )
+    y4m_max_w = max(p[0] for p in _Y4M_PARAMS)
+    y4m_max_h = max(p[1] for p in _Y4M_PARAMS)
+    y4m_max_f = max(p[2] for p in _Y4M_PARAMS)
+    o["mm_video_frames"] = f"""
+WITH params(media_id, w, h, nf, seed) AS (VALUES {y4m_vals}),
+px AS (
+  SELECT p.media_id, gf.f AS frame, p.w, p.h,
+         (gi.i + 2 * gj.j + 7 * gf.f + 11 * p.seed) % 256 AS y
+  FROM params p
+  JOIN generate_series(0, {y4m_max_f - 1}) gf(f)
+    ON gf.f < p.nf AND gf.f % 2 = 0
+  JOIN generate_series(0, {y4m_max_h - 1}) gi(i) ON gi.i < p.h
+  JOIN generate_series(0, {y4m_max_w - 1}) gj(j) ON gj.j < p.w
+)
+SELECT media_id, CAST(frame AS INT) AS frame, CAST(w AS INT) AS w,
+       CAST(h AS INT) AS h,
+       ROUND(AVG(CAST(y AS DOUBLE)), 6) AS px_mean,
+       CAST(MIN(y) AS DOUBLE) AS px_min,
+       CAST(MAX(y) AS DOUBLE) AS px_max
+FROM px GROUP BY media_id, frame, w, h
 """
 
     cc_px_vals = ", ".join(f"({gx}, {gy})" for gx, gy in _cc_pixel_pts())

@@ -5,11 +5,13 @@ The Spark-side mechanics are fully real — schemas, Arrow batch shapes,
 ``mapInPandas`` iteration, partition-size control — while the media
 codecs follow the environment's reality: the image path uses this repo's
 own PNG/raw/quantizer codecs (real, tested); audio decodes RIFF/WAVE PCM
-for real via stdlib ``wave`` (compressed formats would need libsndfile
-and stay an explicit stub); video decode is the one remaining clearly
-marked STUB (`NotImplementedError`) with a deterministic fake behind a
-flag so the plumbing stays testable — swap the `_decode_video` body for
-an ffmpeg binding in production.
+for real via stdlib ``wave``; video decodes YUV4MPEG2 (Y4M — raw planar
+YUV, no entropy coding) for real via numpy. Only ENTROPY-CODED media
+(mp3/flac audio, mp4/webm video) remain explicit
+``NotImplementedError`` stubs — they need libsndfile/ffmpeg, absent
+here — each with a deterministic fake behind a flag so the plumbing
+stays testable; swap the decoder bodies for real bindings in
+production.
 
 Iterator-of-batches (`mapInPandas`) rather than scalar UDFs because media
 work wants per-batch amortization (shared codec state) and bounded
@@ -232,14 +234,73 @@ def _decode_audio(payload: bytes, fake: bool):
     )
 
 
+def synthesize_y4m(w: int, h: int, n_frames: int, seed: int = 0) -> bytes:
+    """Deterministic YUV4MPEG2 (C420) payload: luma
+    ``Y[i, j] = (i + 2 j + 7 frame + 11 seed) mod 256``, chroma flat 128.
+    The formula is trivially SQL-expressible, so a DuckDB twin can verify
+    decoded-frame statistics without any video library."""
+    parts = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode()]
+    uv = np.full(((h // 2) * (w // 2)) * 2, 128, dtype=np.uint8).tobytes()
+    i = np.arange(h, dtype=np.int64)[:, None]
+    j = np.arange(w, dtype=np.int64)[None, :]
+    for f in range(int(n_frames)):
+        y = ((i + 2 * j + 7 * f + 11 * seed) % 256).astype(np.uint8)
+        parts.append(b"FRAME\n" + y.tobytes() + uv)
+    return b"".join(parts)
+
+
 def _decode_video(payload: bytes, fake: bool) -> np.ndarray:
+    """-> (frames, h, w) uint8 luma cube. YUV4MPEG2 (Y4M) decodes for
+    real — it is raw planar YUV with a text header, no entropy coding, so
+    stdlib + numpy suffice (C420/C422/C444/mono chroma layouts). Entropy-
+    coded containers (mp4/webm) would need ffmpeg — not in this
+    environment — and raise; ``fake=True`` keeps the deterministic
+    raw-bytes test codec."""
+    if bytes(payload[:9]) == b"YUV4MPEG2":
+        payload = bytes(payload)
+        nl = payload.index(b"\n")
+        w = h = None
+        cs = "420"
+        for tok in payload[:nl].decode("ascii").split()[1:]:
+            if tok[0] == "W":
+                w = int(tok[1:])
+            elif tok[0] == "H":
+                h = int(tok[1:])
+            elif tok[0] == "C":
+                cs = tok[1:]
+        if w is None or h is None:
+            raise ValueError("Y4M header missing W/H")
+        if cs.startswith("420"):
+            chroma = (w // 2) * (h // 2) * 2
+        elif cs.startswith("422"):
+            chroma = (w // 2) * h * 2
+        elif cs.startswith("444"):
+            chroma = w * h * 2
+        elif cs.startswith("mono"):
+            chroma = 0
+        else:
+            raise NotImplementedError(f"unsupported Y4M colorspace {cs!r}")
+        frames = []
+        pos = nl + 1
+        while pos < len(payload):
+            fe = payload.index(b"\n", pos)
+            if payload[pos:pos + 5] != b"FRAME":
+                raise ValueError("malformed Y4M: expected FRAME marker")
+            pos = fe + 1
+            y = np.frombuffer(payload[pos:pos + w * h], dtype=np.uint8)
+            if y.size < w * h:
+                raise ValueError("truncated Y4M frame")
+            frames.append(y.reshape(h, w))
+            pos += w * h + chroma
+        return np.stack(frames) if frames else np.zeros((0, h, w), np.uint8)
     if fake:
         # deterministic fake: bytes -> (frames, 8, 8) uint8 cube
         n = len(payload) // 64
         return np.frombuffer(payload[: n * 64], dtype=np.uint8).reshape(n, 8, 8)
     raise NotImplementedError(
-        "video decode requires ffmpeg, not present in this environment; "
-        "pass fake=True for the deterministic test codec"
+        "entropy-coded video (mp4/webm/...) requires ffmpeg, not present "
+        "in this environment; supply YUV4MPEG2 payloads or pass fake=True "
+        "for the deterministic test codec"
     )
 
 
@@ -279,16 +340,21 @@ def audio_features(df: DataFrame, fake_codec: bool = False) -> DataFrame:
 
 def video_frame_sample(df: DataFrame, every_n: int = 2, fake_codec: bool = False) -> DataFrame:
     """Explode every n-th frame of each video payload as its own image
-    row — the frame-sampling stage of a video training pipeline."""
+    row (losslessly PNG-re-encoded luma) — the frame-sampling stage of a
+    video training pipeline. Real decode for Y4M payloads; see
+    :func:`_decode_video`."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
                 cube = _decode_video(bytes(r.payload), fake_codec)
+                fh, fw = cube.shape[1], cube.shape[2]
                 for fi in range(0, cube.shape[0], every_n):
                     rows.append(
-                        (r.media_id, fi, codecs.encode_tile(cube[fi], "png"), 8, 8, "png")
+                        (r.media_id, fi,
+                         codecs.encode_tile(np.ascontiguousarray(cube[fi]), "png"),
+                         fw, fh, "png")
                     )
             yield pd.DataFrame(
                 rows, columns=["media_id", "frame", "bytes", "w", "h", "fmt"]
@@ -296,4 +362,33 @@ def video_frame_sample(df: DataFrame, every_n: int = 2, fake_codec: bool = False
 
     return df.select("media_id", "payload").mapInPandas(
         run, "media_id string, frame int, bytes binary, w int, h int, fmt string"
+    )
+
+
+def video_frame_stats(frames: DataFrame) -> DataFrame:
+    """(media_id, frame, w, h, px_mean, px_min, px_max) over sampled
+    frame rows (:func:`video_frame_sample` output) — decodes each frame
+    tile and emits luma statistics; the oracle-gate surface for the
+    video path (a SQL twin regenerates the synthetic luma formula)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode_tile(bytes(r.bytes), int(r.w), int(r.h), str(r.fmt))
+                a = arr.astype(np.float64)
+                rows.append((
+                    r.media_id, int(r.frame), int(r.w), int(r.h),
+                    float(np.floor(a.mean() * 1e6 + 0.5) / 1e6),
+                    float(a.min()), float(a.max()),
+                ))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame", "w", "h",
+                               "px_mean", "px_min", "px_max"],
+            )
+
+    return frames.select("media_id", "frame", "bytes", "w", "h", "fmt").mapInPandas(
+        run,
+        "media_id string, frame int, w int, h int, "
+        "px_mean double, px_min double, px_max double",
     )

@@ -567,3 +567,46 @@ def test_audio_features_real_wav_decode(spark):
     u8 = (np.arange(256.0) - 128.0) / 128.0
     assert got.loc["u8", "rms"] == float(np.floor(np.sqrt(np.mean(u8 * u8)) * 1e6 + 0.5) / 1e6)
     assert got.loc["u8", "peak"] == 1.0
+
+
+def test_video_frame_sample_real_y4m(spark):
+    """Real Y4M decode: frame sampling + stats match the generating
+    formula; entropy-coded payloads still raise the explicit stub."""
+    w, h, nf, seed = 20, 14, 7, 3
+    payload = multimodal.synthesize_y4m(w, h, nf, seed=seed)
+    vdf = spark.createDataFrame(
+        [("v1", payload)], "media_id string, payload binary"
+    )
+    frames = multimodal.video_frame_sample(vdf, every_n=3)
+    got = multimodal.video_frame_stats(frames).toPandas().sort_values("frame")
+    assert got["frame"].tolist() == [0, 3, 6]
+    assert (got["w"] == w).all() and (got["h"] == h).all()
+    i = np.arange(h)[:, None]
+    j = np.arange(w)[None, :]
+    for _, r in got.iterrows():
+        y = (i + 2 * j + 7 * int(r["frame"]) + 11 * seed) % 256
+        assert r["px_min"] == y.min() and r["px_max"] == y.max()
+        assert r["px_mean"] == float(np.floor(y.mean() * 1e6 + 0.5) / 1e6)
+
+    # direct decoder checks: cube shape + exact luma bytes
+    cube = multimodal._decode_video(payload, fake=False)
+    assert cube.shape == (nf, h, w)
+    np.testing.assert_array_equal(cube[2], (i + 2 * j + 14 + 33) % 256)
+
+    # mono colorspace (no chroma planes) decodes too
+    mono = payload.replace(b"C420", b"Cmono", 1)
+    # rebuild without chroma: header + frames of luma only
+    head, rest = mono.split(b"\n", 1)
+    frames_raw = rest.split(b"FRAME\n")[1:]
+    uv = (h // 2) * (w // 2) * 2
+    mono2 = head + b"\n" + b"".join(b"FRAME\n" + f[: len(f) - uv if k < nf - 1 else len(f) - uv] for k, f in enumerate(frames_raw))
+    cube2 = multimodal._decode_video(mono2, fake=False)
+    assert cube2.shape == (nf, h, w)
+    np.testing.assert_array_equal(cube2, cube)
+
+    with pytest.raises(Exception, match="NotImplementedError|entropy-coded"):
+        multimodal.video_frame_sample(
+            spark.createDataFrame([("x", b"\x00\x00\x01mp4!")],
+                                  "media_id string, payload binary"),
+            fake_codec=False,
+        ).collect()
