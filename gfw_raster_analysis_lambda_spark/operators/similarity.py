@@ -261,6 +261,7 @@ def kmeans_centroids(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd refinement of the coarse IVF quantizer:
     seeds = the ``k`` lowest-id vectors, then ``iters`` rounds of
@@ -272,7 +273,20 @@ def kmeans_centroids(
     Each iteration is one broadcast pass over the corpus plus an
     O(k x dims)-row aggregate — the standard distributed Lloyd shape; at
     100 TB this is the write-side index-build job. Empty clusters keep
-    their previous centroid."""
+    their previous centroid.
+
+    ``train_fraction`` trains the quantizer on a DETERMINISTIC hash
+    sample of the corpus (operators.sampling.deterministic_sample, salt
+    ``"kmeans"``) — the standard IVF practice at scale: quantizer
+    quality needs thousands of vectors per centroid, not the whole
+    corpus, so at 10^12 vectors a 1e-6 fraction turns each Lloyd
+    iteration from a corpus pass into a sample pass. Reproducible (no
+    rand()); the full-corpus assignment still happens once, in
+    :func:`ivf_assign_fast`, at index-build time."""
+    if train_fraction is not None:
+        from .sampling import deterministic_sample
+
+        emb = deterministic_sample(emb, float(train_fraction), id_col, salt="kmeans")
     centroids = (
         emb.orderBy(F.asc(id_col)).limit(k)
         .select(F.col(id_col).cast("long").alias("centroid_id"), F.col(vec_col).alias("cv"))

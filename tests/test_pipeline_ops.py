@@ -610,3 +610,27 @@ def test_video_frame_sample_real_y4m(spark):
                                   "media_id string, payload binary"),
             fake_codec=False,
         ).collect()
+
+
+def test_kmeans_sampled_training(spark, emb):
+    """train_fraction trains the quantizer on the deterministic hash
+    sample: same result as running kmeans on the pre-sampled frame, and
+    ann_ivf with the sampled quantizer still assigns the FULL corpus."""
+    from gfw_raster_analysis_lambda_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    sampled = similarity.kmeans_centroids(emb, k=8, iters=1, train_fraction=0.5)
+    manual = similarity.kmeans_centroids(
+        deterministic_sample(emb, 0.5, "vec_id", salt="kmeans"), k=8, iters=1
+    )
+    a = sampled.toPandas().sort_values("centroid_id").reset_index(drop=True)
+    b = manual.toPandas().sort_values("centroid_id").reset_index(drop=True)
+    assert a["centroid_id"].tolist() == b["centroid_id"].tolist()
+    for va, vb in zip(a["embedding"], b["embedding"]):
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+    qs = emb.filter(F.col("vec_id") < 3).selectExpr("vec_id AS query_id", "embedding")
+    got = similarity.ann_ivf(emb, qs, k=5, n_probe=4, centroids=sampled).toPandas()
+    top = got[got["rank"] == 1]
+    assert (top["cosine"] >= 0.999999).all()  # full corpus searched
