@@ -906,6 +906,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.phash_dedup_keepers(df, max_hamming=3, bands=4)
     q["dedup_phash_keepers"] = dedup_phash_keepers
 
+    def dedup_cross_modal(spark, sf_dir):
+        # consensus near-dups over image+caption pairs (the input-hint
+        # corpus shape): phash-banded visual candidates verified by
+        # caption token jaccard — half the planted variants carry an
+        # unrelated caption and must be filtered out
+        df = spark.createDataFrame(
+            _cross_modal_corpus(), "image_id string, phash long, caption string"
+        )
+        return dedup.cross_modal_dups(df, max_hamming=3, bands=4,
+                                      min_caption_jaccard=0.5).select(
+            "a", "b", F.col("hamming").cast("int").alias("hamming"),
+            "caption_jaccard",
+        )
+    q["dedup_cross_modal"] = dedup_cross_modal
+
     def sample_split_assign(spark, sf_dir):
         # deterministic hash-threshold sampling + train/val/test split:
         # membership re-derived bit-for-bit by the DuckDB twin
@@ -1053,6 +1068,25 @@ def _phash_dedup_corpus() -> list[tuple[str, int]]:
                 out.append((iid + "~v", v))
         _KNN_CACHE["dedup_rows"] = out
     return _KNN_CACHE["dedup_rows"]
+
+
+def _cross_modal_corpus() -> list[tuple[str, int, str]]:
+    """(image_id, phash, caption) fixture: the phash-dedup corpus with
+    deterministic captions — a planted visual variant keeps its base's
+    caption for even md5-parity bases (consensus dup) and gets an
+    unrelated caption otherwise (visual-only collision, must be
+    filtered by the caption-jaccard verify)."""
+    import hashlib
+
+    out = []
+    for iid, p in _phash_dedup_corpus():
+        base = iid[:-2] if iid.endswith("~v") else iid
+        h = int(hashlib.md5(base.encode()).hexdigest()[:6], 16)
+        cap = f"scene {h % 7} sensor {h % 3} tile row {h % 11}"
+        if iid.endswith("~v") and h % 2 == 1:
+            cap = f"unrelated capture {h % 97} frame {h % 13}"
+        out.append((iid, int(p), cap))
+    return out
 
 
 # ===========================================================================
@@ -1810,6 +1844,33 @@ SELECT a.image_id AS a, b.image_id AS b,
 FROM imgs a JOIN imgs b ON a.image_id < b.image_id
 WHERE bit_count(xor(a.phash, b.phash)) <= 3
 """
+    cm_vals = ", ".join(
+        f"('{i}', CAST({p} AS BIGINT), '{c}')" for i, p, c in _cross_modal_corpus()
+    )
+    o["dedup_cross_modal"] = f"""
+WITH imgs(image_id, phash, caption) AS (VALUES {cm_vals}),
+tok AS (
+  SELECT image_id,
+         list_distinct(string_split(lower(trim(caption)), ' ')) AS ts
+  FROM imgs
+),
+pairs AS (
+  SELECT a.image_id AS a, b.image_id AS b,
+         CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+  FROM imgs a JOIN imgs b ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 3
+)
+SELECT p.a, p.b, p.hamming,
+       ROUND(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+             / (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts))),
+             6) AS caption_jaccard
+FROM pairs p
+JOIN tok ta ON ta.image_id = p.a
+JOIN tok tb ON tb.image_id = p.b
+WHERE CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+      / (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts))) >= 0.5
+"""
+
     o["dedup_phash_keepers"] = f"""
 WITH imgs(image_id, phash) AS (VALUES {phash_vals}),
 grp AS (SELECT phash, MIN(image_id) AS rep FROM imgs GROUP BY phash),

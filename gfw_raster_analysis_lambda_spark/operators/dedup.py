@@ -267,6 +267,57 @@ def phash_near_duplicates(
     )
 
 
+def cross_modal_dups(
+    images: DataFrame,  # (id, phash, caption)
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    caption_col: str = "caption",
+    max_hamming: int = 3,
+    bands: int = 4,
+    min_caption_jaccard: float = 0.5,
+) -> DataFrame:
+    """Consensus near-duplicates over the image+caption corpus:
+    (a, b, hamming, caption_jaccard) pairs that are near-dups in BOTH
+    modalities — phash hamming <= max_hamming AND caption token-set
+    jaccard >= min_caption_jaccard. The web-crawl dedup rule of thumb:
+    a visual match with a disagreeing caption is often a template/frame
+    collision, and a caption match with a differing image is a re-crop;
+    requiring both slashes false positives.
+
+    Scale shape: candidates come ONLY from the bucketed phash banding
+    (pigeonhole-exact recall, never an all-pairs or text self-join);
+    caption verification joins token sets against the candidate pairs,
+    so the text-side work is O(candidate pairs x caption tokens), not
+    O(corpus^2)."""
+    pairs = phash_near_duplicates(
+        images.select(id_col, phash_col), id_col, phash_col, max_hamming, bands
+    )
+    t = tokens(images, id_col, caption_col, distinct=True)
+    sizes = t.groupBy("id").agg(F.count("*").alias("n"))
+    ta = t.select(F.col("id").alias("a"), "tok")
+    tb = t.select(F.col("id").alias("b"), "tok")
+    inter = (
+        pairs.select("a", "b")
+        .join(ta, "a")
+        .join(tb, ["b", "tok"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("id").alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(inter, ["a", "b"], "left")
+        .na.fill({"inter": 0})
+        .join(na, "a").join(nb, "b")
+        .withColumn(
+            "caption_jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("caption_jaccard") >= F.lit(float(min_caption_jaccard)))
+        .select("a", "b", "hamming", "caption_jaccard")
+    )
+
+
 def phash_dedup_keepers(
     images: DataFrame,
     id_col: str = "image_id",

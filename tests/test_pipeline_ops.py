@@ -634,3 +634,25 @@ def test_kmeans_sampled_training(spark, emb):
     got = similarity.ann_ivf(emb, qs, k=5, n_probe=4, centroids=sampled).toPandas()
     top = got[got["rank"] == 1]
     assert (top["cosine"] >= 0.999999).all()  # full corpus searched
+
+
+def test_cross_modal_dups_consensus(spark):
+    """Visual near-dup pairs survive only when captions also agree; the
+    jaccard value is the exact distinct-token ratio."""
+    rows = [
+        ("a", 0b1010, "red barn under snow"),
+        ("b", 0b1011, "red barn under snow"),        # visual+caption dup of a
+        ("c", 0b1010, "stock chart q3 revenue"),     # same image, alien caption
+        ("d", 0b1010 ^ (1 << 40), "red barn under light snow"),  # partial caption
+        ("e", 0xFFFFFFFF, "red barn under snow"),    # caption dup, visually far
+    ]
+    df = spark.createDataFrame(rows, "image_id string, phash long, caption string")
+    got = dedup.cross_modal_dups(df, max_hamming=3, bands=4, min_caption_jaccard=0.5)
+    pairs = {(r["a"], r["b"]): r for r in got.collect()}
+    assert ("a", "b") in pairs and pairs[("a", "b")]["caption_jaccard"] == 1.0
+    # c collides visually with a AND b but its caption disagrees -> gone
+    assert not any("c" in p for p in pairs)
+    # e matches captions but is visually far -> never a candidate
+    assert not any("e" in p for p in pairs)
+    # d vs a: tokens {red,barn,under,snow} vs +{light}: jaccard 4/5
+    assert pairs[("a", "d")]["caption_jaccard"] == 0.8
