@@ -28,6 +28,7 @@ from gfw_raster_analysis_lambda_spark import (  # noqa: E402
 from gfw_raster_analysis_lambda_spark.functions import grid as G  # noqa: E402
 from gfw_raster_analysis_lambda_spark.operators import (  # noqa: E402
     dedup,
+    multimodal,
     pyramid,
     similarity,
 )
@@ -105,6 +106,21 @@ def main() -> None:
         topk = similarity.ann_lsh_multiprobe(emb, qs, k=3, n_tables=2)
         print("== ANN top-3 (multi-table LSH) ==")
         topk.show()
+
+    # 7. real media decode: WAV audio features + Y4M video frame sampling
+    adf = spark.createDataFrame(
+        [("clip", multimodal.synthesize_wav_pcm16(440.0, 0.5, 8000, 4000))],
+        "media_id string, payload binary",
+    )
+    print("== audio features (RIFF/WAVE PCM, stdlib decode) ==")
+    multimodal.audio_features(adf).show()
+    vdf = spark.createDataFrame(
+        [("vid", multimodal.synthesize_y4m(16, 12, 6, seed=1))],
+        "media_id string, payload binary",
+    )
+    frames = multimodal.video_frame_sample(vdf, every_n=2)
+    print("== sampled video frame stats (YUV4MPEG2, numpy decode) ==")
+    multimodal.video_frame_stats(frames).show()
 
     print("quickstart complete; outputs under", work)
 
