@@ -556,6 +556,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["stream_sessionize"] = stream_sessionize
 
+    def stream_dedup_exact(spark, sf_dir):
+        # streaming exactly-once ingest dedup: wave 1 = the events table,
+        # wave 2 = a REPLAY of half of it (at-least-once redelivery);
+        # dropDuplicatesWithinWatermark state must swallow the replay so
+        # the sink holds exactly the original rows
+        import glob
+        import shutil
+        import tempfile
+
+        import pandas as pd
+
+        from gfw_raster_analysis_lambda_spark.streaming.events import (
+            dedup_events_stream,
+        )
+
+        pdf = (
+            _t(spark, sf_dir, "events").toPandas()
+            .sort_values("ts").reset_index(drop=True)
+        )
+        cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        pdf = pdf[cols]
+        work = tempfile.mkdtemp(prefix="dedup_gate_")
+        try:
+            stream_dir = os.path.join(work, "events")
+            out_dir = os.path.join(work, "out")
+            os.makedirs(stream_dir, exist_ok=True)
+            for wave in (pdf, pdf.iloc[::2]):
+                spark.createDataFrame(wave).coalesce(1).write.mode("append") \
+                    .parquet(stream_dir)
+                dedup_events_stream(spark, stream_dir, out_dir).awaitTermination(120)
+            got = pd.concat(
+                [pd.read_parquet(f) for f in glob.glob(f"{out_dir}/data/*.parquet")]
+            ).reset_index(drop=True)
+            return spark.createDataFrame(got[cols]).select(
+                "event_id", "user_id", "event_type",
+                F.round("value", 3).alias("value"),
+            )
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    q["stream_dedup_exact"] = stream_dedup_exact
+
     # -- kNN tile lookup (north-rule J-row) ---------------------------------
 
     def knn_phash_lookup(spark, sf_dir):
@@ -1289,6 +1330,11 @@ SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(SUM(value), 3) AS value_sum
 FROM events GROUP BY 1, 2
+"""
+
+    o["stream_dedup_exact"] = """
+SELECT event_id, user_id, event_type, ROUND(value, 3) AS value
+FROM events
 """
 
     o["stream_sessionize"] = """

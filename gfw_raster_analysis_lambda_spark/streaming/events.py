@@ -196,3 +196,36 @@ def sessionize_events(
     if trigger_once:
         stream = stream.trigger(availableNow=True)
     return stream.start()
+
+
+def dedup_events_stream(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    keys: "list[str] | None" = None,
+    watermark: str = "3650 days",
+    trigger_once: bool = True,
+):
+    """Streaming exactly-once ingest dedup: at-least-once sources
+    (replayed files, redelivered queue batches) re-deliver rows; this
+    drops re-arrivals by key with ``dropDuplicatesWithinWatermark`` so
+    downstream consumers see each event once. State is keyed by the
+    dedup key and EVICTED once the event-time watermark passes a key's
+    timestamp + delay — the property that makes streaming dedup viable
+    at 100-TB/day: a plain ``dropDuplicates`` would grow state forever,
+    the watermarked form is O(events within the dedup horizon).
+
+    First arrival wins; rows land append-mode under ``{out_dir}/data``.
+    Pick ``watermark`` = the maximum redelivery lag of the source."""
+    keys = keys or ["event_id"]
+    src = spark.readStream.schema(EVENTS_SCHEMA_DDL).parquet(events_dir)
+    deduped = src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    stream = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{out_dir}/data")
+        .option("checkpointLocation", f"{out_dir}/ckpt")
+    )
+    if trigger_once:
+        stream = stream.trigger(availableNow=True)
+    return stream.start()

@@ -188,3 +188,34 @@ def test_sessionize_late_rows_within_watermark_merge(spark, tmp_path):
     assert len(got) == len(exp)
     assert got["session_start"].tolist() == exp["session_start"].tolist()
     assert got["n_events"].tolist() == exp["n_events"].tolist()
+
+
+def test_dedup_events_stream_swallows_replay(spark, tmp_path):
+    """At-least-once redelivery: a replayed wave must not re-emit rows;
+    first arrival wins (the replay carries a different value for one key
+    and must lose)."""
+    import glob
+
+    import pandas as pd
+
+    from gfw_raster_analysis_lambda_spark.streaming.events import (
+        dedup_events_stream,
+    )
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    base = pd.DataFrame(
+        [(i, pd.Timestamp("2024-03-01") + pd.Timedelta(minutes=i), i % 3,
+          "click", float(i), "{}") for i in range(20)],
+        columns=cols,
+    )
+    replay = base.iloc[5:15].copy()
+    replay["value"] = replay["value"] + 1000.0  # late rewrite must LOSE
+    stream_dir, out_dir = str(tmp_path / "ev"), str(tmp_path / "out")
+    for wave in (base, replay):
+        spark.createDataFrame(wave).coalesce(1).write.mode("append").parquet(stream_dir)
+        dedup_events_stream(spark, stream_dir, out_dir).awaitTermination(120)
+    got = pd.concat(
+        [pd.read_parquet(f) for f in glob.glob(f"{out_dir}/data/*.parquet")]
+    ).sort_values("event_id").reset_index(drop=True)
+    assert got["event_id"].tolist() == list(range(20))
+    assert (got["value"] < 1000).all()  # first arrival won everywhere
