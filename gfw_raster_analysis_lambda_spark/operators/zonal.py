@@ -347,7 +347,15 @@ def _decode_and_derive(
         if lval is None or (isinstance(lval, float) and pd.isna(lval)):
             continue  # left-join null: AOI cell with no tiles at all
         lname = str(lval)
-        arr = codecs.decode_tile(bytes(b), int(w), int(h), str(fmt))
+        try:
+            arr = codecs.decode_tile(bytes(b), int(w), int(h), str(fmt))
+        except Exception:
+            if not getattr(env, "skip_corrupt_tiles", False):
+                raise
+            # opt-in failure isolation (reference: a corrupt tile fails
+            # one Lambda, not the request): treat as a missing tile —
+            # the S2 zero-fill below applies
+            continue
         lgrid_name = getattr(env.get_layer(lname), "grid", None)
         if has_src and lgrid_name and lgrid_name != grid.name:
             arr = G.upsample_to_cell(

@@ -98,6 +98,12 @@ class LayerNotFoundError(KeyError):
 @dataclass
 class DataEnvironment:
     layers: list[Layer] = field(default_factory=list)
+    # opt-in fault tolerance: a tile whose payload fails to decode is
+    # treated like a MISSING tile (zeros / S2 semantics) instead of
+    # failing the whole analysis — the reference's per-tile-Lambda
+    # failure isolation (a bad tile fails one invocation, not the
+    # request). Default False: corrupt data raises loudly.
+    skip_corrupt_tiles: bool = False
 
     def __post_init__(self):
         self._by_name = {l.name: l for l in self.layers}
@@ -228,13 +234,19 @@ class DataEnvironment:
                     decode_expression=l.decode_expression, encode_expression=l.encode_expression,
                 )
             out.append(d)
+        if self.skip_corrupt_tiles:
+            out.append({"kind": "options", "skip_corrupt_tiles": True})
         return json.dumps(out)
 
     @classmethod
     def from_json(cls, s: str) -> "DataEnvironment":
         layers: list[Layer] = []
+        opts: dict = {}
         for d in json.loads(s):
             kind = d.pop("kind")
+            if kind == "options":
+                opts.update(d)
+                continue
             if kind == "source":
                 nd = d.get("no_data")
                 if nd == "nan":  # reference pydantic validator semantics
@@ -250,7 +262,7 @@ class DataEnvironment:
                 layers.append(DerivedLayer(**d))
             elif kind == "reserved":
                 layers.append(ReservedLayer(**d))
-        return cls(layers)
+        return cls(layers, **opts)
 
 
 def _cmp(meaning, op: str, value) -> bool:

@@ -966,3 +966,58 @@ def test_wkb_bytes_cap_routes_distributed(spark, tables, env, monkeypatch):
     )
     assert_frames_match(got, exp)
     assert planner.prepare_aoi_index(spark, aoi_df, GRID_NAME) is None
+
+
+# 24. corrupt-tile tolerance (opt-in): default raises loudly; with
+# env.skip_corrupt_tiles the bad tile degrades to MISSING-tile semantics
+# (zero-filled), isolating the failure like the reference's per-tile
+# Lambda instead of failing the whole analysis.
+def test_corrupt_tile_tolerance(spark, env):
+    from gfw_raster_analysis_lambda_spark.sources.catalog import DataEnvironment
+    from gfw_raster_analysis_lambda_spark.sources.images import with_derived_keys
+
+    from gfw_raster_analysis_lambda_spark.functions import grid as G
+    from gfw_raster_analysis_lambda_spark.sources.fixtures import image_id_for
+
+    rows = fixtures.generate_images_rows()
+    # corrupt ONE tcl_year tile INSIDE the queried AOI (box_aligned covers
+    # cells x in {760, 761}, y in {277, 278})
+    in_aoi = image_id_for(
+        "tcl_year", int(G.cell_from_xy(fixtures.GRID, fixtures.X0, fixtures.Y0 + 1))
+    )
+    bad_idx = next(i for i, r in enumerate(rows) if r[0] == in_aoi)
+    bad_id = rows[bad_idx][0]
+    corrupted = list(rows)
+    r = corrupted[bad_idx]
+    corrupted[bad_idx] = (r[0], b"\x89PNGgarbage-not-a-tile", *r[2:])
+    images_bad = with_derived_keys(
+        spark.createDataFrame(corrupted, fixtures.IMAGES_SCHEMA)
+    )
+    aois = [a for a in fixtures.fixture_aois() if a[0] == "aoi_box_aligned"]
+    aoi_df = spark.createDataFrame(aois, "aoi_id string, geom_wkb binary")
+    q = ZonalQuery(
+        base_layer="tcl_year",
+        group_layers=("tcl_year",),
+        aggregates=(Aggregate("count", None, "n"),),
+    )
+    with pytest.raises(Exception):
+        run_zonal_query(spark, images_bad, aoi_df, q, env, GRID_NAME).collect()
+
+    tol_env = DataEnvironment(env.layers, skip_corrupt_tiles=True)
+    # round-trips through the kernel's env_json serialization
+    assert DataEnvironment.from_json(tol_env.to_json()).skip_corrupt_tiles
+    got = (
+        run_zonal_query(spark, images_bad, aoi_df, q, tol_env, GRID_NAME)
+        .toPandas().reset_index(drop=True)
+    )
+    # expected = the same corpus WITHOUT the corrupt tile (missing-tile path)
+    images_missing = with_derived_keys(
+        spark.createDataFrame(
+            [r for r in rows if r[0] != bad_id], fixtures.IMAGES_SCHEMA
+        )
+    )
+    exp = (
+        run_zonal_query(spark, images_missing, aoi_df, q, env, GRID_NAME)
+        .toPandas().reset_index(drop=True)
+    )
+    assert_frames_match(got, exp)
