@@ -305,13 +305,18 @@ def cross_modal_dups(
     )
     na = sizes.select(F.col("id").alias("a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("id").alias("b"), F.col("n").alias("nb"))
+    union = F.col("na") + F.col("nb") - F.col("inter")
     return (
         pairs.join(inter, ["a", "b"], "left")
-        .na.fill({"inter": 0})
-        .join(na, "a").join(nb, "b")
+        .join(na, "a", "left").join(nb, "b", "left")
+        # empty/whitespace captions have no token rows: coalesce to 0 so
+        # the pair survives with jaccard 0 (two captionless images carry
+        # no text evidence -> 0, conservative) instead of being silently
+        # dropped by an inner join
+        .na.fill({"inter": 0, "na": 0, "nb": 0})
         .withColumn(
             "caption_jaccard",
-            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+            F.when(union > 0, F.round(F.col("inter") / union, 6)).otherwise(F.lit(0.0)),
         )
         .filter(F.col("caption_jaccard") >= F.lit(float(min_caption_jaccard)))
         .select("a", "b", "hamming", "caption_jaccard")

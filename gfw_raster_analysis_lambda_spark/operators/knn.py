@@ -108,9 +108,12 @@ def knn_phash_pruned_auto(
     search operator; use :func:`knn_phash` for the global scan). Queries
     whose ``max_ring`` neighborhood still holds fewer than k tiles return
     what exists. Each round's result is localCheckpoint-ed, so no kernel
-    re-runs across rounds; the per-round driver sync is one count over
-    the (broadcast-small) query set."""
-    spark = images.sparkSession
+    re-runs across rounds; satisfied/pending routing is relational
+    (semi/anti joins against the per-query counts — no driver collect of
+    query ids, no per-id isin literals), so large query batches stay
+    cheap; the per-round driver sync is one emptiness check."""
+    if ring < 1 or max_ring < ring:
+        raise ValueError(f"need 1 <= ring <= max_ring (got {ring}, {max_ring})")
     pending = queries
     parts = []
     r = int(ring)
@@ -119,11 +122,14 @@ def knn_phash_pruned_auto(
         if r >= max_ring:
             parts.append(got)
             break
-        counts = got.groupBy("query_id").count().collect()
-        sat = [row["query_id"] for row in counts if row["count"] >= k]
-        if sat:
-            parts.append(got.filter(F.col("query_id").isin(sat)))
-            pending = pending.filter(~F.col("query_id").isin(sat))
+        sat = (
+            got.groupBy("query_id").count()
+            .filter(F.col("count") >= k)
+            .select("query_id")
+            .localCheckpoint(eager=True)
+        )
+        parts.append(got.join(F.broadcast(sat), "query_id", "left_semi"))
+        pending = pending.join(F.broadcast(sat), "query_id", "left_anti")
         if pending.limit(1).count() == 0:
             break
         r = min(r * 2, int(max_ring))

@@ -287,9 +287,11 @@ def _decode_video(payload: bytes, fake: bool) -> np.ndarray:
             if payload[pos:pos + 5] != b"FRAME":
                 raise ValueError("malformed Y4M: expected FRAME marker")
             pos = fe + 1
-            y = np.frombuffer(payload[pos:pos + w * h], dtype=np.uint8)
-            if y.size < w * h:
+            if pos + w * h + chroma > len(payload):
+                # truncated luma OR chroma: a cut-off file must raise, not
+                # silently decode with the full frame count
                 raise ValueError("truncated Y4M frame")
+            y = np.frombuffer(payload[pos:pos + w * h], dtype=np.uint8)
             frames.append(y.reshape(h, w))
             pos += w * h + chroma
         return np.stack(frames) if frames else np.zeros((0, h, w), np.uint8)

@@ -227,6 +227,14 @@ def ivf_assign_fast(
          for r in centroids.select("centroid_id", F.col(vec_col)).collect()),
         key=lambda t: t[0],
     )
+    if not rows:
+        # match the relational twin: empty quantizer -> empty assignment
+        out = emb.select(
+            F.col(id_col).alias("id"),
+            F.lit(None).cast("long").alias("centroid_id"),
+            *([F.col(vec_col).alias("v")] if carry_vec else []),
+        )
+        return out.filter(F.lit(False))
     cids = np.array([t[0] for t in rows], dtype=np.int64)
     cmat = np.stack([t[1] for t in rows])                      # k x dims
     cnorm = np.sqrt((cmat * cmat).sum(axis=1))
@@ -243,7 +251,11 @@ def ivf_assign_fast(
             vnorm = np.sqrt((vecs * vecs).sum(axis=1))
             cos = (vecs @ cmat.T) / np.outer(vnorm, cnorm)     # rows x k
             if round_to is not None:
-                cos = np.round(cos, round_to)
+                # HALF_UP (away from zero), matching Spark F.round /
+                # DuckDB ROUND — np.round is banker's half-even and
+                # diverges on exact .5 ties at the round_to-th decimal
+                s = 10.0 ** round_to
+                cos = np.copysign(np.floor(np.abs(cos) * s + 0.5), cos) / s
             # argmax returns the FIRST max; centroids are sorted by id, so
             # ties break to the lowest centroid_id, same as the window
             best = cids[np.argmax(cos, axis=1)]

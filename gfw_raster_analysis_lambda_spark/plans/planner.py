@@ -603,8 +603,9 @@ def build_multi_partials_with_lookup(
 ) -> DataFrame:
     """FUSED cell-kernel plan: one scan + decode + per-(aoi, cell)
     rasterize serving every query of a batch (zonal.make_multi_cell_kernel).
-    Output is the tagged union of all queries' partial rows (``_q`` +
-    ``q{i}__``-prefixed columns); split per query with
+    Output rows are NARROW: ``_q`` tags the owning query and ``vals``
+    packs exactly that query's partial values (``partial_columns``
+    order) as one array<double>; split per query with
     :func:`split_multi_partials`."""
     spark = images.sparkSession
     cell_ids = list(lookup.value.keys())

@@ -656,3 +656,51 @@ def test_cross_modal_dups_consensus(spark):
     assert not any("e" in p for p in pairs)
     # d vs a: tokens {red,barn,under,snow} vs +{light}: jaccard 4/5
     assert pairs[("a", "d")]["caption_jaccard"] == 0.8
+
+
+def test_review_fixes_round3(spark, emb):
+    """Regression pins for round-3 review findings: empty-input paths,
+    HALF_UP rounding parity, truncated-chroma detection, captionless
+    cross-modal pairs."""
+    import io
+
+    # empty query set: empty frame, not IndexError
+    from gfw_raster_analysis_lambda_spark.operators import knn
+    from gfw_raster_analysis_lambda_spark.sources import fixtures as fx
+    from gfw_raster_analysis_lambda_spark.sources.images import with_derived_keys
+
+    images = with_derived_keys(
+        spark.createDataFrame(fx.generate_images_rows(), fx.IMAGES_SCHEMA)
+    )
+    empty_q = spark.createDataFrame([], "query_id string, phash long, cell_id long")
+    assert knn.knn_phash_pruned_auto(
+        images, empty_q, k=3, ring=1, max_ring=4, grid_name=fx.GRID.name
+    ).count() == 0
+    with pytest.raises(ValueError, match="ring"):
+        knn.knn_phash_pruned_auto(images, empty_q, k=3, ring=0, grid_name=fx.GRID.name)
+
+    # empty centroid frame: empty assignment, not np.stack crash
+    no_cents = spark.createDataFrame([], "centroid_id long, embedding array<float>")
+    assert similarity.ivf_assign_fast(emb, no_cents).count() == 0
+    assert similarity.ivf_assign_fast(emb, no_cents, carry_vec=True).columns == [
+        "id", "centroid_id", "v"
+    ]
+
+    # HALF_UP tie rounding matches Spark F.round (np.round would give .123456)
+    one = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<double>")
+    import numpy as np2
+    s = 10.0 ** 6
+    assert np2.copysign(np2.floor(abs(0.1234565) * s + 0.5), 1.0) / s == 0.123457
+
+    # truncated final chroma plane raises
+    payload = multimodal.synthesize_y4m(8, 6, 2, seed=0)
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal._decode_video(payload[:-4], fake=False)
+
+    # captionless image keeps its visual pair at jaccard 0
+    rows = [("a", 7, "same words"), ("b", 7, ""), ("c", 7, "same words")]
+    df = spark.createDataFrame(rows, "image_id string, phash long, caption string")
+    got = dedup.cross_modal_dups(df, min_caption_jaccard=0.0).toPandas()
+    pairs = {(r.a, r.b): r.caption_jaccard for r in got.itertuples()}
+    assert pairs[("a", "b")] == 0.0 and pairs[("b", "c")] == 0.0
+    assert pairs[("a", "c")] == 1.0
