@@ -21,4 +21,5 @@ from .api import (  # noqa: E402,F401
     zonal_statistics_multi,
 )
 from .checkpoint import run_zonal_checkpointed  # noqa: E402,F401
+from .plans.planner import ZonalResultSet, prepare_aoi_index  # noqa: E402,F401
 from .session import get_spark  # noqa: E402,F401
