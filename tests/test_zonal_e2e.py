@@ -829,10 +829,18 @@ def test_percentile_float_hazard_rank(spark, env):
 
 
 @pytest.mark.parametrize("seed", [3, 11, 29, 47, 101, 137, 211, 499])
-def test_random_query_fuzz_vs_oracle(spark, tables, env, seed):
+def test_random_query_fuzz_vs_oracle(spark, tables, env, seed, monkeypatch):
     """Randomized query shapes (base/filters/groups/aggs drawn per seed)
     must match the single-process numpy oracle — guards the operator
-    COMBINATIONS no hand-written test exercises."""
+    COMBINATIONS no hand-written test exercises. Seeds also vary the
+    EXECUTION PATH: odd seeds force the multi-range prune (gap-split
+    BETWEEN + semi-join) and every 4th seed runs through the fused
+    executor. (A one-off 200-seed sweep of the same generator ran clean
+    across all path combinations — round 3.)"""
+    from gfw_raster_analysis_lambda_spark.plans import planner as _pl
+
+    if seed % 2:
+        monkeypatch.setattr(_pl, "MAX_EXACT_IN_CELLS", 2)
     rng = np.random.RandomState(seed)
     bases = ["tcl_year", "ttc_percent", "data", "alert_date_conf"]
     base = bases[rng.randint(len(bases))]
@@ -865,8 +873,17 @@ def test_random_query_fuzz_vs_oracle(spark, tables, env, seed):
     q = ZonalQuery(
         base_layer=base, group_layers=groups, aggregates=tuple(kept), where=where
     )
-    got, exp = run_both(spark, tables, env, q)
-    assert_frames_match(got, exp)
+    if seed % 4 == 0:
+        from gfw_raster_analysis_lambda_spark.plans.planner import run_zonal_queries
+
+        images, aoi_df = tables
+        with run_zonal_queries(spark, images, aoi_df, {"q": q}, env, GRID_NAME) as res:
+            got = res["q"].toPandas().reset_index(drop=True)
+        exp = oracle.run_oracle(q, env, fixtures.fixture_aois())
+        assert_frames_match(got, exp)
+    else:
+        got, exp = run_both(spark, tables, env, q)
+        assert_frames_match(got, exp)
 
 
 # 22. multi-range cell pruning: a scattered AOI batch (two far-apart
