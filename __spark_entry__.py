@@ -389,6 +389,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["zonal_grouped_median"] = zonal_grouped_median
 
+    def zonal_mode_drivers(spark, sf_dir):
+        # MODE (majority class) as a plan rewrite over the bincount
+        # partials: argmax of per-value counts per (aoi, group), ties to
+        # the smallest value; categorical decode applied BEFORE the
+        # argmax so many-raw-to-one-meaning tables majority over meanings
+        return _zonal(
+            spark,
+            "SELECT tcl_year, MODE(drivers) AS major_driver FROM tcl_year "
+            "GROUP BY tcl_year",
+            list(_BOXES),
+        )
+    q["zonal_mode_drivers"] = zonal_mode_drivers
+
+    def zonal_distinct_alert_days(spark, sf_dir):
+        # COUNT(DISTINCT layer): distinct-value count per AOI off the same
+        # O(distinct values) rollup, with a derived-layer WHERE
+        return _zonal(
+            spark,
+            "SELECT COUNT(DISTINCT alert_date) AS n_days FROM alert_date_conf "
+            "WHERE alert_conf >= 2",
+            list(_BOXES),
+        )
+    q["zonal_distinct_alert_days"] = zonal_distinct_alert_days
+
     def zonal_compat_avg(spark, sf_dir):
         # reference AVG quirk (A3): each tile's sum is divided by the
         # tile's TOTAL masked pixel count, then the ratios are re-SUMMED
@@ -1300,6 +1324,32 @@ SELECT aoi_id, {_TCL_DECODE} AS tcl_year,
        CAST(quantile_disc(em, 0.5) AS DOUBLE) AS med
 FROM m WHERE tcl != 0 AND prim = 1 AND em IS NOT NULL
 GROUP BY aoi_id, tcl
+"""
+
+    o["zonal_mode_drivers"] = f"""
+WITH {_pix_cte(list(_BOXES))},
+c AS (
+  SELECT aoi_id, {_TCL_DECODE} AS tcl_year, {_DRV_DECODE} AS major_driver,
+         COUNT(*) AS n
+  FROM m WHERE tcl != 0
+  GROUP BY 1, 2, 3
+),
+r AS (
+  SELECT aoi_id, tcl_year, major_driver,
+         ROW_NUMBER() OVER (
+           PARTITION BY aoi_id, tcl_year
+           ORDER BY n DESC, major_driver ASC
+         ) AS rn
+  FROM c
+)
+SELECT aoi_id, tcl_year, major_driver FROM r WHERE rn = 1
+"""
+
+    o["zonal_distinct_alert_days"] = f"""
+WITH {_pix_cte(list(_BOXES))}
+SELECT aoi_id, CAST(COUNT(DISTINCT alert % 10000) AS BIGINT) AS n_days
+FROM m WHERE alert != 0 AND FLOOR(alert / 10000.0) >= 2
+GROUP BY aoi_id
 """
 
     o["zonal_compat_avg"] = f"""

@@ -85,7 +85,8 @@ def partial_columns(query: ZonalQuery) -> list[tuple[str, str]]:
             cols.append((g, "double"))
     for a in query.aggregates:
         if a.func not in ("count", "sum", "avg", "min", "max"):
-            # percentile etc. are PLAN REWRITES (planner._run_percentile_query);
+            # percentile/mode/count_distinct are PLAN REWRITES
+            # (planner._run_value_rollup_query);
             # they must never reach the partial/kernel machinery, which would
             # silently treat them as sums
             raise ValueError(f"aggregate {a.func!r} has no partial form")

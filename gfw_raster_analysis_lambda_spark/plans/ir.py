@@ -41,7 +41,7 @@ Filter = Union[FilterLeaf, FilterAnd, FilterOr]
 
 @dataclass(frozen=True)
 class Aggregate:
-    func: str  # count | sum | avg | min | max | percentile
+    func: str  # count | sum | avg | min | max | percentile | mode | count_distinct
     layer: Optional[str]  # None for count(*); may be area__ha / reserved
     alias: str
     param: Optional[float] = None  # percentile fraction (0, 1]

@@ -108,8 +108,8 @@ def run_zonal_query(
       skew splitting — nothing is ever collected to the driver).
     """
     grid_name = resolve_target_grid(query, env, grid_name)
-    if any(a.func == "percentile" for a in query.aggregates):
-        return _run_percentile_query(
+    if any(a.func in VALUE_ROLLUP_FUNCS for a in query.aggregates):
+        return _run_value_rollup_query(
             spark, images, aoi_df, query, env, grid_name,
             strategy=strategy, aoi_index=aoi_index,
         )
@@ -147,20 +147,29 @@ def run_zonal_query(
     return finalize_partials(out, query, env)
 
 
-def _run_percentile_query(
+VALUE_ROLLUP_FUNCS = ("percentile", "mode", "count_distinct")
+
+
+def _run_value_rollup_query(
     spark, images, aoi_df, query: ZonalQuery, env, grid_name,
     strategy=None, aoi_index=None,
 ) -> DataFrame:
-    """PERCENTILE/MEDIAN as a PLAN REWRITE, no kernel changes: percentile
-    over a raster layer = group-by-value counts (the kernel's native
-    bincount partial, shuffle volume O(distinct values) not O(pixels))
-    followed by a windowed cumulative-count selection (partitioned by the
-    query's group keys when present, so ``SELECT g, PERCENTILE(x, p) ...
-    GROUP BY g`` yields one percentile per (aoi, group)). Discrete-
-    percentile semantics match DuckDB's ``quantile_disc`` exactly: the
-    1-based ``ceil(p * n)``-th ordered element. Restriction: exactly one
-    PERCENTILE/MEDIAN selector, no other aggregates, no isoweek/pixel/
-    order/limit clauses."""
+    """PERCENTILE/MEDIAN/MODE/COUNT(DISTINCT) as PLAN REWRITES, no kernel
+    changes: each is group-by-value counts (the kernel's native bincount
+    partial, shuffle volume O(distinct values) not O(pixels)) followed by
+    a cheap relational rollup partitioned by the query's group keys:
+
+    - ``percentile``: windowed cumulative-count selection. Discrete-
+      percentile semantics match DuckDB's ``quantile_disc`` exactly: the
+      1-based ``ceil(p * n)``-th ordered element. Raw numeric layers only.
+    - ``mode``: per-(aoi, groups) argmax of the value counts; ties break
+      to the SMALLEST value (deterministic, oracle-matchable). Categorical
+      layers are allowed — counts are re-summed per decoded meaning first,
+      so a many-raw-to-one-meaning table still yields the majority meaning.
+    - ``count_distinct``: count of distinct (decoded) values per group.
+
+    Restriction: exactly one such selector, no other aggregates, no
+    isoweek/pixel/order/limit clauses."""
     from pyspark.sql import Window
 
     aggs = query.aggregates
@@ -169,18 +178,20 @@ def _run_percentile_query(
         or query.order_by or query.limit
     ):
         raise ValueError(
-            "percentile queries take exactly one PERCENTILE/MEDIAN selector "
-            "and no isoweek/pixel/order/limit clauses"
+            "percentile/mode/count_distinct queries take exactly one such "
+            "selector and no isoweek/pixel/order/limit clauses"
         )
     a = aggs[0]
     layer = env.get_layer(a.layer)
-    if getattr(layer, "decode_expression", None) or getattr(layer, "raster_table", None):
+    if a.func == "percentile" and (
+        getattr(layer, "decode_expression", None) or getattr(layer, "raster_table", None)
+    ):
         raise ValueError(
             "percentile is defined over raw numeric layers; "
             f"{a.layer!r} has a decode/meaning mapping"
         )
     if a.layer in query.group_layers:
-        raise ValueError("percentile layer cannot also be a GROUP BY key")
+        raise ValueError(f"{a.func} layer cannot also be a GROUP BY key")
     inner = ZonalQuery(
         base_layer=query.base_layer,
         group_layers=tuple(query.group_layers) + (a.layer,),
@@ -195,6 +206,24 @@ def _run_percentile_query(
     )
     vcol = a.layer
     keys = ["aoi_id"] + list(query.group_layers)
+    if a.func in ("mode", "count_distinct"):
+        # collapse duplicate value rows first: a raster_table can map many
+        # raw values to one decoded meaning, and the majority/distinct set
+        # is defined over MEANINGS. Re-grouping on the same leading keys
+        # reuses the finalize shuffle's hash partitioning (no new Exchange).
+        counts = partials.groupBy(*keys, vcol).agg(F.sum("__pc_n").alias("__pc_n"))
+        if a.func == "count_distinct":
+            return counts.groupBy(*keys).agg(
+                F.count(F.lit(1)).cast("long").alias(a.alias)
+            )
+        w_top = Window.partitionBy(*keys).orderBy(
+            F.col("__pc_n").desc(), F.col(vcol).asc()
+        )
+        return (
+            counts.withColumn("__rn", F.row_number().over(w_top))
+            .filter(F.col("__rn") == 1)
+            .select(*keys, F.col(vcol).alias(a.alias))
+        )
     w_cum = (
         Window.partitionBy(*keys).orderBy(F.col(vcol))
         .rowsBetween(Window.unboundedPreceding, 0)
@@ -708,7 +737,9 @@ def run_zonal_queries(
     fusable = (
         len(grids) == 1
         and not any(q.select_pixels for q in qlist)
-        and not any(a.func == "percentile" for q in qlist for a in q.aggregates)
+        and not any(
+            a.func in VALUE_ROLLUP_FUNCS for q in qlist for a in q.aggregates
+        )
         and strategy in (None, "auto", "cell", "colocated")
     )
     target = grids.pop() if len(grids) == 1 else None

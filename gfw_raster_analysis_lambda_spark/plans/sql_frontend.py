@@ -14,6 +14,8 @@ recursive-descent parser for the same dialect:
 
     sel  := layer | latitude | longitude | isoweek(layer)
           | SUM(x) | COUNT(*|x) | AVG(x) | MIN(x) | MAX(x)   [AS alias]
+          | PERCENTILE(x, p) | MEDIAN(x) | MODE(x)
+          | COUNT(DISTINCT x)                                [AS alias]
     cond := disjunction of conjunctions of comparisons;
             ops = < <= > >= = != <> IN (..) BETWEEN a AND b; parentheses ok
 
@@ -129,10 +131,15 @@ class _Parser:
     def _selector(self):
         t = self.next()
         tl = t.lower()
-        if tl in ("percentile", "median") and self.peek() == "(":
+        if tl in ("percentile", "median", "mode") and self.peek() == "(":
             self.next()
             layer = self.next()
             self._check_layer(layer)
+            if tl == "mode":
+                if self.next() != ")":
+                    raise QueryParseError("mode(layer) takes one argument")
+                alias = self._alias() or f"mode_{layer.replace('.', '_')}"
+                return ("agg", Aggregate("mode", layer, alias))
             frac = 0.5
             if tl == "percentile":
                 if self.next() != ",":
@@ -152,6 +159,13 @@ class _Parser:
             return ("agg", Aggregate("percentile", layer, alias, param=frac))
         if tl in AGG_FUNCS and self.peek() == "(":
             self.next()
+            if tl == "count" and self.accept_kw("distinct"):
+                layer = self.next()
+                self._check_layer(layer)
+                if self.next() != ")":
+                    raise QueryParseError("expected ) after COUNT(DISTINCT layer)")
+                alias = self._alias() or f"count_distinct_{layer.replace('.', '_')}"
+                return ("agg", Aggregate("count_distinct", layer, alias))
             arg = self.next()
             if arg == "*":
                 layer = None

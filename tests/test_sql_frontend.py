@@ -131,3 +131,31 @@ def test_percentile_parse_and_validation():
     assert m.aggregates[0].param == 0.5
     with pytest.raises(QueryParseError):
         parse_raster_sql("SELECT percentile(ttc_percent, 1.5) FROM ttc_percent", env)
+
+
+def test_mode_and_count_distinct_parse():
+    from gfw_raster_analysis_lambda_spark.plans.sql_frontend import (
+        QueryParseError,
+        parse_raster_sql,
+    )
+    from gfw_raster_analysis_lambda_spark.sources import fixtures
+
+    env = fixtures.fixture_environment()
+    q = parse_raster_sql(
+        "SELECT tcl_year, MODE(drivers) AS major FROM tcl_year GROUP BY tcl_year", env
+    )
+    a = [x for x in q.aggregates][0]
+    assert (a.func, a.layer, a.alias) == ("mode", "drivers", "major")
+    q2 = parse_raster_sql(
+        "SELECT COUNT(DISTINCT alert_date) FROM alert_date_conf", env
+    )
+    a2 = q2.aggregates[0]
+    assert (a2.func, a2.layer) == ("count_distinct", "alert_date")
+    assert a2.alias == "count_distinct_alert_date"
+    # plain COUNT still parses as before (argument ignored)
+    q3 = parse_raster_sql("SELECT COUNT(*) AS n FROM tcl_year", env)
+    assert q3.aggregates[0].func == "count"
+    with pytest.raises(QueryParseError):
+        parse_raster_sql("SELECT MODE(nope) FROM tcl_year", env)
+    with pytest.raises(QueryParseError):
+        parse_raster_sql("SELECT COUNT(DISTINCT nope) FROM tcl_year", env)

@@ -1038,3 +1038,106 @@ def test_corrupt_tile_tolerance(spark, env):
         .toPandas().reset_index(drop=True)
     )
     assert_frames_match(got, exp)
+
+
+def test_mode_vs_oracle_counts(spark, tables, env):
+    """MODE plan rewrite vs the numpy oracle: expected majority is derived
+    from the ORACLE's group-by-value counts (an independent kernel) reduced
+    in pandas with the same deterministic tie-break (count desc, value asc)."""
+    images, aoi_df = tables
+    aois = fixtures.fixture_aois()[:2]
+    ids = [a[0] for a in aois]
+    aoi_df = aoi_df.filter(aoi_df.aoi_id.isin(ids))
+    mode_q = ZonalQuery(
+        base_layer="tcl_year",
+        group_layers=("tcl_year",),
+        aggregates=(Aggregate("mode", "drivers", "major_driver"),),
+    )
+    got = (
+        run_zonal_query(spark, images, aoi_df, mode_q, env, GRID_NAME)
+        .toPandas()
+        .sort_values(["aoi_id", "tcl_year"])
+        .reset_index(drop=True)
+    )
+    inner_q = ZonalQuery(
+        base_layer="tcl_year",
+        group_layers=("tcl_year", "drivers"),
+        aggregates=(Aggregate("count", None, "n"),),
+    )
+    counts = oracle.run_oracle(inner_q, env, aois)
+    # many-raw-to-one-meaning safety: re-sum per decoded meaning first
+    counts = counts.groupby(["aoi_id", "tcl_year", "drivers"], as_index=False)["n"].sum()
+    exp = (
+        counts.sort_values(
+            ["aoi_id", "tcl_year", "n", "drivers"],
+            ascending=[True, True, False, True],
+        )
+        .groupby(["aoi_id", "tcl_year"])
+        .first()
+        .reset_index()[["aoi_id", "tcl_year", "drivers"]]
+        .rename(columns={"drivers": "major_driver"})
+        .sort_values(["aoi_id", "tcl_year"])
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == ["aoi_id", "tcl_year", "major_driver"]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_count_distinct_vs_oracle_counts(spark, tables, env):
+    images, aoi_df = tables
+    aois = fixtures.fixture_aois()[:2]
+    ids = [a[0] for a in aois]
+    aoi_df = aoi_df.filter(aoi_df.aoi_id.isin(ids))
+    cd_q = ZonalQuery(
+        base_layer="alert_date_conf",
+        aggregates=(Aggregate("count_distinct", "alert_date", "n_days"),),
+        where=FilterLeaf("alert_conf", ">=", (2,)),
+    )
+    got = (
+        run_zonal_query(spark, images, aoi_df, cd_q, env, GRID_NAME)
+        .toPandas()
+        .sort_values("aoi_id")
+        .reset_index(drop=True)
+    )
+    inner_q = ZonalQuery(
+        base_layer="alert_date_conf",
+        group_layers=("alert_date",),
+        aggregates=(Aggregate("count", None, "n"),),
+        where=FilterLeaf("alert_conf", ">=", (2,)),
+    )
+    counts = oracle.run_oracle(inner_q, env, aois)
+    exp = (
+        counts.groupby("aoi_id")["alert_date"]
+        .nunique()
+        .reset_index(name="n_days")
+        .sort_values("aoi_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_days"].dtype.kind == "i"
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_mode_rejects_bad_shapes(spark, tables, env):
+    images, aoi_df = tables
+    with pytest.raises(ValueError, match="GROUP BY"):
+        run_zonal_query(
+            spark, images, aoi_df,
+            ZonalQuery(
+                base_layer="tcl_year",
+                group_layers=("drivers",),
+                aggregates=(Aggregate("mode", "drivers", "m"),),
+            ),
+            env, GRID_NAME,
+        )
+    with pytest.raises(ValueError, match="exactly one"):
+        run_zonal_query(
+            spark, images, aoi_df,
+            ZonalQuery(
+                base_layer="tcl_year",
+                aggregates=(
+                    Aggregate("mode", "drivers", "m"),
+                    Aggregate("count", None, "n"),
+                ),
+            ),
+            env, GRID_NAME,
+        )
