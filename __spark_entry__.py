@@ -915,6 +915,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return text.text_profile(_t(spark, sf_dir, "documents"))
     q["text_profile"] = text_profile
 
+    def _decon_corpus(spark, sf_dir):
+        # benchmark decontamination fixture: every 97th doc plays the
+        # benchmark set; PLANT partial contamination by appending the
+        # first half of each benchmark item's (lowercased) text to the
+        # next doc's text (coverage ~0.48 — between the chance-overlap
+        # noise floor <0.1 and the verbatim self-match 1.0)
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        bench_docs = d.filter(F.col("doc_id") % 97 == 0)
+        btoks = F.split(F.lower(F.trim(F.col("b.text"))), r"\s+")
+        half = F.concat_ws(
+            " ", F.slice(btoks, F.lit(1), F.floor(F.size(btoks) / 2).cast("int"))
+        )
+        planted = (
+            bench_docs.alias("b")
+            .join(d.alias("n"), F.col("n.doc_id") == F.col("b.doc_id") + 1)
+            .select(
+                (F.col("b.doc_id") + 1_000_000).alias("doc_id"),
+                F.concat_ws(" ", F.col("n.text"), half).alias("text"),
+            )
+        )
+        corpus = d.unionByName(planted)
+        bench = bench_docs.select(F.col("doc_id").alias("bench_id"), "text")
+        return corpus, bench
+
+    def text_decontaminate(spark, sf_dir):
+        # (doc, benchmark item) pairs where the doc covers >= 30% of the
+        # item's distinct 3-gram shingles; benchmark side broadcast
+        corpus, bench = _decon_corpus(spark, sf_dir)
+        return text.benchmark_contamination(corpus, bench, n=3, threshold=0.3)
+    q["text_decontaminate"] = text_decontaminate
+
+    def text_contaminated_docs(spark, sf_dir):
+        # O(docs)-output drop-list variant
+        corpus, bench = _decon_corpus(spark, sf_dir)
+        return text.contaminated_doc_ids(corpus, bench, n=3, threshold=0.3)
+    q["text_contaminated_docs"] = text_contaminated_docs
+
     # -- deduplication -------------------------------------------------------
 
     def dedup_exact(spark, sf_dir):
@@ -1796,6 +1833,51 @@ SELECT doc_id,
                / GREATEST(CAST(length(text) AS DOUBLE), 1.0)), 6) AS quality,
   {fingerprint} AS fingerprint
 FROM s2
+"""
+
+    _DECON_CTE = """
+planted AS (
+  SELECT b.doc_id + 1000000 AS doc_id,
+         n.text || ' ' || array_to_string(
+           (regexp_split_to_array(lower(trim(b.text)), '\\s+'))
+             [1:CAST(FLOOR(len(regexp_split_to_array(lower(trim(b.text)), '\\s+')) / 2.0) AS INT)],
+           ' ') AS text
+  FROM documents b JOIN documents n ON n.doc_id = b.doc_id + 1
+  WHERE b.doc_id % 97 = 0
+),
+corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM planted),
+t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id AS id, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM t, generate_series(1, 4096) g(i)
+  WHERE i <= GREATEST(len(toks) - 2, 1)
+    AND len(array_to_string(toks[i:i+2], ' ')) > 0
+),
+b AS (SELECT id AS bench_id, shingle FROM sh WHERE id % 97 = 0),
+bsz AS (SELECT bench_id, COUNT(*) AS n_bench_shingles FROM b GROUP BY 1),
+pairs AS (
+  SELECT d.id AS doc_id, h.bench_id, CAST(COUNT(*) AS BIGINT) AS n_overlap,
+         CAST(MIN(bsz.n_bench_shingles) AS BIGINT) AS n_bench_shingles,
+         ROUND(COUNT(*) / CAST(MIN(bsz.n_bench_shingles) AS DOUBLE), 6)
+           AS overlap_frac
+  FROM sh d JOIN b h ON d.shingle = h.shingle
+  JOIN bsz ON bsz.bench_id = h.bench_id
+  GROUP BY 1, 2
+)"""
+
+    o["text_decontaminate"] = f"""
+WITH {_DECON_CTE}
+SELECT doc_id, bench_id, n_overlap, n_bench_shingles, overlap_frac
+FROM pairs WHERE overlap_frac >= 0.3
+"""
+
+    o["text_contaminated_docs"] = f"""
+WITH {_DECON_CTE}
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench_hits,
+       ROUND(MAX(overlap_frac), 6) AS max_overlap_frac
+FROM pairs WHERE overlap_frac >= 0.3
+GROUP BY doc_id
 """
 
     # -- dedup ---------------------------------------------------------------

@@ -92,3 +92,82 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         quality_score(t).alias("quality"),
         fingerprint64(t).alias("fingerprint"),
     )
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    *,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    bench_id: str = "bench_id",
+    bench_text: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark decontamination: flag (document, benchmark item) pairs
+    where the document covers at least ``threshold`` of the benchmark
+    item's distinct word ``n``-gram shingles — the standard n-gram-overlap
+    contamination check run before training on a scraped corpus.
+
+    Scale shape: the benchmark side is SMALL (thousands of eval items)
+    while the corpus is the 100-TB side, so the benchmark shingle table is
+    **broadcast** and the corpus shingles stream map-side against it —
+    no shuffle of corpus rows at all; only matched (doc, bench) hits enter
+    the aggregation, which is bounded by true overlaps. The overlap
+    denominator is the benchmark item's shingle count (coverage of the
+    EVAL item, not of the document), so long documents cannot dilute a
+    verbatim-embedded benchmark question.
+
+    Returns ``(doc_id, bench_id, n_overlap, n_bench_shingles,
+    overlap_frac)`` for pairs at/above ``threshold``.
+    """
+    from .dedup import shingles
+
+    d_sh = shingles(docs, doc_id, text_col, n).withColumnRenamed("id", "__doc")
+    b_sh = shingles(bench, bench_id, bench_text, n).withColumnRenamed("id", "__bench")
+    b_sz = b_sh.groupBy("__bench").agg(F.count(F.lit(1)).alias("n_bench_shingles"))
+    hits = (
+        d_sh.join(F.broadcast(b_sh), "shingle")
+        .groupBy("__doc", "__bench")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        hits.join(F.broadcast(b_sz), "__bench")
+        .withColumn(
+            "overlap_frac",
+            F.round(F.col("n_overlap") / F.col("n_bench_shingles").cast("double"), 6),
+        )
+        .filter(F.col("overlap_frac") >= F.lit(float(threshold)))
+        .select(
+            F.col("__doc").alias(doc_id),
+            F.col("__bench").alias(bench_id),
+            "n_overlap",
+            "n_bench_shingles",
+            "overlap_frac",
+        )
+    )
+
+
+def contaminated_doc_ids(
+    docs: DataFrame,
+    bench: DataFrame,
+    *,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    bench_id: str = "bench_id",
+    bench_text: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """O(docs)-output variant: one row per contaminated document with its
+    worst (max) benchmark coverage and the number of benchmark items hit —
+    the production drop-list for a corpus rebuild."""
+    pairs = benchmark_contamination(
+        docs, bench, doc_id=doc_id, text_col=text_col,
+        bench_id=bench_id, bench_text=bench_text, n=n, threshold=threshold,
+    )
+    return pairs.groupBy(doc_id).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
+        F.round(F.max("overlap_frac"), 6).alias("max_overlap_frac"),
+    )

@@ -704,3 +704,46 @@ def test_review_fixes_round3(spark, emb):
     pairs = {(r.a, r.b): r.caption_jaccard for r in got.itertuples()}
     assert pairs[("a", "b")] == 0.0 and pairs[("b", "c")] == 0.0
     assert pairs[("a", "c")] == 1.0
+
+
+def test_benchmark_contamination_semantics_and_broadcast(spark):
+    """Hand-built corpus: doc 10 embeds ALL of bench 1's trigrams, doc 11
+    embeds about half, doc 12 none. Coverage is over the BENCHMARK item's
+    shingles (long docs don't dilute), and the plan broadcasts the
+    benchmark side (corpus rows never shuffle for the join)."""
+    bench_text = "alpha beta gamma delta epsilon zeta eta"  # 5 trigrams
+    docs = spark.createDataFrame(
+        [
+            (10, "noise words here " + bench_text + " trailing tail"),
+            (11, "alpha beta gamma delta filler filler filler"),  # 2/5 trigrams
+            (12, "completely unrelated text with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(1, bench_text)], "bench_id long, text string")
+    got = (
+        text.benchmark_contamination(docs, bench, n=3, threshold=0.3)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert list(got["doc_id"]) == [10, 11]
+    full = got[got.doc_id == 10].iloc[0]
+    part = got[got.doc_id == 11].iloc[0]
+    assert full["n_bench_shingles"] == 5 and full["n_overlap"] == 5
+    assert full["overlap_frac"] == 1.0
+    assert part["n_overlap"] == 2 and abs(part["overlap_frac"] - 0.4) < 1e-9
+    # below-threshold doc is absent entirely (12 had zero shared shingles;
+    # a doc sharing some-but-few shingles is filtered by the threshold)
+    assert 12 not in set(got["doc_id"])
+
+    plan = text.benchmark_contamination(docs, bench, n=3, threshold=0.3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    drop = (
+        text.contaminated_doc_ids(docs, bench, n=3, threshold=0.3)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert list(drop["doc_id"]) == [10, 11]
+    assert list(drop["n_bench_hits"]) == [1, 1]
+    assert drop[drop.doc_id == 10]["max_overlap_frac"].iloc[0] == 1.0
