@@ -1035,6 +1035,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", "split")
     q["sample_split_assign"] = sample_split_assign
 
+    def sample_stratified(spark, sf_dir):
+        # per-stratum deterministic rates: downsample the dominant 'en'
+        # stratum, keep the rest dense, default rate for unlisted strata
+        # ('zh') — rebalancing a skewed corpus, bit-reproducible
+        from gfw_raster_analysis_lambda_spark.operators import sampling
+
+        d = _t(spark, sf_dir, "documents")
+        return sampling.stratified_sample(
+            d, {"en": 0.3, "es": 0.8, "de": 0.8, "fr": 0.8},
+            strata_col="lang", id_col="doc_id", default_fraction=0.1,
+        ).select("doc_id", "lang")
+    q["sample_stratified"] = sample_stratified
+
+    def text_quality_quota(spark, sf_dir):
+        # top-8 highest-quality docs per language stratum via the salted
+        # two-phase top-k (skew-safe: no single task ever sees a whole
+        # stratum); ties break to the smallest doc_id
+        d = _t(spark, sf_dir, "documents")
+        return text.quality_quota(d, k=8, strata_col="lang")
+    q["text_quality_quota"] = text_quality_quota
+
     # -- similarity search ---------------------------------------------------
 
     def sim_cosine_topk(spark, sf_dir):
@@ -2009,6 +2030,32 @@ SELECT doc_id,
             ELSE 'test' END AS split
 FROM documents
 WHERE {hu.format(salt='sample')} < 0.25
+"""
+
+    o["sample_stratified"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE {hu.format(salt='sample')} <
+      CASE lang WHEN 'en' THEN 0.3 WHEN 'es' THEN 0.8
+                WHEN 'de' THEN 0.8 WHEN 'fr' THEN 0.8 ELSE 0.1 END
+"""
+
+    _QUALITY_EXPR = """ROUND(0.4 * LEAST(length(text) / 1000.0, 1.0)
+      + 0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               / GREATEST(CAST(length(text) AS DOUBLE), 1.0))
+      + 0.3 * (1.0 - length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+               / GREATEST(CAST(length(text) AS DOUBLE), 1.0)), 6)"""
+
+    o["text_quality_quota"] = f"""
+WITH s AS (
+  SELECT doc_id, lang, {_QUALITY_EXPR} AS quality FROM documents
+),
+r AS (
+  SELECT doc_id, lang, quality,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ASC)
+           AS rank
+  FROM s
+)
+SELECT doc_id, lang, quality, CAST(rank AS INT) AS rank FROM r WHERE rank <= 8
 """
 
     # -- image near-dup by phash: brute-force all-pairs hamming twins ------

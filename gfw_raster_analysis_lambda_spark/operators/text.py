@@ -171,3 +171,59 @@ def contaminated_doc_ids(
         F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
         F.round(F.max("overlap_frac"), 6).alias("max_overlap_frac"),
     )
+
+
+def salted_grouped_topk(
+    df: DataFrame,
+    group_cols: "list[str]",
+    order_cols: "list[Column]",
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Exact top-k per group, skew-safe for LOW-cardinality groups.
+
+    A plain ``row_number() OVER (PARTITION BY group)`` funnels every row
+    of a group through ONE task — with a handful of strata over a 100-TB
+    corpus that is a single-machine bottleneck. Two phases instead:
+
+    1. local top-k per (group, input-partition): the window is salted
+       with ``spark_partition_id()``, so the first exchange spreads each
+       group over all partitions and no task sees more than its share;
+    2. global top-k over the surviving ``<= k * n_partitions`` rows per
+       group — a trivially small window.
+
+    Any global top-k row is in its partition's top-k, so the salted
+    pre-filter is lossless; ``order_cols`` must be a TOTAL order (add an
+    id tie-break) for a deterministic result."""
+    from pyspark.sql import Window
+
+    w_local = Window.partitionBy(*group_cols, F.spark_partition_id()).orderBy(*order_cols)
+    w_global = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__lr", F.row_number().over(w_local))
+        .filter(F.col("__lr") <= k)
+        .drop("__lr")
+        .withColumn(rank_col, F.row_number().over(w_global))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def quality_quota(
+    df: DataFrame,
+    k: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep the k highest-quality documents per stratum (quota-based
+    curation for a balanced training mix). Deterministic: quality ties
+    break to the smallest id. Skew-safe via :func:`salted_grouped_topk`
+    (strata counts are tiny; corpus is not)."""
+    scored = df.withColumn("quality", quality_score(F.col(text_col)))
+    out = salted_grouped_topk(
+        scored,
+        [strata_col],
+        [F.col("quality").desc(), F.col(id_col).asc()],
+        k,
+    )
+    return out.select(id_col, strata_col, "quality", "rank")

@@ -747,3 +747,31 @@ def test_benchmark_contamination_semantics_and_broadcast(spark):
     assert list(drop["doc_id"]) == [10, 11]
     assert list(drop["n_bench_hits"]) == [1, 1]
     assert drop[drop.doc_id == 10]["max_overlap_frac"].iloc[0] == 1.0
+
+
+def test_salted_grouped_topk_matches_plain_window(spark, docs):
+    """The salted two-phase top-k is lossless: bit-identical rows to the
+    naive single-window plan on a deliberately multi-partition input."""
+    from pyspark.sql import Window
+
+    d = docs.repartition(7)
+    order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    got = (
+        text.salted_grouped_topk(d, ["lang"], order, 5)
+        .select("doc_id", "lang", "rank")
+        .orderBy("lang", "rank")
+        .toPandas()
+    )
+    w = Window.partitionBy("lang").orderBy(*order)
+    exp = (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "lang", "rank")
+        .orderBy("lang", "rank")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    # quality_quota composes the same helper over the quality score
+    qq = text.quality_quota(docs, k=3).toPandas()
+    assert set(qq.columns) == {"doc_id", "lang", "quality", "rank"}
+    assert (qq.groupby("lang")["rank"].max() <= 3).all()
