@@ -1103,6 +1103,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.ann_ivf(e, qs, k=10, n_probe=4, centroids=cents)
     q["sim_ann_ivf_kmeans"] = sim_ann_ivf_kmeans
 
+    def sim_pq_adc(spark, sf_dir):
+        # product quantization: seed codebooks from the 16 lowest-id
+        # vectors (m=8 subspaces x 16 codes), encode the corpus with the
+        # zero-shuffle Arrow kernel, then ADC top-10 for 3 queries in one
+        # codegen scan over the codes column — vectors are never re-read
+        e = _t(spark, sf_dir, "embeddings")
+        cb = similarity.pq_init_codebooks(e, m=8, ksub=16)
+        enc = similarity.pq_encode(e, cb)
+        qs = [
+            (int(r[0]), r[1])
+            for r in e.filter(F.col("vec_id") < 3)
+            .select("vec_id", "embedding").collect()
+        ]
+        out = similarity.pq_adc_topk(enc, cb, qs, k=10)
+        return out.withColumn("query_id", F.col("query_id").cast("long"))
+    q["sim_pq_adc"] = sim_pq_adc
+
     return q
 
 
@@ -2290,6 +2307,50 @@ cand AS (
 SELECT CAST(query_id AS BIGINT) AS query_id, id, cosine, CAST(rn AS INT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id ASC) AS rn
   FROM cand
+) WHERE rn <= 10
+"""
+
+    o["sim_pq_adc"] = """
+WITH seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+cb AS (
+  SELECT s.s, seeds.code, g.i,
+         CAST(list_extract(embedding, s.s * 8 + g.i) AS DOUBLE) AS val
+  FROM seeds, generate_series(0, 7) s(s), generate_series(1, 8) g(i)
+),
+enc AS (
+  SELECT vec_id, s, code FROM (
+    SELECT x.vec_id, cb.s, cb.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY x.vec_id, cb.s
+             ORDER BY ROUND(SUM(POW(
+               CAST(list_extract(x.embedding, cb.s * 8 + cb.i) AS DOUBLE) - cb.val,
+               2)), 6) ASC, cb.code ASC) AS rn
+    FROM embeddings x, cb
+    GROUP BY x.vec_id, cb.s, cb.code
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),
+lut AS (
+  SELECT q.query_id, cb.s, cb.code,
+         ROUND(SUM(POW(
+           CAST(list_extract(q.embedding, cb.s * 8 + cb.i) AS DOUBLE) - cb.val,
+           2)), 6) AS dsq
+  FROM q, cb
+  GROUP BY 1, 2, 3
+),
+scores AS (
+  SELECT l.query_id, e.vec_id AS id, ROUND(SUM(l.dsq), 6) AS adc_dist
+  FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code
+  GROUP BY 1, 2
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, id, adc_dist, CAST(rn AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adc_dist ASC, id ASC) AS rn
+  FROM scores
 ) WHERE rn <= 10
 """
 

@@ -580,3 +580,202 @@ def recall_at_k(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
             (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compress vectors to m sub-space codes, search
+# with asymmetric distance computation (ADC). The memory-scale ANN path:
+# a 64-dim float vector (256 B) becomes m=8 one-byte codes — at 10^12
+# vectors the index drops from ~256 TB to ~8 TB, and the ADC scan reads
+# codes + a broadcast (m x ksub) lookup table instead of raw vectors.
+# ---------------------------------------------------------------------------
+
+def pq_init_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic PQ codebook seed: the ``ksub`` lowest-id vectors,
+    split into ``m`` equal sub-vectors — same seeding rule as
+    :func:`kmeans_centroids`, so the init-codebook search path is fully
+    DuckDB-expressible. Returns a numpy array (m, ksub, dsub); the
+    codebook is tiny (m*ksub*dsub doubles) and rides the closure like
+    the IVF centroid matrix."""
+    import numpy as np
+
+    rows = sorted(
+        emb.orderBy(F.asc(id_col)).limit(ksub).select(id_col, vec_col).collect(),
+        key=lambda r: r[0],
+    )
+    if len(rows) < ksub:
+        raise ValueError(f"need at least ksub={ksub} vectors to seed PQ")
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])  # ksub x d
+    d = mat.shape[1]
+    if d % m:
+        raise ValueError(f"dims {d} not divisible by m={m}")
+    dsub = d // m
+    # (m, ksub, dsub): codebook s holds the ksub seeds' s-th sub-vector
+    return np.transpose(mat.reshape(ksub, m, dsub), (1, 0, 2)).copy()
+
+
+def _round_half_up(a, decimals: int):
+    import numpy as np
+
+    s = 10.0 ** decimals
+    return np.copysign(np.floor(np.abs(a) * s + 0.5), a) / s
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks,  # numpy (m, ksub, dsub)
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """(id, codes array<int>) — one Arrow batch matmul per partition
+    against the broadcast codebooks, ZERO shuffle (the same shape as
+    :func:`ivf_assign_fast`, once per sub-space in a single kernel).
+    Per sub-space argmin of squared L2, distances rounded HALF_UP to
+    ``round_to`` first and ties to the LOWEST code so the DuckDB twin
+    reproduces codes exactly."""
+    import numpy as np
+    import pandas as pd
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = cb.shape
+    id_type = dict(emb.dtypes)[id_col]
+    schema = f"id {id_type}, codes array<int>"
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sub = vecs.reshape(len(vecs), m, dsub)             # n x m x dsub
+            # n x m x ksub squared-L2 to every code center
+            diff = sub[:, :, None, :] - cb[None, :, :, :]
+            dist = (diff * diff).sum(axis=-1)
+            if round_to is not None:
+                dist = _round_half_up(dist, round_to)
+            codes = dist.argmin(axis=2).astype(np.int32)       # first min = lowest code
+            yield pd.DataFrame({"id": pdf[id_col], "codes": list(codes)})
+
+    return emb.select(F.col(id_col), F.col(vec_col)).mapInPandas(run, schema)
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_fraction: float | None = None,
+):
+    """Lloyd-refined PQ codebooks (numpy (m, ksub, dsub)). Each iteration
+    is one zero-shuffle encode pass over the (optionally hash-sampled)
+    training set plus an O(m*ksub*dsub)-row aggregate — all m sub-space
+    kmeans problems advance in the SAME pass, not m sequential jobs.
+    Deterministic end to end (seeded init, rounded argmin, no rand());
+    empty codes keep their previous center."""
+    import numpy as np
+
+    if train_fraction is not None:
+        from .sampling import deterministic_sample
+
+        emb = deterministic_sample(emb, float(train_fraction), id_col, salt="pq")
+    cb = pq_init_codebooks(emb, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
+    _, _, dsub = cb.shape
+    for _ in range(int(iters)):
+        enc = pq_encode(emb.select(id_col, vec_col), cb, id_col=id_col, vec_col=vec_col)
+        joined = enc.join(
+            emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "id"
+        )
+        # (subspace, code, dim, component) -> mean; tiny output
+        means = (
+            joined.select(
+                F.posexplode("codes").alias("s", "code"),
+                F.col("v"),
+            )
+            .select(
+                "s", "code",
+                F.posexplode(
+                    F.slice(F.col("v"), F.col("s") * dsub + 1, dsub)
+                ).alias("i", "x"),
+            )
+            .groupBy("s", "code", "i")
+            .agg(F.avg(F.col("x").cast("double")).alias("mu"))
+            .collect()
+        )
+        nxt = cb.copy()
+        for r in means:
+            nxt[r["s"], r["code"], r["i"]] = r["mu"]
+        cb = nxt
+    return cb
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,  # (id, codes) from pq_encode
+    codebooks,            # numpy (m, ksub, dsub)
+    queries,              # list[(query_id, vector)] or DataFrame (query_id, embedding)
+    k: int = 10,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance: per query, a (m x ksub)
+    table of sub-space squared-L2 terms is inlined as a nested array
+    literal, and every row's score is ``sum_s lut[s][codes[s]]`` — a pure
+    codegen expression over the codes column (no vectors read, no Python,
+    no join). All queries score in ONE scan as separate columns, stacked,
+    then top-k per query via the salted two-phase window (small k, huge
+    corpus). Returns (query_id, id, adc_dist, rank): SMALLEST distance
+    first, ties to the lowest id."""
+    import numpy as np
+
+    from .text import salted_grouped_topk
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = cb.shape
+    if hasattr(queries, "collect"):
+        queries = [(r[0], r[1]) for r in queries.collect()]
+    if not queries:
+        raise ValueError("pq_adc_topk needs at least one query")
+
+    score_cols = []
+    qids = []
+    for qid, qv in queries:
+        q = np.asarray(qv, dtype=np.float64).reshape(m, 1, dsub)
+        lut = ((q - cb) ** 2).sum(axis=-1)                     # m x ksub
+        if round_to is not None:
+            lut = _round_half_up(lut, round_to)
+        lut_lit = F.array(*[
+            F.array(*[F.lit(float(x)) for x in row]) for row in lut
+        ])
+        score = F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda c, s: F.element_at(F.element_at(lut_lit, s + 1), c + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        if round_to is not None:
+            score = F.round(score, round_to)
+        score_cols.append(score.alias(f"__q{len(qids)}"))
+        qids.append(qid)
+
+    scored = codes_df.select(F.col("id"), *score_cols)
+    stack_expr = "stack({n}, {args}) as (query_id, adc_dist)".format(
+        n=len(qids),
+        args=", ".join(
+            (f"{qid}, __q{i}" if isinstance(qid, int) else f"'{qid}', __q{i}")
+            for i, qid in enumerate(qids)
+        ),
+    )
+    long_df = scored.select("id", F.expr(stack_expr))
+    out = salted_grouped_topk(
+        long_df, ["query_id"], [F.col("adc_dist").asc(), F.col("id").asc()], k,
+    )
+    return out.select("query_id", "id", "adc_dist", "rank")

@@ -775,3 +775,60 @@ def test_salted_grouped_topk_matches_plain_window(spark, docs):
     qq = text.quality_quota(docs, k=3).toPandas()
     assert set(qq.columns) == {"doc_id", "lang", "quality", "rank"}
     assert (qq.groupby("lang")["rank"].max() <= 3).all()
+
+
+def test_pq_encode_numpy_parity_and_no_exchange(spark, emb):
+    """pq_encode codes match a direct numpy re-derivation bit-for-bit,
+    and the encode plan contains no Exchange (zero shuffle)."""
+    from gfw_raster_analysis_lambda_spark.operators.similarity import (
+        _round_half_up,
+        pq_encode,
+        pq_init_codebooks,
+    )
+
+    cb = pq_init_codebooks(emb, m=8, ksub=16)
+    enc = pq_encode(emb, cb)
+    assert "Exchange" not in enc._jdf.queryExecution().executedPlan().toString()
+    got = enc.orderBy("id").toPandas()
+    rows = emb.orderBy("vec_id").select("vec_id", "embedding").collect()
+    V = np.stack([np.asarray(r[1], np.float64) for r in rows])
+    sub = V.reshape(len(V), 8, 8)
+    dist = _round_half_up(((sub[:, :, None, :] - cb[None]) ** 2).sum(-1), 6)
+    exp = dist.argmin(2)
+    np.testing.assert_array_equal(np.stack(got["codes"].to_numpy()), exp)
+
+
+def test_pq_adc_matches_numpy_and_train_improves(spark, emb):
+    from gfw_raster_analysis_lambda_spark.operators.similarity import (
+        _round_half_up,
+        pq_adc_topk,
+        pq_encode,
+        pq_init_codebooks,
+        pq_train,
+    )
+
+    cb = pq_init_codebooks(emb, m=8, ksub=16)
+    enc = pq_encode(emb, cb)
+    rows = emb.orderBy("vec_id").select("vec_id", "embedding").collect()
+    ids = [int(r[0]) for r in rows]
+    V = np.stack([np.asarray(r[1], np.float64) for r in rows])
+    sub = V.reshape(len(V), 8, 8)
+    codes = _round_half_up(((sub[:, :, None, :] - cb[None]) ** 2).sum(-1), 6).argmin(2)
+    qs = [(ids[0], V[0]), (ids[5], V[5])]
+    top = pq_adc_topk(enc, cb, qs, k=7).orderBy("query_id", "rank").toPandas()
+    for qid, qv in qs:
+        lut = _round_half_up(((qv.reshape(8, 1, 8) - cb) ** 2).sum(-1), 6)
+        sc = np.round(lut[np.arange(8)[None, :], codes].sum(1), 6)
+        order = sorted(range(len(ids)), key=lambda i: (sc[i], ids[i]))[:7]
+        g = top[top.query_id == qid]
+        assert list(g["id"]) == [ids[i] for i in order]
+        np.testing.assert_allclose(g["adc_dist"], [sc[i] for i in order], atol=1e-9)
+
+    # one Lloyd iteration must not worsen total quantization error
+    def qerr(c):
+        d = _round_half_up(((sub[:, :, None, :] - c[None]) ** 2).sum(-1), 6)
+        return d.min(axis=2).sum()
+
+    cb1 = pq_train(emb, m=8, ksub=16, iters=1)
+    assert qerr(cb1) <= qerr(cb) + 1e-6
+    assert cb1.shape == cb.shape
