@@ -1056,6 +1056,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return text.quality_quota(d, k=8, strata_col="lang")
     q["text_quality_quota"] = text_quality_quota
 
+    def text_pack_bins(spark, sf_dir):
+        # sequence packing: deterministic token-budget bins in 8 parallel
+        # shards (id order within shard, cumulative-chunking rule)
+        d = _t(spark, sf_dir, "documents")
+        return text.pack_token_bins(d, budget=500, n_shards=8)
+    q["text_pack_bins"] = text_pack_bins
+
     # -- similarity search ---------------------------------------------------
 
     def sim_cosine_topk(spark, sf_dir):
@@ -2073,6 +2080,21 @@ r AS (
   FROM s
 )
 SELECT doc_id, lang, quality, CAST(rank AS INT) AS rank FROM r WHERE rank <= 8
+"""
+
+    o["text_pack_bins"] = """
+WITH s AS (
+  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+         PARTITION BY shard ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 500.0) AS BIGINT)
+         AS bin,
+       n_tokens
+FROM s
 """
 
     # -- image near-dup by phash: brute-force all-pairs hamming twins ------

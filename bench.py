@@ -242,6 +242,29 @@ def bench_queries(spark):
         return similarity.cosine_topk(e, qs, k=10)
     q["sim_cosine_topk"] = sim_cosine
 
+    def sim_pq():
+        # PQ index build + ADC search in one job: encode (zero-shuffle
+        # Arrow kernel) then 16 queries scored in a single codegen scan
+        e = _t("embeddings")
+        cb = similarity.pq_init_codebooks(e, m=8, ksub=16)
+        enc = similarity.pq_encode(e, cb)
+        qs = [
+            (int(r[0]), r[1])
+            for r in e.filter(F.col("vec_id") < 16)
+            .select("vec_id", "embedding").collect()
+        ]
+        return similarity.pq_adc_topk(enc, cb, qs, k=10)
+    q["sim_pq_adc"] = sim_pq
+
+    def text_decon():
+        # broadcast n-gram decontamination: every 97th doc as the bench set
+        d = _t("documents")
+        bench_side = d.filter(F.col("doc_id") % 97 == 0).select(
+            F.col("doc_id").alias("bench_id"), "text"
+        )
+        return text.benchmark_contamination(d, bench_side, n=3, threshold=0.3)
+    q["text_decontaminate"] = text_decon
+
     return q, images, aoi
 
 

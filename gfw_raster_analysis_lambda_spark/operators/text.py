@@ -227,3 +227,50 @@ def quality_quota(
         k,
     )
     return out.select(id_col, strata_col, "quality", "rank")
+
+
+def pack_token_bins(
+    df: DataFrame,
+    budget: int,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing for training batches: assign each document to a
+    token-budget bin. Documents are processed in deterministic id order
+    within ``n_shards`` independent shards (``id % n_shards``), and a
+    document goes to bin ``floor(tokens_before_it / budget)`` — the
+    cumulative-chunking rule, so a rebuild reproduces identical bins.
+
+    Scale shape: a GLOBAL packing order would be one sequential scan (a
+    single window task over the corpus); sharding bounds every window
+    partition at corpus/n_shards rows and packs all shards in parallel —
+    the standard practice, since training only needs *some* deterministic
+    grouping near the budget, not one global sequence. Each bin's total
+    may overshoot ``budget`` by at most its last document's tokens
+    (documents are never split).
+
+    Returns ``(id, shard, bin, n_tokens)``; ``(shard, bin)`` is the
+    packing key."""
+    from pyspark.sql import Window
+
+    toks = whitespace_token_count(F.col(text_col))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            (F.col(id_col) % F.lit(int(n_shards))).cast("int").alias("shard"),
+            toks.cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "bin",
+            F.floor(
+                F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(int(budget))
+            ).cast("long"),
+        )
+        .select(id_col, "shard", "bin", "n_tokens")
+    )

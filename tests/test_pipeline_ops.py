@@ -832,3 +832,28 @@ def test_pq_adc_matches_numpy_and_train_improves(spark, emb):
     cb1 = pq_train(emb, m=8, ksub=16, iters=1)
     assert qerr(cb1) <= qerr(cb) + 1e-6
     assert cb1.shape == cb.shape
+
+
+def test_pack_token_bins_properties(spark, docs):
+    """Bins are contiguous in id order within each shard, every bin's
+    pre-overshoot total stays under budget, and assignment is stable
+    under corpus growth (packing uses only tokens BEFORE a doc)."""
+    out = text.pack_token_bins(docs, budget=300, n_shards=4).toPandas()
+    assert (out["doc_id"] % 4 == out["shard"]).all()
+    for shard, g in out.sort_values("doc_id").groupby("shard"):
+        bins = g["bin"].to_numpy()
+        assert (np.diff(bins) >= 0).all()  # monotone in id order
+        cum = np.concatenate([[0], g["n_tokens"].cumsum().to_numpy()[:-1]])
+        np.testing.assert_array_equal(bins, cum // 300)
+    # growth stability: packing the first half assigns identical bins
+    half_ids = set(
+        docs.orderBy("doc_id").limit(250).select("doc_id").toPandas()["doc_id"]
+    )
+    # drop a TAIL of each shard (ids are interleaved across shards, so a
+    # doc's preceding-token sum within its shard is unchanged)
+    sub = text.pack_token_bins(
+        docs.filter(F.col("doc_id") < 250), budget=300, n_shards=4
+    ).toPandas().set_index("doc_id")["bin"]
+    full = out.set_index("doc_id")["bin"]
+    for i in sub.index:
+        assert sub[i] == full[i]
