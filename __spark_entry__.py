@@ -413,6 +413,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["zonal_distinct_alert_days"] = zonal_distinct_alert_days
 
+    def zonal_multi_derived(spark, sf_dir):
+        # multi-layer map algebra (beyond the reference's one-source
+        # DerivedLayer): em_per_bio = where(B > 0, A/B, nan) ACROSS grids
+        # (emissions fine, biomass 2x coarser) with NaN-excluded AVG, and
+        # loss_prim = tcl_year * is_primary summed
+        return _zonal(
+            spark,
+            "SELECT AVG(em_per_bio) AS epb_avg, SUM(loss_prim) AS lp_sum, "
+            "COUNT(*) AS n FROM data",
+            list(_BOXES),
+            rounding=[("epb_avg", 6)],
+        )
+    q["zonal_multi_derived"] = zonal_multi_derived
+
     def zonal_compat_avg(spark, sf_dir):
         # reference AVG quirk (A3): each tile's sum is divided by the
         # tile's TOTAL masked pixel count, then the ratios are re-SUMMED
@@ -1432,6 +1446,16 @@ WITH {_pix_cte(list(_BOXES))}
 SELECT aoi_id, CAST(COUNT(DISTINCT alert % 10000) AS BIGINT) AS n_days
 FROM m WHERE alert != 0 AND FLOOR(alert / 10000.0) >= 2
 GROUP BY aoi_id
+"""
+
+    o["zonal_multi_derived"] = f"""
+WITH {_pix_cte(list(_BOXES))}
+SELECT aoi_id,
+       ROUND(AVG(CASE WHEN bio > 0 AND em IS NOT NULL
+                      THEN CAST(em AS DOUBLE) / bio END), 6) AS epb_avg,
+       CAST(SUM(tcl * prim) AS DOUBLE) AS lp_sum,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM m GROUP BY aoi_id
 """
 
     o["zonal_compat_avg"] = f"""

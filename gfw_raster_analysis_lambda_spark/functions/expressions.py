@@ -24,7 +24,9 @@ from collections.abc import Callable
 
 import numpy as np
 
-_ALLOWED_NAMES = {"A", "area"}
+# A..H: positional layer inputs (A = single-source calc; B.. for
+# multi-layer map algebra, e.g. "(A - B) / (A + B)")
+_ALLOWED_NAMES = {"A", "B", "C", "D", "E", "F", "G", "H", "area"}
 _ALLOWED_CONSTS = {"nan": np.nan, "pi": np.pi, "True": True, "False": False}
 
 
@@ -188,8 +190,13 @@ def compile_expression(expr: str) -> Callable:
     tree = ast.parse(expr, mode="eval")
     fn = _compile_node(tree)
 
-    def run(A, area=None):
-        return fn({"A": A, "area": area})
+    def run(A, area=None, **extra):
+        # extra: positional layer inputs B.. for multi-layer map algebra.
+        # errstate: where(B > 0, A / B, nan) evaluates A / B eagerly;
+        # the inf/nan lanes are discarded by the where, so the numpy
+        # divide warnings are noise (numpy semantics still apply)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return fn({"A": A, "area": area, **extra})
 
     run.__name__ = f"calc<{expr}>"
     _COMPILE_CACHE[expr] = run

@@ -43,6 +43,7 @@ from ..sources.catalog import (
     LONGITUDE,
     DataEnvironment,
     DerivedLayer,
+    MultiDerivedLayer,
     ReservedLayer,
     SourceLayer,
 )
@@ -59,6 +60,11 @@ def _is_nan_nodata(nd) -> bool:
 
 
 def layer_is_float(env: DataEnvironment, name: str) -> bool:
+    layer = env.get_layer(name)
+    if isinstance(layer, MultiDerivedLayer):
+        # a multi-derived layer declares its RESULT dtype (a ratio of int
+        # layers is float, so NaN-aware aggregation must apply)
+        return layer.dtype.startswith("float")
     src = env.resolve_source(name)
     return src is not None and src.dtype.startswith("float")
 
@@ -380,6 +386,26 @@ def _decode_and_derive(
                 src_layer = env.get_layer(layer.source_layer)
                 src = np.zeros((tile_px, tile_px), dtype=_NP_DTYPES.get(getattr(src_layer, "dtype", "uint8"), np.uint8))
             values[name] = np.ravel(compile_expression(layer.calc)(src, mean_area))
+        elif isinstance(layer, MultiDerivedLayer):
+            # map algebra over several co-registered layers: sources bind
+            # positionally to A, B, C, ... (missing tiles are zeros, the
+            # same S2 semantics as everywhere else)
+            arrs = []
+            for sname in layer.source_layers:
+                a = present.get(sname)
+                if a is None:
+                    sl = env.get_layer(sname)
+                    a = np.zeros(
+                        (tile_px, tile_px),
+                        dtype=_NP_DTYPES.get(getattr(sl, "dtype", "uint8"), np.uint8),
+                    )
+                arrs.append(a)
+            extra = {
+                chr(ord("B") + i): a for i, a in enumerate(arrs[1:])
+            }
+            values[name] = np.ravel(
+                compile_expression(layer.calc)(arrs[0], mean_area, **extra)
+            )
     return values
 
 

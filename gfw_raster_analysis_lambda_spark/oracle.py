@@ -30,6 +30,7 @@ from .sources.catalog import (
     LONGITUDE,
     DataEnvironment,
     DerivedLayer,
+    MultiDerivedLayer,
     ReservedLayer,
     SourceLayer,
 )
@@ -112,6 +113,15 @@ def _cell_frame(query, env, geom, grid, cell, x, y, has_data):
         if isinstance(layer, SourceLayer):
             values[name] = np.ravel(
                 _source_tile(env, name, grid, cell, x, y, tile_px, has_data)
+            )
+        elif isinstance(layer, MultiDerivedLayer):
+            arrs = [
+                _source_tile(env, s, grid, cell, x, y, tile_px, has_data)
+                for s in layer.source_layers
+            ]
+            extra = {chr(ord("B") + i): a for i, a in enumerate(arrs[1:])}
+            values[name] = np.ravel(
+                compile_expression(layer.calc)(arrs[0], mean_area, **extra)
             )
         else:
             src = _source_tile(env, layer.source_layer, grid, cell, x, y, tile_px, has_data)
@@ -257,7 +267,7 @@ def _merge(query: ZonalQuery, env: DataEnvironment, pdf: pd.DataFrame) -> pd.Dat
     # decode group columns (post-agg, P11)
     for g in gcols:
         layer = env.get_layer(g)
-        if isinstance(layer, (SourceLayer, DerivedLayer)):
+        if isinstance(layer, (SourceLayer, DerivedLayer, MultiDerivedLayer)):
             if layer.raster_table or layer.decode_expression:
                 pdf[g] = env.decode_values(g, pdf[g].to_numpy())
             else:

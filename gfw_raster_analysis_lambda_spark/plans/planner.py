@@ -32,7 +32,13 @@ from ..functions import geometry as geo
 from ..functions import grid as G
 from ..functions.expressions import compile_expression
 from ..operators import zonal
-from ..sources.catalog import FROM_DATA, DataEnvironment, DerivedLayer, SourceLayer
+from ..sources.catalog import (
+    FROM_DATA,
+    DataEnvironment,
+    DerivedLayer,
+    MultiDerivedLayer,
+    SourceLayer,
+)
 from .ir import Aggregate, ZonalQuery
 
 BROADCAST_CELL_LIMIT = 2_000_000  # aoi-cell rows we are happy to broadcast
@@ -987,8 +993,14 @@ def _finalize_aggregates(partials: DataFrame, query: ZonalQuery, env: DataEnviro
             if query.compat_avg:
                 aggs.append(F.sum(a.alias).alias(a.alias))
             else:
+                # try_divide: a group can have ZERO valid pixels (every
+                # value NaN-masked, e.g. a ratio layer whose denominator
+                # is NoData across a sliver AOI) — SQL semantics say the
+                # AVG is NULL, not a divide-by-zero error (ANSI mode)
                 aggs.append(
-                    (F.sum(f"{a.alias}__sum") / F.sum(f"{a.alias}__cnt")).alias(a.alias)
+                    F.try_divide(
+                        F.sum(f"{a.alias}__sum"), F.sum(f"{a.alias}__cnt")
+                    ).alias(a.alias)
                 )
         elif a.func == "min":
             aggs.append(F.min(a.alias).alias(a.alias))
@@ -1033,7 +1045,7 @@ def _decode_group_columns(df: DataFrame, query: ZonalQuery, env: DataEnvironment
         if g in query.isoweek_layers:
             continue  # replaced by __isoyear/__isoweek in the kernel
         layer = env.get_layer(g)
-        if not isinstance(layer, (SourceLayer, DerivedLayer)):
+        if not isinstance(layer, (SourceLayer, DerivedLayer, MultiDerivedLayer)):
             continue
         if layer.raster_table:
             # JVM-side decode: CASE map literal + default (broadcast-dim-join

@@ -80,6 +80,31 @@ class DerivedLayer:
 
 
 @dataclass(frozen=True)
+class MultiDerivedLayer:
+    """Raster map algebra across SEVERAL co-registered source layers:
+    ``calc`` names them positionally A, B, C, ... in ``source_layers``
+    order (e.g. ``"(A - B) / (A + B)"``). Beyond the reference (its
+    DerivedLayer reads exactly one source, data_environment.py:63-66);
+    layers on different grids co-register to the finest grid in the
+    kernel like any multi-grid query. ``dtype`` declares the RESULT type
+    (a ratio of int layers is float) so NaN-aware aggregation applies."""
+
+    name: str
+    source_layers: tuple
+    calc: str
+    dtype: str = "float64"
+    no_data: float | None = 0.0
+    raster_table: dict[int, Union[str, int, float]] | None = None
+    default_meaning: Union[str, int, float, None] = None
+    decode_expression: str | None = None
+    encode_expression: str | None = None
+
+    @property
+    def kind(self) -> str:
+        return "multi_derived"
+
+
+@dataclass(frozen=True)
 class ReservedLayer:
     name: str
 
@@ -88,7 +113,10 @@ class ReservedLayer:
         return "reserved"
 
 
-Layer = Union[SourceLayer, DerivedLayer, ReservedLayer]
+Layer = Union[SourceLayer, DerivedLayer, MultiDerivedLayer, ReservedLayer]
+
+# layer kinds that carry value encodings (raster_table / expressions)
+_VALUE_LAYERS = (SourceLayer, DerivedLayer, MultiDerivedLayer)
 
 
 class LayerNotFoundError(KeyError):
@@ -142,6 +170,11 @@ class DataEnvironment:
         layer = self.get_layer(name)
         if isinstance(layer, ReservedLayer):
             return None
+        if isinstance(layer, MultiDerivedLayer):
+            # the FIRST source stands in where one stored layer is needed
+            # (dtype decisions use the layer's own declared dtype instead)
+            srcs = self.resolve_sources(name)
+            return srcs[0]
         if isinstance(layer, DerivedLayer):
             src = self.get_layer(layer.source_layer)
             if not isinstance(src, SourceLayer):
@@ -149,13 +182,31 @@ class DataEnvironment:
             return src
         return layer
 
+    def resolve_sources(self, name: str) -> "list[SourceLayer]":
+        """ALL stored layers a queried name reads (multi-derived layers
+        read several; everything else 0 or 1)."""
+        layer = self.get_layer(name)
+        if isinstance(layer, MultiDerivedLayer):
+            out = []
+            for s in layer.source_layers:
+                src = self.get_layer(s)
+                if not isinstance(src, SourceLayer):
+                    raise ValueError(
+                        f"multi-derived layer {name} source {s} is not a source layer"
+                    )
+                out.append(src)
+            if not out:
+                raise ValueError(f"multi-derived layer {name} has no sources")
+            return out
+        src = self.resolve_source(name)
+        return [] if src is None else [src]
+
     def source_layer_names(self, names: list[str]) -> list[str]:
         """Unique stored-layer names needed to evaluate ``names`` (column
         pruning — only these are scanned; reference query.py:169-182)."""
         out: dict[str, None] = {}
         for n in names:
-            src = self.resolve_source(n)
-            if src is not None:
+            for src in self.resolve_sources(n):
                 out.setdefault(src.name, None)
         return list(out)
 
@@ -169,7 +220,7 @@ class DataEnvironment:
         data_environment.py:142-166; query.py:272-279).
         """
         layer = self.get_layer(layer_name)
-        if isinstance(layer, (SourceLayer, DerivedLayer)):
+        if isinstance(layer, _VALUE_LAYERS):
             if layer.raster_table:
                 raws = [
                     raw
@@ -186,7 +237,7 @@ class DataEnvironment:
         """Raw group values -> meanings, applied *after* aggregation
         (reference tiling.py:95-98; data_environment.py:168-181)."""
         layer = self.get_layer(layer_name)
-        if not isinstance(layer, (SourceLayer, DerivedLayer)):
+        if not isinstance(layer, _VALUE_LAYERS):
             return values
         if layer.raster_table:
             table = layer.raster_table
@@ -205,7 +256,7 @@ class DataEnvironment:
         exercised test_raster_analysis.py:573-595)."""
         layer = self.get_layer(layer_name)
         return (
-            isinstance(layer, (SourceLayer, DerivedLayer))
+            isinstance(layer, _VALUE_LAYERS)
             and layer.default_meaning is not None
         )
 
@@ -230,6 +281,13 @@ class DataEnvironment:
             elif isinstance(l, DerivedLayer):
                 d.update(
                     source_layer=l.source_layer, calc=l.calc, no_data=l.no_data,
+                    raster_table=l.raster_table, default_meaning=l.default_meaning,
+                    decode_expression=l.decode_expression, encode_expression=l.encode_expression,
+                )
+            elif isinstance(l, MultiDerivedLayer):
+                d.update(
+                    source_layers=list(l.source_layers), calc=l.calc,
+                    dtype=l.dtype, no_data=l.no_data,
                     raster_table=l.raster_table, default_meaning=l.default_meaning,
                     decode_expression=l.decode_expression, encode_expression=l.encode_expression,
                 )
@@ -260,6 +318,12 @@ class DataEnvironment:
                 if rt:
                     d["raster_table"] = {int(k): v for k, v in rt.items()}
                 layers.append(DerivedLayer(**d))
+            elif kind == "multi_derived":
+                rt = d.get("raster_table")
+                if rt:
+                    d["raster_table"] = {int(k): v for k, v in rt.items()}
+                d["source_layers"] = tuple(d["source_layers"])
+                layers.append(MultiDerivedLayer(**d))
             elif kind == "reserved":
                 layers.append(ReservedLayer(**d))
         return cls(layers, **opts)

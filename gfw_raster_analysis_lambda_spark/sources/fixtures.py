@@ -29,7 +29,7 @@ import numpy as np
 from ..functions import codecs
 from ..functions import geometry as geo
 from ..functions import grid as G
-from .catalog import DataEnvironment, DerivedLayer, SourceLayer
+from .catalog import DataEnvironment, DerivedLayer, MultiDerivedLayer, SourceLayer
 
 GRID = G.GRID_FIXTURE  # 0.25-deg cells, 64x64 px, pixel 0.00390625 deg
 TILE = GRID.chunk_px
@@ -176,6 +176,19 @@ def fixture_environment(grid: str = GRID.name) -> DataEnvironment:
             # stored on a 2x-coarser grid: queries mixing it with 4/1024
             # layers exercise the finest-grid co-registration rule
             SourceLayer("biomass", grid="4/512", dtype="uint8", fmt="png", no_data=0),
+            # multi-layer map algebra (beyond the reference's one-source
+            # DerivedLayer): emissions per biomass unit ACROSS grids
+            # (emissions on the fixture grid, biomass 2x coarser), and an
+            # integer product mask
+            MultiDerivedLayer(
+                "em_per_bio", source_layers=("emissions", "biomass"),
+                calc="where(B > 0, astype(A, 'float64') / B, nan)",
+                dtype="float64", no_data=float("nan"),
+            ),
+            MultiDerivedLayer(
+                "loss_prim", source_layers=("tcl_year", "is_primary"),
+                calc="A * B", dtype="int64", no_data=0,
+            ),
         ]
     )
 

@@ -1141,3 +1141,47 @@ def test_mode_rejects_bad_shapes(spark, tables, env):
             ),
             env, GRID_NAME,
         )
+
+
+def test_multi_derived_layer_vs_oracle(spark, tables, env):
+    """Multi-layer map algebra (A, B positional): float ratio ACROSS
+    grids with NaN-excluded AVG, int product with SUM — engine vs the
+    numpy oracle (which evaluates the same whitelisted calc)."""
+    q = ZonalQuery(
+        base_layer="data",
+        aggregates=(
+            Aggregate("avg", "em_per_bio", "epb_avg"),
+            Aggregate("sum", "loss_prim", "lp_sum"),
+            Aggregate("count", None, "n"),
+        ),
+    )
+    got, exp = run_both(spark, tables, env, q)
+    assert_frames_match(got, exp)
+
+
+def test_multi_derived_group_and_filter(spark, tables, env):
+    """Multi-derived layers work as GROUP BY keys and in WHERE leaves."""
+    q = ZonalQuery(
+        base_layer="tcl_year",
+        group_layers=("loss_prim",),
+        aggregates=(Aggregate("count", None, "n"),),
+        where=FilterLeaf("loss_prim", ">=", (10,)),
+    )
+    got, exp = run_both(spark, tables, env, q)
+    assert_frames_match(got, exp)
+
+
+def test_multi_derived_catalog_roundtrip():
+    from gfw_raster_analysis_lambda_spark.sources.catalog import (
+        DataEnvironment,
+        MultiDerivedLayer,
+    )
+
+    env = fixtures.fixture_environment()
+    env2 = DataEnvironment.from_json(env.to_json())
+    l = env2.get_layer("em_per_bio")
+    assert isinstance(l, MultiDerivedLayer)
+    assert l.source_layers == ("emissions", "biomass")
+    assert l.dtype == "float64"
+    # column pruning resolves BOTH sources
+    assert set(env2.source_layer_names(["em_per_bio"])) == {"emissions", "biomass"}
