@@ -724,16 +724,19 @@ def pq_adc_topk(
     round_to: int | None = 6,
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance: per query, a (m x ksub)
-    table of sub-space squared-L2 terms is inlined as a nested array
-    literal, and every row's score is ``sum_s lut[s][codes[s]]`` — a pure
-    codegen expression over the codes column (no vectors read, no Python,
-    no join). All queries score in ONE scan as separate columns, stacked,
-    then top-k per query via the salted two-phase window (small k, huge
-    corpus). Returns (query_id, id, adc_dist, rank): SMALLEST distance
-    first, ties to the lowest id."""
+    table of sub-space squared-L2 terms rides the closure, and every
+    row's score is ``sum_s lut[s][codes[s]]`` — one vectorized LUT gather
+    per Arrow batch over the CODES column (vectors are never re-read, no
+    joins, zero shuffle). All queries score in the same pass, and each
+    batch keeps only its local top-k per query (lossless: any global
+    top-k row is in its batch's top-k), so only ~k * n_batches *
+    n_queries rows reach the single final Exchange — at 10^12 rows the
+    full-corpus shuffle this avoids IS the job's cost. Returns
+    (query_id, id, adc_dist, rank): SMALLEST distance first, ties to the
+    lowest id. Scores are rounded half-up to ``round_to`` like every
+    other cross-engine-checked distance in this module."""
     import numpy as np
-
-    from .text import salted_grouped_topk
+    import pandas as pd
 
     cb = np.asarray(codebooks, dtype=np.float64)
     m, ksub, dsub = cb.shape
@@ -742,40 +745,52 @@ def pq_adc_topk(
     if not queries:
         raise ValueError("pq_adc_topk needs at least one query")
 
-    score_cols = []
-    qids = []
-    for qid, qv in queries:
+    qids = [q[0] for q in queries]
+    luts = []
+    for _, qv in queries:
         q = np.asarray(qv, dtype=np.float64).reshape(m, 1, dsub)
         lut = ((q - cb) ** 2).sum(axis=-1)                     # m x ksub
         if round_to is not None:
             lut = _round_half_up(lut, round_to)
-        lut_lit = F.array(*[
-            F.array(*[F.lit(float(x)) for x in row]) for row in lut
-        ])
-        score = F.aggregate(
-            F.zip_with(
-                F.col("codes"),
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda c, s: F.element_at(F.element_at(lut_lit, s + 1), c + 1),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        if round_to is not None:
-            score = F.round(score, round_to)
-        score_cols.append(score.alias(f"__q{len(qids)}"))
-        qids.append(qid)
+        luts.append(lut)
+    flat = np.stack(luts).reshape(len(qids), m * ksub)         # Q x (m*ksub)
+    offs = (np.arange(m) * ksub)[None, :]                      # 1 x m
 
-    scored = codes_df.select(F.col("id"), *score_cols)
-    stack_expr = "stack({n}, {args}) as (query_id, adc_dist)".format(
-        n=len(qids),
-        args=", ".join(
-            (f"{qid}, __q{i}" if isinstance(qid, int) else f"'{qid}', __q{i}")
-            for i, qid in enumerate(qids)
-        ),
+    id_type = dict(codes_df.dtypes)["id"]
+    qid_type = "string" if any(not isinstance(q, int) for q in qids) else "long"
+    schema = f"query_id {qid_type}, id {id_type}, adc_dist double"
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # n x m
+            idx = offs + codes                                  # n x m
+            sc = flat[:, idx].sum(axis=-1)                      # Q x n
+            if round_to is not None:
+                sc = _round_half_up(sc, round_to)
+            n = len(pdf)
+            kk = min(k, n)
+            ids = pdf["id"].to_numpy()
+            out_q, out_i, out_s = [], [], []
+            for qi in range(len(qids)):
+                row = sc[qi]
+                # lossless local top-k: smallest distance, ties -> lowest id
+                # (lexsort keys are last-key-primary)
+                sel = np.lexsort((ids, row))[:kk]
+                out_q.extend([qids[qi]] * len(sel))
+                out_i.extend(ids[sel])
+                out_s.extend(row[sel])
+            yield pd.DataFrame(
+                {"query_id": out_q, "id": out_i, "adc_dist": out_s}
+            )
+
+    pruned = codes_df.select("id", "codes").mapInPandas(score, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("id").asc()
     )
-    long_df = scored.select("id", F.expr(stack_expr))
-    out = salted_grouped_topk(
-        long_df, ["query_id"], [F.col("adc_dist").asc(), F.col("id").asc()], k,
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "adc_dist", "rank")
     )
-    return out.select("query_id", "id", "adc_dist", "rank")
