@@ -402,6 +402,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["zonal_mode_drivers"] = zonal_mode_drivers
 
+    def zonal_rollup_suite(spark, sf_dir):
+        # SEVERAL value-rollup selectors over ONE layer share a single
+        # kernel pass and counts frame: p25/median/p75 + distinct count
+        # + mode in one query (five stats, one O(distinct values) rollup)
+        return _zonal(
+            spark,
+            "SELECT PERCENTILE(ttc_percent, 0.25) AS p25, "
+            "MEDIAN(ttc_percent) AS p50, PERCENTILE(ttc_percent, 0.75) AS p75, "
+            "COUNT(DISTINCT ttc_percent) AS nv, MODE(ttc_percent) AS common "
+            "FROM ttc_percent",
+            list(_BOXES),
+        )
+    q["zonal_rollup_suite"] = zonal_rollup_suite
+
     def zonal_distinct_alert_days(spark, sf_dir):
         # COUNT(DISTINCT layer): distinct-value count per AOI off the same
         # O(distinct values) rollup, with a derived-layer WHERE
@@ -1439,6 +1453,29 @@ r AS (
   FROM c
 )
 SELECT aoi_id, tcl_year, major_driver FROM r WHERE rn = 1
+"""
+
+    o["zonal_rollup_suite"] = f"""
+WITH {_pix_cte(list(_BOXES))},
+c AS (
+  SELECT aoi_id, ttc, COUNT(*) AS n FROM m WHERE ttc != 255 GROUP BY 1, 2
+),
+md AS (
+  SELECT aoi_id, CAST(ttc AS BIGINT) AS common FROM (
+    SELECT aoi_id, ttc,
+           ROW_NUMBER() OVER (PARTITION BY aoi_id ORDER BY n DESC, ttc ASC) AS rn
+    FROM c
+  ) WHERE rn = 1
+),
+pc AS (
+  SELECT aoi_id,
+         CAST(quantile_disc(ttc, 0.25) AS DOUBLE) AS p25,
+         CAST(quantile_disc(ttc, 0.5) AS DOUBLE) AS p50,
+         CAST(quantile_disc(ttc, 0.75) AS DOUBLE) AS p75,
+         CAST(COUNT(DISTINCT ttc) AS BIGINT) AS nv
+  FROM m WHERE ttc != 255 GROUP BY aoi_id
+)
+SELECT pc.aoi_id, p25, p50, p75, nv, common FROM pc JOIN md USING (aoi_id)
 """
 
     o["zonal_distinct_alert_days"] = f"""

@@ -174,33 +174,43 @@ def _run_value_rollup_query(
       so a many-raw-to-one-meaning table still yields the majority meaning.
     - ``count_distinct``: count of distinct (decoded) values per group.
 
-    Restriction: exactly one such selector, no other aggregates, no
-    isoweek/pixel/order/limit clauses."""
+    SEVERAL such selectors are allowed in one query when they all read
+    the SAME layer (``PERCENTILE(x, .25), MEDIAN(x), COUNT(DISTINCT x)``):
+    they share one kernel pass and one counts frame, and their per-key
+    results join back on the group keys (tiny frames, broadcast-sized
+    per key-group). No other aggregates, no isoweek/pixel/order/limit."""
+    from functools import reduce
+
     from pyspark.sql import Window
 
     aggs = query.aggregates
     if (
-        len(aggs) != 1 or query.select_pixels or query.isoweek_layers
+        not aggs or query.select_pixels or query.isoweek_layers
         or query.order_by or query.limit
+        or any(a.func not in VALUE_ROLLUP_FUNCS for a in aggs)
+        or len({a.layer for a in aggs}) != 1
     ):
         raise ValueError(
             "percentile/mode/count_distinct queries take exactly one such "
-            "selector and no isoweek/pixel/order/limit clauses"
+            "selector (or several over the SAME layer), no other "
+            "aggregates, and no isoweek/pixel/order/limit clauses"
         )
-    a = aggs[0]
-    layer = env.get_layer(a.layer)
-    if a.func == "percentile" and (
+    a0 = aggs[0]
+    layer = env.get_layer(a0.layer)
+    if any(a.func == "percentile" for a in aggs) and (
         getattr(layer, "decode_expression", None) or getattr(layer, "raster_table", None)
     ):
         raise ValueError(
             "percentile is defined over raw numeric layers; "
-            f"{a.layer!r} has a decode/meaning mapping"
+            f"{a0.layer!r} has a decode/meaning mapping"
         )
-    if a.layer in query.group_layers:
-        raise ValueError(f"{a.func} layer cannot also be a GROUP BY key")
+    if a0.layer in query.group_layers:
+        raise ValueError(f"{a0.func} layer cannot also be a GROUP BY key")
+    if len({a.alias for a in aggs}) != len(aggs):
+        raise ValueError("value-rollup selectors need distinct aliases")
     inner = ZonalQuery(
         base_layer=query.base_layer,
-        group_layers=tuple(query.group_layers) + (a.layer,),
+        group_layers=tuple(query.group_layers) + (a0.layer,),
         aggregates=(Aggregate("count", None, "__pc_n"),),
         where=query.where,
     )
@@ -210,8 +220,24 @@ def _run_value_rollup_query(
         spark, images, aoi_df, inner, env, grid_name,
         per_aoi=True, strategy=strategy, aoi_index=aoi_index,
     )
-    vcol = a.layer
+    vcol = a0.layer
     keys = ["aoi_id"] + list(query.group_layers)
+    if len(aggs) > 1:
+        partials = partials.cache()
+    results = [
+        _rollup_one(partials, a, vcol, keys) for a in aggs
+    ]
+    if len(results) == 1:
+        return results[0]
+    out = reduce(lambda l, r: l.join(r, keys), results)
+    return out.select(*keys, *[a.alias for a in aggs])
+
+
+def _rollup_one(partials, a: Aggregate, vcol: str, keys: list) -> DataFrame:
+    """One rollup selector's per-key result frame from the shared
+    group-by-value counts."""
+    from pyspark.sql import Window
+
     if a.func in ("mode", "count_distinct"):
         # collapse duplicate value rows first: a raster_table can map many
         # raw values to one decoded meaning, and the majority/distinct set

@@ -1185,3 +1185,33 @@ def test_multi_derived_catalog_roundtrip():
     assert l.dtype == "float64"
     # column pruning resolves BOTH sources
     assert set(env2.source_layer_names(["em_per_bio"])) == {"emissions", "biomass"}
+
+
+def test_rollup_multi_selector_validation(spark, tables, env):
+    """Mixed-layer rollup selectors are rejected; same-layer mixes work
+    (the oracle gate covers values; here just the contract)."""
+    images, aoi_df = tables
+    with pytest.raises(ValueError, match="SAME layer"):
+        run_zonal_query(
+            spark, images, aoi_df,
+            ZonalQuery(
+                base_layer="ttc_percent",
+                aggregates=(
+                    Aggregate("percentile", "ttc_percent", "p", param=0.5),
+                    Aggregate("mode", "drivers", "m"),
+                ),
+            ),
+            env, GRID_NAME,
+        )
+    with pytest.raises(ValueError, match="distinct aliases"):
+        run_zonal_query(
+            spark, images, aoi_df,
+            ZonalQuery(
+                base_layer="ttc_percent",
+                aggregates=(
+                    Aggregate("percentile", "ttc_percent", "p", param=0.5),
+                    Aggregate("percentile", "ttc_percent", "p", param=0.75),
+                ),
+            ),
+            env, GRID_NAME,
+        )
