@@ -173,21 +173,37 @@ def _compile_call(node: ast.Call) -> Callable[[dict], object]:
     return lambda env: fn(*(a(env) for a in args))
 
 
-def compile_expression(expr: str) -> Callable:
-    """Compile a calc string to ``f(A, area=None) -> ndarray``.
+def compile_expression(expr: str, n_inputs: int = 1) -> Callable:
+    """Compile a calc string to ``f(A, area=None, **extra) -> ndarray``.
 
     Examples from the reference's layer catalog semantics:
     ``"A % 10000"``, ``"floor(A / 10000)"``, ``"A * area"``,
     ``"where(A > 0, area, 0)"``,
     ``"(A + 16435).astype('datetime64[D]').astype('str')"``.
 
+    ``n_inputs`` bounds the positional layer names the calc may use
+    (1 -> only A; 3 -> A, B, C): an unbound name is a PLAN-TIME
+    ``UnsafeExpressionError``, not a KeyError deep inside an executor.
+
     Memoized: the zonal kernel compiles derived-layer calcs once per
     executor, not once per (aoi, cell) group.
     """
-    cached = _COMPILE_CACHE.get(expr)
+    key = (expr, int(n_inputs))
+    cached = _COMPILE_CACHE.get(key)
     if cached is not None:
         return cached
     tree = ast.parse(expr, mode="eval")
+    bound = {chr(ord("A") + i) for i in range(int(n_inputs))} | {"area"}
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.Name)
+            and node.id in _ALLOWED_NAMES
+            and node.id not in bound
+        ):
+            raise UnsafeExpressionError(
+                f"name {node.id!r} is not bound: this calc has {n_inputs} "
+                f"layer input(s) ({', '.join(sorted(bound - {'area'}))})"
+            )
     fn = _compile_node(tree)
 
     def run(A, area=None, **extra):
@@ -199,8 +215,16 @@ def compile_expression(expr: str) -> Callable:
             return fn({"A": A, "area": area, **extra})
 
     run.__name__ = f"calc<{expr}>"
-    _COMPILE_CACHE[expr] = run
+    _COMPILE_CACHE[key] = run
     return run
+
+
+def evaluate_multi_calc(calc: str, arrs: "list", area) -> "np.ndarray":
+    """Evaluate a multi-layer calc with sources bound positionally to
+    A, B, C... — the ONE place the binding rule lives (the zonal kernel
+    and the numpy oracle both call this, so they cannot drift)."""
+    extra = {chr(ord("B") + i): a for i, a in enumerate(arrs[1:])}
+    return compile_expression(calc, n_inputs=len(arrs))(arrs[0], area, **extra)
 
 
 _COMPILE_CACHE: dict[str, Callable] = {}

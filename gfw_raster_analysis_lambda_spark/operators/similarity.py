@@ -745,7 +745,13 @@ def pq_adc_topk(
     if not queries:
         raise ValueError("pq_adc_topk needs at least one query")
 
-    qids = [q[0] for q in queries]
+    # normalize qids up front: the output schema is inferred from them,
+    # and a numpy integer is not a python int (isinstance check would
+    # pick the string schema while the values serialize as int64)
+    qids = [
+        int(q[0]) if isinstance(q[0], (int, np.integer)) else str(q[0])
+        for q in queries
+    ]
     luts = []
     for _, qv in queries:
         q = np.asarray(qv, dtype=np.float64).reshape(m, 1, dsub)

@@ -34,7 +34,7 @@ import pandas as pd
 from ..functions import codecs, geodesy
 from ..functions import geometry as geo
 from ..functions import grid as G
-from ..functions.expressions import compile_expression
+from ..functions.expressions import compile_expression, evaluate_multi_calc
 from ..plans.ir import Aggregate, FilterAnd, FilterLeaf, FilterOr, ZonalQuery
 from ..sources.catalog import (
     AREA_HA,
@@ -400,12 +400,7 @@ def _decode_and_derive(
                         dtype=_NP_DTYPES.get(getattr(sl, "dtype", "uint8"), np.uint8),
                     )
                 arrs.append(a)
-            extra = {
-                chr(ord("B") + i): a for i, a in enumerate(arrs[1:])
-            }
-            values[name] = np.ravel(
-                compile_expression(layer.calc)(arrs[0], mean_area, **extra)
-            )
+            values[name] = np.ravel(evaluate_multi_calc(layer.calc, arrs, mean_area))
     return values
 
 

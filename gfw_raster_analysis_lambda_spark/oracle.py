@@ -20,7 +20,8 @@ import pandas as pd
 from .functions import geodesy
 from .functions import geometry as geo
 from .functions import grid as G
-from .functions.expressions import compile_expression
+from .functions.expressions import compile_expression, evaluate_multi_calc
+from .operators.zonal import layer_is_float as zonal_layer_is_float
 from .plans.ir import FilterAnd, FilterLeaf, FilterOr, ZonalQuery
 from .sources import fixtures
 from .sources.catalog import (
@@ -119,10 +120,7 @@ def _cell_frame(query, env, geom, grid, cell, x, y, has_data):
                 _source_tile(env, s, grid, cell, x, y, tile_px, has_data)
                 for s in layer.source_layers
             ]
-            extra = {chr(ord("B") + i): a for i, a in enumerate(arrs[1:])}
-            values[name] = np.ravel(
-                compile_expression(layer.calc)(arrs[0], mean_area, **extra)
-            )
+            values[name] = np.ravel(evaluate_multi_calc(layer.calc, arrs, mean_area))
         else:
             src = _source_tile(env, layer.source_layer, grid, cell, x, y, tile_px, has_data)
             values[name] = np.ravel(compile_expression(layer.calc)(src, mean_area))
@@ -270,10 +268,11 @@ def _merge(query: ZonalQuery, env: DataEnvironment, pdf: pd.DataFrame) -> pd.Dat
         if isinstance(layer, (SourceLayer, DerivedLayer, MultiDerivedLayer)):
             if layer.raster_table or layer.decode_expression:
                 pdf[g] = env.decode_values(g, pdf[g].to_numpy())
-            else:
-                src = env.resolve_source(g)
-                if src is not None and not src.dtype.startswith("float"):
-                    pdf[g] = pdf[g].astype(np.int64)
+            # same float-ness rule as the engine (zonal.layer_is_float):
+            # a multi-derived layer's DECLARED dtype decides, not its
+            # first source's storage dtype
+            elif not zonal_layer_is_float(env, g):
+                pdf[g] = pdf[g].astype(np.int64)
     # isoweek regroup (F1)
     if query.isoweek_layers:
         for g in query.isoweek_layers:

@@ -222,15 +222,21 @@ def _run_value_rollup_query(
     )
     vcol = a0.layer
     keys = ["aoi_id"] + list(query.group_layers)
-    if len(aggs) > 1:
-        partials = partials.cache()
-    results = [
-        _rollup_one(partials, a, vcol, keys) for a in aggs
-    ]
-    if len(results) == 1:
-        return results[0]
-    out = reduce(lambda l, r: l.join(r, keys), results)
-    return out.select(*keys, *[a.alias for a in aggs])
+    if len(aggs) == 1:
+        return _rollup_one(partials, aggs[0], vcol, keys)
+    # shared counts: cache for the per-selector rollups, then eagerly
+    # materialize the (tiny, per-key) joined result and RELEASE the cache
+    # — no pinned storage survives the call (the round-2 lesson behind
+    # ZonalResultSet.close(), applied here where the result is small
+    # enough to checkpoint eagerly instead of handing back a handle)
+    partials = partials.persist()
+    try:
+        results = [_rollup_one(partials, a, vcol, keys) for a in aggs]
+        out = reduce(lambda l, r: l.join(r, keys), results)
+        out = out.select(*keys, *[a.alias for a in aggs]).localCheckpoint(eager=True)
+    finally:
+        partials.unpersist()
+    return out
 
 
 def _rollup_one(partials, a: Aggregate, vcol: str, keys: list) -> DataFrame:

@@ -287,7 +287,8 @@ class DataEnvironment:
             elif isinstance(l, MultiDerivedLayer):
                 d.update(
                     source_layers=list(l.source_layers), calc=l.calc,
-                    dtype=l.dtype, no_data=l.no_data,
+                    dtype=l.dtype,
+                    no_data=("nan" if l.no_data is not None and isinstance(l.no_data, float) and math.isnan(l.no_data) else l.no_data),
                     raster_table=l.raster_table, default_meaning=l.default_meaning,
                     decode_expression=l.decode_expression, encode_expression=l.encode_expression,
                 )
@@ -319,6 +320,8 @@ class DataEnvironment:
                     d["raster_table"] = {int(k): v for k, v in rt.items()}
                 layers.append(DerivedLayer(**d))
             elif kind == "multi_derived":
+                if d.get("no_data") == "nan":
+                    d["no_data"] = float("nan")
                 rt = d.get("raster_table")
                 if rt:
                     d["raster_table"] = {int(k): v for k, v in rt.items()}

@@ -331,3 +331,19 @@ def test_simplify_douglas_peucker():
     # rings that collapse entirely are dropped (normalize repair rule)
     sliver = np.array([[0, 0], [10, 0.001], [20, 0]], dtype=float)
     assert geo.simplify([[sliver]], 0.5) == []
+
+
+def test_unbound_multi_calc_name_rejected_at_compile():
+    """A calc referencing a layer name beyond its bound inputs fails at
+    PLAN time with UnsafeExpressionError, not with a KeyError inside an
+    executor task."""
+    with pytest.raises(expressions.UnsafeExpressionError, match="not bound"):
+        expressions.compile_expression("B * 2", n_inputs=1)
+    with pytest.raises(expressions.UnsafeExpressionError, match="not bound"):
+        expressions.compile_expression("(A - C)", n_inputs=2)
+    # bound names evaluate fine through the shared multi binding
+    import numpy as np
+    out = expressions.evaluate_multi_calc(
+        "(A - B) / (A + B)", [np.array([4.0]), np.array([2.0])], None
+    )
+    assert out[0] == pytest.approx(1.0 / 3.0)

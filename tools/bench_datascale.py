@@ -139,8 +139,31 @@ def workloads(spark, sf_dir):
             .filter(F.col("rank") <= 3)
         )
 
+    def text_decon():
+        d = t("documents")
+        bench_side = d.filter(F.col("doc_id") % 97 == 0).select(
+            F.col("doc_id").alias("bench_id"), "text"
+        )
+        return text.benchmark_contamination(d, bench_side, n=3, threshold=0.3)
+
+    def sim_pq():
+        e = t("embeddings")
+        cb = similarity.pq_init_codebooks(e, m=8, ksub=16)
+        qs = [
+            (int(r[0]), r[1])
+            for r in e.filter(F.col("vec_id") < 16)
+            .select("vec_id", "embedding").collect()
+        ]
+        return similarity.pq_adc_topk(similarity.pq_encode(e, cb), cb, qs, k=10)
+
     return {
         "text_profile": lambda: text.text_profile(t("documents")),
+        "text_decontaminate": text_decon,
+        "text_pack_bins": lambda: text.pack_token_bins(
+            t("documents"), budget=500, n_shards=64),
+        "text_quality_quota": lambda: text.quality_quota(
+            t("documents"), k=8, strata_col="lang"),
+        "sim_pq_adc": sim_pq,
         "dedup_exact": lambda: dedup.exact_duplicates(t("documents")),
         "dedup_minhash_lsh": lambda: dedup.minhash_lsh_candidates(
             t("documents"), n_hashes=8, bands=4),
@@ -247,6 +270,8 @@ def main():
             print(f"{tag:16s} {name:28s} {sec:8.3f}s  {samples}", flush=True)
 
     tbl_of = {"text_profile": "documents", "dedup_exact": "documents",
+              "text_decontaminate": "documents", "text_pack_bins": "documents",
+              "text_quality_quota": "documents", "sim_pq_adc": "embeddings",
               "dedup_minhash_lsh": "documents", "dedup_minhash_keepers": "documents",
               "sim_lsh_buckets_fast": "embeddings", "sim_cosine_topk": "embeddings",
               "rel_pricing_summary": "lineitem", "rel_top_orders_per_customer": "orders"}
