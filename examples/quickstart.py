@@ -31,6 +31,7 @@ from gfw_raster_analysis_lambda_spark.operators import (  # noqa: E402
     multimodal,
     pyramid,
     similarity,
+    text,
 )
 from gfw_raster_analysis_lambda_spark.sources import fixtures  # noqa: E402
 from gfw_raster_analysis_lambda_spark.sources.images import (  # noqa: E402
@@ -121,6 +122,41 @@ def main() -> None:
     frames = multimodal.video_frame_sample(vdf, every_n=2)
     print("== sampled video frame stats (YUV4MPEG2, numpy decode) ==")
     multimodal.video_frame_stats(frames).show()
+
+    # 8. round-3 late additions: multi-layer map algebra, rollup suite,
+    # decontamination, PQ search
+    md = zonal_statistics(
+        spark, images, aoi,
+        "SELECT AVG(em_per_bio) AS epb_avg, SUM(loss_prim) AS lp_sum FROM data",
+        env, G.GRID_FIXTURE.name,
+    )
+    print("== multi-layer map algebra (em_per_bio across grids) ==")
+    md.show()
+    suite = zonal_statistics(
+        spark, images, aoi,
+        "SELECT PERCENTILE(ttc_percent, 0.25) AS p25, MEDIAN(ttc_percent) AS p50, "
+        "MODE(ttc_percent) AS common, COUNT(DISTINCT ttc_percent) AS nv "
+        "FROM ttc_percent",
+        env, G.GRID_FIXTURE.name,
+    )
+    print("== one-pass rollup suite (p25/median/mode/distinct) ==")
+    suite.show()
+    docs_path = "/root/testdata/sf0.001/documents.parquet"
+    if os.path.exists(docs_path):
+        docs = spark.read.parquet(docs_path)
+        bench_side = docs.filter(F.col("doc_id") % 97 == 0).select(
+            F.col("doc_id").alias("bench_id"), "text"
+        )
+        print("== benchmark decontamination (broadcast n-gram overlap) ==")
+        text.benchmark_contamination(docs, bench_side, n=3, threshold=0.5).show(5)
+        print("== token-budget sequence packing (sharded, deterministic) ==")
+        text.pack_token_bins(docs, budget=500, n_shards=8).show(5)
+    if os.path.exists(emb_path):
+        cb = similarity.pq_init_codebooks(emb, m=8, ksub=16)
+        enc = similarity.pq_encode(emb, cb)
+        pq_q = [(int(r[0]), r[1]) for r in emb.limit(2).select("vec_id", "embedding").collect()]
+        print("== product-quantization ADC top-3 (32x compressed index) ==")
+        similarity.pq_adc_topk(enc, cb, pq_q, k=3).show()
 
     print("quickstart complete; outputs under", work)
 

@@ -23,3 +23,9 @@ from .api import (  # noqa: E402,F401
 from .checkpoint import run_zonal_checkpointed  # noqa: E402,F401
 from .plans.planner import ZonalResultSet, prepare_aoi_index  # noqa: E402,F401
 from .session import get_spark  # noqa: E402,F401
+from .sources.catalog import (  # noqa: E402,F401
+    DataEnvironment,
+    DerivedLayer,
+    MultiDerivedLayer,
+    SourceLayer,
+)
