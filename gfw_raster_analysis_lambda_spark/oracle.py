@@ -67,6 +67,9 @@ def run_oracle(
 ) -> pd.DataFrame:
     """Compute the query result for each AOI; returns the concatenated
     result frame with aoi_id first (matching the engine's output shape)."""
+    rollup = ("percentile", "mode", "count_distinct")
+    if query.aggregates and any(a.func in rollup for a in query.aggregates):
+        return _run_rollup_oracle(query, env, aois, grid, data_extent)
     x0e, y0e, nxe, nye = data_extent
     frames = []
     for aoi_id, wkb in aois:
@@ -290,3 +293,64 @@ def _merge(query: ZonalQuery, env: DataEnvironment, pdf: pd.DataFrame) -> pd.Dat
             spec[a.alias] = "sum" if a.func in ("count", "sum", "avg") else a.func
         pdf = pdf.groupby(new_g, as_index=False).agg(spec)
     return pdf
+
+
+def _run_rollup_oracle(query, env, aois, grid, data_extent) -> pd.DataFrame:
+    """PERCENTILE/MEDIAN/MODE/COUNT(DISTINCT) oracle: the same
+    group-by-value-counts reduction as the engine's plan rewrite, but
+    computed INDEPENDENTLY in pandas off this module's own counts
+    (run_oracle on the inner count query). Same semantics contract:
+    quantile_disc discrete percentile with the engine's relative-epsilon
+    guard; mode ties to the smallest value; distinct over decoded
+    meanings."""
+    import math
+
+    a0 = query.aggregates[0]
+    inner = ZonalQuery(
+        base_layer=query.base_layer,
+        group_layers=tuple(query.group_layers) + (a0.layer,),
+        aggregates=(type(a0)("count", None, "__n"),),
+        where=query.where,
+    )
+    counts = run_oracle(inner, env, aois, grid, data_extent)
+    keys = ["aoi_id", *query.group_layers]
+    vcol = a0.layer
+    if counts.empty:
+        return pd.DataFrame(columns=[*keys, *[a.alias for a in query.aggregates]])
+    counts = counts.groupby([*keys, vcol], as_index=False)["__n"].sum()
+    out = None
+    for a in query.aggregates:
+        if a.func == "count_distinct":
+            f = (
+                counts.groupby(keys, as_index=False)[vcol]
+                .nunique()
+                .rename(columns={vcol: a.alias})
+            )
+            f[a.alias] = f[a.alias].astype(np.int64)
+        elif a.func == "mode":
+            srt = counts.sort_values(
+                [*keys, "__n", vcol],
+                ascending=[*([True] * len(keys)), False, True],
+                kind="mergesort",
+            )
+            f = srt.groupby(keys, as_index=False).first()[[*keys, vcol]].rename(
+                columns={vcol: a.alias}
+            )
+        else:  # percentile / median
+            p = float(a.param)
+
+            def pick(g, p=p):
+                g = g.sort_values(vcol, kind="mergesort")
+                tot = int(g["__n"].sum())
+                thresh = math.ceil(p * tot - max(1e-9, p * tot * 1e-13))
+                cum = g["__n"].cumsum()
+                return float(g.loc[cum >= thresh, vcol].iloc[0])
+
+            f = (
+                counts.groupby(keys)
+                .apply(pick, include_groups=False)
+                .reset_index(name=a.alias)
+            )
+        out = f if out is None else out.merge(f, on=keys)
+    out = out.sort_values(keys, kind="mergesort").reset_index(drop=True)
+    return out[[*keys, *[a.alias for a in query.aggregates]]]

@@ -1215,3 +1215,61 @@ def test_rollup_multi_selector_validation(spark, tables, env):
             ),
             env, GRID_NAME,
         )
+
+
+@pytest.mark.parametrize("seed", range(101, 113))
+def test_random_rollup_fuzz_vs_oracle(spark, tables, env, seed):
+    """Randomized PERCENTILE/MODE/COUNT(DISTINCT) shapes (single and
+    multi-selector, grouped and not, filtered and not) vs the numpy
+    oracle's independent pandas reduction."""
+    rng = np.random.RandomState(seed)
+    # (layer, allowed funcs): percentile needs raw numeric layers
+    pools = [
+        ("ttc_percent", ["percentile", "mode", "count_distinct"]),
+        ("emissions", ["percentile"]),
+        ("drivers", ["mode", "count_distinct"]),
+    ]
+    vlayer, funcs = pools[rng.randint(len(pools))]
+    n_sel = 1 + rng.randint(2)
+    aggs = []
+    for i in range(n_sel):
+        f = funcs[rng.randint(len(funcs))]
+        if f == "percentile":
+            p = float(rng.choice([0.07, 0.25, 0.5, 0.75, 0.9]))
+            aggs.append(Aggregate("percentile", vlayer, f"a{i}", param=p))
+        else:
+            aggs.append(Aggregate(f, vlayer, f"a{i}"))
+    base = ["data", "tcl_year"][rng.randint(2)]
+    groups = ()
+    if vlayer != "drivers" and rng.rand() < 0.5:
+        groups = ("tcl_year",)
+    where = None
+    if rng.rand() < 0.5:
+        where = FilterLeaf("is_primary", "in", (1,))
+    q = ZonalQuery(
+        base_layer=base, group_layers=groups, aggregates=tuple(aggs), where=where
+    )
+    images, aoi_df = tables
+    aois = fixtures.fixture_aois()[:2]
+    ids = [a[0] for a in aois]
+    got = (
+        run_zonal_query(
+            spark, images, aoi_df.filter(aoi_df.aoi_id.isin(ids)), q, env, GRID_NAME
+        )
+        .toPandas()
+        .sort_values(["aoi_id", *groups])
+        .reset_index(drop=True)
+    )
+    exp = oracle.run_oracle(q, env, aois)
+    assert list(got.columns) == list(exp.columns)
+    assert len(got) == len(exp)
+    for c in got.columns:
+        if got[c].dtype.kind == "f":
+            np.testing.assert_allclose(
+                got[c].to_numpy(dtype=float), exp[c].to_numpy(dtype=float),
+                rtol=1e-9, atol=0, err_msg=f"seed {seed} col {c}\n{got}\n{exp}",
+            )
+        else:
+            assert list(got[c].astype(str)) == list(exp[c].astype(str)), (
+                f"seed {seed} col {c}\n{got}\n{exp}"
+            )
