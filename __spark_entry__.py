@@ -896,6 +896,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["rel_top_orders_per_customer"] = rel_top_orders_per_customer
 
+    def rel_rolling_features(spark, sf_dir):
+        # per-user rolling training features: lag value, seconds since
+        # the previous event, 5-event trailing mean, cumulative count —
+        # one keyed shuffle, O(window) state per task
+        from gfw_raster_analysis_lambda_spark.operators import asof
+
+        ev = _t(spark, sf_dir, "events")
+        out = asof.rolling_features(ev, window=5)
+        return out.withColumn("ts", F.col("ts").cast("string"))
+    q["rel_rolling_features"] = rel_rolling_features
+
     def rel_asof_attribution(spark, sf_dir):
         # point-in-time attribution: every purchase picks the user's
         # latest preceding click (as-of join, one keyed shuffle + running
@@ -1887,6 +1898,20 @@ SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rank FROM (
 
     # as-of attribution twin: DuckDB's native ASOF LEFT JOIN (greatest
     # click.ts <= purchase.ts per user, inclusive; unmatched keep nulls)
+    o["rel_rolling_features"] = """
+SELECT event_id, user_id, CAST(ts AS VARCHAR) AS ts, value,
+       LAG(value) OVER w AS prev_value,
+       CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS BIGINT) AS delta_us,
+       ROUND(AVG(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS mov_avg,
+       CAST(COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
     o["rel_asof_attribution"] = """
 SELECT l.event_id, l.user_id,
        CAST(r.event_id AS BIGINT) AS click_event_id,

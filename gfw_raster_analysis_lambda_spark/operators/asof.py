@@ -143,3 +143,43 @@ def interval_join(
         )
         .drop("__bin")
     )
+
+
+def rolling_features(
+    df,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    window: int = 5,
+):
+    """Per-key rolling time-series features — the training-feature
+    primitives a sessionized event log feeds into a model: previous
+    value (lag), seconds since the previous event, moving average over
+    the trailing ``window`` events, and a cumulative event count.
+
+    One keyed shuffle; every window is ROWS-bounded (``window`` trailing
+    rows), so state per task is O(window), not O(history). Ordering ties
+    on identical timestamps break on ``id_col`` for determinism. The
+    inter-event gap is integer MICROSECONDS (``delta_us``), not float
+    seconds: epoch-seconds doubles cannot represent microseconds at
+    2024 magnitudes (resolution ~5e-7 s), so a float delta would differ
+    across engines in the last ulp. At 100 TB the only hazard is a
+    single hyperactive key — unlike grouped top-k, an order-dependent
+    scan cannot be salted losslessly, so bound per-key history upstream
+    (e.g. sessionize first) if keys can be pathological.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    w_mov = w.rowsBetween(-(int(window) - 1), 0)
+    w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    us = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP))")
+    return df.select(
+        id_col, key_col, ts_col, value_col,
+        F.lag(value_col).over(w).alias("prev_value"),
+        (us - F.lag(us).over(w)).cast("long").alias("delta_us"),
+        F.round(F.avg(value_col).over(w_mov), 6).alias("mov_avg"),
+        F.count(F.lit(1)).over(w_cum).cast("long").alias("cum_n"),
+    )

@@ -857,3 +857,35 @@ def test_pack_token_bins_properties(spark, docs):
     full = out.set_index("doc_id")["bin"]
     for i in sub.index:
         assert sub[i] == full[i]
+
+
+def test_rolling_features_semantics(spark):
+    """Hand-checked rolling features: lag, integer-microsecond gaps,
+    trailing mean over bounded window, cumulative count; ties on equal
+    timestamps break by event_id."""
+    from datetime import datetime
+
+    from gfw_raster_analysis_lambda_spark.operators import asof
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0), 7, 10.0),
+        (2, datetime(2024, 1, 1, 0, 0, 1), 7, 20.0),
+        (3, datetime(2024, 1, 1, 0, 0, 1), 7, 30.0),  # tie with event 2
+        (4, datetime(2024, 1, 1, 0, 0, 5), 7, 40.0),
+        (5, datetime(2024, 1, 1, 0, 0, 2), 8, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, value double"
+    )
+    got = (
+        asof.rolling_features(df, window=2)
+        .orderBy("user_id", "ts", "event_id")
+        .toPandas()
+    )
+    u7 = got[got.user_id == 7]
+    assert list(u7["prev_value"].fillna(-1)) == [-1.0, 10.0, 20.0, 30.0]
+    assert list(u7["delta_us"].fillna(-1)) == [-1, 1_000_000, 0, 4_000_000]
+    assert list(u7["mov_avg"]) == [10.0, 15.0, 25.0, 35.0]
+    assert list(u7["cum_n"]) == [1, 2, 3, 4]
+    u8 = got[got.user_id == 8]
+    assert list(u8["cum_n"]) == [1] and pd.isna(u8["prev_value"].iloc[0])
