@@ -1087,6 +1087,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", "lang")
     q["sample_stratified"] = sample_stratified
 
+    def sample_mix_sources(spark, sf_dir):
+        # deterministic corpus mixing to target proportions: the binding
+        # source keeps everything, the rest hash-downsample; the DuckDB
+        # twin re-derives the per-source rates from the same counts
+        from gfw_raster_analysis_lambda_spark.operators import sampling
+
+        d = _t(spark, sf_dir, "documents")
+        out = sampling.mix_sources(
+            d, {"src1": 0.5, "src2": 0.3, "src3": 0.2}, source_col="source"
+        )
+        return out.select("doc_id", "source")
+    q["sample_mix_sources"] = sample_mix_sources
+
     def text_quality_quota(spark, sf_dir):
         # top-8 highest-quality docs per language stratum via the salted
         # two-phase top-k (skew-safe: no single task ever sees a whole
@@ -2147,6 +2160,17 @@ SELECT doc_id, lang FROM documents
 WHERE {hu.format(salt='sample')} <
       CASE lang WHEN 'en' THEN 0.3 WHEN 'es' THEN 0.8
                 WHEN 'de' THEN 0.8 WHEN 'fr' THEN 0.8 ELSE 0.1 END
+"""
+
+    o["sample_mix_sources"] = f"""
+WITH w(source, wt) AS (VALUES ('src1', 0.5), ('src2', 0.3), ('src3', 0.2)),
+c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+j AS (SELECT w.source, CAST(wt AS DOUBLE) AS wt, CAST(cnt AS DOUBLE) AS cnt
+      FROM w JOIN c USING (source)),
+t AS (SELECT MIN(cnt / wt) AS feas FROM j),
+r AS (SELECT source, LEAST(1.0, wt * (SELECT feas FROM t) / cnt) AS rate FROM j)
+SELECT d.doc_id, d.source FROM documents d JOIN r ON d.source = r.source
+WHERE {hu.format(salt='mix')} < r.rate
 """
 
     _QUALITY_EXPR = """ROUND(0.4 * LEAST(length(text) / 1000.0, 1.0)

@@ -80,3 +80,45 @@ def split_assign(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
     return df.withColumn(out_col, expr)
+
+
+def mix_sources(
+    df: DataFrame,
+    targets: "dict[str, float]",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic corpus mixing: subsample each source so the OUTPUT
+    follows the ``targets`` proportions (e.g. 60% web, 30% code, 10%
+    reference) at the largest total the inventory allows.
+
+    Two passes: a tiny counts action (one row per source — the only
+    thing collected), then the same hash-threshold filter as every
+    sampler here. The feasible total is ``T = min_s count_s / w_s`` —
+    the binding source keeps everything, the rest downsample to match.
+    Unlisted sources drop. Reproducible and growth-stable for the
+    non-binding sources (their rate depends only on the binding ratio);
+    no ``rand()`` anywhere.
+
+    Returns rows of ``df`` filtered to the mix (schema unchanged).
+    """
+    weights = {s: float(w) for s, w in targets.items() if float(w) > 0}
+    if not weights:
+        raise ValueError("mix_sources needs at least one positive target weight")
+    total_w = sum(weights.values())
+    weights = {s: w / total_w for s, w in weights.items()}
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(source_col).count().collect()
+        if r[0] in weights
+    }
+    missing = sorted(set(weights) - set(counts))
+    if missing:
+        raise ValueError(f"targets name absent sources: {missing}")
+    feasible_total = min(counts[s] / w for s, w in weights.items())
+    rate = F.lit(0.0)
+    for s, w in weights.items():
+        r = min(1.0, (w * feasible_total) / counts[s])
+        rate = F.when(F.col(source_col) == F.lit(s), F.lit(r)).otherwise(rate)
+    return df.filter(hash_uniform(F.col(id_col), salt) < rate)

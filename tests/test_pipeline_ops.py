@@ -889,3 +889,23 @@ def test_rolling_features_semantics(spark):
     assert list(u7["cum_n"]) == [1, 2, 3, 4]
     u8 = got[got.user_id == 8]
     assert list(u8["cum_n"]) == [1] and pd.isna(u8["prev_value"].iloc[0])
+
+
+def test_mix_sources_proportions_and_determinism(spark, docs):
+    from gfw_raster_analysis_lambda_spark.operators import sampling
+
+    targets = {"src1": 0.5, "src2": 0.3, "src3": 0.2}
+    out = sampling.mix_sources(docs, targets, source_col="source").toPandas()
+    # only targeted sources survive
+    assert set(out["source"]) <= set(targets)
+    # the binding source keeps ~everything; proportions approach targets
+    got = out.groupby("source").size()
+    frac = (got / got.sum()).to_dict()
+    for s, w in targets.items():
+        if s in frac:
+            assert abs(frac[s] - w) < 0.25  # small-sample tolerance
+    # deterministic: identical membership on a rerun
+    out2 = sampling.mix_sources(docs, targets, source_col="source").toPandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+    with pytest.raises(ValueError, match="absent sources"):
+        sampling.mix_sources(docs, {"nope": 1.0}, source_col="source")
