@@ -866,6 +866,9 @@ def test_random_query_fuzz_vs_oracle(spark, tables, env, seed, monkeypatch):
         Aggregate("sum", "emissions", "em"),
         Aggregate("min", "emissions", "em_min"),
         Aggregate("max", "emissions", "em_max"),
+        # multi-derived layers: cross-grid float ratio + int product
+        Aggregate("sum", "loss_prim", "lp"),
+        Aggregate("avg", "em_per_bio", "epb"),
     ]
     kept = [agg_pool[i] for i in rng.choice(len(agg_pool), 1 + rng.randint(3), replace=False)]
     if not any(a.func == "count" for a in kept):
