@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""spark-submit entry point for corpus curation — the training-data
+pipeline composed end to end as ONE job:
+
+    profile -> decontaminate -> dedup -> stratified sample -> source mix
+            -> per-stratum quality quota -> token-budget packing
+
+Every stage is one of the engine's deterministic operators (no rand()
+anywhere), so a re-run over the same inputs reproduces the same curated
+corpus bit for bit — the property a corpus rebuild needs. Ships as:
+
+    python tools/build_dist.py
+    spark-submit --master <url> \\
+        --py-files dist/gfw_raster_analysis_lambda_spark.zip \\
+        jobs/curate_submit.py \\
+        --documents /data/documents_parquet --output /data/curated \\
+        [--benchmark /data/benchmark_parquet --contamination-threshold 0.5] \\
+        [--near-dup] [--strata-fractions '{"en": 0.5, "fr": 1.0}'] \\
+        [--mix-targets '{"src1": 0.6, "src2": 0.4}'] \\
+        [--quota-k 100000] [--pack-budget 2048] [--pack-shards 1024]
+
+Stage order matters: decontamination and dedup run BEFORE sampling (a
+contaminated or duplicated document must not survive by being sampled
+around), quota runs after the mix (quality selection within the final
+distribution), packing runs last over the final membership. A JSON
+manifest with per-stage surviving counts is written next to the output
+for observability.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--documents", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--benchmark", default=None,
+                    help="parquet of (bench_id, text) eval items to decontaminate against")
+    ap.add_argument("--contamination-threshold", type=float, default=0.5)
+    ap.add_argument("--contamination-ngram", type=int, default=8)
+    ap.add_argument("--near-dup", action="store_true",
+                    help="also drop MinHash near-duplicates (keepers path)")
+    ap.add_argument("--strata-col", default="lang")
+    ap.add_argument("--strata-fractions", default=None,
+                    help='JSON dict stratum -> keep fraction, e.g. {"en": 0.5}')
+    ap.add_argument("--strata-default-fraction", type=float, default=1.0)
+    ap.add_argument("--mix-targets", default=None,
+                    help='JSON dict source -> target weight, e.g. {"src1": 0.6}')
+    ap.add_argument("--mix-source-col", default="source")
+    ap.add_argument("--quota-k", type=int, default=None,
+                    help="keep only the k highest-quality docs per stratum")
+    ap.add_argument("--pack-budget", type=int, default=2048)
+    ap.add_argument("--pack-shards", type=int, default=1024)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from gfw_raster_analysis_lambda_spark.operators import dedup, sampling, text
+
+    spark = SparkSession.builder.appName("curate_submit").getOrCreate()
+    docs = spark.read.parquet(args.documents)
+    idc, txt = args.id_col, args.text_col
+    manifest: dict = {"input": docs.count()}
+
+    # 1. profile (quality + lang prediction ride along to the output)
+    prof = text.text_profile(docs, text_col=txt, id_col=idc)
+    docs = docs.join(prof.select(idc, "quality", "lang_pred", "n_tokens_ws"), idc)
+
+    # 2. decontaminate against the benchmark set (broadcast side)
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark)
+        drop = text.contaminated_doc_ids(
+            docs, bench, doc_id=idc, text_col=txt,
+            n=args.contamination_ngram, threshold=args.contamination_threshold,
+        ).select(idc)
+        docs = docs.join(drop, idc, "left_anti")
+        manifest["after_decontaminate"] = docs.count()
+
+    # 3. exact dedup: keep the lowest-id doc of every byte-identical group
+    groups = dedup.exact_duplicates(docs, id_col=idc, text_col=txt)
+    dup_losers = (
+        docs.select(idc, F.md5(F.trim(F.col(txt))).alias("__md5"))
+        .join(groups.select(F.col("text_md5").alias("__md5"), "keeper"), "__md5")
+        .filter(F.col(idc) != F.col("keeper"))
+        .select(idc)
+    )
+    docs = docs.join(dup_losers, idc, "left_anti")
+    manifest["after_exact_dedup"] = docs.count()
+
+    # 3b. optional near-dup keepers (MinHash LSH, O(docs) output)
+    if args.near_dup:
+        keep = dedup.minhash_dedup_keepers(docs, id_col=idc, text_col=txt)
+        docs = docs.join(
+            keep.filter(F.col("is_keeper")).select(F.col("id").alias(idc)),
+            idc, "left_semi",
+        )
+        manifest["after_near_dedup"] = docs.count()
+
+    # 4. stratified sampling (rebalance skewed strata)
+    if args.strata_fractions:
+        fr = json.loads(args.strata_fractions)
+        docs = sampling.stratified_sample(
+            docs, fr, strata_col=args.strata_col, id_col=idc,
+            default_fraction=args.strata_default_fraction,
+        )
+        manifest["after_stratified_sample"] = docs.count()
+
+    # 5. mix sources to target proportions
+    if args.mix_targets:
+        docs = sampling.mix_sources(
+            docs, json.loads(args.mix_targets),
+            source_col=args.mix_source_col, id_col=idc,
+        )
+        manifest["after_mix"] = docs.count()
+
+    # 6. per-stratum quality quota (skew-safe salted top-k)
+    if args.quota_k:
+        kept = text.salted_grouped_topk(
+            docs, [args.strata_col],
+            [F.col("quality").desc(), F.col(idc).asc()],
+            args.quota_k,
+        ).drop("rank")
+        docs = kept
+        manifest["after_quota"] = docs.count()
+
+    # 7. token-budget packing over the final membership
+    bins = text.pack_token_bins(
+        docs, budget=args.pack_budget, n_shards=args.pack_shards,
+        id_col=idc, text_col=txt,
+    )
+    out = docs.join(bins.select(idc, "shard", "bin", "n_tokens"), idc)
+    out.write.mode("overwrite").parquet(args.output)
+    manifest["output"] = spark.read.parquet(args.output).count()
+    with open(os.path.join(args.output, "_curation_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    print(json.dumps(manifest))
+
+
+if __name__ == "__main__":
+    main()

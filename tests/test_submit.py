@@ -108,3 +108,53 @@ def test_pyramid_submit_main_inprocess(spark, corpus, tmp_path):
     e = exp.sort_values("image_id").reset_index(drop=True)
     assert g["image_id"].tolist() == e["image_id"].tolist()
     assert all(bytes(a) == bytes(b) for a, b in zip(g["bytes"], e["bytes"]))
+
+
+def test_curate_submit_main_inprocess(spark, tmp_path):
+    """jobs/curate_submit.py runs the whole curation pipeline in one job:
+    counts shrink monotonically through the drop stages, the output packs
+    into token bins, and a re-run reproduces identical membership."""
+    import json as _json
+
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    import curate_submit
+
+    docs_path = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(docs_path)
+    # benchmark side: every 11th doc (planted contamination = the docs
+    # themselves, so those must drop)
+    bench_path = str(tmp_path / "bench")
+    docs.filter((docs.doc_id % 11) == 0).selectExpr(
+        "doc_id AS bench_id", "text"
+    ).write.parquet(bench_path)
+    out = str(tmp_path / "curated")
+    curate_submit.main([
+        "--documents", docs_path, "--output", out,
+        "--benchmark", bench_path, "--contamination-threshold", "0.8",
+        "--contamination-ngram", "3",
+        "--strata-fractions", '{"en": 0.6}',
+        "--mix-targets", '{"src1": 0.4, "src2": 0.3, "src3": 0.3}',
+        "--quota-k", "50", "--pack-budget", "300", "--pack-shards", "4",
+    ])
+    man = _json.load(open(os.path.join(out, "_curation_manifest.json")))
+    assert man["after_decontaminate"] < man["input"]
+    assert man["after_exact_dedup"] <= man["after_decontaminate"]
+    assert man["after_stratified_sample"] <= man["after_exact_dedup"]
+    assert man["after_mix"] <= man["after_stratified_sample"]
+    assert man["output"] == man["after_quota"] > 0
+    cur = spark.read.parquet(out).toPandas()
+    assert {"shard", "bin", "n_tokens", "quality"} <= set(cur.columns)
+    # every benchmark doc itself was dropped (self-contamination = 1.0)
+    assert not (cur["doc_id"] % 11 == 0).any()
+    # deterministic rebuild: identical membership
+    out2 = str(tmp_path / "curated2")
+    curate_submit.main([
+        "--documents", docs_path, "--output", out2,
+        "--benchmark", bench_path, "--contamination-threshold", "0.8",
+        "--contamination-ngram", "3",
+        "--strata-fractions", '{"en": 0.6}',
+        "--mix-targets", '{"src1": 0.4, "src2": 0.3, "src3": 0.3}',
+        "--quota-k", "50", "--pack-budget", "300", "--pack-shards", "4",
+    ])
+    cur2 = spark.read.parquet(out2).toPandas()
+    assert sorted(cur["doc_id"]) == sorted(cur2["doc_id"])
