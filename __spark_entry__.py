@@ -608,6 +608,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["stream_sessionize"] = stream_sessionize
 
+    def stream_rolling_cum(spark, sf_dir):
+        # per-user running (count, sum, mean) emitted once per event —
+        # O(1) state per key (applyInPandasWithState, NoTimeout); the
+        # streaming twin of rolling_features' cumulative columns
+        from gfw_raster_analysis_lambda_spark.streaming.events import (
+            cumulative_features_stream,
+        )
+
+        out = _stream_events_run(
+            spark, sf_dir, cumulative_features_stream,
+            lambda g: g["user_id"] >= 0,
+        )
+        return out.withColumn("ts", F.col("ts").cast("string"))
+    q["stream_rolling_cum"] = stream_rolling_cum
+
     def stream_dedup_exact(spark, sf_dir):
         # streaming exactly-once ingest dedup: wave 1 = the events table,
         # wave 2 = a REPLAY of half of it (at-least-once redelivery);
@@ -1911,6 +1926,22 @@ SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rank FROM (
 
     # as-of attribution twin: DuckDB's native ASOF LEFT JOIN (greatest
     # click.ts <= purchase.ts per user, inclusive; unmatched keep nulls)
+    o["stream_rolling_cum"] = """
+WITH e AS (
+  SELECT event_id, user_id, ts, value,
+         CAST(ROUND(value * 1000000.0, 0) AS BIGINT) AS v_u6
+  FROM events
+)
+SELECT event_id, user_id, CAST(ts AS VARCHAR) AS ts, value,
+       CAST(COUNT(*) OVER w AS BIGINT) AS cum_n,
+       CAST(SUM(v_u6) OVER w AS BIGINT) AS cum_sum_u6,
+       ROUND(CAST(SUM(v_u6) OVER w AS DOUBLE)
+             / (1000000.0 * COUNT(*) OVER w), 6) AS cum_mean
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
     o["rel_rolling_features"] = """
 SELECT event_id, user_id, CAST(ts AS VARCHAR) AS ts, value,
        LAG(value) OVER w AS prev_value,

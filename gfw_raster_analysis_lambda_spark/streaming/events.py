@@ -229,3 +229,107 @@ def dedup_events_stream(
     if trigger_once:
         stream = stream.trigger(availableNow=True)
     return stream.start()
+
+
+def cumulative_features_stream(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    trigger_once: bool = True,
+):
+    """Per-user RUNNING features emitted once per event — the streaming
+    twin of ``operators.asof.rolling_features``'s cumulative columns:
+    ``(event_id, user_id, ts, value, cum_n, cum_sum, cum_mean)``.
+
+    ``applyInPandasWithState`` with NoTimeout: state per user is just
+    ``(n, value_sum)`` — O(1) per key, never grows with history (the
+    property that lets this run forever). Events are processed in
+    (ts, event_id) order WITHIN each micro-batch; across batches the
+    running totals simply continue (arrival order), the standard
+    incremental-ingest contract. Output parquet lands under
+    ``{out_dir}/data``.
+
+    The running sum is kept in EXACT integer micro-units
+    (``round(value * 1e6)`` per event, ``cum_sum_u6``): float
+    accumulation is summation-order-dependent, so a float running sum
+    can differ in the last ulp from any other engine's (or even this
+    engine's re-partitioned) computation and flip values sitting on a
+    rounding boundary — the same reason ``rolling_features`` emits
+    integer-microsecond gaps. ``cum_mean`` derives from the exact
+    integers, so it is bit-reproducible too.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        user_id = int(key[0])
+        import math
+
+        if state.exists:
+            n, sum_u6 = state.get
+        else:
+            n, sum_u6 = 0, 0
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            state.update((n, int(sum_u6)))
+            return iter(())
+        pdf = pd.concat(frames).sort_values(["ts", "event_id"], kind="mergesort")
+
+        def r_half_up(x):
+            return math.copysign(math.floor(abs(x) + 0.5), x)
+
+        out_n, out_sum, out_mean = [], [], []
+        for v in pdf["value"].astype("float64").tolist():
+            n += 1
+            sum_u6 += int(r_half_up(v * 1e6))
+            out_n.append(n)
+            out_sum.append(sum_u6)
+            # exact integers in, identical double out on every engine
+            out_mean.append(
+                math.copysign(
+                    math.floor(abs(sum_u6 / (1e6 * n)) * 1e6 + 0.5), sum_u6
+                ) / 1e6
+            )
+        state.update((n, int(sum_u6)))
+        out = pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].astype("int64"),
+                "user_id": user_id,
+                "ts": pdf["ts"],
+                "value": pdf["value"].astype("float64"),
+                "cum_n": pd.Series(out_n, index=pdf.index, dtype="int64"),
+                "cum_sum_u6": pd.Series(out_sum, index=pdf.index, dtype="int64"),
+                "cum_mean": pd.Series(out_mean, index=pdf.index),
+            }
+        )
+        return iter([out])
+
+    events = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .parquet(events_dir)
+    )
+    stream = (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=(
+                "event_id long, user_id long, ts timestamp_ntz, value double, "
+                "cum_n long, cum_sum_u6 long, cum_mean double"
+            ),
+            stateStructType="n long, sum_u6 long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    writer = (
+        stream.writeStream.format("parquet")
+        .option("path", f"{out_dir}/data")
+        .option("checkpointLocation", f"{out_dir}/ckpt")
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

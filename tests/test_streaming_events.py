@@ -219,3 +219,39 @@ def test_dedup_events_stream_swallows_replay(spark, tmp_path):
     ).sort_values("event_id").reset_index(drop=True)
     assert got["event_id"].tolist() == list(range(20))
     assert (got["value"] < 1000).all()  # first arrival won everywhere
+
+
+def test_cumulative_features_stream_continues_across_batches(spark, tmp_path):
+    """Running (count, sum, mean) per user: state carries ACROSS
+    micro-batches — wave 2's cum_n continues where wave 1 left off, and
+    the integer micro-unit sums equal an exact pandas re-derivation."""
+    from gfw_raster_analysis_lambda_spark.streaming.events import (
+        cumulative_features_stream,
+    )
+
+    pdf = _events_pdf().sort_values("ts").reset_index(drop=True)
+    half = len(pdf) // 2
+    stream_dir = str(tmp_path / "ev")
+    out_dir = str(tmp_path / "out")
+    for wave in (pdf.iloc[:half], pdf.iloc[half:]):
+        _write_wave(spark, stream_dir, wave)
+        cumulative_features_stream(spark, stream_dir, out_dir).awaitTermination(120)
+    got = pd.concat(
+        [pd.read_parquet(f) for f in glob.glob(f"{out_dir}/data/*.parquet")]
+    )
+    assert len(got) == len(pdf)
+    # exact re-derivation: per user in (ts, event_id) order
+    exp = pdf.copy()
+    exp["v_u6"] = (exp["value"] * 1e6).round().astype("int64")
+    exp = exp.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    exp["cum_n"] = exp.groupby("user_id").cumcount() + 1
+    exp["cum_sum_u6"] = exp.groupby("user_id")["v_u6"].cumsum()
+    g = got.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    assert list(g["event_id"]) == list(exp["event_id"])
+    assert list(g["cum_n"]) == list(exp["cum_n"])
+    assert list(g["cum_sum_u6"]) == list(exp["cum_sum_u6"])
+    # state is O(1) per key: a user's final cum_n equals their row count
+    assert (
+        g.groupby("user_id")["cum_n"].max()
+        == pdf.groupby("user_id").size()
+    ).all()
