@@ -1194,6 +1194,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.withColumn("query_id", F.col("query_id").cast("long"))
     q["sim_pq_adc"] = sim_pq_adc
 
+    def sim_pq_adc_trained(spark, sf_dir):
+        # PQ with a LLOYD-TRAINED codebook (1 deterministic iteration:
+        # rounded-argmin assignment, per-(subspace, code) re-center,
+        # empty codes keep their seed) — the production index build,
+        # oracle-checked end to end like sim_ann_ivf_kmeans
+        e = _t(spark, sf_dir, "embeddings")
+        cb = similarity.pq_train(e, m=8, ksub=16, iters=1)
+        enc = similarity.pq_encode(e, cb)
+        qs = [
+            (int(r[0]), r[1])
+            for r in e.filter(F.col("vec_id") < 2)
+            .select("vec_id", "embedding").collect()
+        ]
+        out = similarity.pq_adc_topk(enc, cb, qs, k=10)
+        return out.withColumn("query_id", F.col("query_id").cast("long"))
+    q["sim_pq_adc_trained"] = sim_pq_adc_trained
+
     return q
 
 
@@ -2507,6 +2524,74 @@ lut AS (
 scores AS (
   SELECT l.query_id, e.vec_id AS id, ROUND(SUM(l.dsq), 6) AS adc_dist
   FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code
+  GROUP BY 1, 2
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, id, adc_dist, CAST(rn AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adc_dist ASC, id ASC) AS rn
+  FROM scores
+) WHERE rn <= 10
+"""
+
+    _PQ_DIST0 = (
+        "ROUND(SUM(POW(CAST(list_extract(x.embedding, cb0.s * 8 + cb0.i) AS DOUBLE)"
+        " - cb0.val, 2)), 6)"
+    )
+    _PQ_DIST1 = (
+        "ROUND(SUM(POW(CAST(list_extract(x.embedding, cb1.s * 8 + cb1.i) AS DOUBLE)"
+        " - cb1.val, 2)), 6)"
+    )
+    o["sim_pq_adc_trained"] = f"""
+WITH seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+cb0 AS (
+  SELECT s.s, seeds.code, g.i,
+         CAST(list_extract(embedding, s.s * 8 + g.i) AS DOUBLE) AS val
+  FROM seeds, generate_series(0, 7) s(s), generate_series(1, 8) g(i)
+),
+enc0 AS (
+  SELECT vec_id, s, code FROM (
+    SELECT x.vec_id, cb0.s, cb0.code,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id, cb0.s
+             ORDER BY {_PQ_DIST0} ASC, cb0.code ASC) AS rn
+    FROM embeddings x, cb0
+    GROUP BY x.vec_id, cb0.s, cb0.code
+  ) WHERE rn = 1
+),
+cm AS (
+  SELECT e.s, e.code, g.i,
+         AVG(CAST(list_extract(x.embedding, e.s * 8 + g.i) AS DOUBLE)) AS val
+  FROM enc0 e JOIN embeddings x USING (vec_id), generate_series(1, 8) g(i)
+  GROUP BY 1, 2, 3
+),
+cb1 AS (
+  SELECT cb0.s, cb0.code, cb0.i, COALESCE(cm.val, cb0.val) AS val
+  FROM cb0 LEFT JOIN cm ON cm.s = cb0.s AND cm.code = cb0.code AND cm.i = cb0.i
+),
+enc1 AS (
+  SELECT vec_id, s, code FROM (
+    SELECT x.vec_id, cb1.s, cb1.code,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id, cb1.s
+             ORDER BY {_PQ_DIST1} ASC, cb1.code ASC) AS rn
+    FROM embeddings x, cb1
+    GROUP BY x.vec_id, cb1.s, cb1.code
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 2),
+lut AS (
+  SELECT q.query_id, cb1.s, cb1.code,
+         ROUND(SUM(POW(
+           CAST(list_extract(q.embedding, cb1.s * 8 + cb1.i) AS DOUBLE) - cb1.val,
+           2)), 6) AS dsq
+  FROM q, cb1
+  GROUP BY 1, 2, 3
+),
+scores AS (
+  SELECT l.query_id, e.vec_id AS id, ROUND(SUM(l.dsq), 6) AS adc_dist
+  FROM enc1 e JOIN lut l ON l.s = e.s AND l.code = e.code
   GROUP BY 1, 2
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, id, adc_dist, CAST(rn AS INT) AS rank
