@@ -175,7 +175,7 @@ def rolling_features(
     w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
     w_mov = w.rowsBetween(-(int(window) - 1), 0)
     w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
-    us = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP))")
+    us = _wall_clock_micros(df, ts_col)
     return df.select(
         id_col, key_col, ts_col, value_col,
         F.lag(value_col).over(w).alias("prev_value"),
@@ -183,3 +183,25 @@ def rolling_features(
         F.round(F.avg(value_col).over(w_mov), 6).alias("mov_avg"),
         F.count(F.lit(1)).over(w_cum).cast("long").alias("cum_n"),
     )
+
+
+def _wall_clock_micros(df, ts_col: str):
+    """Epoch microseconds of a timestamp column, SESSION-TIMEZONE-PROOF
+    for TIMESTAMP_NTZ: ``CAST(ntz AS TIMESTAMP)`` interprets the wall
+    time in spark.sql.session.timeZone, so a non-UTC session silently
+    shifts gaps across DST transitions (and disagrees with DuckDB's
+    ``epoch_us``, which treats naive timestamps as-is). For NTZ we
+    derive micros from the wall-clock FIELDS (day number + h/m/s with
+    EXTRACT's exact decimal seconds) — no timezone anywhere. Instant
+    (TIMESTAMP) columns keep the direct unix_micros."""
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get(ts_col, "")
+    if dtype == "timestamp_ntz":
+        return F.expr(
+            f"CAST(datediff({ts_col}, DATE'1970-01-01') AS BIGINT) * 86400000000"
+            f" + CAST(EXTRACT(HOUR FROM {ts_col}) AS BIGINT) * 3600000000"
+            f" + CAST(EXTRACT(MINUTE FROM {ts_col}) AS BIGINT) * 60000000"
+            f" + CAST(EXTRACT(SECOND FROM {ts_col}) * 1000000 AS BIGINT)"
+        )
+    return F.expr(f"unix_micros({ts_col})")

@@ -67,15 +67,35 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
 # 1. exact dedup (hash group-by)
 # ---------------------------------------------------------------------------
 
+def _exact_text_key(text: Column) -> Column:
+    """THE normalization exact dedup keys on — one definition so callers
+    (e.g. the curation job's loser expansion) can never silently diverge
+    from :func:`exact_duplicates`."""
+    return F.md5(F.trim(text))
+
+
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Groups of byte-identical (after trim) texts: (text_md5, n_dups,
     keeper) for groups with more than one member. The keeper is the min id
     (deterministic survivor policy)."""
     return (
-        df.select(F.col(id_col).alias("id"), F.md5(F.trim(F.col(text_col))).alias("text_md5"))
+        df.select(F.col(id_col).alias("id"), _exact_text_key(F.col(text_col)).alias("text_md5"))
         .groupBy("text_md5")
         .agg(F.count(F.lit(1)).alias("n_dups"), F.min("id").alias("keeper"))
         .filter(F.col("n_dups") > 1)
+    )
+
+
+def exact_dedup_losers(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id) rows of every NON-keeper member of an exact-duplicate group —
+    the drop list a curation pipeline anti-joins against. Shares the key
+    normalization with :func:`exact_duplicates` by construction."""
+    groups = exact_duplicates(df, id_col=id_col, text_col=text_col)
+    return (
+        df.select(F.col(id_col), _exact_text_key(F.col(text_col)).alias("__md5"))
+        .join(groups.select(F.col("text_md5").alias("__md5"), "keeper"), "__md5")
+        .filter(F.col(id_col) != F.col("keeper"))
+        .select(id_col)
     )
 
 

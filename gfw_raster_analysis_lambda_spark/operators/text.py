@@ -235,6 +235,7 @@ def pack_token_bins(
     n_shards: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Sequence packing for training batches: assign each document to a
     token-budget bin. Documents are processed in deterministic id order
@@ -251,10 +252,15 @@ def pack_token_bins(
     (documents are never split).
 
     Returns ``(id, shard, bin, n_tokens)``; ``(shard, bin)`` is the
-    packing key."""
+    packing key. Pass ``tokens_col`` to reuse an already-computed token
+    count (e.g. text_profile's ``n_tokens_ws``) instead of re-tokenizing
+    the corpus."""
     from pyspark.sql import Window
 
-    toks = whitespace_token_count(F.col(text_col))
+    toks = (
+        F.col(tokens_col) if tokens_col
+        else whitespace_token_count(F.col(text_col))
+    )
     w = (
         Window.partitionBy("shard")
         .orderBy(F.col(id_col).asc())

@@ -321,11 +321,11 @@ def _run_rollup_oracle(query, env, aois, grid, data_extent) -> pd.DataFrame:
     out = None
     for a in query.aggregates:
         if a.func == "count_distinct":
-            f = (
-                counts.groupby(keys, as_index=False)[vcol]
-                .nunique()
-                .rename(columns={vcol: a.alias})
-            )
+            # counts rows are already unique (keys, value) pairs, so the
+            # distinct count is the group SIZE — engine parity for null
+            # decoded meanings too (Series.nunique drops NaN by default,
+            # the engine's count(1) does not)
+            f = counts.groupby(keys).size().reset_index(name=a.alias)
             f[a.alias] = f[a.alias].astype(np.int64)
         elif a.func == "mode":
             srt = counts.sort_values(
@@ -333,7 +333,9 @@ def _run_rollup_oracle(query, env, aois, grid, data_extent) -> pd.DataFrame:
                 ascending=[*([True] * len(keys)), False, True],
                 kind="mergesort",
             )
-            f = srt.groupby(keys, as_index=False).first()[[*keys, vcol]].rename(
+            # head(1) keeps the first ROW intact (groupby.first skips NA
+            # per column independently — wrong row AND wrong null policy)
+            f = srt.groupby(keys, as_index=False).head(1)[[*keys, vcol]].rename(
                 columns={vcol: a.alias}
             )
         else:  # percentile / median

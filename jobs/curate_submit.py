@@ -31,7 +31,30 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
+
+
+def _persist_stage(docs, manifest: dict, name: str):
+    """Pin a drop stage's result before counting it: the manifest counts
+    would otherwise re-execute every prior stage per count (roughly
+    quadratic in stage count on a 100-TB input), and the final write
+    would recompute the whole lineage once more."""
+    docs = docs.persist()
+    manifest[name] = docs.count()
+    return docs
+
+
+def _write_manifest(spark, output: str, manifest: dict) -> None:
+    """Write the manifest THROUGH the output's filesystem (Hadoop FS API)
+    — a local open() would fail for hdfs:///s3:// outputs after the whole
+    job had already run."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(output, "_curation_manifest.json")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.create(path, True)
+    try:
+        stream.write(bytearray(json.dumps(manifest, indent=1), "utf-8"))
+    finally:
+        stream.close()
 
 
 def main(argv=None) -> None:
@@ -46,6 +69,9 @@ def main(argv=None) -> None:
     ap.add_argument("--contamination-ngram", type=int, default=8)
     ap.add_argument("--near-dup", action="store_true",
                     help="also drop MinHash near-duplicates (keepers path)")
+    ap.add_argument("--near-dup-hashes", type=int, default=8)
+    ap.add_argument("--near-dup-bands", type=int, default=4,
+                    help="fewer bands (more rows per band) = stricter matches")
     ap.add_argument("--strata-col", default="lang")
     ap.add_argument("--strata-fractions", default=None,
                     help='JSON dict stratum -> keep fraction, e.g. {"en": 0.5}')
@@ -81,27 +107,28 @@ def main(argv=None) -> None:
             n=args.contamination_ngram, threshold=args.contamination_threshold,
         ).select(idc)
         docs = docs.join(drop, idc, "left_anti")
-        manifest["after_decontaminate"] = docs.count()
+        docs = _persist_stage(docs, manifest, "after_decontaminate")
 
     # 3. exact dedup: keep the lowest-id doc of every byte-identical group
-    groups = dedup.exact_duplicates(docs, id_col=idc, text_col=txt)
-    dup_losers = (
-        docs.select(idc, F.md5(F.trim(F.col(txt))).alias("__md5"))
-        .join(groups.select(F.col("text_md5").alias("__md5"), "keeper"), "__md5")
-        .filter(F.col(idc) != F.col("keeper"))
-        .select(idc)
+    # (loser list from the shared helper — same key normalization as
+    # exact_duplicates by construction)
+    docs = docs.join(
+        dedup.exact_dedup_losers(docs, id_col=idc, text_col=txt), idc, "left_anti"
     )
-    docs = docs.join(dup_losers, idc, "left_anti")
-    manifest["after_exact_dedup"] = docs.count()
+    docs = _persist_stage(docs, manifest, "after_exact_dedup")
 
-    # 3b. optional near-dup keepers (MinHash LSH, O(docs) output)
+    # 3b. optional near-dup drop (MinHash LSH keepers path: the output is
+    # the LOSER list — (id, keeper) rows with id != keeper — so unique
+    # documents, which never appear in it, all survive the anti-join)
     if args.near_dup:
-        keep = dedup.minhash_dedup_keepers(docs, id_col=idc, text_col=txt)
-        docs = docs.join(
-            keep.filter(F.col("is_keeper")).select(F.col("id").alias(idc)),
-            idc, "left_semi",
+        losers = dedup.minhash_dedup_keepers(
+            docs, id_col=idc, text_col=txt,
+            n_hashes=args.near_dup_hashes, bands=args.near_dup_bands,
         )
-        manifest["after_near_dedup"] = docs.count()
+        docs = docs.join(
+            losers.select(F.col("id").alias(idc)), idc, "left_anti"
+        )
+        docs = _persist_stage(docs, manifest, "after_near_dedup")
 
     # 4. stratified sampling (rebalance skewed strata)
     if args.strata_fractions:
@@ -110,7 +137,7 @@ def main(argv=None) -> None:
             docs, fr, strata_col=args.strata_col, id_col=idc,
             default_fraction=args.strata_default_fraction,
         )
-        manifest["after_stratified_sample"] = docs.count()
+        docs = _persist_stage(docs, manifest, "after_stratified_sample")
 
     # 5. mix sources to target proportions
     if args.mix_targets:
@@ -118,7 +145,7 @@ def main(argv=None) -> None:
             docs, json.loads(args.mix_targets),
             source_col=args.mix_source_col, id_col=idc,
         )
-        manifest["after_mix"] = docs.count()
+        docs = _persist_stage(docs, manifest, "after_mix")
 
     # 6. per-stratum quality quota (skew-safe salted top-k)
     if args.quota_k:
@@ -127,19 +154,17 @@ def main(argv=None) -> None:
             [F.col("quality").desc(), F.col(idc).asc()],
             args.quota_k,
         ).drop("rank")
-        docs = kept
-        manifest["after_quota"] = docs.count()
+        docs = _persist_stage(kept, manifest, "after_quota")
 
     # 7. token-budget packing over the final membership
     bins = text.pack_token_bins(
         docs, budget=args.pack_budget, n_shards=args.pack_shards,
-        id_col=idc, text_col=txt,
+        id_col=idc, text_col=txt, tokens_col="n_tokens_ws",
     )
     out = docs.join(bins.select(idc, "shard", "bin", "n_tokens"), idc)
     out.write.mode("overwrite").parquet(args.output)
     manifest["output"] = spark.read.parquet(args.output).count()
-    with open(os.path.join(args.output, "_curation_manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=1)
+    _write_manifest(spark, args.output, manifest)
     print(json.dumps(manifest))
 
 

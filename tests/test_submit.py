@@ -132,6 +132,7 @@ def test_curate_submit_main_inprocess(spark, tmp_path):
         "--documents", docs_path, "--output", out,
         "--benchmark", bench_path, "--contamination-threshold", "0.8",
         "--contamination-ngram", "3",
+        "--near-dup", "--near-dup-hashes", "16", "--near-dup-bands", "2",
         "--strata-fractions", '{"en": 0.6}',
         "--mix-targets", '{"src1": 0.4, "src2": 0.3, "src3": 0.3}',
         "--quota-k", "50", "--pack-budget", "300", "--pack-shards", "4",
@@ -139,7 +140,8 @@ def test_curate_submit_main_inprocess(spark, tmp_path):
     man = _json.load(open(os.path.join(out, "_curation_manifest.json")))
     assert man["after_decontaminate"] < man["input"]
     assert man["after_exact_dedup"] <= man["after_decontaminate"]
-    assert man["after_stratified_sample"] <= man["after_exact_dedup"]
+    assert man["after_near_dedup"] <= man["after_exact_dedup"]
+    assert man["after_stratified_sample"] <= man["after_near_dedup"]
     assert man["after_mix"] <= man["after_stratified_sample"]
     assert man["output"] == man["after_quota"] > 0
     cur = spark.read.parquet(out).toPandas()
@@ -152,6 +154,7 @@ def test_curate_submit_main_inprocess(spark, tmp_path):
         "--documents", docs_path, "--output", out2,
         "--benchmark", bench_path, "--contamination-threshold", "0.8",
         "--contamination-ngram", "3",
+        "--near-dup", "--near-dup-hashes", "16", "--near-dup-bands", "2",
         "--strata-fractions", '{"en": 0.6}',
         "--mix-targets", '{"src1": 0.4, "src2": 0.3, "src3": 0.3}',
         "--quota-k", "50", "--pack-budget", "300", "--pack-shards", "4",
