@@ -684,6 +684,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("px_max", 6).alias("px_max"),
         )
 
+    def mm_histeq_stats(spark, sf_dir):
+        # per-tile histogram equalization (contrast-normalize augment):
+        # one bincount+cumsum LUT per tile, zero shuffle; the DuckDB twin
+        # re-derives the CDF with a RANGE window over the pixel formulas
+        images, _, _ = _fixture(spark)
+        u8 = images.filter(
+            ~F.col("layer").isin("emissions", "alert_date_conf")
+        ).select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+        eq = multimodal.equalize_tiles(u8)
+        st = multimodal.image_stats(eq)
+        return st.select(
+            "image_id", "w", "h",
+            F.round("px_mean", 6).alias("px_mean"),
+            F.round("px_min", 6).alias("px_min"),
+            F.round("px_max", 6).alias("px_max"),
+        )
+
     def mm_resize_stats(spark, sf_dir):
         # decode -> 2x block-mean downsample -> re-encode -> stats; the
         # DuckDB twin recomputes FLOOR(AVG(2x2 block)) from the formulas
@@ -699,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("px_max", 6).alias("px_max"),
         )
     q["mm_image_stats"] = mm_image_stats
+    q["mm_histeq_stats"] = mm_histeq_stats
     q["mm_resize_stats"] = mm_resize_stats
 
     def mm_overview_stats(spark, sf_dir):
@@ -1650,25 +1668,27 @@ SELECT query_id, image_id, CAST(hamming AS INT) AS hamming, CAST(rn AS INT) AS r
         # jpeg stand-in: 5-bit mid-rise quantize of the photo formula
         "photo": f"LEAST(CAST(FLOOR(({f['photo']}) / 8.0) AS BIGINT) * 8 + 4, 255)",
     }
-    unions = []
+    union_by_layer = {}
     for layer, val in layer_val.items():
-        unions.append(f"""
+        union_by_layer[layer] = f"""
 SELECT '{layer}' || '/' || lower(lpad(hex(CAST({GRID.index << 54} AS BIGINT) + x * {1 << 27} + y), 16, '0')) AS image_id,
        {GRID.chunk_px} AS w, {GRID.chunk_px} AS h, CAST({val} AS DOUBLE) AS v
 FROM generate_series({X0}, {X0 + NX - 1}) tx(x),
      generate_series({Y0}, {Y0 + NY - 1}) ty(y),
      generate_series(0, {GRID.chunk_px - 1}) ti(i),
-     generate_series(0, {GRID.chunk_px - 1}) tj(j)""")
+     generate_series(0, {GRID.chunk_px - 1}) tj(j)"""
+    unions = list(union_by_layer.values())
     # biomass lives on the 2x-coarser fixture grid (native coarse coords)
     cg = _G.GRID_FIXTURE_COARSE
-    unions.append(f"""
+    union_by_layer["biomass"] = f"""
 SELECT 'biomass' || '/' || lower(lpad(hex(CAST({cg.index << 54} AS BIGINT) + x * {1 << 27} + y), 16, '0')) AS image_id,
        {cg.chunk_px} AS w, {cg.chunk_px} AS h,
        CAST(((x*3 + y*7 + i*5 + j*13) % 200) AS DOUBLE) AS v
 FROM generate_series({X0 // 2}, {(X0 + NX) // 2 - 1}) tx(x),
      generate_series({Y0 // 2}, {(Y0 + NY) // 2 - 1}) ty(y),
      generate_series(0, {cg.chunk_px - 1}) ti(i),
-     generate_series(0, {cg.chunk_px - 1}) tj(j)""")
+     generate_series(0, {cg.chunk_px - 1}) tj(j)"""
+    unions.append(union_by_layer["biomass"])
     o["mm_image_stats"] = f"""
 WITH px AS ({' UNION ALL '.join(unions)})
 SELECT image_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
@@ -1677,6 +1697,31 @@ SELECT image_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
        ROUND(MAX(v), 6) AS px_max
 FROM px WHERE v IS NOT NULL
 GROUP BY 1, 2, 3
+"""
+
+    _U8_LAYERS = ["tcl_year", "tcd_threshold", "is_primary", "drivers",
+                  "ttc_percent", "photo", "biomass"]
+    o["mm_histeq_stats"] = f"""
+WITH px AS ({' UNION ALL '.join('(' + union_by_layer[l] + ')' for l in _U8_LAYERS)}),
+c AS (
+  SELECT image_id, w, h, v,
+         COUNT(*) OVER (PARTITION BY image_id ORDER BY v
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cdf,
+         COUNT(*) OVER (PARTITION BY image_id) AS n
+  FROM px
+),
+e AS (
+  SELECT image_id, w, h,
+         CASE WHEN n > cmin
+              THEN FLOOR((cdf - cmin) * 255.0 / (n - cmin) + 0.5)
+              ELSE 0 END AS eq
+  FROM (SELECT *, MIN(cdf) OVER (PARTITION BY image_id) AS cmin FROM c)
+)
+SELECT image_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+       ROUND(AVG(eq), 6) AS px_mean,
+       ROUND(MIN(eq), 6) AS px_min,
+       ROUND(MAX(eq), 6) AS px_max
+FROM e GROUP BY 1, 2, 3
 """
 
     # resize twin: the engine block-means 2x2 then truncates back to the

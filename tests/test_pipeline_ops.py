@@ -948,3 +948,38 @@ def test_pq_recall_vs_exact_l2(spark, emb):
     # is "useful, and training does not hurt"
     assert r_seed >= 0.3, r_seed
     assert r_trained >= r_seed - 0.05, (r_trained, r_seed)
+
+
+def test_equalize_tiles_numpy_parity(spark):
+    """Histogram equalization matches a direct numpy re-derivation; a
+    constant tile maps to zeros; non-uint8 tiles are rejected loudly."""
+    from gfw_raster_analysis_lambda_spark.functions import codecs
+    from gfw_raster_analysis_lambda_spark.operators.multimodal import equalize_tiles
+
+    rng = np.random.RandomState(7)
+    a = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    flat = np.full((8, 8), 42, np.uint8)
+    rows = [
+        ("a", codecs.encode_tile(a, "raw_u8"), 16, 16, "raw_u8", "", 0),
+        ("flat", codecs.encode_tile(flat, "raw_u8"), 8, 8, "raw_u8", "", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+    )
+    out = {
+        r["image_id"]: codecs.decode_tile(bytes(r["bytes"]), r["w"], r["h"], r["fmt"])
+        for r in equalize_tiles(df).collect()
+    }
+    hist = np.bincount(a.ravel(), minlength=256)
+    cdf = hist.cumsum()
+    cmin = cdf[np.nonzero(hist)[0][0]]
+    lut = np.floor((cdf - cmin) * 255.0 / (cdf[-1] - cmin) + 0.5).astype(np.uint8)
+    np.testing.assert_array_equal(out["a"], lut[a])
+    np.testing.assert_array_equal(out["flat"], np.zeros((8, 8), np.uint8))
+    bad = spark.createDataFrame(
+        [("u16", codecs.encode_tile(np.zeros((4, 4), np.uint16), "raw_u16"),
+          4, 4, "raw_u16", "", 0)],
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )
+    with pytest.raises(Exception, match="uint8"):
+        equalize_tiles(bad).collect()
