@@ -228,3 +228,13 @@ def evaluate_multi_calc(calc: str, arrs: "list", area) -> "np.ndarray":
 
 
 _COMPILE_CACHE: dict[str, Callable] = {}
+
+
+def round_half_up(a, decimals: int):
+    """HALF-UP (away-from-zero) rounding, matching Spark ``F.round`` and
+    DuckDB ``ROUND`` — numpy's ``np.round`` and python's ``round`` are
+    banker's half-even and flip values landing exactly on a .5 boundary.
+    Works on scalars and arrays; the ONE definition every cross-engine
+    rounding in this repo shares."""
+    s10 = 10.0 ** decimals
+    return np.copysign(np.floor(np.abs(a) * s10 + 0.5), a) / s10

@@ -621,10 +621,9 @@ def pq_init_codebooks(
 
 
 def _round_half_up(a, decimals: int):
-    import numpy as np
+    from ..functions.expressions import round_half_up
 
-    s = 10.0 ** decimals
-    return np.copysign(np.floor(np.abs(a) * s + 0.5), a) / s
+    return round_half_up(a, decimals)
 
 
 def pq_encode(

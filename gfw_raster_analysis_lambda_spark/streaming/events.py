@@ -263,7 +263,7 @@ def cumulative_features_stream(
 
     def fn(key, pdfs, state):
         user_id = int(key[0])
-        import math
+        from ..functions.expressions import round_half_up
 
         if state.exists:
             n, sum_u6 = state.get
@@ -274,22 +274,14 @@ def cumulative_features_stream(
             state.update((n, int(sum_u6)))
             return iter(())
         pdf = pd.concat(frames).sort_values(["ts", "event_id"], kind="mergesort")
-
-        def r_half_up(x):
-            return math.copysign(math.floor(abs(x) + 0.5), x)
-
         out_n, out_sum, out_mean = [], [], []
         for v in pdf["value"].astype("float64").tolist():
             n += 1
-            sum_u6 += int(r_half_up(v * 1e6))
+            sum_u6 += int(round_half_up(v * 1e6, 0))
             out_n.append(n)
             out_sum.append(sum_u6)
             # exact integers in, identical double out on every engine
-            out_mean.append(
-                math.copysign(
-                    math.floor(abs(sum_u6 / (1e6 * n)) * 1e6 + 0.5), sum_u6
-                ) / 1e6
-            )
+            out_mean.append(float(round_half_up(sum_u6 / (1e6 * n), 6)))
         state.update((n, int(sum_u6)))
         out = pd.DataFrame(
             {

@@ -33,13 +33,17 @@ import argparse
 import json
 
 
-def _persist_stage(docs, manifest: dict, name: str):
+def _persist_stage(docs, manifest: dict, name: str, prev=None):
     """Pin a drop stage's result before counting it: the manifest counts
     would otherwise re-execute every prior stage per count (roughly
     quadratic in stage count on a 100-TB input), and the final write
-    would recompute the whole lineage once more."""
+    would recompute the whole lineage once more. Once this stage is
+    materialized the PREVIOUS stage's cache is released — only one
+    stage's frame stays pinned at a time."""
     docs = docs.persist()
     manifest[name] = docs.count()
+    if prev is not None:
+        prev.unpersist()
     return docs
 
 
@@ -93,6 +97,7 @@ def main(argv=None) -> None:
     spark = SparkSession.builder.appName("curate_submit").getOrCreate()
     docs = spark.read.parquet(args.documents)
     idc, txt = args.id_col, args.text_col
+    prev = None
     manifest: dict = {"input": docs.count()}
 
     # 1. profile (quality + lang prediction ride along to the output)
@@ -107,7 +112,7 @@ def main(argv=None) -> None:
             n=args.contamination_ngram, threshold=args.contamination_threshold,
         ).select(idc)
         docs = docs.join(drop, idc, "left_anti")
-        docs = _persist_stage(docs, manifest, "after_decontaminate")
+        docs = prev = _persist_stage(docs, manifest, "after_decontaminate")
 
     # 3. exact dedup: keep the lowest-id doc of every byte-identical group
     # (loser list from the shared helper — same key normalization as
@@ -115,7 +120,7 @@ def main(argv=None) -> None:
     docs = docs.join(
         dedup.exact_dedup_losers(docs, id_col=idc, text_col=txt), idc, "left_anti"
     )
-    docs = _persist_stage(docs, manifest, "after_exact_dedup")
+    docs = prev = _persist_stage(docs, manifest, "after_exact_dedup", prev)
 
     # 3b. optional near-dup drop (MinHash LSH keepers path: the output is
     # the LOSER list — (id, keeper) rows with id != keeper — so unique
@@ -128,7 +133,7 @@ def main(argv=None) -> None:
         docs = docs.join(
             losers.select(F.col("id").alias(idc)), idc, "left_anti"
         )
-        docs = _persist_stage(docs, manifest, "after_near_dedup")
+        docs = prev = _persist_stage(docs, manifest, "after_near_dedup", prev)
 
     # 4. stratified sampling (rebalance skewed strata)
     if args.strata_fractions:
@@ -137,7 +142,7 @@ def main(argv=None) -> None:
             docs, fr, strata_col=args.strata_col, id_col=idc,
             default_fraction=args.strata_default_fraction,
         )
-        docs = _persist_stage(docs, manifest, "after_stratified_sample")
+        docs = prev = _persist_stage(docs, manifest, "after_stratified_sample", prev)
 
     # 5. mix sources to target proportions
     if args.mix_targets:
@@ -145,7 +150,7 @@ def main(argv=None) -> None:
             docs, json.loads(args.mix_targets),
             source_col=args.mix_source_col, id_col=idc,
         )
-        docs = _persist_stage(docs, manifest, "after_mix")
+        docs = prev = _persist_stage(docs, manifest, "after_mix", prev)
 
     # 6. per-stratum quality quota (skew-safe salted top-k)
     if args.quota_k:
@@ -154,7 +159,7 @@ def main(argv=None) -> None:
             [F.col("quality").desc(), F.col(idc).asc()],
             args.quota_k,
         ).drop("rank")
-        docs = _persist_stage(kept, manifest, "after_quota")
+        docs = prev = _persist_stage(kept, manifest, "after_quota", prev)
 
     # 7. token-budget packing over the final membership
     bins = text.pack_token_bins(
