@@ -1046,6 +1046,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["dedup_minhash_keepers"] = dedup_minhash_keepers
 
+    def dedup_minhash_clusters(spark, sf_dir):
+        # FULL transitive closure of the LSH candidate graph (A~B, B~C
+        # => one cluster): bucket-star edges (O(docs x bands), never
+        # O(pairs)) + the components engine's pointer-jumping loop; the
+        # DuckDB twin is a recursive reachability CTE over the same graph
+        return dedup.minhash_dedup_clusters(
+            _t(spark, sf_dir, "documents"), n_hashes=8, bands=4
+        )
+    q["dedup_minhash_clusters"] = dedup_minhash_clusters
+
     def dedup_simhash(spark, sf_dir):
         return dedup.simhash(_t(spark, sf_dir, "documents"), bits=16)
     q["dedup_simhash"] = dedup_simhash
@@ -2175,6 +2185,36 @@ buckets AS (
 SELECT b.id, MIN(k.keeper) AS keeper
 FROM banded b JOIN buckets k ON b.band = k.band AND b.band_key = k.band_key
 GROUP BY b.id HAVING b.id != MIN(k.keeper)
+"""
+
+    o["dedup_minhash_clusters"] = f"""
+WITH RECURSIVE tk AS (
+  SELECT doc_id AS id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+),
+th AS (SELECT id, {h0_31} AS h FROM tk WHERE tok <> ''),
+sig AS (SELECT id, {mh_cols} FROM th GROUP BY id),
+banded AS ({band_rows}),
+hubs AS (
+  SELECT band, band_key, MIN(id) AS hub, COUNT(*) AS n
+  FROM banded GROUP BY 1, 2 HAVING COUNT(*) > 1
+),
+star AS (
+  SELECT DISTINCT b.id, h.hub
+  FROM banded b JOIN hubs h ON b.band = h.band AND b.band_key = h.band_key
+  WHERE b.id != h.hub
+),
+e AS (
+  SELECT id AS a, hub AS b FROM star
+  UNION SELECT hub AS a, id AS b FROM star
+),
+nodes AS (SELECT DISTINCT a AS id FROM e),
+r(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a
+)
+SELECT src AS id, CAST(MIN(dst) AS BIGINT) AS cluster FROM r GROUP BY src
 """
 
     h0 = _md5_int60("'0:' || tok")

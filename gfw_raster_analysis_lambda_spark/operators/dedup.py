@@ -522,3 +522,59 @@ def embedding_near_dups(
         .filter(F.col("cosine") >= threshold)
         .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"), "cosine")
     )
+
+
+def minhash_dedup_clusters(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n_hashes: int = 8, bands: int = 4, max_iter: int = 30,
+) -> DataFrame:
+    """FULL transitive near-dup clusters: (id, cluster) where cluster is
+    the minimum doc id reachable through the MinHash-LSH candidate graph
+    — the closure :func:`minhash_dedup_keepers` approximates with one
+    union-find hop (A~B and B~C land A, B, C in ONE cluster here even
+    when A and C never share a band).
+
+    Composition, not new machinery: the banded candidate PAIRS never
+    materialize — documents sharing a band bucket link through the
+    bucket's min member (O(docs x bands) edges, not O(pairs); a hot
+    bucket of B near-identical docs contributes B edges, not B²/2), and
+    :func:`components.hash_to_min` pointer-jumps the closure in
+    O(log diameter) rounds. Only docs that share at least one bucket
+    appear; singletons are their own (absent) cluster."""
+    from .components import hash_to_min
+
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *[
+                F.col(f"mh{b * rows_per_band + j}").cast("string")
+                for j in range(rows_per_band)
+            ])).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+    hubs = (
+        banded.groupBy("band", "band_key")
+        .agg(F.min("id").alias("hub"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    # star edges bucket-member <-> bucket-min, both directions
+    star = (
+        banded.join(hubs, ["band", "band_key"])
+        .filter(F.col("id") != F.col("hub"))
+        .select("id", "hub")
+        .distinct()
+    )
+    edges = star.select(F.col("id").alias("a"), F.col("hub").alias("b")).unionByName(
+        star.select(F.col("hub").alias("a"), F.col("id").alias("b"))
+    )
+    nodes = star.select(F.col("id")).unionByName(
+        star.select(F.col("hub").alias("id"))
+    ).distinct()
+    out = hash_to_min(nodes, edges, max_iter=max_iter)
+    return out.select(F.col("id"), F.col("component").alias("cluster"))

@@ -983,3 +983,18 @@ def test_equalize_tiles_numpy_parity(spark):
     )
     with pytest.raises(Exception, match="uint8"):
         equalize_tiles(bad).collect()
+
+
+def test_minhash_clusters_transitive_closure(spark, docs):
+    """Clusters are the FULL closure of the candidate graph: every
+    keeper assignment (one union-find hop) is consistent with it — a doc
+    and its keeper always land in the same cluster — and cluster labels
+    equal the min member id."""
+    clusters = dedup.minhash_dedup_clusters(docs, n_hashes=8, bands=4).toPandas()
+    lab = dict(zip(clusters["id"], clusters["cluster"]))
+    keep = dedup.minhash_dedup_keepers(docs, n_hashes=8, bands=4).toPandas()
+    for _, r in keep.iterrows():
+        assert lab[r["id"]] == lab[r["keeper"]]
+    # label = min member of its cluster
+    grp = clusters.groupby("cluster")["id"].min()
+    assert (grp.index == grp.values).all()
