@@ -1090,6 +1090,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.phash_dedup_keepers(df, max_hamming=3, bands=4)
     q["dedup_phash_keepers"] = dedup_phash_keepers
 
+    def dedup_phash_clusters(spark, sf_dir):
+        # FULL transitive closure over phash near-dup chains (<=3 bits
+        # per step), computed on distinct-hash representatives; cluster
+        # label = min image id of the component
+        df = spark.createDataFrame(_phash_dedup_corpus(), "image_id string, phash long")
+        return dedup.phash_dedup_clusters(df, max_hamming=3, bands=4)
+    q["dedup_phash_clusters"] = dedup_phash_clusters
+
     def dedup_cross_modal(spark, sf_dir):
         # consensus near-dups over image+caption pairs (the input-hint
         # corpus shape): phash-banded visual candidates verified by
@@ -2397,6 +2405,23 @@ rk AS (
 )
 SELECT i.image_id AS id, r.keeper FROM imgs i JOIN rk r ON i.phash = r.phash
 WHERE i.image_id != r.keeper
+"""
+
+    o["dedup_phash_clusters"] = f"""
+WITH RECURSIVE imgs(image_id, phash) AS (VALUES {phash_vals}),
+grp AS (SELECT phash, MIN(image_id) AS rep FROM imgs GROUP BY phash),
+e AS (
+  SELECT a.rep AS a, b.rep AS b FROM grp a JOIN grp b
+  ON a.rep != b.rep AND bit_count(xor(a.phash, b.phash)) <= 3
+),
+r(src, dst) AS (
+  SELECT rep, rep FROM grp
+  UNION
+  SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a
+),
+canon AS (SELECT src AS rep, MIN(dst) AS cluster FROM r GROUP BY src)
+SELECT i.image_id AS id, c.cluster
+FROM imgs i JOIN grp g ON i.phash = g.phash JOIN canon c ON c.rep = g.rep
 """
 
     o["sim_cosine_topk"] = f"""

@@ -578,3 +578,55 @@ def minhash_dedup_clusters(
     ).distinct()
     out = hash_to_min(nodes, edges, max_iter=max_iter)
     return out.select(F.col("id"), F.col("component").alias("cluster"))
+
+
+def phash_dedup_clusters(
+    images: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_iter: int = 30,
+) -> DataFrame:
+    """FULL transitive near-dup clusters for images (the phash twin of
+    :func:`minhash_dedup_clusters`): cluster = min image id reachable
+    through chains of <= ``max_hamming`` phash steps. The closure runs
+    over DISTINCT-HASH representatives (duplicate-heavy corpora collapse
+    thousands of identical tiles to one node), so the component graph is
+    O(distinct hashes); every image then inherits its hash's label."""
+    from .components import hash_to_min
+
+    groups = (
+        images.groupBy(F.col(phash_col).alias("ph"))
+        .agg(F.min(F.col(id_col)).alias("rep"))
+    )
+    pairs = phash_near_duplicates(
+        groups, id_col="rep", phash_col="ph", max_hamming=max_hamming, bands=bands
+    )
+    # rep ids are strings here; hash_to_min wants longs — dense-rank them
+    rep_ids = groups.select(F.col("rep")).distinct().withColumn(
+        "nid", F.xxhash64("rep")
+    )
+    edges = (
+        pairs.select("a", "b")
+        .join(rep_ids.select(F.col("rep").alias("a"), F.col("nid").alias("na")), "a")
+        .join(rep_ids.select(F.col("rep").alias("b"), F.col("nid").alias("nb")), "b")
+    )
+    e2 = edges.select(F.col("na").alias("a"), F.col("nb").alias("b")).unionByName(
+        edges.select(F.col("nb").alias("a"), F.col("na").alias("b"))
+    )
+    comp = hash_to_min(rep_ids.select(F.col("nid").alias("id")), e2, max_iter=max_iter)
+    # component label back to the MIN rep STRING id of the component
+    # (engine-independent label: xxhash order is arbitrary, min rep is not)
+    labeled = (
+        rep_ids.join(comp, rep_ids.nid == comp.id)
+        .select("rep", "component")
+    )
+    canon = labeled.groupBy("component").agg(F.min("rep").alias("cluster"))
+    rep_cluster = labeled.join(canon, "component").select("rep", "cluster")
+    return (
+        images.select(F.col(id_col).alias("id"), F.col(phash_col).alias("ph"))
+        .join(groups, "ph")
+        .join(rep_cluster, "rep")
+        .select("id", "cluster")
+    )
