@@ -169,6 +169,8 @@ def workloads(spark, sf_dir):
             t("documents"), n_hashes=8, bands=4),
         "dedup_minhash_keepers": lambda: dedup.minhash_dedup_keepers(
             t("documents"), n_hashes=8, bands=4),
+        "dedup_minhash_clusters": lambda: dedup.minhash_dedup_clusters(
+            t("documents"), n_hashes=8, bands=4),
         "sim_lsh_buckets_fast": lambda: similarity.lsh_buckets_fast(
             t("embeddings"), n_planes=8),
         "sim_cosine_topk": sim_cosine,
@@ -273,6 +275,7 @@ def main():
               "text_decontaminate": "documents", "text_pack_bins": "documents",
               "text_quality_quota": "documents", "sim_pq_adc": "embeddings",
               "dedup_minhash_lsh": "documents", "dedup_minhash_keepers": "documents",
+              "dedup_minhash_clusters": "documents",
               "sim_lsh_buckets_fast": "embeddings", "sim_cosine_topk": "embeddings",
               "rel_pricing_summary": "lineitem", "rel_top_orders_per_customer": "orders"}
 
