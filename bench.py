@@ -212,6 +212,12 @@ def bench_queries(spark):
     q["dedup_minhash_keepers"] = lambda: dedup.minhash_dedup_keepers(
         _t("documents"), n_hashes=8, bands=4
     )
+    # full transitive closure of the candidate graph — the answer the
+    # pair set is usually FOR, at a fraction of its cost (star edges,
+    # never O(pairs); see BENCH/DATASCALE_r03.md)
+    q["dedup_minhash_clusters"] = lambda: dedup.minhash_dedup_clusters(
+        _t("documents"), n_hashes=8, bands=4
+    )
     # image near-dup over the tile corpus phashes: the corpus is extremely
     # duplicate-heavy (556 distinct hashes / 9216 tiles), exactly the shape
     # the distinct-first keepers path exists for
