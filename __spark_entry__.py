@@ -1011,6 +1011,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bench = bench_docs.select(F.col("doc_id").alias("bench_id"), "text")
         return corpus, bench
 
+    def stream_decontaminate(spark, sf_dir):
+        # stream-static composition: documents arrive in TWO waves, each
+        # micro-batch checked against the static benchmark shingle set
+        # (foreachBatch over the batch operator); the drained union must
+        # hash-match the batch run over the full corpus (same oracle)
+        import glob
+        import shutil
+        import tempfile
+
+        from gfw_raster_analysis_lambda_spark.streaming.curation import (
+            decontaminate_stream,
+        )
+
+        corpus, bench = _decon_corpus(spark, sf_dir)
+        bench = bench.cache()
+        pdf = corpus.toPandas().sort_values("doc_id").reset_index(drop=True)
+        work = tempfile.mkdtemp(prefix="decon_stream_")
+        try:
+            stream_dir = f"{work}/docs"
+            out_dir = f"{work}/out"
+            half = len(pdf) // 2
+            for wave in (pdf.iloc[:half], pdf.iloc[half:]):
+                spark.createDataFrame(wave).coalesce(1).write.mode("append")                     .parquet(stream_dir)
+                decontaminate_stream(
+                    spark, stream_dir, bench, out_dir, n=3, threshold=0.3
+                ).awaitTermination(120)
+            import pandas as pd
+
+            got = pd.concat(
+                [pd.read_parquet(f) for f in glob.glob(f"{out_dir}/data/*.parquet")]
+            ).reset_index(drop=True)
+            return spark.createDataFrame(got)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    q["stream_decontaminate"] = stream_decontaminate
+
     def text_decontaminate(spark, sf_dir):
         # (doc, benchmark item) pairs where the doc covers >= 30% of the
         # item's distinct 3-gram shingles; benchmark side broadcast
@@ -2126,6 +2162,9 @@ WITH {_DECON_CTE}
 SELECT doc_id, bench_id, n_overlap, n_bench_shingles, overlap_frac
 FROM pairs WHERE overlap_frac >= 0.3
 """
+
+    # the streaming run must drain to EXACTLY the batch result
+    o["stream_decontaminate"] = o["text_decontaminate"]
 
     o["text_contaminated_docs"] = f"""
 WITH {_DECON_CTE}

@@ -255,3 +255,43 @@ def test_cumulative_features_stream_continues_across_batches(spark, tmp_path):
         g.groupby("user_id")["cum_n"].max()
         == pdf.groupby("user_id").size()
     ).all()
+
+
+def test_decontaminate_stream_drains_to_batch_result(spark, tmp_path):
+    """Stream-static decontamination (foreachBatch over the broadcast
+    benchmark side): documents streamed in two waves produce exactly the
+    batch operator's pairs, and wave 2 is processed incrementally (the
+    checkpoint tracks wave 1's files)."""
+    from pyspark.sql import functions as F
+
+    from gfw_raster_analysis_lambda_spark.operators.text import (
+        benchmark_contamination,
+    )
+    from gfw_raster_analysis_lambda_spark.streaming.curation import (
+        decontaminate_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 11 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    ).cache()
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    stream_dir, out_dir = str(tmp_path / "docs"), str(tmp_path / "out")
+    half = len(pdf) // 2
+    counts = []
+    for wave in (pdf.iloc[:half], pdf.iloc[half:]):
+        _write_wave(spark, stream_dir, wave)
+        decontaminate_stream(
+            spark, stream_dir, bench, out_dir, n=3, threshold=0.5
+        ).awaitTermination(120)
+        got_files = glob.glob(f"{out_dir}/data/*.parquet")
+        counts.append(sum(len(pd.read_parquet(f)) for f in got_files))
+    assert counts[1] > counts[0]  # wave 2 added rows incrementally
+    got = pd.concat(
+        [pd.read_parquet(f) for f in glob.glob(f"{out_dir}/data/*.parquet")]
+    ).sort_values(["doc_id", "bench_id"]).reset_index(drop=True)
+    exp = (
+        benchmark_contamination(docs, bench, n=3, threshold=0.5)
+        .toPandas().sort_values(["doc_id", "bench_id"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
