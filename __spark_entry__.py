@@ -1149,6 +1149,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["dedup_cross_modal"] = dedup_cross_modal
 
+    def dedup_cross_modal_clusters(spark, sf_dir):
+        # transitive closure over the consensus-pair graph: keeper
+        # assignment for the image+caption corpus — A~B~C chains land in
+        # one cluster even when A and C never share a phash band
+        df = spark.createDataFrame(
+            _cross_modal_corpus(), "image_id string, phash long, caption string"
+        )
+        return dedup.cross_modal_dedup_clusters(
+            df, max_hamming=3, bands=4, min_caption_jaccard=0.5
+        ).select("id", "cluster")
+    q["dedup_cross_modal_clusters"] = dedup_cross_modal_clusters
+
     def sample_split_assign(spark, sf_dir):
         # deterministic hash-threshold sampling + train/val/test split:
         # membership re-derived bit-for-bit by the DuckDB twin
@@ -2423,6 +2435,34 @@ JOIN tok ta ON ta.image_id = p.a
 JOIN tok tb ON tb.image_id = p.b
 WHERE CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
       / (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts))) >= 0.5
+"""
+
+    o["dedup_cross_modal_clusters"] = f"""
+WITH RECURSIVE imgs(image_id, phash, caption) AS (VALUES {cm_vals}),
+tok AS (
+  SELECT image_id,
+         list_distinct(string_split(lower(trim(caption)), ' ')) AS ts
+  FROM imgs
+),
+pairs AS (
+  SELECT p.a, p.b FROM (
+    SELECT a.image_id AS a, b.image_id AS b
+    FROM imgs a JOIN imgs b ON a.image_id < b.image_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+  ) p
+  JOIN tok ta ON ta.image_id = p.a
+  JOIN tok tb ON tb.image_id = p.b
+  WHERE CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+        / (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts))) >= 0.5
+),
+e AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM e),
+r(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a
+)
+SELECT src AS id, MIN(dst) AS cluster FROM r GROUP BY src
 """
 
     o["dedup_phash_keepers"] = f"""

@@ -57,8 +57,8 @@ def cell_adjacency(cells: DataFrame, diagonal: bool = True) -> DataFrame:
 
 
 def hash_to_min(
-    nodes: DataFrame,  # one column: id (long)
-    edges: DataFrame,  # columns: a, b (long, directed — pass both directions)
+    nodes: DataFrame,  # one column: id (long or string)
+    edges: DataFrame,  # columns: a, b (same type, directed — pass both directions)
     max_iter: int = 30,
     shortcut: bool = True,
 ) -> DataFrame:
@@ -70,10 +70,21 @@ def hash_to_min(
     propagation distance per round. Convergence is O(log diameter) with
     shortcutting instead of O(diameter) — the difference between ~15 and
     ~1000 rounds for a continent-spanning contiguous region. Early-stops
-    on a changed-label count."""
+    on a changed-label count.
+
+    Node ids may be longs OR strings: the loop is only equi-joins and
+    MIN-combines, both defined for either type, so string-keyed callers
+    (e.g. image-id cluster reps) run natively — no hash-to-long mapping,
+    hence no possibility of a 64-bit hash collision silently merging
+    unrelated components. Integral ids are normalized to long; everything
+    else is kept verbatim."""
+    integral = nodes.schema["id"].dataType.typeName() in (
+        "byte", "short", "integer", "long"
+    )
+    idc = F.col("id").cast("long") if integral else F.col("id")
     edges = edges.persist()
     labels = (
-        nodes.select(F.col("id").cast("long")).distinct()
+        nodes.select(idc).distinct()
         .withColumn("component", F.col("id"))
         .persist()
     )

@@ -343,6 +343,43 @@ def cross_modal_dups(
     )
 
 
+def cross_modal_dedup_clusters(
+    images: DataFrame,  # (id, phash, caption)
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    caption_col: str = "caption",
+    max_hamming: int = 3,
+    bands: int = 4,
+    min_caption_jaccard: float = 0.5,
+    max_iter: int = 30,
+) -> DataFrame:
+    """FULL transitive clusters over the CONSENSUS near-dup graph:
+    (id, cluster) where cluster is the minimum image id reachable through
+    chains of :func:`cross_modal_dups` pairs (near-dup in BOTH modalities
+    at every hop). The keeper-assignment composition a user deduping an
+    image+caption corpus actually wants: A~B and B~C consensus pairs land
+    A, B, C in ONE cluster even when A and C never share a phash band.
+
+    Same composition as :func:`minhash_dedup_clusters`: the pair set is
+    already bucket-bounded (phash banding generates candidates, caption
+    jaccard verifies — never all-pairs), and :func:`components.hash_to_min`
+    pointer-jumps the closure over the STRING image ids natively in
+    O(log diameter) rounds. Only images in at least one consensus pair
+    appear; singletons are their own (absent) cluster."""
+    from .components import hash_to_min
+
+    pairs = cross_modal_dups(
+        images, id_col, phash_col, caption_col,
+        max_hamming, bands, min_caption_jaccard,
+    )
+    edges = pairs.select("a", "b").unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    nodes = edges.select(F.col("a").alias("id")).distinct()
+    out = hash_to_min(nodes, edges, max_iter=max_iter)
+    return out.select("id", F.col("component").alias("cluster"))
+
+
 def phash_dedup_keepers(
     images: DataFrame,
     id_col: str = "image_id",
@@ -593,7 +630,14 @@ def phash_dedup_clusters(
     through chains of <= ``max_hamming`` phash steps. The closure runs
     over DISTINCT-HASH representatives (duplicate-heavy corpora collapse
     thousands of identical tiles to one node), so the component graph is
-    O(distinct hashes); every image then inherits its hash's label."""
+    O(distinct hashes); every image then inherits its hash's label.
+
+    The closure runs DIRECTLY on the string rep ids (:func:`hash_to_min`
+    is id-type-generic): no rep->int64 hashing step exists, so there is
+    no 64-bit-collision mode that could silently merge unrelated clusters
+    at the 1e9+-distinct-hash scale — correctness never depends on a hash
+    being injective. The cluster label is the component's min rep id,
+    produced by the closure itself."""
     from .components import hash_to_min
 
     groups = (
@@ -603,27 +647,15 @@ def phash_dedup_clusters(
     pairs = phash_near_duplicates(
         groups, id_col="rep", phash_col="ph", max_hamming=max_hamming, bands=bands
     )
-    # rep ids are strings here; hash_to_min wants longs — dense-rank them
-    rep_ids = groups.select(F.col("rep")).distinct().withColumn(
-        "nid", F.xxhash64("rep")
+    e2 = pairs.select("a", "b").unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
-    edges = (
-        pairs.select("a", "b")
-        .join(rep_ids.select(F.col("rep").alias("a"), F.col("nid").alias("na")), "a")
-        .join(rep_ids.select(F.col("rep").alias("b"), F.col("nid").alias("nb")), "b")
+    comp = hash_to_min(
+        groups.select(F.col("rep").alias("id")), e2, max_iter=max_iter
     )
-    e2 = edges.select(F.col("na").alias("a"), F.col("nb").alias("b")).unionByName(
-        edges.select(F.col("nb").alias("a"), F.col("na").alias("b"))
+    rep_cluster = comp.select(
+        F.col("id").alias("rep"), F.col("component").alias("cluster")
     )
-    comp = hash_to_min(rep_ids.select(F.col("nid").alias("id")), e2, max_iter=max_iter)
-    # component label back to the MIN rep STRING id of the component
-    # (engine-independent label: xxhash order is arbitrary, min rep is not)
-    labeled = (
-        rep_ids.join(comp, rep_ids.nid == comp.id)
-        .select("rep", "component")
-    )
-    canon = labeled.groupBy("component").agg(F.min("rep").alias("cluster"))
-    rep_cluster = labeled.join(canon, "component").select("rep", "cluster")
     return (
         images.select(F.col(id_col).alias("id"), F.col(phash_col).alias("ph"))
         .join(groups, "ph")

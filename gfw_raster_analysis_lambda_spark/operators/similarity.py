@@ -747,10 +747,14 @@ def pq_adc_topk(
     # normalize qids up front: the output schema is inferred from them,
     # and a numpy integer is not a python int (isinstance check would
     # pick the string schema while the values serialize as int64)
-    qids = [
-        int(q[0]) if isinstance(q[0], (int, np.integer)) else str(q[0])
-        for q in queries
-    ]
+    # one GLOBAL qid type: a mixed int/str list must not declare a string
+    # schema while some pandas values stay raw ints (Arrow serialization
+    # in the executor would fail or coerce inconsistently) — if ANY qid
+    # is non-integral, stringify them ALL so values match the schema
+    if all(isinstance(q[0], (int, np.integer)) for q in queries):
+        qids = [int(q[0]) for q in queries]
+    else:
+        qids = [str(q[0]) for q in queries]
     luts = []
     for _, qv in queries:
         q = np.asarray(qv, dtype=np.float64).reshape(m, 1, dsub)
@@ -762,7 +766,7 @@ def pq_adc_topk(
     offs = (np.arange(m) * ksub)[None, :]                      # 1 x m
 
     id_type = dict(codes_df.dtypes)["id"]
-    qid_type = "string" if any(not isinstance(q, int) for q in qids) else "long"
+    qid_type = "long" if isinstance(qids[0], int) else "string"
     schema = f"query_id {qid_type}, id {id_type}, adc_dist double"
 
     def score(batches):

@@ -232,11 +232,32 @@ def _run_value_rollup_query(
     partials = partials.persist()
     try:
         results = [_rollup_one(partials, a, vcol, keys) for a in aggs]
-        out = reduce(lambda l, r: l.join(r, keys), results)
+        # NULL-SAFE reduce-join: a GROUP BY layer with a raster_table but
+        # default_meaning=None decodes unmapped raws to NULL, and NULL keys
+        # never match under plain equality — such groups would silently
+        # vanish from multi-selector results while the single-selector
+        # path keeps them. eqNullSafe treats NULL = NULL as a match.
+        out = reduce(lambda l, r: _join_nullsafe(l, r, keys), results)
         out = out.select(*keys, *[a.alias for a in aggs]).localCheckpoint(eager=True)
     finally:
         partials.unpersist()
     return out
+
+
+def _join_nullsafe(l: DataFrame, r: DataFrame, keys: list) -> DataFrame:
+    """Inner join on ``keys`` with NULL-safe equality, keeping one copy of
+    each key column (the left's)."""
+    from functools import reduce
+
+    renamed = r
+    for k in keys:
+        renamed = renamed.withColumnRenamed(k, f"__r_{k}")
+    cond = reduce(
+        lambda acc, k: acc & l[k].eqNullSafe(renamed[f"__r_{k}"]),
+        keys[1:],
+        l[keys[0]].eqNullSafe(renamed[f"__r_{keys[0]}"]),
+    )
+    return l.join(renamed, cond).drop(*[f"__r_{k}" for k in keys])
 
 
 def _rollup_one(partials, a: Aggregate, vcol: str, keys: list) -> DataFrame:

@@ -658,6 +658,68 @@ def test_cross_modal_dups_consensus(spark):
     assert pairs[("a", "d")]["caption_jaccard"] == 0.8
 
 
+def test_cross_modal_dedup_clusters_transitive(spark):
+    """A~B and B~C consensus pairs land A, B, C in ONE cluster even when
+    A and C share no phash band (hamming(A,C)=6 > max_hamming); images
+    failing either modality stay out."""
+    base = 0b1010
+    rows = [
+        ("a", base, "red barn under snow"),
+        ("b", base ^ (1 << 10) ^ (1 << 30) ^ (1 << 50), "red barn under snow"),
+        ("c", base ^ (1 << 10) ^ (1 << 11) ^ (1 << 30)
+              ^ (1 << 31) ^ (1 << 50) ^ (1 << 51), "red barn under snow"),
+        ("d", base, "stock chart q3 revenue"),       # visual-only: excluded
+        ("e", 0x5555AAAA, "red barn under snow"),    # caption-only: excluded
+    ]
+    # a-b hamming 3, b-c hamming 3, a-c hamming 6: transitive chain only
+    df = spark.createDataFrame(rows, "image_id string, phash long, caption string")
+    pairs = dedup.cross_modal_dups(df, max_hamming=3, bands=4,
+                                   min_caption_jaccard=0.5)
+    got_pairs = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert ("a", "c") not in got_pairs  # never a direct candidate
+    got = dedup.cross_modal_dedup_clusters(
+        df, max_hamming=3, bands=4, min_caption_jaccard=0.5
+    ).toPandas()
+    clusters = dict(zip(got["id"], got["cluster"]))
+    assert clusters == {"a": "a", "b": "a", "c": "a"}  # d, e absent
+
+
+def test_hash_to_min_string_ids_no_hash_injectivity(spark):
+    """The closure runs natively on STRING node ids: correctness cannot
+    depend on any string->int64 hash being injective, because no such
+    mapping exists in the path (this pins the round-3 fix that removed
+    the xxhash64 node-id step from phash_dedup_clusters — two reps whose
+    64-bit hashes collide can no longer silently merge)."""
+    from gfw_raster_analysis_lambda_spark.operators import components
+
+    nodes = spark.createDataFrame(
+        [("img~z",), ("img~y",), ("img~x",), ("lone",)], "id string"
+    )
+    e = [("img~z", "img~y"), ("img~y", "img~x")]
+    edges = spark.createDataFrame(
+        e + [(b, a) for a, b in e], "a string, b string"
+    )
+    got = components.hash_to_min(nodes, edges).toPandas()
+    comp = dict(zip(got["id"], got["component"]))
+    assert comp == {
+        "img~z": "img~x", "img~y": "img~x", "img~x": "img~x", "lone": "lone"
+    }
+    # long ids still normalize to long (the original contract)
+    lnodes = spark.createDataFrame([(1,), (2,)], "id int")
+    ledges = spark.createDataFrame([(1, 2), (2, 1)], "a long, b long")
+    lgot = components.hash_to_min(lnodes, ledges)
+    assert dict(lgot.dtypes)["id"] == "bigint"
+    assert {r["component"] for r in lgot.collect()} == {1}
+    # and phash_dedup_clusters itself carries string reps end-to-end
+    imgs = spark.createDataFrame(
+        [("z9", 0b111), ("z8", 0b111), ("q1", 0b110), ("far", 1 << 60)],
+        "image_id string, phash long",
+    )
+    pc = dedup.phash_dedup_clusters(imgs, max_hamming=1, bands=4).toPandas()
+    got_c = dict(zip(pc["id"], pc["cluster"]))
+    assert got_c == {"z9": "q1", "z8": "q1", "q1": "q1", "far": "far"}
+
+
 def test_review_fixes_round3(spark, emb):
     """Regression pins for round-3 review findings: empty-input paths,
     HALF_UP rounding parity, truncated-chroma detection, captionless

@@ -1220,6 +1220,49 @@ def test_rollup_multi_selector_validation(spark, tables, env):
         )
 
 
+def test_rollup_multi_selector_keeps_null_groups(spark, tables):
+    """A GROUP BY layer with a PARTIAL raster_table and default_meaning
+    None decodes unmapped raws to NULL; the multi-selector reduce-join
+    must keep those groups (NULL-safe equality) — they used to vanish
+    while the single-selector path kept them."""
+    base = fixtures.fixture_environment()
+    from gfw_raster_analysis_lambda_spark.sources.catalog import SourceLayer
+
+    layers = [l for l in base.layers if l.name != "drivers"]
+    layers.append(SourceLayer(
+        "drivers", grid=GRID_NAME, dtype="uint8", fmt="png", no_data=0,
+        # raws 3,4,5 are unmapped and there is NO default -> NULL group
+        raster_table={1: "Agriculture", 2: "Forestry"},
+    ))
+    env2 = DataEnvironment(layers=layers)
+
+    def run(aggs):
+        q = ZonalQuery(
+            base_layer="ttc_percent", group_layers=("drivers",),
+            aggregates=aggs,
+        )
+        images, aoi_df = tables
+        return (
+            run_zonal_query(spark, images, aoi_df, q, env2, GRID_NAME)
+            .toPandas()
+        )
+
+    multi = run((
+        Aggregate("percentile", "ttc_percent", "p50", param=0.5),
+        Aggregate("percentile", "ttc_percent", "p90", param=0.9),
+    ))
+    single = run((Aggregate("percentile", "ttc_percent", "p50", param=0.5),))
+    assert multi["drivers"].isna().any(), "fixture must produce a NULL group"
+    key = ["aoi_id", "drivers"]
+
+    def keyset(df):
+        return {tuple(r) for r in df[key].astype(object).where(df[key].notna(), None).itertuples(index=False)}
+
+    assert keyset(multi) == keyset(single)
+    merged = multi.merge(single, on=key, how="outer", suffixes=("_m", "_s"))
+    assert (merged["p50_m"] == merged["p50_s"]).all()
+
+
 @pytest.mark.parametrize("seed", range(101, 113))
 def test_random_rollup_fuzz_vs_oracle(spark, tables, env, seed):
     """Randomized PERCENTILE/MODE/COUNT(DISTINCT) shapes (single and

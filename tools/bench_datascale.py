@@ -52,7 +52,10 @@ VOWELS = "aeiou"
 
 
 def ensure_synth(spark) -> None:
-    if os.path.exists(os.path.join(SYNTH, "documents.parquet", "_SUCCESS")):
+    # completion marker is written LAST, after all four tables: checking a
+    # single table's _SUCCESS (written first) would let an interrupted run
+    # leave a partial SYNTH dir that later runs silently reuse
+    if os.path.exists(os.path.join(SYNTH, "_COMPLETE")):
         return
     os.makedirs(SYNTH, exist_ok=True)
     docs = spark.read.parquet(os.path.join(SF1, "documents.parquet"))
@@ -105,6 +108,8 @@ def ensure_synth(spark) -> None:
         .drop("k")
         .write.mode("overwrite").parquet(os.path.join(SYNTH, "orders.parquet"))
     )
+    with open(os.path.join(SYNTH, "_COMPLETE"), "w") as f:
+        f.write("documents embeddings lineitem orders\n")
 
 
 def workloads(spark, sf_dir):
