@@ -575,7 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 spark.createDataFrame(wave).coalesce(1).write.mode("append")                     .parquet(stream_dir)
                 op(spark, stream_dir, out_dir).awaitTermination(120)
             got = pd.concat(
-                [pd.read_parquet(f) for f in glob.glob(f"{out_dir}/data/*.parquet")]
+                [pd.read_parquet(f) for f in glob.glob(f"{out_dir}/data/**/*.parquet", recursive=True)]
             )
             got = got[read_filter(got)].reset_index(drop=True)
             return spark.createDataFrame(got)
@@ -654,7 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     .parquet(stream_dir)
                 dedup_events_stream(spark, stream_dir, out_dir).awaitTermination(120)
             got = pd.concat(
-                [pd.read_parquet(f) for f in glob.glob(f"{out_dir}/data/*.parquet")]
+                [pd.read_parquet(f) for f in glob.glob(f"{out_dir}/data/**/*.parquet", recursive=True)]
             ).reset_index(drop=True)
             return spark.createDataFrame(got[cols]).select(
                 "event_id", "user_id", "event_type",
@@ -1040,7 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             import pandas as pd
 
             got = pd.concat(
-                [pd.read_parquet(f) for f in glob.glob(f"{out_dir}/data/*.parquet")]
+                [pd.read_parquet(f) for f in glob.glob(f"{out_dir}/data/**/*.parquet", recursive=True)]
             ).reset_index(drop=True)
             return spark.createDataFrame(got)
         finally:

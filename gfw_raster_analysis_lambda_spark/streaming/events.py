@@ -24,6 +24,22 @@ exact shape a 100-TB/day event stream needs. Watermark semantics mean a
 window/session is emitted by the micro-batch AFTER the one whose data
 advanced the watermark past it (Spark computes each batch's watermark
 from the previous batch's max event time).
+
+Delivery guarantee (all four ops in this module): end-to-end
+EXACTLY-ONCE for readers that honor the sink's transaction log. Every
+op writes through Spark's built-in parquet STREAMING sink, which
+records each batch's committed files in ``{out}/_spark_metadata``; a
+batch retried after a partial flush re-commits the same batch id, and
+``spark.read`` on the directory serves only log-listed files. The
+guarantee is weaker for raw file listers (``glob``/``ls``): a crashed
+attempt can leave an orphan file on disk that the log never references
+— the repo's own test drains only see committed files because
+``availableNow`` runs complete before reading, but a production
+consumer should either read through Spark or compact the sink output
+first. (``foreachBatch`` sinks do NOT get this for free — see
+``curation.write_decontaminate_batch`` for the explicit batch-id
+partition-overwrite idempotency that replaces it there, and
+``incremental.py`` for the dynamic-partition-overwrite variant.)
 """
 
 from __future__ import annotations

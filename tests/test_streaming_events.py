@@ -61,7 +61,7 @@ def test_windowed_event_stats_with_late_rows(spark, tmp_path):
     windowed_event_stats(spark, stream_dir, out_dir, watermark=wm).awaitTermination(120)
 
     got = (
-        pd.concat([pd.read_parquet(f) for f in glob.glob(f"{out_dir}/data/*.parquet")])
+        pd.concat([pd.read_parquet(f) for f in glob.glob(f"{out_dir}/data/**/*.parquet", recursive=True)])
         .query("event_type != '__sentinel__'")
         .sort_values(["window_start", "event_type"]).reset_index(drop=True)
     )
@@ -114,7 +114,7 @@ def test_sessionize_events_matches_oracle(spark, tmp_path):
         sessionize_events(spark, stream_dir, out_dir).awaitTermination(120)
 
     got = (
-        pd.concat([pd.read_parquet(f) for f in glob.glob(f"{out_dir}/data/*.parquet")])
+        pd.concat([pd.read_parquet(f) for f in glob.glob(f"{out_dir}/data/**/*.parquet", recursive=True)])
         .query("user_id >= 0")
         .sort_values(["user_id", "session_start"]).reset_index(drop=True)
     )
@@ -179,7 +179,7 @@ def test_sessionize_late_rows_within_watermark_merge(spark, tmp_path):
         sessionize_events(spark, stream_dir, out_dir, gap_minutes=gap_min, watermark=wm).awaitTermination(120)
 
     got = (
-        pd.concat([pd.read_parquet(f) for f in glob.glob(f"{out_dir}/data/*.parquet")])
+        pd.concat([pd.read_parquet(f) for f in glob.glob(f"{out_dir}/data/**/*.parquet", recursive=True)])
         .query("user_id >= 0")
         .sort_values(["user_id", "session_start"]).reset_index(drop=True)
     )
@@ -215,7 +215,7 @@ def test_dedup_events_stream_swallows_replay(spark, tmp_path):
         spark.createDataFrame(wave).coalesce(1).write.mode("append").parquet(stream_dir)
         dedup_events_stream(spark, stream_dir, out_dir).awaitTermination(120)
     got = pd.concat(
-        [pd.read_parquet(f) for f in glob.glob(f"{out_dir}/data/*.parquet")]
+        [pd.read_parquet(f) for f in glob.glob(f"{out_dir}/data/**/*.parquet", recursive=True)]
     ).sort_values("event_id").reset_index(drop=True)
     assert got["event_id"].tolist() == list(range(20))
     assert (got["value"] < 1000).all()  # first arrival won everywhere
@@ -237,7 +237,7 @@ def test_cumulative_features_stream_continues_across_batches(spark, tmp_path):
         _write_wave(spark, stream_dir, wave)
         cumulative_features_stream(spark, stream_dir, out_dir).awaitTermination(120)
     got = pd.concat(
-        [pd.read_parquet(f) for f in glob.glob(f"{out_dir}/data/*.parquet")]
+        [pd.read_parquet(f) for f in glob.glob(f"{out_dir}/data/**/*.parquet", recursive=True)]
     )
     assert len(got) == len(pdf)
     # exact re-derivation: per user in (ts, event_id) order
@@ -255,6 +255,47 @@ def test_cumulative_features_stream_continues_across_batches(spark, tmp_path):
         g.groupby("user_id")["cum_n"].max()
         == pdf.groupby("user_id").size()
     ).all()
+
+
+def test_decontaminate_batch_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a micro-batch that fails after a
+    partial parquet flush is RETRIED with the same batch_id. The sink
+    must overwrite that batch's partition, not append next to it — a
+    second invocation of the batch writer for the same (batch, id) must
+    leave the drained result unchanged (and a different batch_id must
+    still accumulate)."""
+    from pyspark.sql import functions as F
+
+    from gfw_raster_analysis_lambda_spark.streaming.curation import (
+        write_decontaminate_batch,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 11 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    ).cache()
+    out_dir = str(tmp_path / "out")
+    batch = docs.filter(F.col("doc_id") % 2 == 0)
+
+    def drained():
+        files = glob.glob(f"{out_dir}/data/**/*.parquet", recursive=True)
+        return (
+            pd.concat([pd.read_parquet(f) for f in files])
+            .sort_values(["doc_id", "bench_id"])
+            .reset_index(drop=True)
+        )
+
+    write_decontaminate_batch(batch, 0, bench, out_dir, n=3, threshold=0.5)
+    once = drained()
+    assert len(once) > 0
+    # retry of the SAME batch_id: no duplicates, bit-identical drain
+    write_decontaminate_batch(batch, 0, bench, out_dir, n=3, threshold=0.5)
+    pd.testing.assert_frame_equal(drained(), once)
+    # a DIFFERENT batch_id accumulates alongside
+    write_decontaminate_batch(
+        docs.filter(F.col("doc_id") % 2 == 1), 1, bench, out_dir, n=3, threshold=0.5
+    )
+    assert len(drained()) > len(once)
 
 
 def test_decontaminate_stream_drains_to_batch_result(spark, tmp_path):
@@ -284,11 +325,11 @@ def test_decontaminate_stream_drains_to_batch_result(spark, tmp_path):
         decontaminate_stream(
             spark, stream_dir, bench, out_dir, n=3, threshold=0.5
         ).awaitTermination(120)
-        got_files = glob.glob(f"{out_dir}/data/*.parquet")
+        got_files = glob.glob(f"{out_dir}/data/**/*.parquet", recursive=True)
         counts.append(sum(len(pd.read_parquet(f)) for f in got_files))
     assert counts[1] > counts[0]  # wave 2 added rows incrementally
     got = pd.concat(
-        [pd.read_parquet(f) for f in glob.glob(f"{out_dir}/data/*.parquet")]
+        [pd.read_parquet(f) for f in glob.glob(f"{out_dir}/data/**/*.parquet", recursive=True)]
     ).sort_values(["doc_id", "bench_id"]).reset_index(drop=True)
     exp = (
         benchmark_contamination(docs, bench, n=3, threshold=0.5)
