@@ -232,7 +232,7 @@ def quality_quota(
 def pack_token_bins(
     df: DataFrame,
     budget: int,
-    n_shards: int = 64,
+    n_shards: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     tokens_col: str | None = None,
@@ -251,12 +251,23 @@ def pack_token_bins(
     may overshoot ``budget`` by at most its last document's tokens
     (documents are never split).
 
+    ``n_shards`` defaults to the input's scan partition count (floor 64):
+    each shard's window IS one task over ~corpus/n_shards rows, so a
+    CONSTANT default would turn every shard into a ~corpus/64 single-task
+    scan at 100 TB — scaling shards with input partitions keeps per-task
+    work at roughly one input split regardless of corpus size. Note the
+    shard count is part of the packing's deterministic identity: rebuild
+    reproducibility across differently-partitioned reads requires pinning
+    ``n_shards`` explicitly (``jobs/curate_submit.py`` pins 1024).
+
     Returns ``(id, shard, bin, n_tokens)``; ``(shard, bin)`` is the
     packing key. Pass ``tokens_col`` to reuse an already-computed token
     count (e.g. text_profile's ``n_tokens_ws``) instead of re-tokenizing
     the corpus."""
     from pyspark.sql import Window
 
+    if n_shards is None:
+        n_shards = max(64, df.rdd.getNumPartitions())
     toks = (
         F.col(tokens_col) if tokens_col
         else whitespace_token_count(F.col(text_col))

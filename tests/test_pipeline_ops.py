@@ -921,6 +921,21 @@ def test_pack_token_bins_properties(spark, docs):
         assert sub[i] == full[i]
 
 
+def test_pack_token_bins_default_shards_tracks_partitions(spark, docs):
+    """The n_shards default scales with the input's partition count
+    (floor 64): each shard's window is ONE task over ~corpus/n_shards
+    rows, so the per-shard row bound must shrink as the input gets wider
+    — a constant default would mean ~corpus/64 single-task scans at
+    100 TB."""
+    wide = text.pack_token_bins(docs.repartition(96), budget=300).toPandas()
+    assert (wide["doc_id"] % 96 == wide["shard"]).all()  # 96 > floor
+    narrow = text.pack_token_bins(docs.coalesce(2), budget=300).toPandas()
+    assert (narrow["doc_id"] % 64 == narrow["shard"]).all()  # floor wins
+    n = len(wide)
+    assert wide.groupby("shard").size().max() <= -(-n // 96) + 1
+    assert wide.groupby("shard").size().max() < narrow.groupby("shard").size().max()
+
+
 def test_rolling_features_semantics(spark):
     """Hand-checked rolling features: lag, integer-microsecond gaps,
     trailing mean over bounded window, cumulative count; ties on equal
