@@ -160,6 +160,18 @@ def _run_value_rollup_query(
     spark, images, aoi_df, query: ZonalQuery, env, grid_name,
     strategy=None, aoi_index=None,
 ) -> DataFrame:
+    """Single-query entry for the value-rollup rewrite (see
+    :func:`_rollup_plan`): run the inner group-by-value count query
+    through the normal kernel path, then apply the relational finisher."""
+    inner, finish = _rollup_plan(query, env)
+    counts = run_zonal_query(
+        spark, images, aoi_df, inner, env, grid_name,
+        per_aoi=True, strategy=strategy, aoi_index=aoi_index,
+    )
+    return finish(counts)
+
+
+def _rollup_plan(query: ZonalQuery, env):
     """PERCENTILE/MEDIAN/MODE/COUNT(DISTINCT) as PLAN REWRITES, no kernel
     changes: each is group-by-value counts (the kernel's native bincount
     partial, shuffle volume O(distinct values) not O(pixels)) followed by
@@ -178,10 +190,15 @@ def _run_value_rollup_query(
     the SAME layer (``PERCENTILE(x, .25), MEDIAN(x), COUNT(DISTINCT x)``):
     they share one kernel pass and one counts frame, and their per-key
     results join back on the group keys (tiny frames, broadcast-sized
-    per key-group). No other aggregates, no isoweek/pixel/order/limit."""
-    from functools import reduce
+    per key-group). No other aggregates, no isoweek/pixel/order/limit.
 
-    from pyspark.sql import Window
+    Returns ``(inner_query, finish)`` where ``inner_query`` is the plain
+    count-by-value :class:`ZonalQuery` (executable standalone OR as one
+    member of a fused :func:`run_zonal_queries` pass — its partials are
+    the same bincount rows the fused kernel already produces) and
+    ``finish(counts_df)`` maps the finalized inner result to the rollup's
+    final frame."""
+    from functools import reduce
 
     aggs = query.aggregates
     if (
@@ -214,34 +231,40 @@ def _run_value_rollup_query(
         aggregates=(Aggregate("count", None, "__pc_n"),),
         where=query.where,
     )
-    # the inner result is the FINAL (aoi_id, <layer>, __pc_n) frame —
-    # group-by-value counts straight off the kernel's bincount partial
-    partials = run_zonal_query(
-        spark, images, aoi_df, inner, env, grid_name,
-        per_aoi=True, strategy=strategy, aoi_index=aoi_index,
-    )
     vcol = a0.layer
     keys = ["aoi_id"] + list(query.group_layers)
-    if len(aggs) == 1:
-        return _rollup_one(partials, aggs[0], vcol, keys)
-    # shared counts: cache for the per-selector rollups, then eagerly
-    # materialize the (tiny, per-key) joined result and RELEASE the cache
-    # — no pinned storage survives the call (the round-2 lesson behind
-    # ZonalResultSet.close(), applied here where the result is small
-    # enough to checkpoint eagerly instead of handing back a handle)
-    partials = partials.persist()
-    try:
-        results = [_rollup_one(partials, a, vcol, keys) for a in aggs]
-        # NULL-SAFE reduce-join: a GROUP BY layer with a raster_table but
-        # default_meaning=None decodes unmapped raws to NULL, and NULL keys
-        # never match under plain equality — such groups would silently
-        # vanish from multi-selector results while the single-selector
-        # path keeps them. eqNullSafe treats NULL = NULL as a match.
-        out = reduce(lambda l, r: _join_nullsafe(l, r, keys), results)
-        out = out.select(*keys, *[a.alias for a in aggs]).localCheckpoint(eager=True)
-    finally:
-        partials.unpersist()
-    return out
+
+    def finish(counts: DataFrame) -> DataFrame:
+        # ``counts`` is the FINAL (aoi_id, <groups>, <layer>, __pc_n)
+        # frame — group-by-value counts straight off the kernel's
+        # bincount partial (single-path run_zonal_query or one fused-set
+        # member's finalize)
+        if len(aggs) == 1:
+            return _rollup_one(counts, aggs[0], vcol, keys)
+        # shared counts: cache for the per-selector rollups, then eagerly
+        # materialize the (tiny, per-key) joined result and RELEASE the
+        # cache — no pinned storage survives the call (the round-2 lesson
+        # behind ZonalResultSet.close(), applied here where the result is
+        # small enough to checkpoint eagerly instead of handing back a
+        # handle)
+        cached = counts.persist()
+        try:
+            results = [_rollup_one(cached, a, vcol, keys) for a in aggs]
+            # NULL-SAFE reduce-join: a GROUP BY layer with a raster_table
+            # but default_meaning=None decodes unmapped raws to NULL, and
+            # NULL keys never match under plain equality — such groups
+            # would silently vanish from multi-selector results while the
+            # single-selector path keeps them. eqNullSafe treats
+            # NULL = NULL as a match.
+            out = reduce(lambda l, r: _join_nullsafe(l, r, keys), results)
+            out = out.select(
+                *keys, *[a.alias for a in aggs]
+            ).localCheckpoint(eager=True)
+        finally:
+            cached.unpersist()
+        return out
+
+    return inner, finish
 
 
 def _join_nullsafe(l: DataFrame, r: DataFrame, keys: list) -> DataFrame:
@@ -792,19 +815,30 @@ def run_zonal_queries(
     the AOI-index broadcast."""
     qlist = list(queries.values())
     names = list(queries.keys())
-    grids = {resolve_target_grid(q, env, grid_name) for q in qlist}
+    # value-rollup members (percentile/median/mode/count_distinct) fuse
+    # through their PLAN REWRITE: the inner group-by-value count query
+    # joins the shared kernel pass (its partials are the same bincount
+    # rows the fused kernel already produces) and the relational finisher
+    # runs on that member's finalized frame afterwards
+    finishers: "dict[str, object]" = {}
+    exec_list: "list[ZonalQuery]" = []
+    for name, q in zip(names, qlist):
+        if any(a.func in VALUE_ROLLUP_FUNCS for a in q.aggregates):
+            inner, fin = _rollup_plan(q, env)
+            finishers[name] = fin
+            exec_list.append(inner)
+        else:
+            exec_list.append(q)
+    grids = {resolve_target_grid(q, env, grid_name) for q in exec_list}
     fusable = (
         len(grids) == 1
-        and not any(q.select_pixels for q in qlist)
-        and not any(
-            a.func in VALUE_ROLLUP_FUNCS for q in qlist for a in q.aggregates
-        )
+        and not any(q.select_pixels for q in exec_list)
         and strategy in (None, "auto", "cell", "colocated")
     )
     target = grids.pop() if len(grids) == 1 else None
     if fusable:
         union_layers = {
-            n for q in qlist for n in env.source_layer_names(q.layer_names())
+            n for q in exec_list for n in env.source_layer_names(q.layer_names())
         }
         fusable = all(env.get_layer(n).grid == target for n in union_layers)
     idx = aoi_index
@@ -838,11 +872,12 @@ def run_zonal_queries(
     else:
         colocated = strategy == "colocated"
     partials = build_multi_partials_with_lookup(
-        images, idx.lookup, idx.salted, qlist, env, target, colocated=colocated
+        images, idx.lookup, idx.salted, exec_list, env, target, colocated=colocated
     ).persist()
     out: "dict[str, DataFrame]" = {}
-    for qi, (name, q) in enumerate(zip(names, qlist)):
-        out[name] = finalize_partials(split_multi_partials(partials, qi, q), q, env)
+    for qi, (name, q) in enumerate(zip(names, exec_list)):
+        res = finalize_partials(split_multi_partials(partials, qi, q), q, env)
+        out[name] = finishers[name](res) if name in finishers else res
     return ZonalResultSet(
         out, partials=partials, aoi_index=idx, owns_index=aoi_index is None
     )

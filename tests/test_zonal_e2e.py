@@ -719,10 +719,14 @@ def test_fused_multi_query_parity(spark, tables, env):
     assert fused._partials is None
 
 
-def test_fused_set_with_percentile_falls_back(spark, tables, env):
-    """A query set containing a percentile query cannot fuse; the multi
-    API must transparently fall back to per-query execution and still
-    return correct results."""
+def test_fused_set_with_rollups_shares_kernel(spark, tables, env, monkeypatch):
+    """A query set mixing plain aggregates with percentile / mode /
+    count_distinct members must FUSE: the rollup members' inner
+    count-by-value queries join the one shared kernel pass (their
+    partials are the bincount rows the fused kernel already produces)
+    and only the cheap relational finisher runs per member. Results are
+    bit-identical to per-query execution."""
+    from gfw_raster_analysis_lambda_spark.plans import planner
     from gfw_raster_analysis_lambda_spark.plans.ir import Aggregate as Agg
     from gfw_raster_analysis_lambda_spark.plans.planner import run_zonal_queries
 
@@ -733,12 +737,49 @@ def test_fused_set_with_percentile_falls_back(spark, tables, env):
             base_layer="ttc_percent",
             aggregates=(Agg("percentile", "ttc_percent", "p50", param=0.5),),
         ),
+        "rollup_multi": ZonalQuery(
+            base_layer="ttc_percent",
+            aggregates=(
+                Agg("percentile", "ttc_percent", "p25", param=0.25),
+                Agg("count_distinct", "ttc_percent", "n_vals"),
+            ),
+        ),
+        "major": ZonalQuery(
+            base_layer="tcl_year",
+            aggregates=(Agg("mode", "drivers", "major_driver"),),
+        ),
     }
-    res = run_zonal_queries(spark, images, aoi_df, qs, env, GRID_NAME)
-    single = run_zonal_query(spark, images, aoi_df, qs["p50"], env, GRID_NAME).toPandas()
-    assert_frames_match(res["p50"].toPandas(), single)
-    g = run_zonal_query(spark, images, aoi_df, qs["grouped"], env, GRID_NAME).toPandas()
-    assert_frames_match(res["grouped"].toPandas(), g)
+    singles = {
+        name: run_zonal_query(spark, images, aoi_df, q, env, GRID_NAME).toPandas()
+        for name, q in qs.items()
+    }
+    # spy the kernel entrypoints: the whole set must run ONE fused kernel
+    # pass — no per-query single-path kernel builds behind the scenes
+    calls = {"multi": 0, "single": 0}
+    orig_multi = planner.build_multi_partials_with_lookup
+
+    def spy_multi(*a, **k):
+        calls["multi"] += 1
+        return orig_multi(*a, **k)
+
+    def spy_single(*a, **k):
+        calls["single"] += 1
+        raise AssertionError("single-path kernel build inside fused run")
+
+    monkeypatch.setattr(planner, "build_multi_partials_with_lookup", spy_multi)
+    monkeypatch.setattr(planner, "build_partials_with_lookup", spy_single)
+    monkeypatch.setattr(planner, "build_partials_by_cell", spy_single)
+    fused = run_zonal_queries(spark, images, aoi_df, qs, env, GRID_NAME)
+    assert fused._partials is not None  # fused path, not the fallback
+    for name in qs:
+        assert_frames_match(fused[name].toPandas(), singles[name])
+    assert calls == {"multi": 1, "single": 0}
+    # every member's rows came out of the SAME cached partial frame: the
+    # lineage _ms stamp rides the fused partials, so each (cell, query)
+    # slice is accounted to exactly one kernel invocation
+    n_kernel_rows = fused._partials.count()
+    assert n_kernel_rows > 0
+    fused.close()
 
 
 def test_fused_disjoint_layer_cells_parity(spark, env):
