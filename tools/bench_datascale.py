@@ -23,7 +23,7 @@ stays constant as rows grow — the honest scaling experiment:
 
 Each op runs best-of-3 per size; the table reports time and the
 time-growth vs row-growth ratio (<= ~1 = linear or better). Results are
-appended as markdown to BENCH/DATASCALE_r03.md.
+appended as markdown to BENCH/DATASCALE_r04.md.
 
 The 4x zonal corpus doubles the bench grid extent (48x48 -> 96x96
 cells, 36864 tiles) with the same 512-AOI batch shape scaled to 2048
@@ -56,6 +56,11 @@ def ensure_synth(spark) -> None:
     # single table's _SUCCESS (written first) would let an interrupted run
     # leave a partial SYNTH dir that later runs silently reuse
     if os.path.exists(os.path.join(SYNTH, "_COMPLETE")):
+        # r03 synth dirs predate the events table: top it up in place
+        # (events synthesis is itself completion-checked via the marker)
+        _ensure_synth_events(spark)
+        with open(os.path.join(SYNTH, "_COMPLETE"), "w") as f:
+            f.write("documents embeddings lineitem orders events\n")
         return
     os.makedirs(SYNTH, exist_ok=True)
     docs = spark.read.parquet(os.path.join(SF1, "documents.parquet"))
@@ -108,12 +113,42 @@ def ensure_synth(spark) -> None:
         .drop("k")
         .write.mode("overwrite").parquet(os.path.join(SYNTH, "orders.parquet"))
     )
+    _ensure_synth_events(spark)
     with open(os.path.join(SYNTH, "_COMPLETE"), "w") as f:
-        f.write("documents embeddings lineitem orders\n")
+        f.write("documents embeddings lineitem orders events\n")
+
+
+def _ensure_synth_events(spark) -> None:
+    """events x10 with event_id AND user_id key offsets: per-user event
+    counts stay constant (streaming state per key is O(1), so the honest
+    scaling axis is KEY COUNT x10, not history depth), timestamps
+    unchanged so watermark/window shape is identical."""
+    marker = os.path.join(SYNTH, "_COMPLETE")
+    done = os.path.exists(marker) and "events" in open(marker).read()
+    if done and os.path.exists(os.path.join(SYNTH, "events.parquet")):
+        return
+    ev = spark.read.parquet(os.path.join(SF1, "events.parquet"))
+    n_ev = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    n_usr = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    copies = spark.range(FACTOR).withColumnRenamed("id", "k")
+    (
+        ev.crossJoin(copies)
+        .withColumn("event_id", F.col("event_id") + F.col("k") * n_ev)
+        .withColumn("user_id", F.col("user_id") + F.col("k") * n_usr)
+        .drop("k")
+        .write.mode("overwrite").parquet(os.path.join(SYNTH, "events.parquet"))
+    )
 
 
 def workloads(spark, sf_dir):
     from gfw_raster_analysis_lambda_spark.operators import dedup, similarity, text
+    from gfw_raster_analysis_lambda_spark.streaming.curation import (
+        decontaminate_stream,
+    )
+    from gfw_raster_analysis_lambda_spark.streaming.events import (
+        cumulative_features_stream,
+        dedup_events_stream,
+    )
 
     def t(name):
         return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -161,6 +196,46 @@ def workloads(spark, sf_dir):
         ]
         return similarity.pq_adc_topk(similarity.pq_encode(e, cb), cb, qs, k=10)
 
+    def _drain(table, builder):
+        """Run a trigger-once stream over this size's table to a fresh
+        temp sink+checkpoint and block until drained. The sink's parquet
+        write IS the materialization, so the workload returns None and
+        best_of skips the noop write. Fresh checkpoint per run = every
+        sample re-processes the full input (no warm-state shortcut).
+        The file stream source requires a DIRECTORY; the sandbox's sf
+        dirs ship single-file tables, so those are staged as a symlink
+        inside the work dir (zero copy)."""
+        import shutil
+        import tempfile
+
+        src = os.path.join(sf_dir, f"{table}.parquet")
+        work = tempfile.mkdtemp(prefix="datascale_stream_")
+        try:
+            if not os.path.isdir(src):
+                src_dir = os.path.join(work, table)
+                os.makedirs(src_dir)
+                os.symlink(src, os.path.join(src_dir, "part-0.parquet"))
+                src = src_dir
+            builder(src, os.path.join(work, "out")).awaitTermination(600)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    def stream_rolling_cum():
+        _drain("events", lambda src, out: cumulative_features_stream(
+            spark, src, out))
+
+    def stream_dedup_exact():
+        _drain("events", lambda src, out: dedup_events_stream(
+            spark, src, out))
+
+    def stream_decontaminate():
+        d = t("documents")
+        bench_side = d.filter(F.col("doc_id") % 97 == 0).select(
+            F.col("doc_id").alias("bench_id"), "text"
+        )
+        _drain("documents", lambda src, out: decontaminate_stream(
+            spark, src, bench_side, out, n=3, threshold=0.3))
+
     return {
         "text_profile": lambda: text.text_profile(t("documents")),
         "text_decontaminate": text_decon,
@@ -181,6 +256,9 @@ def workloads(spark, sf_dir):
         "sim_cosine_topk": sim_cosine,
         "rel_pricing_summary": rel_pricing,
         "rel_top_orders_per_customer": rel_top_orders,
+        "stream_rolling_cum": stream_rolling_cum,
+        "stream_dedup_exact": stream_dedup_exact,
+        "stream_decontaminate": stream_decontaminate,
     }
 
 
@@ -188,7 +266,9 @@ def best_of(fn, n=3):
     samples = []
     for _ in range(n):
         t0 = time.perf_counter()
-        fn().write.format("noop").mode("overwrite").save()
+        out = fn()
+        if out is not None:  # streaming workloads materialize in their sink
+            out.write.format("noop").mode("overwrite").save()
         samples.append(time.perf_counter() - t0)
     return min(samples), samples
 
@@ -264,6 +344,7 @@ def main():
             "embeddings": spark.read.parquet(os.path.join(d, "embeddings.parquet")).count(),
             "lineitem": spark.read.parquet(os.path.join(d, "lineitem.parquet")).count(),
             "orders": spark.read.parquet(os.path.join(d, "orders.parquet")).count(),
+            "events": spark.read.parquet(os.path.join(d, "events.parquet")).count(),
         }
 
     # warm
@@ -282,10 +363,12 @@ def main():
               "dedup_minhash_lsh": "documents", "dedup_minhash_keepers": "documents",
               "dedup_minhash_clusters": "documents",
               "sim_lsh_buckets_fast": "embeddings", "sim_cosine_topk": "embeddings",
-              "rel_pricing_summary": "lineitem", "rel_top_orders_per_customer": "orders"}
+              "rel_pricing_summary": "lineitem", "rel_top_orders_per_customer": "orders",
+              "stream_rolling_cum": "events", "stream_dedup_exact": "events",
+              "stream_decontaminate": "documents"}
 
     lines = [
-        "## Data-size scaling (round 3)", "",
+        "## Data-size scaling (round 4)", "",
         "Best-of-3 seconds per op at three data sizes (synthetic sf1 = "
         f"deterministic {FACTOR}x of sf0.1, constant workload density — see "
         "tools/bench_datascale.py). `growth` = (time sf1 / time sf0.1) / "
@@ -322,7 +405,7 @@ def main():
             f"work; samples {z['48x48']['samples']} vs {z['96x96']['samples']}).")
         lines.append("")
 
-    out_path = os.path.join(REPO, "BENCH", "DATASCALE_r03.md")
+    out_path = os.path.join(REPO, "BENCH", "DATASCALE_r04.md")
     with open(out_path, "w") as f:
         f.write("\n".join(lines))
     print(f"wrote {out_path}")
