@@ -26,6 +26,15 @@ the current corpus state, so:
   append double-counting;
 - the result is always `finalize_partials` over the partial table.
 
+Delivery guarantee: end-to-end EXACTLY-ONCE, from exactly-once input
+assignment (file-source checkpoint) composed with idempotent output
+(recompute-from-source + dynamic partition overwrite keyed by `_pcell`).
+`foreachBatch` itself is only at-least-once; the overwrite — not batch
+tracking — is what absorbs the retry. The same composition backs
+`curation.write_decontaminate_batch` (batch-id partition overwrite);
+the built-in parquet streaming sink ops in `events.py` get it from the
+sink's `_spark_metadata` transaction log instead.
+
 Cost note (100 TB): per batch the work is O(touched cells), not
 O(corpus) — the full-source read is pruned to the touched cell ids
 (IN-list / min-max pushdown in build_partials_with_lookup). Partition-
