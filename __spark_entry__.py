@@ -754,6 +754,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mm_histeq_stats"] = mm_histeq_stats
     q["mm_resize_stats"] = mm_resize_stats
 
+    def mm_jpg_stats(spark, sf_dir):
+        # REAL entropy-coded JPEG path (functions/jpeg.py: DCT + Huffman
+        # + spec marker stream): synthesize a deterministic 8x8-block-
+        # constant corpus EXECUTOR-side, encode as baseline JPEG, then
+        # decode-and-stat through the same mapInPandas plumbing as every
+        # other codec. Block-constant tiles round-trip exactly (DC step 1,
+        # zero AC), so the DuckDB twin recomputes the stats from the block
+        # formula and the gate is hash-exact while Huffman coding runs for
+        # real on both sides of the invariant.
+        import pandas as _pd
+
+        def synth(batches):
+            import numpy as np
+
+            from gfw_raster_analysis_lambda_spark.functions.jpeg import jpeg_encode
+
+            for pdf in batches:
+                rows = []
+                for t in pdf["id"].astype(int):
+                    bi, bj = np.meshgrid(np.arange(4), np.arange(4), indexing="ij")
+                    blocks = ((t * 37 + bi * 11 + bj * 5) % 256).astype(np.uint8)
+                    arr = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+                    rows.append((f"jpg/{t:04d}", jpeg_encode(arr), 32, 32, "jpg",
+                                 f"synthetic jpg tile {t}", 0))
+                yield _pd.DataFrame(
+                    rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+                )
+
+        corpus = spark.range(24).repartition(8).mapInPandas(
+            synth,
+            "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+        )
+        s = multimodal.image_stats(corpus, with_psnr=True)
+        return s.select(
+            "image_id", "w", "h",
+            F.round("px_mean", 6).alias("px_mean"),
+            F.round("px_min", 6).alias("px_min"),
+            F.round("px_max", 6).alias("px_max"),
+            # decode->re-encode->decode fixpoint PSNR: inf on block-constant
+            # tiles; the oracle pins it, proving losslessness through the
+            # full entropy coder (not just the stats projection)
+            F.when(F.col("psnr") == float("inf"), F.lit("inf"))
+            .otherwise(F.col("psnr").cast("string")).alias("rt_psnr"),
+        )
+    q["mm_jpg_stats"] = mm_jpg_stats
+
     def mm_overview_stats(spark, sf_dir):
         # build one pyramid level (fixture grid -> 2x coarser, 2x2 cells
         # per parent) with block-mean reduction, then stat the parents;
@@ -1798,6 +1844,26 @@ SELECT image_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
        ROUND(MAX(v), 6) AS px_max
 FROM px WHERE v IS NOT NULL
 GROUP BY 1, 2, 3
+"""
+
+    # real-JPEG path: tiles are 4x4 grids of 8x8-constant blocks, so each
+    # block row stands for 64 equal pixels (AVG over blocks == AVG over
+    # pixels, and /16 + /1024 are both exact in doubles); rt_psnr 'inf'
+    # pins exact round-trip through the entropy coder
+    o["mm_jpg_stats"] = """
+WITH px AS (
+  SELECT 'jpg/' || lpad(CAST(t AS VARCHAR), 4, '0') AS image_id,
+         32 AS w, 32 AS h,
+         CAST((t*37 + bi*11 + bj*5) % 256 AS DOUBLE) AS v
+  FROM generate_series(0, 23) tt(t),
+       generate_series(0, 3) b1(bi),
+       generate_series(0, 3) b2(bj))
+SELECT image_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+       ROUND(AVG(v), 6) AS px_mean,
+       ROUND(MIN(v), 6) AS px_min,
+       ROUND(MAX(v), 6) AS px_max,
+       'inf' AS rt_psnr
+FROM px GROUP BY 1, 2, 3
 """
 
     _U8_LAYERS = ["tcl_year", "tcd_threshold", "is_primary", "drivers",

@@ -174,6 +174,10 @@ def encode_tile(arr: np.ndarray, fmt: str) -> bytes:
         return png_encode(arr)
     if fmt == "jpeg":
         return _jpeg_encode(arr)
+    if fmt == "jpg":  # REAL baseline JPEG (Huffman+DCT) — see functions.jpeg
+        from .jpeg import jpeg_encode
+
+        return jpeg_encode(arr)
     if fmt == "raw_u8":
         return np.ascontiguousarray(arr.astype(np.uint8)).tobytes()
     if fmt == "raw_u16":
@@ -189,6 +193,10 @@ def decode_tile(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         arr = png_decode(bytes(data))
     elif fmt == "jpeg":
         arr = _jpeg_decode(bytes(data))
+    elif fmt == "jpg":
+        from .jpeg import jpeg_decode
+
+        arr = jpeg_decode(bytes(data))
     elif fmt == "raw_u8":
         arr = np.frombuffer(data, dtype=np.uint8).reshape(h, w)
     elif fmt == "raw_u16":

@@ -56,8 +56,9 @@ def image_stats(images: DataFrame, with_psnr: bool = False) -> DataFrame:
                 # own decode->encode->decode fixpoint (deterministic)
                 if not with_psnr:
                     fid = None
-                elif str(r.fmt) == "jpeg":
-                    rt = codecs.decode_tile(codecs.encode_tile(arr, "jpeg"), int(r.w), int(r.h), "jpeg")
+                elif str(r.fmt) in ("jpeg", "jpg"):
+                    f = str(r.fmt)
+                    rt = codecs.decode_tile(codecs.encode_tile(arr, f), int(r.w), int(r.h), f)
                     fid = codecs.psnr(arr, rt)
                 else:
                     fid = float("inf")
