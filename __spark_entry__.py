@@ -916,6 +916,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multimodal.audio_features(adf)
     q["mm_audio_features"] = mm_audio_features
 
+    def mm_flac_features(spark, sf_dir):
+        # REAL entropy-coded audio path (functions/flac.py: fixed
+        # predictors + Rice residuals + CRC/MD5-verified stream): the
+        # same deterministic sines as mm_audio_features, compressed
+        # through the FLAC-subset encoder EXECUTOR-side and decoded in
+        # the audio_features kernel. Lossless, so the DuckDB twin is the
+        # identical quantized-sample regeneration — hash-exact while the
+        # entropy coder runs for real on every payload.
+        import pandas as _pd
+
+        def synth(batches):
+            from gfw_raster_analysis_lambda_spark.operators.multimodal import (
+                synthesize_flac_pcm16,
+            )
+
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"].astype(int):
+                    f, a, sr, nf, _ = _WAV_PARAMS[int(i)]
+                    rows.append((f"flac/{int(i)}", synthesize_flac_pcm16(f, a, sr, nf)))
+                yield _pd.DataFrame(rows, columns=["media_id", "payload"])
+
+        adf = spark.range(len(_WAV_PARAMS)).repartition(4).mapInPandas(
+            synth, "media_id string, payload binary"
+        )
+        return multimodal.audio_features(adf)
+    q["mm_flac_features"] = mm_flac_features
+
     def mm_video_frames(spark, sf_dir):
         # REAL video decode: YUV4MPEG2 (raw planar YUV) parsed with numpy
         # in the frame-sampling kernel; every 2nd frame is re-encoded PNG
@@ -2031,6 +2059,29 @@ SELECT media_id, CAST(nf AS BIGINT) AS n_samples, CAST(sr AS INT) AS sample_rate
        ROUND(MAX(abs(v)), 6) AS peak,
        ROUND(nf / CAST(sr AS DOUBLE), 6) AS duration_s
 FROM s GROUP BY media_id, sr, nf, nch
+"""
+
+    # FLAC twin: lossless codec => decoded samples equal the quantized
+    # sine exactly; payloads are mono by subset definition
+    flac_vals = ", ".join(
+        f"('flac/{i}', CAST({f!r} AS DOUBLE), CAST({a!r} AS DOUBLE), {sr}, {nf})"
+        for i, (f_, a, sr, nf, _nch) in enumerate(_WAV_PARAMS)
+        for f in [f_]
+    )
+    o["mm_flac_features"] = f"""
+WITH params(media_id, freq, amp, sr, nf) AS (VALUES {flac_vals}),
+s AS (
+  SELECT p.media_id, p.sr, p.nf,
+         floor(32767.0 * p.amp * sin(2 * pi() * p.freq * g.n / p.sr) + 0.5)
+           / 32768.0 AS v
+  FROM params p JOIN generate_series(0, {max_nf - 1}) g(n) ON g.n < p.nf
+)
+SELECT media_id, CAST(nf AS BIGINT) AS n_samples, CAST(sr AS INT) AS sample_rate,
+       1 AS n_channels,
+       ROUND(sqrt(AVG(v * v)), 6) AS rms,
+       ROUND(MAX(abs(v)), 6) AS peak,
+       ROUND(nf / CAST(sr AS DOUBLE), 6) AS duration_s
+FROM s GROUP BY media_id, sr, nf
 """
 
     y4m_vals = ", ".join(

@@ -245,13 +245,34 @@ def synthesize_wav_pcm16(
     return buf.getvalue()
 
 
+def synthesize_flac_pcm16(
+    freq_hz: float, amp: float, sample_rate: int, n_frames: int
+) -> bytes:
+    """Same deterministic sine as :func:`synthesize_wav_pcm16` (mono),
+    compressed through the real FLAC-subset encoder — lossless, so any
+    SQL twin of the WAV samples is also exact for these payloads."""
+    from ..functions.flac import flac_encode
+
+    n = np.arange(int(n_frames), dtype=np.float64)
+    x = np.floor(
+        32767.0 * float(amp) * np.sin(2.0 * np.pi * float(freq_hz) * n / float(sample_rate)) + 0.5
+    ).astype(np.int16)
+    return flac_encode(x, int(sample_rate))
+
+
 def _decode_audio(payload: bytes, fake: bool):
     """-> (mono float32 waveform in [-1, 1), sample_rate, n_channels).
     RIFF/WAVE PCM (8/16/32-bit) decodes for real via stdlib ``wave``;
-    multi-channel mixes down by channel mean. Compressed formats (mp3,
-    flac, ...) would need libsndfile/ffmpeg — not in this environment —
-    and stay an explicit stub; ``fake=True`` keeps the deterministic
-    raw-bytes test codec."""
+    multi-channel mixes down by channel mean. FLAC decodes for real via
+    this repo's Rice-coded subset codec (functions/flac.py — lossless,
+    CRC- and MD5-verified). Perceptual codecs (mp3/aac) would need
+    libsndfile/ffmpeg — not in this environment — and stay an explicit
+    stub; ``fake=True`` keeps the deterministic raw-bytes test codec."""
+    if bytes(payload[:4]) == b"fLaC":
+        from ..functions.flac import flac_decode
+
+        pcm, sr = flac_decode(bytes(payload))
+        return pcm.astype(np.float32) / 32768.0, sr, 1
     if bytes(payload[:4]) == b"RIFF":
         import io
         import wave
@@ -277,9 +298,9 @@ def _decode_audio(payload: bytes, fake: bool):
         ).astype(np.float32) / 32768.0
         return arr, 0, 1
     raise NotImplementedError(
-        "non-WAV audio decode requires libsndfile/ffmpeg, not present in "
-        "this environment; supply RIFF/WAVE PCM payloads or pass "
-        "fake=True for the deterministic test codec"
+        "perceptual audio decode (mp3/aac) requires libsndfile/ffmpeg, "
+        "not present in this environment; supply RIFF/WAVE PCM or FLAC "
+        "payloads or pass fake=True for the deterministic test codec"
     )
 
 
