@@ -961,6 +961,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multimodal.video_frame_stats(frames)
     q["mm_video_frames"] = mm_video_frames
 
+    def mm_mjpeg_frames(spark, sf_dir):
+        # REAL entropy-coded video path: MJPEG-in-AVI payloads (every
+        # frame a genuine Huffman-coded baseline JPEG inside a RIFF
+        # container, functions/avi.py) synthesized EXECUTOR-side with
+        # 8x8-block-constant luma, frame-sampled and statted through the
+        # same kernel as Y4M. Block-constant frames round-trip exactly,
+        # so the DuckDB twin regenerates the block formula and the gate
+        # is hash-exact while the JPEG coder runs for real per frame.
+        import pandas as _pd
+
+        from gfw_raster_analysis_lambda_spark.operators import multimodal
+
+        def synth(batches):
+            from gfw_raster_analysis_lambda_spark.operators.multimodal import (
+                synthesize_mjpeg_avi,
+            )
+
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"].astype(int):
+                    w, h, nf = _MJPEG_PARAMS[int(i)]
+                    rows.append((f"avi/{int(i)}", synthesize_mjpeg_avi(w, h, nf, seed=int(i))))
+                yield _pd.DataFrame(rows, columns=["media_id", "payload"])
+
+        vdf = spark.range(len(_MJPEG_PARAMS)).repartition(4).mapInPandas(
+            synth, "media_id string, payload binary"
+        )
+        frames = multimodal.video_frame_sample(vdf, every_n=2)
+        return multimodal.video_frame_stats(frames)
+    q["mm_mjpeg_frames"] = mm_mjpeg_frames
+
     # -- relational shell on the driver's TPC-H-ish tables ------------------
 
     def rel_pricing_summary(spark, sf_dir):
@@ -1443,6 +1474,9 @@ def _cc_cell_set() -> list[int]:
 
 # (w, h, n_frames) per synthetic Y4M row (seed = row index)
 _Y4M_PARAMS = [(16 + 4 * (i % 3), 12 + 2 * (i % 2), 5 + i) for i in range(8)]
+
+# (w, h, n_frames) per synthetic MJPEG-AVI row; w/h multiples of 8
+_MJPEG_PARAMS = [(32, 32, 6), (48, 32, 5), (64, 40, 8), (32, 64, 4)]
 
 
 # (freq_hz, amp, sample_rate, n_frames, channels) per synthetic WAV row
@@ -2101,6 +2135,35 @@ px AS (
     ON gf.f < p.nf AND gf.f % 2 = 0
   JOIN generate_series(0, {y4m_max_h - 1}) gi(i) ON gi.i < p.h
   JOIN generate_series(0, {y4m_max_w - 1}) gj(j) ON gj.j < p.w
+)
+SELECT media_id, CAST(frame AS INT) AS frame, CAST(w AS INT) AS w,
+       CAST(h AS INT) AS h,
+       ROUND(AVG(CAST(y AS DOUBLE)), 6) AS px_mean,
+       CAST(MIN(y) AS DOUBLE) AS px_min,
+       CAST(MAX(y) AS DOUBLE) AS px_max
+FROM px GROUP BY media_id, frame, w, h
+"""
+
+    # MJPEG twin: luma is constant per 8x8 block, so one block row stands
+    # for 64 equal pixels (AVG over blocks == AVG over pixels; the two
+    # divisions are the same real number, hence the same double)
+    mjpeg_vals = ", ".join(
+        f"('avi/{i}', {w}, {h}, {nf}, {i})"
+        for i, (w, h, nf) in enumerate(_MJPEG_PARAMS)
+    )
+    mj_max_bw = max(p[0] for p in _MJPEG_PARAMS) // 8
+    mj_max_bh = max(p[1] for p in _MJPEG_PARAMS) // 8
+    mj_max_f = max(p[2] for p in _MJPEG_PARAMS)
+    o["mm_mjpeg_frames"] = f"""
+WITH params(media_id, w, h, nf, seed) AS (VALUES {mjpeg_vals}),
+px AS (
+  SELECT p.media_id, gf.f AS frame, p.w, p.h,
+         (gi.bi + 2 * gj.bj + 7 * gf.f + 11 * p.seed) % 256 AS y
+  FROM params p
+  JOIN generate_series(0, {mj_max_f - 1}) gf(f)
+    ON gf.f < p.nf AND gf.f % 2 = 0
+  JOIN generate_series(0, {mj_max_bh - 1}) gi(bi) ON gi.bi < p.h // 8
+  JOIN generate_series(0, {mj_max_bw - 1}) gj(bj) ON gj.bj < p.w // 8
 )
 SELECT media_id, CAST(frame AS INT) AS frame, CAST(w AS INT) AS w,
        CAST(h AS INT) AS h,

@@ -319,13 +319,41 @@ def synthesize_y4m(w: int, h: int, n_frames: int, seed: int = 0) -> bytes:
     return b"".join(parts)
 
 
+def synthesize_mjpeg_avi(w: int, h: int, n_frames: int, seed: int = 0) -> bytes:
+    """Deterministic MJPEG-in-AVI payload: luma is constant on 8x8
+    blocks, ``Y[block bi, bj] = (bi + 2 bj + 7 frame + 11 seed) mod
+    256`` — block-constant frames round-trip EXACTLY through the real
+    JPEG entropy coder, so the formula stays SQL-expressible for a
+    DuckDB twin. ``w``/``h`` must be multiples of 8."""
+    from ..functions.avi import avi_encode
+
+    if w % 8 or h % 8:
+        raise ValueError("synthesize_mjpeg_avi needs w, h multiples of 8")
+    bi = np.arange(h // 8, dtype=np.int64)[:, None]
+    bj = np.arange(w // 8, dtype=np.int64)[None, :]
+    frames = np.stack(
+        [
+            np.repeat(
+                np.repeat(((bi + 2 * bj + 7 * f + 11 * seed) % 256).astype(np.uint8), 8, 0),
+                8, 1,
+            )
+            for f in range(int(n_frames))
+        ]
+    ) if n_frames else np.zeros((0, h, w), dtype=np.uint8)
+    return avi_encode(frames, fps=25)
+
+
 def _decode_video(payload: bytes, fake: bool) -> np.ndarray:
     """-> (frames, h, w) uint8 luma cube. YUV4MPEG2 (Y4M) decodes for
-    real — it is raw planar YUV with a text header, no entropy coding, so
-    stdlib + numpy suffice (C420/C422/C444/mono chroma layouts). Entropy-
-    coded containers (mp4/webm) would need ffmpeg — not in this
-    environment — and raise; ``fake=True`` keeps the deterministic
-    raw-bytes test codec."""
+    real (raw planar YUV, numpy); MJPEG-in-AVI decodes for real through
+    this repo's baseline-JPEG + RIFF codecs (functions/avi.py — genuine
+    Huffman-coded frames). Inter-frame containers (mp4/webm) would need
+    ffmpeg — not in this environment — and raise; ``fake=True`` keeps
+    the deterministic raw-bytes test codec."""
+    if bytes(payload[:4]) == b"RIFF" and bytes(payload[8:12]) == b"AVI ":
+        from ..functions.avi import avi_decode
+
+        return avi_decode(bytes(payload))[0]
     if bytes(payload[:9]) == b"YUV4MPEG2":
         payload = bytes(payload)
         nl = payload.index(b"\n")
@@ -370,9 +398,9 @@ def _decode_video(payload: bytes, fake: bool) -> np.ndarray:
         n = len(payload) // 64
         return np.frombuffer(payload[: n * 64], dtype=np.uint8).reshape(n, 8, 8)
     raise NotImplementedError(
-        "entropy-coded video (mp4/webm/...) requires ffmpeg, not present "
-        "in this environment; supply YUV4MPEG2 payloads or pass fake=True "
-        "for the deterministic test codec"
+        "inter-frame video (mp4/webm/...) requires ffmpeg, not present "
+        "in this environment; supply YUV4MPEG2 or MJPEG-AVI payloads or "
+        "pass fake=True for the deterministic test codec"
     )
 
 
