@@ -2,16 +2,18 @@
 frame-sample over opaque ``binary`` payload columns.
 
 The Spark-side mechanics are fully real — schemas, Arrow batch shapes,
-``mapInPandas`` iteration, partition-size control — while the media
-codecs follow the environment's reality: the image path uses this repo's
-own PNG/raw/quantizer codecs (real, tested); audio decodes RIFF/WAVE PCM
-for real via stdlib ``wave``; video decodes YUV4MPEG2 (Y4M — raw planar
-YUV, no entropy coding) for real via numpy. Only ENTROPY-CODED media
-(mp3/flac audio, mp4/webm video) remain explicit
-``NotImplementedError`` stubs — they need libsndfile/ffmpeg, absent
-here — each with a deterministic fake behind a flag so the plumbing
-stays testable; swap the decoder bodies for real bindings in
-production.
+``mapInPandas`` iteration, partition-size control — and so are the
+entropy-coded codecs where pure python can honestly deliver them:
+images decode PNG/raw plus genuine baseline JPEG (functions/jpeg.py —
+DCT + Huffman); audio decodes RIFF/WAVE PCM (stdlib ``wave``) plus a
+real FLAC subset (functions/flac.py — fixed predictors + Rice coding,
+CRC/MD5-verified); video decodes YUV4MPEG2 (raw planar YUV, numpy)
+plus MJPEG-in-AVI (functions/avi.py — per-frame Huffman JPEG in a RIFF
+chunk tree). Only PERCEPTUAL/INTER-FRAME codecs (mp3/aac audio,
+mp4/webm video) remain explicit ``NotImplementedError`` stubs — they
+need libsndfile/ffmpeg, absent here — each with a deterministic fake
+behind a flag so the plumbing stays testable; swap the decoder bodies
+for real bindings in production.
 
 Iterator-of-batches (`mapInPandas`) rather than scalar UDFs because media
 work wants per-batch amortization (shared codec state) and bounded
