@@ -1127,6 +1127,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return text.text_profile(_t(spark, sf_dir, "documents"))
     q["text_profile"] = text_profile
 
+    def text_repetition(spark, sf_dir):
+        # Gopher-style repetition quality signals: per-row Catalyst array
+        # fractions + one Arrow-batched Counter UDF for the top bigram —
+        # zero shuffle of corpus rows
+        return text.repetition_signals(_t(spark, sf_dir, "documents"))
+    q["text_repetition"] = text_repetition
+
     def _decon_corpus(spark, sf_dir):
         # benchmark decontamination fixture: every 97th doc plays the
         # benchmark set; PLANT partial contamination by appending the
@@ -2351,6 +2358,37 @@ SELECT doc_id,
                / GREATEST(CAST(length(text) AS DOUBLE), 1.0)), 6) AS quality,
   {fingerprint} AS fingerprint
 FROM s2
+"""
+
+    # repetition twin: bigram occurrence counting via unnest + group-by
+    # (the oracle may shuffle; the engine must not). Fraction expressions
+    # are written identically on both sides for bit-equal doubles.
+    o["text_repetition"] = r"""
+WITH base AS (
+  SELECT doc_id,
+         str_split(text, chr(10)) AS lines,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(words)),
+                               i -> words[i] || chr(1) || words[i + 1])) AS b
+  FROM base
+),
+bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+tops AS (SELECT doc_id, max(c) AS mc, sum(c) AS tot FROM bc GROUP BY 1)
+SELECT base.doc_id,
+       CAST(len(base.lines) AS INT) AS n_lines,
+       CAST(len(base.words) AS INT) AS n_words,
+       ROUND(CASE WHEN len(base.lines) > 0
+                  THEN 1.0 - len(list_distinct(base.lines)) / CAST(len(base.lines) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_line_frac,
+       ROUND(CASE WHEN len(base.words) > 0
+                  THEN 1.0 - len(list_distinct(base.words)) / CAST(len(base.words) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_word_frac,
+       ROUND(COALESCE(tops.mc / CAST(tops.tot AS DOUBLE), 0.0), 6) AS top_bigram_frac
+FROM base LEFT JOIN tops USING (doc_id)
 """
 
     _DECON_CTE = """

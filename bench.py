@@ -205,6 +205,7 @@ def bench_queries(spark):
     q["rel_top_orders_per_customer"] = rel_top_orders
 
     q["text_profile"] = lambda: text.text_profile(_t("documents"))
+    q["text_repetition"] = lambda: text.repetition_signals(_t("documents"))
     q["dedup_exact"] = lambda: dedup.exact_duplicates(_t("documents"))
     q["dedup_minhash_lsh"] = lambda: dedup.minhash_lsh_candidates(
         _t("documents"), n_hashes=8, bands=4
@@ -294,6 +295,18 @@ def main():
     # best-of-N per query: this sandbox VM has multi-second burst
     # throttling; the min of the runs is the stable, comparable number.
     # The zonal queries define the tiles/sec headline -> 3 runs.
+    # committed clean-solo reference numbers: a whole-window throttle can
+    # inflate EVERY sample of one query while the spread still looks
+    # settled (r03: multi_fused [13.7, 8.75, 9.54] vs 6.6 clean), so the
+    # best sample is also checked against the last recorded clean run and
+    # earns extra shots when it's >20% above it
+    ref_path = os.path.join(REPO, "BENCH", "bench_reference.json")
+    try:
+        with open(ref_path) as f:
+            reference = json.load(f).get("queries", {})
+    except (OSError, ValueError):
+        reference = {}
+
     times = {}
     all_samples = {}
     for name, fn in q.items():
@@ -308,8 +321,11 @@ def main():
         # always exhaust the retry budget)
         def settled(s):
             lo = sorted(s)[:2]
-            return lo[1] / lo[0] <= 1.5
-        while not settled(samples) and len(samples) < runs + 2:
+            spread_ok = lo[1] / lo[0] <= 1.5
+            ref = reference.get(name)
+            ref_ok = ref is None or lo[0] <= 1.2 * ref
+            return spread_ok and ref_ok
+        while not settled(samples) and len(samples) < runs + 3:
             t0 = time.perf_counter()
             fn().write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)

@@ -10,6 +10,7 @@ string arithmetic.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -290,4 +291,66 @@ def pack_token_bins(
             ).cast("long"),
         )
         .select(id_col, "shard", "bin", "n_tokens")
+    )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals, one row per document:
+    duplicate-line fraction, duplicate-word fraction, and the fraction
+    of word-bigram occurrences taken by the most frequent bigram — the
+    standard boilerplate/spam indicators a pretraining quality filter
+    thresholds on (high values = navigation chrome, keyword stuffing,
+    generated spam).
+
+    Scale shape: everything is PER-ROW — line/word fractions are pure
+    Catalyst array expressions (split / array_distinct / size, zero
+    shuffle, whole-stage codegen) and the top-bigram fraction is one
+    Arrow-batched pandas UDF (Counter per doc, O(words) — NOT the
+    O(words^2) higher-order-function form, and NOT an explode +
+    groupBy(doc, bigram), which would shuffle the whole corpus). The
+    operator never exchanges corpus rows, so it composes map-side with
+    any downstream filter.
+
+    Fractions round to 6 decimals with the identical IEEE expression on
+    both engines, so the DuckDB twin (``text_repetition`` oracle) is
+    hash-exact.
+    """
+
+    @F.pandas_udf("double")
+    def _top_bigram_frac(texts: pd.Series) -> pd.Series:
+        import re
+        from collections import Counter
+
+        out = []
+        for t in texts:
+            words = [w for w in re.split(r"\s+", t or "") if w]
+            if len(words) < 2:
+                out.append(0.0)
+                continue
+            counts = Counter(zip(words, words[1:]))
+            out.append(max(counts.values()) / float(len(words) - 1))
+        return pd.Series(out, dtype="float64")
+
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    words = F.filter(F.split(t, r"\s+"), lambda x: x != F.lit(""))
+    n_lines = F.size(lines)
+    n_words = F.size(words)
+    dup_line = F.when(
+        n_lines > 0,
+        F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+    dup_word = F.when(
+        n_words > 0,
+        F.lit(1.0) - F.size(F.array_distinct(words)).cast("double") / n_words.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        n_words.alias("n_words"),
+        F.round(dup_line, 6).alias("dup_line_frac"),
+        F.round(dup_word, 6).alias("dup_word_frac"),
+        F.round(_top_bigram_frac(t), 6).alias("top_bigram_frac"),
     )

@@ -1075,3 +1075,35 @@ def test_minhash_clusters_transitive_closure(spark, docs):
     # label = min member of its cluster
     grp = clusters.groupby("cluster")["id"].min()
     assert (grp.index == grp.values).all()
+
+
+def test_repetition_signals_known_values(spark):
+    rows = [
+        # 4 lines, one duplicated; 'spam spam' dominant bigram
+        (0, "spam spam spam spam\nham eggs\nham eggs\nend"),
+        (1, ""),                    # empty doc: all zeros
+        (2, "one"),                 # single word: no bigrams
+        (3, "a b a b a b"),         # alternating: 'a b' 3 of 5 bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in text.repetition_signals(df).collect()
+    }
+    assert got[0]["n_lines"] == 4 and got[0]["dup_line_frac"] == 0.25
+    # words: spam x4, ham, eggs, ham, eggs, end = 9 words, 4 distinct
+    assert got[0]["n_words"] == 9
+    assert got[0]["dup_word_frac"] == round(1 - 4 / 9, 6)
+    # bigrams: 8 total; 'spam spam' x3 is the top
+    assert got[0]["top_bigram_frac"] == round(3 / 8, 6)
+    assert got[1]["n_words"] == 0 and got[1]["top_bigram_frac"] == 0.0
+    assert got[1]["dup_line_frac"] == 0.0 and got[1]["dup_word_frac"] == 0.0
+    assert got[2]["top_bigram_frac"] == 0.0
+    assert got[3]["top_bigram_frac"] == 0.6  # 'a b' 3 of 5
+    assert got[3]["dup_word_frac"] == round(1 - 2 / 6, 6)
+
+
+def test_repetition_signals_plan_has_no_exchange(spark, docs):
+    # per-row operator: the corpus must never shuffle
+    plan = text.repetition_signals(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
