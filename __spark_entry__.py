@@ -1256,6 +1256,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["dedup_embedding_cosine"] = dedup_embedding_cosine
 
+    def dedup_semantic_keepers(spark, sf_dir):
+        # SemDeDup-style semantic dedup: zero-shuffle centroid assignment
+        # buckets the corpus; within-bucket cosine pairs; keep vectors
+        # with no smaller-id near-dup in their semantic cluster
+        return dedup.semantic_dedup_keepers(
+            _t(spark, sf_dir, "embeddings"), n_clusters=16, threshold=0.3
+        ).orderBy("id")
+    q["dedup_semantic_keepers"] = dedup_semantic_keepers
+
     # -- image near-dup by perceptual hash (Manku-style bit banding) ---------
     # The DuckDB twins are BRUTE-FORCE all-pairs hamming scans, so they
     # independently certify the banding's exact-recall guarantee
@@ -2892,6 +2901,38 @@ SELECT CAST(query_id AS BIGINT) AS query_id, id, cosine, CAST(rn AS INT) AS rank
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id ASC) AS rn
   FROM cand
 ) WHERE rn <= 10
+"""
+
+    # SemDeDup twin: seed centroids = 16 lowest-id vectors; assignment by
+    # the same argmax-cosine/lowest-id rule; keepers = ids without a
+    # smaller-id within-bucket near-dup at the rounded threshold
+    o["dedup_semantic_keepers"] = f"""
+WITH centroids AS (
+  SELECT CAST(vec_id AS BIGINT) AS centroid_id, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+assign AS (
+  SELECT vec_id AS id, centroid_id FROM (
+    SELECT x.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY x.vec_id ORDER BY {cos_xc} DESC, c.centroid_id ASC) AS rn
+    FROM embeddings x, centroids c, generate_series(1, 64) g(i)
+    GROUP BY x.vec_id, c.centroid_id
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         ROUND({dot_ab} / ({norm.format(t='a')} * {norm.format(t='b')}), 6) AS cosine
+  FROM embeddings a
+  JOIN assign sa ON sa.id = a.vec_id
+  JOIN assign sb ON sb.centroid_id = sa.centroid_id
+  JOIN embeddings b ON b.vec_id = sb.id AND a.vec_id < b.vec_id,
+  generate_series(1, 64) g(i)
+  GROUP BY a.vec_id, b.vec_id
+),
+losers AS (SELECT DISTINCT b AS id FROM pairs WHERE cosine >= 0.3)
+SELECT s.id, s.centroid_id FROM assign s
+WHERE s.id NOT IN (SELECT id FROM losers)
+ORDER BY s.id
 """
 
     o["sim_ann_ivf"] = f"""

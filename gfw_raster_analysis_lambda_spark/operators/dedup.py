@@ -662,3 +662,63 @@ def phash_dedup_clusters(
         .join(rep_cluster, "rep")
         .select("id", "cluster")
     )
+
+
+def semantic_dedup_keepers(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.92,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): bucket
+    every vector by its nearest coarse centroid, find within-bucket pairs
+    with cosine >= ``threshold``, and keep only vectors with no
+    smaller-id near-duplicate in their bucket. Returns
+    ``(id, centroid_id)`` for the keepers.
+
+    Unlike :func:`embedding_near_dups` alone (brute force) or the LSH
+    route (random planes), the candidate space here is the semantic
+    cluster — the shape the SemDeDup paper showed prunes web-scale
+    corpora with near-zero quality loss.
+
+    Scale shape: assignment is the zero-shuffle Arrow matmul
+    (`similarity.ivf_assign_fast`); the only exchange is the within-
+    bucket self-join, whose pair space is bounded by the largest cluster
+    (pick ``n_clusters`` ~ corpus/target_bucket so buckets stay
+    task-sized; at 10^12 vectors that is the same partition-count knob
+    as the IVF index build, and the join can reuse a centroid-partitioned
+    persisted index — `similarity.write_ivf_index` — to skip both the
+    assignment and the shuffle entirely). Keeper output is O(vectors).
+
+    ``centroids`` defaults to the ``n_clusters`` lowest-id vectors (the
+    deterministic seed quantizer the oracle replicates); pass
+    `similarity.kmeans_centroids(...)` output for a Lloyd-refined
+    production quantizer.
+    """
+    from .similarity import ivf_assign_fast
+
+    if centroids is None:
+        centroids = (
+            emb.select(F.col(id_col), F.col(vec_col))
+            .orderBy(F.col(id_col).asc())
+            .limit(int(n_clusters))
+            .select(
+                F.col(id_col).cast("long").alias("centroid_id"),
+                F.col(vec_col),
+            )
+        )
+    assigned = ivf_assign_fast(
+        emb, centroids, id_col=id_col, vec_col=vec_col, carry_vec=True
+    )
+    pairs = embedding_near_dups(
+        assigned, id_col="id", vec_col="v",
+        threshold=threshold, bucket_col="centroid_id",
+    )
+    losers = pairs.select(F.col("b").alias("id")).distinct()
+    return (
+        assigned.select("id", "centroid_id")
+        .join(losers, "id", "left_anti")
+        .select("id", "centroid_id")
+    )

@@ -1107,3 +1107,26 @@ def test_repetition_signals_plan_has_no_exchange(spark, docs):
     # per-row operator: the corpus must never shuffle
     plan = text.repetition_signals(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_semantic_dedup_keepers_known_case(spark):
+    # two orthogonal semantic clusters; ids 0/1 duplicate each other in
+    # cluster A, ids 2/3/4 mutually duplicate in cluster B, id 5 is a
+    # B-cluster member far enough to survive
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.001, 0.0, 0.0]),     # near-dup of 0
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.002]),     # near-dup of 2
+        (4, [0.0, 0.001, 1.0, 0.0]),     # near-dup of 2 and 3
+        (5, [0.0, 0.0, 0.4, 0.9]),       # same bucket, below threshold
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0, 0.0])],
+        "centroid_id long, embedding array<double>",
+    )
+    got = dedup.semantic_dedup_keepers(
+        emb, threshold=0.99, centroids=cents
+    ).orderBy("id").collect()
+    assert [(r["id"], r["centroid_id"]) for r in got] == [(0, 0), (2, 1), (5, 1)]
