@@ -1329,6 +1329,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", "split")
     q["sample_split_assign"] = sample_split_assign
 
+    def sample_leakage_split(spark, sf_dir):
+        # leakage-safe eval split: the split key is the minhash near-dup
+        # CLUSTER label, so near-duplicates never straddle train/val/test;
+        # singletons hash on their own id (identical to split_assign)
+        from gfw_raster_analysis_lambda_spark.operators import sampling
+
+        d = _t(spark, sf_dir, "documents")
+        clusters = dedup.minhash_dedup_clusters(d, n_hashes=8, bands=4)
+        return sampling.leakage_safe_split(
+            d, clusters, {"train": 0.8, "val": 0.1, "test": 0.1},
+            id_col="doc_id",
+        ).select("doc_id", "split")
+    q["sample_leakage_split"] = sample_leakage_split
+
     def sample_stratified(spark, sf_dir):
         # per-stratum deterministic rates: downsample the dominant 'en'
         # stratum, keep the rest dense, default rate for unlisted strata
@@ -2536,6 +2550,47 @@ r(src, dst) AS (
   SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a
 )
 SELECT src AS id, CAST(MIN(dst) AS BIGINT) AS cluster FROM r GROUP BY src
+"""
+
+    # leakage-safe split twin: same recursive closure, then the standard
+    # md5 hash-uniform CASE keyed on COALESCE(cluster, doc_id)
+    _lk_u = (
+        "(CAST(('0x' || substr(md5('split:' || CAST(COALESCE(c.cluster, d.doc_id) AS VARCHAR)), 1, 12)) AS BIGINT)"
+        " / 281474976710656.0)"
+    )
+    o["sample_leakage_split"] = f"""
+WITH RECURSIVE tk AS (
+  SELECT doc_id AS id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+),
+th AS (SELECT id, {h0_31} AS h FROM tk WHERE tok <> ''),
+sig AS (SELECT id, {mh_cols} FROM th GROUP BY id),
+banded AS ({band_rows}),
+hubs AS (
+  SELECT band, band_key, MIN(id) AS hub, COUNT(*) AS n
+  FROM banded GROUP BY 1, 2 HAVING COUNT(*) > 1
+),
+star AS (
+  SELECT DISTINCT b.id, h.hub
+  FROM banded b JOIN hubs h ON b.band = h.band AND b.band_key = h.band_key
+  WHERE b.id != h.hub
+),
+e AS (
+  SELECT id AS a, hub AS b FROM star
+  UNION SELECT hub AS a, id AS b FROM star
+),
+nodes AS (SELECT DISTINCT a AS id FROM e),
+r(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a
+),
+clus AS (SELECT src AS id, CAST(MIN(dst) AS BIGINT) AS cluster FROM r GROUP BY src)
+SELECT d.doc_id,
+       CASE WHEN {_lk_u} < 0.8 THEN 'train'
+            WHEN {_lk_u} < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents d LEFT JOIN clus c ON c.id = d.doc_id
 """
 
     h0 = _md5_int60("'0:' || tok")

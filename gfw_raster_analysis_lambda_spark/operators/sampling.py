@@ -64,13 +64,16 @@ def split_assign(
     id_col: str = "doc_id",
     salt: str = "split",
     out_col: str = "split",
+    key: Column | None = None,
 ) -> DataFrame:
     """Assign every row to one split by cumulative weight intervals over
     the hash-uniform (e.g. ``{"train": 0.8, "val": 0.1, "test": 0.1}``).
     Deterministic and growth-stable; weights are normalized; the final
-    split absorbs the remainder so every row is assigned."""
+    split absorbs the remainder so every row is assigned. ``key``
+    overrides the hashed expression (default: the id column) — rows
+    sharing a key land in the same split."""
     total = float(sum(weights.values()))
-    u = hash_uniform(F.col(id_col), salt)
+    u = hash_uniform(key if key is not None else F.col(id_col), salt)
     expr = None
     cum = 0.0
     names = list(weights.keys())
@@ -80,6 +83,40 @@ def split_assign(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
     return df.withColumn(out_col, expr)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    weights: "dict[str, float]",
+    id_col: str = "doc_id",
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment where near-duplicate CLUSTERS move as a
+    unit — the split key is the document's cluster label, so two
+    near-duplicates can never straddle an eval boundary (the standard
+    leakage guard before held-out evaluation). ``clusters`` is an
+    ``(id, cluster)`` frame from ``dedup.minhash_dedup_clusters`` /
+    ``phash_dedup_clusters`` / ``cross_modal_dedup_clusters``; documents
+    absent from it are singletons and hash on their own id, which keeps
+    the assignment identical to :func:`split_assign` for everything
+    without a near-dup (growth-stable: clustering MORE documents later
+    never flips a singleton's split unless it actually joins a cluster).
+
+    Scale shape: one equi-join of the corpus against the O(docs) cluster
+    map (sort-merge on id; AQE-broadcast when the cluster set is small
+    because the corpus is mostly unique), then the same zero-shuffle
+    hash-threshold CASE as every sampler here.
+    """
+    c = clusters.select(
+        F.col("id").alias("__lid"), F.col("cluster").alias("__cl")
+    )
+    joined = df.join(c, F.col(id_col) == F.col("__lid"), "left").drop("__lid")
+    key = F.coalesce(F.col("__cl"), F.col(id_col)).cast("string")
+    return split_assign(
+        joined, weights, id_col=id_col, salt=salt, out_col=out_col, key=key
+    ).drop("__cl")
 
 
 def mix_sources(

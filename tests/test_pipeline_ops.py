@@ -1130,3 +1130,36 @@ def test_semantic_dedup_keepers_known_case(spark):
         emb, threshold=0.99, centroids=cents
     ).orderBy("id").collect()
     assert [(r["id"], r["centroid_id"]) for r in got] == [(0, 0), (2, 1), (5, 1)]
+
+
+def test_leakage_safe_split_moves_clusters_together(spark):
+    from gfw_raster_analysis_lambda_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    # three clusters spanning many ids; the rest are singletons
+    clusters = spark.createDataFrame(
+        [(0, 0), (7, 0), (31, 0), (2, 2), (9, 2), (4, 4), (5, 4)],
+        "id long, cluster long",
+    )
+    out = sampling.leakage_safe_split(
+        docs, clusters, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).collect()
+    by_id = {r["doc_id"]: r["split"] for r in out}
+    assert len(by_id) == 40
+    # every cluster lands in exactly one split
+    assert by_id[0] == by_id[7] == by_id[31]
+    assert by_id[2] == by_id[9]
+    assert by_id[4] == by_id[5]
+    # singletons match plain split_assign exactly (growth-stability)
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in sampling.split_assign(
+            docs, {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    clustered_ids = {0, 7, 31, 2, 9, 4, 5}
+    for i in range(40):
+        if i not in clustered_ids:
+            assert by_id[i] == plain[i]
