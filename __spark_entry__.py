@@ -1127,6 +1127,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return text.text_profile(_t(spark, sf_dir, "documents"))
     q["text_profile"] = text_profile
 
+    def text_chunks(spark, sf_dir):
+        # fixed-token training windows with overlap (chunk 32, stride 24):
+        # tokenize/sequence/explode/slice all inside one codegen
+        # projection — the corpus never shuffles
+        return text.chunk_documents(
+            _t(spark, sf_dir, "documents"), chunk_tokens=32, stride=24
+        ).withColumnRenamed("id", "doc_id")
+    q["text_chunks"] = text_chunks
+
     def text_repetition(spark, sf_dir):
         # Gopher-style repetition quality signals: per-row Catalyst array
         # fractions + one Arrow-batched Counter UDF for the top bigram —
@@ -2381,6 +2390,27 @@ SELECT doc_id,
                / GREATEST(CAST(length(text) AS DOUBLE), 1.0)), 6) AS quality,
   {fingerprint} AS fingerprint
 FROM s2
+"""
+
+    # chunking twin: same ceil((n-chunk)/stride)+1 start count, 1-based
+    # inclusive list slice
+    o["text_chunks"] = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+nz AS (
+  SELECT doc_id, w, len(w) AS n,
+         CAST(GREATEST(CEIL((len(w) - 32) / 24.0), 0) AS INT) + 1 AS nc
+  FROM base WHERE len(w) > 0
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_id,
+       CAST(LEAST(32, n - i * 24) AS INT) AS n_tokens,
+       array_to_string(w[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text
+FROM nz, generate_series(0, 8191) g(i)
+WHERE i < nc
 """
 
     # repetition twin: bigram occurrence counting via unnest + group-by

@@ -354,3 +354,55 @@ def repetition_signals(
         F.round(dup_word, 6).alias("dup_word_frac"),
         F.round(_top_bigram_frac(t), 6).alias("top_bigram_frac"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    stride: int = 96,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Slice every document into fixed-token training chunks with
+    overlap: chunk ``i`` covers whitespace tokens
+    ``[i*stride, i*stride + chunk_tokens)`` and the last chunk may be
+    short; ``stride < chunk_tokens`` gives the standard overlapping
+    context windows of a pretraining tokenizer pipeline. Empty documents
+    emit no chunks. Returns ``(id, chunk_id, n_tokens, chunk_text)``.
+
+    Scale shape: pure Catalyst — tokenize / sequence / explode / slice /
+    concat_ws, all whole-stage codegen inside one narrow projection; the
+    corpus never shuffles and output rows stream straight into the
+    downstream sink. (An explode multiplies rows ~len/stride x, which is
+    the intended output, not blowup.)
+    """
+    if chunk_tokens <= 0 or stride <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
+    n = F.size(toks)
+    n_chunks = F.when(
+        n > 0,
+        F.greatest(
+            F.ceil((n - F.lit(chunk_tokens)).cast("double") / F.lit(stride)), F.lit(0)
+        ).cast("int") + F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        df.select(F.col(id_col).alias("id"), toks.alias("__toks"), n_chunks.alias("__nc"))
+        .filter(F.col("__nc") > 0)
+        .select(
+            "id", "__toks",
+            F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias("chunk_id"),
+        )
+        .select(
+            "id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.least(
+                F.lit(chunk_tokens),
+                F.size("__toks") - F.col("chunk_id") * F.lit(stride),
+            ).cast("int").alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.slice("__toks", F.col("chunk_id") * F.lit(stride) + 1, F.lit(chunk_tokens)),
+            ).alias("chunk_text"),
+        )
+    )

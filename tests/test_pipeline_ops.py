@@ -1163,3 +1163,31 @@ def test_leakage_safe_split_moves_clusters_together(spark):
     for i in range(40):
         if i not in clustered_ids:
             assert by_id[i] == plain[i]
+
+
+def test_chunk_documents_known_case(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(str(i) for i in range(10))),  # 10 toks: chunks at 0,4,8
+            (1, "a b"),                                 # one short chunk
+            (2, ""),                                    # no chunks
+        ],
+        "doc_id long, text string",
+    )
+    got = (
+        text.chunk_documents(docs, chunk_tokens=5, stride=4)
+        .orderBy("id", "chunk_id")
+        .collect()
+    )
+    rows = [(r["id"], r["chunk_id"], r["n_tokens"], r["chunk_text"]) for r in got]
+    assert rows == [
+        (0, 0, 5, "0 1 2 3 4"),
+        (0, 1, 5, "4 5 6 7 8"),
+        (0, 2, 2, "8 9"),
+        (1, 0, 2, "a b"),
+    ]
+    # stride == chunk -> non-overlapping full cover
+    got2 = text.chunk_documents(docs, chunk_tokens=4, stride=4).filter("id = 0").collect()
+    assert sorted(r["n_tokens"] for r in got2) == [2, 4, 4]
+    plan = text.chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
