@@ -141,7 +141,7 @@ def _ensure_synth_events(spark) -> None:
 
 
 def workloads(spark, sf_dir):
-    from gfw_raster_analysis_lambda_spark.operators import dedup, similarity, text
+    from gfw_raster_analysis_lambda_spark.operators import dedup, sampling, similarity, text
     from gfw_raster_analysis_lambda_spark.streaming.curation import (
         decontaminate_stream,
     )
@@ -238,6 +238,20 @@ def workloads(spark, sf_dir):
 
     return {
         "text_profile": lambda: text.text_profile(t("documents")),
+        "text_repetition": lambda: text.repetition_signals(t("documents")),
+        "text_chunks": lambda: text.chunk_documents(
+            t("documents"), chunk_tokens=32, stride=24),
+        "sample_leakage_split": lambda: sampling.leakage_safe_split(
+            t("documents"),
+            dedup.minhash_dedup_clusters(t("documents"), n_hashes=8, bands=4),
+            {"train": 0.8, "val": 0.1, "test": 0.1}),
+        # constant-bucket-width configuration: n_clusters scales with the
+        # corpus (~300 vectors/bucket) so the within-bucket pair space is
+        # O(N), not O(N^2) — the knob the operator docstring prescribes
+        "dedup_semantic_keepers": lambda: dedup.semantic_dedup_keepers(
+            t("embeddings"),
+            n_clusters=max(16, t("embeddings").count() // 300),
+            threshold=0.3),
         "text_decontaminate": text_decon,
         "text_pack_bins": lambda: text.pack_token_bins(
             t("documents"), budget=500, n_shards=64),
@@ -358,6 +372,9 @@ def main():
             print(f"{tag:16s} {name:28s} {sec:8.3f}s  {samples}", flush=True)
 
     tbl_of = {"text_profile": "documents", "dedup_exact": "documents",
+              "text_repetition": "documents", "text_chunks": "documents",
+              "sample_leakage_split": "documents",
+              "dedup_semantic_keepers": "embeddings",
               "text_decontaminate": "documents", "text_pack_bins": "documents",
               "text_quality_quota": "documents", "sim_pq_adc": "embeddings",
               "dedup_minhash_lsh": "documents", "dedup_minhash_keepers": "documents",
