@@ -1133,7 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # projection — the corpus never shuffles
         return text.chunk_documents(
             _t(spark, sf_dir, "documents"), chunk_tokens=32, stride=24
-        ).withColumnRenamed("id", "doc_id")
+        )
     q["text_chunks"] = text_chunks
 
     def text_repetition(spark, sf_dir):
@@ -1273,6 +1273,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf_dir, "embeddings"), n_clusters=16, threshold=0.3
         ).orderBy("id")
     q["dedup_semantic_keepers"] = dedup_semantic_keepers
+
+    def dedup_semantic_fast(spark, sf_dir):
+        # production twin: per-bucket Gram-matrix matmul instead of
+        # per-pair HOF dot products (~20x at datascale sf1); same keeper
+        # set, gated by the SAME oracle as the relational path
+        return dedup.semantic_dedup_keepers_fast(
+            _t(spark, sf_dir, "embeddings"), n_clusters=16, threshold=0.3
+        ).orderBy("id")
+    q["dedup_semantic_fast"] = dedup_semantic_fast
 
     # -- image near-dup by perceptual hash (Manku-style bit banding) ---------
     # The DuckDB twins are BRUTE-FORCE all-pairs hamming scans, so they
@@ -3019,6 +3028,8 @@ SELECT s.id, s.centroid_id FROM assign s
 WHERE s.id NOT IN (SELECT id FROM losers)
 ORDER BY s.id
 """
+    # the fast (Gram-matrix) path must produce the identical keeper set
+    o["dedup_semantic_fast"] = o["dedup_semantic_keepers"]
 
     o["sim_ann_ivf"] = f"""
 WITH centroids AS (

@@ -368,7 +368,8 @@ def chunk_documents(
     ``[i*stride, i*stride + chunk_tokens)`` and the last chunk may be
     short; ``stride < chunk_tokens`` gives the standard overlapping
     context windows of a pretraining tokenizer pipeline. Empty documents
-    emit no chunks. Returns ``(id, chunk_id, n_tokens, chunk_text)``.
+    emit no chunks. Returns ``(<id_col>, chunk_id, n_tokens,
+    chunk_text)`` — the id column keeps its input name.
 
     Scale shape: pure Catalyst — tokenize / sequence / explode / slice /
     concat_ws, all whole-stage codegen inside one narrow projection; the
@@ -387,14 +388,14 @@ def chunk_documents(
         ).cast("int") + F.lit(1),
     ).otherwise(F.lit(0))
     return (
-        df.select(F.col(id_col).alias("id"), toks.alias("__toks"), n_chunks.alias("__nc"))
+        df.select(F.col(id_col), toks.alias("__toks"), n_chunks.alias("__nc"))
         .filter(F.col("__nc") > 0)
         .select(
-            "id", "__toks",
+            id_col, "__toks",
             F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias("chunk_id"),
         )
         .select(
-            "id",
+            id_col,
             F.col("chunk_id").cast("int").alias("chunk_id"),
             F.least(
                 F.lit(chunk_tokens),

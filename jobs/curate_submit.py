@@ -2,8 +2,10 @@
 """spark-submit entry point for corpus curation — the training-data
 pipeline composed end to end as ONE job:
 
-    profile -> decontaminate -> dedup -> stratified sample -> source mix
-            -> per-stratum quality quota -> token-budget packing
+    profile -> repetition filter -> decontaminate -> dedup
+            -> stratified sample -> source mix
+            -> per-stratum quality quota -> leakage-safe split
+            -> token-budget packing [-> chunked companion output]
 
 Every stage is one of the engine's deterministic operators (no rand()
 anywhere), so a re-run over the same inputs reproduces the same curated
@@ -17,7 +19,10 @@ corpus bit for bit — the property a corpus rebuild needs. Ships as:
         [--benchmark /data/benchmark_parquet --contamination-threshold 0.5] \\
         [--near-dup] [--strata-fractions '{"en": 0.5, "fr": 1.0}'] \\
         [--mix-targets '{"src1": 0.6, "src2": 0.4}'] \\
-        [--quota-k 100000] [--pack-budget 2048] [--pack-shards 1024]
+        [--quota-k 100000] [--pack-budget 2048] [--pack-shards 1024] \\
+        [--max-dup-line-frac 0.3] [--max-top-bigram-frac 0.2] \\
+        [--split-weights '{"train": 0.9, "val": 0.1}'] \\
+        [--chunks-output /data/curated_chunks --chunk-tokens 2048]
 
 Stage order matters: decontamination and dedup run BEFORE sampling (a
 contaminated or duplicated document must not survive by being sampled
@@ -87,6 +92,18 @@ def main(argv=None) -> None:
                     help="keep only the k highest-quality docs per stratum")
     ap.add_argument("--pack-budget", type=int, default=2048)
     ap.add_argument("--pack-shards", type=int, default=1024)
+    ap.add_argument("--max-dup-line-frac", type=float, default=None,
+                    help="drop docs whose duplicate-line fraction exceeds this")
+    ap.add_argument("--max-top-bigram-frac", type=float, default=None,
+                    help="drop docs whose top-bigram occurrence fraction exceeds this")
+    ap.add_argument("--split-weights", default=None,
+                    help='JSON dict split -> weight, e.g. {"train": 0.9, "val": 0.1}; '
+                         "assignment is leakage-safe (keyed on the near-dup cluster "
+                         "label when --near-dup ran, else on the doc id)")
+    ap.add_argument("--chunks-output", default=None,
+                    help="also write fixed-token training chunks of the curated corpus here")
+    ap.add_argument("--chunk-tokens", type=int, default=2048)
+    ap.add_argument("--chunk-stride", type=int, default=2048)
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -104,6 +121,19 @@ def main(argv=None) -> None:
     prof = text.text_profile(docs, text_col=txt, id_col=idc)
     docs = docs.join(prof.select(idc, "quality", "lang_pred", "n_tokens_ws"), idc)
 
+    # 1b. repetition filter (Gopher-style boilerplate/spam gate) —
+    # per-row signals, no corpus shuffle
+    if args.max_dup_line_frac is not None or args.max_top_bigram_frac is not None:
+        sig = text.repetition_signals(docs, text_col=txt, id_col=idc)
+        cond = F.lit(True)
+        if args.max_dup_line_frac is not None:
+            cond = cond & (F.col("dup_line_frac") <= F.lit(args.max_dup_line_frac))
+        if args.max_top_bigram_frac is not None:
+            cond = cond & (F.col("top_bigram_frac") <= F.lit(args.max_top_bigram_frac))
+        keep = sig.filter(cond).select(idc)
+        docs = docs.join(keep, idc, "left_semi")
+        docs = prev = _persist_stage(docs, manifest, "after_repetition_filter")
+
     # 2. decontaminate against the benchmark set (broadcast side)
     if args.benchmark:
         bench = spark.read.parquet(args.benchmark)
@@ -112,7 +142,7 @@ def main(argv=None) -> None:
             n=args.contamination_ngram, threshold=args.contamination_threshold,
         ).select(idc)
         docs = docs.join(drop, idc, "left_anti")
-        docs = prev = _persist_stage(docs, manifest, "after_decontaminate")
+        docs = prev = _persist_stage(docs, manifest, "after_decontaminate", prev)
 
     # 3. exact dedup: keep the lowest-id doc of every byte-identical group
     # (loser list from the shared helper — same key normalization as
@@ -161,6 +191,20 @@ def main(argv=None) -> None:
         ).drop("rank")
         docs = prev = _persist_stage(kept, manifest, "after_quota", prev)
 
+    # 6b. leakage-safe split assignment (adds a column, drops nothing):
+    # keyed on the near-dup cluster label so near-duplicates never
+    # straddle an eval boundary; plain id-keyed split without --near-dup
+    if args.split_weights:
+        weights = json.loads(args.split_weights)
+        if args.near_dup:
+            clusters = dedup.minhash_dedup_clusters(
+                docs, id_col=idc, text_col=txt,
+                n_hashes=args.near_dup_hashes, bands=args.near_dup_bands,
+            )
+            docs = sampling.leakage_safe_split(docs, clusters, weights, id_col=idc)
+        else:
+            docs = sampling.split_assign(docs, weights, id_col=idc)
+
     # 7. token-budget packing over the final membership
     bins = text.pack_token_bins(
         docs, budget=args.pack_budget, n_shards=args.pack_shards,
@@ -169,6 +213,17 @@ def main(argv=None) -> None:
     out = docs.join(bins.select(idc, "shard", "bin", "n_tokens"), idc)
     out.write.mode("overwrite").parquet(args.output)
     manifest["output"] = spark.read.parquet(args.output).count()
+
+    # 7b. chunked companion output (training windows of the final corpus)
+    if args.chunks_output:
+        chunks = text.chunk_documents(
+            spark.read.parquet(args.output),
+            chunk_tokens=args.chunk_tokens, stride=args.chunk_stride,
+            text_col=txt, id_col=idc,
+        )
+        chunks.write.mode("overwrite").parquet(args.chunks_output)
+        manifest["chunks"] = spark.read.parquet(args.chunks_output).count()
+
     _write_manifest(spark, args.output, manifest)
     print(json.dumps(manifest))
 

@@ -1176,10 +1176,10 @@ def test_chunk_documents_known_case(spark):
     )
     got = (
         text.chunk_documents(docs, chunk_tokens=5, stride=4)
-        .orderBy("id", "chunk_id")
+        .orderBy("doc_id", "chunk_id")
         .collect()
     )
-    rows = [(r["id"], r["chunk_id"], r["n_tokens"], r["chunk_text"]) for r in got]
+    rows = [(r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk_text"]) for r in got]
     assert rows == [
         (0, 0, 5, "0 1 2 3 4"),
         (0, 1, 5, "4 5 6 7 8"),
@@ -1187,7 +1187,20 @@ def test_chunk_documents_known_case(spark):
         (1, 0, 2, "a b"),
     ]
     # stride == chunk -> non-overlapping full cover
-    got2 = text.chunk_documents(docs, chunk_tokens=4, stride=4).filter("id = 0").collect()
+    got2 = text.chunk_documents(docs, chunk_tokens=4, stride=4).filter("doc_id = 0").collect()
     assert sorted(r["n_tokens"] for r in got2) == [2, 4, 4]
     plan = text.chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_semantic_dedup_fast_matches_relational(spark, emb):
+    rel = dedup.semantic_dedup_keepers(
+        emb, n_clusters=8, threshold=0.3
+    ).orderBy("id").collect()
+    fast = dedup.semantic_dedup_keepers_fast(
+        emb, n_clusters=8, threshold=0.3
+    ).orderBy("id").collect()
+    assert [(r["id"], r["centroid_id"]) for r in rel] == [
+        (r["id"], r["centroid_id"]) for r in fast
+    ]
+    assert len(rel) > 0

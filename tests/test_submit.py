@@ -136,8 +136,13 @@ def test_curate_submit_main_inprocess(spark, tmp_path):
         "--strata-fractions", '{"en": 0.6}',
         "--mix-targets", '{"src1": 0.4, "src2": 0.3, "src3": 0.3}',
         "--quota-k", "50", "--pack-budget", "300", "--pack-shards", "4",
+        "--max-dup-line-frac", "0.99", "--max-top-bigram-frac", "0.95",
+        "--split-weights", '{"train": 0.9, "val": 0.1}',
+        "--chunks-output", str(tmp_path / "chunks"),
+        "--chunk-tokens", "32", "--chunk-stride", "32",
     ])
     man = _json.load(open(os.path.join(out, "_curation_manifest.json")))
+    assert man["after_repetition_filter"] <= man["input"]
     assert man["after_decontaminate"] < man["input"]
     assert man["after_exact_dedup"] <= man["after_decontaminate"]
     assert man["after_near_dedup"] <= man["after_exact_dedup"]
@@ -145,9 +150,15 @@ def test_curate_submit_main_inprocess(spark, tmp_path):
     assert man["after_mix"] <= man["after_stratified_sample"]
     assert man["output"] == man["after_quota"] > 0
     cur = spark.read.parquet(out).toPandas()
-    assert {"shard", "bin", "n_tokens", "quality"} <= set(cur.columns)
+    assert {"shard", "bin", "n_tokens", "quality", "split"} <= set(cur.columns)
+    assert set(cur["split"]) <= {"train", "val"}
     # every benchmark doc itself was dropped (self-contamination = 1.0)
     assert not (cur["doc_id"] % 11 == 0).any()
+    # chunked companion output covers exactly the curated membership
+    chunks = spark.read.parquet(str(tmp_path / "chunks")).toPandas()
+    assert man["chunks"] == len(chunks) > 0
+    assert set(chunks["doc_id"]) <= set(cur["doc_id"])
+    assert (chunks["n_tokens"] <= 32).all()
     # deterministic rebuild: identical membership
     out2 = str(tmp_path / "curated2")
     curate_submit.main([
@@ -158,6 +169,7 @@ def test_curate_submit_main_inprocess(spark, tmp_path):
         "--strata-fractions", '{"en": 0.6}',
         "--mix-targets", '{"src1": 0.4, "src2": 0.3, "src3": 0.3}',
         "--quota-k", "50", "--pack-budget", "300", "--pack-shards", "4",
+        "--max-dup-line-frac", "0.99", "--max-top-bigram-frac", "0.95",
     ])
     cur2 = spark.read.parquet(out2).toPandas()
     assert sorted(cur["doc_id"]) == sorted(cur2["doc_id"])

@@ -245,12 +245,15 @@ def workloads(spark, sf_dir):
             t("documents"),
             dedup.minhash_dedup_clusters(t("documents"), n_hashes=8, bands=4),
             {"train": 0.8, "val": 0.1, "test": 0.1}),
-        # constant-bucket-width configuration: n_clusters scales with the
-        # corpus (~300 vectors/bucket) so the within-bucket pair space is
-        # O(N), not O(N^2) — the knob the operator docstring prescribes
+        # constant-bucket-width configuration: n_clusters = rows/250 at
+        # EVERY scale (floor 4) so within-bucket pairs stay O(N) with the
+        # same per-row constant — the knob the operator docstring
+        # prescribes; a fixed n_clusters would be O(N^2/k) and a fixed
+        # LOW floor that binds at one scale but not the next skews the
+        # growth ratio (bucket width must not change between scales)
         "dedup_semantic_keepers": lambda: dedup.semantic_dedup_keepers(
             t("embeddings"),
-            n_clusters=max(16, t("embeddings").count() // 300),
+            n_clusters=max(4, t("embeddings").count() // 250),
             threshold=0.3),
         "text_decontaminate": text_decon,
         "text_pack_bins": lambda: text.pack_token_bins(
