@@ -41,8 +41,10 @@ from gfw_raster_analysis_lambda_spark.functions import geodesy  # noqa: E402
 from gfw_raster_analysis_lambda_spark.functions import grid as _G  # noqa: E402
 from gfw_raster_analysis_lambda_spark.operators import (  # noqa: E402
     dedup,
+    focal,
     knn,
     multimodal,
+    sampling,
     similarity,
     text,
 )
@@ -1483,7 +1485,100 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.withColumn("query_id", F.col("query_id").cast("long"))
     q["sim_pq_adc_trained"] = sim_pq_adc_trained
 
+    # ----- round-4 operators -------------------------------------------------
+
+    def focal_tcl_stats(spark, sf_dir):
+        # focal (3x3 neighborhood) map algebra ACROSS tile boundaries via
+        # halo-STRIP exchange (operators/focal.py): each tile ships its
+        # 1-px edges to its 8 neighbors (~1.06x shuffle volume, not 9x),
+        # one Exchange keyed by receiving cell, integral-image window
+        # sums in an Arrow kernel. All-integer until the final division,
+        # so the DuckDB twin (same window sums over the closed-form
+        # fixture pixels) is hash-exact, including the corpus-edge
+        # valid-count shrink.
+        images, _, _ = _fixture(spark)
+        tiles = images.filter(F.col("layer") == "tcl_year")
+        out = focal.focal_stats(tiles, radius=1)
+        return out.select(
+            "cell_id", "n_px", "focal_sum", "focal_n", "focal_max_sum",
+            F.round(
+                F.col("focal_sum").cast("double") / F.col("focal_n").cast("double"), 6
+            ).alias("focal_avg"),
+        )
+    q["focal_tcl_stats"] = focal_tcl_stats
+
+    def zonal_stddev_ttc(spark, sf_dir):
+        # population variance/stddev as bincount rollups (ALL-INTEGER
+        # (n*s2 - s1^2)/n^2 before one float division — engine-exact),
+        # sharing one kernel pass with a median over the same layer
+        return _zonal(
+            spark,
+            "SELECT variance(ttc_percent) AS ttc_var, stddev(ttc_percent) AS ttc_sd, "
+            "median(ttc_percent) AS ttc_med FROM ttc_percent",
+            list(_BOXES),
+            rounding=[("ttc_var", 6), ("ttc_sd", 6)],
+        )
+    q["zonal_stddev_ttc"] = zonal_stddev_ttc
+
+    def text_dup_ngrams(spark, sf_dir):
+        # exact duplicated-n-gram exposure per document (Lee et al.-style
+        # substring dedup signal): codegen n-gram window, one gram-keyed
+        # count, one join back — no pair explosion
+        return text.dup_ngram_stats(_t(spark, sf_dir, "documents"), n=3)
+    q["text_dup_ngrams"] = text_dup_ngrams
+
+    def mm_aspect_buckets(spark, sf_dir):
+        # aspect-ratio bucketing for image-training batch shaping:
+        # metadata-only integer-exact argmin (no floats, no log, no pixel
+        # decode), then per-bucket batch counts at batch size 64
+        imgs = spark.range(0, 4000).select(
+            F.col("id").alias("image_id"),
+            (F.lit(256) + (F.col("id") * 37) % 1792).cast("int").alias("w"),
+            (F.lit(256) + (F.col("id") * 53) % 1792).cast("int").alias("h"),
+        )
+        out = multimodal.aspect_bucket_assign(imgs)
+        return out.groupBy("bucket", "bucket_w", "bucket_h").agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.ceil(F.count(F.lit(1)) / F.lit(64.0)).cast("long").alias("n_batches"),
+        )
+    q["mm_aspect_buckets"] = mm_aspect_buckets
+
+    def knn_geo_cells(spark, sf_dir):
+        # geographic kNN tile lookup with the EXACT-GLOBAL expanding-ring
+        # stop rule (k-th distance inside the ring bound); distances in
+        # squared degrees over binary-exact centroids, so the global-scan
+        # DuckDB twin hash-matches
+        images, _, _ = _fixture(spark)
+        pts = images.filter(F.col("layer") == "photo")
+        qs = spark.createDataFrame(
+            _GEO_QUERIES, "query_id string, lon double, lat double"
+        )
+        return knn.knn_geo(pts, qs, k=5, ring=1, max_ring=8, grid_name=GRID.name)
+    q["knn_geo_cells"] = knn_geo_cells
+
+    def sample_temperature(spark, sf_dir):
+        # quality-temperature sampling: keep with p = sqrt(q / per-source
+        # max q), membership by the same md5-uniform as every sampler
+        # (deterministic, growth-stable); sqrt is IEEE-exact so the twin
+        # reproduces membership bit-for-bit
+        docs = _t(spark, sf_dir, "documents")
+        scored = docs.select(
+            "doc_id", "source", text.quality_score(F.col("text")).alias("q")
+        )
+        out = sampling.temperature_sample(
+            scored, "q", alpha=0.5, by="source", id_col="doc_id", salt="temp"
+        )
+        return out.select("doc_id", "source", "p_keep")
+    q["sample_temperature"] = sample_temperature
+
     return _rotate_for_driver_coverage(q)
+
+
+_GEO_QUERIES = [
+    ("g0", 10.31, 20.52),   # interior
+    ("g1", 10.97, 20.03),   # SE corner of the world
+    ("g2", 10.02, 20.98),   # NW corner
+]
 
 
 # ---------------------------------------------------------------------------
@@ -3179,6 +3274,148 @@ FROM (
     PARTITION BY query_id ORDER BY adc_dist ASC, id ASC) AS rn
   FROM scores
 ) WHERE rn <= 10
+"""
+
+    # ----- round-4 operators -------------------------------------------------
+
+    GX, GY = NX * GRID.chunk_px - 1, NY * GRID.chunk_px - 1  # 255, 255
+    CB, YW = 54043195528445952, 134217728  # fixture grid-id base, 2^_Y_BITS
+    tclv = (
+        f"(({X0} + (px.gx+dx)//64)*7 + ({Y0} + (px.gy+dy)//64)*11 "
+        f"+ ((px.gy+dy)%64)*13 + ((px.gx+dx)%64)*17) % 21"
+    )
+    o["focal_tcl_stats"] = f"""
+WITH px AS (
+  SELECT gx, gy FROM generate_series(0, {GX}) a(gx), generate_series(0, {GY}) b(gy)
+),
+off AS (SELECT dx, dy FROM generate_series(-1, 1) a(dx), generate_series(-1, 1) b(dy)),
+w AS (
+  SELECT px.gx, px.gy,
+         SUM({tclv}) AS wsum,
+         COUNT(*) AS wn,
+         MAX({tclv}) AS wmax
+  FROM px, off
+  WHERE px.gx + dx BETWEEN 0 AND {GX} AND px.gy + dy BETWEEN 0 AND {GY}
+  GROUP BY px.gx, px.gy
+)
+SELECT CAST({CB} AS BIGINT) + CAST({X0} + gx // 64 AS BIGINT) * {YW} + ({Y0} + gy // 64) AS cell_id,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(wsum) AS BIGINT) AS focal_sum,
+       CAST(SUM(wn) AS BIGINT) AS focal_n,
+       CAST(SUM(wmax) AS BIGINT) AS focal_max_sum,
+       ROUND(CAST(SUM(wsum) AS DOUBLE) / CAST(SUM(wn) AS DOUBLE), 6) AS focal_avg
+FROM w GROUP BY 1
+"""
+
+    _var_expr = (
+        "CAST(COUNT(*) * SUM(CAST(ttc AS BIGINT) * ttc) "
+        "- SUM(CAST(ttc AS BIGINT)) * SUM(CAST(ttc AS BIGINT)) AS DOUBLE) "
+        "/ CAST(COUNT(*) * COUNT(*) AS DOUBLE)"
+    )
+    o["zonal_stddev_ttc"] = f"""
+WITH {_pix_cte(list(_BOXES))}
+SELECT aoi_id,
+       ROUND({_var_expr}, 6) AS ttc_var,
+       ROUND(SQRT({_var_expr}), 6) AS ttc_sd,
+       CAST(quantile_disc(ttc, 0.5) AS DOUBLE) AS ttc_med
+FROM m WHERE ttc != 255
+GROUP BY aoi_id
+"""
+
+    o["text_dup_ngrams"] = """
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, array_to_string(list_slice(toks, k, k + 2), ' ') AS gram
+  FROM t, UNNEST(generate_series(1, len(toks) - 2)) AS u(k)
+),
+c AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram),
+p AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+         CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_ngrams
+  FROM g JOIN c USING (gram) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_ngrams, 0) AS n_ngrams,
+       COALESCE(p.dup_ngrams, 0) AS dup_ngrams,
+       CASE WHEN COALESCE(p.n_ngrams, 0) > 0
+            THEN ROUND(CAST(p.dup_ngrams AS DOUBLE) / p.n_ngrams, 6)
+            ELSE 0.0 END AS dup_frac
+FROM documents d LEFT JOIN p USING (doc_id)
+"""
+
+    _buckets = multimodal.DEFAULT_ASPECT_BUCKETS
+    _lcm = 1774080  # lcm of the bucket heights (multimodal.aspect_bucket_assign)
+    _bvals = ", ".join(
+        f"({i}, {bw}, {bh}, {_lcm // bh})" for i, (bw, bh) in enumerate(_buckets)
+    )
+    o["mm_aspect_buckets"] = f"""
+WITH imgs AS (
+  SELECT i AS image_id, 256 + (i*37) % 1792 AS w, 256 + (i*53) % 1792 AS h
+  FROM generate_series(0, 3999) t(i)
+),
+b(bucket, bw, bh, mult) AS (VALUES {_bvals}),
+scored AS (
+  SELECT image_id, bucket, bw, bh, ABS(w*bh - bw*h) * mult AS score
+  FROM imgs, b
+),
+best AS (
+  SELECT image_id, bucket, bw, bh,
+         ROW_NUMBER() OVER (PARTITION BY image_id ORDER BY score, bucket) AS rn
+  FROM scored
+)
+SELECT CAST(bucket AS INT) AS bucket, CAST(bw AS INT) AS bucket_w,
+       CAST(bh AS INT) AS bucket_h, CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(CEIL(COUNT(*) / 64.0) AS BIGINT) AS n_batches
+FROM best WHERE rn = 1 GROUP BY 1, 2, 3
+"""
+
+    _gq = ", ".join(f"('{qid}', {lon!r}, {lat!r})" for qid, lon, lat in _GEO_QUERIES)
+    o["knn_geo_cells"] = f"""
+WITH cells AS (
+  SELECT 'photo/' || lower(lpad(hex(CAST({CB} AS BIGINT) + x * {YW} + y), 16, '0')) AS image_id,
+         (-180.0 + x*{TD!r} + {TD / 2.0!r}) AS c_lon,
+         (90.0 - y*{TD!r} - {TD / 2.0!r}) AS c_lat
+  FROM generate_series({X0}, {X0 + NX - 1}) tx(x),
+       generate_series({Y0}, {Y0 + NY - 1}) ty(y)
+),
+qs0(query_id, lon0, lat0) AS (VALUES {_gq}),
+qs AS (
+  SELECT query_id, CAST(lon0 AS DOUBLE) AS lon, CAST(lat0 AS DOUBLE) AS lat FROM qs0
+),
+scored AS (
+  SELECT query_id, image_id,
+         (lon - c_lon)*(lon - c_lon) + (lat - c_lat)*(lat - c_lat) AS dist2
+  FROM cells, qs
+)
+SELECT query_id, image_id, dist2, CAST(rn AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist2, image_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+    o["sample_temperature"] = """
+WITH scored AS (
+  SELECT doc_id, source,
+    ROUND(0.4 * LEAST(length(text) / 1000.0, 1.0)
+        + 0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                 / GREATEST(CAST(length(text) AS DOUBLE), 1.0))
+        + 0.3 * (1.0 - length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                 / GREATEST(CAST(length(text) AS DOUBLE), 1.0)), 6) AS q
+  FROM documents
+),
+p AS (
+  SELECT doc_id, source,
+         SQRT(q / MAX(q) OVER (PARTITION BY source)) AS p_keep,
+         CAST(('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+           / 281474976710656.0 AS u
+  FROM scored
+)
+SELECT doc_id, source, ROUND(p_keep, 6) AS p_keep
+FROM p WHERE u < p_keep
 """
 
     return o

@@ -149,3 +149,122 @@ def knn_oracle(images_phash: list[tuple[str, int]], q_phash: int, k: int) -> lis
         ((hamming64(p, q_phash), iid) for iid, p in images_phash),
     )
     return [iid for _, iid in d[:k]]
+
+
+def _centroid_cols(grid_name: str):
+    """Catalyst expressions for a cell's centroid (lon, lat) — pure bit
+    arithmetic + exact binary-fraction constants (tile_deg is a power of
+    two, so the centroid doubles are EXACT and engine-independent)."""
+    grid = G.get_grid(grid_name)
+    xb, yb = G._X_BITS, G._Y_BITS
+    x = F.shiftright(F.col("cell_id"), yb).bitwiseAND(F.lit((1 << xb) - 1))
+    y = F.col("cell_id").bitwiseAND(F.lit((1 << yb) - 1))
+    td = grid.tile_deg
+    lon = F.lit(-180.0) + x.cast("double") * F.lit(td) + F.lit(td / 2.0)
+    lat = F.lit(90.0) - y.cast("double") * F.lit(td) - F.lit(td / 2.0)
+    return lon, lat
+
+
+def query_cell_expr(grid_name: str, lon, lat):
+    """The cell containing (lon, lat), as one codegen expression."""
+    grid = G.get_grid(grid_name)
+    xb, yb = G._X_BITS, G._Y_BITS
+    td = grid.tile_deg
+    x = F.floor((lon + F.lit(180.0)) / F.lit(td)).cast("long")
+    y = F.floor((F.lit(90.0) - lat) / F.lit(td)).cast("long")
+    return F.lit(grid.index << (xb + yb)) + F.shiftleft(x, yb) + y
+
+
+def knn_geo(
+    images: DataFrame,  # must carry cell_id
+    queries: DataFrame,  # (query_id, lon, lat)
+    k: int,
+    ring: int = 1,
+    max_ring: int = 8,
+    grid_name: str = "4/1024",
+) -> DataFrame:
+    """Geographic kNN tile lookup: for each query point, the k images
+    whose CELL CENTROID is nearest in squared-degree distance
+    ((dlon^2 + dlat^2) — the equirectangular metric; swap in haversine
+    for production distances, which trades the bit-exact cross-engine
+    guarantee for libm trig).
+
+    Same expanding-ring skeleton as :func:`knn_phash_pruned_auto`, but
+    with geometry the ring search is EXACT-GLOBAL, not local-best: after
+    searching Chebyshev ring r, every unexplored cell lies >= r*tile_deg
+    degrees from the query point (the query sits inside its own cell),
+    so a query stops only when its k-th distance <= (r*tile_deg)^2 —
+    otherwise the ring doubles. The result therefore equals the global
+    scan's top-k (the ``knn_geo_cells`` DuckDB twin) while reading only
+    O(k) cells per query instead of the corpus.
+
+    Ties at the k boundary break on (distance, image_id).
+    """
+    from pyspark.sql import types as T
+
+    if ring < 1 or max_ring < ring:
+        raise ValueError(f"need 1 <= ring <= max_ring (got {ring}, {max_ring})")
+    grid = G.get_grid(grid_name)
+    td = grid.tile_deg
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def ring_cells(cells: pd.Series, rr: pd.Series) -> pd.Series:
+        return pd.Series([
+            G.k_ring(grid, int(c), int(r)).tolist()
+            for c, r in zip(cells, rr)
+        ])
+
+    clon, clat = _centroid_cols(grid_name)
+    pts = images.select("image_id", "cell_id").withColumn(
+        "c_lon", clon
+    ).withColumn("c_lat", clat)
+
+    def one_round(qs: DataFrame, r: int) -> DataFrame:
+        ringdf = F.broadcast(
+            qs.select(
+                "query_id", "lon", "lat",
+                F.explode(
+                    ring_cells(
+                        query_cell_expr(grid_name, F.col("lon"), F.col("lat")),
+                        F.lit(r),
+                    )
+                ).alias("cell_id"),
+            )
+        )
+        dx = F.col("lon") - F.col("c_lon")
+        dy = F.col("lat") - F.col("c_lat")
+        scored = pts.join(ringdf, "cell_id").withColumn("dist2", dx * dx + dy * dy)
+        w = Window.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("image_id"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "image_id", "dist2", F.col("rn").alias("rank"))
+        )
+
+    pending = queries
+    parts = []
+    r = int(ring)
+    while True:
+        got = one_round(pending, r).localCheckpoint(eager=True)
+        if r >= max_ring:
+            parts.append(got)
+            break
+        # exact-global stop: k rows AND the k-th distance inside the ring
+        # bound (any unexplored cell is >= r*td away)
+        bound = float(r * td) ** 2
+        sat = (
+            got.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("dist2").alias("dk"))
+            .filter((F.col("n") >= k) & (F.col("dk") <= F.lit(bound)))
+            .select("query_id")
+            .localCheckpoint(eager=True)
+        )
+        parts.append(got.join(F.broadcast(sat), "query_id", "left_semi"))
+        pending = pending.join(F.broadcast(sat), "query_id", "left_anti")
+        if pending.limit(1).count() == 0:
+            break
+        r = min(r * 2, int(max_ring))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -28,6 +28,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..functions import codecs
 
@@ -494,3 +495,59 @@ def video_frame_stats(frames: DataFrame) -> DataFrame:
         "media_id string, frame int, w int, h int, "
         "px_mean double, px_min double, px_max double",
     )
+
+
+# SDXL-style training buckets: (w, h) pairs spanning ~3:1 portrait to
+# landscape. Any custom list works as long as heights are nonzero.
+DEFAULT_ASPECT_BUCKETS = (
+    (512, 512), (576, 448), (448, 576), (640, 384), (384, 640),
+    (704, 320), (320, 704),
+)
+
+
+def aspect_bucket_assign(
+    images: DataFrame,
+    buckets: "tuple[tuple[int, int], ...]" = DEFAULT_ASPECT_BUCKETS,
+    w_col: str = "w",
+    h_col: str = "h",
+) -> DataFrame:
+    """Assign every image to the aspect-ratio training bucket nearest its
+    own w/h — the batch-shaping step of an image-model data pipeline
+    (images in one batch must share a resolution, so the corpus is
+    bucketed by aspect before packing).
+
+    METADATA-ONLY and shuffle-free: the argmin over buckets is one
+    codegen projection over the (w, h) columns; pixel bytes are never
+    decoded or moved. Nearness is |w/h - bw/bh| compared EXACTLY in
+    integers: |w*bh - bw*h| / (h*bh) fractions are put over the common
+    denominator lcm(all bh) by per-bucket integer multipliers, so the
+    comparison is a total order on int64 — no float ratios, no libm log,
+    bit-identical in any engine (ties break to the lowest bucket index).
+
+    Adds ``bucket`` (int, 0-based), ``bucket_w``, ``bucket_h``.
+    """
+    import math
+
+    if not buckets:
+        raise ValueError("aspect_bucket_assign needs at least one bucket")
+    bhs = [int(bh) for _, bh in buckets]
+    if any(b <= 0 for b in bhs):
+        raise ValueError("bucket heights must be positive")
+    lcm = math.lcm(*bhs)
+    w = F.col(w_col).cast("long")
+    h = F.col(h_col).cast("long")
+    scores = [
+        F.abs(w * F.lit(int(bh)) - F.lit(int(bw)) * h) * F.lit(lcm // int(bh))
+        for bw, bh in buckets
+    ]
+    arr = F.array(*scores)
+    idx = (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+    bw_expr = F.element_at(
+        F.array(*[F.lit(int(bw)) for bw, _ in buckets]), idx + 1
+    )
+    bh_expr = F.element_at(
+        F.array(*[F.lit(int(bh)) for _, bh in buckets]), idx + 1
+    )
+    return images.withColumn("bucket", idx).withColumn(
+        "bucket_w", bw_expr
+    ).withColumn("bucket_h", bh_expr)

@@ -159,3 +159,44 @@ def mix_sources(
         r = min(1.0, (w * feasible_total) / counts[s])
         rate = F.when(F.col(source_col) == F.lit(s), F.lit(r)).otherwise(rate)
     return df.filter(hash_uniform(F.col(id_col), salt) < rate)
+
+
+def temperature_sample(
+    df: DataFrame,
+    score_col: str,
+    alpha: float = 0.5,
+    by: str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "temp",
+) -> DataFrame:
+    """Quality-temperature sampling: keep each row with probability
+    ``(score / max_score) ** alpha`` — the standard softened-by-quality
+    corpus reweighting (alpha -> 0 keeps everything, alpha = 1 is
+    proportional-to-quality). ``by`` normalizes against the PER-GROUP
+    maximum (e.g. per source), so one high-scoring source can't starve
+    the others; None normalizes globally.
+
+    Deterministic like every sampler here: membership is
+    ``hash_uniform(id) < p``; no ``rand()``. The max-score frame is one
+    row per group, broadcast back onto the corpus — the corpus itself
+    never shuffles. With the default ``alpha = 0.5`` the power is
+    ``sqrt``, which IEEE-754 rounds correctly in every engine, so the
+    DuckDB twin is bit-exact; other alphas go through ``pow``, whose
+    last ulp is libm-specific (documented, not gate-checked).
+
+    Returns kept rows with a ``p_keep`` column (rounded to 6).
+    """
+    score = F.col(score_col).cast("double")
+    if by is None:
+        mx = df.agg(F.max(score).alias("__mx"))
+        joined = df.crossJoin(F.broadcast(mx))
+    else:
+        mx = df.groupBy(by).agg(F.max(score).alias("__mx"))
+        joined = df.join(F.broadcast(mx), by)
+    ratio = score / F.col("__mx")
+    p = F.sqrt(ratio) if float(alpha) == 0.5 else F.pow(ratio, F.lit(float(alpha)))
+    return (
+        joined.filter(hash_uniform(F.col(id_col), salt) < p)
+        .withColumn("p_keep", F.round(p, 6))
+        .drop("__mx")
+    )

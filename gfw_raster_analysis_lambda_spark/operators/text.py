@@ -407,3 +407,71 @@ def chunk_documents(
             ).alias("chunk_text"),
         )
     )
+
+
+def dup_ngram_stats(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-n-gram exposure per document (the doc-level
+    signal behind substring-level training-data dedup a la Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    for every document, the count and fraction of its word n-gram
+    POSITIONS whose n-gram occurs more than once in the whole corpus
+    (counting within-document repeats too). High fractions flag
+    boilerplate documents whose text is mostly shared spans.
+
+    Spark shape: tokenize + slide the n-gram window in ONE codegen
+    projection (split / sequence / transform / slice — no Python),
+    explode to (doc, gram) once, count occurrences per gram with a
+    map-side-combined groupBy, and mark duplicated positions with ONE
+    self-equi-join on the gram before re-aggregating per document. Two
+    shuffles total, both keyed on the gram / the doc id — no pair
+    explosion, no window over the corpus. At 100 TB the join key would
+    be ``xxhash64(gram)`` (8 bytes instead of the span text; collisions
+    only ever over-mark a position as duplicated) — the gate keeps the
+    raw gram so the DuckDB twin is string-identical.
+
+    Documents shorter than ``n`` tokens report 0 n-grams, 0 duplicated
+    and fraction 0.0 (kept via the final left join back to the corpus).
+    """
+    if n < 2:
+        raise ValueError("dup_ngram_stats needs n >= 2")
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
+    m = F.size(toks) - F.lit(n - 1)  # n-gram positions (may be <= 0)
+    grams_arr = F.when(
+        m > 0,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda k: F.concat_ws(" ", F.slice(toks, k, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = df.select(F.col(id_col), F.explode(grams_arr).alias("gram"))
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__gc"))
+    per_doc = (
+        grams.join(counts, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum((F.col("__gc") >= 2).cast("long")).alias("dup_ngrams"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce("dup_ngrams", F.lit(0)).cast("long").alias("dup_ngrams"),
+            F.when(
+                F.coalesce("n_ngrams", F.lit(0)) > 0,
+                F.round(
+                    F.col("dup_ngrams").cast("double")
+                    / F.col("n_ngrams").cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("dup_frac"),
+        )
+    )

@@ -153,7 +153,7 @@ def run_zonal_query(
     return finalize_partials(out, query, env)
 
 
-VALUE_ROLLUP_FUNCS = ("percentile", "mode", "count_distinct")
+VALUE_ROLLUP_FUNCS = ("percentile", "mode", "count_distinct", "variance", "stddev")
 
 
 def _run_value_rollup_query(
@@ -221,6 +221,23 @@ def _rollup_plan(query: ZonalQuery, env):
             "percentile is defined over raw numeric layers; "
             f"{a0.layer!r} has a decode/meaning mapping"
         )
+    if any(a.func in ("variance", "stddev") for a in aggs):
+        if getattr(layer, "decode_expression", None) or getattr(layer, "raster_table", None):
+            raise ValueError(
+                "variance/stddev are defined over raw numeric layers; "
+                f"{a0.layer!r} has a decode/meaning mapping"
+            )
+        dt = str(getattr(layer, "dtype", "") or "")
+        if not (dt.startswith("int") or dt.startswith("uint")):
+            # the rewrite promises ENGINE-EXACT results: it folds the
+            # bincount into integer (n*s2 - s1^2) before the one float
+            # division, which requires integer pixel values. Scale float
+            # layers to integer units (the repo-wide cross-engine-float
+            # rule) instead of summing doubles in shuffle order.
+            raise ValueError(
+                f"variance/stddev need an integer raw layer; {a0.layer!r} "
+                f"is {dt or 'unknown'} — scale to integer units first"
+            )
     if a0.layer in query.group_layers:
         raise ValueError(f"{a0.func} layer cannot also be a GROUP BY key")
     if len({a.alias for a in aggs}) != len(aggs):
@@ -288,6 +305,26 @@ def _rollup_one(partials, a: Aggregate, vcol: str, keys: list) -> DataFrame:
     group-by-value counts."""
     from pyspark.sql import Window
 
+    if a.func in ("variance", "stddev"):
+        # population variance from the bincount, ALL-INTEGER until the
+        # final division: var = (n*s2 - s1^2) / n^2 with s1 = sum(c*v),
+        # s2 = sum(c*v^2). Integer sums are shuffle-order-independent, so
+        # the result is bit-identical to any other engine evaluating the
+        # same closed form (the float-summation-order trap in the repo
+        # memory notes); sqrt is IEEE-correctly-rounded, so stddev
+        # inherits the exactness.
+        v = F.col(vcol).cast("long")
+        stats = partials.groupBy(*keys).agg(
+            F.sum("__pc_n").cast("long").alias("__n"),
+            F.sum(F.col("__pc_n") * v).cast("long").alias("__s1"),
+            F.sum(F.col("__pc_n") * v * v).cast("long").alias("__s2"),
+        )
+        var = (
+            (F.col("__n") * F.col("__s2") - F.col("__s1") * F.col("__s1"))
+            .cast("double") / (F.col("__n") * F.col("__n")).cast("double")
+        )
+        out = F.sqrt(var) if a.func == "stddev" else var
+        return stats.select(*keys, out.alias(a.alias))
     if a.func in ("mode", "count_distinct"):
         # collapse duplicate value rows first: a raster_table can map many
         # raw values to one decoded meaning, and the majority/distinct set

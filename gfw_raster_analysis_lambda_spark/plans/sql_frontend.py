@@ -131,15 +131,15 @@ class _Parser:
     def _selector(self):
         t = self.next()
         tl = t.lower()
-        if tl in ("percentile", "median", "mode") and self.peek() == "(":
+        if tl in ("percentile", "median", "mode", "stddev", "variance") and self.peek() == "(":
             self.next()
             layer = self.next()
             self._check_layer(layer)
-            if tl == "mode":
+            if tl in ("mode", "stddev", "variance"):
                 if self.next() != ")":
-                    raise QueryParseError("mode(layer) takes one argument")
-                alias = self._alias() or f"mode_{layer.replace('.', '_')}"
-                return ("agg", Aggregate("mode", layer, alias))
+                    raise QueryParseError(f"{tl}(layer) takes one argument")
+                alias = self._alias() or f"{tl}_{layer.replace('.', '_')}"
+                return ("agg", Aggregate(tl, layer, alias))
             frac = 0.5
             if tl == "percentile":
                 if self.next() != ",":

@@ -1,0 +1,329 @@
+"""Round-4 operators: focal halo exchange, variance/stddev rollups,
+duplicated-n-gram stats, aspect bucketing, geographic kNN, temperature
+sampling."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gfw_raster_analysis_lambda_spark.operators import focal, knn, multimodal, sampling, text
+from gfw_raster_analysis_lambda_spark.sources import fixtures
+from gfw_raster_analysis_lambda_spark.sources.images import with_derived_keys
+from gfw_raster_analysis_lambda_spark.functions import grid as G
+
+GRID = fixtures.GRID
+TILE = GRID.chunk_px
+X0, Y0, NX, NY = fixtures.X0, fixtures.Y0, fixtures.NX, fixtures.NY
+
+
+# ---------------------------------------------------------------------------
+# focal halo exchange
+# ---------------------------------------------------------------------------
+
+def _world(layer="tcl_year"):
+    """The fixture world as one (NY*T, NX*T) array of layer values."""
+    fn = fixtures.PIXEL_NUMPY[layer]
+    w = np.zeros((NY * TILE, NX * TILE), dtype=np.float64)
+    ii, jj = np.meshgrid(np.arange(TILE), np.arange(TILE), indexing="ij")
+    for dx in range(NX):
+        for dy in range(NY):
+            w[dy * TILE:(dy + 1) * TILE, dx * TILE:(dx + 1) * TILE] = fn(
+                X0 + dx, Y0 + dy, ii, jj
+            )
+    return w
+
+
+def _focal_expected(world, present):
+    """Direct dense convolution oracle: per-cell focal aggregates, with
+    ``present`` = set of (dx, dy) cells that have tiles (absent ones are
+    invalid pixels AND produce no output row)."""
+    h, w = world.shape
+    valid = np.zeros_like(world, dtype=bool)
+    for dx, dy in present:
+        valid[dy * TILE:(dy + 1) * TILE, dx * TILE:(dx + 1) * TILE] = True
+    out = {}
+    for dx, dy in present:
+        fs = fn_ = fm = 0
+        for i in range(dy * TILE, (dy + 1) * TILE):
+            for j in range(dx * TILE, (dx + 1) * TILE):
+                vals = [
+                    world[a, b]
+                    for a in range(max(0, i - 1), min(h, i + 2))
+                    for b in range(max(0, j - 1), min(w, j + 2))
+                    if valid[a, b]
+                ]
+                fs += sum(vals)
+                fn_ += len(vals)
+                fm += max(vals)
+        cell = int(G.cell_from_xy(GRID, X0 + dx, Y0 + dy))
+        out[cell] = (TILE * TILE, int(fs), int(fn_), int(fm))
+    return out
+
+
+def _tiles_df(spark, drop=()):
+    from gfw_raster_analysis_lambda_spark.functions import codecs
+
+    rows = []
+    fn = fixtures.PIXEL_NUMPY["tcl_year"]
+    ii, jj = np.meshgrid(np.arange(TILE), np.arange(TILE), indexing="ij")
+    for dx in range(NX):
+        for dy in range(NY):
+            if (dx, dy) in drop:
+                continue
+            arr = fn(X0 + dx, Y0 + dy, ii, jj).astype(np.uint8)
+            rows.append((
+                int(G.cell_from_xy(GRID, X0 + dx, Y0 + dy)),
+                codecs.encode_tile(arr, "png"), TILE, TILE, "png",
+            ))
+    return spark.createDataFrame(
+        rows, "cell_id long, bytes binary, w int, h int, fmt string"
+    )
+
+
+def test_focal_stats_matches_dense_convolution(spark):
+    present = {(dx, dy) for dx in range(NX) for dy in range(NY)}
+    got = {
+        r["cell_id"]: (r["n_px"], r["focal_sum"], r["focal_n"], r["focal_max_sum"])
+        for r in focal.focal_stats(_tiles_df(spark), radius=1).collect()
+    }
+    exp = _focal_expected(_world(), present)
+    assert got == exp
+
+
+def test_focal_stats_missing_tile_shrinks_windows(spark):
+    # drop an INTERIOR tile: its neighbors' edge windows lose pixels
+    # (focal_n shrinks), and the dropped cell emits no output row
+    drop = {(1, 1)}
+    present = {(dx, dy) for dx in range(NX) for dy in range(NY)} - drop
+    got = {
+        r["cell_id"]: (r["n_px"], r["focal_sum"], r["focal_n"], r["focal_max_sum"])
+        for r in focal.focal_stats(_tiles_df(spark, drop=drop), radius=1).collect()
+    }
+    exp = _focal_expected(_world(), present)
+    assert got == exp
+    assert int(G.cell_from_xy(GRID, X0 + 1, Y0 + 1)) not in got
+
+
+def test_focal_plan_single_exchange(spark):
+    plan = focal.focal_stats(_tiles_df(spark), radius=1)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_focal_radius_2_strips_and_guard(spark):
+    # radius=2: strips widen but semantics stay the dense convolution's
+    world = _world()
+    df = focal.focal_stats(_tiles_df(spark), radius=2)
+    row = {r["cell_id"]: r for r in df.collect()}
+    # spot-check one interior cell against a dense numpy window sum
+    cell = int(G.cell_from_xy(GRID, X0 + 1, Y0 + 1))
+    i0, j0 = 1 * TILE, 1 * TILE
+    fs = fn_ = 0
+    for i in range(i0, i0 + TILE):
+        for j in range(j0, j0 + TILE):
+            win = world[max(0, i - 2):i + 3, max(0, j - 2):j + 3]
+            fs += win.sum()
+            fn_ += win.size
+    assert row[cell]["focal_sum"] == int(fs)
+    assert row[cell]["focal_n"] == int(fn_)
+    with pytest.raises(ValueError, match="radius"):
+        focal.focal_stats(_tiles_df(spark), radius=0)
+
+
+# ---------------------------------------------------------------------------
+# variance / stddev rollups
+# ---------------------------------------------------------------------------
+
+def test_zonal_variance_matches_numpy(spark):
+    import __spark_entry__ as e
+
+    got = {
+        r["aoi_id"]: (r["ttc_var"], r["ttc_sd"])
+        for r in e._zonal(
+            spark,
+            "SELECT variance(ttc_percent) AS ttc_var, stddev(ttc_percent) AS ttc_sd "
+            "FROM ttc_percent",
+            ["aoi_box_aligned"],
+        ).collect()
+    }
+    # aligned box = cells x in {760, 761}, y in {277, 278}, all pixels
+    ii, jj = np.meshgrid(np.arange(TILE), np.arange(TILE), indexing="ij")
+    vals = np.concatenate([
+        fixtures.PIXEL_NUMPY["ttc_percent"](x, y, ii, jj).ravel()
+        for x in (760, 761) for y in (277, 278)
+    ]).astype(np.int64)
+    vals = vals[vals != 255]
+    n, s1, s2 = len(vals), int(vals.sum()), int((vals * vals).sum())
+    var = (n * s2 - s1 * s1) / (n * n)
+    # python round() is banker's, the engine's F.round is half-away
+    # (memory-notes trap): compare pre-rounding values with a sub-round
+    # tolerance instead of matching rounding modes
+    np.testing.assert_allclose(got["aoi_box_aligned"][0], var, atol=1e-6, rtol=0)
+    np.testing.assert_allclose(
+        got["aoi_box_aligned"][1], float(np.sqrt(var)), atol=1e-6, rtol=0
+    )
+
+
+def test_variance_rejects_float_and_decoded_layers(spark):
+    import __spark_entry__ as e
+
+    with pytest.raises(Exception, match="integer raw layer"):
+        e._zonal(
+            spark, "SELECT variance(emissions) AS v FROM tcl_year",
+            ["aoi_box_aligned"],
+        ).collect()
+    with pytest.raises(Exception, match="raw numeric"):
+        e._zonal(
+            spark, "SELECT stddev(drivers) AS v FROM tcl_year",
+            ["aoi_box_aligned"],
+        ).collect()
+
+
+# ---------------------------------------------------------------------------
+# duplicated n-grams
+# ---------------------------------------------------------------------------
+
+def test_dup_ngram_stats_known_case(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d"),        # grams: "a b c", "b c d"
+            (1, "x a b c"),        # grams: "x a b", "a b c"  (shares one)
+            (2, "z z z"),          # one gram, unique
+            (3, "p q p q p q"),    # within-doc repeats count too
+            (4, "hi"),             # shorter than n: 0 grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["dup_ngrams"], r["dup_frac"])
+        for r in text.dup_ngram_stats(df, n=3).collect()
+    }
+    assert got[0] == (2, 1, 0.5)
+    assert got[1] == (2, 1, 0.5)
+    assert got[2] == (1, 0, 0.0)
+    assert got[3] == (4, 4, 1.0)
+    assert got[4] == (0, 0, 0.0)
+    with pytest.raises(ValueError):
+        text.dup_ngram_stats(df, n=1)
+
+
+# ---------------------------------------------------------------------------
+# aspect buckets
+# ---------------------------------------------------------------------------
+
+def test_aspect_bucket_exact_argmin_and_ties(spark):
+    from fractions import Fraction
+
+    df = spark.createDataFrame(
+        [(i, 256 + (i * 97) % 1800, 256 + (i * 41) % 1800) for i in range(300)]
+        + [(1000, 8, 7)],  # exactly between 1:1 and 9:7 -> tie -> bucket 0
+        "image_id long, w int, h int",
+    )
+    got = {r["image_id"]: r["bucket"] for r in
+           multimodal.aspect_bucket_assign(df).collect()}
+    buckets = multimodal.DEFAULT_ASPECT_BUCKETS
+    for iid, w, h in df.collect():
+        dists = [abs(Fraction(w, h) - Fraction(bw, bh)) for bw, bh in buckets]
+        assert got[iid] == dists.index(min(dists)), (iid, w, h)
+
+
+def test_aspect_bucket_plan_is_projection_only(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("image_id"),
+        (F.lit(300) + F.col("id")).cast("int").alias("w"),
+        F.lit(400).cast("int").alias("h"),
+    )
+    plan = multimodal.aspect_bucket_assign(df)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# geographic kNN
+# ---------------------------------------------------------------------------
+
+def _geo_corpus(spark, drop_cells=()):
+    images = with_derived_keys(
+        spark.createDataFrame(
+            fixtures.generate_images_rows(layers=["photo"]), fixtures.IMAGES_SCHEMA
+        )
+    )
+    if drop_cells:
+        images = images.filter(~F.col("cell_id").isin([int(c) for c in drop_cells]))
+    return images
+
+
+def _brute_topk(points, qlon, qlat, k):
+    scored = sorted(
+        ((qlon - lon) ** 2 + (qlat - lat) ** 2, iid) for iid, lon, lat in points
+    )
+    return [iid for _, iid in scored[:k]]
+
+
+def test_knn_geo_matches_global_bruteforce(spark):
+    images = _geo_corpus(spark)
+    pts = [
+        (r["image_id"],
+         -180.0 + (r["cell_id"] >> 27 & (1 << 27) - 1) * GRID.tile_deg + GRID.tile_deg / 2,
+         90.0 - (r["cell_id"] & (1 << 27) - 1) * GRID.tile_deg - GRID.tile_deg / 2)
+        for r in images.select("image_id", "cell_id").collect()
+    ]
+    qs = [("g0", 10.31, 20.52), ("g1", 10.97, 20.03)]
+    out = knn.knn_geo(
+        images, spark.createDataFrame(qs, "query_id string, lon double, lat double"),
+        k=5, ring=1, max_ring=8, grid_name=GRID.name,
+    ).collect()
+    by_q = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["image_id"])
+    for qid, lon, lat in qs:
+        assert by_q[qid] == _brute_topk(pts, lon, lat, 5), qid
+
+
+def test_knn_geo_expands_ring_past_hole(spark):
+    # remove the query's ring-1 neighborhood: ring 1 yields too few / too
+    # far candidates, so the exact-global stop rule must widen the ring
+    # and still return the true global top-k
+    hole = [
+        int(G.cell_from_xy(GRID, 760 + dx, 276 + dy))
+        for dx in range(2) for dy in range(2)
+    ]
+    images = _geo_corpus(spark, drop_cells=hole)
+    pts = [
+        (r["image_id"],
+         -180.0 + (r["cell_id"] >> 27 & (1 << 27) - 1) * GRID.tile_deg + GRID.tile_deg / 2,
+         90.0 - (r["cell_id"] & (1 << 27) - 1) * GRID.tile_deg - GRID.tile_deg / 2)
+        for r in images.select("image_id", "cell_id").collect()
+    ]
+    qs = [("hole", 10.1, 20.9)]  # inside the removed 2x2 corner
+    out = knn.knn_geo(
+        images, spark.createDataFrame(qs, "query_id string, lon double, lat double"),
+        k=4, ring=1, max_ring=8, grid_name=GRID.name,
+    ).collect()
+    got = [r["image_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == _brute_topk(pts, 10.1, 20.9, 4)
+
+
+# ---------------------------------------------------------------------------
+# temperature sampling
+# ---------------------------------------------------------------------------
+
+def test_temperature_sample_deterministic_and_bounded(spark):
+    df = spark.createDataFrame(
+        [(i, "s" + str(i % 3), 0.1 + 0.05 * (i % 17)) for i in range(400)],
+        "doc_id long, source string, q double",
+    )
+    a = sampling.temperature_sample(df, "q", by="source").collect()
+    b = sampling.temperature_sample(df, "q", by="source").collect()
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    assert 0 < len(a) < 400
+    assert all(0.0 < r["p_keep"] <= 1.0 for r in a)
+    # every per-source max-q row has p = 1 > u, so it is always kept
+    kept = {r["doc_id"] for r in a}
+    import collections
+    best = collections.defaultdict(lambda: (-1.0, None))
+    for r in df.collect():
+        if r["q"] > best[r["source"]][0]:
+            best[r["source"]] = (r["q"], r["doc_id"])
+    for _, (q, did) in best.items():
+        assert did in kept
