@@ -742,6 +742,8 @@ def test_fused_set_with_rollups_shares_kernel(spark, tables, env, monkeypatch):
             aggregates=(
                 Agg("percentile", "ttc_percent", "p25", param=0.25),
                 Agg("count_distinct", "ttc_percent", "n_vals"),
+                Agg("variance", "ttc_percent", "ttc_var"),
+                Agg("stddev", "ttc_percent", "ttc_sd"),
             ),
         ),
         "major": ZonalQuery(

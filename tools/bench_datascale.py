@@ -141,7 +141,13 @@ def _ensure_synth_events(spark) -> None:
 
 
 def workloads(spark, sf_dir):
-    from gfw_raster_analysis_lambda_spark.operators import dedup, sampling, similarity, text
+    from gfw_raster_analysis_lambda_spark.operators import (
+        dedup,
+        multimodal,
+        sampling,
+        similarity,
+        text,
+    )
     from gfw_raster_analysis_lambda_spark.streaming.curation import (
         decontaminate_stream,
     )
@@ -276,6 +282,20 @@ def workloads(spark, sf_dir):
         "stream_rolling_cum": stream_rolling_cum,
         "stream_dedup_exact": stream_dedup_exact,
         "stream_decontaminate": stream_decontaminate,
+        "text_dup_ngrams": lambda: text.dup_ngram_stats(t("documents"), n=3),
+        "sample_temperature": lambda: sampling.temperature_sample(
+            t("documents").select(
+                "doc_id", "source",
+                text.quality_score(F.col("text")).alias("q")),
+            "q", by="source"),
+        # metadata-only op: synthesize 20 image rows per document so the
+        # input scales with sf (scale-INVARIANT knob per the memory notes)
+        "mm_aspect_buckets": lambda: multimodal.aspect_bucket_assign(
+            spark.range(0, 20 * t("documents").count()).select(
+                F.col("id").alias("image_id"),
+                (F.lit(256) + (F.col("id") * 37) % 1792).cast("int").alias("w"),
+                (F.lit(256) + (F.col("id") * 53) % 1792).cast("int").alias("h"),
+            )),
     }
 
 
@@ -344,6 +364,33 @@ def zonal_4x(spark):
     return out
 
 
+def focal_4x(spark):
+    """Focal halo-exchange throughput at the 48x48 bench corpus vs a 4x
+    (96x96) one — the strip-shuffle cost must stay linear in tiles (the
+    halo volume is a fixed ~6% surcharge per tile, corpus-size-free)."""
+    import bench
+    from gfw_raster_analysis_lambda_spark.operators import focal
+    from gfw_raster_analysis_lambda_spark.sources.images import read_images
+
+    out = {}
+    for mult, tag in ((1, "48x48"), (2, "96x96")):
+        nx = ny = 48 * mult
+        path = os.path.join(
+            REPO, ".bench_cache",
+            f"corpus_scale4x_{bench.BGRID.name.replace('/', '_')}_{nx}x{ny}_cs")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            # zonal_4x builds these corpora; run it first
+            raise SystemExit(f"missing 4x corpus {path}; run without --skip-zonal")
+        tiles_df = read_images(spark, path).filter(F.col("layer") == "tcl_year")
+        n_tiles = nx * ny
+        sec, samples = best_of(
+            lambda: focal.focal_stats(tiles_df, radius=1), 3)
+        out[tag] = {"tiles": n_tiles, "sec": sec,
+                    "tiles_per_sec": n_tiles / sec,
+                    "samples": [round(s, 3) for s in samples]}
+    return out
+
+
 def main():
     from gfw_raster_analysis_lambda_spark.session import get_spark
 
@@ -385,7 +432,9 @@ def main():
               "sim_lsh_buckets_fast": "embeddings", "sim_cosine_topk": "embeddings",
               "rel_pricing_summary": "lineitem", "rel_top_orders_per_customer": "orders",
               "stream_rolling_cum": "events", "stream_dedup_exact": "events",
-              "stream_decontaminate": "documents"}
+              "stream_decontaminate": "documents",
+              "text_dup_ngrams": "documents", "sample_temperature": "documents",
+              "mm_aspect_buckets": "documents"}
 
     lines = [
         "## Data-size scaling (round 4)", "",
@@ -423,6 +472,22 @@ def main():
         lines.append(
             f"4x-corpus throughput ratio: {r:.2f} (1.0 = perfectly linear in "
             f"work; samples {z['48x48']['samples']} vs {z['96x96']['samples']}).")
+        lines.append("")
+
+        fz = focal_4x(spark)
+        lines += [
+            "### 4x tile corpus (focal halo exchange, radius 1)", "",
+            "| corpus | tiles | best-of-3 s | tiles/sec |",
+            "|---|---|---|---|",
+        ]
+        for tag, v in fz.items():
+            lines.append(
+                f"| {tag} | {v['tiles']} | {v['sec']:.3f} | {v['tiles_per_sec']:.0f} |")
+        fr = fz["96x96"]["tiles_per_sec"] / fz["48x48"]["tiles_per_sec"]
+        lines.append("")
+        lines.append(
+            f"4x-corpus focal throughput ratio: {fr:.2f} (1.0 = perfectly "
+            f"linear; samples {fz['48x48']['samples']} vs {fz['96x96']['samples']}).")
         lines.append("")
 
     out_path = os.path.join(REPO, "BENCH", "DATASCALE_r04.md")
