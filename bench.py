@@ -141,10 +141,10 @@ def bench_queries(spark):
             },
             env, BGRID.name, strategy="colocated", aoi_index=aoi_index,
         )
-        # materialize every result inside the timed callable; drop the
+        # materialize every result inside the timed callable (cache forced
+        # once, then the three finalizes run as CONCURRENT jobs); drop the
         # shared partial cache so each bench run re-executes the kernel
-        for df in res.values():
-            df.write.format("noop").mode("overwrite").save()
+        res.materialize()
         res.close()
         return spark.range(1)
     q["zonal_multi_fused"] = zonal_multi_fused

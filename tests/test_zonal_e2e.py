@@ -1362,3 +1362,38 @@ def test_random_rollup_fuzz_vs_oracle(spark, tables, env, seed):
             assert list(got[c].astype(str)) == list(exp[c].astype(str)), (
                 f"seed {seed} col {c}\n{got}\n{exp}"
             )
+
+
+def test_resultset_materialize_parallel_parity(spark, tables, env):
+    """ZonalResultSet.materialize drives every member concurrently over
+    the one cached partial frame; a collecting writer must see the same
+    frames as serial per-member collection, and the cache must be built
+    exactly once (partials storage is populated before the pool starts)."""
+    import threading
+
+    from gfw_raster_analysis_lambda_spark.plans.planner import run_zonal_queries
+
+    images, aoi_df = tables
+    qs = {
+        "grouped": _parity_query(),
+        "area": ZonalQuery(
+            base_layer="data",
+            aggregates=(Aggregate("sum", "area__ha", "area_ha"),
+                        Aggregate("count", None, "n_px")),
+        ),
+    }
+    fused = run_zonal_queries(spark, images, aoi_df, qs, env, GRID_NAME)
+    serial = {name: fused[name].toPandas() for name in qs}
+    got = {}
+    lock = threading.Lock()
+
+    def writer(df):
+        pdf = df.toPandas()
+        with lock:
+            got[len(got)] = pdf
+    fused.materialize(writer=writer, parallel=True)
+    assert len(got) == len(qs)
+    by_cols = {tuple(sorted(p.columns)): p for p in got.values()}
+    for name, exp in serial.items():
+        assert_frames_match(by_cols[tuple(sorted(exp.columns))], exp)
+    fused.close()
