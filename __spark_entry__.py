@@ -1507,6 +1507,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["focal_tcl_stats"] = focal_tcl_stats
 
+    def focal_mode_drivers(spark, sf_dir):
+        # majority (mode) filter over a categorical layer — the classic
+        # GIS smoothing op, cross-tile via the same halo-strip exchange;
+        # output = per-cell histogram of the smoothed tile; ties to the
+        # smallest value, integer end to end
+        images, _, _ = _fixture(spark)
+        tiles = images.filter(F.col("layer") == "drivers")
+        return focal.focal_mode(tiles, n_values=6, radius=1)
+    q["focal_mode_drivers"] = focal_mode_drivers
+
     def zonal_stddev_ttc(spark, sf_dir):
         # population variance/stddev as bincount rollups (ALL-INTEGER
         # (n*s2 - s1^2)/n^2 before one float division — engine-exact),
@@ -3305,6 +3315,32 @@ SELECT CAST({CB} AS BIGINT) + CAST({X0} + gx // 64 AS BIGINT) * {YW} + ({Y0} + g
        CAST(SUM(wmax) AS BIGINT) AS focal_max_sum,
        ROUND(CAST(SUM(wsum) AS DOUBLE) / CAST(SUM(wn) AS DOUBLE), 6) AS focal_avg
 FROM w GROUP BY 1
+"""
+
+    drvv = (
+        f"(({X0} + (px.gx+dx)//64)*17 + ({Y0} + (px.gy+dy)//64)*19 "
+        f"+ ((px.gy+dy)%64)*23 + ((px.gx+dx)%64)*29) % 6"
+    )
+    o["focal_mode_drivers"] = f"""
+WITH px AS (
+  SELECT gx, gy FROM generate_series(0, {GX}) a(gx), generate_series(0, {GY}) b(gy)
+),
+off AS (SELECT dx, dy FROM generate_series(-1, 1) a(dx), generate_series(-1, 1) b(dy)),
+nb AS (
+  SELECT px.gx, px.gy, {drvv} AS val
+  FROM px, off
+  WHERE px.gx + dx BETWEEN 0 AND {GX} AND px.gy + dy BETWEEN 0 AND {GY}
+),
+w AS (SELECT gx, gy, val, COUNT(*) AS cnt FROM nb GROUP BY gx, gy, val),
+m AS (
+  SELECT gx, gy, val,
+         ROW_NUMBER() OVER (PARTITION BY gx, gy ORDER BY cnt DESC, val ASC) AS rn
+  FROM w
+)
+SELECT CAST({CB} AS BIGINT) + CAST({X0} + gx // 64 AS BIGINT) * {YW} + ({Y0} + gy // 64) AS cell_id,
+       CAST(val AS INT) AS value,
+       CAST(COUNT(*) AS BIGINT) AS n_px
+FROM m WHERE rn = 1 GROUP BY 1, 2
 """
 
     _var_expr = (

@@ -175,3 +175,118 @@ def focal_stats(
         emit_parts, _PART_SCHEMA
     )
     return parts.groupBy("target_cell").applyInPandas(assemble, _OUT_SCHEMA)
+
+
+def touched_focal_cells(changed: DataFrame, radius_cells: int = 1) -> DataFrame:
+    """The cells whose focal output is invalidated by a set of CHANGED
+    tiles: each changed cell plus its (2k+1)^2-1 neighbors (pure Catalyst
+    bit arithmetic on the packed cell id — the same incremental-update
+    contract as ``pyramid.touched_parent_overviews``). Feed the result
+    into a semi-join against the corpus and re-run :func:`focal_stats`
+    on just that slice; everything else is unchanged by construction
+    (a tile can only influence outputs within ``radius_cells`` cells)."""
+    yb = G._Y_BITS
+    offs = [(0, 0)] + _neighbor_offsets(radius_cells)
+    return changed.select(
+        F.explode(
+            F.array(*[
+                F.col("cell_id") + F.lit((dx << yb) + dy) for dx, dy in offs
+            ])
+        ).alias("cell_id")
+    ).distinct()
+
+
+def focal_mode(
+    tiles: DataFrame,
+    n_values: int,
+    radius: int = 1,
+) -> DataFrame:
+    """Majority (mode) filter — the categorical-raster smoothing twin of
+    :func:`focal_stats`: per pixel, the most frequent value in the
+    (2r+1)^2 window (ties break to the SMALLEST value, missing neighbors
+    excluded), returned as a per-cell histogram of the smoothed tile:
+    ``(cell_id, value, n_px)``.
+
+    Same halo-strip exchange and single Exchange as :func:`focal_stats`;
+    the kernel accumulates one shifted-add count plane per distinct value
+    (categorical layers are small-alphabet by definition — pass
+    ``n_values`` = alphabet size), then one argmin-over-stacked-counts.
+    Integer end to end, so the DuckDB window-mode twin is hash-exact.
+    """
+    if not (1 <= n_values <= 256):
+        raise ValueError("focal_mode is for small-alphabet categorical layers")
+    if radius < 1 or radius > 8:
+        raise ValueError("need 1 <= radius <= 8")
+    r = int(radius)
+    k = 2 * r + 1
+    nv = int(n_values)
+    yb = G._Y_BITS
+    offsets = _neighbor_offsets(1)
+
+    def emit_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in (
+                "target_cell", "sx", "sy", "strip", "sh", "sw", "dt")}
+            for cell, data, w, h, fmt in zip(
+                pdf["cell_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                arr = codecs.decode_tile(bytes(data), int(w), int(h), fmt)
+                dt = str(arr.dtype)
+                pieces = [(int(cell), 0, 0, np.ascontiguousarray(arr))]
+                for dx, dy in offsets:
+                    pieces.append((
+                        int(cell) + ((dx << yb) + dy), -dx, -dy,
+                        np.ascontiguousarray(_strip_of(arr, -dx, -dy, r)),
+                    ))
+                for tc, sx, sy, part in pieces:
+                    out["target_cell"].append(tc)
+                    out["sx"].append(sx)
+                    out["sy"].append(sy)
+                    out["strip"].append(part.tobytes())
+                    out["sh"].append(part.shape[0])
+                    out["sw"].append(part.shape[1])
+                    out["dt"].append(dt)
+            yield pd.DataFrame(out)
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        center = pdf[(pdf["sx"] == 0) & (pdf["sy"] == 0)]
+        empty = pd.DataFrame({
+            "cell_id": pd.Series(dtype="int64"),
+            "value": pd.Series(dtype="int32"),
+            "n_px": pd.Series(dtype="int64"),
+        })
+        if len(center) == 0:
+            return empty
+        c0 = center.iloc[0]
+        h, w = int(c0["sh"]), int(c0["sw"])
+        pad = np.full((h + 2 * r, w + 2 * r), -1, dtype=np.int32)
+        for row in pdf.itertuples(index=False):
+            part = np.frombuffer(row.strip, dtype=np.dtype(row.dt)).reshape(
+                int(row.sh), int(row.sw)
+            )
+            ro = 0 if row.sy == -1 else (r if row.sy == 0 else r + h)
+            co = 0 if row.sx == -1 else (r if row.sx == 0 else r + w)
+            pad[ro:ro + int(row.sh), co:co + int(row.sw)] = part
+        # per-value window counts by shifted adds: (k^2 x nv) integer adds
+        counts = np.zeros((nv, h, w), dtype=np.int32)
+        for v in range(nv):
+            isv = (pad == v)
+            for a in range(k):
+                for b in range(k):
+                    counts[v] += isv[a:a + h, b:b + w]
+        # argmax over the value axis; np.argmax takes the FIRST max =
+        # smallest value (the deterministic tie rule)
+        mode = counts.argmax(axis=0)
+        vals, cnts = np.unique(mode, return_counts=True)
+        return pd.DataFrame({
+            "cell_id": np.full(len(vals), int(c0["target_cell"]), dtype=np.int64),
+            "value": vals.astype(np.int32),
+            "n_px": cnts.astype(np.int64),
+        })
+
+    parts = tiles.select("cell_id", "bytes", "w", "h", "fmt").mapInPandas(
+        emit_parts, _PART_SCHEMA
+    )
+    return parts.groupBy("target_cell").applyInPandas(
+        assemble, "cell_id long, value int, n_px long"
+    )

@@ -182,30 +182,49 @@ def knn_geo(
     ring: int = 1,
     max_ring: int = 8,
     grid_name: str = "4/1024",
+    metric: str = "sqdeg",
 ) -> DataFrame:
     """Geographic kNN tile lookup: for each query point, the k images
-    whose CELL CENTROID is nearest in squared-degree distance
-    ((dlon^2 + dlat^2) — the equirectangular metric; swap in haversine
-    for production distances, which trades the bit-exact cross-engine
-    guarantee for libm trig).
+    whose CELL CENTROID is nearest.
+
+    Metrics:
+
+    - ``sqdeg`` (default): squared-degree distance dlon^2 + dlat^2 — the
+      equirectangular metric, pure exact float arithmetic, bit-identical
+      in any engine (the ``knn_geo_cells`` DuckDB twin).
+    - ``haversine``: great-circle km on the R=6371.0088 sphere — the
+      production metric (correct lon compression by cos lat). Last-ulp
+      trig is libm-specific, so this path is tested against a Python
+      haversine oracle, not hash-gated cross-engine.
 
     Same expanding-ring skeleton as :func:`knn_phash_pruned_auto`, but
-    with geometry the ring search is EXACT-GLOBAL, not local-best: after
-    searching Chebyshev ring r, every unexplored cell lies >= r*tile_deg
-    degrees from the query point (the query sits inside its own cell),
-    so a query stops only when its k-th distance <= (r*tile_deg)^2 —
-    otherwise the ring doubles. The result therefore equals the global
-    scan's top-k (the ``knn_geo_cells`` DuckDB twin) while reading only
-    O(k) cells per query instead of the corpus.
+    with geometry the ring search is EXACT-GLOBAL, not local-best: a
+    query stops only when its k-th distance is inside the ring's
+    distance lower bound, otherwise the ring doubles — so the result
+    equals the global scan's top-k while reading only O(k) cells per
+    query. The bound per metric: any point of a cell OUTSIDE Chebyshev
+    ring r is >= r*tile_deg away in max(|dlon|, |dlat|); for ``sqdeg``
+    that is (r*td)^2, for ``haversine`` it is r*td*(pi*R/180) scaled by
+    cos(min(90, |qlat| + (r+1)*td)) — the worst-case lon compression of
+    any candidate the bound must exclude (lat-separated candidates are
+    bounded by the meridian arc, which the cos factor only shrinks).
+    Near the poles the cos factor approaches 0 and pruning degrades to
+    the max_ring scan — correct, just not pruned.
 
     Ties at the k boundary break on (distance, image_id).
     """
+    import math
+
     from pyspark.sql import types as T
 
     if ring < 1 or max_ring < ring:
         raise ValueError(f"need 1 <= ring <= max_ring (got {ring}, {max_ring})")
+    if metric not in ("sqdeg", "haversine"):
+        raise ValueError(f"metric must be sqdeg|haversine, got {metric!r}")
     grid = G.get_grid(grid_name)
     td = grid.tile_deg
+    _R_KM = 6371.0088
+    _KM_PER_DEG = math.pi * _R_KM / 180.0
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def ring_cells(cells: pd.Series, rr: pd.Series) -> pd.Series:
@@ -233,14 +252,25 @@ def knn_geo(
         )
         dx = F.col("lon") - F.col("c_lon")
         dy = F.col("lat") - F.col("c_lat")
-        scored = pts.join(ringdf, "cell_id").withColumn("dist2", dx * dx + dy * dy)
-        w = Window.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("image_id"))
+        if metric == "sqdeg":
+            dist, dcol = dx * dx + dy * dy, "dist2"
+        else:
+            qr, cr = F.radians("lat"), F.radians("c_lat")
+            a = (
+                F.pow(F.sin(F.radians(dy) / 2), 2)
+                + F.cos(qr) * F.cos(cr) * F.pow(F.sin(F.radians(dx) / 2), 2)
+            )
+            dist = F.lit(2.0 * _R_KM) * F.asin(F.sqrt(a))
+            dcol = "dist_km"
+        scored = pts.join(ringdf, "cell_id").withColumn(dcol, dist)
+        w = Window.partitionBy("query_id").orderBy(F.asc(dcol), F.asc("image_id"))
         return (
             scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
-            .select("query_id", "image_id", "dist2", F.col("rn").alias("rank"))
+            .select("query_id", "image_id", dcol, F.col("rn").alias("rank"))
         )
 
+    dcol = "dist2" if metric == "sqdeg" else "dist_km"
     pending = queries
     parts = []
     r = int(ring)
@@ -250,12 +280,23 @@ def knn_geo(
             parts.append(got)
             break
         # exact-global stop: k rows AND the k-th distance inside the ring
-        # bound (any unexplored cell is >= r*td away)
-        bound = float(r * td) ** 2
+        # bound (any unexplored cell is >= r*td away in Chebyshev degrees;
+        # see the docstring for the per-metric lower bound)
+        if metric == "sqdeg":
+            bound = F.lit(float(r * td) ** 2)
+        else:
+            worst_lat = F.least(
+                F.lit(90.0), F.abs(F.col("lat")) + F.lit(float((r + 1) * td))
+            )
+            bound = (
+                F.lit(float(r * td) * _KM_PER_DEG)
+                * F.greatest(F.lit(0.0), F.cos(F.radians(worst_lat)))
+            )
         sat = (
             got.groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("n"), F.max("dist2").alias("dk"))
-            .filter((F.col("n") >= k) & (F.col("dk") <= F.lit(bound)))
+            .agg(F.count(F.lit(1)).alias("n"), F.max(dcol).alias("dk"))
+            .join(F.broadcast(pending.select("query_id", "lat")), "query_id")
+            .filter((F.col("n") >= k) & (F.col("dk") <= bound))
             .select("query_id")
             .localCheckpoint(eager=True)
         )

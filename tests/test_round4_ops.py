@@ -327,3 +327,88 @@ def test_temperature_sample_deterministic_and_bounded(spark):
             best[r["source"]] = (r["q"], r["doc_id"])
     for _, (q, did) in best.items():
         assert did in kept
+
+
+def test_focal_mode_matches_dense_numpy(spark):
+    from gfw_raster_analysis_lambda_spark.functions import codecs
+
+    fn = fixtures.PIXEL_NUMPY["drivers"]
+    ii, jj = np.meshgrid(np.arange(TILE), np.arange(TILE), indexing="ij")
+    rows = []
+    world = np.zeros((NY * TILE, NX * TILE), dtype=np.int64)
+    for dx in range(NX):
+        for dy in range(NY):
+            arr = fn(X0 + dx, Y0 + dy, ii, jj).astype(np.uint8)
+            world[dy * TILE:(dy + 1) * TILE, dx * TILE:(dx + 1) * TILE] = arr
+            rows.append((
+                int(G.cell_from_xy(GRID, X0 + dx, Y0 + dy)),
+                codecs.encode_tile(arr, "png"), TILE, TILE, "png",
+            ))
+    df = spark.createDataFrame(
+        rows, "cell_id long, bytes binary, w int, h int, fmt string"
+    )
+    got = {}
+    for r in focal.focal_mode(df, n_values=6, radius=1).collect():
+        got.setdefault(r["cell_id"], {})[r["value"]] = r["n_px"]
+    h, w = world.shape
+    exp = {}
+    for dy in range(NY):
+        for dx in range(NX):
+            cell = int(G.cell_from_xy(GRID, X0 + dx, Y0 + dy))
+            hist = {}
+            for i in range(dy * TILE, (dy + 1) * TILE):
+                for j in range(dx * TILE, (dx + 1) * TILE):
+                    win = world[max(0, i - 1):i + 2, max(0, j - 1):j + 2].ravel()
+                    counts = np.bincount(win, minlength=6)
+                    mode = int(counts.argmax())  # first max = smallest value
+                    hist[mode] = hist.get(mode, 0) + 1
+            exp[cell] = hist
+    assert got == exp
+
+
+def test_touched_focal_cells(spark):
+    c0 = int(G.cell_from_xy(GRID, X0 + 1, Y0 + 1))
+    changed = spark.createDataFrame([(c0,)], "cell_id long")
+    got = {r["cell_id"] for r in focal.touched_focal_cells(changed).collect()}
+    exp = {
+        int(G.cell_from_xy(GRID, X0 + 1 + dx, Y0 + 1 + dy))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    }
+    assert got == exp
+
+
+def test_knn_geo_haversine_matches_python_oracle(spark):
+    import math
+
+    images = _geo_corpus(spark)
+    pts = [
+        (r["image_id"],
+         -180.0 + (r["cell_id"] >> 27 & (1 << 27) - 1) * GRID.tile_deg + GRID.tile_deg / 2,
+         90.0 - (r["cell_id"] & (1 << 27) - 1) * GRID.tile_deg - GRID.tile_deg / 2)
+        for r in images.select("image_id", "cell_id").collect()
+    ]
+
+    def hav(lon1, lat1, lon2, lat2):
+        R = 6371.0088
+        p1, p2 = math.radians(lat1), math.radians(lat2)
+        a = (math.sin((p2 - p1) / 2) ** 2
+             + math.cos(p1) * math.cos(p2)
+             * math.sin(math.radians(lon2 - lon1) / 2) ** 2)
+        return 2 * R * math.asin(math.sqrt(a))
+
+    qs = [("h0", 10.31, 20.52), ("h1", 10.97, 20.03)]
+    out = knn.knn_geo(
+        images, spark.createDataFrame(qs, "query_id string, lon double, lat double"),
+        k=5, ring=1, max_ring=8, grid_name=GRID.name, metric="haversine",
+    ).collect()
+    by_q = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append((r["image_id"], r["dist_km"]))
+    for qid, lon, lat in qs:
+        exp = sorted((hav(lon, lat, plon, plat), iid) for iid, plon, plat in pts)[:5]
+        assert [i for i, _ in by_q[qid]] == [i for _, i in exp], qid
+        for (gid, gd), (ed, eid) in zip(by_q[qid], exp):
+            assert abs(gd - ed) < 1e-9
+    with pytest.raises(ValueError, match="metric"):
+        knn.knn_geo(images, spark.createDataFrame(qs, "query_id string, lon double, lat double"),
+                    k=2, metric="euclid")
