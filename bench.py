@@ -149,6 +149,17 @@ def bench_queries(spark):
         return spark.range(1)
     q["zonal_multi_fused"] = zonal_multi_fused
 
+    def focal_stats_bench():
+        # focal halo exchange over the 2304-tile (256-px) tcl_year layer:
+        # one strip-emitting Arrow pass, one Exchange by receiving cell,
+        # integral-image window sums (150M pixel windows)
+        from gfw_raster_analysis_lambda_spark.operators import focal
+
+        return focal.focal_stats(
+            images.filter(F.col("layer") == "tcl_year"), radius=1
+        )
+    q["focal_stats"] = focal_stats_bench
+
     def knn_phash_bench():
         from pyspark.sql import Window
 
