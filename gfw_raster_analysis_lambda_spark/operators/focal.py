@@ -212,6 +212,8 @@ def focal_mode(
     (categorical layers are small-alphabet by definition — pass
     ``n_values`` = alphabet size), then one argmin-over-stacked-counts.
     Integer end to end, so the DuckDB window-mode twin is hash-exact.
+    Values outside ``[0, n_values)`` are treated as missing (excluded
+    from every window), same as an absent neighbor tile.
     """
     if not (1 <= n_values <= 256):
         raise ValueError("focal_mode is for small-alphabet categorical layers")
