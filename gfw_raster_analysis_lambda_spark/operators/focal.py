@@ -1,33 +1,42 @@
 """Focal (neighborhood) map algebra over the tiled raster corpus: per-pixel
-window statistics (sum / valid-count / max over a (2r+1)^2 window) that
-cross tile boundaries, with an explicit **halo-strip exchange**.
+window statistics (sum / valid-count / max / mode over a (2r+1)^2 window)
+that cross tile boundaries, with an explicit **halo-strip exchange**.
 
 The reference analyzes each raster window independently (reference
 raster_analysis/query_executor.py windows one tile at a time), so any
 neighborhood operator — focal mean, edge detection, morphological
-dilation — is out of its reach the moment a window touches a tile edge.
-This operator is the Spark-native answer, and its shuffle layout is the
-whole point at 100 TB:
+dilation, majority smoothing — is out of its reach the moment a window
+touches a tile edge. This operator family is the Spark-native answer,
+and its shuffle layout is the whole point at 100 TB:
 
-- **Ship halo strips, not tiles.** Each tile emits its FULL pixels once
-  (to its own assembly group) plus the r-pixel-wide edge strips its eight
-  neighbors need. For 64-px tiles at r=1 that is a 1 + (4*64 + 4)/4096
-  ~= 1.06x shuffle volume — versus 9x for the naive "replicate every
-  tile to every neighbor" join. The strip rows are built in one
-  Arrow-batched pass (decode each tile exactly once).
-- **One Exchange.** Strips and centers hash-partition by the RECEIVING
-  cell id; assembly + convolution is a single applyInPandas over that
-  one shuffle. No iterative stitching, no driver collect.
+- **Ship halo strips + encoded centers, never raw tiles.** Each tile's
+  own pixels reach its assembly group as the ORIGINAL encoded payload (a
+  pure projection — for PNG-compressible rasters that is ~1% of the raw
+  bytes; measured 720 B vs 65 KB on the bench corpus), while the eight
+  neighbors receive only the r-pixel-wide raw edge strips they need
+  (~1.6% of the tile at r=1 on 256-px tiles). The one extra decode per
+  tile this costs is ~0.07 ms — orders of magnitude cheaper than
+  shuffling the decoded pixels. Versus the naive "replicate every tile
+  to every neighbor" join this is a ~100x shuffle-byte reduction.
+- **One Exchange.** Strip rows (one Arrow-batched pass that decodes each
+  tile exactly once to cut its edges) union the projected center rows;
+  everything hash-partitions by the RECEIVING cell id; assembly +
+  convolution is a single applyInPandas over that one shuffle. No
+  iterative stitching, no driver collect.
 - **World edges degrade gracefully.** A missing neighbor (corpus edge,
-  missing tile - reference S2 semantics) contributes nothing: the
+  missing tile — reference S2 semantics) contributes nothing: the
   valid-count plane makes the focal mean a mean over the pixels that
   exist, never a NaN cascade.
 
 Everything numeric stays EXACT integer arithmetic (window sums of
-integer rasters summed per cell as int64), so the DuckDB oracle twin —
-the same window sums evaluated on the closed-form fixture pixel formula
-— hash-matches bit-for-bit; see ``focal_tcl_stats`` in
-``__spark_entry__.py``.
+integer rasters summed per cell as int64), so the DuckDB oracle twins —
+the same window statistics evaluated on the closed-form fixture pixel
+formula — hash-match bit-for-bit; see ``focal_tcl_stats`` and
+``focal_mode_drivers`` in ``__spark_entry__.py``.
+
+Incremental maintenance: :func:`touched_focal_cells` gives the exact
+recompute set for a changed-tile batch (a tile can only influence
+outputs within one cell at pixel radius <= tile size).
 """
 
 from __future__ import annotations
@@ -48,6 +57,7 @@ _PART_SCHEMA = (
 _OUT_SCHEMA = (
     "cell_id long, n_px long, focal_sum long, focal_n long, focal_max_sum long"
 )
+_MAX_RADIUS = 8
 
 
 def _neighbor_offsets(radius_cells: int = 1) -> list[tuple[int, int]]:
@@ -67,6 +77,86 @@ def _strip_of(arr: np.ndarray, sx: int, sy: int, r: int) -> np.ndarray:
     rows = slice(h - r, h) if sy == -1 else (slice(0, r) if sy == 1 else slice(0, h))
     cols = slice(w - r, w) if sx == -1 else (slice(0, r) if sx == 1 else slice(0, w))
     return arr[rows, cols]
+
+
+def _halo_parts(tiles: DataFrame, r: int) -> DataFrame:
+    """The halo-exchange input frame: raw edge STRIPS emitted to the 8
+    neighbor cells (Arrow pass, one decode per tile) unioned with each
+    tile's own ENCODED payload projected to its assembly group
+    (``dt = 'enc:<fmt>'`` — the assembler decodes it; shipping the codec
+    bytes instead of raw pixels is the ~100x shuffle saving)."""
+    yb = G._Y_BITS
+    offsets = _neighbor_offsets(1)
+
+    def emit_strips(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in (
+                "target_cell", "sx", "sy", "strip", "sh", "sw", "dt")}
+            for cell, data, w, h, fmt in zip(
+                pdf["cell_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                arr = codecs.decode_tile(bytes(data), int(w), int(h), fmt)
+                dt = str(arr.dtype)
+                for dx, dy in offsets:
+                    strip = _strip_of(arr, -dx, -dy, r)
+                    out["target_cell"].append(int(cell) + ((dx << yb) + dy))
+                    out["sx"].append(-dx)
+                    out["sy"].append(-dy)
+                    out["strip"].append(np.ascontiguousarray(strip).tobytes())
+                    out["sh"].append(strip.shape[0])
+                    out["sw"].append(strip.shape[1])
+                    out["dt"].append(dt)
+            yield pd.DataFrame(out)
+
+    src = tiles.select("cell_id", "bytes", "w", "h", "fmt")
+    strips = src.mapInPandas(emit_strips, _PART_SCHEMA)
+    centers = src.select(
+        F.col("cell_id").alias("target_cell"),
+        F.lit(0).alias("sx"),
+        F.lit(0).alias("sy"),
+        F.col("bytes").alias("strip"),
+        F.col("h").alias("sh"),
+        F.col("w").alias("sw"),
+        F.concat(F.lit("enc:"), F.col("fmt")).alias("dt"),
+    )
+    parts = strips.unionByName(centers)
+    # encoded centers make this shuffle byte-TINY (~1% of the pixels), and
+    # AQE sizes post-shuffle partitions by BYTES — it would coalesce the
+    # whole corpus into one partition and run the CPU-heavy assembly
+    # kernel serially (measured: 17s single-task vs ~2s parallel on the
+    # bench corpus). An explicit repartition(N, key) both satisfies the
+    # downstream groupBy's distribution (no second Exchange) and is
+    # exempt from AQE coalescing, so the kernel keeps its parallelism.
+    n_part = int(parts.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return parts.repartition(n_part, "target_cell")
+
+
+def _build_pad(pdf: pd.DataFrame, r: int, fill) -> "tuple | None":
+    """Assemble one cell's padded array from its center + strip rows.
+    Returns (cell_id, h, w, pad) or None when the group has no center
+    (strips addressed to a missing tile / corpus edge: not an output
+    cell). ``fill`` marks missing pixels (NaN for numeric stats, -1 for
+    small-alphabet modes)."""
+    center = pdf[(pdf["sx"] == 0) & (pdf["sy"] == 0)]
+    if len(center) == 0:
+        return None
+    c0 = center.iloc[0]
+    h, w = int(c0["sh"]), int(c0["sw"])
+    dtype = np.float64 if isinstance(fill, float) else np.int32
+    pad = np.full((h + 2 * r, w + 2 * r), fill, dtype=dtype)
+    for row in pdf.itertuples(index=False):
+        if row.dt.startswith("enc:"):
+            part = codecs.decode_tile(
+                bytes(row.strip), int(row.sw), int(row.sh), row.dt[4:]
+            )
+        else:
+            part = np.frombuffer(row.strip, dtype=np.dtype(row.dt)).reshape(
+                int(row.sh), int(row.sw)
+            )
+        ro = 0 if row.sy == -1 else (r if row.sy == 0 else r + h)
+        co = 0 if row.sx == -1 else (r if row.sx == 0 else r + w)
+        pad[ro:ro + int(row.sh), co:co + int(row.sw)] = part
+    return int(c0["target_cell"]), h, w, pad
 
 
 def focal_stats(
@@ -89,64 +179,20 @@ def focal_stats(
     """
     if radius < 1:
         raise ValueError("radius must be >= 1")
-    if radius > 8:
-        # strips stop being "thin" and the integral-image kernel below
-        # stops being the right shape well before this; refuse loudly
+    if radius > _MAX_RADIUS:
+        # strips stop being "thin" well before this; refuse loudly
         raise ValueError("focal radius > 8 px: use a pyramid level instead")
     r = int(radius)
-    yb = G._Y_BITS
-    offsets = _neighbor_offsets(1)
-
-    def emit_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out: dict[str, list] = {k: [] for k in (
-                "target_cell", "sx", "sy", "strip", "sh", "sw", "dt")}
-            for cell, data, w, h, fmt in zip(
-                pdf["cell_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
-            ):
-                arr = codecs.decode_tile(bytes(data), int(w), int(h), fmt)
-                dt = str(arr.dtype)
-                # center: the tile's own pixels, decoded exactly once.
-                # Shipped raw — Spark's shuffle lz4 recovers the codec's
-                # compression, and the assembler stays codec-free.
-                out["target_cell"].append(int(cell))
-                out["sx"].append(0)
-                out["sy"].append(0)
-                out["strip"].append(np.ascontiguousarray(arr).tobytes())
-                out["sh"].append(arr.shape[0])
-                out["sw"].append(arr.shape[1])
-                out["dt"].append(dt)
-                for dx, dy in offsets:
-                    strip = _strip_of(arr, -dx, -dy, r)
-                    out["target_cell"].append(int(cell) + ((dx << yb) + dy))
-                    out["sx"].append(-dx)
-                    out["sy"].append(-dy)
-                    out["strip"].append(np.ascontiguousarray(strip).tobytes())
-                    out["sh"].append(strip.shape[0])
-                    out["sw"].append(strip.shape[1])
-                    out["dt"].append(dt)
-            yield pd.DataFrame(out)
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
-        center = pdf[(pdf["sx"] == 0) & (pdf["sy"] == 0)]
-        if len(center) == 0:
-            # strips addressed to a cell with no tile (corpus edge /
-            # missing tile): not an output cell
+        built = _build_pad(pdf, r, float("nan"))
+        if built is None:
             return pd.DataFrame(
                 {c: pd.Series(dtype="int64")
                  for c in ("cell_id", "n_px", "focal_sum", "focal_n",
                            "focal_max_sum")}
             )
-        c0 = center.iloc[0]
-        h, w = int(c0["sh"]), int(c0["sw"])
-        pad = np.full((h + 2 * r, w + 2 * r), np.nan, dtype=np.float64)
-        for row in pdf.itertuples(index=False):
-            part = np.frombuffer(row.strip, dtype=np.dtype(row.dt)).reshape(
-                int(row.sh), int(row.sw)
-            )
-            ro = 0 if row.sy == -1 else (r if row.sy == 0 else r + h)
-            co = 0 if row.sx == -1 else (r if row.sx == 0 else r + w)
-            pad[ro:ro + int(row.sh), co:co + int(row.sw)] = part
+        cell, h, w, pad = built
         valid = ~np.isnan(pad)
         vals = np.where(valid, pad, 0.0)
         k = 2 * r + 1
@@ -164,17 +210,16 @@ def focal_stats(
                     valid[a:a + h, b:b + w], pad[a:a + h, b:b + w], -np.inf
                 ), out=wmax)
         return pd.DataFrame({
-            "cell_id": [int(c0["target_cell"])],
+            "cell_id": [cell],
             "n_px": [int(h * w)],
             "focal_sum": [int(round(float(wsum.sum())))],
             "focal_n": [int(round(float(wn.sum())))],
             "focal_max_sum": [int(round(float(wmax.sum())))],
         })
 
-    parts = tiles.select("cell_id", "bytes", "w", "h", "fmt").mapInPandas(
-        emit_parts, _PART_SCHEMA
+    return _halo_parts(tiles, r).groupBy("target_cell").applyInPandas(
+        assemble, _OUT_SCHEMA
     )
-    return parts.groupBy("target_cell").applyInPandas(assemble, _OUT_SCHEMA)
 
 
 def touched_focal_cells(changed: DataFrame, radius_cells: int = 1) -> DataFrame:
@@ -210,65 +255,28 @@ def focal_mode(
     Same halo-strip exchange and single Exchange as :func:`focal_stats`;
     the kernel accumulates one shifted-add count plane per distinct value
     (categorical layers are small-alphabet by definition — pass
-    ``n_values`` = alphabet size), then one argmin-over-stacked-counts.
+    ``n_values`` = alphabet size), then one argmax-over-stacked-counts.
     Integer end to end, so the DuckDB window-mode twin is hash-exact.
     Values outside ``[0, n_values)`` are treated as missing (excluded
     from every window), same as an absent neighbor tile.
     """
     if not (1 <= n_values <= 256):
         raise ValueError("focal_mode is for small-alphabet categorical layers")
-    if radius < 1 or radius > 8:
+    if radius < 1 or radius > _MAX_RADIUS:
         raise ValueError("need 1 <= radius <= 8")
     r = int(radius)
     k = 2 * r + 1
     nv = int(n_values)
-    yb = G._Y_BITS
-    offsets = _neighbor_offsets(1)
-
-    def emit_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out: dict[str, list] = {c: [] for c in (
-                "target_cell", "sx", "sy", "strip", "sh", "sw", "dt")}
-            for cell, data, w, h, fmt in zip(
-                pdf["cell_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
-            ):
-                arr = codecs.decode_tile(bytes(data), int(w), int(h), fmt)
-                dt = str(arr.dtype)
-                pieces = [(int(cell), 0, 0, np.ascontiguousarray(arr))]
-                for dx, dy in offsets:
-                    pieces.append((
-                        int(cell) + ((dx << yb) + dy), -dx, -dy,
-                        np.ascontiguousarray(_strip_of(arr, -dx, -dy, r)),
-                    ))
-                for tc, sx, sy, part in pieces:
-                    out["target_cell"].append(tc)
-                    out["sx"].append(sx)
-                    out["sy"].append(sy)
-                    out["strip"].append(part.tobytes())
-                    out["sh"].append(part.shape[0])
-                    out["sw"].append(part.shape[1])
-                    out["dt"].append(dt)
-            yield pd.DataFrame(out)
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
-        center = pdf[(pdf["sx"] == 0) & (pdf["sy"] == 0)]
-        empty = pd.DataFrame({
-            "cell_id": pd.Series(dtype="int64"),
-            "value": pd.Series(dtype="int32"),
-            "n_px": pd.Series(dtype="int64"),
-        })
-        if len(center) == 0:
-            return empty
-        c0 = center.iloc[0]
-        h, w = int(c0["sh"]), int(c0["sw"])
-        pad = np.full((h + 2 * r, w + 2 * r), -1, dtype=np.int32)
-        for row in pdf.itertuples(index=False):
-            part = np.frombuffer(row.strip, dtype=np.dtype(row.dt)).reshape(
-                int(row.sh), int(row.sw)
-            )
-            ro = 0 if row.sy == -1 else (r if row.sy == 0 else r + h)
-            co = 0 if row.sx == -1 else (r if row.sx == 0 else r + w)
-            pad[ro:ro + int(row.sh), co:co + int(row.sw)] = part
+        built = _build_pad(pdf, r, -1)
+        if built is None:
+            return pd.DataFrame({
+                "cell_id": pd.Series(dtype="int64"),
+                "value": pd.Series(dtype="int32"),
+                "n_px": pd.Series(dtype="int64"),
+            })
+        cell, h, w, pad = built
         # per-value window counts by shifted adds: (k^2 x nv) integer adds
         counts = np.zeros((nv, h, w), dtype=np.int32)
         for v in range(nv):
@@ -281,14 +289,11 @@ def focal_mode(
         mode = counts.argmax(axis=0)
         vals, cnts = np.unique(mode, return_counts=True)
         return pd.DataFrame({
-            "cell_id": np.full(len(vals), int(c0["target_cell"]), dtype=np.int64),
+            "cell_id": np.full(len(vals), cell, dtype=np.int64),
             "value": vals.astype(np.int32),
             "n_px": cnts.astype(np.int64),
         })
 
-    parts = tiles.select("cell_id", "bytes", "w", "h", "fmt").mapInPandas(
-        emit_parts, _PART_SCHEMA
-    )
-    return parts.groupBy("target_cell").applyInPandas(
+    return _halo_parts(tiles, r).groupBy("target_cell").applyInPandas(
         assemble, "cell_id long, value int, n_px long"
     )
