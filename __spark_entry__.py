@@ -1501,6 +1501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = focal.focal_stats(tiles, radius=1)
         return out.select(
             "cell_id", "n_px", "focal_sum", "focal_n", "focal_max_sum",
+            "focal_min_sum",
             F.round(
                 F.col("focal_sum").cast("double") / F.col("focal_n").cast("double"), 6
             ).alias("focal_avg"),
@@ -1516,6 +1517,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tiles = images.filter(F.col("layer") == "drivers")
         return focal.focal_mode(tiles, n_values=6, radius=1)
     q["focal_mode_drivers"] = focal_mode_drivers
+
+    def stream_focal_inc(spark, sf_dir):
+        # incrementally-maintained focal stats: two micro-batches (the
+        # interior (1,1) tile arrives LATE, so its neighbors' windows
+        # must be recomputed), exactly-once via recompute-from-source +
+        # dynamic partition overwrite; final state must equal the batch
+        # focal_stats over the full corpus = the focal_tcl_stats oracle
+        import os as _os
+        import shutil
+        import tempfile
+
+        from gfw_raster_analysis_lambda_spark.streaming.focal_inc import (
+            incremental_focal,
+            read_incremental_focal,
+        )
+
+        rows = fixtures.generate_images_rows(layers=["tcl_year"])
+        late_cell = int(_G.cell_from_xy(GRID, X0 + 1, Y0 + 1))
+        late_hex = format(late_cell, "016x")
+        wave1 = [r for r in rows if not r[0].endswith(late_hex)]
+        wave2 = [r for r in rows if r[0].endswith(late_hex)]
+        work = tempfile.mkdtemp(prefix="focal_inc_gate_")
+        try:
+            stream_dir = _os.path.join(work, "images")
+            out_dir = _os.path.join(work, "out")
+            _os.makedirs(stream_dir, exist_ok=True)
+            for wave in (wave1, wave2):
+                spark.createDataFrame(wave, fixtures.IMAGES_SCHEMA).coalesce(1) \
+                    .write.mode("append").parquet(stream_dir)
+                sq = incremental_focal(spark, stream_dir, "tcl_year", out_dir)
+                sq.awaitTermination(120)
+            df = read_incremental_focal(spark, out_dir, "tcl_year")
+            out = spark.createDataFrame(df.collect(), df.schema)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+        return out
+    q["stream_focal_inc"] = stream_focal_inc
 
     def zonal_stddev_ttc(spark, sf_dir):
         # population variance/stddev as bincount rollups (ALL-INTEGER
@@ -3303,7 +3341,8 @@ w AS (
   SELECT px.gx, px.gy,
          SUM({tclv}) AS wsum,
          COUNT(*) AS wn,
-         MAX({tclv}) AS wmax
+         MAX({tclv}) AS wmax,
+         MIN({tclv}) AS wmin
   FROM px, off
   WHERE px.gx + dx BETWEEN 0 AND {GX} AND px.gy + dy BETWEEN 0 AND {GY}
   GROUP BY px.gx, px.gy
@@ -3313,7 +3352,32 @@ SELECT CAST({CB} AS BIGINT) + CAST({X0} + gx // 64 AS BIGINT) * {YW} + ({Y0} + g
        CAST(SUM(wsum) AS BIGINT) AS focal_sum,
        CAST(SUM(wn) AS BIGINT) AS focal_n,
        CAST(SUM(wmax) AS BIGINT) AS focal_max_sum,
+       CAST(SUM(wmin) AS BIGINT) AS focal_min_sum,
        ROUND(CAST(SUM(wsum) AS DOUBLE) / CAST(SUM(wn) AS DOUBLE), 6) AS focal_avg
+FROM w GROUP BY 1
+"""
+
+    o["stream_focal_inc"] = f"""
+WITH px AS (
+  SELECT gx, gy FROM generate_series(0, {GX}) a(gx), generate_series(0, {GY}) b(gy)
+),
+off AS (SELECT dx, dy FROM generate_series(-1, 1) a(dx), generate_series(-1, 1) b(dy)),
+w AS (
+  SELECT px.gx, px.gy,
+         SUM({tclv}) AS wsum,
+         COUNT(*) AS wn,
+         MAX({tclv}) AS wmax,
+         MIN({tclv}) AS wmin
+  FROM px, off
+  WHERE px.gx + dx BETWEEN 0 AND {GX} AND px.gy + dy BETWEEN 0 AND {GY}
+  GROUP BY px.gx, px.gy
+)
+SELECT CAST({CB} AS BIGINT) + CAST({X0} + gx // 64 AS BIGINT) * {YW} + ({Y0} + gy // 64) AS cell_id,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(wsum) AS BIGINT) AS focal_sum,
+       CAST(SUM(wn) AS BIGINT) AS focal_n,
+       CAST(SUM(wmax) AS BIGINT) AS focal_max_sum,
+       CAST(SUM(wmin) AS BIGINT) AS focal_min_sum
 FROM w GROUP BY 1
 """
 

@@ -55,7 +55,7 @@ _PART_SCHEMA = (
     "target_cell long, sx int, sy int, strip binary, sh int, sw int, dt string"
 )
 _OUT_SCHEMA = (
-    "cell_id long, n_px long, focal_sum long, focal_n long, focal_max_sum long"
+    "cell_id long, n_px long, focal_sum long, focal_n long, focal_max_sum long, focal_min_sum long"
 )
 _MAX_RADIUS = 8
 
@@ -172,6 +172,10 @@ def focal_stats(
     - ``focal_sum``     SUM over pixels of (window sum of values)
     - ``focal_n``       SUM over pixels of (window valid-neighbor count)
     - ``focal_max_sum`` SUM over pixels of (window max)
+    - ``focal_min_sum`` SUM over pixels of (window min)
+
+    Window max/min over a 0/1 presence layer ARE morphological
+    dilation and erosion — the focal family covers both.
 
     All int64-exact; derive the corpus-deterministic focal mean as
     ``round(focal_sum / focal_n, 6)`` AFTER the kernel (float division of
@@ -190,7 +194,7 @@ def focal_stats(
             return pd.DataFrame(
                 {c: pd.Series(dtype="int64")
                  for c in ("cell_id", "n_px", "focal_sum", "focal_n",
-                           "focal_max_sum")}
+                           "focal_max_sum", "focal_min_sum")}
             )
         cell, h, w, pad = built
         valid = ~np.isnan(pad)
@@ -204,17 +208,20 @@ def focal_stats(
         wsum = s[k:, k:] - s[:-k, k:] - s[k:, :-k] + s[:-k, :-k]
         wn = n[k:, k:] - n[:-k, k:] - n[k:, :-k] + n[:-k, :-k]
         wmax = np.full((h, w), -np.inf)
+        wmin = np.full((h, w), np.inf)
         for a in range(k):
             for b in range(k):
-                np.fmax(wmax, np.where(
-                    valid[a:a + h, b:b + w], pad[a:a + h, b:b + w], -np.inf
-                ), out=wmax)
+                win = pad[a:a + h, b:b + w]
+                ok = valid[a:a + h, b:b + w]
+                np.fmax(wmax, np.where(ok, win, -np.inf), out=wmax)
+                np.fmin(wmin, np.where(ok, win, np.inf), out=wmin)
         return pd.DataFrame({
             "cell_id": [cell],
             "n_px": [int(h * w)],
             "focal_sum": [int(round(float(wsum.sum())))],
             "focal_n": [int(round(float(wn.sum())))],
             "focal_max_sum": [int(round(float(wmax.sum())))],
+            "focal_min_sum": [int(round(float(wmin.sum())))],
         })
 
     return _halo_parts(tiles, r).groupBy("target_cell").applyInPandas(

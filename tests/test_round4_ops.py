@@ -43,7 +43,7 @@ def _focal_expected(world, present):
         valid[dy * TILE:(dy + 1) * TILE, dx * TILE:(dx + 1) * TILE] = True
     out = {}
     for dx, dy in present:
-        fs = fn_ = fm = 0
+        fs = fn_ = fm = fmin = 0
         for i in range(dy * TILE, (dy + 1) * TILE):
             for j in range(dx * TILE, (dx + 1) * TILE):
                 vals = [
@@ -55,8 +55,9 @@ def _focal_expected(world, present):
                 fs += sum(vals)
                 fn_ += len(vals)
                 fm += max(vals)
+                fmin += min(vals)
         cell = int(G.cell_from_xy(GRID, X0 + dx, Y0 + dy))
-        out[cell] = (TILE * TILE, int(fs), int(fn_), int(fm))
+        out[cell] = (TILE * TILE, int(fs), int(fn_), int(fm), int(fmin))
     return out
 
 
@@ -83,7 +84,8 @@ def _tiles_df(spark, drop=()):
 def test_focal_stats_matches_dense_convolution(spark):
     present = {(dx, dy) for dx in range(NX) for dy in range(NY)}
     got = {
-        r["cell_id"]: (r["n_px"], r["focal_sum"], r["focal_n"], r["focal_max_sum"])
+        r["cell_id"]: (r["n_px"], r["focal_sum"], r["focal_n"],
+                       r["focal_max_sum"], r["focal_min_sum"])
         for r in focal.focal_stats(_tiles_df(spark), radius=1).collect()
     }
     exp = _focal_expected(_world(), present)
@@ -96,7 +98,8 @@ def test_focal_stats_missing_tile_shrinks_windows(spark):
     drop = {(1, 1)}
     present = {(dx, dy) for dx in range(NX) for dy in range(NY)} - drop
     got = {
-        r["cell_id"]: (r["n_px"], r["focal_sum"], r["focal_n"], r["focal_max_sum"])
+        r["cell_id"]: (r["n_px"], r["focal_sum"], r["focal_n"],
+                       r["focal_max_sum"], r["focal_min_sum"])
         for r in focal.focal_stats(_tiles_df(spark, drop=drop), radius=1).collect()
     }
     exp = _focal_expected(_world(), present)

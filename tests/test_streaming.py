@@ -298,3 +298,63 @@ def test_incremental_over_bound_aoi_batch_refused(spark, corpus, tmp_path, monke
             spark, str(tmp_path / "stream"), aoi, _query(), env, GRID_NAME,
             str(tmp_path / "out"),
         )
+
+
+def test_incremental_focal_late_neighbor_converges(spark, tmp_path):
+    """Incremental focal maintenance: a tile arriving LATE must trigger
+    recomputation of its neighbors (their edge windows read its pixels),
+    and the maintained table must converge to the batch focal_stats over
+    the full corpus. Replays change nothing (idempotent overwrite)."""
+    from gfw_raster_analysis_lambda_spark.functions import grid as G
+    from gfw_raster_analysis_lambda_spark.operators import focal
+    from gfw_raster_analysis_lambda_spark.streaming.focal_inc import (
+        incremental_focal,
+        read_incremental_focal,
+    )
+
+    rows = fixtures.generate_images_rows(layers=["tcl_year"])
+    late_cell = int(G.cell_from_xy(fixtures.GRID, fixtures.X0 + 1, fixtures.Y0 + 1))
+    late_hex = format(late_cell, "016x")
+    wave1 = [r for r in rows if not r[0].endswith(late_hex)]
+    wave2 = [r for r in rows if r[0].endswith(late_hex)]
+    assert len(wave2) == 1
+    stream_dir = str(tmp_path / "focal_images")
+    out_dir = str(tmp_path / "focal_inc")
+    os.makedirs(stream_dir, exist_ok=True)
+
+    def batch_expected(batch_rows):
+        imgs = with_derived_keys(
+            spark.createDataFrame(batch_rows, fixtures.IMAGES_SCHEMA)
+        )
+        return {
+            r["cell_id"]: (r["focal_sum"], r["focal_n"])
+            for r in focal.focal_stats(imgs, radius=1).collect()
+        }
+
+    def run_once():
+        sq = incremental_focal(spark, stream_dir, "tcl_year", out_dir)
+        sq.awaitTermination(120)
+
+    def current():
+        return {
+            r["cell_id"]: (r["focal_sum"], r["focal_n"])
+            for r in read_incremental_focal(spark, out_dir, "tcl_year").collect()
+        }
+
+    _ingest(spark, stream_dir, wave1)
+    run_once()
+    got1 = current()
+    assert got1 == batch_expected(wave1)
+    # the missing interior tile shrank its neighbors' windows
+    nbr = late_cell + (1 << G._Y_BITS)
+    assert got1[nbr][1] < 9 * fixtures.TILE * fixtures.TILE
+
+    _ingest(spark, stream_dir, wave2)
+    run_once()
+    got2 = current()
+    assert got2 == batch_expected(rows)  # converged, incl. recomputed ring
+    assert got2[nbr][1] > got1[nbr][1]
+    assert late_cell in got2
+
+    run_once()  # replay with no new files: nothing changes
+    assert current() == got2
