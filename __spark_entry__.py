@@ -1604,6 +1604,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return knn.knn_geo(pts, qs, k=5, ring=1, max_ring=8, grid_name=GRID.name)
     q["knn_geo_cells"] = knn_geo_cells
 
+    def dedup_ngram_containment(spark, sf_dir):
+        # asymmetric containment (common / min set size): catches the
+        # quoted-wholesale subset duplication Jaccard dilutes away; same
+        # shared-shingle join + stop-shingle df_cap as the jaccard pass
+        return dedup.ngram_containment_pairs(
+            _t(spark, sf_dir, "documents"), n=3, threshold=0.5, df_cap=64
+        )
+    q["dedup_ngram_containment"] = dedup_ngram_containment
+
+    def rel_cube_revenue(spark, sf_dir):
+        # CUBE grouping sets over the broadcast dimension chain — every
+        # (region, order-year) subtotal plus margins and the grand total
+        # in ONE pass (Catalyst Expand). Revenue accumulates in integer
+        # CENTS so every subtotal level is summation-order-exact (the
+        # repo-wide cross-engine float rule); subtotal NULL markers are
+        # coalesced to 'ALL' (the dims have no real NULLs).
+        o = _t(spark, sf_dir, "orders")
+        c = _t(spark, sf_dir, "customer")
+        n = _t(spark, sf_dir, "nation")
+        r = _t(spark, sf_dir, "region")
+        base = (
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .select(
+                "r_name",
+                F.year("o_orderdate").cast("string").alias("o_year"),
+                F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+            )
+        )
+        return (
+            base.cube("r_name", "o_year")
+            .agg(F.sum("cents").alias("c"), F.count(F.lit(1)).alias("n_orders"))
+            .select(
+                F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
+                F.coalesce("o_year", F.lit("ALL")).alias("o_year"),
+                F.round(F.col("c").cast("double") / F.lit(100.0), 2).alias("revenue"),
+                F.col("n_orders").cast("long").alias("n_orders"),
+            )
+        )
+    q["rel_cube_revenue"] = rel_cube_revenue
+
     def sample_temperature(spark, sf_dir):
         # quality-temperature sampling: keep with p = sqrt(q / per-source
         # max q), membership by the same md5-uniform as every sampler
@@ -3495,6 +3537,49 @@ FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist2, image_id) AS rn
   FROM scored
 ) WHERE rn <= 5
+"""
+
+    o["dedup_ngram_containment"] = """
+WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+           FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id AS id, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM t, generate_series(1, 4096) g(i)
+  WHERE i <= GREATEST(len(toks) - 2, 1)
+    AND len(array_to_string(toks[i:i+2], ' ')) > 0
+),
+shc AS (
+  SELECT id, shingle FROM sh
+  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 64)
+),
+sz AS (SELECT id, COUNT(*) AS sz FROM shc GROUP BY id),
+common AS (
+  SELECT a.id AS a, b.id AS b, COUNT(*) AS c
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT a, b,
+       ROUND(c / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE), 6) AS containment,
+       ROUND(c / CAST(sa.sz + sb.sz - c AS DOUBLE), 6) AS jaccard
+FROM common JOIN sz sa ON sa.id = a JOIN sz sb ON sb.id = b
+WHERE c / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE) >= 0.5
+"""
+
+    o["rel_cube_revenue"] = """
+WITH base AS (
+  SELECT r_name, CAST(year(o_orderdate) AS VARCHAR) AS o_year,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+)
+SELECT COALESCE(r_name, 'ALL') AS r_name,
+       COALESCE(o_year, 'ALL') AS o_year,
+       ROUND(CAST(SUM(cents) AS DOUBLE) / 100.0, 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM base
+GROUP BY CUBE (r_name, o_year)
 """
 
     o["sample_temperature"] = """

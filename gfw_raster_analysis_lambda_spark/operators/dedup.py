@@ -449,6 +449,25 @@ def ngram_jaccard_pairs(
     intersection and the set sizes), which keeps the statistic internally
     consistent and oracle-expressible; pairs that share ONLY near-universal
     shingles are the ones the LSH candidate path already covers."""
+    stats = _ngram_pair_stats(df, id_col, text_col, n, candidates, df_cap)
+    ja = (
+        stats.withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return ja
+
+
+def _ngram_pair_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int,
+    candidates: DataFrame | None, df_cap: int | None,
+) -> DataFrame:
+    """(a, b, common, sz_a, sz_b) over shared-shingle pairs — the shared
+    machinery behind :func:`ngram_jaccard_pairs` and
+    :func:`ngram_containment_pairs`."""
     sh = shingles(df, id_col, text_col, n)
     if df_cap is not None:
         rare = (
@@ -467,17 +486,42 @@ def ngram_jaccard_pairs(
     )
     if candidates is not None:
         common = common.join(F.broadcast(candidates), ["a", "b"], "left_semi")
-    ja = (
+    return (
         common.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sz_a"), "a")
         .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "sz_b"), "b")
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, threshold: float = 0.7,
+    candidates: DataFrame | None = None,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Pairs where the SMALLER document's n-gram set is mostly contained
+    in the other's: ``containment = common / min(|A|, |B|) >= threshold``.
+
+    Containment catches the subset-duplication Jaccard misses: a post
+    quoted wholesale inside a longer page has Jaccard |A|/|B| (tiny for a
+    long B) but containment ~1. The standard second filter in exact-dedup
+    pipelines after the symmetric near-dup pass. Same shared-shingle join
+    and ``df_cap`` stop-shingle bound as :func:`ngram_jaccard_pairs` —
+    never a cross join; emits (a, b, containment, jaccard) so callers can
+    distinguish symmetric near-dups (both high) from strict containment
+    (containment high, jaccard low)."""
+    stats = _ngram_pair_stats(df, id_col, text_col, n, candidates, df_cap)
+    return (
+        stats.withColumn(
+            "containment",
+            F.round(F.col("common") / F.least("sz_a", "sz_b"), 6),
+        )
         .withColumn(
             "jaccard",
             F.round(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
+        .filter(F.col("containment") >= threshold)
+        .select("a", "b", "containment", "jaccard")
     )
-    return ja
 
 
 # ---------------------------------------------------------------------------

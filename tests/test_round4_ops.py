@@ -415,3 +415,24 @@ def test_knn_geo_haversine_matches_python_oracle(spark):
     with pytest.raises(ValueError, match="metric"):
         knn.knn_geo(images, spark.createDataFrame(qs, "query_id string, lon double, lat double"),
                     k=2, metric="euclid")
+
+
+def test_ngram_containment_subset_vs_jaccard(spark):
+    from gfw_raster_analysis_lambda_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "p q r s"),                       # trigrams subset of doc 2's
+            (2, "a b p q r s c d e f g h"),       # superset + extra
+            (3, "completely different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["a"], r["b"]): (r["containment"], r["jaccard"])
+        for r in dedup.ngram_containment_pairs(df, n=3, threshold=0.9).collect()
+    }
+    assert set(out) == {(1, 2)}
+    cont, jac = out[(1, 2)]
+    assert cont == 1.0          # every trigram of doc 1 appears in doc 2
+    assert jac < 0.5            # but symmetric Jaccard is diluted
