@@ -1646,6 +1646,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["rel_cube_revenue"] = rel_cube_revenue
 
+    def sim_sq8(spark, sf_dir):
+        # scalar quantization: per-dim min/max (one codegen agg) -> int8
+        # codes (Arrow pass, zero shuffle) -> INTEGER-exact squared-L2
+        # top-k (single vectorized scan, in-batch prune). The second
+        # production quantization family next to PQ: 4x memory, state =
+        # 2*dim floats, trivially mergeable.
+        e = _t(spark, sf_dir, "embeddings")
+        mins, maxs = similarity.sq8_stats(e)
+        enc = similarity.sq8_encode(e, mins, maxs)
+        qcodes = [
+            (int(r["id"]), list(r["codes"]))
+            for r in enc.filter(F.col("id") < 4).collect()
+        ]
+        return similarity.sq8_topk(enc, qcodes, k=10)
+    q["sim_sq8"] = sim_sq8
+
+    def sim_mrl_prefix(spark, sf_dir):
+        # Matryoshka-prefix retrieval: cosine over the FIRST 16 dims only
+        # (one slice projection feeding the exact top-k) — the coarse
+        # stage of a prefix-rerank cascade at 1/4 the scan width
+        e = _t(spark, sf_dir, "embeddings")
+        qs = e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.mrl_topk(e, qs, d=16, k=10)
+    q["sim_mrl_prefix"] = sim_mrl_prefix
+
     def sample_temperature(spark, sf_dir):
         # quality-temperature sampling: keep with p = sqrt(q / per-source
         # max q), membership by the same md5-uniform as every sampler
@@ -3580,6 +3607,53 @@ SELECT COALESCE(r_name, 'ALL') AS r_name,
        CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM base
 GROUP BY CUBE (r_name, o_year)
+"""
+
+    o["sim_sq8"] = """
+WITH dims AS (
+  SELECT i AS d,
+         MIN(CAST(list_extract(embedding, i) AS DOUBLE)) AS mn,
+         MAX(CAST(list_extract(embedding, i) AS DOUBLE)) AS mx
+  FROM embeddings, generate_series(1, 64) g(i)
+  GROUP BY i
+),
+codes AS (
+  SELECT vec_id, g.i AS d,
+         CAST(CASE WHEN mx > mn THEN GREATEST(0, LEAST(255,
+              FLOOR((CAST(list_extract(embedding, g.i) AS DOUBLE) - mn)
+                    * (255.0 / (mx - mn)) + 0.5)))
+              ELSE 0 END AS BIGINT) AS cv
+  FROM embeddings, generate_series(1, 64) g(i)
+  JOIN dims ON dims.d = g.i
+),
+dist AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS id,
+         SUM((c.cv - q.cv) * (c.cv - q.cv)) AS sq_dist
+  FROM codes c JOIN codes q ON c.d = q.d AND q.vec_id < 4
+  GROUP BY 1, 2
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, id,
+       CAST(sq_dist AS BIGINT) AS sq_dist, CAST(rn AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sq_dist, id) AS rn
+  FROM dist
+) WHERE rn <= 10
+"""
+
+    o["sim_mrl_prefix"] = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS id,
+         ROUND(SUM(CAST(list_extract(a.embedding, i) AS DOUBLE) * CAST(list_extract(q.embedding, i) AS DOUBLE))
+               / (sqrt(SUM(CAST(list_extract(a.embedding, i) AS DOUBLE) * CAST(list_extract(a.embedding, i) AS DOUBLE))) * sqrt(SUM(CAST(list_extract(q.embedding, i) AS DOUBLE) * CAST(list_extract(q.embedding, i) AS DOUBLE)))), 6) AS cosine
+  FROM embeddings a
+  JOIN embeddings q ON q.vec_id < 5,
+  generate_series(1, 16) g(i)
+  GROUP BY q.vec_id, a.vec_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, id, cosine, CAST(rn AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id ASC) AS rn
+  FROM scored
+) WHERE rn <= 10
 """
 
     o["sample_temperature"] = """

@@ -803,3 +803,131 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "id", "adc_dist", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) — the second production quantization family
+# next to PQ: 4x memory (float32 -> int8 codes) with near-exact ranking,
+# trivially mergeable (per-dim min/max), and INTEGER-EXACT distances.
+# ---------------------------------------------------------------------------
+
+def sq8_stats(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64
+):
+    """Per-dimension corpus (min, max) — one JVM-side agg pass (2*dim
+    columns in a single whole-stage-codegen aggregate), returned as two
+    Python lists. These are the WHOLE index state of SQ8 (vs PQ's
+    codebooks), which is why SQ is the standard first rung of the
+    quantization ladder."""
+    aggs = []
+    for d in range(dim):
+        e = F.element_at(F.col(vec_col), d + 1).cast("double")
+        aggs.append(F.min(e).alias(f"mn{d}"))
+        aggs.append(F.max(e).alias(f"mx{d}"))
+    row = emb.agg(*aggs).collect()[0]
+    return [row[f"mn{d}"] for d in range(dim)], [row[f"mx{d}"] for d in range(dim)]
+
+
+def sq8_encode(
+    emb: DataFrame,
+    mins,
+    maxs,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — uniform per-dim quantization to [0, 255]:
+    ``code = clamp(floor((v - min) / (max - min) * 255 + 0.5), 0, 255)``
+    (half-up rounding, the engine-exact kind), constant dims encode 0.
+    One Arrow batch pass, zero shuffle, mirroring :func:`pq_encode`."""
+    import numpy as np
+    import pandas as pd
+
+    mn = np.asarray(mins, dtype=np.float64)
+    scale = np.asarray(maxs, dtype=np.float64) - mn
+    inv = np.where(scale > 0, 255.0 / np.where(scale > 0, scale, 1.0), 0.0)
+    id_type = dict(emb.dtypes)[id_col]
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.clip(np.floor((vecs - mn) * inv + 0.5), 0, 255).astype(np.int32)
+            yield pd.DataFrame({"id": pdf[id_col], "codes": list(codes)})
+
+    return emb.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        run, f"id {id_type}, codes array<int>"
+    )
+
+
+def sq8_topk(
+    encoded: DataFrame,  # (id, codes) from sq8_encode
+    query_codes: "list[tuple]",  # [(query_id, codes list[int])]
+    k: int = 10,
+) -> DataFrame:
+    """Top-k by INTEGER squared-L2 in code space — sum((a-b)^2) over
+    int16 deltas is exact in int64, so ranking (and the DuckDB twin's
+    hash) never touches a float. Same single-pass vectorized scan +
+    in-batch lossless top-k prune as :func:`pq_adc_topk`; ties break on
+    (distance, id)."""
+    import numpy as np
+    import pandas as pd
+
+    if not query_codes:
+        raise ValueError("sq8_topk needs at least one query")
+    qids = [q[0] for q in query_codes]
+    qmat = np.asarray([q[1] for q in query_codes], dtype=np.int64)  # Q x dim
+    qid_type = "long" if isinstance(qids[0], int) else "string"
+    id_type = dict(encoded.dtypes)["id"]
+    schema = f"query_id {qid_type}, id {id_type}, sq_dist long"
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # B x dim
+            ids = pdf["id"].to_numpy()
+            out_q, out_i, out_d = [], [], []
+            for qi in range(len(qids)):
+                d = codes - qmat[qi]
+                dist = (d * d).sum(axis=1)                     # exact int64
+                if len(dist) > k:
+                    sel = np.argpartition(dist, k)[: k + 1]
+                else:
+                    sel = np.arange(len(dist))
+                out_q.extend([qids[qi]] * len(sel))
+                out_i.extend(ids[sel])
+                out_d.extend(dist[sel])
+            yield pd.DataFrame(
+                {"query_id": out_q, "id": out_i, "sq_dist": out_d}
+            )
+
+    scored = encoded.mapInPandas(score, schema)
+    w = Window.partitionBy("query_id").orderBy(F.asc("sq_dist"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "sq_dist", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def mrl_topk(
+    emb: DataFrame,
+    queries: DataFrame,  # (query_id, embedding)
+    d: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style retrieval: rank by cosine over only the FIRST
+    ``d`` dimensions (MRL embeddings front-load information, so a d/64
+    prefix preserves most ranking quality at d/64 the compute and a
+    d/64-narrower scan). Pure plan composition: one ``slice`` projection
+    feeding :func:`cosine_topk` — the renormalization is implicit in
+    cosine. The standard coarse stage of a prefix-rerank cascade (full-d
+    :func:`cosine_topk` over the survivors)."""
+    if d < 1:
+        raise ValueError("prefix dimension must be >= 1")
+    e2 = emb.withColumn(vec_col, F.slice(F.col(vec_col), 1, d))
+    q2 = queries.withColumn(vec_col, F.slice(F.col(vec_col), 1, d))
+    return cosine_topk(e2, q2, k, id_col=id_col, vec_col=vec_col)

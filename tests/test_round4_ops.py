@@ -436,3 +436,71 @@ def test_ngram_containment_subset_vs_jaccard(spark):
     cont, jac = out[(1, 2)]
     assert cont == 1.0          # every trigram of doc 1 appears in doc 2
     assert jac < 0.5            # but symmetric Jaccard is diluted
+
+
+# ---------------------------------------------------------------------------
+# SQ8 + MRL retrieval
+# ---------------------------------------------------------------------------
+
+def _emb_df(spark, n=200, dim=16, seed=7):
+    rng = np.random.RandomState(seed)
+    vecs = rng.randn(n, dim).astype(np.float32)
+    return spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    ), vecs
+
+
+def test_sq8_encode_and_topk_match_numpy(spark):
+    from gfw_raster_analysis_lambda_spark.operators import similarity
+
+    df, vecs = _emb_df(spark)
+    mins, maxs = similarity.sq8_stats(df, dim=16)
+    np.testing.assert_allclose(mins, vecs.astype(np.float64).min(axis=0))
+    np.testing.assert_allclose(maxs, vecs.astype(np.float64).max(axis=0))
+    enc = similarity.sq8_encode(df, mins, maxs)
+    got_codes = {r["id"]: np.array(r["codes"]) for r in enc.collect()}
+    mn = np.asarray(mins)
+    inv = 255.0 / (np.asarray(maxs) - mn)
+    exp_codes = np.clip(
+        np.floor((vecs.astype(np.float64) - mn) * inv + 0.5), 0, 255
+    ).astype(np.int64)
+    for i in range(len(vecs)):
+        np.testing.assert_array_equal(got_codes[i], exp_codes[i], str(i))
+    # integer-exact top-k matches a numpy brute force, ties on (dist, id)
+    qcodes = [(0, [int(c) for c in exp_codes[0]]), (3, [int(c) for c in exp_codes[3]])]
+    out = similarity.sq8_topk(enc, qcodes, k=5).collect()
+    by_q = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append((r["id"], r["sq_dist"]))
+    for qid, qc in qcodes:
+        d = ((exp_codes - np.asarray(qc)) ** 2).sum(axis=1)
+        exp = sorted(zip(d.tolist(), range(len(d))))[:5]
+        assert by_q[qid] == [(i, dist) for dist, i in exp], qid
+    # quantized ranking stays close to exact cosine ranking (recall sanity)
+    exact = similarity.cosine_topk(
+        df, df.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"), k=10)
+    exact_ids = {r["id"] for r in exact.collect()}
+    sq_ids = {r[0] for r in by_q[0][:5]}
+    assert len(sq_ids & exact_ids) >= 3
+
+
+def test_mrl_prefix_equals_sliced_cosine(spark):
+    from gfw_raster_analysis_lambda_spark.operators import similarity
+
+    df, vecs = _emb_df(spark, n=100, dim=16)
+    qs = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.mrl_topk(df, qs, d=4, k=5).collect()
+    v4 = vecs.astype(np.float64)[:, :4]
+    by_q = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["id"])
+    for qid in (0, 1):
+        cos = (v4 @ v4[qid]) / (
+            np.linalg.norm(v4, axis=1) * np.linalg.norm(v4[qid])
+        )
+        exp = [i for _, i in sorted(zip(-np.round(cos, 6), range(len(cos))))[:5]]
+        assert by_q[qid] == exp, qid
