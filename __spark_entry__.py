@@ -1673,6 +1673,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.mrl_topk(e, qs, d=16, k=10)
     q["sim_mrl_prefix"] = sim_mrl_prefix
 
+    def sim_mrl_rerank(spark, sf_dir):
+        # two-stage cascade: 16-dim prefix nominates 20 candidates/query,
+        # full-width cosine reranks ONLY those pairs to the final top-5
+        e = _t(spark, sf_dir, "embeddings")
+        qs = e.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.mrl_rerank_topk(e, qs, d=16, k_coarse=20, k=5)
+    q["sim_mrl_rerank"] = sim_mrl_rerank
+
+    def sample_reservoir(spark, sf_dir):
+        # fixed-COUNT deterministic sample per stratum: the k smallest
+        # hash-uniforms (windowed top-k, rewritten to per-partition TopK)
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+        return sampling.reservoir_sample(docs, 5, strata_col="lang")
+    q["sample_reservoir"] = sample_reservoir
+
+    def mm_global_histeq(spark, sf_dir):
+        # CORPUS-wide histogram equalization (radiometric normalization):
+        # pass 1 reduces the corpus to a 256-bin histogram (only 256
+        # longs reach the driver), pass 2 broadcasts the LUT into an
+        # embarrassingly parallel apply — the canonical two-pass
+        # global-statistics shape
+        # lossless (PNG) layer: the near-lossless fixture jpeg preserves
+        # per-tile rank structure (so per-tile equalize gates pass) but
+        # not cross-tile value identity, which a GLOBAL LUT needs
+        images, _, _ = _fixture(spark)
+        ttc = images.filter(F.col("layer") == "ttc_percent").select(
+            "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
+        )
+        hist = multimodal.global_histogram(ttc)
+        eq = multimodal.equalize_tiles_global(ttc, hist)
+        st = multimodal.image_stats(eq)
+        return st.select(
+            "image_id",
+            F.round("px_mean", 6).alias("px_mean"),
+            F.round("px_min", 6).alias("px_min"),
+            F.round("px_max", 6).alias("px_max"),
+        )
+    q["mm_global_histeq"] = mm_global_histeq
+
     def sample_temperature(spark, sf_dir):
         # quality-temperature sampling: keep with p = sqrt(q / per-source
         # max q), membership by the same md5-uniform as every sampler
@@ -3654,6 +3695,79 @@ SELECT CAST(query_id AS BIGINT) AS query_id, id, cosine, CAST(rn AS INT) AS rank
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id ASC) AS rn
   FROM scored
 ) WHERE rn <= 10
+"""
+
+    o["sim_mrl_rerank"] = """
+WITH pref AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS id,
+         ROUND(SUM(CAST(list_extract(a.embedding, i) AS DOUBLE) * CAST(list_extract(q.embedding, i) AS DOUBLE))
+               / (sqrt(SUM(CAST(list_extract(a.embedding, i) AS DOUBLE) * CAST(list_extract(a.embedding, i) AS DOUBLE))) * sqrt(SUM(CAST(list_extract(q.embedding, i) AS DOUBLE) * CAST(list_extract(q.embedding, i) AS DOUBLE)))), 6) AS cosine
+  FROM embeddings a
+  JOIN embeddings q ON q.vec_id < 3,
+  generate_series(1, 16) g(i)
+  GROUP BY q.vec_id, a.vec_id
+),
+cand AS (
+  SELECT query_id, id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id ASC) AS rn
+    FROM pref
+  ) WHERE rn <= 20
+),
+rerank AS (
+  SELECT cand.query_id, cand.id,
+         ROUND(SUM(CAST(list_extract(a.embedding, i) AS DOUBLE) * CAST(list_extract(q.embedding, i) AS DOUBLE))
+               / (sqrt(SUM(CAST(list_extract(a.embedding, i) AS DOUBLE) * CAST(list_extract(a.embedding, i) AS DOUBLE))) * sqrt(SUM(CAST(list_extract(q.embedding, i) AS DOUBLE) * CAST(list_extract(q.embedding, i) AS DOUBLE)))), 6) AS cosine
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.id
+  JOIN embeddings q ON q.vec_id = cand.query_id,
+  generate_series(1, 64) g(i)
+  GROUP BY cand.query_id, cand.id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, id, cosine, CAST(rn AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id ASC) AS rn
+  FROM rerank
+) WHERE rn <= 5
+"""
+
+    o["sample_reservoir"] = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(('0x' || substr(md5('reservoir:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                    / 281474976710656.0 ASC, doc_id ASC
+         ) AS rn
+  FROM documents
+) WHERE rn <= 5
+"""
+
+    _ttcv = (
+        "(CASE WHEN (x + y + i + j) % 7 = 0 THEN 255 "
+        "ELSE (x*5 + y*13 + i*11 + j*3) % 128 END)"
+    )
+    o["mm_global_histeq"] = f"""
+WITH px AS (
+  SELECT 'ttc_percent/' || lower(lpad(hex(CAST({CB} AS BIGINT) + x * {YW} + y), 16, '0')) AS image_id,
+         {_ttcv} AS v
+  FROM generate_series({X0}, {X0 + NX - 1}) tx(x),
+       generate_series({Y0}, {Y0 + NY - 1}) ty(y),
+       generate_series(0, {GRID.chunk_px - 1}) ti(i),
+       generate_series(0, {GRID.chunk_px - 1}) tj(j)
+),
+hist AS (SELECT v, COUNT(*) AS c FROM px GROUP BY v),
+cdf AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM hist),
+p AS (SELECT (SELECT SUM(c) FROM hist) AS n, (SELECT MIN(cum) FROM cdf) AS cmin),
+lut AS (
+  SELECT v, CASE WHEN n > cmin
+                 THEN FLOOR((cum - cmin) * 255.0 / (n - cmin) + 0.5)
+                 ELSE 0 END AS eq
+  FROM cdf, p
+)
+SELECT image_id,
+       ROUND(AVG(eq), 6) AS px_mean,
+       ROUND(MIN(eq), 6) AS px_min,
+       ROUND(MAX(eq), 6) AS px_max
+FROM px JOIN lut USING (v) GROUP BY image_id
 """
 
     o["sample_temperature"] = """

@@ -551,3 +551,80 @@ def aspect_bucket_assign(
     return images.withColumn("bucket", idx).withColumn(
         "bucket_w", bw_expr
     ).withColumn("bucket_h", bh_expr)
+
+
+def global_histogram(images: DataFrame) -> "list[int]":
+    """Corpus-wide 256-bin pixel histogram of uint8 tiles: per-batch
+    bincount partials in one Arrow pass, reduced relationally, and ONLY
+    the 256-row histogram reaches the driver — the global-statistics
+    gathering half of :func:`equalize_tiles_global`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            acc = np.zeros(256, dtype=np.int64)
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode_tile(bytes(r.bytes), int(r.w), int(r.h), str(r.fmt))
+                if arr.dtype != np.uint8:
+                    raise ValueError(
+                        f"global_histogram is defined over uint8 tiles; "
+                        f"{r.image_id} decodes to {arr.dtype}"
+                    )
+                acc += np.bincount(arr.ravel(), minlength=256)
+            nz = np.nonzero(acc)[0]
+            yield pd.DataFrame({"v": nz.astype(np.int32), "c": acc[nz]})
+
+    rows = (
+        images.mapInPandas(run, "v int, c long")
+        .groupBy("v").agg(F.sum("c").alias("c"))
+        .collect()
+    )
+    hist = [0] * 256
+    for r in rows:
+        hist[int(r["v"])] = int(r["c"])
+    return hist
+
+
+def equalize_tiles_global(images: DataFrame, hist: "list[int]") -> DataFrame:
+    """CORPUS-wide histogram equalization: the same
+    ``eq(v) = floor((cdf(v) - cdf_min) / (N - cdf_min) * 255 + 0.5)``
+    LUT as :func:`equalize_tiles`, but with the GLOBAL pixel CDF (from
+    :func:`global_histogram`) — so the transform is consistent across
+    tiles (per-tile equalization destroys cross-tile comparability;
+    global equalization is the radiometric-normalization step a mosaic
+    needs). The 256-entry LUT broadcasts in the kernel closure; applying
+    it is an embarrassingly parallel Arrow pass, zero shuffle. The
+    two-pass shape (global agg -> broadcast -> map) is the canonical
+    global-statistics pattern at 100 TB: only 256 longs ever leave the
+    executors."""
+    h = np.asarray(hist, dtype=np.int64)
+    cdf = h.cumsum()
+    n = int(cdf[-1])
+    if n == 0:
+        raise ValueError("empty histogram")
+    cdf_min = int(cdf[np.nonzero(h)[0][0]])
+    if n > cdf_min:
+        lut = np.floor((cdf - cdf_min) * 255.0 / (n - cdf_min) + 0.5).astype(np.uint8)
+    else:  # constant corpus
+        lut = np.zeros(256, dtype=np.uint8)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode_tile(bytes(r.bytes), int(r.w), int(r.h), str(r.fmt))
+                eq = lut[arr]
+                rows.append(
+                    (
+                        r.image_id, codecs.encode_tile(eq, "raw_u8"),
+                        int(r.w), int(r.h), "raw_u8", r.caption,
+                        codecs.phash64(eq.astype(np.float64)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+            )
+
+    return images.mapInPandas(
+        run,
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )

@@ -200,3 +200,34 @@ def temperature_sample(
         .withColumn("p_keep", F.round(p, 6))
         .drop("__mx")
     )
+
+
+def reservoir_sample(
+    df: DataFrame,
+    k: int,
+    strata_col: str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "reservoir",
+) -> DataFrame:
+    """Deterministic fixed-SIZE sample: the k rows with the smallest
+    hash-uniform, per stratum (or globally with ``strata_col=None``) —
+    the reproducible equivalent of reservoir sampling (fractions give a
+    fixed RATE; quotas need a fixed COUNT). Stable under reordering and
+    partitioning; adding rows can only displace the largest-hash members
+    (bounded churn, unlike ``rand()`` reservoirs which reshuffle fully).
+
+    Scale shape: one windowed top-k per stratum — Catalyst rewrites
+    ``row_number <= k`` into a per-partition TopK, so no stratum is ever
+    fully sorted; skew-prone strata can pre-thin with
+    ``deterministic_sample`` first (the same hash order makes that a
+    strict superset, so composition is lossless)."""
+    from pyspark.sql import Window
+
+    u = hash_uniform(F.col(id_col), salt)
+    parts = [strata_col] if strata_col else []
+    w = Window.partitionBy(*parts).orderBy(u.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(k))
+        .drop("__rn")
+    )

@@ -931,3 +931,45 @@ def mrl_topk(
     e2 = emb.withColumn(vec_col, F.slice(F.col(vec_col), 1, d))
     q2 = queries.withColumn(vec_col, F.slice(F.col(vec_col), 1, d))
     return cosine_topk(e2, q2, k, id_col=id_col, vec_col=vec_col)
+
+
+def mrl_rerank_topk(
+    emb: DataFrame,
+    queries: DataFrame,  # (query_id, embedding)
+    d: int,
+    k_coarse: int = 50,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full prefix-rerank cascade: :func:`mrl_topk` over the first
+    ``d`` dims nominates ``k_coarse`` candidates per query (narrow scan),
+    then ONLY those (query, candidate) pairs are re-scored with the
+    full-width cosine and the final top-k selected. The expensive
+    full-width math runs on O(queries x k_coarse) rows instead of
+    O(queries x corpus) — the standard two-stage ANN serving shape.
+    Returns (query_id, id, cosine, rank) ranked by the FULL cosine."""
+    coarse = mrl_topk(emb, queries, d, k_coarse, id_col=id_col, vec_col=vec_col)
+    cand = coarse.select("query_id", "id")
+    pairs = (
+        cand.join(
+            emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "id"
+        )
+        .join(
+            F.broadcast(queries.select("query_id", F.col(vec_col).alias("qv"))),
+            "query_id",
+        )
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("v"), F.col("qv"))
+                / (_norm(F.col("v")) * _norm(F.col("qv"))), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "cosine", "rank")
+    )

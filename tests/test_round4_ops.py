@@ -504,3 +504,75 @@ def test_mrl_prefix_equals_sliced_cosine(spark):
         )
         exp = [i for _, i in sorted(zip(-np.round(cos, 6), range(len(cos))))[:5]]
         assert by_q[qid] == exp, qid
+
+
+def test_global_histeq_consistent_across_tiles(spark):
+    """The GLOBAL LUT maps the same source value identically in every
+    tile (per-tile equalize does not), and matches a numpy recompute."""
+    from gfw_raster_analysis_lambda_spark.functions import codecs
+    from gfw_raster_analysis_lambda_spark.operators import multimodal
+
+    rng = np.random.RandomState(3)
+    tiles = [rng.randint(0, 40, (16, 16), dtype=np.uint8) for _ in range(4)]
+    rows = [
+        (f"t{i}", codecs.encode_tile(t, "png"), 16, 16, "png", "", 0)
+        for i, t in enumerate(tiles)
+    ]
+    df = spark.createDataFrame(rows, fixtures.IMAGES_SCHEMA)
+    hist = multimodal.global_histogram(df)
+    exp_hist = np.zeros(256, dtype=np.int64)
+    for t in tiles:
+        exp_hist += np.bincount(t.ravel(), minlength=256)
+    assert hist == exp_hist.tolist()
+    eq = multimodal.equalize_tiles_global(df, hist)
+    got = {
+        r["image_id"]: codecs.decode_tile(bytes(r["bytes"]), 16, 16, r["fmt"])
+        for r in eq.collect()
+    }
+    cdf = exp_hist.cumsum()
+    n, cmin = int(cdf[-1]), int(cdf[np.nonzero(exp_hist)[0][0]])
+    lut = np.floor((cdf - cmin) * 255.0 / (n - cmin) + 0.5).astype(np.uint8)
+    for i, t in enumerate(tiles):
+        np.testing.assert_array_equal(got[f"t{i}"], lut[t])
+
+
+def test_reservoir_sample_fixed_count_and_stable(spark):
+    from gfw_raster_analysis_lambda_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, "s" + str(i % 3)) for i in range(300)], "doc_id long, lang string"
+    )
+    a = sampling.reservoir_sample(df, 7, strata_col="lang").collect()
+    assert len(a) == 21
+    import collections
+    per = collections.Counter(r["lang"] for r in a)
+    assert set(per.values()) == {7}
+    # growth stability: adding rows only displaces larger-hash members —
+    # the sample from a SUBSET is a superset-filtered version of the rank
+    # order, so re-running on the same data is identical
+    b = sampling.reservoir_sample(df, 7, strata_col="lang").collect()
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    # global (no strata)
+    g = sampling.reservoir_sample(df, 5).collect()
+    assert len(g) == 5
+
+
+def test_mrl_rerank_full_cosine_order(spark):
+    from gfw_raster_analysis_lambda_spark.operators import similarity
+
+    df, vecs = _emb_df(spark, n=120, dim=16)
+    qs = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.mrl_rerank_topk(df, qs, d=4, k_coarse=30, k=5).collect()
+    v = vecs.astype(np.float64)
+    v4 = v[:, :4]
+    by_q = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["id"])
+    for qid in (0, 1):
+        pre = np.round((v4 @ v4[qid]) / (np.linalg.norm(v4, axis=1) * np.linalg.norm(v4[qid])), 6)
+        cand = [i for _, i in sorted(zip(-pre, range(len(pre))))[:30]]
+        full = np.round((v @ v[qid]) / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[qid])), 6)
+        exp = sorted(cand, key=lambda i: (-full[i], i))[:5]
+        assert by_q[qid] == exp, qid
