@@ -296,7 +296,31 @@ def workloads(spark, sf_dir):
                 (F.lit(256) + (F.col("id") * 37) % 1792).cast("int").alias("w"),
                 (F.lit(256) + (F.col("id") * 53) % 1792).cast("int").alias("h"),
             )),
+        "dedup_ngram_containment": lambda: dedup.ngram_containment_pairs(
+            t("documents"), n=3, threshold=0.5, df_cap=64),
+        "sample_reservoir": lambda: sampling.reservoir_sample(
+            t("documents").select("doc_id", "lang"), 8, strata_col="lang"),
+        "sim_sq8": _sim_sq8(spark, t),
+        "sim_mrl_rerank": lambda: similarity.mrl_rerank_topk(
+            t("embeddings"),
+            t("embeddings").filter(F.col("vec_id") < 8).select(
+                F.col("vec_id").alias("query_id"), "embedding"),
+            d=16, k_coarse=20, k=10),
     }
+
+
+def _sim_sq8(spark, t):
+    def run():
+        e = t("embeddings")
+        from gfw_raster_analysis_lambda_spark.operators import similarity
+        mins, maxs = similarity.sq8_stats(e)
+        enc = similarity.sq8_encode(e, mins, maxs)
+        qcodes = [
+            (int(r["id"]), list(r["codes"]))
+            for r in enc.filter(F.col("id") < 8).collect()
+        ]
+        return similarity.sq8_topk(enc, qcodes, k=10)
+    return run
 
 
 def best_of(fn, n=3):
@@ -434,7 +458,10 @@ def main():
               "stream_rolling_cum": "events", "stream_dedup_exact": "events",
               "stream_decontaminate": "documents",
               "text_dup_ngrams": "documents", "sample_temperature": "documents",
-              "mm_aspect_buckets": "documents"}
+              "mm_aspect_buckets": "documents",
+              "dedup_ngram_containment": "documents",
+              "sample_reservoir": "documents",
+              "sim_sq8": "embeddings", "sim_mrl_rerank": "embeddings"}
 
     lines = [
         "## Data-size scaling (round 4)", "",
