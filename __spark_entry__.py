@@ -1714,6 +1714,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["mm_global_histeq"] = mm_global_histeq
 
+    def spatial_polygon_pairs(spark, sf_dir):
+        # vector-overlay self-join (interiors intersect, each pair once):
+        # cell equi-join candidates -> exact numpy predicate; the DuckDB
+        # twin computes strict interval overlap on the same box batch
+        from gfw_raster_analysis_lambda_spark.functions import geometry as _geo
+        from gfw_raster_analysis_lambda_spark.operators import spatial_join
+
+        rows = [
+            (f"p{k:02d}", _geo.wkb_dumps(_geo.box(*_pp_box(k))))
+            for k in range(30)
+        ]
+        aoi = spark.createDataFrame(rows, fixtures.AOI_SCHEMA)
+        return spatial_join.polygon_pairs(aoi, GRID.name)
+    q["spatial_polygon_pairs"] = spatial_polygon_pairs
+
     def sample_temperature(spark, sf_dir):
         # quality-temperature sampling: keep with p = sqrt(q / per-source
         # max q), membership by the same md5-uniform as every sampler
@@ -1730,6 +1745,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sample_temperature"] = sample_temperature
 
     return _rotate_for_driver_coverage(q)
+
+
+def _pp_box(k: int) -> tuple:
+    """Deterministic overlay-gate box #k inside the fixture extent —
+    fractional (non-lattice) offsets so no two boxes merely touch."""
+    x1 = 10.013 + 0.093 * (k % 7) + 0.0137 * (k % 3)
+    y1 = 20.017 + 0.081 * (k % 5) + 0.0119 * (k % 4)
+    w = 0.11 + 0.017 * (k % 4)
+    h = 0.09 + 0.023 * (k % 3)
+    return (x1, y1, x1 + w, y1 + h)
 
 
 _GEO_QUERIES = [
@@ -3768,6 +3793,17 @@ SELECT image_id,
        ROUND(MIN(eq), 6) AS px_min,
        ROUND(MAX(eq), 6) AS px_max
 FROM px JOIN lut USING (v) GROUP BY image_id
+"""
+
+    _pp_rows = ", ".join(
+        "('p{:02d}', {!r}, {!r}, {!r}, {!r})".format(k, *_pp_box(k))
+        for k in range(30)
+    )
+    o["spatial_polygon_pairs"] = f"""
+WITH bx(aoi_id, x1, y1, x2, y2) AS (VALUES {_pp_rows})
+SELECT a.aoi_id AS a, b.aoi_id AS b
+FROM bx a JOIN bx b ON a.aoi_id < b.aoi_id
+WHERE a.x1 < b.x2 AND b.x1 < a.x2 AND a.y1 < b.y2 AND b.y1 < a.y2
 """
 
     o["sample_temperature"] = """

@@ -477,3 +477,53 @@ def normalize(geom: Geometry) -> Geometry:
         if rings:
             out.append(rings)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Polygon x polygon interiors-intersect (vector-overlay predicate)
+# ---------------------------------------------------------------------------
+
+def _proper_crossings(e1: np.ndarray, e2: np.ndarray) -> bool:
+    """Any PROPER crossing between two edge sets (strict orientation
+    flips on both segments). Vectorized over the full E1 x E2 pair grid —
+    fine for AOI-scale rings; swap in an interval sweep for megavertex
+    geometries."""
+    if not len(e1) or not len(e2):
+        return False
+    p1 = e1[:, None, 0:2]
+    p2 = e1[:, None, 2:4]
+    q1 = e2[None, :, 0:2]
+    q2 = e2[None, :, 2:4]
+
+    def cross(o, a, b):
+        return (a[..., 0] - o[..., 0]) * (b[..., 1] - o[..., 1]) - (
+            a[..., 1] - o[..., 1]
+        ) * (b[..., 0] - o[..., 0])
+
+    d1 = cross(p1, p2, q1)
+    d2 = cross(p1, p2, q2)
+    d3 = cross(q1, q2, p1)
+    d4 = cross(q1, q2, p2)
+    return bool(np.any((d1 * d2 < 0) & (d3 * d4 < 0)))
+
+
+def interiors_intersect(g1: Geometry, g2: Geometry) -> bool:
+    """True iff the polygon INTERIORS overlap (the overlay-join
+    predicate; boundary-touching neighbors do not count, matching strict
+    interval overlap for boxes). Decision: bbox reject, then any proper
+    edge crossing, else mutual vertex containment (even-odd, so a
+    geometry sitting inside the other's HOLE correctly reports False)."""
+    if is_empty(g1) or is_empty(g2):
+        return False
+    b1, b2 = bounds(g1), bounds(g2)
+    if b1[0] >= b2[2] or b2[0] >= b1[2] or b1[1] >= b2[3] or b2[1] >= b1[3]:
+        return False
+    e1, e2 = all_edges(g1), all_edges(g2)
+    if _proper_crossings(e1, e2):
+        return True
+    # no crossings: either disjoint or one inside the other (or in a hole)
+    v1 = e1[0, 0:2]
+    if bool(contains_points(g2, np.array([v1[0]]), np.array([v1[1]]), e2)[0]):
+        return True
+    v2 = e2[0, 0:2]
+    return bool(contains_points(g1, np.array([v2[0]]), np.array([v2[1]]), e1)[0])

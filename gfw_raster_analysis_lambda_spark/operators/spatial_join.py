@@ -119,3 +119,56 @@ def polygon_cell_join(
         small = salted(cells, "cell_id", n_salt, explode_side=True)
         return big.join(small, ["cell_id", "_salt"]).drop("_salt")
     raise ValueError(f"unknown join strategy {strategy!r}")
+
+
+def polygon_pairs(
+    aoi: DataFrame,
+    grid_name: str,
+) -> DataFrame:
+    """Vector-overlay SELF-join: every pair of AOI polygons whose
+    INTERIORS intersect (boundary-touching neighbors excluded), each
+    pair reported once as (a, b) with a < b.
+
+    The reference joins vectors only against the raster grid; a
+    polygon-polygon join is the other half of a spatial engine
+    (conflict detection, dissolve pre-pass, dedup of re-submitted
+    geometries). Spark shape — never a cross join:
+
+    1. ``aoi_cells`` explodes each polygon to its covering cells (the
+       same J1 derivation the zonal path uses),
+    2. a cell equi-join proposes exactly the pairs sharing a cell — an
+       intersecting pair ALWAYS shares the cell containing any interior
+       intersection point, so the candidate set is complete,
+    3. pairs dedup relationally (DISTINCT on the id pair), geometries
+       re-attach via two broadcast joins,
+    4. the exact ``interiors_intersect`` predicate (proper edge
+       crossings + even-odd mutual containment, numpy) verifies each
+       candidate once in an Arrow batch.
+
+    Cost: O(sum cells per polygon) join rows and O(candidate pairs)
+    exact tests; hot cells fall under the same AQE skew handling as the
+    zonal join."""
+    cells = aoi_cells(aoi, grid_name).select("aoi_id", "cell_id")
+    a = cells.select(F.col("aoi_id").alias("a"), "cell_id")
+    b = cells.select(F.col("aoi_id").alias("b"), "cell_id")
+    cand = (
+        a.join(b, "cell_id")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    ga = aoi.select(F.col("aoi_id").alias("a"), F.col("geom_wkb").alias("wkb_a"))
+    gb = aoi.select(F.col("aoi_id").alias("b"), F.col("geom_wkb").alias("wkb_b"))
+    pairs = cand.join(F.broadcast(ga), "a").join(F.broadcast(gb), "b")
+
+    @F.pandas_udf("boolean")
+    def hits(wa: pd.Series, wb: pd.Series) -> pd.Series:
+        return pd.Series([
+            geo.interiors_intersect(geo.wkb_loads(bytes(x)), geo.wkb_loads(bytes(y)))
+            for x, y in zip(wa, wb)
+        ])
+
+    return (
+        pairs.filter(hits(F.col("wkb_a"), F.col("wkb_b")))
+        .select("a", "b")
+    )

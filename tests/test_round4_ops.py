@@ -576,3 +576,55 @@ def test_mrl_rerank_full_cosine_order(spark):
         full = np.round((v @ v[qid]) / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[qid])), 6)
         exp = sorted(cand, key=lambda i: (-full[i], i))[:5]
         assert by_q[qid] == exp, qid
+
+
+# ---------------------------------------------------------------------------
+# polygon-polygon overlay join
+# ---------------------------------------------------------------------------
+
+def test_interiors_intersect_cases():
+    from gfw_raster_analysis_lambda_spark.functions import geometry as geo
+
+    b = lambda *a: geo.box(*a)
+    ii = geo.interiors_intersect
+    assert ii(b(0, 0, 2, 2), b(1, 1, 3, 3))          # partial overlap
+    assert ii(b(0, 0, 4, 4), b(1, 1, 2, 2))          # containment
+    assert ii(b(1, 1, 2, 2), b(0, 0, 4, 4))          # containment (other way)
+    assert not ii(b(0, 0, 1, 1), b(2, 2, 3, 3))      # disjoint
+    assert not ii(b(0, 0, 1, 1), b(1, 0, 2, 1))      # edge-touching excluded
+    assert not ii(b(0, 0, 1, 1), b(1, 1, 2, 2))      # corner-touching excluded
+    # cross shape: overlapping interiors but NO vertex of either inside
+    # the other - only the proper-crossing branch catches it
+    assert ii(b(1, 0, 2, 3), b(0, 1, 3, 2))
+    # polygon with a hole: a box fully inside the hole does NOT intersect
+    outer = [np.array([[0, 0], [10, 0], [10, 10], [0, 10]], dtype=np.float64)]
+    hole = np.array([[2, 2], [8, 2], [8, 8], [2, 8]], dtype=np.float64)
+    holed = [ [outer[0], hole] ]
+    assert not ii(holed, b(4, 4, 5, 5))
+    assert ii(holed, b(1, 1, 3, 3))                  # straddles the hole edge
+
+
+def test_polygon_pairs_matches_bruteforce(spark):
+    from gfw_raster_analysis_lambda_spark.functions import geometry as geo
+    from gfw_raster_analysis_lambda_spark.operators import spatial_join
+
+    rng = np.random.RandomState(11)
+    boxes = {}
+    for k in range(25):
+        x1 = 10.0 + rng.uniform(0, 0.8)
+        y1 = 20.0 + rng.uniform(0, 0.8)
+        boxes[f"b{k:02d}"] = (x1, y1, x1 + rng.uniform(0.05, 0.25), y1 + rng.uniform(0.05, 0.25))
+    aoi = spark.createDataFrame(
+        [(k, geo.wkb_dumps(geo.box(*v))) for k, v in boxes.items()],
+        fixtures.AOI_SCHEMA,
+    )
+    got = {(r["a"], r["b"]) for r in
+           spatial_join.polygon_pairs(aoi, GRID.name).collect()}
+    exp = set()
+    ks = sorted(boxes)
+    for i, a in enumerate(ks):
+        for b_ in ks[i + 1:]:
+            A, B = boxes[a], boxes[b_]
+            if A[0] < B[2] and B[0] < A[2] and A[1] < B[3] and B[1] < A[3]:
+                exp.add((a, b_))
+    assert got == exp
