@@ -1729,6 +1729,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spatial_join.polygon_pairs(aoi, GRID.name)
     q["spatial_polygon_pairs"] = spatial_polygon_pairs
 
+    def zonal_multi_fused_gate(spark, sf_dir):
+        # the FUSED multi-query path itself (zonal_statistics_multi: one
+        # shared scan/decode/rasterize kernel pass + concurrent
+        # finalizes), melted to a uniform (aoi_id, k, v) frame so one
+        # DuckDB twin gates BOTH member analyses end to end
+        from gfw_raster_analysis_lambda_spark.api import zonal_statistics_multi
+
+        images, aoi, env = _fixture(spark)
+        res = zonal_statistics_multi(
+            spark, images, aoi.filter(F.col("aoi_id").isin(list(_BOXES))),
+            {
+                "flag": "SELECT tcl_year, SUM(area__ha) AS loss_ha FROM tcl_year "
+                        "WHERE tcd_threshold >= 25 AND is_primary = 'true' "
+                        "GROUP BY tcl_year",
+                "area": "SELECT SUM(area__ha) AS area_ha, COUNT(*) AS n_px FROM data",
+            },
+            env, GRID.name,
+        )
+        flag = res["flag"].select(
+            "aoi_id",
+            F.concat(F.lit("flag/"), F.col("tcl_year").cast("string")).alias("k"),
+            F.round("loss_ha", 3).alias("v"),
+        )
+        area = res["area"].select(
+            "aoi_id", F.lit("area/ha").alias("k"), F.round("area_ha", 3).alias("v")
+        ).unionByName(res["area"].select(
+            "aoi_id", F.lit("area/n").alias("k"), F.col("n_px").cast("double").alias("v")
+        ))
+        out = flag.unionByName(area)
+        out2 = spark.createDataFrame(out.collect(), out.schema)
+        res.close()
+        return out2
+    q["zonal_multi_fused_gate"] = zonal_multi_fused_gate
+
     def sample_temperature(spark, sf_dir):
         # quality-temperature sampling: keep with p = sqrt(q / per-source
         # max q), membership by the same md5-uniform as every sampler
@@ -3804,6 +3838,20 @@ WITH bx(aoi_id, x1, y1, x2, y2) AS (VALUES {_pp_rows})
 SELECT a.aoi_id AS a, b.aoi_id AS b
 FROM bx a JOIN bx b ON a.aoi_id < b.aoi_id
 WHERE a.x1 < b.x2 AND b.x1 < a.x2 AND a.y1 < b.y2 AND b.y1 < a.y2
+"""
+
+    o["zonal_multi_fused_gate"] = f"""
+WITH {_pix_cte(list(_BOXES))}
+SELECT aoi_id, 'flag/' || CAST({_TCL_DECODE} AS VARCHAR) AS k,
+       ROUND(SUM(mean_area), 3) AS v
+FROM m WHERE tcl != 0 AND {_TCD_MEANING} >= 25 AND prim = 1
+GROUP BY aoi_id, tcl
+UNION ALL
+SELECT aoi_id, 'area/ha' AS k, ROUND(SUM(mean_area), 3) AS v
+FROM m GROUP BY aoi_id
+UNION ALL
+SELECT aoi_id, 'area/n' AS k, CAST(COUNT(*) AS DOUBLE) AS v
+FROM m GROUP BY aoi_id
 """
 
     o["sample_temperature"] = """
