@@ -1082,6 +1082,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.withColumn("ts", F.col("ts").cast("string"))
     q["rel_rolling_features"] = rel_rolling_features
 
+    def rel_rolling_time(spark, sf_dir):
+        # RANGE-framed trailing 10-minute window per key (the event-TIME
+        # twin of rel_rolling_features' ROWS frames): count + integer-
+        # micro-unit-exact sum over rangeBetween(-600s, 0) on epoch micros
+        from gfw_raster_analysis_lambda_spark.operators import asof
+
+        ev = _t(spark, sf_dir, "events")
+        out = asof.rolling_time_features(ev, window_seconds=600)
+        return out.withColumn("ts", F.col("ts").cast("string"))
+    q["rel_rolling_time"] = rel_rolling_time
+
     def rel_asof_attribution(spark, sf_dir):
         # point-in-time attribution: every purchase picks the user's
         # latest preceding click (as-of join, one keyed shuffle + running
@@ -1728,6 +1739,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         aoi = spark.createDataFrame(rows, fixtures.AOI_SCHEMA)
         return spatial_join.polygon_pairs(aoi, GRID.name)
     q["spatial_polygon_pairs"] = spatial_polygon_pairs
+
+    def spatial_dissolve_labels(spark, sf_dir):
+        # dissolve grouping: transitive closure of the overlay pairs via
+        # the components engine (pointer-jumping hash_to_min); the twin
+        # closes the same box-overlap graph with a recursive CTE
+        from gfw_raster_analysis_lambda_spark.functions import geometry as _geo
+        from gfw_raster_analysis_lambda_spark.operators import spatial_join
+
+        rows = [
+            (f"p{k:02d}", _geo.wkb_dumps(_geo.box(*_pp_box(k))))
+            for k in range(30)
+        ]
+        aoi = spark.createDataFrame(rows, fixtures.AOI_SCHEMA)
+        return spatial_join.dissolve_labels(aoi, GRID.name)
+    q["spatial_dissolve_labels"] = spatial_dissolve_labels
 
     def zonal_multi_fused_gate(spark, sf_dir):
         # the FUSED multi-query path itself (zonal_statistics_multi: one
@@ -3852,6 +3878,30 @@ FROM m GROUP BY aoi_id
 UNION ALL
 SELECT aoi_id, 'area/n' AS k, CAST(COUNT(*) AS DOUBLE) AS v
 FROM m GROUP BY aoi_id
+"""
+
+    o["spatial_dissolve_labels"] = f"""
+WITH RECURSIVE bx(aoi_id, x1, y1, x2, y2) AS (VALUES {_pp_rows}),
+e AS (
+  SELECT a.aoi_id AS a, b.aoi_id AS b
+  FROM bx a JOIN bx b ON a.aoi_id != b.aoi_id
+  WHERE a.x1 < b.x2 AND b.x1 < a.x2 AND a.y1 < b.y2 AND b.y1 < a.y2
+),
+r(src, dst) AS (
+  SELECT aoi_id, aoi_id FROM bx
+  UNION
+  SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a
+)
+SELECT src AS aoi_id, MIN(dst) AS dissolve_group FROM r GROUP BY src
+"""
+
+    o["rel_rolling_time"] = """
+SELECT event_id, user_id, CAST(ts AS VARCHAR) AS ts, value,
+       CAST(COUNT(*) OVER w AS BIGINT) AS win_n,
+       ROUND(CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) OVER w AS DOUBLE) / 1000000.0, 6) AS win_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
 """
 
     o["sample_temperature"] = """

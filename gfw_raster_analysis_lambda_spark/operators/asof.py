@@ -205,3 +205,55 @@ def _wall_clock_micros(df, ts_col: str):
             f" + CAST(EXTRACT(SECOND FROM {ts_col}) * 1000000 AS BIGINT)"
         )
     return F.expr(f"unix_micros({ts_col})")
+
+
+def rolling_time_features(
+    df,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    window_seconds: int = 600,
+):
+    """RANGE-framed rolling features: aggregates over the trailing
+    ``window_seconds`` of EVENT TIME per key ("sum/count over the last
+    10 minutes"), the time-interval twin of :func:`rolling_features`'s
+    ROWS frames — a quiet key's window holds few events, a bursty key's
+    holds many, which row-count frames cannot express.
+
+    The frame orders by integer epoch MICROSECONDS (the repo's
+    cross-engine time rule) with ``rangeBetween(-window_us, 0)``, and the
+    windowed sum accumulates integer MICRO-UNITS of the value (micros =
+    value * 1e6 rounded half-up), so every frame sum is
+    summation-order-exact and the DuckDB twin (``RANGE BETWEEN n
+    PRECEDING``) hash-matches; the float view divides back out at the
+    end. One keyed shuffle; state per task is O(events inside the
+    window), bounded by event-time density rather than history length.
+
+    NOTE: RANGE frames are defined on the ordering VALUE, so two events
+    with identical timestamps share a frame (both included) — unlike the
+    ROWS variant there is no id tie-break inside the frame, and none is
+    needed for deterministic results."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    us = _wall_clock_micros(df, ts_col)
+    vmicro = F.expr(
+        f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+    )
+    win_us = int(window_seconds) * 1_000_000
+    base = df.select(
+        id_col, key_col, ts_col, value_col,
+        us.alias("__us"), vmicro.alias("__vm"),
+    )
+    w = (
+        Window.partitionBy(key_col).orderBy(F.col("__us").asc())
+        .rangeBetween(-win_us, 0)
+    )
+    return base.select(
+        id_col, key_col, ts_col, value_col,
+        F.count(F.lit(1)).over(w).cast("long").alias("win_n"),
+        F.round(
+            F.sum("__vm").over(w).cast("double") / F.lit(1e6), 6
+        ).alias("win_sum"),
+    )

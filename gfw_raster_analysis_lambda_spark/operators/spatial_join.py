@@ -172,3 +172,30 @@ def polygon_pairs(
         pairs.filter(hits(F.col("wkb_a"), F.col("wkb_b")))
         .select("a", "b")
     )
+
+
+def dissolve_labels(
+    aoi: DataFrame,
+    grid_name: str,
+) -> DataFrame:
+    """Dissolve GROUPING: label every polygon with its connected
+    overlay component (transitive closure of ``interiors_intersect``) —
+    the relational half of a GIS dissolve. Each group can then be merged
+    geometry-side by any union backend; the expensive part at scale is
+    exactly this labeling, and it composes from two existing pieces:
+    :func:`polygon_pairs` edges + the components engine's
+    ``hash_to_min`` pointer-jumping closure (id-type-generic, O(log
+    diameter) rounds). Non-overlapping polygons are their own group.
+    Returns (aoi_id, dissolve_group) with the group named by its min
+    member id."""
+    from .components import hash_to_min
+
+    pairs = polygon_pairs(aoi, grid_name)
+    edges = pairs.select(F.col("a"), F.col("b")).unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select(F.col("a").alias("a"), F.col("b").alias("b"))
+    nodes = aoi.select(F.col("aoi_id").alias("id"))
+    labeled = hash_to_min(nodes, edges)
+    return labeled.select(
+        F.col("id").alias("aoi_id"), F.col("component").alias("dissolve_group")
+    )

@@ -628,3 +628,48 @@ def test_polygon_pairs_matches_bruteforce(spark):
             if A[0] < B[2] and B[0] < A[2] and A[1] < B[3] and B[1] < A[3]:
                 exp.add((a, b_))
     assert got == exp
+
+
+def test_rolling_time_features_range_frame(spark):
+    from gfw_raster_analysis_lambda_spark.operators import asof
+
+    rows = [
+        ("e1", "u1", "2024-01-01 00:00:00", 1.5),
+        ("e2", "u1", "2024-01-01 00:05:00", 2.0),
+        ("e3", "u1", "2024-01-01 00:09:59", 4.0),   # e1 still inside 10 min
+        ("e4", "u1", "2024-01-01 00:10:01", 8.0),   # e1 just dropped out
+        ("e5", "u1", "2024-01-01 00:10:01", 16.0),  # same ts: shares e4's frame
+        ("e6", "u2", "2024-01-01 00:00:30", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id string, user_id string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["event_id"]: (r["win_n"], r["win_sum"]) for r in
+           asof.rolling_time_features(df, window_seconds=600).collect()}
+    assert out["e1"] == (1, 1.5)
+    assert out["e2"] == (2, 3.5)
+    assert out["e3"] == (3, 7.5)
+    # e4/e5 share the identical-timestamp frame: {e2, e3, e4, e5}
+    assert out["e4"] == (4, 30.0)
+    assert out["e5"] == (4, 30.0)
+    assert out["e6"] == (1, 1.0)
+
+
+def test_dissolve_labels_transitive(spark):
+    from gfw_raster_analysis_lambda_spark.functions import geometry as geo
+    from gfw_raster_analysis_lambda_spark.operators import spatial_join
+
+    # chain a-b-c (a and c do NOT touch) + isolated d: one 3-group + singleton
+    boxes = {
+        "a": (10.01, 20.01, 10.20, 20.20),
+        "b": (10.15, 20.15, 10.40, 20.40),
+        "c": (10.35, 20.35, 10.60, 20.60),
+        "d": (10.70, 20.70, 10.90, 20.90),
+    }
+    aoi = spark.createDataFrame(
+        [(k, geo.wkb_dumps(geo.box(*v))) for k, v in boxes.items()],
+        fixtures.AOI_SCHEMA,
+    )
+    got = {r["aoi_id"]: r["dissolve_group"] for r in
+           spatial_join.dissolve_labels(aoi, GRID.name).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d"}
