@@ -1789,6 +1789,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out2
     q["zonal_multi_fused_gate"] = zonal_multi_fused_gate
 
+    def text_pii_scrub(spark, sf_dir):
+        # PII redaction (emails/phones/IPv4/SSNs -> [TAG]): zero-shuffle
+        # codegen regex chain; the corpus is salted with DETERMINISTIC
+        # synthetic PII per doc id (both engines build the identical
+        # injected text), counts measured on the original text, and the
+        # scrubbed text compared by md5
+        docs = _t(spark, sf_dir, "documents")
+        injected = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 4 == 0,
+                       F.concat(F.lit(" u"), F.col("doc_id").cast("string"),
+                                F.lit("@ex.com")))
+                .when(F.col("doc_id") % 4 == 1,
+                      F.concat(F.lit(" +1 555 123 "),
+                               F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")))
+                .when(F.col("doc_id") % 4 == 2,
+                      F.concat(F.lit(" 10.0."),
+                               (F.col("doc_id") % 256).cast("string"), F.lit(".7")))
+                .otherwise(
+                    F.concat(F.lit(" 123-45-"),
+                             F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))),
+            ).alias("text"),
+        )
+        out = text.scrub_pii(injected)
+        return out.select(
+            "doc_id", "n_email", "n_phone", "n_ipv4", "n_ssn", "n_pii",
+            F.md5(F.col("text")).alias("scrub_md5"),
+        )
+    q["text_pii_scrub"] = text_pii_scrub
+
     def sample_temperature(spark, sf_dir):
         # quality-temperature sampling: keep with p = sqrt(q / per-source
         # max q), membership by the same md5-uniform as every sampler
@@ -3902,6 +3934,38 @@ SELECT event_id, user_id, CAST(ts AS VARCHAR) AS ts, value,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+"""
+
+    _rx_email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    _rx_phone = "\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+    _rx_ip = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    _rx_ssn = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+    o["text_pii_scrub"] = f"""
+WITH injected AS (
+  SELECT doc_id,
+         text || CASE doc_id % 4
+           WHEN 0 THEN ' u' || CAST(doc_id AS VARCHAR) || '@ex.com'
+           WHEN 1 THEN ' +1 555 123 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           WHEN 2 THEN ' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+           ELSE ' 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_rx_email}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{_rx_phone}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '{_rx_ip}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '{_rx_ssn}')) AS BIGINT) AS n_ssn,
+       CAST(len(regexp_extract_all(text, '{_rx_email}'))
+            + len(regexp_extract_all(text, '{_rx_phone}'))
+            + len(regexp_extract_all(text, '{_rx_ip}'))
+            + len(regexp_extract_all(text, '{_rx_ssn}')) AS BIGINT) AS n_pii,
+       md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           text, '{_rx_email}', '[EMAIL]', 'g'),
+                 '{_rx_phone}', '[PHONE]', 'g'),
+                 '{_rx_ip}', '[IPV4]', 'g'),
+                 '{_rx_ssn}', '[SSN]', 'g')) AS scrub_md5
+FROM injected
 """
 
     o["sample_temperature"] = """

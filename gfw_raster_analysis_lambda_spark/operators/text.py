@@ -475,3 +475,48 @@ def dup_ngram_stats(
             ).otherwise(F.lit(0.0)).alias("dup_frac"),
         )
     )
+
+
+PII_PATTERNS = {
+    # deliberately conservative, locale-light patterns; production swaps
+    # in a vetted library list. Keys are the replacement tags.
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "PHONE": r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}",
+    "IPV4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "SSN": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: "dict[str, str] | None" = None,
+) -> DataFrame:
+    """PII redaction for training corpora: replace matches of each
+    pattern with ``[TAG]`` and report per-document match counts — the
+    standard pre-training scrub (emails, phones, IPv4, SSNs by default).
+
+    Pure Catalyst: one ``regexp_count`` + one ``regexp_replace`` per
+    pattern chained in a single codegen projection — zero shuffle, zero
+    Python, linear scan. Patterns apply in a FIXED order (dict order)
+    and counts are measured against the ORIGINAL text, so a phone number
+    inside an already-scrubbed email cannot double-count. Returns
+    (id, scrubbed text, one ``n_<tag>`` count per pattern, n_pii total).
+    """
+    pats = patterns or PII_PATTERNS
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(rx)).cast("long").alias(f"n_{tag.lower()}")
+        for tag, rx in pats.items()
+    ]
+    scrubbed = t
+    for tag, rx in pats.items():
+        scrubbed = F.regexp_replace(scrubbed, rx, f"[{tag}]")
+    total = None
+    for tag in pats:
+        c = F.col(f"n_{tag.lower()}")
+        total = c if total is None else total + c
+    return df.select(
+        F.col(id_col), scrubbed.alias(text_col), *counts
+    ).withColumn("n_pii", total.cast("long"))

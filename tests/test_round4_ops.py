@@ -673,3 +673,24 @@ def test_dissolve_labels_transitive(spark):
     got = {r["aoi_id"]: r["dissolve_group"] for r in
            spatial_join.dissolve_labels(aoi, GRID.name).collect()}
     assert got == {"a": "a", "b": "a", "c": "a", "d": "d"}
+
+
+def test_scrub_pii_known_cases(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at a.b+c@test.org today"),
+            (1, "call +1 555 123 4567 or +44 555 987 6543 x2"),
+            (2, "host 192.168.1.10 and 10.0.0.7"),
+            (3, "ssn 123-45-6789 ok"),
+            (4, "clean document"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.scrub_pii(df).collect()}
+    assert out[0]["n_email"] == 1 and "[EMAIL]" in out[0]["text"]
+    assert "a.b+c@test.org" not in out[0]["text"]
+    assert out[1]["n_phone"] == 2 and out[1]["text"].count("[PHONE]") == 2
+    assert out[2]["n_ipv4"] == 2 and out[2]["text"].count("[IPV4]") == 2
+    assert out[3]["n_ssn"] == 1 and "[SSN]" in out[3]["text"]
+    assert out[4]["n_pii"] == 0 and out[4]["text"] == "clean document"
+    assert out[1]["n_pii"] == 2
