@@ -1821,6 +1821,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["text_pii_scrub"] = text_pii_scrub
 
+    def sim_ivf_pq(spark, sf_dir):
+        # IVF-PQ: the production ANN composition — IVF coarse pruning
+        # (probe 4/16 buckets) picks WHICH vectors to score, PQ ADC
+        # (8x1-byte codes, per-query LUT gather) decides HOW cheaply;
+        # candidates = one broadcast probe join, scoring = one Arrow pass
+        e = _t(spark, sf_dir, "embeddings")
+        qs = e.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.ivf_pq_topk(
+            e, qs, k=10, n_centroids=16, n_probe=4, m=8, ksub=16
+        )
+    q["sim_ivf_pq"] = sim_ivf_pq
+
     def sample_temperature(spark, sf_dir):
         # quality-temperature sampling: keep with p = sqrt(q / per-source
         # max q), membership by the same md5-uniform as every sampler
@@ -3966,6 +3980,78 @@ SELECT doc_id,
                  '{_rx_ip}', '[IPV4]', 'g'),
                  '{_rx_ssn}', '[SSN]', 'g')) AS scrub_md5
 FROM injected
+"""
+
+    _cosd = (
+        "SUM(CAST(list_extract(x.embedding, i) AS DOUBLE) * CAST(list_extract(c.embedding, i) AS DOUBLE)) "
+        "/ (sqrt(SUM(CAST(list_extract(x.embedding, i) AS DOUBLE) * CAST(list_extract(x.embedding, i) AS DOUBLE))) "
+        "* sqrt(SUM(CAST(list_extract(c.embedding, i) AS DOUBLE) * CAST(list_extract(c.embedding, i) AS DOUBLE))))"
+    )
+    o["sim_ivf_pq"] = f"""
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16
+),
+assign AS (
+  SELECT vec_id AS id, centroid_id FROM (
+    SELECT x.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY x.vec_id ORDER BY {_cosd} DESC, c.centroid_id ASC) AS rn
+    FROM embeddings x, centroids c, generate_series(1, 64) g(i)
+    GROUP BY x.vec_id, c.centroid_id
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, centroid_id FROM (
+    SELECT x.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY x.vec_id ORDER BY {_cosd} DESC, c.centroid_id ASC) AS rn
+    FROM embeddings x, centroids c, generate_series(1, 64) g(i)
+    WHERE x.vec_id < 3
+    GROUP BY x.vec_id, c.centroid_id
+  ) WHERE rn <= 4
+),
+seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+cb AS (
+  SELECT s.s, seeds.code, g.i,
+         CAST(list_extract(embedding, s.s * 8 + g.i) AS DOUBLE) AS val
+  FROM seeds, generate_series(0, 7) s(s), generate_series(1, 8) g(i)
+),
+enc AS (
+  SELECT vec_id, s, code FROM (
+    SELECT x.vec_id, cb.s, cb.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY x.vec_id, cb.s
+             ORDER BY ROUND(SUM(POW(
+               CAST(list_extract(x.embedding, cb.s * 8 + cb.i) AS DOUBLE) - cb.val,
+               2)), 6) ASC, cb.code ASC) AS rn
+    FROM embeddings x, cb
+    GROUP BY x.vec_id, cb.s, cb.code
+  ) WHERE rn = 1
+),
+qv AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),
+lut AS (
+  SELECT qv.query_id, cb.s, cb.code,
+         ROUND(SUM(POW(
+           CAST(list_extract(qv.embedding, cb.s * 8 + cb.i) AS DOUBLE) - cb.val,
+           2)), 6) AS dsq
+  FROM qv, cb
+  GROUP BY 1, 2, 3
+),
+scores AS (
+  SELECT p.query_id, e.vec_id AS id, ROUND(SUM(l.dsq), 6) AS adc_dist
+  FROM enc e
+  JOIN assign a ON a.id = e.vec_id
+  JOIN probes p ON p.centroid_id = a.centroid_id
+  JOIN lut l ON l.query_id = p.query_id AND l.s = e.s AND l.code = e.code
+  GROUP BY 1, 2
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, id, adc_dist, CAST(rn AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adc_dist ASC, id ASC) AS rn
+  FROM scores
+) WHERE rn <= 10
 """
 
     o["sample_temperature"] = """

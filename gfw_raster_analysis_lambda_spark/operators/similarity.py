@@ -973,3 +973,103 @@ def mrl_rerank_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "id", "cosine", "rank")
     )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,  # (query_id, embedding)
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """IVF-PQ: the production ANN composition — IVF coarse pruning picks
+    WHICH vectors to score (n_probe/n_centroids of the corpus) and PQ
+    asymmetric distance decides HOW cheaply (one LUT gather per 8-byte
+    code row; raw vectors are never re-read at query time). Composes the
+    two existing index builds verbatim (:func:`ivf_assign_fast` coarse
+    assignment, :func:`pq_init_codebooks` + :func:`pq_encode` codes);
+    query-time cost is O(candidate pairs), with the per-query LUTs riding
+    the kernel closure exactly like :func:`pq_adc_topk`.
+
+    Plan: probes (tiny, broadcast) equi-join the assignment to form
+    (query_id, id) candidates, one join attaches codes, one Arrow pass
+    scores, one windowed top-k. Ranking = rounded ADC distance, ties to
+    the lowest id — identical to the DuckDB twin that re-derives
+    assignment, codes, and LUTs relationally."""
+    import numpy as np
+    import pandas as pd
+
+    if centroids is None:
+        centroids = (
+            emb.orderBy(F.asc(id_col)).limit(n_centroids)
+            .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
+        )
+    assign = ivf_assign_fast(emb, centroids, id_col, vec_col)
+    qc = F.broadcast(centroids.select("centroid_id", F.col(vec_col).alias("cv")))
+    qscored = (
+        queries.select("query_id", F.col(vec_col).alias("qv"))
+        .crossJoin(qc)
+        .withColumn(
+            "cos", _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
+    probes = (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "centroid_id")
+    )
+
+    cb = pq_init_codebooks(emb, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
+    enc = pq_encode(emb, cb, id_col=id_col, vec_col=vec_col)
+    pairs = (
+        assign.join(F.broadcast(probes), "centroid_id")
+        .select("query_id", "id")
+        .join(enc, "id")
+    )
+
+    qlist = [(int(r[0]), r[1]) for r in queries.select("query_id", vec_col).collect()]
+    if not qlist:
+        raise ValueError("ivf_pq_topk needs at least one query")
+    cbn = np.asarray(cb, dtype=np.float64)
+    mm, kk_, dsub = cbn.shape
+    luts = []
+    for _, qv in qlist:
+        qarr = np.asarray(qv, dtype=np.float64).reshape(mm, 1, dsub)
+        lut = ((qarr - cbn) ** 2).sum(axis=-1)
+        if round_to is not None:
+            lut = _round_half_up(lut, round_to)
+        luts.append(lut)
+    flat = np.stack(luts).reshape(len(qlist), mm * kk_)
+    qidx = {qid: i for i, (qid, _) in enumerate(qlist)}
+    offs = np.arange(mm) * kk_
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            rows = np.asarray([qidx[int(q)] for q in pdf["query_id"]])
+            sc = flat[rows[:, None], offs[None, :] + codes].sum(axis=1)
+            if round_to is not None:
+                sc = _round_half_up(sc, round_to)
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"], "id": pdf["id"], "adc_dist": sc,
+            })
+
+    id_type = dict(emb.dtypes)[id_col]
+    scored = pairs.mapInPandas(
+        score, f"query_id long, id {id_type}, adc_dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "adc_dist", "rank")
+    )

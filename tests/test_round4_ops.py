@@ -694,3 +694,35 @@ def test_scrub_pii_known_cases(spark):
     assert out[3]["n_ssn"] == 1 and "[SSN]" in out[3]["text"]
     assert out[4]["n_pii"] == 0 and out[4]["text"] == "clean document"
     assert out[1]["n_pii"] == 2
+
+
+def test_ivf_pq_scores_only_probed_buckets(spark):
+    from gfw_raster_analysis_lambda_spark.operators import similarity
+
+    df, vecs = _emb_df(spark, n=160, dim=16, seed=5)
+    qs = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ivf_pq_topk(
+        df, qs, k=5, n_centroids=8, n_probe=2, m=4, ksub=8
+    ).collect()
+    # every result id must live in one of its query's probed buckets
+    cents = df.orderBy("vec_id").limit(8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assign = {r["id"]: r["centroid_id"] for r in
+              similarity.ivf_assign(df, cents).collect()}
+    v = vecs.astype(np.float64)
+    cvecs = v[:8]
+    for qid in (0, 1):
+        cos = (cvecs @ v[qid]) / (np.linalg.norm(cvecs, axis=1) * np.linalg.norm(v[qid]))
+        probed = set(np.lexsort((np.arange(8), -cos))[:2])
+        got_ids = [r["id"] for r in out if r["query_id"] == qid]
+        assert len(got_ids) == 5
+        assert all(assign[i] in probed for i in got_ids), qid
+    # ADC ranking is monotone-ish vs exact L2 within the probed set:
+    # the top-1 ADC hit for the query's own vector is the query itself
+    # (its code distance to itself is the minimum possible)
+    for qid in (0, 1):
+        top1 = min((r for r in out if r["query_id"] == qid), key=lambda r: r["rank"])
+        assert top1["id"] == qid
