@@ -86,10 +86,15 @@ _AC_VALS = [
 
 
 def _zigzag_order() -> np.ndarray:
-    """Flat indices of the 8x8 zig-zag scan, computed (not transcribed)."""
+    """Flat indices of the 8x8 zig-zag scan, computed (not transcribed).
+
+    T.81 Figure 5: odd anti-diagonals (u+v odd) are traversed with the row
+    index u increasing, even anti-diagonals with u decreasing (equivalently,
+    v increasing) — the first indices are 0, 1, 8, 16, 9, 2, 3, 10, ...
+    """
     order = sorted(
         ((u, v) for u in range(8) for v in range(8)),
-        key=lambda t: (t[0] + t[1], t[1] if (t[0] + t[1]) % 2 else t[0]),
+        key=lambda t: (t[0] + t[1], t[0] if (t[0] + t[1]) % 2 else t[1]),
     )
     return np.array([u * 8 + v for u, v in order], dtype=np.int64)
 

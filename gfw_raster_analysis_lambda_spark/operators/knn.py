@@ -296,7 +296,12 @@ def knn_geo(
             got.groupBy("query_id")
             .agg(F.count(F.lit(1)).alias("n"), F.max(dcol).alias("dk"))
             .join(F.broadcast(pending.select("query_id", "lat")), "query_id")
-            .filter((F.col("n") >= k) & (F.col("dk") <= bound))
+            # STRICT <: bound is the minimum possible distance of an
+            # unexplored cell, so at dk == bound an unexplored point at
+            # exactly that distance with a smaller image_id would win the
+            # (distance, image_id) tie-break — boundary ties force one
+            # more expansion round instead of stopping early
+            .filter((F.col("n") >= k) & (F.col("dk") < bound))
             .select("query_id")
             .localCheckpoint(eager=True)
         )

@@ -892,7 +892,12 @@ def sq8_topk(
                 d = codes - qmat[qi]
                 dist = (d * d).sum(axis=1)                     # exact int64
                 if len(dist) > k:
-                    sel = np.argpartition(dist, k)[: k + 1]
+                    # keep EVERY row at or below the k-th smallest distance:
+                    # integer code-space distances make exact ties realistic,
+                    # and an argpartition[:k+1] prune keeps an arbitrary
+                    # tied subset — dropping a tied row with a smaller id
+                    # and breaking the documented (distance, id) order
+                    sel = np.flatnonzero(dist <= np.partition(dist, k)[k])
                 else:
                     sel = np.arange(len(dist))
                 out_q.extend([qids[qi]] * len(sel))

@@ -233,7 +233,7 @@ def quality_quota(
 def pack_token_bins(
     df: DataFrame,
     budget: int,
-    n_shards: int | None = None,
+    n_shards: int | str = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
     tokens_col: str | None = None,
@@ -252,14 +252,15 @@ def pack_token_bins(
     may overshoot ``budget`` by at most its last document's tokens
     (documents are never split).
 
-    ``n_shards`` defaults to the input's scan partition count (floor 64):
-    each shard's window IS one task over ~corpus/n_shards rows, so a
-    CONSTANT default would turn every shard into a ~corpus/64 single-task
-    scan at 100 TB — scaling shards with input partitions keeps per-task
-    work at roughly one input split regardless of corpus size. Note the
-    shard count is part of the packing's deterministic identity: rebuild
-    reproducibility across differently-partitioned reads requires pinning
-    ``n_shards`` explicitly (``jobs/curate_submit.py`` pins 1024).
+    ``n_shards`` defaults to the CONSTANT 64, because the shard count is
+    part of the packing's deterministic identity — a bit-identical
+    rebuild must not depend on how the corpus happened to be partitioned
+    or read. Pass ``n_shards="auto"`` to scale shards with the input's
+    scan partition count (floor 64) instead: each shard's window IS one
+    task over ~corpus/n_shards rows, so at 100 TB "auto" (or an explicit
+    large pin — ``jobs/curate_submit.py`` pins 1024) keeps per-task work
+    at roughly one input split, at the documented cost of
+    cluster-dependent (shard, bin) assignments.
 
     Returns ``(id, shard, bin, n_tokens)``; ``(shard, bin)`` is the
     packing key. Pass ``tokens_col`` to reuse an already-computed token
@@ -267,8 +268,10 @@ def pack_token_bins(
     the corpus."""
     from pyspark.sql import Window
 
-    if n_shards is None:
+    if n_shards == "auto":
         n_shards = max(64, df.rdd.getNumPartitions())
+    elif not isinstance(n_shards, int) or n_shards < 1:
+        raise ValueError(f"n_shards must be a positive int or 'auto', got {n_shards!r}")
     toks = (
         F.col(tokens_col) if tokens_col
         else whitespace_token_count(F.col(text_col))

@@ -313,11 +313,19 @@ def _rollup_one(partials, a: Aggregate, vcol: str, keys: list) -> DataFrame:
         # same closed form (the float-summation-order trap in the repo
         # memory notes); sqrt is IEEE-correctly-rounded, so stddev
         # inherits the exactness.
+        # Accumulate in decimal(38,0), not int64: n*s2 - s1^2 wraps int64
+        # silently (non-ANSI) once a uint8 group passes ~3.8e8 pixels —
+        # ~5800 256-px tiles, tiny against the 100-TB design point. The
+        # per-row products stay in int64 (pc_n is a per-task bincount,
+        # <= pixels-per-task ~25M, times v^2 <= 2^32 stays < 2^63); the
+        # cross-row sums and the final closed form are exact decimals.
+        # Worst case bound: n <= 1e14 px * s2 <= 4.3e23 -> 4.3e37 < 1e38.
         v = F.col(vcol).cast("long")
+        dec = "decimal(38,0)"
         stats = partials.groupBy(*keys).agg(
-            F.sum("__pc_n").cast("long").alias("__n"),
-            F.sum(F.col("__pc_n") * v).cast("long").alias("__s1"),
-            F.sum(F.col("__pc_n") * v * v).cast("long").alias("__s2"),
+            F.sum(F.col("__pc_n").cast(dec)).cast(dec).alias("__n"),
+            F.sum((F.col("__pc_n") * v).cast(dec)).cast(dec).alias("__s1"),
+            F.sum((F.col("__pc_n") * v * v).cast(dec)).cast(dec).alias("__s2"),
         )
         var = (
             (F.col("__n") * F.col("__s2") - F.col("__s1") * F.col("__s1"))

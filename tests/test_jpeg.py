@@ -95,3 +95,25 @@ def test_codecs_dispatch_jpg():
     out = codecs.decode_tile(codecs.encode_tile(a, "jpg"), 40, 24, "jpg")
     assert out.shape == (24, 40)
     assert _psnr(a, out) >= 40.0
+
+
+def test_zigzag_matches_t81_spec_table():
+    """Pin the computed scan against the first 16 indices of the T.81
+    Figure 5 zig-zag (row-major flat indices) — guards against the
+    transpose bug where encoder+decoder share a wrong constant and all
+    round-trip tests still pass."""
+    from gfw_raster_analysis_lambda_spark.functions.jpeg import _zigzag_order
+
+    spec_prefix = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5]
+    zz = _zigzag_order()
+    assert list(zz[:16]) == spec_prefix
+    # full table is a permutation and is symmetric under the
+    # transpose-then-reverse involution of the anti-diagonal walk
+    assert sorted(zz.tolist()) == list(range(64))
+    spec_full = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    assert zz.tolist() == spec_full

@@ -921,19 +921,26 @@ def test_pack_token_bins_properties(spark, docs):
         assert sub[i] == full[i]
 
 
-def test_pack_token_bins_default_shards_tracks_partitions(spark, docs):
-    """The n_shards default scales with the input's partition count
-    (floor 64): each shard's window is ONE task over ~corpus/n_shards
-    rows, so the per-shard row bound must shrink as the input gets wider
-    — a constant default would mean ~corpus/64 single-task scans at
-    100 TB."""
+def test_pack_token_bins_default_is_partition_invariant(spark, docs):
+    """The DEFAULT packing is part of the pipeline's bit-identical
+    rebuild contract (ADVICE r4): it must not depend on how the corpus
+    happened to be partitioned or read. Partition scaling is available
+    behind the explicit n_shards="auto" sentinel."""
     wide = text.pack_token_bins(docs.repartition(96), budget=300).toPandas()
-    assert (wide["doc_id"] % 96 == wide["shard"]).all()  # 96 > floor
     narrow = text.pack_token_bins(docs.coalesce(2), budget=300).toPandas()
-    assert (narrow["doc_id"] % 64 == narrow["shard"]).all()  # floor wins
-    n = len(wide)
-    assert wide.groupby("shard").size().max() <= -(-n // 96) + 1
-    assert wide.groupby("shard").size().max() < narrow.groupby("shard").size().max()
+    assert (wide["doc_id"] % 64 == wide["shard"]).all()   # constant default
+    assert (narrow["doc_id"] % 64 == narrow["shard"]).all()
+    w = wide.sort_values("doc_id").reset_index(drop=True)
+    n = narrow.sort_values("doc_id").reset_index(drop=True)
+    assert w.equals(n)  # bit-identical across read layouts
+    # "auto" opts into partition scaling: each shard ~ one input split
+    auto = text.pack_token_bins(docs.repartition(96), budget=300, n_shards="auto").toPandas()
+    assert (auto["doc_id"] % 96 == auto["shard"]).all()   # 96 > floor
+    floor = text.pack_token_bins(docs.coalesce(2), budget=300, n_shards="auto").toPandas()
+    assert (floor["doc_id"] % 64 == floor["shard"]).all()  # floor wins
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="auto"):
+        text.pack_token_bins(docs, budget=300, n_shards="wide")
 
 
 def test_rolling_features_semantics(spark):

@@ -726,3 +726,70 @@ def test_ivf_pq_scores_only_probed_buckets(spark):
     for qid in (0, 1):
         top1 = min((r for r in out if r["query_id"] == qid), key=lambda r: r["rank"])
         assert top1["id"] == qid
+
+
+def test_variance_rollup_no_int64_overflow(spark):
+    """n*s2 - s1^2 wraps int64 once a uint8 group passes ~3.8e8 pixels;
+    the rollup must accumulate in decimal(38,0) (ADVICE r4). Bincount
+    rows stand in for 6e8 pixels — far past the wrap point — and the
+    result is checked against exact Python integer arithmetic."""
+    from gfw_raster_analysis_lambda_spark.plans.ir import Aggregate
+    from gfw_raster_analysis_lambda_spark.plans.planner import _rollup_one
+
+    counts = {0: 200_000_000, 200: 250_000_000, 255: 150_000_000}
+    partials = spark.createDataFrame(
+        [("g", v, c) for v, c in counts.items()],
+        "k string, __v long, __pc_n long",
+    )
+    n = sum(counts.values())
+    s1 = sum(c * v for v, c in counts.items())
+    s2 = sum(c * v * v for v, c in counts.items())
+    assert n * s2 - s1 * s1 > 2**63  # the test is actually in the wrap regime
+    expect = (n * s2 - s1 * s1) / (n * n)
+    got = _rollup_one(partials, Aggregate("variance", "__v", "var"), "__v", ["k"]).collect()
+    np.testing.assert_allclose(got[0]["var"], expect, rtol=1e-12)
+    got_sd = _rollup_one(partials, Aggregate("stddev", "__v", "sd"), "__v", ["k"]).collect()
+    np.testing.assert_allclose(got_sd[0]["sd"], expect**0.5, rtol=1e-12)
+
+
+def test_sq8_topk_boundary_ties_keep_smallest_ids(spark):
+    """Rows tying at the k-th integer distance must resolve by (distance,
+    id) — the in-batch prune may not drop a tied row with a smaller id
+    (ADVICE r4: argpartition kept an arbitrary tied subset)."""
+    from gfw_raster_analysis_lambda_spark.operators import similarity
+
+    # 40 corpus rows in ONE partition (one mapInPandas batch) all at the
+    # SAME distance from the query except two strictly-closer rows:
+    # k=5 needs 3 of the 38 tied rows, and the winners must be ids 0,1,2.
+    rows = [(0, [0, 0]), (1, [0, 1])] + [(i, [3, 4]) for i in range(2, 40)]
+    enc = spark.createDataFrame(rows, "id long, codes array<int>").coalesce(1)
+    out = similarity.sq8_topk(enc, [(7, [0, 0])], k=5).orderBy("rank").collect()
+    assert [r["id"] for r in out] == [0, 1, 2, 3, 4]
+    assert [r["sq_dist"] for r in out] == [0, 1, 25, 25, 25]
+
+
+def test_knn_geo_boundary_tie_forces_expansion(spark):
+    """dk == ring bound exactly: query at a cell centroid with k=4 makes
+    the 4 axis-neighbor centroids land at exactly td (== the r=1 sqdeg
+    bound). The stop rule must be STRICT (< bound, ADVICE r4) so the tie
+    forces one more expansion round; the result must still equal the
+    global brute force and terminate."""
+    images = _geo_corpus(spark)
+    pts = [
+        (r["image_id"],
+         -180.0 + (r["cell_id"] >> 27 & (1 << 27) - 1) * GRID.tile_deg + GRID.tile_deg / 2,
+         90.0 - (r["cell_id"] & (1 << 27) - 1) * GRID.tile_deg - GRID.tile_deg / 2)
+        for r in images.select("image_id", "cell_id").collect()
+    ]
+    # centroid of cell (761, 277): x lon, y lat on the fixture grid
+    qlon = -180.0 + 761 * GRID.tile_deg + GRID.tile_deg / 2
+    qlat = 90.0 - 277 * GRID.tile_deg - GRID.tile_deg / 2
+    qs = [("ctr", qlon, qlat)]
+    out = knn.knn_geo(
+        images, spark.createDataFrame(qs, "query_id string, lon double, lat double"),
+        k=4, ring=1, max_ring=8, grid_name=GRID.name,
+    ).collect()
+    got = [r["image_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == _brute_topk(pts, qlon, qlat, 4)
+    # the k-th distance really is the bound (td^2): the strict rule was hit
+    assert abs(sorted(r["dist2"] for r in out)[-1] - GRID.tile_deg**2) < 1e-15
