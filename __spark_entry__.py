@@ -1800,15 +1800,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             F.concat(
                 F.col("text"),
-                F.when(F.col("doc_id") % 4 == 0,
+                F.when(F.col("doc_id") % 6 == 0,
                        F.concat(F.lit(" u"), F.col("doc_id").cast("string"),
                                 F.lit("@ex.com")))
-                .when(F.col("doc_id") % 4 == 1,
+                .when(F.col("doc_id") % 6 == 1,
                       F.concat(F.lit(" +1 555 123 "),
                                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")))
-                .when(F.col("doc_id") % 4 == 2,
+                .when(F.col("doc_id") % 6 == 2,
                       F.concat(F.lit(" 10.0."),
                                (F.col("doc_id") % 256).cast("string"), F.lit(".7")))
+                .when(F.col("doc_id") % 6 == 3,
+                      # unseparated 10-digit phone (round-5 pattern)
+                      F.concat(F.lit(" 555123"),
+                               F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")))
+                .when(F.col("doc_id") % 6 == 4,
+                      # international E.164 phone (round-5 pattern)
+                      F.concat(F.lit(" +4420"),
+                               F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")))
                 .otherwise(
                     F.concat(F.lit(" 123-45-"),
                              F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))),
@@ -1834,6 +1842,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             e, qs, k=10, n_centroids=16, n_probe=4, m=8, ksub=16
         )
     q["sim_ivf_pq"] = sim_ivf_pq
+
+    def sim_ivf_pq_recall(spark, sf_dir):
+        # retrieval-QUALITY pin for IVF-PQ, not just hash-exactness:
+        # per-query recall@10 against the exact cosine top-k, with the
+        # DuckDB twin re-deriving BOTH sides relationally — a regression
+        # that keeps determinism but silently destroys recall flips this
+        # gate even though sim_ivf_pq itself would still hash-match
+        e = _t(spark, sf_dir, "embeddings")
+        qs = e.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = similarity.cosine_topk(e, qs, k=10)
+        approx = similarity.ivf_pq_topk(
+            e, qs, k=10, n_centroids=16, n_probe=4, m=8, ksub=16
+        )
+        return similarity.recall_at_k(exact, approx, k=10).select(
+            "query_id", F.round(F.col("recall"), 6).alias("recall")
+        )
+    q["sim_ivf_pq_recall"] = sim_ivf_pq_recall
+
+    def sim_sq8_recall(spark, sf_dir):
+        # same quality pin for the scalar-quantization family: SQ8
+        # integer-code top-10 vs exact cosine top-10 per query
+        e = _t(spark, sf_dir, "embeddings")
+        qs = e.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = similarity.cosine_topk(e, qs, k=10)
+        mins, maxs = similarity.sq8_stats(e)
+        enc = similarity.sq8_encode(e, mins, maxs)
+        qcodes = [
+            (int(r["id"]), list(r["codes"]))
+            for r in enc.filter(F.col("id") < 4).collect()
+        ]
+        approx = similarity.sq8_topk(enc, qcodes, k=10)
+        return similarity.recall_at_k(exact, approx, k=10).select(
+            "query_id", F.round(F.col("recall"), 6).alias("recall")
+        )
+    q["sim_sq8_recall"] = sim_sq8_recall
 
     def sample_temperature(spark, sf_dir):
         # quality-temperature sampling: keep with p = sqrt(q / per-source
@@ -3951,16 +3998,22 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 """
 
     _rx_email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    _rx_phone = "\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+    _rx_phone = (
+        "(?:\\+?[0-9]{1,3}[-. ]?)?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+        "|\\+[0-9]{7,15}"
+        "|\\b[0-9]{10}\\b"
+    )
     _rx_ip = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
     _rx_ssn = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
     o["text_pii_scrub"] = f"""
 WITH injected AS (
   SELECT doc_id,
-         text || CASE doc_id % 4
+         text || CASE doc_id % 6
            WHEN 0 THEN ' u' || CAST(doc_id AS VARCHAR) || '@ex.com'
            WHEN 1 THEN ' +1 555 123 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
            WHEN 2 THEN ' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+           WHEN 3 THEN ' 555123' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           WHEN 4 THEN ' +4420' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
            ELSE ' 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
          END AS text
   FROM documents
@@ -4053,6 +4106,40 @@ FROM (
   FROM scores
 ) WHERE rn <= 10
 """
+
+    def _exact_cos_topk(pred: str) -> str:
+        return f"""
+SELECT query_id, id FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id ASC) AS rn
+  FROM (
+    SELECT q.vec_id AS query_id, a.vec_id AS id,
+           ROUND({dot_ab.replace('b.embedding', 'q.embedding')}
+                 / ({norm.format(t='a')} * {norm.format(t='q')}), 6) AS cosine
+    FROM embeddings a
+    JOIN embeddings q ON {pred},
+    generate_series(1, 64) g(i)
+    GROUP BY q.vec_id, a.vec_id
+  )
+) WHERE rn <= 10
+"""
+
+    def _recall_sql(exact_sql: str, approx_sql: str) -> str:
+        return f"""
+WITH exact AS ({exact_sql}),
+approx AS (SELECT query_id, id FROM ({approx_sql}))
+SELECT CAST(e.query_id AS BIGINT) AS query_id,
+       ROUND(CAST(COUNT(a.id) AS DOUBLE) / COUNT(*), 6) AS recall
+FROM exact e
+LEFT JOIN approx a ON a.query_id = e.query_id AND a.id = e.id
+GROUP BY e.query_id
+"""
+
+    o["sim_ivf_pq_recall"] = _recall_sql(
+        _exact_cos_topk("q.vec_id < 3"), o["sim_ivf_pq"]
+    )
+    o["sim_sq8_recall"] = _recall_sql(
+        _exact_cos_topk("q.vec_id < 4"), o["sim_sq8"]
+    )
 
     o["sample_temperature"] = """
 WITH scored AS (

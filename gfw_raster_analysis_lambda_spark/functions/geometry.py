@@ -465,15 +465,23 @@ def _douglas_peucker(points: np.ndarray, tol: float) -> np.ndarray:
 
 
 def normalize(geom: Geometry) -> Geometry:
-    """Validity repair: drop rings with <3 distinct vertices and empty
-    polygons. Even-odd masking makes heavier repair (buffer(0)) unneeded."""
+    """Validity repair: drop rings with <3 distinct vertices, fully
+    collinear rings (zero even-odd interior — they rasterize to nothing
+    and must not count as overlap in :func:`interiors_intersect`), and
+    empty polygons. Even-odd masking makes heavier repair (buffer(0))
+    unneeded."""
     out: Geometry = []
     for poly in geom:
         rings = []
         for ring in poly:
             r = np.asarray(ring, dtype=np.float64)
-            if len(np.unique(r, axis=0)) >= 3:
-                rings.append(r)
+            u = np.unique(r, axis=0)
+            if len(u) < 3:
+                continue
+            d = u[1:] - u[0]
+            if np.all(d[0, 0] * d[:, 1] - d[0, 1] * d[:, 0] == 0.0):
+                continue  # all vertices on one line: no interior
+            rings.append(r)
         if rings:
             out.append(rings)
     return out
@@ -507,12 +515,109 @@ def _proper_crossings(e1: np.ndarray, e2: np.ndarray) -> bool:
     return bool(np.any((d1 * d2 < 0) & (d3 * d4 < 0)))
 
 
+def _strict_inside(edges: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    """Even-odd membership with points ON an edge excluded — the
+    interiors-intersect fallback needs open-set membership, where the
+    half-open ray rule of :func:`contains_points` would classify
+    on-boundary probes arbitrarily."""
+    if not len(pts) or not len(edges):
+        return np.zeros(len(pts), dtype=bool)
+    px, py = pts[:, 0:1], pts[:, 1:2]
+    x1, y1, x2, y2 = (edges[None, :, i] for i in range(4))
+    cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+    on = (
+        (cross == 0.0)
+        & (px >= np.minimum(x1, x2)) & (px <= np.maximum(x1, x2))
+        & (py >= np.minimum(y1, y2)) & (py <= np.maximum(y1, y2))
+    ).any(axis=1)
+    straddles = (y1 <= py) != (y2 <= py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xcross = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+    odd = ((straddles & (xcross > px)).sum(axis=1) % 2).astype(bool)
+    return odd & ~on
+
+
+def _split_midpoints(e1: np.ndarray, e2: np.ndarray) -> np.ndarray:
+    """Midpoints of every subsegment of e1's edges after splitting them
+    at all intersections (incl. collinear overlaps) with e2's edges.
+    Between consecutive split points a subsegment lies entirely inside,
+    on, or outside the other region, so midpoints classify it."""
+    r, s = e2[:, 0:2], e2[:, 2:4]
+    d2 = s - r
+    mids = []
+    for e in e1:
+        p, d1 = e[0:2], e[2:4] - e[0:2]
+        if d1[0] == 0.0 and d1[1] == 0.0:
+            continue  # zero-length edge: its only point is a vertex, probed already
+        denom = d1[0] * d2[:, 1] - d1[1] * d2[:, 0]
+        w = r - p
+        num_t = w[:, 0] * d2[:, 1] - w[:, 1] * d2[:, 0]
+        num_u = w[:, 0] * d1[1] - w[:, 1] * d1[0]
+        gen = denom != 0.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = num_t[gen] / denom[gen]
+            u = num_u[gen] / denom[gen]
+        cuts = [np.array([0.0, 1.0]), t[(t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)]]
+        col = np.flatnonzero(~gen & (num_u == 0.0))  # parallel AND collinear
+        if len(col):
+            den = float(d1 @ d1)
+            for j in col:
+                for pt in (r[j], s[j]):
+                    tt = float((pt - p) @ d1) / den
+                    if 0.0 <= tt <= 1.0:
+                        cuts.append(np.array([tt]))
+        ts = np.unique(np.concatenate(cuts))
+        tm = (ts[:-1] + ts[1:]) / 2.0
+        mids.append(p + tm[:, None] * d1)
+    return np.vstack(mids) if mids else np.zeros((0, 2))
+
+
+def _interior_rep_points(edges: np.ndarray) -> np.ndarray:
+    """At least one strictly-interior point of EVERY component of the
+    even-odd region: every component's y-extent is bounded by vertex
+    levels, so scanning the mid-line of each vertex-y slab and taking
+    the midpoints of the even-odd in-intervals hits each component."""
+    levels = np.unique(np.concatenate([edges[:, 1], edges[:, 3]]))
+    x1, y1, x2, y2 = edges[:, 0], edges[:, 1], edges[:, 2], edges[:, 3]
+    pts = []
+    for ym in (levels[:-1] + levels[1:]) / 2.0:
+        m = (y1 <= ym) != (y2 <= ym)
+        if not m.any():
+            continue
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xs = np.sort(x1[m] + (ym - y1[m]) * (x2[m] - x1[m]) / (y2[m] - y1[m]))
+        xa, xb = xs[0::2], xs[1::2]
+        keep = xa != xb
+        if keep.any():
+            mid = (xa[keep] + xb[keep]) / 2.0
+            pts.append(np.stack([mid, np.full(len(mid), ym)], axis=1))
+    return np.vstack(pts) if pts else np.zeros((0, 2))
+
+
 def interiors_intersect(g1: Geometry, g2: Geometry) -> bool:
     """True iff the polygon INTERIORS overlap (the overlay-join
     predicate; boundary-touching neighbors do not count, matching strict
-    interval overlap for boxes). Decision: bbox reject, then any proper
-    edge crossing, else mutual vertex containment (even-odd, so a
-    geometry sitting inside the other's HOLE correctly reports False)."""
+    interval overlap for boxes). Inputs should be :func:`normalize`\\ d
+    (zero-interior rings dropped).
+
+    Decision: bbox reject, then any proper edge crossing (the common
+    overlapping case), else a COMPLETE fallback for degenerate contact —
+    shared vertices, collinear edge overlap, containment, holes:
+
+    1. any vertex of one strictly inside the other (cheap accept);
+    2. any split-subsegment midpoint of one boundary strictly inside the
+       other (a non-degenerate boundary point inside an open set forces
+       interior overlap, and splitting at every intersection makes each
+       subsegment's classification uniform);
+    3. any slab representative interior point of one strictly inside the
+       other (catches whole-component containment where the boundaries
+       only touch, e.g. identical polygons or a hole-filling island).
+
+    Strict (open-set) membership throughout, so boundary-touching
+    neighbors never count. The fallback's completeness argument mirrors
+    the independent test oracle (tests/geom_oracle.py), which verifies
+    this implementation over seeded random rotated/concave/holed and
+    lattice-degenerate polygon pairs in exact rational arithmetic."""
     if is_empty(g1) or is_empty(g2):
         return False
     b1, b2 = bounds(g1), bounds(g2)
@@ -521,9 +626,13 @@ def interiors_intersect(g1: Geometry, g2: Geometry) -> bool:
     e1, e2 = all_edges(g1), all_edges(g2)
     if _proper_crossings(e1, e2):
         return True
-    # no crossings: either disjoint or one inside the other (or in a hole)
-    v1 = e1[0, 0:2]
-    if bool(contains_points(g2, np.array([v1[0]]), np.array([v1[1]]), e2)[0]):
+    # no proper crossings: disjoint, nested, or degenerate contact
+    if _strict_inside(e2, e1[:, 0:2]).any() or _strict_inside(e1, e2[:, 0:2]).any():
         return True
-    v2 = e2[0, 0:2]
-    return bool(contains_points(g1, np.array([v2[0]]), np.array([v2[1]]), e1)[0])
+    if _strict_inside(e2, _split_midpoints(e1, e2)).any():
+        return True
+    if _strict_inside(e1, _split_midpoints(e2, e1)).any():
+        return True
+    if _strict_inside(e2, _interior_rep_points(e1)).any():
+        return True
+    return bool(_strict_inside(e1, _interior_rep_points(e2)).any())

@@ -133,7 +133,7 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, n_hashes: int 
 
 def minhash_lsh_candidates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    n_hashes: int = 8, bands: int = 4,
+    n_hashes: int = 8, bands: int = 4, max_pairs: int | None = None,
 ) -> DataFrame:
     """Candidate pairs (a < b) sharing at least one LSH band: band key =
     md5 of the band's concatenated minhashes (fixed hash order).
@@ -144,7 +144,18 @@ def minhash_lsh_candidates(
     band also matched). That is a codegen filter instead of the obvious
     ``.distinct()``, which at near-dup-heavy corpora re-shuffles the
     entire O(pairs) output (measured 73% of this query's wall time at
-    sf0.1: 9.8M pair rows)."""
+    sf0.1: 9.8M pair rows).
+
+    The output is inherently O(pairs): a duplicate-saturated corpus (one
+    hot bucket of B near-identical docs) materializes B(B-1)/2 rows. This
+    operator is the DIAGNOSTIC path — production dedup goes through the
+    O(docs) :func:`minhash_dedup_keepers` / cluster closure. ``max_pairs``
+    is the un-OOM-able guard for the diagnostic path: before any pair is
+    materialized, one cheap bucket-size aggregation (O(docs x bands)
+    rows) upper-bounds the pair count as sum nb*(nb-1)/2 over buckets
+    (an upper bound — cross-band duplicate pairs are suppressed in the
+    real output), and past the bound the call fails fast with the probe
+    numbers instead of shuffling an unbounded pair set."""
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n_hashes)
     keys = [
@@ -166,6 +177,22 @@ def minhash_lsh_candidates(
         "id", *[f"bk{b}" for b in range(bands)],
         F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"),
     )
+    if max_pairs is not None:
+        probe = (
+            banded.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("nb"))
+            .agg(F.coalesce(
+                F.sum(F.col("nb") * (F.col("nb") - 1) / 2), F.lit(0.0)
+            ).cast("long").alias("ub"))
+            .collect()[0]["ub"]
+        )
+        if probe > max_pairs:
+            raise ValueError(
+                f"minhash_lsh_candidates would materialize up to {probe} "
+                f"candidate pairs (> max_pairs={max_pairs}); use the O(docs) "
+                "minhash_dedup_keepers / minhash_dedup_clusters paths for "
+                "duplicate-saturated corpora, or raise max_pairs"
+            )
     left = banded.alias("l")
     right = banded.alias("r")
     cond = (

@@ -992,6 +992,7 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     round_to: int | None = 6,
+    max_closure_queries: int = 10_000,
 ) -> DataFrame:
     """IVF-PQ: the production ANN composition — IVF coarse pruning picks
     WHICH vectors to score (n_probe/n_centroids of the corpus) and PQ
@@ -1006,7 +1007,18 @@ def ivf_pq_topk(
     (query_id, id) candidates, one join attaches codes, one Arrow pass
     scores, one windowed top-k. Ranking = rounded ADC distance, ties to
     the lowest id — identical to the DuckDB twin that re-derives
-    assignment, codes, and LUTs relationally."""
+    assignment, codes, and LUTs relationally.
+
+    Query batches up to ``max_closure_queries`` precompute all LUTs on
+    the driver and ship them in the kernel closure (LUT reuse across a
+    query's whole candidate list — the fast path, plan unchanged). PAST
+    the bound nothing is collected: the query vector rides the candidate
+    join instead, and the kernel builds each batch's LUTs from the
+    unique query vectors it actually sees (codebook in the closure is
+    m*ksub*dsub floats, constant) — driver memory stays flat no matter
+    how many queries the log holds, at the cost of re-deriving a query's
+    LUT once per Arrow batch that touches it. Both paths score the
+    identical rounded ADC distance."""
     import numpy as np
     import pandas as pd
 
@@ -1039,39 +1051,71 @@ def ivf_pq_topk(
         .join(enc, "id")
     )
 
-    qlist = [(int(r[0]), r[1]) for r in queries.select("query_id", vec_col).collect()]
-    if not qlist:
-        raise ValueError("ivf_pq_topk needs at least one query")
     cbn = np.asarray(cb, dtype=np.float64)
     mm, kk_, dsub = cbn.shape
-    luts = []
-    for _, qv in qlist:
-        qarr = np.asarray(qv, dtype=np.float64).reshape(mm, 1, dsub)
-        lut = ((qarr - cbn) ** 2).sum(axis=-1)
-        if round_to is not None:
-            lut = _round_half_up(lut, round_to)
-        luts.append(lut)
-    flat = np.stack(luts).reshape(len(qlist), mm * kk_)
-    qidx = {qid: i for i, (qid, _) in enumerate(qlist)}
     offs = np.arange(mm) * kk_
-
-    def score(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
-            rows = np.asarray([qidx[int(q)] for q in pdf["query_id"]])
-            sc = flat[rows[:, None], offs[None, :] + codes].sum(axis=1)
-            if round_to is not None:
-                sc = _round_half_up(sc, round_to)
-            yield pd.DataFrame({
-                "query_id": pdf["query_id"], "id": pdf["id"], "adc_dist": sc,
-            })
-
     id_type = dict(emb.dtypes)[id_col]
-    scored = pairs.mapInPandas(
-        score, f"query_id long, id {id_type}, adc_dist double"
-    )
+
+    def _lut(qv: np.ndarray) -> np.ndarray:
+        lut = ((qv.reshape(mm, 1, dsub) - cbn) ** 2).sum(axis=-1)
+        return _round_half_up(lut, round_to) if round_to is not None else lut
+
+    n_queries = queries.limit(max_closure_queries + 1).count()
+    if n_queries == 0:
+        raise ValueError("ivf_pq_topk needs at least one query")
+    if n_queries <= max_closure_queries:
+        # closure path: all LUTs precomputed once on the driver
+        qlist = [(int(r[0]), r[1]) for r in queries.select("query_id", vec_col).collect()]
+        flat = np.stack([
+            _lut(np.asarray(qv, dtype=np.float64)) for _, qv in qlist
+        ]).reshape(len(qlist), mm * kk_)
+        qidx = {qid: i for i, (qid, _) in enumerate(qlist)}
+
+        def score(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+                rows = np.asarray([qidx[int(q)] for q in pdf["query_id"]])
+                sc = flat[rows[:, None], offs[None, :] + codes].sum(axis=1)
+                if round_to is not None:
+                    sc = _round_half_up(sc, round_to)
+                yield pd.DataFrame({
+                    "query_id": pdf["query_id"], "id": pdf["id"], "adc_dist": sc,
+                })
+
+        scored = pairs.mapInPandas(
+            score, f"query_id long, id {id_type}, adc_dist double"
+        )
+    else:
+        # distributed path: qv rides the candidate join; LUTs built per
+        # Arrow batch from the unique query vectors present in it
+        pairs_q = pairs.join(
+            queries.select("query_id", F.col(vec_col).alias("__qv")), "query_id"
+        )
+
+        def score_dist(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+                qids = pdf["query_id"].to_numpy()
+                uq, inv = np.unique(qids, return_inverse=True)
+                first = {int(q): i for i, q in reversed(list(enumerate(qids)))}
+                flat = np.stack([
+                    _lut(np.asarray(pdf["__qv"].iloc[first[int(q)]], dtype=np.float64))
+                    for q in uq
+                ]).reshape(len(uq), mm * kk_)
+                sc = flat[inv[:, None], offs[None, :] + codes].sum(axis=1)
+                if round_to is not None:
+                    sc = _round_half_up(sc, round_to)
+                yield pd.DataFrame({
+                    "query_id": pdf["query_id"], "id": pdf["id"], "adc_dist": sc,
+                })
+
+        scored = pairs_q.mapInPandas(
+            score_dist, f"query_id long, id {id_type}, adc_dist double"
+        )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -121,9 +121,14 @@ def polygon_cell_join(
     raise ValueError(f"unknown join strategy {strategy!r}")
 
 
+PAIR_BROADCAST_WKB_BYTES = 256 * 2**20  # geometry bytes broadcast per side
+PAIR_BROADCAST_ROW_LIMIT = 1_000_000    # AOI rows broadcast per side
+
+
 def polygon_pairs(
     aoi: DataFrame,
     grid_name: str,
+    broadcast_bytes_limit: int = PAIR_BROADCAST_WKB_BYTES,
 ) -> DataFrame:
     """Vector-overlay SELF-join: every pair of AOI polygons whose
     INTERIORS intersect (boundary-touching neighbors excluded), each
@@ -147,7 +152,15 @@ def polygon_pairs(
 
     Cost: O(sum cells per polygon) join rows and O(candidate pairs)
     exact tests; hot cells fall under the same AQE skew handling as the
-    zonal join."""
+    zonal join.
+
+    Geometry re-attach degrades gracefully past the broadcast bound: the
+    AOI table's row count and total WKB bytes are probed RELATIONALLY
+    first (one tiny agg job, the ``_probe_aoi_batch`` pattern — no
+    geometry crosses the wire), and a batch too large to broadcast
+    attaches via plain shuffle hash joins on the id instead — same
+    result, two Exchanges of O(candidate pairs) rows, no driver/executor
+    OOM from a multi-GB broadcast."""
     cells = aoi_cells(aoi, grid_name).select("aoi_id", "cell_id")
     a = cells.select(F.col("aoi_id").alias("a"), "cell_id")
     b = cells.select(F.col("aoi_id").alias("b"), "cell_id")
@@ -157,9 +170,20 @@ def polygon_pairs(
         .select("a", "b")
         .distinct()
     )
+    stats = aoi.select(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.length("geom_wkb")), F.lit(0)).alias("b"),
+    ).collect()[0]
+    fits = (
+        stats["n"] <= PAIR_BROADCAST_ROW_LIMIT
+        and stats["b"] <= broadcast_bytes_limit
+    )
     ga = aoi.select(F.col("aoi_id").alias("a"), F.col("geom_wkb").alias("wkb_a"))
     gb = aoi.select(F.col("aoi_id").alias("b"), F.col("geom_wkb").alias("wkb_b"))
-    pairs = cand.join(F.broadcast(ga), "a").join(F.broadcast(gb), "b")
+    if fits:
+        pairs = cand.join(F.broadcast(ga), "a").join(F.broadcast(gb), "b")
+    else:
+        pairs = cand.join(ga, "a").join(gb, "b")
 
     @F.pandas_udf("boolean")
     def hits(wa: pd.Series, wb: pd.Series) -> pd.Series:

@@ -482,9 +482,19 @@ def dup_ngram_stats(
 
 PII_PATTERNS = {
     # deliberately conservative, locale-light patterns; production swaps
-    # in a vetted library list. Keys are the replacement tags.
+    # in a vetted library list. Keys are the replacement tags. Every
+    # pattern must behave identically under Java regex (Spark) and RE2
+    # (the DuckDB oracle twin): ASCII \b, leftmost-first alternation.
     "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "PHONE": r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}",
+    # three alternatives, tried in order: separated NANP-style with
+    # OPTIONAL country code (so "(555) 123-4567" matches), international
+    # E.164 (+ and 7-15 digits), and the unseparated 10-digit form
+    # (\b-anchored so an 11+-digit number is not partially redacted)
+    "PHONE": (
+        r"(?:\+?[0-9]{1,3}[-. ]?)?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+        r"|\+[0-9]{7,15}"
+        r"|\b[0-9]{10}\b"
+    ),
     "IPV4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
     "SSN": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
 }

@@ -1211,3 +1211,20 @@ def test_semantic_dedup_fast_matches_relational(spark, emb):
         (r["id"], r["centroid_id"]) for r in fast
     ]
     assert len(rel) > 0
+
+
+def test_minhash_lsh_max_pairs_guard(spark):
+    """A duplicate-saturated corpus must fail fast at the probe (before
+    any pair is materialized) when past max_pairs, and run unchanged when
+    under it — the diagnostic-path un-OOM-able guard (ADVICE r4 item 7)."""
+    rows = [(i, "same text every row making one hot bucket") for i in range(40)]
+    rows += [(100 + i, f"unique words number {i} salt {i*i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_pairs"):
+        dedup.minhash_lsh_candidates(df, n_hashes=8, bands=4, max_pairs=100)
+    # 40 identical docs = 780 true pairs; upper bound counts each band's
+    # bucket, so the probe bound is bands * 780 = 3120
+    out = dedup.minhash_lsh_candidates(df, n_hashes=8, bands=4, max_pairs=4000).toPandas()
+    hot = out[(out["a"] < 100) & (out["b"] < 100)]
+    assert len(hot) == 780  # the hot bucket's full pair set, exactly once each
+    assert len(out.drop_duplicates(["a", "b"])) == len(out)

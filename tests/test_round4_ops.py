@@ -793,3 +793,136 @@ def test_knn_geo_boundary_tie_forces_expansion(spark):
     assert got == _brute_topk(pts, qlon, qlat, 4)
     # the k-th distance really is the bound (td^2): the strict rule was hit
     assert abs(sorted(r["dist2"] for r in out)[-1] - GRID.tile_deg**2) < 1e-15
+
+
+def test_polygon_pairs_shuffle_fallback_parity(spark):
+    """Past the broadcast bound the geometry re-attach must degrade to
+    shuffle joins with an identical result. Forcing the bound to 0 bytes
+    routes every batch down the fallback; parity against the broadcast
+    plan on the same AOIs proves the degradation is result-transparent."""
+    from gfw_raster_analysis_lambda_spark.functions import geometry as geo
+    from gfw_raster_analysis_lambda_spark.operators import spatial_join
+
+    rng = np.random.RandomState(23)
+    rows = []
+    for k in range(20):
+        x1 = 10.0 + rng.uniform(0, 0.6)
+        y1 = 20.0 + rng.uniform(0, 0.6)
+        rows.append((f"p{k:02d}", geo.wkb_dumps(geo.box(
+            x1, y1, x1 + rng.uniform(0.05, 0.3), y1 + rng.uniform(0.05, 0.3)))))
+    aoi = spark.createDataFrame(rows, fixtures.AOI_SCHEMA)
+    fast = {(r["a"], r["b"]) for r in
+            spatial_join.polygon_pairs(aoi, GRID.name).collect()}
+    slow_df = spatial_join.polygon_pairs(aoi, GRID.name, broadcast_bytes_limit=0)
+    slow = {(r["a"], r["b"]) for r in slow_df.collect()}
+    assert fast == slow and len(fast) > 5
+    # the fallback drops the broadcast HINT (Catalyst may still pick a
+    # broadcast join for this tiny fixture from its own statistics — at
+    # scale those statistics exceed the threshold and it plans SMJ; the
+    # bug being guarded is the unconditional hint forcing a multi-GB
+    # broadcast regardless of size)
+    logical = slow_df._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" not in logical.lower()
+    hinted = spatial_join.polygon_pairs(aoi, GRID.name)
+    assert "broadcast" in hinted._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_ivf_pq_distributed_lut_parity_and_scale(spark):
+    """Past max_closure_queries the LUTs must be built distributedly from
+    the query vectors riding the candidate join (no driver collect of the
+    query log); the scores must be bit-identical to the closure path.
+    Also smoke the big-batch path with 100k queries on a tiny corpus —
+    the driver holds only the constant codebook, so this completes
+    without driver-memory growth."""
+    from gfw_raster_analysis_lambda_spark.operators import similarity
+
+    df, _ = _emb_df(spark, n=160, dim=16, seed=5)
+    qs = df.filter(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(k=5, n_centroids=8, n_probe=2, m=4, ksub=8)
+    fast = similarity.ivf_pq_topk(df, qs, **kw).orderBy("query_id", "rank").collect()
+    slow = similarity.ivf_pq_topk(
+        df, qs, max_closure_queries=1, **kw
+    ).orderBy("query_id", "rank").collect()
+    assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
+    assert len(fast) == 12 * 5
+
+    # 100k-query smoke on a 40-vector corpus (~10 candidates/query):
+    # forced onto the distributed branch, the query log never hits the
+    # driver
+    small, _ = _emb_df(spark, n=40, dim=16, seed=9)
+    big_qs = (
+        spark.range(100_000).select(F.col("id").alias("query_id"))
+        .join(F.broadcast(small.limit(8).select(
+            (F.col("vec_id")).alias("qmod"), "embedding")),
+            F.pmod(F.col("query_id"), F.lit(8)) == F.col("qmod"))
+        .select("query_id", "embedding")
+    )
+    out = similarity.ivf_pq_topk(
+        small, big_qs, k=3, n_centroids=4, n_probe=1, m=4, ksub=8,
+        max_closure_queries=1000,
+    )
+    n = out.groupBy().agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+    assert n == 100_000 * 3
+
+
+def test_pii_scrub_broadened_phone_forms(spark):
+    """Round-5 phone broadening: unseparated 10-digit, E.164 intl, and
+    parenthesized local numbers all redact; 11+-digit integers and SSNs
+    must NOT be touched by the phone pattern."""
+    rows = [
+        (0, "call 5551234567 now"),            # unseparated 10-digit
+        (1, "intl +442071838750 line"),        # E.164
+        (2, "local (555) 123-4567 desk"),      # parens, no country code
+        (3, "order id 55512345678 stays"),     # 11 digits: not a phone
+        (4, "ssn 123-45-6789 only"),           # SSN pattern, not phone
+        (5, "+1 555 123 0042 classic"),        # original separated form
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.scrub_pii(df).collect()}
+    for i in (0, 1, 2, 5):
+        assert out[i]["n_phone"] == 1 and "[PHONE]" in out[i]["text"], i
+    assert out[3]["n_phone"] == 0 and "55512345678" in out[3]["text"]
+    assert out[4]["n_phone"] == 0 and out[4]["n_ssn"] == 1
+
+
+def test_pii_scrub_property_seeded_corpus(spark):
+    """Property test over a seeded synthetic corpus: inject a KNOWN
+    number of each PII form at random positions into benign filler and
+    assert exact per-class counts and full redaction of every injected
+    literal."""
+    rng = np.random.default_rng(17)
+    forms = {
+        "EMAIL": lambda r: f"user{r.integers(1e4)}@host{r.integers(90)}.org",
+        "PHONE": lambda r: [
+            f"555123{r.integers(1000, 9999)}0"[:10],
+            f"+4420{r.integers(10**6, 10**7)}",
+            f"({r.integers(200, 999)}) {r.integers(100, 999)}-{r.integers(1000, 9999)}",
+        ][int(r.integers(3))],
+        "IPV4": lambda r: f"10.{r.integers(256)}.{r.integers(256)}.{r.integers(256)}",
+        "SSN": lambda r: f"{r.integers(100, 999)}-{r.integers(10, 99)}-{r.integers(1000, 9999)}",
+    }
+    words = ["forest", "tile", "alpha", "spark", "window", "query"]
+    rows, expect = [], []
+    for doc in range(60):
+        n_by = {k: int(rng.integers(0, 3)) for k in forms}
+        toks, injected = [], []
+        for k, n in n_by.items():
+            for _ in range(n):
+                lit = forms[k](rng)
+                injected.append(lit)
+                toks.append(lit)
+        toks += [words[int(rng.integers(len(words)))] for _ in range(8)]
+        rng.shuffle(toks)
+        rows.append((doc, " ".join(toks)))
+        expect.append((n_by, injected))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.scrub_pii(df).collect()}
+    for doc, (n_by, injected) in enumerate(expect):
+        r = out[doc]
+        for k, n in n_by.items():
+            assert r[f"n_{k.lower()}"] == n, (doc, k, r["text"])
+        for lit in injected:
+            assert lit not in r["text"], (doc, lit)
+        assert r["n_pii"] == sum(n_by.values())
