@@ -946,6 +946,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multimodal.audio_features(adf)
     q["mm_flac_features"] = mm_flac_features
 
+    def mm_mda_coeffs(spark, sf_dir):
+        # REAL perceptual (lossy transform) audio path — functions/mda.py:
+        # circular-TDAC MDCT + per-band scalefactor quantization +
+        # canonical Huffman with the table carried IN the stream, CRC-16
+        # per frame. Payloads are synthesized EXECUTOR-side from integer
+        # MDCT coefficients 4k; the orthogonal analysis re-quantizes to
+        # exactly k (see synthesize_mda_payload), so the quantized-domain
+        # stats decoded from the stream are a pure integer function of
+        # (f, i, seed) that the DuckDB twin regenerates — hash-exact
+        # while the MDCT and entropy coder run for real on every payload.
+        import pandas as _pd
+
+        from gfw_raster_analysis_lambda_spark.operators import multimodal
+
+        def synth(batches):
+            from gfw_raster_analysis_lambda_spark.operators.multimodal import (
+                synthesize_mda_payload,
+            )
+
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"].astype(int):
+                    nf, seed, sr = _MDA_PARAMS[int(i)]
+                    rows.append((f"mda/{int(i)}", synthesize_mda_payload(nf, seed, sr)))
+                yield _pd.DataFrame(rows, columns=["media_id", "payload"])
+
+        adf = spark.range(len(_MDA_PARAMS)).repartition(4).mapInPandas(
+            synth, "media_id string, payload binary"
+        )
+        return multimodal.mda_coeff_stats(adf)
+    q["mm_mda_coeffs"] = mm_mda_coeffs
+
     def mm_video_frames(spark, sf_dir):
         # REAL video decode: YUV4MPEG2 (raw planar YUV) parsed with numpy
         # in the frame-sampling kernel; every 2nd frame is re-encoded PNG
@@ -1964,6 +1996,9 @@ _WAV_PARAMS = [
     for i in range(12)
 ]
 
+# (n_frames, seed, sample_rate) per MDA1 perceptual-audio payload
+_MDA_PARAMS = [(8 + 3 * (i % 4), 5 * i + 1, 8000 + 500 * i) for i in range(10)]
+
 
 def _cc_pixel_pts() -> list[tuple[int, int]]:
     """Deterministic global pixel coords (gx, gy) on a 2x2-cell window of
@@ -2595,6 +2630,32 @@ SELECT media_id, CAST(nf AS BIGINT) AS n_samples, CAST(sr AS INT) AS sample_rate
        ROUND(MAX(abs(v)), 6) AS peak,
        ROUND(nf / CAST(sr AS DOUBLE), 6) AS duration_s
 FROM s GROUP BY media_id, sr, nf
+"""
+
+    mda_vals = ", ".join(
+        f"('mda/{i}', {nf}, {seed}, {sr})"
+        for i, (nf, seed, sr) in enumerate(_MDA_PARAMS)
+    )
+    mda_max_f = max(p[0] for p in _MDA_PARAMS)
+    o["mm_mda_coeffs"] = f"""
+WITH params(media_id, nf, seed, sr) AS (VALUES {mda_vals}),
+c AS (
+  SELECT p.media_id, p.nf, p.sr,
+         CASE WHEN gi.i % 8 = 0 THEN 120
+              ELSE (7 * gf.f + 3 * gi.i + p.seed) % 128 - 64 END AS k
+  FROM params p
+  JOIN generate_series(0, {mda_max_f - 1}) gf(f) ON gf.f < p.nf
+  JOIN generate_series(0, 63) gi(i) ON true
+)
+SELECT media_id, CAST(nf AS BIGINT) AS n_frames, CAST(64 AS BIGINT) AS block_n,
+       CAST(8 AS BIGINT) AS n_bands, CAST(sr AS INT) AS sample_rate,
+       CAST(nf * 64 AS BIGINT) AS n_samples,
+       CAST(SUM(k) AS BIGINT) AS q_sum,
+       CAST(SUM(abs(k)) AS BIGINT) AS q_abs_sum,
+       CAST(SUM(k * k) AS BIGINT) AS q_sq_sum,
+       CAST(MIN(k) AS BIGINT) AS q_min, CAST(MAX(k) AS BIGINT) AS q_max,
+       CAST(nf * 8 * 2 AS BIGINT) AS exp_sum
+FROM c GROUP BY media_id, nf, sr
 """
 
     y4m_vals = ", ".join(

@@ -263,14 +263,79 @@ def synthesize_flac_pcm16(
     return flac_encode(x, int(sample_rate))
 
 
+def synthesize_mda_payload(n_frames: int, seed: int, sample_rate: int = 8000) -> bytes:
+    """Deterministic MDA1 (perceptual MDCT codec, functions/mda.py)
+    payload whose quantized coefficients are EXACTLY the SQL-expressible
+    integers ``k(f, i) = 120 if i % 8 == 0 else (7f + 3i + seed) % 128
+    - 64``: the PCM is synthesized from coefficients ``4k`` so every
+    band's max |coef| is 480 — the encoder picks exponent 2 in every
+    band and re-quantizes to exactly k (the circular-TDAC orthogonality
+    bridge, see functions/mda.py:synthesize_mda_pcm16). A DuckDB twin
+    regenerates k with integer arithmetic — no trig, no float hashing —
+    while the MDCT, quantizer, and canonical Huffman coder run for real
+    on every payload."""
+    from ..functions.mda import mda_encode, synthesize_mda_pcm16
+
+    def kfun(f, i):
+        return np.where(i % 8 == 0, 120, (7 * f + 3 * i + int(seed)) % 128 - 64)
+
+    pcm, _ = synthesize_mda_pcm16(lambda f, i: 4 * kfun(f, i), int(n_frames))
+    return mda_encode(pcm, int(sample_rate))
+
+
+def mda_coeff_stats(df: DataFrame) -> DataFrame:
+    """(media_id, n_frames, block_n, n_bands, sample_rate, n_samples,
+    q_sum, q_abs_sum, q_sq_sum, q_min, q_max, exp_sum) per MDA1 payload
+    — the QUANTIZED-domain statistics of the perceptual audio stream,
+    computed by running the full entropy decode (stream-carried
+    canonical Huffman table, per-band exponents, frame CRCs) in an
+    Arrow-batched kernel. Pure integers end to end, so the DuckDB twin
+    is exact."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.mda import mda_decode_quantized
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                q, e, sr, n_samples = mda_decode_quantized(bytes(r.payload))
+                rows.append((
+                    r.media_id, q.shape[0], q.shape[1], e.shape[1], sr,
+                    n_samples, int(q.sum()), int(np.abs(q).sum()),
+                    int((q * q).sum()), int(q.min()), int(q.max()),
+                    int(e.sum()),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_frames", "block_n", "n_bands",
+                         "sample_rate", "n_samples", "q_sum", "q_abs_sum",
+                         "q_sq_sum", "q_min", "q_max", "exp_sum"],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        run,
+        "media_id string, n_frames long, block_n long, n_bands long, "
+        "sample_rate int, n_samples long, q_sum long, q_abs_sum long, "
+        "q_sq_sum long, q_min long, q_max long, exp_sum long",
+    )
+
+
 def _decode_audio(payload: bytes, fake: bool):
     """-> (mono float32 waveform in [-1, 1), sample_rate, n_channels).
     RIFF/WAVE PCM (8/16/32-bit) decodes for real via stdlib ``wave``;
     multi-channel mixes down by channel mean. FLAC decodes for real via
     this repo's Rice-coded subset codec (functions/flac.py — lossless,
-    CRC- and MD5-verified). Perceptual codecs (mp3/aac) would need
-    libsndfile/ffmpeg — not in this environment — and stay an explicit
-    stub; ``fake=True`` keeps the deterministic raw-bytes test codec."""
+    CRC- and MD5-verified). PERCEPTUAL (lossy transform) audio decodes
+    for real via the MDCT + scalefactor-quantization + canonical-Huffman
+    codec (functions/mda.py, "MDA1" streams). Foreign perceptual
+    bitstreams (mp3/aac) would need libsndfile/ffmpeg — not in this
+    environment — and stay an explicit stub; ``fake=True`` keeps the
+    deterministic raw-bytes test codec."""
+    if bytes(payload[:4]) == b"MDA1":
+        from ..functions.mda import mda_decode
+
+        pcm, sr = mda_decode(bytes(payload))
+        return pcm.astype(np.float32) / 32768.0, sr, 1
     if bytes(payload[:4]) == b"fLaC":
         from ..functions.flac import flac_decode
 
