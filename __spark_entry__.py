@@ -1026,6 +1026,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multimodal.video_frame_stats(frames)
     q["mm_mjpeg_frames"] = mm_mjpeg_frames
 
+    def mm_mdv_frames(spark, sf_dir):
+        # REAL inter-frame video path — functions/mdv.py: hybrid
+        # motion-compensated codec (JPEG I-frame + closed-loop
+        # motion-predicted P-frames with lossless canonical-Huffman
+        # residuals, CRC-16 per frame). Payloads synthesized
+        # EXECUTOR-side: content slides by (+2, +2) px/frame so the
+        # motion search does real work; frame 0 is 8x8-block-constant so
+        # the I-frame JPEG round-trips exactly and every reconstructed
+        # frame is bit-equal to the integer pixel formula the DuckDB
+        # twin regenerates.
+        import pandas as _pd
+
+        from gfw_raster_analysis_lambda_spark.operators import multimodal
+
+        def synth(batches):
+            from gfw_raster_analysis_lambda_spark.operators.multimodal import (
+                synthesize_mdv_video,
+            )
+
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"].astype(int):
+                    w, h, nf = _MDV_PARAMS[int(i)]
+                    rows.append((f"mdv/{int(i)}", synthesize_mdv_video(w, h, nf, seed=int(i))))
+                yield _pd.DataFrame(rows, columns=["media_id", "payload"])
+
+        vdf = spark.range(len(_MDV_PARAMS)).repartition(4).mapInPandas(
+            synth, "media_id string, payload binary"
+        )
+        frames = multimodal.video_frame_sample(vdf, every_n=2)
+        return multimodal.video_frame_stats(frames)
+    q["mm_mdv_frames"] = mm_mdv_frames
+
     # -- relational shell on the driver's TPC-H-ish tables ------------------
 
     def rel_pricing_summary(spark, sf_dir):
@@ -1989,6 +2022,9 @@ _Y4M_PARAMS = [(16 + 4 * (i % 3), 12 + 2 * (i % 2), 5 + i) for i in range(8)]
 # (w, h, n_frames) per synthetic MJPEG-AVI row; w/h multiples of 8
 _MJPEG_PARAMS = [(32, 32, 6), (48, 32, 5), (64, 40, 8), (32, 64, 4)]
 
+# (w, h, n_frames) per MDV1 inter-frame video payload
+_MDV_PARAMS = [(48, 32, 7), (32, 40, 6), (64, 32, 9), (40, 48, 5)]
+
 
 # (freq_hz, amp, sample_rate, n_frames, channels) per synthetic WAV row
 _WAV_PARAMS = [
@@ -2704,6 +2740,36 @@ px AS (
     ON gf.f < p.nf AND gf.f % 2 = 0
   JOIN generate_series(0, {mj_max_bh - 1}) gi(bi) ON gi.bi < p.h // 8
   JOIN generate_series(0, {mj_max_bw - 1}) gj(bj) ON gj.bj < p.w // 8
+)
+SELECT media_id, CAST(frame AS INT) AS frame, CAST(w AS INT) AS w,
+       CAST(h AS INT) AS h,
+       ROUND(AVG(CAST(y AS DOUBLE)), 6) AS px_mean,
+       CAST(MIN(y) AS DOUBLE) AS px_min,
+       CAST(MAX(y) AS DOUBLE) AS px_max
+FROM px GROUP BY media_id, frame, w, h
+"""
+
+    # MDV twin: the translating block pattern evaluated per pixel —
+    # every index stays non-negative so integer division is floor
+    # division on both sides
+    mdv_vals = ", ".join(
+        f"('mdv/{i}', {w}, {h}, {nf}, {i})"
+        for i, (w, h, nf) in enumerate(_MDV_PARAMS)
+    )
+    mdv_max_w = max(p[0] for p in _MDV_PARAMS)
+    mdv_max_h = max(p[1] for p in _MDV_PARAMS)
+    mdv_max_f = max(p[2] for p in _MDV_PARAMS)
+    o["mm_mdv_frames"] = f"""
+WITH params(media_id, w, h, nf, seed) AS (VALUES {mdv_vals}),
+px AS (
+  SELECT p.media_id, gf.f AS frame, p.w, p.h,
+         (((gi.i + 2 * gf.f) // 8) + 2 * ((gj.j + 2 * gf.f) // 8)
+          + 11 * p.seed) % 256 AS y
+  FROM params p
+  JOIN generate_series(0, {mdv_max_f - 1}) gf(f)
+    ON gf.f < p.nf AND gf.f % 2 = 0
+  JOIN generate_series(0, {mdv_max_h - 1}) gi(i) ON gi.i < p.h
+  JOIN generate_series(0, {mdv_max_w - 1}) gj(j) ON gj.j < p.w
 )
 SELECT media_id, CAST(frame AS INT) AS frame, CAST(w AS INT) AS w,
        CAST(h AS INT) AS h,

@@ -1,0 +1,286 @@
+"""Real INTER-FRAME (hybrid motion-compensated) video codec — numpy + stdlib.
+
+This is the temporal-prediction video path next to the intra-only one
+(MJPEG-in-AVI, functions/avi.py), completing the video codec pair the
+multimodal mandate asks for: the MPEG/H.26x-shaped hybrid pipeline —
+**I-frames** coded as genuine baseline JPEGs (functions/jpeg.py, real
+DCT + quantization + Huffman with tables in the stream), **P-frames**
+predicted from the previous RECONSTRUCTED frame by per-block **motion
+search** (closed-loop, exactly like a real encoder: the decoder's
+reference, not the pristine source), with the prediction residual
+quantized (optional ``rshift``) and **canonical-Huffman** entropy coded
+— over an honest spec-documented container ("MDV1"). It is NOT
+bitstream-compatible with MPEG/H.264 (those need CABAC/CAVLC, in-loop
+deblocking, sub-pel interpolation); what it shares is the thing that
+matters for the engine: motion-compensated temporal prediction with a
+closed decoding loop, a GOP structure with intra refresh, per-frame
+entropy tables travelling IN the stream, and CRC-guarded frames.
+
+Stream layout (all multi-byte fields big-endian)::
+
+    "MDV1" u8 version  u16 w  u16 h  u16 fps  u32 n_frames
+    u8 gop  u8 block  u8 search  u8 rshift  u16 crc16(header)
+    per frame, one of:
+      'I'  u32 jpeg_len  jpeg bytes (baseline JPEG)     u16 crc16(jpeg)
+      'P'  s8 dy, s8 dx per block (row-major)
+           u16 n_symbols  u8 code_length[n_symbols]
+           huffman(h*w residual symbols)  pad            u16 crc16(all)
+
+Correctness levers (mirrors functions/jpeg.py and functions/mda.py):
+
+- The decoder derives each P-frame's Huffman table from the STREAM's
+  canonical code lengths, and each I-frame's tables from the JPEG's own
+  DQT/DHT segments — encoder and decoder cannot silently share a wrong
+  constant.
+- Every frame carries a CRC-16 (reusing the FLAC CRC machinery); bit
+  corruption raises instead of returning wrong pixels.
+- P-frame residuals at the default ``rshift=0`` are coded LOSSLESSLY
+  against the reconstructed reference, so every P-frame reconstructs
+  BIT-EXACTLY to its source regardless of I-frame loss — and an
+  I-frame whose luma is constant per 8x8 block round-trips the JPEG
+  exactly (DC-only, functions/jpeg.py) — which is what makes the
+  mm_mdv_frames DuckDB oracle gate hash-exact while motion search, DCT,
+  and two entropy coders run for real on every payload.
+
+Reference parity note: the reference engine has no video surface; this
+module serves the beyond-reference multimodal pipeline (SURVEY.md §2.7+)
+as the inter-frame member of the video codec family.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .flac import _BitReader, _BitWriter, _crc16
+from .jpeg import jpeg_decode, jpeg_encode
+from .mda import _canonical_codes, _code_lengths, _unzig, _zig
+
+_MAGIC = b"MDV1"
+_VERSION = 1
+_ALPHABET = 1024  # zig-zagged residuals: |r| <= 511 after any rshift
+_MAX_CODE_LEN = 15
+_HDR = ">BHHHIBBBB"
+
+
+def _block_grid(h: int, w: int, block: int) -> list[tuple[int, int, int, int]]:
+    """Row-major (y, x, bh, bw) tiles covering the frame, ragged edges."""
+    return [
+        (y, x, min(block, h - y), min(block, w - x))
+        for y in range(0, h, block)
+        for x in range(0, w, block)
+    ]
+
+
+def _motion_search(
+    ref: np.ndarray, cur: np.ndarray, y: int, x: int, bh: int, bw: int, search: int
+) -> tuple[int, int]:
+    """Best (dy, dx) in the +-search window whose (y+dy, x+dx) block lies
+    fully inside ``ref``, minimizing SAD against ``cur``'s block; ties
+    break on (SAD, |dy|+|dx|, dy, dx) so the choice is deterministic."""
+    h, w = ref.shape
+    blk = cur[y : y + bh, x : x + bw].astype(np.int32)
+    best = None
+    for dy in range(-search, search + 1):
+        ry = y + dy
+        if ry < 0 or ry + bh > h:
+            continue
+        for dx in range(-search, search + 1):
+            rx = x + dx
+            if rx < 0 or rx + bw > w:
+                continue
+            sad = int(
+                np.abs(ref[ry : ry + bh, rx : rx + bw].astype(np.int32) - blk).sum()
+            )
+            key = (sad, abs(dy) + abs(dx), dy, dx)
+            if best is None or key < best:
+                best = key
+    return best[2], best[3]
+
+
+def mdv_encode(
+    frames: np.ndarray,
+    fps: int = 25,
+    gop: int = 8,
+    block: int = 16,
+    search: int = 3,
+    rshift: int = 0,
+) -> bytes:
+    """Encode a (n_frames, h, w) uint8 luma cube. Every ``gop``-th frame
+    is an I-frame (baseline JPEG); the rest are P-frames predicted from
+    the previous reconstructed frame with per-block motion vectors and
+    ``rshift``-quantized residuals (0 = lossless P-frames)."""
+    frames = np.asarray(frames)
+    if frames.ndim != 3 or frames.dtype != np.uint8:
+        raise ValueError("mdv_encode expects a (n_frames, h, w) uint8 cube")
+    nf, h, w = frames.shape
+    if nf == 0 or h == 0 or w == 0:
+        raise ValueError("empty video")
+    if not (1 <= gop <= 255 and 1 <= block <= 255 and 0 <= search <= 127
+            and 0 <= rshift <= 7):
+        raise ValueError("gop/block/search/rshift out of range")
+
+    head = bytearray(_MAGIC)
+    head += struct.pack(_HDR, _VERSION, w, h, fps, nf, gop, block, search, rshift)
+    head += struct.pack(">H", _crc16(bytes(head)))
+    out = bytearray(head)
+
+    recon_prev: np.ndarray | None = None
+    grid = _block_grid(h, w, block)
+    for f in range(nf):
+        cur = frames[f]
+        if f % gop == 0:
+            payload = jpeg_encode(cur)
+            out += b"I" + struct.pack(">I", len(payload)) + payload
+            out += struct.pack(">H", _crc16(payload))
+            recon_prev = jpeg_decode(payload)
+            continue
+        # P-frame: closed-loop prediction against the reconstruction
+        mvs = []
+        q_blocks = []
+        recon = np.zeros((h, w), np.uint8)
+        for (y, x, bh, bw) in grid:
+            dy, dx = _motion_search(recon_prev, cur, y, x, bh, bw, search)
+            pred = recon_prev[y + dy : y + dy + bh, x + dx : x + dx + bw].astype(np.int32)
+            r = cur[y : y + bh, x : x + bw].astype(np.int32) - pred
+            q = np.floor_divide(r + (1 << rshift) // 2, 1 << rshift) if rshift else r
+            recon[y : y + bh, x : x + bw] = np.clip(
+                pred + (q << rshift), 0, 255
+            ).astype(np.uint8)
+            mvs.append((dy, dx))
+            q_blocks.append(q.ravel())
+        q_all = np.concatenate(q_blocks)
+        syms = _zig(q_all)
+        if syms.max(initial=0) >= _ALPHABET:
+            raise AssertionError("residual symbol out of alphabet range")
+        # table trimmed to the symbols actually used — a P-frame of small
+        # residuals pays a few bytes of table, not the full alphabet
+        n_sym = max(int(syms.max(initial=0)) + 1, 2)
+        counts = np.bincount(syms, minlength=n_sym)
+        lengths = _code_lengths(counts)
+        codes = _canonical_codes(lengths)
+        body = bytearray()
+        for dy, dx in mvs:
+            body += struct.pack(">bb", dy, dx)
+        body += struct.pack(">H", n_sym) + bytes(int(v) for v in lengths)
+        bw_ = _BitWriter()
+        for s in syms:
+            c, l = codes[int(s)]
+            bw_.write(c, l)
+        bw_.align()
+        body += bw_.bytes()
+        out += b"P" + body + struct.pack(">H", _crc16(bytes(body)))
+        recon_prev = recon
+    return bytes(out)
+
+
+def mdv_parse(data: bytes) -> tuple[np.ndarray, int, list[str], list[np.ndarray]]:
+    """Full decode: -> (frames (n, h, w) uint8, fps, frame type chars,
+    per-P-frame motion vectors as (n_blocks, 2) int arrays). Everything
+    is rebuilt from the stream; CRC mismatches, bad magic, truncation,
+    and impossible Huffman codes raise ValueError."""
+    data = bytes(data)
+    if data[:4] != _MAGIC:
+        raise ValueError("not an MDV1 stream")
+    hdr_len = 4 + struct.calcsize(_HDR)
+    if len(data) < hdr_len + 2:
+        raise ValueError("truncated MDV1 header")
+    version, w, h, fps, nf, gop, block, search, rshift = struct.unpack(
+        _HDR, data[4:hdr_len]
+    )
+    if version != _VERSION:
+        raise ValueError(f"unsupported MDV version {version}")
+    (hcrc,) = struct.unpack(">H", data[hdr_len : hdr_len + 2])
+    if _crc16(data[:hdr_len]) != hcrc:
+        raise ValueError("MDV header CRC mismatch")
+    pos = hdr_len + 2
+
+    grid = _block_grid(h, w, block)
+    frames = np.zeros((nf, h, w), np.uint8)
+    types: list[str] = []
+    motions: list[np.ndarray] = []
+    prev: np.ndarray | None = None
+    for f in range(nf):
+        if pos >= len(data):
+            raise ValueError("truncated MDV stream")
+        ftype = data[pos : pos + 1]
+        pos += 1
+        if ftype == b"I":
+            (jlen,) = struct.unpack(">I", data[pos : pos + 4])
+            pos += 4
+            if len(data) < pos + jlen + 2:
+                raise ValueError("truncated MDV I-frame")
+            payload = data[pos : pos + jlen]
+            (fcrc,) = struct.unpack(">H", data[pos + jlen : pos + jlen + 2])
+            if _crc16(payload) != fcrc:
+                raise ValueError(f"MDV I-frame {f} CRC mismatch")
+            img = jpeg_decode(payload)
+            if img.shape != (h, w):
+                raise ValueError("MDV I-frame dimensions disagree with header")
+            frames[f] = img
+            pos += jlen + 2
+            types.append("I")
+        elif ftype == b"P":
+            if prev is None:
+                raise ValueError("MDV P-frame without a reference")
+            body_start = pos
+            mv = np.frombuffer(
+                data[pos : pos + 2 * len(grid)], np.int8
+            ).reshape(-1, 2).astype(np.int64)
+            if mv.shape[0] != len(grid):
+                raise ValueError("truncated MDV motion vectors")
+            pos += 2 * len(grid)
+            (alphabet,) = struct.unpack(">H", data[pos : pos + 2])
+            tbl_end = pos + 2 + alphabet
+            if len(data) < tbl_end:
+                raise ValueError("truncated MDV Huffman table")
+            lengths = np.frombuffer(data[pos + 2 : tbl_end], np.uint8).astype(np.int64)
+            rev = {v: s for s, v in _canonical_codes(lengths).items()}
+            br = _BitReader(data, tbl_end)
+            n_px = h * w
+            syms = np.zeros(n_px, np.int64)
+            for i in range(n_px):
+                code, l = 0, 0
+                while True:
+                    code = (code << 1) | br.bits(1)
+                    l += 1
+                    if l > _MAX_CODE_LEN:
+                        raise ValueError("invalid MDV Huffman stream")
+                    s = rev.get((code, l))
+                    if s is not None:
+                        break
+                syms[i] = s
+            br.align()
+            end = br.byte_pos()
+            if len(data) < end + 2:
+                raise ValueError("truncated MDV P-frame")
+            (fcrc,) = struct.unpack(">H", data[end : end + 2])
+            if _crc16(data[body_start:end]) != fcrc:
+                raise ValueError(f"MDV P-frame {f} CRC mismatch")
+            q_all = _unzig(syms)
+            recon = np.zeros((h, w), np.uint8)
+            off = 0
+            for (y, x, bh, bw), (dy, dx) in zip(grid, mv):
+                pred = prev[y + dy : y + dy + bh, x + dx : x + dx + bw].astype(np.int32)
+                if pred.shape != (bh, bw):
+                    raise ValueError("MDV motion vector out of bounds")
+                q = q_all[off : off + bh * bw].reshape(bh, bw)
+                off += bh * bw
+                recon[y : y + bh, x : x + bw] = np.clip(
+                    pred + (q << rshift), 0, 255
+                ).astype(np.uint8)
+            frames[f] = recon
+            pos = end + 2
+            types.append("P")
+            motions.append(mv)
+        else:
+            raise ValueError(f"unknown MDV frame type {ftype!r}")
+        prev = frames[f]
+    return frames, fps, types, motions
+
+
+def mdv_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """-> ((n_frames, h, w) uint8 luma cube, fps)."""
+    frames, fps, _, _ = mdv_parse(data)
+    return frames, fps

@@ -387,6 +387,35 @@ def synthesize_y4m(w: int, h: int, n_frames: int, seed: int = 0) -> bytes:
     return b"".join(parts)
 
 
+def synthesize_mdv_video(w: int, h: int, n_frames: int, seed: int = 0) -> bytes:
+    """Deterministic MDV1 (inter-frame hybrid codec, functions/mdv.py)
+    payload: frame ``t``'s luma is the TRANSLATING block pattern
+    ``Y[t, i, j] = (((i + 2t) // 8) + 2 ((j + 2t) // 8) + 11 seed) mod
+    256`` — frame 0 is 8x8-block-constant so the JPEG I-frame
+    round-trips exactly, later frames are content sliding by (+2, +2)
+    per frame so the motion search does real work, and the lossless
+    P-frame residuals keep every reconstructed frame bit-equal to the
+    formula. All indices stay non-negative, so a DuckDB twin
+    regenerates the pixels with plain integer division — hash-exact
+    while JPEG DCT, motion compensation, and two entropy coders run for
+    real. ``w``/``h`` must be multiples of 8."""
+    from ..functions.mdv import mdv_encode
+
+    if w % 8 or h % 8:
+        raise ValueError("w and h must be multiples of 8")
+    i = np.arange(h, dtype=np.int64)[:, None]
+    j = np.arange(w, dtype=np.int64)[None, :]
+    frames = np.stack(
+        [
+            ((((i + 2 * t) // 8) + 2 * ((j + 2 * t) // 8) + 11 * seed) % 256).astype(
+                np.uint8
+            )
+            for t in range(int(n_frames))
+        ]
+    )
+    return mdv_encode(frames, fps=25, gop=255, block=16, search=3)
+
+
 def synthesize_mjpeg_avi(w: int, h: int, n_frames: int, seed: int = 0) -> bytes:
     """Deterministic MJPEG-in-AVI payload: luma is constant on 8x8
     blocks, ``Y[block bi, bj] = (bi + 2 bj + 7 frame + 11 seed) mod
@@ -415,9 +444,16 @@ def _decode_video(payload: bytes, fake: bool) -> np.ndarray:
     """-> (frames, h, w) uint8 luma cube. YUV4MPEG2 (Y4M) decodes for
     real (raw planar YUV, numpy); MJPEG-in-AVI decodes for real through
     this repo's baseline-JPEG + RIFF codecs (functions/avi.py — genuine
-    Huffman-coded frames). Inter-frame containers (mp4/webm) would need
-    ffmpeg — not in this environment — and raise; ``fake=True`` keeps
-    the deterministic raw-bytes test codec."""
+    Huffman-coded frames); INTER-FRAME video decodes for real through
+    the hybrid motion-compensated codec (functions/mdv.py, "MDV1"
+    streams: JPEG I-frames + closed-loop motion-predicted P-frames).
+    Foreign inter-frame containers (mp4/webm) would need ffmpeg — not
+    in this environment — and raise; ``fake=True`` keeps the
+    deterministic raw-bytes test codec."""
+    if bytes(payload[:4]) == b"MDV1":
+        from ..functions.mdv import mdv_decode
+
+        return mdv_decode(bytes(payload))[0]
     if bytes(payload[:4]) == b"RIFF" and bytes(payload[8:12]) == b"AVI ":
         from ..functions.avi import avi_decode
 
