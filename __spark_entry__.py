@@ -1927,6 +1927,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["sim_ivf_pq_recall"] = sim_ivf_pq_recall
 
+    def sim_ivf_pq_residual(spark, sf_dir):
+        # IVFADC with RESIDUAL encoding (Jegou et al. 2011 SIV) — PQ codes
+        # quantize x - centroid(x) so the 8-byte budget spans only each
+        # coarse cell's residual cloud; query LUTs are per (query, probed
+        # centroid). The DuckDB twin re-derives assignment, residuals,
+        # residual-seeded codebooks, codes, and LUTs relationally.
+        e = _t(spark, sf_dir, "embeddings")
+        qs = e.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.ivf_pq_residual_topk(
+            e, qs, k=10, n_centroids=16, n_probe=4, m=8, ksub=16
+        )
+    q["sim_ivf_pq_residual"] = sim_ivf_pq_residual
+
+    def sim_ivf_pq_residual_recall(spark, sf_dir):
+        # quality pin for the residual variant: recall@10 vs exact cosine
+        e = _t(spark, sf_dir, "embeddings")
+        qs = e.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = similarity.cosine_topk(e, qs, k=10)
+        approx = similarity.ivf_pq_residual_topk(
+            e, qs, k=10, n_centroids=16, n_probe=4, m=8, ksub=16
+        )
+        return similarity.recall_at_k(exact, approx, k=10).select(
+            "query_id", F.round(F.col("recall"), 6).alias("recall")
+        )
+    q["sim_ivf_pq_residual_recall"] = sim_ivf_pq_residual_recall
+
     def sim_sq8_recall(spark, sf_dir):
         # same quality pin for the scalar-quantization family: SQ8
         # integer-code top-10 vs exact cosine top-10 per query
@@ -4234,6 +4264,90 @@ FROM (
 ) WHERE rn <= 10
 """
 
+    o["sim_ivf_pq_residual"] = f"""
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16
+),
+assign AS (
+  SELECT vec_id AS id, centroid_id FROM (
+    SELECT x.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY x.vec_id ORDER BY {_cosd} DESC, c.centroid_id ASC) AS rn
+    FROM embeddings x, centroids c, generate_series(1, 64) g(i)
+    GROUP BY x.vec_id, c.centroid_id
+  ) WHERE rn = 1
+),
+resid AS (
+  SELECT a.id, g.i,
+         CAST(list_extract(x.embedding, g.i) AS DOUBLE)
+         - CAST(list_extract(c.embedding, g.i) AS DOUBLE) AS rv
+  FROM assign a
+  JOIN embeddings x ON x.vec_id = a.id
+  JOIN centroids c ON c.centroid_id = a.centroid_id,
+  generate_series(1, 64) g(i)
+),
+seeds AS (
+  -- lowest-id NON-CENTROID rows: centroid rows have identically-zero
+  -- residuals and would degenerate the codebook
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, vec_id
+  FROM (SELECT vec_id FROM embeddings
+        WHERE vec_id NOT IN (SELECT centroid_id FROM centroids)
+        ORDER BY vec_id LIMIT 16)
+),
+cbr AS (
+  SELECT CAST(floor((r.i - 1) / 8) AS INT) AS s, sd.code, r.i, r.rv AS val
+  FROM seeds sd JOIN resid r ON r.id = sd.vec_id
+),
+enc AS (
+  SELECT id AS vec_id, s, code FROM (
+    SELECT r.id, cb.s, cb.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY r.id, cb.s
+             ORDER BY ROUND(SUM(POW(r.rv - cb.val, 2)), 6) ASC, cb.code ASC) AS rn
+    FROM resid r JOIN cbr cb ON cb.i = r.i
+    GROUP BY r.id, cb.s, cb.code
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, centroid_id FROM (
+    SELECT x.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY x.vec_id ORDER BY {_cosd} DESC, c.centroid_id ASC) AS rn
+    FROM embeddings x, centroids c, generate_series(1, 64) g(i)
+    WHERE x.vec_id < 3
+    GROUP BY x.vec_id, c.centroid_id
+  ) WHERE rn <= 4
+),
+qres AS (
+  SELECT p.query_id, p.centroid_id, g.i,
+         CAST(list_extract(q.embedding, g.i) AS DOUBLE)
+         - CAST(list_extract(c.embedding, g.i) AS DOUBLE) AS qrv
+  FROM probes p
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN centroids c ON c.centroid_id = p.centroid_id,
+  generate_series(1, 64) g(i)
+),
+lut AS (
+  SELECT qr.query_id, qr.centroid_id, cb.s, cb.code,
+         ROUND(SUM(POW(qr.qrv - cb.val, 2)), 6) AS dsq
+  FROM qres qr JOIN cbr cb ON cb.i = qr.i
+  GROUP BY 1, 2, 3, 4
+),
+scores AS (
+  SELECT p.query_id, e.vec_id AS id, ROUND(SUM(l.dsq), 6) AS adc_dist
+  FROM enc e
+  JOIN assign a ON a.id = e.vec_id
+  JOIN probes p ON p.centroid_id = a.centroid_id
+  JOIN lut l ON l.query_id = p.query_id AND l.centroid_id = a.centroid_id
+            AND l.s = e.s AND l.code = e.code
+  GROUP BY 1, 2
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, id, adc_dist, CAST(rn AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adc_dist ASC, id ASC) AS rn
+  FROM scores
+) WHERE rn <= 10
+"""
+
     def _exact_cos_topk(pred: str) -> str:
         return f"""
 SELECT query_id, id FROM (
@@ -4263,6 +4377,9 @@ GROUP BY e.query_id
 
     o["sim_ivf_pq_recall"] = _recall_sql(
         _exact_cos_topk("q.vec_id < 3"), o["sim_ivf_pq"]
+    )
+    o["sim_ivf_pq_residual_recall"] = _recall_sql(
+        _exact_cos_topk("q.vec_id < 3"), o["sim_ivf_pq_residual"]
     )
     o["sim_sq8_recall"] = _recall_sql(
         _exact_cos_topk("q.vec_id < 4"), o["sim_sq8"]

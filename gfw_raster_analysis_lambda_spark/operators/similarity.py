@@ -1122,3 +1122,179 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "id", "adc_dist", "rank")
     )
+
+
+def ivf_pq_residual_topk(
+    emb: DataFrame,
+    queries: DataFrame,  # (query_id, embedding)
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    round_to: int | None = 6,
+    max_closure_queries: int = 10_000,
+) -> DataFrame:
+    """IVFADC with RESIDUAL encoding — the production refinement of
+    :func:`ivf_pq_topk` (Jégou, Douze, Schmid, "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011, §IV): PQ codes quantize
+    ``x - centroid(x)`` instead of ``x``, so the 8 bytes of code budget
+    only have to span each coarse cell's residual cloud rather than the
+    whole corpus — finer quantization at identical storage, which is why
+    every FAISS ``IVFx,PQy`` index defaults to it.
+
+    Cost shape is identical to :func:`ivf_pq_topk` (the residual join is
+    one broadcast hash join against the tiny centroid table, folded into
+    the zero-shuffle encode pass), EXCEPT the query LUT is per (query,
+    probed centroid) instead of per query — n_probe LUT builds per query,
+    still O(m*ksub*dsub) floats each. Vectors are cast to double BEFORE
+    the residual subtraction so the arithmetic is exactly the DuckDB
+    twin's ``CAST(... AS DOUBLE) - CAST(... AS DOUBLE)``.
+
+    Query batches up to ``max_closure_queries`` precompute all
+    (query x centroid) LUTs driver-side; past the bound the query vector
+    rides the candidate join (centroid vectors are always closure-tiny)
+    and LUTs are rebuilt per Arrow batch — flat driver memory, identical
+    rounded ADC scores. Ranking = (rounded ADC distance, lowest id)."""
+    import numpy as np
+    import pandas as pd
+
+    if centroids is None:
+        centroids = (
+            emb.orderBy(F.asc(id_col)).limit(n_centroids)
+            .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
+        )
+    assign = ivf_assign_fast(emb, centroids, id_col, vec_col)
+    cent = F.broadcast(
+        centroids.select(
+            "centroid_id", F.col(vec_col).cast("array<double>").alias("cv")
+        )
+    )
+    # residual vectors: double-cast BEFORE subtraction (twin parity)
+    resid = (
+        emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("xv"))
+        .join(assign.withColumnRenamed("id", id_col), id_col)
+        .join(cent, "centroid_id")
+        .select(
+            F.col(id_col),
+            F.col("centroid_id"),
+            F.zip_with("xv", "cv", lambda a, b: a - b).alias(vec_col),
+        )
+    )
+    # Seed the residual codebook from the lowest-id NON-CENTROID rows: a
+    # centroid row's residual is identically zero (it is its own nearest
+    # centroid), and with ksub <= n_centroids the naive lowest-id seeding
+    # would produce an all-zero codebook — every code collapses to 0 and
+    # ADC degenerates to the bucket distance. Excluding centroid rows
+    # seeds from the actual residual cloud.
+    cent_ids = [int(r[0]) for r in centroids.select("centroid_id").collect()]
+    seed_pool = resid.filter(~F.col(id_col).isin(cent_ids))
+    cb = pq_init_codebooks(seed_pool, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
+    enc = pq_encode(resid, cb, id_col=id_col, vec_col=vec_col, round_to=round_to)
+
+    qc = F.broadcast(centroids.select("centroid_id", F.col(vec_col).alias("cv0")))
+    qscored = (
+        queries.select("query_id", F.col(vec_col).alias("qv"))
+        .crossJoin(qc)
+        .withColumn(
+            "cos", _dot(F.col("qv"), F.col("cv0")) / (_norm(F.col("qv")) * _norm(F.col("cv0")))
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
+    probes = (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "centroid_id")
+    )
+    pairs = (
+        assign.join(F.broadcast(probes), "centroid_id")
+        .select("query_id", "centroid_id", "id")
+        .join(enc, "id")
+    )
+
+    cbn = np.asarray(cb, dtype=np.float64)
+    mm, kk_, dsub = cbn.shape
+    offs = np.arange(mm) * kk_
+    id_type = dict(emb.dtypes)[id_col]
+    cvecs = {
+        int(r[0]): np.asarray(r[1], dtype=np.float64)
+        for r in centroids.select("centroid_id", vec_col).collect()
+    }
+
+    def _lut(qv: np.ndarray, cid: int) -> np.ndarray:
+        rq = qv - cvecs[cid]
+        lut = ((rq.reshape(mm, 1, dsub) - cbn) ** 2).sum(axis=-1)
+        return _round_half_up(lut, round_to) if round_to is not None else lut
+
+    n_queries = queries.limit(max_closure_queries + 1).count()
+    if n_queries == 0:
+        raise ValueError("ivf_pq_residual_topk needs at least one query")
+    if n_queries <= max_closure_queries:
+        # closure path: all (query x centroid) LUTs precomputed driver-side
+        qlist = [(int(r[0]), np.asarray(r[1], dtype=np.float64))
+                 for r in queries.select("query_id", vec_col).collect()]
+        cids = sorted(cvecs)
+        flat = np.stack([
+            np.stack([_lut(qv, c) for c in cids]) for _, qv in qlist
+        ]).reshape(len(qlist), len(cids), mm * kk_)
+        qidx = {qid: i for i, (qid, _) in enumerate(qlist)}
+        cidx = {c: i for i, c in enumerate(cids)}
+
+        def score(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+                qi = np.asarray([qidx[int(q)] for q in pdf["query_id"]])
+                ci = np.asarray([cidx[int(c)] for c in pdf["centroid_id"]])
+                sc = flat[qi[:, None], ci[:, None], offs[None, :] + codes].sum(axis=1)
+                if round_to is not None:
+                    sc = _round_half_up(sc, round_to)
+                yield pd.DataFrame({
+                    "query_id": pdf["query_id"], "id": pdf["id"], "adc_dist": sc,
+                })
+
+        scored = pairs.mapInPandas(
+            score, f"query_id long, id {id_type}, adc_dist double"
+        )
+    else:
+        # distributed path: qv rides the candidate join; centroids stay in
+        # the closure; per-batch LUTs for the (query, centroid) pairs seen
+        pairs_q = pairs.join(
+            queries.select("query_id", F.col(vec_col).alias("__qv")), "query_id"
+        )
+
+        def score_dist(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+                qids = pdf["query_id"].to_numpy()
+                cids_b = pdf["centroid_id"].to_numpy()
+                first = {int(q): i for i, q in reversed(list(enumerate(qids)))}
+                luts: dict = {}
+                sc = np.zeros(len(pdf))
+                for r_i in range(len(pdf)):
+                    key = (int(qids[r_i]), int(cids_b[r_i]))
+                    if key not in luts:
+                        qv = np.asarray(pdf["__qv"].iloc[first[key[0]]], dtype=np.float64)
+                        luts[key] = _lut(qv, key[1]).reshape(mm * kk_)
+                    sc[r_i] = luts[key][offs + codes[r_i]].sum()
+                if round_to is not None:
+                    sc = _round_half_up(sc, round_to)
+                yield pd.DataFrame({
+                    "query_id": pdf["query_id"], "id": pdf["id"], "adc_dist": sc,
+                })
+
+        scored = pairs_q.mapInPandas(
+            score_dist, f"query_id long, id {id_type}, adc_dist double"
+        )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "adc_dist", "rank")
+    )
