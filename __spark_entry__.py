@@ -1059,6 +1059,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multimodal.video_frame_stats(frames)
     q["mm_mdv_frames"] = mm_mdv_frames
 
+    def mm_reproject_stats(spark, sf_dir):
+        # cross-grid raster reprojection (operators/reproject.py):
+        # 0.25-deg/64px source tiles re-tiled onto 1-deg/250px cells —
+        # a deliberately NON-integer pixel ratio (128/125) so the
+        # nearest-neighbor pixel-center mapping does real work. ONE
+        # shuffle keyed by dst cell (16 src tiles/group), exact rational
+        # int64 sampling, so the DuckDB twin regenerates every sampled
+        # pixel from the source formula. Source tiles synthesized
+        # EXECUTOR-side.
+        import pandas as _pd
+
+        from gfw_raster_analysis_lambda_spark.functions import codecs as _codecs
+        from gfw_raster_analysis_lambda_spark.functions import grid as _G
+        from gfw_raster_analysis_lambda_spark.operators.reproject import (
+            reproject_nearest,
+        )
+
+        src = _G.get_grid("4/1024")
+        cs = src.chunk_px
+        keys = [
+            (sx, sy)
+            for ddx, ddy in _REPRO_DST_CELLS
+            for sy in range(ddy * 4, ddy * 4 + 4)
+            for sx in range(ddx * 4, ddx * 4 + 4)
+        ]
+
+        def synth(batches):
+            import numpy as _np
+
+            for pdf in batches:
+                rows = []
+                for sx, sy in zip(pdf["sx"].astype(int), pdf["sy"].astype(int)):
+                    j = _np.arange(cs, dtype=_np.int64)
+                    gx = (sx * cs + j)[None, :]
+                    gy = (sy * cs + j)[:, None]
+                    tile = ((3 * gx + 5 * gy) % 241).astype(_np.uint8)
+                    cell = int(_G.cell_from_xy(src, int(sx), int(sy)))
+                    rows.append((
+                        f"tcl_year/{cell:016x}",
+                        _codecs.encode_tile(tile, "png"), cs, cs, "png",
+                    ))
+                yield _pd.DataFrame(
+                    rows, columns=["image_id", "bytes", "w", "h", "fmt"]
+                )
+
+        kdf = spark.createDataFrame(keys, "sx int, sy int").repartition(8)
+        images = kdf.mapInPandas(
+            synth, "image_id string, bytes binary, w int, h int, fmt string"
+        )
+        out = reproject_nearest(images, "4/1024", "1/250")
+
+        def stats(batches):
+            import numpy as _np
+
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    arr = _codecs.decode_tile(
+                        bytes(r.bytes), int(r.w), int(r.h), str(r.fmt)
+                    ).astype(_np.int64)
+                    cx, cy = (int(v) for v in _G.cell_to_xy(int(r.cell_id)))
+                    rows.append((cx, cy, int(arr.sum()), int(arr.min()),
+                                 int(arr.max())))
+                yield _pd.DataFrame(
+                    rows,
+                    columns=["cell_x", "cell_y", "px_sum", "px_min", "px_max"],
+                )
+
+        return out.mapInPandas(
+            stats,
+            "cell_x int, cell_y int, px_sum long, px_min int, px_max int",
+        )
+    q["mm_reproject_stats"] = mm_reproject_stats
+
     # -- relational shell on the driver's TPC-H-ish tables ------------------
 
     def rel_pricing_summary(spark, sf_dir):
@@ -2055,6 +2129,9 @@ _MJPEG_PARAMS = [(32, 32, 6), (48, 32, 5), (64, 40, 8), (32, 64, 4)]
 # (w, h, n_frames) per MDV1 inter-frame video payload
 _MDV_PARAMS = [(48, 32, 7), (32, 40, 6), (64, 32, 9), (40, 48, 5)]
 
+# 1-deg destination cells (x, y) for the cross-grid reprojection gate
+_REPRO_DST_CELLS = [(185, 80), (186, 80), (185, 81)]
+
 
 # (freq_hz, amp, sample_rate, n_frames, channels) per synthetic WAV row
 _WAV_PARAMS = [
@@ -2807,6 +2884,26 @@ SELECT media_id, CAST(frame AS INT) AS frame, CAST(w AS INT) AS w,
        CAST(MIN(y) AS DOUBLE) AS px_min,
        CAST(MAX(y) AS DOUBLE) AS px_max
 FROM px GROUP BY media_id, frame, w, h
+"""
+
+    # reprojection twin: dst pixel centers -> src global px via the exact
+    # rational mapping src_px = ((2*dst_px + 1) * 1024) // 2000, then the
+    # source tile formula (3*sgx + 5*sgy) % 241 — pure integer end to end
+    repro_vals = ", ".join(f"({cx}, {cy})" for cx, cy in _REPRO_DST_CELLS)
+    o["mm_reproject_stats"] = f"""
+WITH cells(cx, cy) AS (VALUES {repro_vals}),
+px AS (
+  SELECT c.cx, c.cy,
+         ((2 * (c.cx * 250 + gj.j) + 1) * 1024) // 2000 AS sgx,
+         ((2 * (c.cy * 250 + gi.i) + 1) * 1024) // 2000 AS sgy
+  FROM cells c,
+       generate_series(0, 249) gi(i), generate_series(0, 249) gj(j)
+)
+SELECT CAST(cx AS INT) AS cell_x, CAST(cy AS INT) AS cell_y,
+       CAST(SUM((3 * sgx + 5 * sgy) % 241) AS BIGINT) AS px_sum,
+       CAST(MIN((3 * sgx + 5 * sgy) % 241) AS INT) AS px_min,
+       CAST(MAX((3 * sgx + 5 * sgy) % 241) AS INT) AS px_max
+FROM px GROUP BY cx, cy
 """
 
     cc_px_vals = ", ".join(f"({gx}, {gy})" for gx, gy in _cc_pixel_pts())

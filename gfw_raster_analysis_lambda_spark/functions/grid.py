@@ -95,6 +95,10 @@ GRID_FIXTURE_FINE = _register("4/2048", 4.0, 2048, 64, index=4)  # finest-grid r
 GRID_BENCH = _register("4/4096", 4.0, 4096, 256, index=5)  # bench: 0.25 deg cells, 256x256 px tiles
 GRID_FIXTURE_COARSE = _register("4/512", 4.0, 512, 64, index=6)  # 2x coarser px, 0.5 deg cells
 GRID_SCALE = _register("4/16384", 4.0, 16384, 1024, index=7)  # scaling bench: 1024x1024 px tiles
+# reprojection target: 1-deg cells of 250px (0.004-deg px) — deliberately a
+# NON-integer pixel ratio vs the 4/1024 family (128/125) so nearest-neighbor
+# resampling is exercised for real, while cells still nest 4x4
+GRID_REPRO = _register("1/250", 1.0, 250, 250, index=8)
 
 _BY_INDEX = {g.index: g for g in GRIDS.values()}
 

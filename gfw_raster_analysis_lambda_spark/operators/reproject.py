@@ -1,0 +1,138 @@
+"""Cross-grid raster reprojection — ``gdalwarp -r near`` as ONE shuffle.
+
+The reference engine serves every layer on its own fixed grid and the
+zonal kernel co-registers co-anchored integer-ratio grids on the fly
+(reference raster.py window reads; this repo's
+``functions/grid.py:upsample_to_cell``). What it cannot do is MOVE a
+layer between grid families — e.g. re-tile the 0.25-degree fixture
+family onto 1-degree cells with a different (non-integer-ratio) pixel
+size for a coarser product or a differently-tiled consumer. This
+operator adds that as a first-class Spark job:
+
+- **Plan**: derive each source tile's destination cell with pure
+  Catalyst bit arithmetic (no UDF), shuffle encoded tile BYTES once,
+  grouped by ``(layer, dst cell)`` — every group holds exactly the
+  k x k source tiles that mosaic into one destination tile (k =
+  dst.tile_deg / src.tile_deg, validated integer). ``applyInPandas``
+  decodes the group, mosaics, samples, re-encodes. Output is O(dst
+  tiles); nothing is ever collected.
+- **Sampling**: nearest-neighbor at destination PIXEL CENTERS with
+  EXACT RATIONAL integer arithmetic — both grids define
+  ``pixel_size = degrees / pixels`` with integer numerators, so
+  ``src_px = floor((dst_px + 0.5) * dst_ps / src_ps)``
+  becomes ``((2*dst_px + 1) * dst_deg * src_pix) // (2 * dst_pix *
+  src_deg)`` in int64. No float crosses the mapping, which is what
+  lets a DuckDB twin regenerate every sampled pixel bit-exactly
+  (and what keeps results identical across platforms at any scale).
+- **Missing source tiles** fill with ``fill`` (the reference's
+  missing-tile tolerance, reference tiling.py: absent windows read as
+  NoData).
+
+At 100 TB this is the one unavoidable full-data shuffle of a re-tiling
+backfill; the group key is the destination cell so skew is impossible
+(every group is exactly <= k*k rows) and AQE has nothing to re-plan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import codecs
+from ..functions import grid as G
+
+
+def _dst_cell_expr(src: G.Grid, dst: G.Grid, k: int):
+    """Catalyst column: destination cell_id of a source cell_id — pure
+    bit arithmetic (src x//k, y//k re-packed under the dst grid index)."""
+    xb, yb = G._X_BITS, G._Y_BITS
+    mask = G._XY_MASK
+    x = F.shiftright("cell_id", yb).bitwiseAND(F.lit(mask))
+    y = F.col("cell_id").bitwiseAND(F.lit(mask))
+    dx = (x / k).cast("long")  # non-negative -> floor
+    dy = (y / k).cast("long")
+    return (
+        F.lit(int(dst.index)).cast("long") * F.lit(1 << (xb + yb))
+        + F.shiftleft(dx, yb) + dy
+    )
+
+
+def reproject_nearest(
+    images: DataFrame,
+    src_grid: str,
+    dst_grid: str,
+    fill: float = 0,
+    fmt: str = "png",
+) -> DataFrame:
+    """Re-tile ``images`` (input-hint schema, tiles on ``src_grid``) onto
+    ``dst_grid`` by nearest-neighbor pixel-center sampling. Returns an
+    images-shaped frame (image_id, bytes, w, h, fmt, layer, cell_id)
+    on the destination grid. ``dst_grid``'s cell size must be an integer
+    multiple of ``src_grid``'s (cells nest); pixel sizes may be ANY
+    rational ratio — that is the point."""
+    src, dst = G.get_grid(src_grid), G.get_grid(dst_grid)
+    ratio = dst.tile_deg / src.tile_deg
+    k = int(round(ratio))
+    if abs(ratio - k) > 1e-9 or k < 1:
+        raise ValueError(
+            f"dst cell ({dst.tile_deg} deg) must be an integer multiple "
+            f"of src cell ({src.tile_deg} deg); got ratio {ratio}"
+        )
+    from ..sources.images import with_derived_keys
+
+    if "cell_id" not in images.columns or "layer" not in images.columns:
+        images = with_derived_keys(images)
+
+    cs, cd = src.chunk_px, dst.chunk_px
+    # exact rational pixel mapping: src_px = ((2*dst_px+1) * num) // den
+    num = dst.degrees * src.pixels
+    den = 2 * dst.pixels * src.degrees
+    if int(num) != num or int(den) != den:
+        raise ValueError("grid degrees/pixels must be integers")
+    num, den = int(num), int(den)
+    fmt_out = fmt
+
+    keyed = images.withColumn("__dst_cell", _dst_cell_expr(src, dst, k))
+
+    schema = (
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "layer string, cell_id long"
+    )
+
+    def assemble(key, pdf):
+        layer, dst_cell = str(key[0]), int(key[1])
+        dx, dy = G.cell_to_xy(dst_cell)
+        dx, dy = int(dx), int(dy)
+        # mosaic of the k x k source tiles, missing ones filled
+        first = codecs.decode_tile(
+            bytes(pdf["bytes"].iloc[0]), int(pdf["w"].iloc[0]),
+            int(pdf["h"].iloc[0]), str(pdf["fmt"].iloc[0]),
+        )
+        mosaic = np.full((k * cs, k * cs), fill, dtype=first.dtype)
+        for r in pdf.itertuples(index=False):
+            sx, sy = G.cell_to_xy(int(r.cell_id))
+            sx, sy = int(sx), int(sy)
+            arr = codecs.decode_tile(bytes(r.bytes), int(r.w), int(r.h), str(r.fmt))
+            mosaic[(sy - dy * k) * cs:(sy - dy * k + 1) * cs,
+                   (sx - dx * k) * cs:(sx - dx * k + 1) * cs] = arr
+        # dst pixel centers -> src global px -> mosaic-local (exact int64)
+        jj = np.arange(cd, dtype=np.int64)
+        gx = dx * cd + jj
+        gy = dy * cd + jj
+        lx = (2 * gx + 1) * num // den - dx * k * cs
+        ly = (2 * gy + 1) * num // den - dy * k * cs
+        out = mosaic[np.ix_(ly, lx)]
+        payload = codecs.encode_tile(np.ascontiguousarray(out), fmt_out)
+        return pd.DataFrame(
+            [(f"{layer}/{dst_cell:016x}", payload, cd, cd, fmt_out,
+              layer, dst_cell)],
+            columns=["image_id", "bytes", "w", "h", "fmt", "layer", "cell_id"],
+        )
+
+    return (
+        keyed.select("layer", "__dst_cell", "cell_id", "bytes", "w", "h", "fmt")
+        .groupBy("layer", "__dst_cell")
+        .applyInPandas(assemble, schema)
+    )

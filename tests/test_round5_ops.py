@@ -128,3 +128,101 @@ def test_ivf_pq_residual_rejects_empty_queries(spark):
     )
     with pytest.raises(ValueError):
         similarity.ivf_pq_residual_topk(df, empty, n_centroids=8, m=4, ksub=8)
+
+
+def _src_tile(sx, sy, cs):
+    j = np.arange(cs, dtype=np.int64)
+    gx = (sx * cs + j)[None, :]
+    gy = (sy * cs + j)[:, None]
+    return ((3 * gx + 5 * gy) % 241).astype(np.uint8)
+
+
+def _src_images(spark, cells, cs, grid):
+    from gfw_raster_analysis_lambda_spark.functions import codecs
+    from gfw_raster_analysis_lambda_spark.functions import grid as G
+
+    rows = [
+        (f"tcl_year/{int(G.cell_from_xy(grid, sx, sy)):016x}",
+         codecs.encode_tile(_src_tile(sx, sy, cs), "png"), cs, cs, "png")
+        for sx, sy in cells
+    ]
+    return spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+
+
+def test_reproject_nearest_matches_exact_rational_oracle(spark):
+    """Every destination pixel equals the source formula sampled at the
+    exact rational pixel-center mapping — the non-integer (128/125)
+    pixel ratio means neighboring dst pixels sometimes repeat and
+    sometimes skip src pixels; the mapping must never drift."""
+    from gfw_raster_analysis_lambda_spark.functions import codecs
+    from gfw_raster_analysis_lambda_spark.functions import grid as G
+    from gfw_raster_analysis_lambda_spark.operators.reproject import (
+        reproject_nearest,
+    )
+
+    src, dst = G.get_grid("4/1024"), G.get_grid("1/250")
+    cs, cd = src.chunk_px, dst.chunk_px
+    cells = [(sx, sy) for sy in range(320, 324) for sx in range(740, 748)]
+    out = reproject_nearest(
+        _src_images(spark, cells, cs, src), "4/1024", "1/250"
+    ).collect()
+    assert len(out) == 2  # two complete 1-deg cells (185, 80) and (186, 80)
+    num, den = 1024, 2000
+    for r in out:
+        dx, dy = (int(v) for v in G.cell_to_xy(int(r["cell_id"])))
+        arr = codecs.decode_tile(bytes(r["bytes"]), r["w"], r["h"], r["fmt"])
+        jj = np.arange(cd, dtype=np.int64)
+        sgx = (2 * (dx * cd + jj) + 1) * num // den
+        sgy = (2 * (dy * cd + jj) + 1) * num // den
+        want = ((3 * sgx[None, :] + 5 * sgy[:, None]) % 241).astype(np.uint8)
+        assert np.array_equal(arr, want), (dx, dy)
+        assert r["image_id"] == f"tcl_year/{int(r['cell_id']):016x}"
+        assert (r["w"], r["h"], r["fmt"], r["layer"]) == (250, 250, "png", "tcl_year")
+
+
+def test_reproject_missing_src_tile_fills(spark):
+    """Missing-tile tolerance (reference S2 analog): a dst tile whose
+    mosaic has a hole gets the fill value in exactly the hole's sampled
+    footprint, and decodes everywhere else."""
+    from gfw_raster_analysis_lambda_spark.functions import codecs
+    from gfw_raster_analysis_lambda_spark.functions import grid as G
+    from gfw_raster_analysis_lambda_spark.operators.reproject import (
+        reproject_nearest,
+    )
+
+    src, dst = G.get_grid("4/1024"), G.get_grid("1/250")
+    cs, cd = src.chunk_px, dst.chunk_px
+    cells = [(sx, sy) for sy in range(320, 324) for sx in range(740, 744)]
+    dropped = (741, 321)
+    cells.remove(dropped)
+    out = reproject_nearest(
+        _src_images(spark, cells, cs, src), "4/1024", "1/250", fill=255
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    arr = codecs.decode_tile(bytes(r["bytes"]), r["w"], r["h"], r["fmt"])
+    num, den = 1024, 2000
+    jj = np.arange(cd, dtype=np.int64)
+    sgx = (2 * (185 * cd + jj) + 1) * num // den
+    sgy = (2 * (80 * cd + jj) + 1) * num // den
+    in_hole_x = (sgx >= dropped[0] * cs) & (sgx < (dropped[0] + 1) * cs)
+    in_hole_y = (sgy >= dropped[1] * cs) & (sgy < (dropped[1] + 1) * cs)
+    hole = in_hole_y[:, None] & in_hole_x[None, :]
+    assert hole.any() and not hole.all()
+    assert np.all(arr[hole] == 255)
+    want = ((3 * sgx[None, :] + 5 * sgy[:, None]) % 241).astype(np.uint8)
+    assert np.array_equal(arr[~hole], want[~hole])
+
+
+def test_reproject_rejects_non_nesting_grids(spark):
+    from gfw_raster_analysis_lambda_spark.operators.reproject import (
+        reproject_nearest,
+    )
+
+    df = spark.createDataFrame(
+        [], "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    with pytest.raises(ValueError):
+        reproject_nearest(df, "1/250", "4/1024")  # dst finer than src cells
