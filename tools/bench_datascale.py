@@ -306,6 +306,12 @@ def workloads(spark, sf_dir):
             t("embeddings").filter(F.col("vec_id") < 8).select(
                 F.col("vec_id").alias("query_id"), "embedding"),
             d=16, k_coarse=20, k=10),
+        # candidates = O(q * corpus * n_probe / n_centroids): linear in rows
+        "sim_ivf_pq_residual": lambda: similarity.ivf_pq_residual_topk(
+            t("embeddings"),
+            t("embeddings").filter(F.col("vec_id") < 8).select(
+                F.col("vec_id").alias("query_id"), "embedding"),
+            k=10, n_centroids=16, n_probe=4, m=8, ksub=16),
     }
 
 
@@ -415,6 +421,34 @@ def focal_4x(spark):
     return out
 
 
+def reproject_4x(spark):
+    """Cross-grid reprojection throughput at the 48x48 bench corpus vs a
+    4x (96x96) one — ONE dst-cell-keyed shuffle of encoded tile bytes;
+    groups are exactly <= k*k tiles so time must stay linear in tiles."""
+    import bench
+    from gfw_raster_analysis_lambda_spark.operators.reproject import (
+        reproject_nearest,
+    )
+    from gfw_raster_analysis_lambda_spark.sources.images import read_images
+
+    out = {}
+    for mult, tag in ((1, "48x48"), (2, "96x96")):
+        nx = ny = 48 * mult
+        path = os.path.join(
+            REPO, ".bench_cache",
+            f"corpus_scale4x_{bench.BGRID.name.replace('/', '_')}_{nx}x{ny}_cs")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            raise SystemExit(f"missing 4x corpus {path}; run without --skip-zonal")
+        tiles_df = read_images(spark, path).filter(F.col("layer") == "tcl_year")
+        n_tiles = nx * ny
+        sec, samples = best_of(
+            lambda: reproject_nearest(tiles_df, bench.BGRID.name, "1/250"), 3)
+        out[tag] = {"tiles": n_tiles, "sec": sec,
+                    "tiles_per_sec": n_tiles / sec,
+                    "samples": [round(s, 3) for s in samples]}
+    return out
+
+
 def main():
     from gfw_raster_analysis_lambda_spark.session import get_spark
 
@@ -461,10 +495,11 @@ def main():
               "mm_aspect_buckets": "documents",
               "dedup_ngram_containment": "documents",
               "sample_reservoir": "documents",
-              "sim_sq8": "embeddings", "sim_mrl_rerank": "embeddings"}
+              "sim_sq8": "embeddings", "sim_mrl_rerank": "embeddings",
+              "sim_ivf_pq_residual": "embeddings"}
 
     lines = [
-        "## Data-size scaling (round 4)", "",
+        "## Data-size scaling (round 5)", "",
         "Best-of-3 seconds per op at three data sizes (synthetic sf1 = "
         f"deterministic {FACTOR}x of sf0.1, constant workload density — see "
         "tools/bench_datascale.py). `growth` = (time sf1 / time sf0.1) / "
@@ -517,7 +552,24 @@ def main():
             f"linear; samples {fz['48x48']['samples']} vs {fz['96x96']['samples']}).")
         lines.append("")
 
-    out_path = os.path.join(REPO, "BENCH", "DATASCALE_r04.md")
+        rz = reproject_4x(spark)
+        lines += [
+            "### 4x tile corpus (cross-grid reprojection 4/4096 -> 1/250)", "",
+            "| corpus | tiles | best-of-3 s | tiles/sec |",
+            "|---|---|---|---|",
+        ]
+        for tag, v in rz.items():
+            lines.append(
+                f"| {tag} | {v['tiles']} | {v['sec']:.3f} | {v['tiles_per_sec']:.0f} |")
+        rr = rz["96x96"]["tiles_per_sec"] / rz["48x48"]["tiles_per_sec"]
+        lines.append("")
+        lines.append(
+            f"4x-corpus reprojection throughput ratio: {rr:.2f} (1.0 = "
+            f"perfectly linear; samples {rz['48x48']['samples']} vs "
+            f"{rz['96x96']['samples']}).")
+        lines.append("")
+
+    out_path = os.path.join(REPO, "BENCH", "DATASCALE_r05.md")
     with open(out_path, "w") as f:
         f.write("\n".join(lines))
     print(f"wrote {out_path}")
