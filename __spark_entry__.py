@@ -632,6 +632,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["stream_windowed_events"] = stream_windowed_events
 
+    def stream_attribution_join(spark, sf_dir):
+        # stream-stream interval join (watermarked both sides, time-range
+        # condition -> bounded join state): purchases attributed to the
+        # same-user views they followed within 2 hours; gap emitted as
+        # integer microseconds so the batch SQL twin compares exactly
+        from gfw_raster_analysis_lambda_spark.streaming.joins import (
+            attribution_join_stream,
+        )
+
+        return _stream_events_run(
+            spark, sf_dir, attribution_join_stream,
+            lambda g: g["user_id"] >= 0,
+        )
+    q["stream_attribution_join"] = stream_attribution_join
+
     def stream_sessionize(spark, sf_dir):
         # applyInPandasWithState gap sessionization (custom stateful op);
         # sessions close via event-time state timeout
@@ -1460,6 +1475,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.phash_dedup_clusters(df, max_hamming=3, bands=4)
     q["dedup_phash_clusters"] = dedup_phash_clusters
 
+    def dedup_video_temporal(spark, sf_dir):
+        # content-ID-shaped VIDEO near-dup: shingles of 3 consecutive
+        # frame phashes, shared-shingle candidates, jaccard-verified
+        # pairs. Corpus plants 4 base videos, offset copies (trim
+        # robustness), and every-5th-frame corrupted copies; pure
+        # Catalyst (window LEAD + hash joins), no UDF.
+        rows = [
+            (v, t,
+             10_000_000 + v * 1000 + t if v >= 8 and t % 5 == 0
+             else (v % 4) * 100_000 + t + v // 4)
+            for v in range(12) for t in range(20)
+        ]
+        df = spark.createDataFrame(rows, "media_id long, frame int, phash long")
+        return dedup.video_temporal_pairs(df, k=3, threshold=0.2)
+    q["dedup_video_temporal"] = dedup_video_temporal
+
     def dedup_cross_modal(spark, sf_dir):
         # consensus near-dups over image+caption pairs (the input-hint
         # corpus shape): phash-banded visual candidates verified by
@@ -1839,6 +1870,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
         return sampling.reservoir_sample(docs, 5, strata_col="lang")
     q["sample_reservoir"] = sample_reservoir
+
+    def sample_embedding_decontaminate(spark, sf_dir):
+        # embedding-space benchmark decontamination: corpus vectors whose
+        # best rounded cosine vs ANY benchmark embedding >= 0.8 are
+        # flagged with their best-matching bench item (ties to lowest
+        # bench_id) — catches paraphrased leaks n-gram decontamination
+        # misses. Bench matrix rides the kernel closure; ONE zero-shuffle
+        # Arrow matmul over the corpus, no crossJoin rows materialize.
+        e = _t(spark, sf_dir, "embeddings")
+        bench = e.filter(F.col("vec_id") % 101 == 0).select(
+            F.col("vec_id").alias("bench_id"), "embedding"
+        )
+        return dedup.semantic_contamination(e, bench, threshold=0.8)
+    q["sample_embedding_decontaminate"] = sample_embedding_decontaminate
 
     def mm_global_histeq(spark, sf_dir):
         # CORPUS-wide histogram equalization (radiometric normalization):
@@ -2463,6 +2508,17 @@ SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(SUM(value), 3) AS value_sum
 FROM events GROUP BY 1, 2
+"""
+
+    o["stream_attribution_join"] = """
+SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+       CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us,
+       ROUND(p.value, 3) AS value
+FROM events v
+JOIN events p
+  ON p.user_id = v.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
 """
 
     o["stream_dedup_exact"] = """
@@ -3229,6 +3285,43 @@ FROM banded a JOIN banded b
   ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
 """
 
+    o["dedup_video_temporal"] = """
+WITH f AS (
+  SELECT v.v AS media_id, t.t AS frame,
+         CASE WHEN v.v >= 8 AND t.t % 5 = 0 THEN 10000000 + v.v * 1000 + t.t
+              ELSE (v.v % 4) * 100000 + t.t + v.v // 4 END AS phash
+  FROM generate_series(0, 11) v(v), generate_series(0, 19) t(t)
+),
+sh0 AS (
+  SELECT media_id, phash,
+         LEAD(phash, 1) OVER w AS h1, LEAD(phash, 2) OVER w AS h2
+  FROM f WINDOW w AS (PARTITION BY media_id ORDER BY frame)
+),
+sh AS (
+  SELECT DISTINCT media_id AS id,
+         CAST(phash AS VARCHAR) || '_' || CAST(h1 AS VARCHAR)
+           || '_' || CAST(h2 AS VARCHAR) AS s
+  FROM sh0 WHERE h2 IS NOT NULL
+),
+common AS (
+  SELECT s FROM sh GROUP BY s
+  HAVING COUNT(DISTINCT id) > 1 AND COUNT(DISTINCT id) <= 64
+),
+shc AS (SELECT sh.id, sh.s FROM sh JOIN common USING (s)),
+sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+pairs AS (
+  SELECT a.id AS a, b.id AS b, COUNT(*) AS shared
+  FROM shc a JOIN shc b ON a.s = b.s AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT p.a, p.b, CAST(p.shared AS BIGINT) AS shared,
+       ROUND(CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared), 6) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.id = p.a
+JOIN sizes sb ON sb.id = p.b
+WHERE ROUND(CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared), 6) >= 0.2
+"""
+
     o["dedup_minhash_keepers"] = f"""
 WITH tk AS (
   SELECT doc_id AS id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
@@ -3362,6 +3455,24 @@ WHERE c / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.2
         "sqrt(SUM(CAST(list_extract({t}.embedding, i) AS DOUBLE)"
         " * CAST(list_extract({t}.embedding, i) AS DOUBLE)))"
     )
+    o["sample_embedding_decontaminate"] = f"""
+WITH bench AS (
+  SELECT vec_id AS bench_id, embedding FROM embeddings WHERE vec_id % 101 = 0
+),
+pairs AS (
+  SELECT a.vec_id AS id, b.bench_id,
+         ROUND({dot_ab} / ({norm.format(t='a')} * {norm.format(t='b')}), 6) AS cosine
+  FROM embeddings a, bench b, generate_series(1, 64) g(i)
+  GROUP BY a.vec_id, b.bench_id
+),
+best AS (
+  SELECT id, bench_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY cosine DESC, bench_id ASC) AS rn
+  FROM pairs
+)
+SELECT id, bench_id, cosine FROM best WHERE rn = 1 AND cosine >= 0.8
+"""
+
     o["dedup_embedding_cosine"] = f"""
 WITH pairs AS (
   SELECT a.vec_id AS a, b.vec_id AS b,

@@ -866,3 +866,164 @@ def semantic_dedup_keepers_fast(
         .applyInPandas(per_bucket, f"id {id_type}, centroid_id long")
         .select("id", "centroid_id")
     )
+
+
+def semantic_contamination(
+    emb: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "bench_id",
+    round_to: int = 6,
+    max_bench: int = 100_000,
+) -> DataFrame:
+    """(id, bench_id, cosine): corpus vectors whose best rounded cosine
+    against ANY benchmark embedding reaches ``threshold`` — the
+    embedding-space analog of n-gram benchmark decontamination
+    (operators/text.py:benchmark_contamination): a paraphrased or
+    reformatted eval item shares no 3-grams with its leak but its
+    embedding stays close. One row per contaminated corpus vector (its
+    best-matching benchmark item; ties at the rounded maximum go to the
+    lowest bench_id).
+
+    Scale shape: benchmark suites are small BY DEFINITION (guarded by
+    ``max_bench``), so the bench matrix rides every kernel closure and
+    the scan is ONE zero-shuffle Arrow matmul over the corpus — no
+    crossJoin rows materialize, nothing shuffles, output is O(flagged).
+    The corpus-side anti-join lives in :func:`semantic_decontaminate`."""
+    import numpy as np
+    import pandas as pd
+
+    if bench.limit(max_bench + 1).count() > max_bench:
+        raise ValueError(
+            f"benchmark side exceeds max_bench={max_bench}; embedding "
+            "decontamination broadcasts the benchmark matrix — a 'benchmark' "
+            "this large is a corpus join, not a decontamination pass"
+        )
+    rows = sorted(
+        bench.select(bench_id_col, vec_col).collect(), key=lambda r: int(r[0])
+    )
+    if not rows:
+        raise ValueError("empty benchmark side")
+    bids = np.asarray([int(r[0]) for r in rows], dtype=np.int64)
+    bmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    bnorm = np.sqrt((bmat * bmat).sum(axis=1))
+    id_type = dict(emb.dtypes)[id_col]
+    thr = float(threshold)
+    mul = 10.0 ** round_to
+
+    def scan(batches):
+        from ..functions.expressions import round_half_up
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vnorm = np.sqrt((v * v).sum(axis=1))
+            cos = round_half_up(
+                (v @ bmat.T) / (vnorm[:, None] * bnorm[None, :]), round_to
+            )
+            best = cos.argmax(axis=1)  # first max = lowest bench_id (sorted)
+            bc = cos[np.arange(len(v)), best]
+            keep = bc >= thr - 0.5 / mul  # rounded compare, exact at 6dp
+            yield pd.DataFrame({
+                "id": pdf[id_col][keep],
+                "bench_id": bids[best[keep]],
+                "cosine": bc[keep],
+            })
+
+    return emb.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        scan, f"id {id_type}, bench_id long, cosine double"
+    )
+
+
+def semantic_decontaminate(
+    emb: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """The kept corpus: rows NOT flagged by
+    :func:`semantic_contamination` (one anti-join against the O(flagged)
+    output; the corpus itself never shuffles)."""
+    flagged = semantic_contamination(
+        emb, bench, threshold, id_col, vec_col, bench_id_col
+    ).select(F.col("id").alias(id_col)).distinct()
+    return emb.join(flagged, id_col, "left_anti")
+
+
+def video_temporal_pairs(
+    frames: DataFrame,
+    k: int = 3,
+    threshold: float = 0.2,
+    df_cap: int = 64,
+    id_col: str = "media_id",
+    frame_col: str = "frame",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Near-duplicate VIDEOS by temporal signature — the content-ID
+    shape: shingle ``k`` consecutive frame perceptual hashes (ordered by
+    frame index), candidate videos share at least one shingle, verified
+    pairs reach shingle-set jaccard >= ``threshold``. Output
+    (a, b, shared, jaccard) with a < b, jaccard rounded half-up to 6.
+
+    Position-free by construction: a trimmed or offset copy shares its
+    interior shingles, so re-cuts and re-encodes that preserve per-frame
+    phash still match; a corrupted frame only poisons the k shingles
+    that cover it. Everything is Catalyst (window LEAD + string shingle
+    keys + two hash joins) — no UDF, no pair explosion beyond truly
+    shared shingles, and ``df_cap`` drops degenerate shingles shared by
+    more than that many videos (black frames, static intros) exactly
+    like the text n-gram guard (:func:`ngram_jaccard_pairs`).
+
+    Scale: shingle build is one window per video (narrow, sorted by the
+    natural frame order); the candidate join is keyed by shingle whose
+    fan-out df_cap bounds; output is O(true pairs). Composes directly with
+    :func:`operators.multimodal.video_frame_sample` + a phash pass."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(frame_col)
+    leads = frames.select(id_col, frame_col, hash_col).select(
+        id_col,
+        *[
+            F.lead(hash_col, i).over(w).alias(f"__h{i}") if i
+            else F.col(hash_col).alias("__h0")
+            for i in range(k)
+        ],
+    )
+    sh = (
+        leads.filter(F.col(f"__h{k - 1}").isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.concat_ws(
+                "_", *[F.col(f"__h{i}").cast("string") for i in range(k)]
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    common = (
+        sh.groupBy("sh").agg(F.countDistinct("id").alias("__df"))
+        .filter((F.col("__df") > 1) & (F.col("__df") <= df_cap))
+        .select("sh")
+    )
+    sh_c = sh.join(common, "sh")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    pairs = (
+        sh_c.alias("a").join(sh_c.alias("b"), "sh")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .join(sizes.select(F.col("id").alias("a"), F.col("n_sh").alias("na")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("n_sh").alias("nb")), "b")
+    )
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        pairs.withColumn(
+            "jaccard", F.floor(jac * 1e6 + F.lit(0.5)) / 1e6
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "shared", "jaccard")
+    )

@@ -226,3 +226,95 @@ def test_reproject_rejects_non_nesting_grids(spark):
     )
     with pytest.raises(ValueError):
         reproject_nearest(df, "1/250", "4/1024")  # dst finer than src cells
+
+
+def test_semantic_contamination_flags_leaks_and_paraphrases(spark):
+    """Exact benchmark copies (cos 1.0) and near-paraphrases (small
+    perturbation) flag with the right best-matching bench item; unrelated
+    vectors pass. The kept set is exactly corpus minus flagged."""
+    from gfw_raster_analysis_lambda_spark.operators import dedup
+
+    rng = np.random.RandomState(7)
+    b0, b1 = rng.randn(16), rng.randn(16)
+    rows = {
+        0: b0,                                   # exact leak of bench 100
+        1: b0 + rng.randn(16) * 0.02,            # paraphrase of bench 100
+        2: b1,                                   # exact leak of bench 101
+        3: rng.randn(16) * 3.0,                  # unrelated
+        4: -b0,                                  # anti-correlated: cos -1
+    }
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows.items()],
+        "vec_id long, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [float(x) for x in b0]), (101, [float(x) for x in b1])],
+        "bench_id long, embedding array<float>",
+    )
+    flagged = {r["id"]: (r["bench_id"], r["cosine"])
+               for r in dedup.semantic_contamination(emb, bench, 0.9).collect()}
+    assert set(flagged) == {0, 1, 2}
+    assert flagged[0] == (100, 1.0)
+    assert flagged[2] == (101, 1.0)
+    assert flagged[1][0] == 100 and flagged[1][1] >= 0.9
+    kept = sorted(r["vec_id"] for r in
+                  dedup.semantic_decontaminate(emb, bench, 0.9).collect())
+    assert kept == [3, 4]
+
+
+def test_semantic_contamination_guards_benchmark_size(spark):
+    from gfw_raster_analysis_lambda_spark.operators import dedup
+
+    df, _ = _emb_df(spark, n=32, dim=16, seed=2)
+    bench = df.select(F.col("vec_id").alias("bench_id"), "embedding")
+    with pytest.raises(ValueError):
+        dedup.semantic_contamination(df, bench, max_bench=8)
+    with pytest.raises(ValueError):
+        dedup.semantic_contamination(df, bench.filter(F.col("bench_id") < 0))
+
+
+def _video_frames(spark):
+    # 4 base classes; v//4 = offset copies; v >= 8 additionally corrupt
+    # every 5th frame (unique junk hashes)
+    rows = [
+        (v, t,
+         10_000_000 + v * 1000 + t if v >= 8 and t % 5 == 0
+         else (v % 4) * 100_000 + t + v // 4)
+        for v in range(12) for t in range(20)
+    ]
+    return spark.createDataFrame(rows, "media_id long, frame int, phash long")
+
+
+def test_video_temporal_pairs_offsets_and_corruption(spark):
+    """Offset copies match at high jaccard (trim robustness), corrupted
+    copies still match above the floor, different base content never
+    pairs — the content-ID contract."""
+    from gfw_raster_analysis_lambda_spark.operators import dedup
+
+    out = {(r["a"], r["b"]): (r["shared"], r["jaccard"])
+           for r in dedup.video_temporal_pairs(
+               _video_frames(spark), k=3, threshold=0.2).collect()}
+    # per base class: (base, offset copy), (base, corrupt), (offset, corrupt)
+    assert set(out) == {(c, c + d) for c in range(4) for d in (4, 8)} | {
+        (c + 4, c + 8) for c in range(4)}
+    for c in range(4):
+        sh, j = out[(c, c + 4)]
+        assert sh == 17 and abs(j - 17 / 19) < 1e-6  # 6dp-rounded jaccard
+        sh8, j8 = out[(c, c + 8)]
+        assert sh8 == 6 and abs(j8 - 0.2) < 1e-6  # knife-edge at threshold
+    # different base classes share nothing
+    assert (0, 1) not in out and (0, 5) not in out
+
+
+def test_video_temporal_df_cap_drops_static_shingles(spark):
+    """A shingle shared by every video (black-frame run) must be dropped
+    by df_cap instead of exploding the candidate join."""
+    from gfw_raster_analysis_lambda_spark.operators import dedup
+
+    rows = []
+    for v in range(6):
+        for t in range(8):
+            rows.append((v, t, 7 if t < 4 else v * 100 + t))  # shared intro
+    df = spark.createDataFrame(rows, "media_id long, frame int, phash long")
+    out = dedup.video_temporal_pairs(df, k=3, threshold=0.05, df_cap=4).collect()
+    assert out == []  # only the intro is shared, and its df=6 > cap=4

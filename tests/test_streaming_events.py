@@ -336,3 +336,55 @@ def test_decontaminate_stream_drains_to_batch_result(spark, tmp_path):
         .toPandas().sort_values(["doc_id", "bench_id"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+@pytest.mark.slow
+def test_attribution_join_stream_matches_batch_oracle(spark, tmp_path):
+    """Stream-stream interval join: purchases attributed to same-user
+    views within 2 hours must equal the batch join, including matches
+    SPLIT ACROSS micro-batches (purchase arrives a wave after its view
+    — the buffered-state case the watermarked join exists for)."""
+    from gfw_raster_analysis_lambda_spark.streaming.joins import (
+        attribution_join_stream,
+    )
+
+    pdf = _events_pdf().sort_values("ts").reset_index(drop=True)
+    stream_dir, out_dir = str(tmp_path / "ev"), str(tmp_path / "out")
+    # split mid-stream: views in wave 1 whose purchases land in wave 2
+    cut = len(pdf) // 2
+    wm = "40 days"  # keep all wave-1 view state alive across the split
+
+    _write_wave(spark, stream_dir, pdf.iloc[:cut])
+    attribution_join_stream(
+        spark, stream_dir, out_dir, watermark=wm
+    ).awaitTermination(120)
+    _write_wave(spark, stream_dir, pdf.iloc[cut:])
+    attribution_join_stream(
+        spark, stream_dir, out_dir, watermark=wm
+    ).awaitTermination(120)
+
+    got = (
+        pd.concat([pd.read_parquet(f) for f in glob.glob(
+            f"{out_dir}/data/**/*.parquet", recursive=True)])
+        .sort_values(["view_id", "purchase_id"]).reset_index(drop=True)
+    )
+    v = pdf[pdf["event_type"] == "view"]
+    p = pdf[pdf["event_type"] == "purchase"]
+    exp = v.merge(p, on="user_id", suffixes=("_v", "_p"))
+    exp = exp[(exp["ts_p"] >= exp["ts_v"])
+              & (exp["ts_p"] <= exp["ts_v"] + pd.Timedelta(hours=2))]
+    exp = (
+        exp.assign(
+            gap_us=((exp["ts_p"] - exp["ts_v"]).dt.total_seconds() * 1e6)
+            .round().astype("int64"),
+            value=exp["value_p"].round(3),
+        )[["event_id_v", "event_id_p", "user_id", "gap_us", "value"]]
+        .rename(columns={"event_id_v": "view_id", "event_id_p": "purchase_id"})
+        .sort_values(["view_id", "purchase_id"]).reset_index(drop=True)
+    )
+    assert len(got) == len(exp) and len(exp) > 0
+    assert got["view_id"].tolist() == exp["view_id"].tolist()
+    assert got["purchase_id"].tolist() == exp["purchase_id"].tolist()
+    assert got["gap_us"].tolist() == exp["gap_us"].tolist()
+    # no duplicate attributions across the two waves (state, not re-scan)
+    assert not got.duplicated(["view_id", "purchase_id"]).any()
