@@ -173,3 +173,51 @@ def test_curate_submit_main_inprocess(spark, tmp_path):
     ])
     cur2 = spark.read.parquet(out2).toPandas()
     assert sorted(cur["doc_id"]) == sorted(cur2["doc_id"])
+
+
+@pytest.mark.slow
+def test_spark_submit_reproject(spark, corpus, tmp_path):
+    """reproject_submit.py through a real spark-submit --py-files run:
+    the re-gridded output reads back through read_images and every
+    sampled pixel matches the in-process operator."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import build_dist
+
+    zip_path = build_dist.build(str(tmp_path / "engine.zip"))
+    out_dir = str(tmp_path / "reproj")
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    proc = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            os.path.join(REPO, "jobs", "reproject_submit.py"),
+            "--images", corpus["images"],
+            "--src-grid", "4/1024",
+            "--dst-grid", "1/250",
+            "--layers", "tcl_year",
+            "--output", out_dir,
+        ],
+        capture_output=True, text=True, timeout=600, env=env, cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+
+    from gfw_raster_analysis_lambda_spark.operators.reproject import (
+        reproject_nearest,
+    )
+    from gfw_raster_analysis_lambda_spark.sources.images import read_images
+
+    got = {
+        r["cell_id"]: bytes(r["bytes"])
+        for r in read_images(spark, out_dir).collect()
+    }
+    src = read_images(spark, corpus["images"]).filter("layer = 'tcl_year'")
+    want = {
+        r["cell_id"]: bytes(r["bytes"])
+        for r in reproject_nearest(src, "4/1024", "1/250").collect()
+    }
+    assert got == want and len(got) > 0
