@@ -2013,6 +2013,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["text_pii_scrub"] = text_pii_scrub
 
+    def text_lm_buckets(spark, sf_dir):
+        # CCNet-shaped quality curation: every document scored by an
+        # add-1-smoothed bigram LM (self-perplexity — the repetition /
+        # boilerplate signal) and NTILE'd into head/middle/tail. The
+        # model IS a DataFrame, so the DuckDB twin re-derives counts,
+        # smoothing, vocabulary, and buckets end to end.
+        d = _t(spark, sf_dir, "documents")
+        scored = text.bigram_lm_scores(d)
+        return text.perplexity_buckets(scored, n_buckets=3)
+    q["text_lm_buckets"] = text_lm_buckets
+
     def sim_ivf_pq(spark, sf_dir):
         # IVF-PQ: the production ANN composition — IVF coarse pruning
         # (probe 4/16 buckets) picks WHICH vectors to score, PQ ADC
@@ -4370,6 +4381,47 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
     )
     _rx_ip = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
     _rx_ssn = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+    o["text_lm_buckets"] = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT tk.doc_id, tk.t[g.i] AS w1, tk.t[g.i + 1] AS w2
+  FROM tk
+  JOIN generate_series(1, 4095) g(i)  -- fixture docs max ~100 tokens
+    ON g.i <= len(tk.t) - 1
+),
+big AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+uni AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+vocab AS (
+  SELECT COUNT(DISTINCT w) AS v
+  FROM (SELECT w1 AS w FROM bg UNION SELECT w2 FROM bg)
+),
+nll AS (
+  SELECT b.doc_id,
+         -log2((COALESCE(bb.c12, 0) + 1.0)
+               / (COALESCE(u.c1, 0) + 1.0 * v.v)) AS nll
+  FROM bg b
+  LEFT JOIN big bb USING (w1, w2)
+  LEFT JOIN uni u USING (w1), vocab v
+),
+sc AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(nll), 6) AS avg_nll
+  FROM nll GROUP BY doc_id
+),
+fl AS (
+  SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams, sc.avg_nll
+  FROM documents d LEFT JOIN sc USING (doc_id)
+)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, avg_nll,
+       CAST(NTILE(3) OVER (
+         ORDER BY avg_nll ASC NULLS LAST, doc_id ASC) AS INT) AS bucket
+FROM fl
+"""
+
     o["text_pii_scrub"] = f"""
 WITH injected AS (
   SELECT doc_id,

@@ -533,3 +533,118 @@ def scrub_pii(
     return df.select(
         F.col(id_col), scrubbed.alias(text_col), *counts
     ).withColumn("n_pii", total.cast("long"))
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    train: DataFrame | None = None,
+    k_smooth: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_bigrams, avg_nll): per-document average negative
+    log2-likelihood under an add-k-smoothed bigram language model — the
+    CCNet quality-filter shape (Wenzek et al. 2020: score every document
+    with an LM trained on a trusted corpus, bucket by perplexity). This
+    is the n-gram stand-in for KenLM: same pipeline role, and unlike a
+    binary model artifact it is fully relational, so the DuckDB twin
+    re-derives the ENTIRE model — counts, smoothing, vocabulary — not
+    just the scores.
+
+    ``train`` is the LM corpus (defaults to ``df`` itself — self-
+    perplexity, the repetition/boilerplate signal). P(w2 | w1) =
+    (c(w1,w2) + k) / (c(w1) + k*V) with V = |train vocabulary|; bigrams
+    whose w1 is out-of-vocabulary use c(w1) = 0 (pure smoothing mass).
+    avg_nll is rounded half-up to 6 after the sum, so a <=1-ulp libm
+    difference per log term (~1e-14 total) can never flip the hash.
+
+    Scale shape: the model IS a DataFrame — bigram counts shuffle once
+    on (w1, w2) at training, scoring is two hash joins (bigram, then
+    unigram) + one agg; nothing is collected, the model can be as large
+    as the corpus' bigram set. Documents with < 2 tokens score NULL
+    avg_nll with n_bigrams = 0 (kept, flaggable downstream)."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+
+    def bigrams(frame):
+        return (
+            frame.select(F.col(id_col), toks.alias("__t"))
+            .select(
+                id_col,
+                F.explode(
+                    # slice-then-transform: short docs yield an empty
+                    # struct array (sequence(1, 0) would count DOWN)
+                    F.expr(
+                        "transform(slice(__t, 1, greatest(size(__t) - 1, 0)),"
+                        " (w, i) -> struct(w AS w1, __t[i + 1] AS w2))"
+                    )
+                ).alias("bg"),
+            )
+            .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        )
+
+    lm_src = bigrams(train if train is not None else df)
+    big = lm_src.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = lm_src.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = lm_src.select(
+        F.explode(F.array("w1", "w2")).alias("w")
+    ).agg(F.countDistinct("w").alias("v"))
+
+    scored = (
+        bigrams(df)
+        .join(big, ["w1", "w2"], "left")
+        .join(uni, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            (
+                -F.log2(
+                    (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(float(k_smooth)))
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(float(k_smooth)) * F.col("v"))
+                )
+            ).alias("nll"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.floor(F.avg("nll") * 1e6 + F.lit(0.5)) / 1e6).alias("avg_nll"),
+        )
+    )
+    return (
+        df.select(id_col).join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "avg_nll",
+        )
+    )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    nll_col: str = "avg_nll",
+) -> DataFrame:
+    """CCNet head/middle/tail: NTILE(n) over (avg_nll, doc_id) — lowest
+    perplexity = bucket 1 ("head"). Unscored documents (< 2 tokens) sort
+    last by the NULLS LAST order, landing in the tail bucket, which is
+    the conservative call for a quality filter.
+
+    Scale note: NTILE over an unpartitioned window is a single-reducer
+    sort of the (id, score) frame — exact and twin-matchable, fine into
+    the billions of 3-column rows, but at the 10^12 design point assign
+    buckets by percentile THRESHOLDS instead (one tiny collect of n-1
+    boundaries from the percentile machinery, broadcast compare): same
+    buckets except at exact boundary ties, no global sort."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.col(nll_col).asc_nulls_last(), F.col(id_col).asc()
+    )
+    return scored.select(
+        id_col, "n_bigrams", nll_col,
+        F.ntile(n_buckets).over(w).alias("bucket"),
+    )

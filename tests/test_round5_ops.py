@@ -318,3 +318,47 @@ def test_video_temporal_df_cap_drops_static_shingles(spark):
     df = spark.createDataFrame(rows, "media_id long, frame int, phash long")
     out = dedup.video_temporal_pairs(df, k=3, threshold=0.05, df_cap=4).collect()
     assert out == []  # only the intro is shared, and its df=6 > cap=4
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    """Tiny corpus with exactly computable smoothed probabilities:
+    doc0 'a b a' -> avg nll = (log2(4/3) + log2(3/2)) / 2 = 0.5 exactly;
+    doc2 has < 2 tokens -> unscored, tail bucket."""
+    from gfw_raster_analysis_lambda_spark.operators import text
+
+    d = spark.createDataFrame(
+        [(0, "a b a"), (1, "a b"), (2, "c")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in text.perplexity_buckets(
+        text.bigram_lm_scores(d), n_buckets=3).collect()}
+    assert rows[0]["n_bigrams"] == 2 and abs(rows[0]["avg_nll"] - 0.5) < 1e-6
+    assert rows[1]["n_bigrams"] == 1 and abs(
+        rows[1]["avg_nll"] - 0.415037) < 1e-6  # log2(4/3) rounded
+    assert rows[2]["n_bigrams"] == 0 and rows[2]["avg_nll"] is None
+    assert (rows[1]["bucket"], rows[0]["bucket"], rows[2]["bucket"]) == (1, 2, 3)
+
+
+def test_bigram_lm_separate_train_corpus_and_oov(spark):
+    """Scoring against a SEPARATE trusted LM (the real CCNet shape):
+    out-of-vocabulary bigrams get pure smoothing mass (0+k)/(0+kV)."""
+    from gfw_raster_analysis_lambda_spark.operators import text
+
+    train = spark.createDataFrame([(0, "x y")], "doc_id long, text string")
+    score = spark.createDataFrame([(7, "z z")], "doc_id long, text string")
+    r = text.bigram_lm_scores(score, train=train).collect()[0]
+    # V = 2 ({x, y}); P(z|z) = (0+1)/(0+2) = 0.5 -> nll = 1.0
+    assert r["doc_id"] == 7 and r["n_bigrams"] == 1
+    assert abs(r["avg_nll"] - 1.0) < 1e-6
+
+
+def test_perplexity_buckets_boilerplate_lands_in_head(spark):
+    """Self-perplexity ranks highly repetitive docs lowest (head) and
+    unique-vocabulary docs highest — the signal CCNet buckets exist for."""
+    from gfw_raster_analysis_lambda_spark.operators import text
+
+    docs = [(0, "spam spam spam spam spam spam spam spam")]
+    docs += [(i, f"unique{i}a unique{i}b unique{i}c unique{i}d") for i in range(1, 9)]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r["bucket"] for r in text.perplexity_buckets(
+        text.bigram_lm_scores(d), n_buckets=3).collect()}
+    assert out[0] == 1  # the repetitive doc is the head of the head
