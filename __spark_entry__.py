@@ -1148,6 +1148,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["mm_reproject_stats"] = mm_reproject_stats
 
+    def mm_shard_index(spark, sf_dir):
+        # WebDataset-style training-shard layout: md5-uniform shard
+        # assignment + per-item byte offsets (running sum of payload
+        # lengths in id order) — the random-access index a dataloader
+        # needs. Payload lengths follow an integer formula so the DuckDB
+        # twin re-derives assignment, lengths, and offsets relationally;
+        # the binary blob assembly is pinned by pytest against this
+        # exact index.
+        import pandas as _pd
+
+        from gfw_raster_analysis_lambda_spark.operators import multimodal
+
+        def synth(batches):
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"].astype(int):
+                    ln = 64 + (int(i) * 37) % 400
+                    rows.append((f"img/{int(i):06d}", bytes([int(i) % 251]) * ln))
+                yield _pd.DataFrame(rows, columns=["image_id", "bytes"])
+
+        df = spark.range(500).repartition(8).mapInPandas(
+            synth, "image_id string, bytes binary"
+        )
+        return multimodal.shard_pack_index(df, n_shards=16)
+    q["mm_shard_index"] = mm_shard_index
+
     # -- relational shell on the driver's TPC-H-ish tables ------------------
 
     def rel_pricing_summary(spark, sf_dir):
@@ -2951,6 +2977,24 @@ SELECT media_id, CAST(frame AS INT) AS frame, CAST(w AS INT) AS w,
        CAST(MIN(y) AS DOUBLE) AS px_min,
        CAST(MAX(y) AS DOUBLE) AS px_max
 FROM px GROUP BY media_id, frame, w, h
+"""
+
+    o["mm_shard_index"] = """
+WITH items AS (
+  SELECT printf('img/%06d', g.i) AS image_id,
+         64 + (g.i * 37) % 400 AS length,
+         CAST(floor(
+           (CAST(('0x' || substr(md5('shard:' || printf('img/%06d', g.i)), 1, 12))
+                 AS BIGINT) / 281474976710656.0) * 16) AS INT) AS shard
+  FROM generate_series(0, 499) g(i)
+)
+SELECT shard, image_id,
+       CAST(SUM(length) OVER (
+         PARTITION BY shard ORDER BY image_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - length
+         AS BIGINT) AS offset,
+       CAST(length AS BIGINT) AS length
+FROM items
 """
 
     # reprojection twin: dst pixel centers -> src global px via the exact

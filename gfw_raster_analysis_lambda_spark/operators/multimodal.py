@@ -729,3 +729,84 @@ def equalize_tiles_global(images: DataFrame, hist: "list[int]") -> DataFrame:
         run,
         "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
     )
+
+
+def shard_pack_index(
+    images: DataFrame,
+    n_shards: int = 64,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    salt: str = "shard",
+) -> DataFrame:
+    """WebDataset-style shard layout, the RELATIONAL half: assign every
+    media row to one of ``n_shards`` training shards by the repo's
+    md5-uniform hash (deterministic, growth-stable, twin-reproducible —
+    same formula as :func:`operators.sampling.hash_uniform`) and compute
+    each item's byte ``offset`` inside its shard as the running sum of
+    payload lengths in id order. (shard, image_id, offset, length) IS
+    the random-access index a dataloader needs; the binary assembly that
+    honors it is :func:`shard_pack_blobs`.
+
+    One window per shard (narrow — the shuffle key is the shard id, and
+    offsets are a single cumulative SUM over the natural id order);
+    output is O(items). No payload bytes move until blobs are built."""
+    from .sampling import hash_uniform
+
+    u = hash_uniform(F.col(id_col), salt)
+    shard = F.floor(u * n_shards).cast("int")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard").orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        images.select(
+            F.col(id_col), shard.alias("shard"),
+            F.octet_length(bytes_col).alias("length"),
+        )
+        .withColumn("offset", F.sum("length").over(w) - F.col("length"))
+        .select(
+            "shard", id_col, "offset", F.col("length").cast("long").alias("length")
+        )
+    )
+
+
+def shard_pack_blobs(
+    images: DataFrame,
+    n_shards: int = 64,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    salt: str = "shard",
+) -> DataFrame:
+    """The binary half of shard packing: per shard, concatenate every
+    member payload in id order into ONE blob (the shard file a training
+    job mmap-reads), returning (shard, n_items, total_bytes, blob_md5,
+    blob). Offsets from :func:`shard_pack_index` address into exactly
+    this blob — pinned by a test. One shuffle grouped by shard; each
+    kernel holds one shard's bytes (size the shard count so a shard fits
+    an executor: items/shard ~ corpus/n_shards)."""
+    import hashlib
+
+    import pandas as pd
+
+    from .sampling import hash_uniform
+
+    u = hash_uniform(F.col(id_col), salt)
+    keyed = images.select(
+        F.floor(u * n_shards).cast("int").alias("shard"),
+        F.col(id_col).alias("__id"), F.col(bytes_col).alias("__b"),
+    )
+
+    def pack(key, pdf):
+        pdf = pdf.sort_values("__id")
+        blob = b"".join(bytes(b) for b in pdf["__b"])
+        return pd.DataFrame([(
+            int(key[0]), len(pdf), len(blob),
+            hashlib.md5(blob).hexdigest(), blob,
+        )], columns=["shard", "n_items", "total_bytes", "blob_md5", "blob"])
+
+    return keyed.groupBy("shard").applyInPandas(
+        pack,
+        "shard int, n_items long, total_bytes long, blob_md5 string, blob binary",
+    )

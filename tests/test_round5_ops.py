@@ -362,3 +362,46 @@ def test_perplexity_buckets_boilerplate_lands_in_head(spark):
     out = {r["doc_id"]: r["bucket"] for r in text.perplexity_buckets(
         text.bigram_lm_scores(d), n_buckets=3).collect()}
     assert out[0] == 1  # the repetitive doc is the head of the head
+
+
+def test_shard_pack_index_addresses_blobs_exactly(spark):
+    """The relational index must address into the assembled blobs
+    byte-for-byte: blob[offset : offset+length] == the item's payload,
+    every shard's total_bytes == sum of member lengths, and every item
+    appears exactly once across shards."""
+    import hashlib
+
+    from gfw_raster_analysis_lambda_spark.operators import multimodal
+
+    rows = [(f"img/{i:06d}", bytes([i % 251]) * (64 + (i * 37) % 400))
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    idx = multimodal.shard_pack_index(df, n_shards=8).collect()
+    blobs = {r["shard"]: r for r in
+             multimodal.shard_pack_blobs(df, n_shards=8).collect()}
+    payload = dict(rows)
+    assert len(idx) == 120 and len({r["image_id"] for r in idx}) == 120
+    for r in idx:
+        blob = bytes(blobs[r["shard"]]["blob"])
+        assert blob[r["offset"]: r["offset"] + r["length"]] == payload[r["image_id"]]
+    for s, b in blobs.items():
+        members = [r for r in idx if r["shard"] == s]
+        assert b["n_items"] == len(members)
+        assert b["total_bytes"] == sum(r["length"] for r in members)
+        assert b["blob_md5"] == hashlib.md5(bytes(b["blob"])).hexdigest()
+
+
+def test_shard_pack_assignment_is_growth_stable(spark):
+    """Adding new items never moves an existing item to another shard
+    (md5 on the id, not on position) — the rebuild-stability contract."""
+    from gfw_raster_analysis_lambda_spark.operators import multimodal
+
+    small = [(f"img/{i:06d}", b"x" * 10) for i in range(40)]
+    big = small + [(f"img/{i:06d}", b"y" * 10) for i in range(40, 80)]
+    a = {r["image_id"]: r["shard"] for r in multimodal.shard_pack_index(
+        spark.createDataFrame(small, "image_id string, bytes binary"),
+        n_shards=8).collect()}
+    b = {r["image_id"]: r["shard"] for r in multimodal.shard_pack_index(
+        spark.createDataFrame(big, "image_id string, bytes binary"),
+        n_shards=8).collect()}
+    assert all(b[k] == v for k, v in a.items())
