@@ -1174,6 +1174,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multimodal.shard_pack_index(df, n_shards=16)
     q["mm_shard_index"] = mm_shard_index
 
+    def mm_mosaic_export(spark, sf_dir):
+        # per-AOI clipped raster export (operators/mosaic.py): AOI ->
+        # cells via the SAME planner machinery as zonal, one shuffle
+        # grouped by aoi_id, window assembled + re-encoded in the
+        # kernel. The three boxes sit STRICTLY inside cell interiors so
+        # the intersecting-cell set is the unambiguous floor range the
+        # twin hardcodes (x//0.25 of each edge, commented per AOI).
+        import pandas as _pd
+
+        from gfw_raster_analysis_lambda_spark.functions import codecs as _codecs
+        from gfw_raster_analysis_lambda_spark.functions import geometry as _geo
+        from gfw_raster_analysis_lambda_spark.operators import mosaic as _mosaic
+
+        images, _, _ = _fixture(spark)
+        aois = [
+            # cells x 760..762, y 276..278 (3x3)
+            ("m1", _geo.wkb_dumps(_geo.box(10.125, 20.375, 10.625, 20.875))),
+            # single cell (761, 279)
+            ("m2", _geo.wkb_dumps(_geo.box(10.30, 20.05, 10.40, 20.20))),
+            # cells x 760..763, y 277..278 (4x2)
+            ("m3", _geo.wkb_dumps(_geo.box(10.05, 20.30, 10.95, 20.70))),
+        ]
+        aoi = spark.createDataFrame(aois, fixtures.AOI_SCHEMA)
+        out = _mosaic.mosaic_aoi(images, aoi, "tcl_year", GRID.name)
+
+        def stats(batches):
+            import numpy as _np
+
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    arr = _codecs.decode_tile(
+                        bytes(r.bytes), int(r.w), int(r.h), str(r.fmt)
+                    ).astype(_np.int64)
+                    rows.append((r.aoi_id, int(r.w), int(r.h), int(r.gx0),
+                                 int(r.gy0), int(arr.sum()), int(arr.min()),
+                                 int(arr.max())))
+                yield _pd.DataFrame(
+                    rows,
+                    columns=["aoi_id", "w", "h", "gx0", "gy0",
+                             "px_sum", "px_min", "px_max"],
+                )
+
+        return out.mapInPandas(
+            stats,
+            "aoi_id string, w int, h int, gx0 long, gy0 long, "
+            "px_sum long, px_min int, px_max int",
+        )
+    q["mm_mosaic_export"] = mm_mosaic_export
+
     # -- relational shell on the driver's TPC-H-ish tables ------------------
 
     def rel_pricing_summary(spark, sf_dir):
@@ -2977,6 +3027,31 @@ SELECT media_id, CAST(frame AS INT) AS frame, CAST(w AS INT) AS w,
        CAST(MIN(y) AS DOUBLE) AS px_min,
        CAST(MAX(y) AS DOUBLE) AS px_max
 FROM px GROUP BY media_id, frame, w, h
+"""
+
+    o["mm_mosaic_export"] = """
+WITH aois(aoi_id, x_lo, x_hi, y_lo, y_hi) AS (VALUES
+  ('m1', 760, 762, 276, 278),  -- box strictly inside: floor ranges
+  ('m2', 761, 761, 279, 279),
+  ('m3', 760, 763, 277, 278)),
+px AS (
+  SELECT a.aoi_id, a.x_lo, a.x_hi, a.y_lo, a.y_hi,
+         ((cx.x * 7 + cy.y * 11 + gi.i * 13 + gj.j * 17) % 21) AS v
+  FROM aois a
+  JOIN generate_series(756, 767) cx(x) ON cx.x BETWEEN a.x_lo AND a.x_hi
+  JOIN generate_series(272, 283) cy(y) ON cy.y BETWEEN a.y_lo AND a.y_hi
+  JOIN generate_series(0, 63) gi(i) ON true
+  JOIN generate_series(0, 63) gj(j) ON true
+)
+SELECT aoi_id,
+       CAST((x_hi - x_lo + 1) * 64 AS INT) AS w,
+       CAST((y_hi - y_lo + 1) * 64 AS INT) AS h,
+       CAST(x_lo * 64 AS BIGINT) AS gx0,
+       CAST(y_lo * 64 AS BIGINT) AS gy0,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(MIN(v) AS INT) AS px_min,
+       CAST(MAX(v) AS INT) AS px_max
+FROM px GROUP BY aoi_id, x_lo, x_hi, y_lo, y_hi
 """
 
     o["mm_shard_index"] = """

@@ -405,3 +405,43 @@ def test_shard_pack_assignment_is_growth_stable(spark):
         spark.createDataFrame(big, "image_id string, bytes binary"),
         n_shards=8).collect()}
     assert all(b[k] == v for k, v in a.items())
+
+
+def test_mosaic_aoi_fills_missing_and_guards_size(spark):
+    """A dropped tile inside the window exports as the fill value in
+    exactly that cell's footprint; an AOI whose window exceeds max_px
+    fails fast with the guard error, not an OOM."""
+    from gfw_raster_analysis_lambda_spark.functions import codecs
+    from gfw_raster_analysis_lambda_spark.functions import geometry as geo
+    from gfw_raster_analysis_lambda_spark.functions import grid as G
+    from gfw_raster_analysis_lambda_spark.operators import mosaic
+    from gfw_raster_analysis_lambda_spark.sources import fixtures
+    from gfw_raster_analysis_lambda_spark.sources.images import with_derived_keys
+
+    images = with_derived_keys(spark.createDataFrame(
+        fixtures.generate_images_rows(), fixtures.IMAGES_SCHEMA))
+    # drop the (761, 277) tcl_year tile from the corpus
+    drop_cell = int(G.cell_from_xy(G.GRID_FIXTURE, 761, 277))
+    holey = images.filter(
+        ~((F.col("layer") == "tcl_year") & (F.col("cell_id") == drop_cell)))
+    aoi = spark.createDataFrame(
+        [("m1", geo.wkb_dumps(geo.box(10.125, 20.375, 10.625, 20.875)))],
+        fixtures.AOI_SCHEMA)
+    r = mosaic.mosaic_aoi(holey, aoi, "tcl_year", "4/1024", fill=200).collect()[0]
+    arr = codecs.decode_tile(bytes(r["bytes"]), r["w"], r["h"], r["fmt"])
+    assert (r["w"], r["h"], r["gx0"], r["gy0"]) == (192, 192, 760 * 64, 276 * 64)
+    hole = arr[64:128, 64:128]  # cell (761, 277) is at window position (1, 1)
+    assert np.all(hole == 200)
+    # the rest matches the fixture formula
+    x = np.arange(760 * 64, 763 * 64)
+    y = np.arange(276 * 64, 279 * 64)
+    cx, jj = np.divmod(x, 64)
+    cy, ii = np.divmod(y, 64)
+    want = ((cx[None, :] * 7 + cy[:, None] * 11 + ii[:, None] * 13
+             + jj[None, :] * 17) % 21).astype(arr.dtype)
+    mask = np.ones_like(arr, dtype=bool)
+    mask[64:128, 64:128] = False
+    assert np.array_equal(arr[mask], want[mask])
+
+    with pytest.raises(Exception, match="max_px"):
+        mosaic.mosaic_aoi(images, aoi, "tcl_year", "4/1024", max_px=100).collect()
