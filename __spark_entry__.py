@@ -1224,6 +1224,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["mm_mosaic_export"] = mm_mosaic_export
 
+    def mm_quality_signals(spark, sf_dir):
+        # image-corpus curation signals (LAION-style quality gate minus
+        # the learned model): blur = variance of the 4-neighbor Laplacian
+        # over interior pixels, exposure = clip fractions at 0/255. All
+        # integer until one division per stat, so the DuckDB twin
+        # evaluating the LOSSLESS ttc layer's formula (incl. at shifted
+        # indices for the Laplacian) is hash-exact. (The photo layer is
+        # stored as lossy JPEG — decoded pixels would not equal the
+        # formula, which is the point of storing it lossy.)
+        from gfw_raster_analysis_lambda_spark.operators import multimodal
+
+        images, _, _ = _fixture(spark)
+        return multimodal.image_quality_signals(
+            images.filter(F.col("layer") == "ttc_percent")
+        )
+    q["mm_quality_signals"] = mm_quality_signals
+
     # -- relational shell on the driver's TPC-H-ish tables ------------------
 
     def rel_pricing_summary(spark, sf_dir):
@@ -3027,6 +3044,43 @@ SELECT media_id, CAST(frame AS INT) AS frame, CAST(w AS INT) AS w,
        CAST(MIN(y) AS DOUBLE) AS px_min,
        CAST(MAX(y) AS DOUBLE) AS px_max
 FROM px GROUP BY media_id, frame, w, h
+"""
+
+    o["mm_quality_signals"] = """
+WITH cells AS (
+  SELECT gx.x AS x, gy.y AS y
+  FROM generate_series(760, 763) gx(x), generate_series(276, 279) gy(y)
+),
+lap AS (
+  SELECT c.x, c.y,
+      (CASE WHEN (c.x + c.y + (gi.i-1) + gj.j) % 7 = 0 THEN 255 ELSE (c.x*5 + c.y*13 + (gi.i-1)*11 + gj.j*3) % 128 END)
+    + (CASE WHEN (c.x + c.y + (gi.i+1) + gj.j) % 7 = 0 THEN 255 ELSE (c.x*5 + c.y*13 + (gi.i+1)*11 + gj.j*3) % 128 END)
+    + (CASE WHEN (c.x + c.y + gi.i + (gj.j-1)) % 7 = 0 THEN 255 ELSE (c.x*5 + c.y*13 + gi.i*11 + (gj.j-1)*3) % 128 END)
+    + (CASE WHEN (c.x + c.y + gi.i + (gj.j+1)) % 7 = 0 THEN 255 ELSE (c.x*5 + c.y*13 + gi.i*11 + (gj.j+1)*3) % 128 END)
+    - 4 * (CASE WHEN (c.x + c.y + gi.i + gj.j) % 7 = 0 THEN 255 ELSE (c.x*5 + c.y*13 + gi.i*11 + gj.j*3) % 128 END) AS l
+  FROM cells c, generate_series(1, 62) gi(i), generate_series(1, 62) gj(j)
+),
+lv AS (
+  SELECT x, y,
+         ROUND(CAST(3844 * SUM(l * l) - SUM(l) * SUM(l) AS DOUBLE)
+               / (3844.0 * 3844.0), 6) AS lap_var
+  FROM lap GROUP BY x, y
+),
+px AS (
+  SELECT c.x, c.y,
+    SUM(CASE WHEN (CASE WHEN (c.x + c.y + gi.i + gj.j) % 7 = 0 THEN 255 ELSE (c.x*5 + c.y*13 + gi.i*11 + gj.j*3) % 128 END) = 0
+             THEN 1 ELSE 0 END) AS c0,
+    SUM(CASE WHEN (CASE WHEN (c.x + c.y + gi.i + gj.j) % 7 = 0 THEN 255 ELSE (c.x*5 + c.y*13 + gi.i*11 + gj.j*3) % 128 END) = 255
+             THEN 1 ELSE 0 END) AS c255
+  FROM cells c, generate_series(0, 63) gi(i), generate_series(0, 63) gj(j)
+  GROUP BY c.x, c.y
+)
+SELECT printf('ttc_percent/%016x', 54043195528445952 + lv.x * 134217728 + lv.y)
+         AS image_id,
+       lv.lap_var,
+       ROUND(px.c0 / 4096.0, 6) AS clip_lo,
+       ROUND(px.c255 / 4096.0, 6) AS clip_hi
+FROM lv JOIN px ON px.x = lv.x AND px.y = lv.y
 """
 
     o["mm_mosaic_export"] = """

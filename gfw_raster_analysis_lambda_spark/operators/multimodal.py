@@ -810,3 +810,58 @@ def shard_pack_blobs(
         pack,
         "shard int, n_items long, total_bytes long, blob_md5 string, blob binary",
     )
+
+
+def image_quality_signals(images: DataFrame) -> DataFrame:
+    """(image_id, lap_var, clip_lo, clip_hi): the classic image-corpus
+    curation signals — blur (variance of the 4-neighbor Laplacian over
+    interior pixels: sharp images score high, defocused/upscaled ones
+    near zero) and exposure clipping (fraction of pixels at 0 / at 255).
+    The LAION-style quality gate for an image table, minus the learned
+    aesthetic model.
+
+    Arithmetic is INTEGER until one final division per stat (population
+    variance as (n*s2 - s1^2) / n^2 in int64, fractions over the fixed
+    pixel count), rounded half-up to 6 — so a DuckDB twin evaluating the
+    same formulas over synthesized pixels is hash-exact. Zero shuffle:
+    one Arrow pass per tile, O(images) output. uint8 tiles only (the
+    clip bounds are 0/255 by definition)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def _r6(x: float) -> float:
+            return float(np.floor(x * 1e6 + 0.5) / 1e6)
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode_tile(bytes(r.bytes), int(r.w), int(r.h), str(r.fmt))
+                if arr.dtype != np.uint8:
+                    raise ValueError(
+                        f"image_quality_signals is defined over uint8 tiles; "
+                        f"{r.image_id} decodes to {arr.dtype}"
+                    )
+                v = arr.astype(np.int64)
+                n_px = v.size
+                if v.shape[0] >= 3 and v.shape[1] >= 3:
+                    lap = (
+                        v[:-2, 1:-1] + v[2:, 1:-1] + v[1:-1, :-2] + v[1:-1, 2:]
+                        - 4 * v[1:-1, 1:-1]
+                    )
+                    n = lap.size
+                    s1 = int(lap.sum())
+                    s2 = int((lap * lap).sum())
+                    lap_var = _r6((n * s2 - s1 * s1) / (n * n))
+                else:
+                    lap_var = None  # no interior pixels to measure
+                rows.append((
+                    r.image_id, lap_var,
+                    _r6(int((v == 0).sum()) / n_px),
+                    _r6(int((v == 255).sum()) / n_px),
+                ))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "lap_var", "clip_lo", "clip_hi"]
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        run, "image_id string, lap_var double, clip_lo double, clip_hi double"
+    )

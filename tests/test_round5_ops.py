@@ -445,3 +445,33 @@ def test_mosaic_aoi_fills_missing_and_guards_size(spark):
 
     with pytest.raises(Exception, match="max_px"):
         mosaic.mosaic_aoi(images, aoi, "tcl_year", "4/1024", max_px=100).collect()
+
+
+def test_image_quality_signals_blur_and_clipping(spark):
+    """A constant tile has zero Laplacian variance; a checkerboard has
+    the maximum; a clipped tile reports exact 0/255 fractions; tiny
+    tiles (no interior) score NULL blur instead of crashing."""
+    from gfw_raster_analysis_lambda_spark.functions import codecs
+    from gfw_raster_analysis_lambda_spark.operators import multimodal
+
+    flat = np.full((16, 16), 128, np.uint8)
+    checker = (np.indices((16, 16)).sum(axis=0) % 2 * 255).astype(np.uint8)
+    clipped = np.zeros((16, 16), np.uint8)
+    clipped[:8] = 255  # half 0, half 255
+    tiny = np.full((2, 2), 7, np.uint8)
+    rows = [
+        (name, codecs.encode_tile(a, "png"), a.shape[1], a.shape[0], "png")
+        for name, a in [("flat", flat), ("checker", checker),
+                        ("clip", clipped), ("tiny", tiny)]
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string")
+    out = {r["image_id"]: r for r in
+           multimodal.image_quality_signals(df).collect()}
+    assert out["flat"]["lap_var"] == 0.0
+    assert out["checker"]["lap_var"] > out["flat"]["lap_var"]
+    # checkerboard interior: lap = 4*255 - 0 = +-1020, mean 0 -> var = 1020^2
+    assert abs(out["checker"]["lap_var"] - 1020.0 ** 2) < 1e-3
+    assert abs(out["clip"]["clip_lo"] - 0.5) < 1e-9
+    assert abs(out["clip"]["clip_hi"] - 0.5) < 1e-9
+    assert out["tiny"]["lap_var"] is None
