@@ -1241,6 +1241,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["mm_quality_signals"] = mm_quality_signals
 
+    def spatial_distance_band(spark, sf_dir):
+        # distance-band spatial self-join (epsilon-neighborhood / range
+        # join): candidates from a (2r+1)^2 neighbor-cell equi-join,
+        # verified by the exact polynomial metric. Coordinates are
+        # multiples of 1/64 so dist2 is the IDENTICAL double on both
+        # engines — no trig, no rounding.
+        from gfw_raster_analysis_lambda_spark.operators import spatial_join
+
+        pts = [
+            (i, 10.0 + (i * 13 % 40) / 64.0, 20.0 + (i * 29 % 40) / 64.0)
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(pts, "image_id long, lon double, lat double")
+        return spatial_join.geo_distance_pairs(df, 0.1, "4/1024")
+    q["spatial_distance_band"] = spatial_distance_band
+
     # -- relational shell on the driver's TPC-H-ish tables ------------------
 
     def rel_pricing_summary(spark, sf_dir):
@@ -3044,6 +3060,20 @@ SELECT media_id, CAST(frame AS INT) AS frame, CAST(w AS INT) AS w,
        CAST(MIN(y) AS DOUBLE) AS px_min,
        CAST(MAX(y) AS DOUBLE) AS px_max
 FROM px GROUP BY media_id, frame, w, h
+"""
+
+    o["spatial_distance_band"] = """
+WITH p AS (
+  SELECT g.i AS id, 10.0 + (g.i * 13 % 40) / 64.0 AS lon,
+         20.0 + (g.i * 29 % 40) / 64.0 AS lat
+  FROM generate_series(0, 59) g(i)
+)
+SELECT a.id AS a, b.id AS b,
+       (a.lon - b.lon) * (a.lon - b.lon)
+       + (a.lat - b.lat) * (a.lat - b.lat) AS dist2
+FROM p a JOIN p b ON a.id < b.id
+WHERE (a.lon - b.lon) * (a.lon - b.lon)
+      + (a.lat - b.lat) * (a.lat - b.lat) <= 0.01
 """
 
     o["mm_quality_signals"] = """

@@ -223,3 +223,66 @@ def dissolve_labels(
     return labeled.select(
         F.col("id").alias("aoi_id"), F.col("component").alias("dissolve_group")
     )
+
+
+def geo_distance_pairs(
+    points: DataFrame,
+    radius_deg: float,
+    grid_name: str,
+    id_col: str = "image_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Distance-band spatial SELF-JOIN: every unordered point pair within
+    ``radius_deg`` (planar squared-degree metric), as (a, b, dist2) with
+    a < b — the epsilon-neighborhood primitive under DBSCAN-style
+    clustering, station-pairing, and dedup-by-location, and the "range
+    join" Spark's built-in join set lacks.
+
+    Plan: points bucket to grid cells (pure Catalyst bit arithmetic);
+    the left side explodes its (2r+1)^2 Chebyshev cell neighborhood
+    (r = ceil(radius / tile_deg), so NO qualifying pair can sit further
+    apart); ONE equi-join on the cell key proposes candidates, and the
+    exact polynomial distance filters. Never a cross join; candidate
+    fan-out per point is bounded by the (2r+1)^2 neighborhood's
+    occupancy, and a hot cell can be salted with the existing
+    :func:`salted` helper. dist2 = dx*dx + dy*dy is pure IEEE +,-,* on
+    the input doubles, so both engines of the oracle gate compute the
+    IDENTICAL double — no trig, no rounding needed.
+
+    For great-circle semantics at this shape see
+    :func:`operators.knn.knn_geo` (haversine path); planar degrees keep
+    the contract gate exact and suffice for band radii << 1 degree."""
+    import math
+
+    grid = G.get_grid(grid_name)
+    ring = max(int(math.ceil(float(radius_deg) / grid.tile_deg)), 0)
+    xb, yb = G._X_BITS, G._Y_BITS
+    cell = cell_expr(grid, F.col(lon_col), F.col(lat_col))
+    pts = points.select(
+        F.col(id_col).alias("id"), F.col(lon_col).alias("lon"),
+        F.col(lat_col).alias("lat"), cell.alias("__cell"),
+    )
+    x = F.shiftright("__cell", yb).bitwiseAND(F.lit(G._XY_MASK))
+    y = F.col("__cell").bitwiseAND(F.lit(G._XY_MASK))
+    hi = F.lit(int(grid.index) << (xb + yb)).cast("long")
+    neighbors = F.array(*[
+        hi + F.shiftleft(x + dx, yb) + (y + dy)
+        for dx in range(-ring, ring + 1)
+        for dy in range(-ring, ring + 1)
+    ])
+    left = pts.select(
+        F.col("id").alias("a"), F.col("lon").alias("a_lon"),
+        F.col("lat").alias("a_lat"), F.explode(neighbors).alias("__cell"),
+    )
+    dx_ = F.col("a_lon") - F.col("lon")
+    dy_ = F.col("a_lat") - F.col("lat")
+    d2 = dx_ * dx_ + dy_ * dy_
+    r2 = float(radius_deg) * float(radius_deg)
+    return (
+        left.join(pts, "__cell")
+        .filter(F.col("a") < F.col("id"))
+        .withColumn("dist2", d2)
+        .filter(F.col("dist2") <= F.lit(r2))
+        .select("a", F.col("id").alias("b"), "dist2")
+    )

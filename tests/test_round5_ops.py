@@ -475,3 +475,27 @@ def test_image_quality_signals_blur_and_clipping(spark):
     assert abs(out["clip"]["clip_lo"] - 0.5) < 1e-9
     assert abs(out["clip"]["clip_hi"] - 0.5) < 1e-9
     assert out["tiny"]["lap_var"] is None
+
+
+def test_geo_distance_pairs_matches_bruteforce_and_crosses_cells(spark):
+    """The neighbor-cell candidate join must find every pair the O(n^2)
+    scan finds — including pairs straddling a cell boundary — and
+    nothing else; each unordered pair exactly once."""
+    from gfw_raster_analysis_lambda_spark.operators import spatial_join
+
+    pts = [(i, 10.0 + (i * 13 % 40) / 64.0, 20.0 + (i * 29 % 40) / 64.0)
+           for i in range(60)]
+    # straddlers: two points 0.02 deg apart across the 10.25 cell edge
+    pts += [(100, 10.24, 20.1), (101, 10.26, 20.1)]
+    df = spark.createDataFrame(pts, "image_id long, lon double, lat double")
+    got = {(r["a"], r["b"]) for r in
+           spatial_join.geo_distance_pairs(df, 0.1, "4/1024").collect()}
+    want = set()
+    for i, (ia, lo_a, la_a) in enumerate(pts):
+        for ib, lo_b, la_b in pts[i + 1:]:
+            if (lo_a - lo_b) ** 2 + (la_a - la_b) ** 2 <= 0.01:
+                want.add((min(ia, ib), max(ia, ib)))
+    assert got == want
+    assert (100, 101) in got  # the cross-cell pair
+    rows = spatial_join.geo_distance_pairs(df, 0.1, "4/1024").collect()
+    assert len(rows) == len(got)  # no duplicate emissions
