@@ -1257,6 +1257,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spatial_join.geo_distance_pairs(df, 0.1, "4/1024")
     q["spatial_distance_band"] = spatial_distance_band
 
+    def spatial_dbscan(spark, sf_dir):
+        # exact DBSCAN (Ester et al. 1996) composed from the range join
+        # + pointer-jumping closure: two 3x3 blobs (core, one component
+        # each), one border point (within eps of exactly one blob column,
+        # own degree below min_pts), three isolated noise points.
+        from gfw_raster_analysis_lambda_spark.operators import spatial_join
+
+        pts = []
+        for i in range(9):
+            pts.append((i, 10.0 + (i % 3) / 128.0, 20.0 + (i // 3) / 128.0))
+        for i in range(9, 18):
+            pts.append((i, 10.5 + ((i - 9) % 3) / 128.0,
+                        20.4 + ((i - 9) // 3) / 128.0))
+        pts.append((18, 10.0 + 8.0 / 128.0, 20.0))  # border of blob A
+        for i in range(19, 22):
+            pts.append((i, 12.0 + (i - 19), 25.0))  # noise
+        df = spark.createDataFrame(pts, "image_id long, lon double, lat double")
+        return spatial_join.dbscan_labels(df, 0.05, 5, "4/1024")
+    q["spatial_dbscan"] = spatial_dbscan
+
     # -- relational shell on the driver's TPC-H-ish tables ------------------
 
     def rel_pricing_summary(spark, sf_dir):
@@ -3060,6 +3080,57 @@ SELECT media_id, CAST(frame AS INT) AS frame, CAST(w AS INT) AS w,
        CAST(MIN(y) AS DOUBLE) AS px_min,
        CAST(MAX(y) AS DOUBLE) AS px_max
 FROM px GROUP BY media_id, frame, w, h
+"""
+
+    o["spatial_dbscan"] = """
+WITH RECURSIVE p(id, lon, lat) AS (
+  SELECT g.i,
+    CASE WHEN g.i < 9  THEN 10.0 + (g.i % 3) / 128.0
+         WHEN g.i < 18 THEN 10.5 + ((g.i - 9) % 3) / 128.0
+         WHEN g.i = 18 THEN 10.0 + 8.0 / 128.0
+         ELSE 12.0 + (g.i - 19) END,
+    CASE WHEN g.i < 9  THEN 20.0 + (g.i // 3) / 128.0
+         WHEN g.i < 18 THEN 20.4 + ((g.i - 9) // 3) / 128.0
+         WHEN g.i = 18 THEN 20.0
+         ELSE 25.0 END
+  FROM generate_series(0, 21) g(i)
+),
+e AS (
+  SELECT a.id AS a, b.id AS b
+  FROM p a JOIN p b ON a.id <> b.id
+  WHERE (a.lon - b.lon) * (a.lon - b.lon)
+        + (a.lat - b.lat) * (a.lat - b.lat) <= 0.0025
+),
+deg AS (SELECT a, COUNT(*) AS n FROM e GROUP BY a),
+core AS (
+  SELECT p.id FROM p LEFT JOIN deg ON deg.a = p.id
+  WHERE COALESCE(deg.n, 0) + 1 >= 5
+),
+ce AS (
+  SELECT e.a, e.b FROM e
+  JOIN core ca ON ca.id = e.a JOIN core cb ON cb.id = e.b
+),
+r(src, dst) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT r.src, ce.b FROM r JOIN ce ON r.dst = ce.a
+),
+core_lab AS (SELECT src AS id, MIN(dst) AS label FROM r GROUP BY src),
+border AS (
+  SELECT e.a AS id, MIN(cl.label) AS label
+  FROM e JOIN core c ON c.id = e.b
+  JOIN core_lab cl ON cl.id = e.b
+  WHERE e.a NOT IN (SELECT id FROM core)
+  GROUP BY e.a
+)
+SELECT p.id,
+       CASE WHEN cl.id IS NOT NULL THEN 'core'
+            WHEN bo.id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       COALESCE(cl.label, bo.label) AS label
+FROM p
+LEFT JOIN core_lab cl ON cl.id = p.id
+LEFT JOIN border bo ON bo.id = p.id
 """
 
     o["spatial_distance_band"] = """

@@ -286,3 +286,74 @@ def geo_distance_pairs(
         .filter(F.col("dist2") <= F.lit(r2))
         .select("a", F.col("id").alias("b"), "dist2")
     )
+
+
+def dbscan_labels(
+    points: DataFrame,
+    eps_deg: float,
+    min_pts: int,
+    grid_name: str,
+    id_col: str = "image_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """DBSCAN (Ester et al. 1996), composed from two existing engines:
+    the epsilon-neighborhood range join (:func:`geo_distance_pairs`,
+    never a cross join) and the components engine's ``hash_to_min``
+    pointer-jumping closure (O(log diameter) rounds). Exact DBSCAN
+    semantics, fully relational, no sampling:
+
+    - **core**: >= ``min_pts`` points within eps (self included);
+    - **cluster**: connected components of the core-core epsilon graph,
+      labeled by min member id;
+    - **border**: non-core within eps of a core — attached to its
+      lowest-labeled core neighbor (the deterministic tie rule);
+    - **noise**: everything else, label NULL.
+
+    Returns (id, role, label). Border attachment is a deterministic
+    variant of the classic algorithm (order-independent, so results are
+    reproducible across cluster sizes — plain DBSCAN's border ties
+    depend on visit order, which a distributed run cannot honor)."""
+    from .components import hash_to_min
+
+    pairs = geo_distance_pairs(
+        points, eps_deg, grid_name, id_col, lon_col, lat_col
+    ).select("a", "b")
+    sym = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("__n"))
+    ids = points.select(F.col(id_col).alias("id"))
+    core = (
+        ids.join(deg.withColumnRenamed("a", "id"), "id", "left")
+        .filter(F.coalesce(F.col("__n"), F.lit(0)) + 1 >= min_pts)
+        .select("id")
+    )
+    core_edges = (
+        sym.join(core.withColumnRenamed("id", "a"), "a")
+        .join(core.withColumnRenamed("id", "b"), "b")
+        .select("a", "b")
+    )
+    labeled_core = hash_to_min(core, core_edges).select(
+        F.col("id"), F.col("component").alias("label")
+    )
+    border = (
+        sym.join(core.select(F.col("id").alias("b")), "b")  # neighbor is core
+        .join(labeled_core.select(F.col("id").alias("b"), "label"), "b")
+        .groupBy("a").agg(F.min("label").alias("label"))
+        .join(core.withColumnRenamed("id", "a"), "a", "left_anti")
+        .select(F.col("a").alias("id"), "label")
+    )
+    return (
+        ids.join(labeled_core.withColumn("role", F.lit("core")), "id", "left")
+        .join(
+            border.withColumnRenamed("label", "__blabel")
+            .withColumn("__brole", F.lit("border")),
+            "id", "left",
+        )
+        .select(
+            "id",
+            F.coalesce("role", "__brole", F.lit("noise")).alias("role"),
+            F.coalesce("label", "__blabel").alias("label"),
+        )
+    )

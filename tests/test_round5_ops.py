@@ -499,3 +499,47 @@ def test_geo_distance_pairs_matches_bruteforce_and_crosses_cells(spark):
     assert (100, 101) in got  # the cross-cell pair
     rows = spatial_join.geo_distance_pairs(df, 0.1, "4/1024").collect()
     assert len(rows) == len(got)  # no duplicate emissions
+
+
+def test_dbscan_labels_semantics(spark):
+    """Two blobs cluster separately (labels = min member id), the border
+    point attaches to blob A without becoming core, isolated points are
+    noise with NULL label."""
+    from gfw_raster_analysis_lambda_spark.operators import spatial_join
+
+    pts = []
+    for i in range(9):
+        pts.append((i, 10.0 + (i % 3) / 128.0, 20.0 + (i // 3) / 128.0))
+    for i in range(9, 18):
+        pts.append((i, 10.5 + ((i - 9) % 3) / 128.0, 20.4 + ((i - 9) // 3) / 128.0))
+    pts.append((18, 10.0 + 8.0 / 128.0, 20.0))
+    for i in range(19, 22):
+        pts.append((i, 12.0 + (i - 19), 25.0))
+    df = spark.createDataFrame(pts, "image_id long, lon double, lat double")
+    out = {r["id"]: (r["role"], r["label"]) for r in
+           spatial_join.dbscan_labels(df, 0.05, 5, "4/1024").collect()}
+    for i in range(9):
+        assert out[i] == ("core", 0), i
+    for i in range(9, 18):
+        assert out[i] == ("core", 9), i
+    assert out[18] == ("border", 0)
+    for i in range(19, 22):
+        assert out[i] == ("noise", None), i
+
+
+def test_dbscan_chain_merges_through_shared_core(spark):
+    """Transitivity: two blobs bridged by a chain of mutually-reachable
+    core points collapse into ONE cluster — the property the
+    pointer-jumping closure provides."""
+    from gfw_raster_analysis_lambda_spark.operators import spatial_join
+
+    pts = [(i, 10.0 + i * 0.02, 20.0) for i in range(10)]  # dense line
+    df = spark.createDataFrame(pts, "image_id long, lon double, lat double")
+    # eps 0.05 reaches 2 neighbors either side: interior points (2..7)
+    # have degree 4+1 >= 5 and are core; chain ends (0,1,8,9) have too
+    # few neighbors and become border points of the single cluster
+    out = {r["id"]: (r["role"], r["label"]) for r in
+           spatial_join.dbscan_labels(df, 0.05, 5, "4/1024").collect()}
+    assert {i for i, v in out.items() if v[0] == "core"} == set(range(2, 8))
+    assert all(out[i] == ("core", 2) for i in range(2, 8))
+    assert all(out[i] == ("border", 2) for i in (0, 1, 8, 9))
