@@ -1277,6 +1277,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spatial_join.dbscan_labels(df, 0.05, 5, "4/1024")
     q["spatial_dbscan"] = spatial_dbscan
 
+    def zonal_after_reproject(spark, sf_dir):
+        # END-TO-END COMPOSITION: reproject's output feeds the zonal
+        # query engine UNCHANGED — re-tile the fixture tcl_year layer
+        # 4/1024 -> 1/250 (the 4x4 fixture block aligns to exactly one
+        # 1-deg cell), then run a grouped count over an AOI rasterized
+        # on the NEW grid. The twin chains both formulas: dst pixel ->
+        # exact-rational src pixel -> tcl formula -> zonal decode.
+        from gfw_raster_analysis_lambda_spark.api import zonal_statistics
+        from gfw_raster_analysis_lambda_spark.operators.reproject import (
+            reproject_nearest,
+        )
+
+        images, aoi, _ = _fixture(spark)
+        re_images = reproject_nearest(
+            images.filter(F.col("layer") == "tcl_year"), GRID.name, "1/250"
+        )
+        env2 = fixtures.fixture_environment(grid="1/250")
+        return zonal_statistics(
+            spark, re_images, aoi.filter(F.col("aoi_id") == "aoi_box_offset"),
+            "SELECT tcl_year, COUNT(*) AS n FROM tcl_year GROUP BY tcl_year",
+            env2, "1/250",
+        )
+    q["zonal_after_reproject"] = zonal_after_reproject
+
     # -- relational shell on the driver's TPC-H-ish tables ------------------
 
     def rel_pricing_summary(spark, sf_dir):
@@ -3080,6 +3104,28 @@ SELECT media_id, CAST(frame AS INT) AS frame, CAST(w AS INT) AS w,
        CAST(MIN(y) AS DOUBLE) AS px_min,
        CAST(MAX(y) AS DOUBLE) AS px_max
 FROM px GROUP BY media_id, frame, w, h
+"""
+
+    o["zonal_after_reproject"] = """
+WITH px AS (
+  SELECT 10.0 + (gj.j + 0.5) * 0.004 AS lon,
+         21.0 - (gi.i + 0.5) * 0.004 AS lat,
+         ((2 * (190 * 250 + gj.j) + 1) * 1024) // 2000 AS sgx,
+         ((2 * (69 * 250 + gi.i) + 1) * 1024) // 2000 AS sgy
+  FROM generate_series(0, 249) gi(i), generate_series(0, 249) gj(j)
+),
+v AS (
+  SELECT lon, lat,
+         ((sgx // 64) * 7 + (sgy // 64) * 11
+          + (sgy % 64) * 13 + (sgx % 64) * 17) % 21 AS tcl
+  FROM px
+)
+SELECT 'aoi_box_offset' AS aoi_id, CAST(2000 + tcl AS BIGINT) AS tcl_year,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM v
+WHERE tcl <> 0
+  AND lon > 10.125 AND lon < 10.625 AND lat > 20.375 AND lat < 20.875
+GROUP BY tcl
 """
 
     o["spatial_dbscan"] = """
