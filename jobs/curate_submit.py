@@ -3,7 +3,7 @@
 pipeline composed end to end as ONE job:
 
     profile -> repetition filter -> decontaminate -> dedup
-            -> stratified sample -> source mix
+            [-> LM perplexity filter] -> stratified sample -> source mix
             -> per-stratum quality quota -> leakage-safe split
             -> token-budget packing [-> chunked companion output]
 
@@ -92,6 +92,10 @@ def main(argv=None) -> None:
                     help="keep only the k highest-quality docs per stratum")
     ap.add_argument("--pack-budget", type=int, default=2048)
     ap.add_argument("--pack-shards", type=int, default=1024)
+    ap.add_argument("--lm-buckets", type=int, default=None,
+                    help="CCNet-style bigram-LM perplexity buckets; keeps "
+                         "buckets <= --lm-keep-max (lowest perplexity first)")
+    ap.add_argument("--lm-keep-max", type=int, default=2)
     ap.add_argument("--max-dup-line-frac", type=float, default=None,
                     help="drop docs whose duplicate-line fraction exceeds this")
     ap.add_argument("--max-top-bigram-frac", type=float, default=None,
@@ -164,6 +168,27 @@ def main(argv=None) -> None:
             losers.select(F.col("id").alias(idc)), idc, "left_anti"
         )
         docs = prev = _persist_stage(docs, manifest, "after_near_dedup", prev)
+
+    # 3c. CCNet-style LM perplexity filter (after dedup so duplicate
+    # boilerplate cannot bias the self-trained LM): score every doc
+    # under the add-1 bigram LM, bucket by perplexity, keep the head.
+    # bigram_lm_scores references its input FOUR times (training
+    # bigrams, scoring bigrams, vocabulary, id frame); stacked on the
+    # pipeline's already-deep lineage that multiplies the whole logical
+    # plan per reference and Catalyst analysis blows up exponentially —
+    # so the stage scores a lineage-TRUNCATED (id, text) snapshot and
+    # only the tiny keep-list joins back.
+    if args.lm_buckets:
+        lm_src = docs.select(idc, txt).localCheckpoint(eager=True)
+        scored = text.perplexity_buckets(
+            text.bigram_lm_scores(lm_src, id_col=idc, text_col=txt),
+            n_buckets=args.lm_buckets, id_col=idc,
+        )
+        keep = scored.filter(
+            F.col("bucket") <= args.lm_keep_max
+        ).select(idc).localCheckpoint(eager=True)
+        docs = docs.join(keep, idc, "left_semi")
+        docs = prev = _persist_stage(docs, manifest, "after_lm_filter", prev)
 
     # 4. stratified sampling (rebalance skewed strata)
     if args.strata_fractions:

@@ -133,6 +133,7 @@ def test_curate_submit_main_inprocess(spark, tmp_path):
         "--benchmark", bench_path, "--contamination-threshold", "0.8",
         "--contamination-ngram", "3",
         "--near-dup", "--near-dup-hashes", "16", "--near-dup-bands", "2",
+        "--lm-buckets", "4", "--lm-keep-max", "3",
         "--strata-fractions", '{"en": 0.6}',
         "--mix-targets", '{"src1": 0.4, "src2": 0.3, "src3": 0.3}',
         "--quota-k", "50", "--pack-budget", "300", "--pack-shards", "4",
@@ -146,7 +147,10 @@ def test_curate_submit_main_inprocess(spark, tmp_path):
     assert man["after_decontaminate"] < man["input"]
     assert man["after_exact_dedup"] <= man["after_decontaminate"]
     assert man["after_near_dedup"] <= man["after_exact_dedup"]
-    assert man["after_stratified_sample"] <= man["after_near_dedup"]
+    # LM filter keeps buckets 1..3 of 4: roughly three quarters survive
+    assert man["after_lm_filter"] < man["after_near_dedup"]
+    assert man["after_lm_filter"] >= (man["after_near_dedup"] * 3) // 4 - 1
+    assert man["after_stratified_sample"] <= man["after_lm_filter"]
     assert man["after_mix"] <= man["after_stratified_sample"]
     assert man["output"] == man["after_quota"] > 0
     cur = spark.read.parquet(out).toPandas()
@@ -166,6 +170,7 @@ def test_curate_submit_main_inprocess(spark, tmp_path):
         "--benchmark", bench_path, "--contamination-threshold", "0.8",
         "--contamination-ngram", "3",
         "--near-dup", "--near-dup-hashes", "16", "--near-dup-bands", "2",
+        "--lm-buckets", "4", "--lm-keep-max", "3",
         "--strata-fractions", '{"en": 0.6}',
         "--mix-targets", '{"src1": 0.4, "src2": 0.3, "src3": 0.3}',
         "--quota-k", "50", "--pack-budget", "300", "--pack-shards", "4",
