@@ -312,6 +312,22 @@ def workloads(spark, sf_dir):
             t("embeddings").filter(F.col("vec_id") < 8).select(
                 F.col("vec_id").alias("query_id"), "embedding"),
             k=10, n_centroids=16, n_probe=4, m=8, ksub=16),
+        # the model IS a DataFrame: counts shuffle once, scoring is two
+        # hash joins — O(bigrams) end to end
+        "text_lm_scores": lambda: text.bigram_lm_scores(t("documents")),
+        # FIXED benchmark side (64 vectors) so the zero-shuffle matmul
+        # scan is O(corpus) — a growing bench would be corpus x bench
+        "sample_embedding_decontam": lambda: dedup.semantic_contamination(
+            t("embeddings"),
+            t("embeddings").filter(F.col("vec_id") < 64).select(
+                F.col("vec_id").alias("bench_id"), "embedding"),
+            threshold=0.8),
+        # one window per shard over (id, length): O(items)
+        "mm_shard_index": lambda: multimodal.shard_pack_index(
+            t("documents").select(
+                F.col("doc_id").cast("string").alias("image_id"),
+                F.encode("text", "utf-8").alias("bytes")),
+            n_shards=64),
     }
 
 
@@ -496,7 +512,10 @@ def main():
               "dedup_ngram_containment": "documents",
               "sample_reservoir": "documents",
               "sim_sq8": "embeddings", "sim_mrl_rerank": "embeddings",
-              "sim_ivf_pq_residual": "embeddings"}
+              "sim_ivf_pq_residual": "embeddings",
+              "text_lm_scores": "documents",
+              "sample_embedding_decontam": "embeddings",
+              "mm_shard_index": "documents"}
 
     lines = [
         "## Data-size scaling (round 5)", "",
