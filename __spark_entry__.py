@@ -2177,6 +2177,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return text.perplexity_buckets(scored, n_buckets=3)
     q["text_lm_buckets"] = text_lm_buckets
 
+    def text_paragraph_dedup(spark, sf_dir):
+        # C4-style exact paragraph dedup: corpus-wide, only the FIRST
+        # occurrence of each distinct paragraph survives and documents
+        # reassemble in order. Corpus planted with a shared boilerplate
+        # line at every (doc + pos) % 5 == 0 slot; the twin re-derives
+        # first-occurrence, reassembly, and the md5 of the rebuilt text.
+        import pandas as _pd
+
+        def synth(batches):
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"].astype(int):
+                    paras = [
+                        "boiler plate line" if (int(i) + p) % 5 == 0
+                        else f"doc {int(i)} para {p} token{(int(i) * 7 + p * 3) % 11}"
+                        for p in range(6)
+                    ]
+                    rows.append((int(i), "\n".join(paras)))
+                yield _pd.DataFrame(rows, columns=["doc_id", "text"])
+
+        docs = spark.range(40).repartition(4).mapInPandas(
+            synth, "doc_id long, text string"
+        )
+        out = text.paragraph_dedup(docs)
+        return out.select(
+            "doc_id", "n_paragraphs", "n_dropped",
+            F.md5("text").alias("text_md5"),
+        )
+    q["text_paragraph_dedup"] = text_paragraph_dedup
+
     def sim_ivf_pq(spark, sf_dir):
         # IVF-PQ: the production ANN composition — IVF coarse pruning
         # (probe 4/16 buckets) picks WHICH vectors to score, PQ ADC
@@ -4740,6 +4770,32 @@ SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, avg_nll,
        CAST(NTILE(3) OVER (
          ORDER BY avg_nll ASC NULLS LAST, doc_id ASC) AS INT) AS bucket
 FROM fl
+"""
+
+    o["text_paragraph_dedup"] = """
+WITH paras AS (
+  SELECT d.i AS doc_id, p.p AS pos,
+         CASE WHEN (d.i + p.p) % 5 = 0 THEN 'boiler plate line'
+              ELSE printf('doc %d para %d token%d',
+                          d.i, p.p, (d.i * 7 + p.p * 3) % 11) END AS para
+  FROM generate_series(0, 39) d(i), generate_series(0, 5) p(p)
+),
+rn AS (
+  SELECT paras.*, ROW_NUMBER() OVER (
+    PARTITION BY para ORDER BY doc_id, pos) AS rn
+  FROM paras
+),
+keep AS (SELECT doc_id, pos, para FROM rn WHERE rn = 1),
+agg AS (SELECT doc_id, COUNT(*) AS n_paragraphs FROM paras GROUP BY 1),
+reb AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(para, chr(10) ORDER BY pos) AS text
+  FROM keep GROUP BY doc_id
+)
+SELECT a.doc_id, CAST(a.n_paragraphs AS BIGINT) AS n_paragraphs,
+       CAST(a.n_paragraphs - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped,
+       md5(COALESCE(r.text, '')) AS text_md5
+FROM agg a LEFT JOIN reb r USING (doc_id)
 """
 
     o["text_pii_scrub"] = f"""

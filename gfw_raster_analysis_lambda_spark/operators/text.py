@@ -648,3 +648,68 @@ def perplexity_buckets(
         id_col, "n_bigrams", nll_col,
         F.ntile(n_buckets).over(w).alias("bucket"),
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """C4-style EXACT PARAGRAPH dedup (Raffel et al. 2020 used
+    three-sentence spans; the unit here is the ``sep``-delimited
+    paragraph): corpus-wide, only the FIRST occurrence of each distinct
+    paragraph survives — first = lowest (doc id, position) — and every
+    document is reassembled from its surviving paragraphs in original
+    order. Returns (id, text, n_paragraphs, n_dropped); a document whose
+    every paragraph was seen before comes back with empty text and the
+    counts to prove it (drop/keep policy belongs to the caller).
+
+    Paragraphs shorter than ``min_chars`` pass through untouched (blank
+    separators and stray whitespace are structure, not content).
+
+    Scale shape: one posexplode (rows = paragraphs), ONE shuffle keyed
+    by the paragraph (the window that picks the first occurrence; at
+    100 TB key on ``xxhash64(para)`` instead of the raw string to keep
+    shuffle rows narrow — same plan), one groupBy(id) to reassemble.
+    Exactly the plan of the exact-dedup family, at paragraph grain."""
+    from pyspark.sql import Window
+
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para"),
+    )
+    target = paras.filter(F.length("__para") >= min_chars)
+    passthrough = paras.filter(F.length("__para") < min_chars)
+    w = Window.partitionBy("__para").orderBy(id_col, "__pos")
+    kept = (
+        target.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1).drop("__rn")
+        .unionByName(passthrough)
+    )
+    stats = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paragraphs"))
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__para"))),
+                    lambda x: x["__para"],
+                ),
+                sep,
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("__n_kept"),
+        )
+    )
+    return (
+        df.select(id_col).join(rebuilt, id_col, "left")
+        .join(stats, id_col)
+        .select(
+            id_col,
+            F.coalesce(text_col, F.lit("")).alias(text_col),
+            "n_paragraphs",
+            (F.col("n_paragraphs") - F.coalesce("__n_kept", F.lit(0)))
+            .alias("n_dropped"),
+        )
+    )

@@ -543,3 +543,25 @@ def test_dbscan_chain_merges_through_shared_core(spark):
     assert {i for i, v in out.items() if v[0] == "core"} == set(range(2, 8))
     assert all(out[i] == ("core", 2) for i in range(2, 8))
     assert all(out[i] == ("border", 2) for i in (0, 1, 8, 9))
+
+
+def test_paragraph_dedup_first_occurrence_and_reassembly(spark):
+    """Only the first corpus occurrence of a duplicated paragraph
+    survives (lowest doc, then position); order within each doc is
+    preserved; short/blank paragraphs pass through; a fully-duplicated
+    document returns empty text with honest counts."""
+    from gfw_raster_analysis_lambda_spark.operators import text
+
+    docs = spark.createDataFrame([
+        (0, "alpha\nshared line\nbeta"),
+        (1, "shared line\ngamma\n\ndelta"),     # blank para passes through
+        (2, "shared line"),                      # fully duplicated
+        (3, "shared line\nshared line\nepsilon"),  # dup within one doc too
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.paragraph_dedup(docs).collect()}
+    assert out[0]["text"] == "alpha\nshared line\nbeta"
+    assert (out[0]["n_paragraphs"], out[0]["n_dropped"]) == (3, 0)
+    assert out[1]["text"] == "gamma\n\ndelta"
+    assert (out[1]["n_paragraphs"], out[1]["n_dropped"]) == (4, 1)
+    assert out[2]["text"] == "" and out[2]["n_dropped"] == 1
+    assert out[3]["text"] == "epsilon" and out[3]["n_dropped"] == 2
