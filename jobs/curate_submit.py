@@ -2,8 +2,9 @@
 """spark-submit entry point for corpus curation — the training-data
 pipeline composed end to end as ONE job:
 
-    profile -> repetition filter -> decontaminate -> dedup
-            [-> LM perplexity filter] -> stratified sample -> source mix
+    profile -> repetition filter -> decontaminate
+            [-> paragraph dedup] -> dedup [-> LM perplexity filter]
+            -> stratified sample -> source mix
             -> per-stratum quality quota -> leakage-safe split
             -> token-budget packing [-> chunked companion output]
 
@@ -92,6 +93,11 @@ def main(argv=None) -> None:
                     help="keep only the k highest-quality docs per stratum")
     ap.add_argument("--pack-budget", type=int, default=2048)
     ap.add_argument("--pack-shards", type=int, default=1024)
+    ap.add_argument("--paragraph-dedup", action="store_true",
+                    help="C4-style exact paragraph dedup before document "
+                         "dedup: only the first corpus occurrence of each "
+                         "paragraph survives; documents reassemble in order")
+    ap.add_argument("--paragraph-sep", default="\n")
     ap.add_argument("--lm-buckets", type=int, default=None,
                     help="CCNet-style bigram-LM perplexity buckets; keeps "
                          "buckets <= --lm-keep-max (lowest perplexity first)")
@@ -147,6 +153,20 @@ def main(argv=None) -> None:
         ).select(idc)
         docs = docs.join(drop, idc, "left_anti")
         docs = prev = _persist_stage(docs, manifest, "after_decontaminate", prev)
+
+    # 2b. C4-style exact paragraph dedup (before document-level dedup:
+    # removing shared boilerplate paragraphs first makes the remaining
+    # document text the content-bearing part). Rebuilt text REPLACES the
+    # text column; docs whose every paragraph was seen before become
+    # empty and fall to the downstream quality/repetition filters.
+    if args.paragraph_dedup:
+        rebuilt = text.paragraph_dedup(
+            docs, id_col=idc, text_col=txt, sep=args.paragraph_sep,
+        ).localCheckpoint(eager=True)  # 4 self-references: cut the lineage
+        docs = docs.drop(txt).join(
+            rebuilt.select(idc, txt, "n_dropped"), idc
+        ).withColumnRenamed("n_dropped", "n_paras_dropped")
+        docs = prev = _persist_stage(docs, manifest, "after_paragraph_dedup", prev)
 
     # 3. exact dedup: keep the lowest-id doc of every byte-identical group
     # (loser list from the shared helper — same key normalization as

@@ -133,6 +133,7 @@ def test_curate_submit_main_inprocess(spark, tmp_path):
         "--benchmark", bench_path, "--contamination-threshold", "0.8",
         "--contamination-ngram", "3",
         "--near-dup", "--near-dup-hashes", "16", "--near-dup-bands", "2",
+        "--paragraph-dedup",
         "--lm-buckets", "4", "--lm-keep-max", "3",
         "--strata-fractions", '{"en": 0.6}',
         "--mix-targets", '{"src1": 0.4, "src2": 0.3, "src3": 0.3}',
@@ -145,7 +146,11 @@ def test_curate_submit_main_inprocess(spark, tmp_path):
     man = _json.load(open(os.path.join(out, "_curation_manifest.json")))
     assert man["after_repetition_filter"] <= man["input"]
     assert man["after_decontaminate"] < man["input"]
-    assert man["after_exact_dedup"] <= man["after_decontaminate"]
+    # paragraph dedup rewrites text but drops no rows (fixture docs have
+    # no newlines, so it degrades to whole-text first-occurrence-wins:
+    # duplicate docs' text becomes empty and exact dedup collapses them)
+    assert man["after_paragraph_dedup"] == man["after_decontaminate"]
+    assert man["after_exact_dedup"] <= man["after_paragraph_dedup"]
     assert man["after_near_dedup"] <= man["after_exact_dedup"]
     # LM filter keeps buckets 1..3 of 4: roughly three quarters survive
     assert man["after_lm_filter"] < man["after_near_dedup"]
@@ -170,6 +175,7 @@ def test_curate_submit_main_inprocess(spark, tmp_path):
         "--benchmark", bench_path, "--contamination-threshold", "0.8",
         "--contamination-ngram", "3",
         "--near-dup", "--near-dup-hashes", "16", "--near-dup-bands", "2",
+        "--paragraph-dedup",
         "--lm-buckets", "4", "--lm-keep-max", "3",
         "--strata-fractions", '{"en": 0.6}',
         "--mix-targets", '{"src1": 0.4, "src2": 0.3, "src3": 0.3}',
