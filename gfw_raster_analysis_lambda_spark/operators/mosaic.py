@@ -6,18 +6,23 @@ mosaicked from tiles). This operator is that export as one Spark job:
 
 - **Plan**: AOI -> cells via the SAME planner machinery as zonal
   (``plans.planner.aoi_cells`` — broadcast AOI catalog, cell
-  enumeration in Catalyst), one equi-join attaches the layer's encoded
-  tiles, ONE shuffle grouped by ``aoi_id``, and an ``applyInPandas``
-  kernel decodes, places each tile at its window position, and
-  re-encodes the assembled window. Output is O(AOIs) rows.
-- **Window**: the pixel bounding box of the AOI's cell set (cells are
-  the storage atom; sub-cell cropping is a downstream slice with the
-  returned origin). Missing tiles inside the bbox fill with ``fill`` —
-  the reference's missing-tile tolerance, visible in the export instead
-  of silently shrinking it.
-- **Guard rail**: ``max_px`` fails fast BEFORE assembly when an AOI's
-  window exceeds it (a continent-sized AOI is a re-tiling job, not an
-  export); the check is per-group metadata, no pixels are touched.
+  enumeration in Catalyst). The (aoi, cell) set and the per-AOI window
+  bbox are both TINY and broadcast; the big tiles table streams through
+  one BroadcastHashJoin, so encoded tile bytes cross the wire exactly
+  ONCE — in the single Exchange grouped by ``aoi_id`` that feeds the
+  ``applyInPandas`` assembly kernel (decode, place, re-encode). A
+  naive left join from the cell list would shuffle tile bytes TWICE
+  (cell-keyed SortMergeJoin + the aoi groupBy); the plan test pins the
+  single-byte-shuffle shape.
+- **Window**: the pixel bounding box of the AOI's FULL cell set
+  (computed relationally from the cell list, so a missing edge tile
+  cannot silently shrink the export). Missing tiles inside the bbox
+  fill with ``fill`` — the reference's missing-tile tolerance, visible
+  in the export instead of hidden. An AOI with NO stored tiles at all
+  produces no output row (there is nothing to export).
+- **Guard rail**: ``max_px`` fails fast when an AOI's window exceeds it
+  (a continent-sized AOI is a re-tiling job, not an export); the check
+  runs on the bbox metadata before any pixel is decoded.
 
 At scale the shuffle moves each selected tile's encoded bytes exactly
 once, keyed by aoi_id; group size is bounded by max_px / chunk_px², so
@@ -57,45 +62,49 @@ def mosaic_aoi(
     tiles = images.filter(F.col("layer") == layer).select(
         "cell_id", "bytes", "w", "h", "fmt"
     )
+    acells = aoi_cells(aoi, grid_name).select("aoi_id", "cell_id")
+    yb, mask = G._Y_BITS, G._XY_MASK
+    cx = F.shiftright("cell_id", yb).bitwiseAND(F.lit(mask))
+    cy = F.col("cell_id").bitwiseAND(F.lit(mask))
+    # per-AOI window bbox over the FULL cell set (missing tiles cannot
+    # shrink the export); tiny frame, broadcast
+    bbox = (
+        acells.select("aoi_id", cx.alias("__x"), cy.alias("__y"))
+        .groupBy("aoi_id")
+        .agg(
+            F.min("__x").alias("__x0"), F.min("__y").alias("__y0"),
+            F.max("__x").alias("__x1"), F.max("__y").alias("__y1"),
+        )
+    )
+    # tiles stream through ONE BroadcastHashJoin; bytes shuffle only in
+    # the aoi_id groupBy below
     pairs = (
-        aoi_cells(aoi, grid_name).select("aoi_id", "cell_id")
-        .join(tiles, "cell_id", "left")
+        tiles.join(F.broadcast(acells), "cell_id")
+        .join(F.broadcast(bbox), "aoi_id")
     )
     fmt_out = fmt
-    max_cells = max(int(max_px) // (cs * cs), 1)
 
     def assemble(key, pdf):
         aoi_id = key[0]
-        if len(pdf) > max_cells:
-            raise ValueError(
-                f"AOI {aoi_id!r} spans {len(pdf)} cells "
-                f"({len(pdf) * cs * cs} px) — over the max_px={max_px} "
-                "export guard; raise it or split the AOI"
-            )
-        xs, ys = G.cell_to_xy(pdf["cell_id"].to_numpy())
-        x0, y0 = int(xs.min()), int(ys.min())
-        nx, ny = int(xs.max()) - x0 + 1, int(ys.max()) - y0 + 1
+        x0, y0 = int(pdf["__x0"].iloc[0]), int(pdf["__y0"].iloc[0])
+        nx = int(pdf["__x1"].iloc[0]) - x0 + 1
+        ny = int(pdf["__y1"].iloc[0]) - y0 + 1
         if nx * ny * cs * cs > max_px:
             raise ValueError(
                 f"AOI {aoi_id!r} window is {nx * cs}x{ny * cs} px — over "
-                f"the max_px={max_px} export guard"
+                f"the max_px={max_px} export guard; raise it or split the AOI"
             )
-        first = next(
-            (r for r in pdf.itertuples(index=False) if r.bytes is not None), None
-        )
-        dtype = (
-            codecs.decode_tile(
-                bytes(first.bytes), int(first.w), int(first.h), str(first.fmt)
-            ).dtype
-            if first is not None else np.uint8
-        )
+        first = pdf.iloc[0]
+        dtype = codecs.decode_tile(
+            bytes(first["bytes"]), int(first["w"]), int(first["h"]),
+            str(first["fmt"]),
+        ).dtype
         win = np.full((ny * cs, nx * cs), fill, dtype=dtype)
-        for r, cx, cy in zip(pdf.itertuples(index=False), xs, ys):
-            if r.bytes is None:
-                continue  # missing tile keeps the fill value
+        xs, ys = G.cell_to_xy(pdf["cell_id"].to_numpy())
+        for r, tx, ty in zip(pdf.itertuples(index=False), xs, ys):
             arr = codecs.decode_tile(bytes(r.bytes), int(r.w), int(r.h), str(r.fmt))
-            win[(int(cy) - y0) * cs:(int(cy) - y0 + 1) * cs,
-                (int(cx) - x0) * cs:(int(cx) - x0 + 1) * cs] = arr
+            win[(int(ty) - y0) * cs:(int(ty) - y0 + 1) * cs,
+                (int(tx) - x0) * cs:(int(tx) - x0 + 1) * cs] = arr
         payload = codecs.encode_tile(np.ascontiguousarray(win), fmt_out)
         return pd.DataFrame(
             [(aoi_id, payload, nx * cs, ny * cs, fmt_out,

@@ -565,3 +565,47 @@ def test_paragraph_dedup_first_occurrence_and_reassembly(spark):
     assert (out[1]["n_paragraphs"], out[1]["n_dropped"]) == (4, 1)
     assert out[2]["text"] == "" and out[2]["n_dropped"] == 1
     assert out[3]["text"] == "epsilon" and out[3]["n_dropped"] == 2
+
+
+def test_reproject_plan_single_exchange(spark):
+    """The reprojection plan must shuffle encoded tile bytes exactly
+    ONCE (the dst-cell groupBy) — the dst-cell derivation is codegen bit
+    arithmetic before the Exchange, never a UDF."""
+    from gfw_raster_analysis_lambda_spark.operators.reproject import (
+        reproject_nearest,
+    )
+
+    cells = [(sx, sy) for sy in range(320, 322) for sx in range(740, 742)]
+    df = reproject_nearest(_src_images(spark, cells, 64,
+                                       __import__("gfw_raster_analysis_lambda_spark.functions.grid",
+                                                  fromlist=["grid"]).get_grid("4/1024")),
+                           "4/1024", "1/250")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_mosaic_plan_exchanges_bounded(spark):
+    """The mosaic export shuffles grouped by aoi_id; the AOI-to-cell
+    side rides broadcast (the planner's aoi_cells machinery), so the
+    plan never exchanges tile bytes more than once."""
+    from gfw_raster_analysis_lambda_spark.functions import geometry as geo
+    from gfw_raster_analysis_lambda_spark.operators import mosaic
+    from gfw_raster_analysis_lambda_spark.sources import fixtures
+    from gfw_raster_analysis_lambda_spark.sources.images import with_derived_keys
+
+    images = with_derived_keys(spark.createDataFrame(
+        fixtures.generate_images_rows(), fixtures.IMAGES_SCHEMA))
+    aoi = spark.createDataFrame(
+        [("m1", geo.wkb_dumps(geo.box(10.125, 20.375, 10.625, 20.875)))],
+        fixtures.AOI_SCHEMA)
+    df = mosaic.mosaic_aoi(images, aoi, "tcl_year", "4/1024")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # tile BYTES shuffle exactly once (the aoi_id groupBy): candidates
+    # attach via BroadcastExchange, and crucially there is NO cell_id
+    # hash shuffle (the naive left-join plan shuffled the bytes twice —
+    # cell-keyed SortMergeJoin plus the groupBy; this pins the fix).
+    # The only other hash Exchange is the tiny bbox metadata aggregate.
+    assert "hashpartitioning(cell_id" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
