@@ -173,7 +173,10 @@ def contains_points(geom: Geometry, xs, ys, edges: np.ndarray | None = None) -> 
         py = ys[s : s + chunk][:, None]
         # half-open vertical rule avoids double counting shared vertices
         straddles = (y1[None, :] <= py) != (y2[None, :] <= py)
-        with np.errstate(divide="ignore", invalid="ignore"):
+        # over="ignore": dividing by a subnormal dy overflows only for
+        # NON-straddling near-horizontal edges, all masked out by the
+        # `straddles &` on the next line (straddles bound |py-y1| <= |dy|).
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
             xcross = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
         hits = straddles & (xcross > px)
         out[s : s + chunk] = (hits.sum(axis=1) % 2).astype(bool)
@@ -230,7 +233,10 @@ def rasterize_mask(
     if len(e) * height * width <= 32_000_000:
         py = cy[:, None]                                   # H x 1
         straddles = (y1[None, :] <= py) != (y2[None, :] <= py)  # H x E
-        with np.errstate(divide="ignore", invalid="ignore"):
+        # over="ignore": a NON-straddling near-horizontal edge can overflow
+        # the slope product, but every such entry is masked to -inf on the
+        # next line; straddling edges are bounded (|py-y1| <= |dy| there).
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
             xc = x1[None, :] + (py - y1[None, :]) * ((x2 - x1) / np.where(dy == 0, 1.0, dy))[None, :]
         xc = np.where(straddles, xc, -np.inf)              # non-crossings never right of a center
         nright = (xc[:, :, None] > cx[None, None, :]).sum(axis=1)  # H x W
