@@ -262,9 +262,12 @@ def mdv_parse(data: bytes) -> tuple[np.ndarray, int, list[str], list[np.ndarray]
             recon = np.zeros((h, w), np.uint8)
             off = 0
             for (y, x, bh, bw), (dy, dx) in zip(grid, mv):
-                pred = prev[y + dy : y + dy + bh, x + dx : x + dx + bw].astype(np.int32)
-                if pred.shape != (bh, bw):
+                ry, rx = y + int(dy), x + int(dx)
+                # explicit bounds (a negative start would WRAP under numpy
+                # slicing and could yield a valid-shaped but wrong block)
+                if ry < 0 or rx < 0 or ry + bh > h or rx + bw > w:
                     raise ValueError("MDV motion vector out of bounds")
+                pred = prev[ry : ry + bh, rx : rx + bw].astype(np.int32)
                 q = q_all[off : off + bh * bw].reshape(bh, bw)
                 off += bh * bw
                 recon[y : y + bh, x : x + bw] = np.clip(

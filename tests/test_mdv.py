@@ -149,3 +149,29 @@ def test_video_pipeline_decodes_mdv():
         want = ((((i + 2 * t) // 8) + 2 * ((j + 2 * t) // 8) + 11 * 2) % 256
                 ).astype(np.uint8)
         assert np.array_equal(cube[t], want)
+
+
+def test_negative_wrapping_motion_vector_raises():
+    # A handcrafted stream with a valid CRC but an MV whose start index is
+    # negative would WRAP under numpy slicing into a valid-shaped block of
+    # wrong pixels; the decoder must bounds-check explicitly and raise.
+    import struct
+
+    from gfw_raster_analysis_lambda_spark.functions.flac import _crc16
+    from gfw_raster_analysis_lambda_spark.functions import mdv as M
+
+    v = _translating(nf=2, h=32, w=32)
+    enc = bytearray(mdv_encode(v, gop=8, block=16, search=0))
+    hdr_len = 4 + struct.calcsize(M._HDR) + 2
+    # skip the I-frame: 'I' u32 len + payload + crc16
+    (jlen,) = struct.unpack(">I", enc[hdr_len + 1 : hdr_len + 5])
+    p_start = hdr_len + 1 + 4 + jlen + 2
+    assert enc[p_start : p_start + 1] == b"P"
+    body_start = p_start + 1
+    body_end = len(enc) - 2  # last two bytes are the P-frame CRC
+    # block grid is 2x2 of 16x16; set block 0's MV to dy=-16 (wraps to the
+    # bottom half under naive slicing) and re-sign the CRC
+    enc[body_start : body_start + 2] = struct.pack(">bb", -16, 0)
+    enc[body_end:] = struct.pack(">H", _crc16(bytes(enc[body_start:body_end])))
+    with pytest.raises(ValueError, match="out of bounds"):
+        mdv_decode(bytes(enc))
