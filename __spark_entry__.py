@@ -1852,6 +1852,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return focal.focal_mode(tiles, n_values=6, radius=1)
     q["focal_mode_drivers"] = focal_mode_drivers
 
+    def focal_terrain_slope(spark, sf_dir):
+        # Horn-method terrain derivatives (the gdaldem slope family) over
+        # the tiled "DEM", cross-tile via the same halo-strip exchange;
+        # integer Horn numerators gx/gy summed per cell plus the slope-
+        # class count, all int64-exact until one final mean division
+        images, _, _ = _fixture(spark)
+        tiles = images.filter(F.col("layer") == "tcl_year")
+        out = focal.terrain_stats(tiles, steep2_threshold=400)
+        return out.select(
+            "cell_id", "n_grad", "gx_sum", "gy_sum", "grad2_sum", "steep_n",
+            F.round(
+                F.col("grad2_sum").cast("double") / F.col("n_grad").cast("double"),
+                6,
+            ).alias("mean_grad2"),
+        )
+    q["focal_terrain_slope"] = focal_terrain_slope
+
     def stream_focal_inc(spark, sf_dir):
         # incrementally-maintained focal stats: two micro-batches (the
         # interior (1,1) tile arrives LATE, so its neighbors' windows
@@ -4419,6 +4436,30 @@ SELECT CAST({CB} AS BIGINT) + CAST({X0} + gx // 64 AS BIGINT) * {YW} + ({Y0} + g
        CAST(val AS INT) AS value,
        CAST(COUNT(*) AS BIGINT) AS n_px
 FROM m WHERE rn = 1 GROUP BY 1, 2
+"""
+
+    o["focal_terrain_slope"] = f"""
+WITH px AS (
+  SELECT gx, gy FROM generate_series(0, {GX}) a(gx), generate_series(0, {GY}) b(gy)
+),
+off AS (SELECT dx, dy FROM generate_series(-1, 1) a(dx), generate_series(-1, 1) b(dy)),
+w AS (
+  SELECT px.gx, px.gy,
+         SUM(dx * (2 - ABS(dy)) * ({tclv})) AS gxn,
+         SUM(dy * (2 - ABS(dx)) * ({tclv})) AS gyn,
+         COUNT(*) AS wn
+  FROM px, off
+  WHERE px.gx + dx BETWEEN 0 AND {GX} AND px.gy + dy BETWEEN 0 AND {GY}
+  GROUP BY px.gx, px.gy
+)
+SELECT CAST({CB} AS BIGINT) + CAST({X0} + gx // 64 AS BIGINT) * {YW} + ({Y0} + gy // 64) AS cell_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grad,
+       CAST(SUM(gxn) AS BIGINT) AS gx_sum,
+       CAST(SUM(gyn) AS BIGINT) AS gy_sum,
+       CAST(SUM(gxn * gxn + gyn * gyn) AS BIGINT) AS grad2_sum,
+       CAST(SUM(CASE WHEN gxn * gxn + gyn * gyn >= 400 THEN 1 ELSE 0 END) AS BIGINT) AS steep_n,
+       ROUND(CAST(SUM(gxn * gxn + gyn * gyn) AS DOUBLE) / COUNT(*), 6) AS mean_grad2
+FROM w WHERE wn = 9 GROUP BY 1
 """
 
     _var_expr = (

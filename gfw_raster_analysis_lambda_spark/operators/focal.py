@@ -304,3 +304,79 @@ def focal_mode(
     return _halo_parts(tiles, r).groupBy("target_cell").applyInPandas(
         assemble, "cell_id long, value int, n_px long"
     )
+
+
+def terrain_stats(
+    tiles: DataFrame,
+    steep2_threshold: int = 400,
+) -> DataFrame:
+    """Terrain derivatives over a tiled integer DEM — the ``gdaldem``
+    slope/aspect family (Horn 1981, the 3x3 weighted-difference gradient
+    every GIS stack uses), cross-tile via the SAME halo-strip exchange as
+    :func:`focal_stats` (one Exchange, encoded centers + 1-px strips).
+
+    Per pixel whose FULL 3x3 window exists (interior of the corpus;
+    corpus edges and missing-neighbor pixels are excluded rather than
+    padded — a padded gradient is an artifact, not a measurement), the
+    integer Horn numerators::
+
+        gx = (c + 2f + i) - (a + 2d + g)      # a b c
+        gy = (g + 2h + i) - (a + 2b + c)      # d e f
+                                              # g h i
+
+    Returned per cell, all int64-EXACT (which is what lets the DuckDB
+    twin — the same weighted window sums over the closed-form fixture
+    pixels — hash-match bit for bit):
+
+    - ``n_grad``     pixels with a full window
+    - ``gx_sum``     SUM gx  (net west->east fall, x8 the mean gradient)
+    - ``gy_sum``     SUM gy  (net north->south fall)
+    - ``grad2_sum``  SUM (gx^2 + gy^2)  — the slope-energy / roughness
+      integral; mean squared gradient = grad2_sum / n_grad
+    - ``steep_n``    COUNT of pixels with gx^2 + gy^2 >= steep2_threshold
+      — the "slope class" count (area steeper than a cutoff), the zonal
+      quantity slope maps are actually consumed as
+
+    Float slope angles (atan of the scaled magnitude) and hillshade are
+    one deterministic post-projection away; they are kept OUT of the
+    kernel so the contract gate never hashes cross-engine libm trig.
+    """
+    r = 1
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        built = _build_pad(pdf, r, float("nan"))
+        if built is None:
+            return pd.DataFrame(
+                {c: pd.Series(dtype="int64")
+                 for c in ("cell_id", "n_grad", "gx_sum", "gy_sum",
+                           "grad2_sum", "steep_n")}
+            )
+        cell, h, w, pad = built
+        valid = ~np.isnan(pad)
+        full = np.ones((h, w), dtype=bool)
+        for a_ in range(3):
+            for b_ in range(3):
+                full &= valid[a_:a_ + h, b_:b_ + w]
+        z = np.where(valid, pad, 0.0)
+        a = z[0:h, 0:w];  b = z[0:h, 1:w + 1];  c = z[0:h, 2:w + 2]
+        d = z[1:h + 1, 0:w];                    f = z[1:h + 1, 2:w + 2]
+        g = z[2:h + 2, 0:w]; hh = z[2:h + 2, 1:w + 1]; i = z[2:h + 2, 2:w + 2]
+        gx = ((c + 2 * f + i) - (a + 2 * d + g))
+        gy = ((g + 2 * hh + i) - (a + 2 * b + c))
+        gx = np.where(full, gx, 0.0).astype(np.int64)
+        gy = np.where(full, gy, 0.0).astype(np.int64)
+        g2 = gx * gx + gy * gy
+        return pd.DataFrame({
+            "cell_id": [cell],
+            "n_grad": [int(full.sum())],
+            "gx_sum": [int(gx.sum())],
+            "gy_sum": [int(gy.sum())],
+            "grad2_sum": [int(g2.sum())],
+            "steep_n": [int((g2[full] >= int(steep2_threshold)).sum())],
+        })
+
+    return _halo_parts(tiles, r).groupBy("target_cell").applyInPandas(
+        assemble,
+        "cell_id long, n_grad long, gx_sum long, gy_sum long, "
+        "grad2_sum long, steep_n long",
+    )

@@ -926,3 +926,58 @@ def test_pii_scrub_property_seeded_corpus(spark):
         for lit in injected:
             assert lit not in r["text"], (doc, lit)
         assert r["n_pii"] == sum(n_by.values())
+
+
+def _terrain_expected(world, present, steep2=400):
+    """Brute-force Horn oracle: per-cell integer gradient aggregates over
+    pixels whose FULL 3x3 window is present. Orientation-SENSITIVE (unlike
+    the isotropic focal sums): a transposed or flipped tile changes gx/gy."""
+    h, w = world.shape
+    valid = np.zeros_like(world, dtype=bool)
+    for dx, dy in present:
+        valid[dy * TILE:(dy + 1) * TILE, dx * TILE:(dx + 1) * TILE] = True
+    z = world.astype(np.int64)
+    out = {}
+    for dx, dy in present:
+        n = sx = sy = g2s = steep = 0
+        for i in range(dy * TILE, (dy + 1) * TILE):
+            for j in range(dx * TILE, (dx + 1) * TILE):
+                if i < 1 or j < 1 or i >= h - 1 or j >= w - 1:
+                    continue
+                if not valid[i - 1:i + 2, j - 1:j + 2].all():
+                    continue
+                gx = int((z[i - 1, j + 1] + 2 * z[i, j + 1] + z[i + 1, j + 1])
+                         - (z[i - 1, j - 1] + 2 * z[i, j - 1] + z[i + 1, j - 1]))
+                gy = int((z[i + 1, j - 1] + 2 * z[i + 1, j] + z[i + 1, j + 1])
+                         - (z[i - 1, j - 1] + 2 * z[i - 1, j] + z[i - 1, j + 1]))
+                n += 1
+                sx += gx
+                sy += gy
+                g2 = gx * gx + gy * gy
+                g2s += g2
+                steep += g2 >= steep2
+        cell = int(G.cell_from_xy(GRID, X0 + dx, Y0 + dy))
+        out[cell] = (n, sx, sy, g2s, steep)
+    return out
+
+
+def test_terrain_stats_matches_bruteforce_horn(spark):
+    present = {(dx, dy) for dx in range(NX) for dy in range(NY)}
+    got = {
+        r["cell_id"]: (r["n_grad"], r["gx_sum"], r["gy_sum"],
+                       r["grad2_sum"], r["steep_n"])
+        for r in focal.terrain_stats(_tiles_df(spark)).collect()
+    }
+    assert got == _terrain_expected(_world(), present)
+
+
+def test_terrain_stats_missing_tile_excludes_boundary_windows(spark):
+    drop = {(2, 1)}
+    present = {(dx, dy) for dx in range(NX) for dy in range(NY)} - drop
+    got = {
+        r["cell_id"]: (r["n_grad"], r["gx_sum"], r["gy_sum"],
+                       r["grad2_sum"], r["steep_n"])
+        for r in focal.terrain_stats(_tiles_df(spark, drop=drop)).collect()
+    }
+    assert got == _terrain_expected(_world(), present)
+    assert int(G.cell_from_xy(GRID, X0 + 2, Y0 + 1)) not in got
