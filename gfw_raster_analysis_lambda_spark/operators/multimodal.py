@@ -801,6 +801,14 @@ def shard_pack_blobs(
     def pack(key, pdf):
         pdf = pdf.sort_values("__id")
         blob = b"".join(bytes(b) for b in pdf["__b"])
+        if len(blob) > 1_800_000_000:
+            # Arrow caps a single binary cell at 2 GB; fail fast with the
+            # fix (more shards) instead of an opaque serialization error
+            raise ValueError(
+                f"shard {int(key[0])} blob is {len(blob)} bytes — past the "
+                f"Arrow 2 GB binary-cell bound; raise n_shards (currently "
+                f"{n_shards}) so each shard's payload fits"
+            )
         return pd.DataFrame([(
             int(key[0]), len(pdf), len(blob),
             hashlib.md5(blob).hexdigest(), blob,
