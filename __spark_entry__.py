@@ -916,6 +916,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("min_cell", "n_px", "n_cells")
     q["cc_pixel_blobs"] = cc_pixel_blobs
 
+    def cc_blob_geometry(spark, sf_dir):
+        # per-blob GEOMETRY metrics (geom_stats=True): global-pixel bbox +
+        # exact-integer centroid numerators merged through the same
+        # strips-and-counts stitch; centroids divided only at the end
+        import numpy as np
+
+        from gfw_raster_analysis_lambda_spark.functions import codecs
+        from gfw_raster_analysis_lambda_spark.operators import components
+
+        chunk = GRID.chunk_px
+        world = np.zeros((2 * chunk, 2 * chunk), dtype=np.uint8)
+        for gx, gy in _cc_pixel_pts():
+            world[gy, gx] = 7
+        rows = []
+        for dx in range(2):
+            for dy in range(2):
+                arr = world[dy * chunk:(dy + 1) * chunk, dx * chunk:(dx + 1) * chunk]
+                cell = int(_G.cell_from_xy(GRID, X0 + dx, Y0 + dy))
+                rows.append(("blob", cell, codecs.encode_tile(
+                    np.ascontiguousarray(arr), "png"), chunk, chunk, "png"))
+        df = spark.createDataFrame(
+            rows, "layer string, cell_id long, bytes binary, w int, h int, fmt string"
+        )
+        base = X0 * chunk  # fixture global-pixel origin of cell (X0, Y0)
+        basey = Y0 * chunk
+        out = components.pixel_components(
+            df, "blob", [7], GRID.name, diagonal=True, geom_stats=True
+        )
+        return out.select(
+            "min_cell", "n_px",
+            # report in fixture-local pixel coords (the twin's coordinate
+            # frame); the engine computes global coords, shift is exact
+            (F.col("gx_min") - base).alias("gx_min"),
+            (F.col("gy_min") - basey).alias("gy_min"),
+            (F.col("gx_max") - base).alias("gx_max"),
+            (F.col("gy_max") - basey).alias("gy_max"),
+            F.round(
+                (F.col("sum_gx") - F.col("n_px") * base).cast("double")
+                / F.col("n_px").cast("double"), 6,
+            ).alias("cx"),
+            F.round(
+                (F.col("sum_gy") - F.col("n_px") * basey).cast("double")
+                / F.col("n_px").cast("double"), 6,
+            ).alias("cy"),
+        )
+    q["cc_blob_geometry"] = cc_blob_geometry
+
     def mm_audio_features(spark, sf_dir):
         # REAL WAV/PCM decode (stdlib wave) in an Arrow-batched kernel;
         # corpus = deterministic PCM16 sine waves whose quantized samples
@@ -3364,6 +3411,35 @@ r(src, dst) AS (
 comp AS (SELECT src AS pid, MIN(dst) AS component FROM r GROUP BY src)
 SELECT MIN(n.cell_id) AS min_cell, CAST(COUNT(*) AS BIGINT) AS n_px,
        CAST(COUNT(DISTINCT n.cell_id) AS BIGINT) AS n_cells
+FROM comp JOIN n USING (pid)
+GROUP BY comp.component
+"""
+
+    o["cc_blob_geometry"] = f"""
+WITH RECURSIVE p(gx, gy) AS (VALUES {cc_px_vals}),
+n AS (
+  SELECT gx, gy, gx * 100000 + gy AS pid,
+         CAST({GRID.index << 54} AS BIGINT)
+           + CAST({X0} + gx // {chunk} AS BIGINT) * {1 << 27}
+           + ({Y0} + gy // {chunk}) AS cell_id
+  FROM p
+),
+e AS (
+  SELECT a.pid AS a, b.pid AS b
+  FROM n a JOIN n b
+    ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1 AND a.pid != b.pid
+),
+r(src, dst) AS (
+  SELECT pid, pid FROM n
+  UNION
+  SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a
+),
+comp AS (SELECT src AS pid, MIN(dst) AS component FROM r GROUP BY src)
+SELECT MIN(n.cell_id) AS min_cell, CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(MIN(n.gx) AS BIGINT) AS gx_min, CAST(MIN(n.gy) AS BIGINT) AS gy_min,
+       CAST(MAX(n.gx) AS BIGINT) AS gx_max, CAST(MAX(n.gy) AS BIGINT) AS gy_max,
+       ROUND(CAST(SUM(n.gx) AS DOUBLE) / COUNT(*), 6) AS cx,
+       ROUND(CAST(SUM(n.gy) AS DOUBLE) / COUNT(*), 6) AS cy
 FROM comp JOIN n USING (pid)
 GROUP BY comp.component
 """

@@ -227,6 +227,7 @@ def pixel_components(
     diagonal: bool = False,
     max_iter: int = 30,
     aoi_df: DataFrame | None = None,
+    geom_stats: bool = False,
 ) -> DataFrame:
     """Connected components of the pixels whose value is in
     ``in_values``, ACROSS tile boundaries — the distributed form of
@@ -248,7 +249,16 @@ def pixel_components(
        are md5-derived 60-bit node hashes (deterministic, order-free).
 
     Only strips and label counts leave the kernel: shuffle volume is
-    O(tile edge) per cell, pixels never cross the wire."""
+    O(tile edge) per cell, pixels never cross the wire.
+
+    ``geom_stats=True`` adds per-component GEOMETRY metrics — the
+    object-detection half of region labeling: global-pixel bounding box
+    (``gx_min/gy_min/gx_max/gy_max``) and the exact-integer centroid
+    numerators (``sum_gx``, ``sum_gy``; centroid = sum/n_px, divided
+    AFTER the merge so the kernel stays integer-exact). All six are
+    associative min/max/sum aggregates, so they merge through the same
+    stitch with zero extra shuffle rows — each per-label kernel row just
+    carries six more int64 columns."""
     import pandas as pd
 
     from ..functions import codecs
@@ -299,31 +309,56 @@ def pixel_components(
                     passes.append((aoi_id, amask))
             else:
                 passes = [("", base)]
+            cx, cy = (int(v) for v in G.cell_to_xy(cell))
+            gx0, gy0 = cx * grid.chunk_px, cy * grid.chunk_px
             for aoi_id, mask in passes:
                 if not mask.any():
                     continue
                 lab = _label_tile(mask, diagonal)
-                nz = lab[lab > 0]
-                ids, cnts = np.unique(nz, return_counts=True)
-                for i, c in zip(ids.tolist(), cnts.tolist()):
-                    out_counts.append((aoi_id, cell, i, c))
+                ys, xs = np.nonzero(lab)
+                ls = lab[ys, xs].astype(np.int64)
+                gxs = (gx0 + xs).astype(np.int64)
+                gys = (gy0 + ys).astype(np.int64)
+                nl = int(ls.max()) + 1
+                cnt = np.bincount(ls, minlength=nl)
+                sgx = np.zeros(nl, np.int64)
+                sgy = np.zeros(nl, np.int64)
+                np.add.at(sgx, ls, gxs)
+                np.add.at(sgy, ls, gys)
+                big = np.int64(1) << 62
+                mnx = np.full(nl, big); mny = np.full(nl, big)
+                mxx = np.full(nl, -big); mxy = np.full(nl, -big)
+                np.minimum.at(mnx, ls, gxs)
+                np.minimum.at(mny, ls, gys)
+                np.maximum.at(mxx, ls, gxs)
+                np.maximum.at(mxy, ls, gys)
+                for i in range(1, nl):
+                    if cnt[i]:
+                        out_counts.append((
+                            aoi_id, cell, i, int(cnt[i]),
+                            int(sgx[i]), int(sgy[i]),
+                            int(mnx[i]), int(mny[i]),
+                            int(mxx[i]), int(mxy[i]),
+                        ))
                 h, w = lab.shape
                 for side, vec, elen in (("N", lab[0, :], w), ("S", lab[-1, :], w),
                                         ("W", lab[:, 0], h), ("E", lab[:, -1], h)):
                     pos = np.flatnonzero(vec)
                     for p in pos.tolist():
                         out_strips.append((aoi_id, cell, side, p, int(vec[p]), elen))
-        counts = pd.DataFrame(out_counts, columns=["aoi", "cell_id", "label", "n_px"])
+        gcols = ["sgx", "sgy", "mnx", "mny", "mxx", "mxy"]
+        counts = pd.DataFrame(
+            out_counts, columns=["aoi", "cell_id", "label", "n_px"] + gcols
+        )
         strips = pd.DataFrame(
             out_strips, columns=["aoi", "cell_id", "side", "pos", "label", "elen"]
         )
         counts["kind"] = 0
         strips["kind"] = 1
+        cols = ["kind", "aoi", "cell_id", "label", "v", "side", "pos", "elen"] + gcols
         both = pd.concat([
-            counts.rename(columns={"n_px": "v"}).assign(side="", pos=0, elen=0)[
-                ["kind", "aoi", "cell_id", "label", "v", "side", "pos", "elen"]],
-            strips.assign(v=0)[
-                ["kind", "aoi", "cell_id", "label", "v", "side", "pos", "elen"]],
+            counts.rename(columns={"n_px": "v"}).assign(side="", pos=0, elen=0)[cols],
+            strips.assign(v=0, **{c: 0 for c in gcols})[cols],
         ], ignore_index=True)
         return both
 
@@ -334,7 +369,8 @@ def pixel_components(
         rows = tiles.mapInPandas(
             kernel,
             "kind int, aoi string, cell_id long, label int, v long, "
-            "side string, pos int, elen int",
+            "side string, pos int, elen int, sgx long, sgy long, "
+            "mnx long, mny long, mxx long, mxy long",
         ).persist()
 
         node = F.conv(
@@ -344,7 +380,8 @@ def pixel_components(
         # returned lazy frame does not re-run the decode+label kernel after
         # `rows` is unpersisted below
         counts = rows.filter(F.col("kind") == 0).select(
-            "aoi", "cell_id", "label", F.col("v").alias("n_px"), node.alias("id")
+            "aoi", "cell_id", "label", F.col("v").alias("n_px"), node.alias("id"),
+            "sgx", "sgy", "mnx", "mny", "mxx", "mxy",
         ).localCheckpoint(eager=True)
         strips = rows.filter(F.col("kind") == 1).select(
             "aoi", "cell_id", "side", "pos", "elen", "label", node.alias("id")
@@ -398,19 +435,22 @@ def pixel_components(
 
         labels = hash_to_min(counts.select("id"), edges, max_iter)
         keys = (["aoi"] if per_aoi else []) + ["component"]
-        out = (
-            counts.join(labels, "id")
-            .groupBy(*keys)
-            .agg(
-                F.sum("n_px").alias("n_px"),
-                F.countDistinct("cell_id").alias("n_cells"),
-                # engine-independent component key (the hash-derived
-                # `component` id is not reproducible outside this engine;
-                # the minimum member cell is) — lets a DuckDB recursive-CTE
-                # twin verify the labeling cross-engine
-                F.min("cell_id").alias("min_cell"),
-            )
-        )
+        aggs = [
+            F.sum("n_px").alias("n_px"),
+            F.countDistinct("cell_id").alias("n_cells"),
+            # engine-independent component key (the hash-derived
+            # `component` id is not reproducible outside this engine;
+            # the minimum member cell is) — lets a DuckDB recursive-CTE
+            # twin verify the labeling cross-engine
+            F.min("cell_id").alias("min_cell"),
+        ]
+        if geom_stats:
+            aggs += [
+                F.sum("sgx").alias("sum_gx"), F.sum("sgy").alias("sum_gy"),
+                F.min("mnx").alias("gx_min"), F.min("mny").alias("gy_min"),
+                F.max("mxx").alias("gx_max"), F.max("mxy").alias("gy_max"),
+            ]
+        out = counts.join(labels, "id").groupBy(*keys).agg(*aggs)
         if per_aoi:
             out = out.withColumnRenamed("aoi", "aoi_id")
         rows.unpersist()

@@ -685,3 +685,53 @@ def test_knn_phash_pruned_auto_expands_ring(spark, corpus):
     b = both[both["query_id"] == "qb"].sort_values("rank")
     e = ring1[ring1["query_id"] == "qb"].sort_values("rank")
     assert b["image_id"].tolist() == e["image_id"].tolist()
+
+
+def test_pixel_components_geom_stats_bbox_centroid(spark):
+    """geom_stats=True: per-blob global-pixel bbox and exact-integer
+    centroid numerators survive the cross-tile stitch (a blob spanning
+    an edge merges its per-tile mins/maxes/sums associatively)."""
+    import numpy as np
+
+    from gfw_raster_analysis_lambda_spark.functions import codecs
+    from gfw_raster_analysis_lambda_spark.functions import grid as G
+    from gfw_raster_analysis_lambda_spark.operators import components
+    from gfw_raster_analysis_lambda_spark.sources import fixtures
+
+    grid = fixtures.GRID
+    chunk = grid.chunk_px
+    gw = 2 * chunk
+    world = np.zeros((gw, gw), dtype=np.uint8)
+    world[10:14, 60:70] = 7          # crosses the E/W tile edge
+    world[60:70, 20:24] = 7          # crosses the S/N tile edge
+    world[5:8, 5:8] = 7              # interior box
+
+    x0c, y0c = 500, 400
+    rows = []
+    for dx in range(2):
+        for dy in range(2):
+            arr = world[dy * chunk:(dy + 1) * chunk, dx * chunk:(dx + 1) * chunk]
+            cell = int(G.cell_from_xy(grid, x0c + dx, y0c + dy))
+            rows.append(("pat", cell, codecs.encode_tile(
+                np.ascontiguousarray(arr), "png"), chunk, chunk, "png"))
+    df = spark.createDataFrame(
+        rows, "layer string, cell_id long, bytes binary, w int, h int, fmt string"
+    )
+    out = components.pixel_components(
+        df, "pat", [7], grid.name, diagonal=False, geom_stats=True
+    ).toPandas()
+    bx, by = x0c * chunk, y0c * chunk  # global-pixel origin of the 2x2 window
+    got = {
+        (int(r.gx_min - bx), int(r.gy_min - by), int(r.gx_max - bx),
+         int(r.gy_max - by)): (int(r.n_px), int(r.sum_gx - r.n_px * bx),
+                               int(r.sum_gy - r.n_px * by))
+        for r in out.itertuples(index=False)
+    }
+    # brute-force per blob from the world mask
+    exp = {}
+    for (r0, r1, c0, c1) in [(10, 14, 60, 70), (60, 70, 20, 24), (5, 8, 5, 8)]:
+        ys, xs = np.mgrid[r0:r1, c0:c1]
+        exp[(c0, r0, c1 - 1, r1 - 1)] = (
+            int(ys.size), int(xs.sum()), int(ys.sum())
+        )
+    assert got == exp
