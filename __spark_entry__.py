@@ -1916,6 +1916,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["focal_terrain_slope"] = focal_terrain_slope
 
+    def focal_terrain_zonal(spark, sf_dir):
+        # the reference's PRODUCT shape: zonal statistics OF a derivative
+        # layer ("loss on steep slopes") — Horn gradients from the full
+        # DEM (neighbors may fall outside the AOI), pixels aggregated by
+        # the AOI containing their center via the same even-odd
+        # rasterization as the zonal engine; one halo Exchange + one tiny
+        # per-AOI re-agg, int64-exact until the rounded mean
+        images, aoi, _ = _fixture(spark)
+        tiles = images.filter(F.col("layer") == "tcl_year")
+        boxes = aoi.filter(F.col("aoi_id").isin(list(_BOXES)))
+        return focal.terrain_zonal(
+            tiles, boxes, GRID.name, steep2_threshold=400
+        ).select("aoi_id", "n_grad", "grad2_sum", "steep_n", "mean_grad2")
+    q["focal_terrain_zonal"] = focal_terrain_zonal
+
     def stream_focal_inc(spark, sf_dir):
         # incrementally-maintained focal stats: two micro-batches (the
         # interior (1,1) tile arrives LATE, so its neighbors' windows
@@ -4536,6 +4551,42 @@ SELECT CAST({CB} AS BIGINT) + CAST({X0} + gx // 64 AS BIGINT) * {YW} + ({Y0} + g
        CAST(SUM(CASE WHEN gxn * gxn + gyn * gyn >= 400 THEN 1 ELSE 0 END) AS BIGINT) AS steep_n,
        ROUND(CAST(SUM(gxn * gxn + gyn * gyn) AS DOUBLE) / COUNT(*), 6) AS mean_grad2
 FROM w WHERE wn = 9 GROUP BY 1
+"""
+
+    _box_vals = ", ".join(
+        f"('{a}', {_BOXES[a][0]!r}, {_BOXES[a][1]!r}, {_BOXES[a][2]!r}, {_BOXES[a][3]!r})"
+        for a in _BOXES
+    )
+    o["focal_terrain_zonal"] = f"""
+WITH px AS (
+  SELECT gx, gy FROM generate_series(0, {GX}) a(gx), generate_series(0, {GY}) b(gy)
+),
+off AS (SELECT dx, dy FROM generate_series(-1, 1) a(dx), generate_series(-1, 1) b(dy)),
+w AS (
+  SELECT px.gx, px.gy,
+         SUM(dx * (2 - ABS(dy)) * ({tclv})) AS gxn,
+         SUM(dy * (2 - ABS(dx)) * ({tclv})) AS gyn,
+         COUNT(*) AS wn
+  FROM px, off
+  WHERE px.gx + dx BETWEEN 0 AND {GX} AND px.gy + dy BETWEEN 0 AND {GY}
+  GROUP BY px.gx, px.gy
+),
+aoi(aoi_id, bx1, by1, bx2, by2) AS (VALUES {_box_vals}),
+m AS (
+  SELECT aoi.aoi_id, w.gxn, w.gyn
+  FROM w JOIN aoi
+    ON (-180.0 + {X0}*{TD!r} + (w.gx + 0.5)*{PS!r}) > bx1
+   AND (-180.0 + {X0}*{TD!r} + (w.gx + 0.5)*{PS!r}) < bx2
+   AND (90.0 - {Y0}*{TD!r} - (w.gy + 0.5)*{PS!r}) > by1
+   AND (90.0 - {Y0}*{TD!r} - (w.gy + 0.5)*{PS!r}) < by2
+  WHERE w.wn = 9
+)
+SELECT aoi_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grad,
+       CAST(SUM(gxn * gxn + gyn * gyn) AS BIGINT) AS grad2_sum,
+       CAST(SUM(CASE WHEN gxn * gxn + gyn * gyn >= 400 THEN 1 ELSE 0 END) AS BIGINT) AS steep_n,
+       ROUND(CAST(SUM(gxn * gxn + gyn * gyn) AS DOUBLE) / COUNT(*), 6) AS mean_grad2
+FROM m GROUP BY 1
 """
 
     _var_expr = (

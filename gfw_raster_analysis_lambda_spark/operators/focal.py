@@ -306,6 +306,26 @@ def focal_mode(
     )
 
 
+def _horn_gradients(pad: np.ndarray, h: int, w: int):
+    """(full, gx, gy) over a 1-px-padded NaN-filled tile: ``full`` marks
+    pixels whose whole 3x3 window exists; gx/gy are the int64 Horn
+    numerators (zero outside ``full``)."""
+    valid = ~np.isnan(pad)
+    full = np.ones((h, w), dtype=bool)
+    for a_ in range(3):
+        for b_ in range(3):
+            full &= valid[a_:a_ + h, b_:b_ + w]
+    z = np.where(valid, pad, 0.0)
+    a = z[0:h, 0:w];  b = z[0:h, 1:w + 1];  c = z[0:h, 2:w + 2]
+    d = z[1:h + 1, 0:w];                    f = z[1:h + 1, 2:w + 2]
+    g = z[2:h + 2, 0:w]; hh = z[2:h + 2, 1:w + 1]; i = z[2:h + 2, 2:w + 2]
+    gx = ((c + 2 * f + i) - (a + 2 * d + g))
+    gy = ((g + 2 * hh + i) - (a + 2 * b + c))
+    gx = np.where(full, gx, 0.0).astype(np.int64)
+    gy = np.where(full, gy, 0.0).astype(np.int64)
+    return full, gx, gy
+
+
 def terrain_stats(
     tiles: DataFrame,
     steep2_threshold: int = 400,
@@ -352,19 +372,7 @@ def terrain_stats(
                            "grad2_sum", "steep_n")}
             )
         cell, h, w, pad = built
-        valid = ~np.isnan(pad)
-        full = np.ones((h, w), dtype=bool)
-        for a_ in range(3):
-            for b_ in range(3):
-                full &= valid[a_:a_ + h, b_:b_ + w]
-        z = np.where(valid, pad, 0.0)
-        a = z[0:h, 0:w];  b = z[0:h, 1:w + 1];  c = z[0:h, 2:w + 2]
-        d = z[1:h + 1, 0:w];                    f = z[1:h + 1, 2:w + 2]
-        g = z[2:h + 2, 0:w]; hh = z[2:h + 2, 1:w + 1]; i = z[2:h + 2, 2:w + 2]
-        gx = ((c + 2 * f + i) - (a + 2 * d + g))
-        gy = ((g + 2 * hh + i) - (a + 2 * b + c))
-        gx = np.where(full, gx, 0.0).astype(np.int64)
-        gy = np.where(full, gy, 0.0).astype(np.int64)
+        full, gx, gy = _horn_gradients(pad, h, w)
         g2 = gx * gx + gy * gy
         return pd.DataFrame({
             "cell_id": [cell],
@@ -379,4 +387,88 @@ def terrain_stats(
         assemble,
         "cell_id long, n_grad long, gx_sum long, gy_sum long, "
         "grad2_sum long, steep_n long",
+    )
+
+
+def terrain_zonal(
+    tiles: DataFrame,
+    aoi_df: DataFrame,
+    grid_name: str,
+    steep2_threshold: int = 400,
+) -> DataFrame:
+    """Per-AOI terrain aggregation — the reference's product shape
+    ("loss on steep slopes": zonal statistics OF a derivative layer).
+    Standard GIS semantics: the gradient at a pixel is computed from the
+    full DEM (neighbors may lie outside the AOI — slope is a property of
+    the terrain, not of the polygon), then pixels AGGREGATE by the AOI
+    mask containing their center, exactly like the zonal engine's
+    even-odd rasterization (``functions.geometry.rasterize_mask``).
+
+    Same one-Exchange halo-strip plan as :func:`terrain_stats`; the AOI
+    catalog rides the same broadcast index as the zonal planner
+    (``plans.planner.prepare_aoi_index``), so the only shuffle is the
+    halo exchange plus one tiny O(aoi x cells) re-aggregation. Returns
+    ``(aoi_id, n_grad, grad2_sum, steep_n, mean_grad2)`` with everything
+    int64-exact until the one rounded mean division."""
+    from ..plans.planner import prepare_aoi_index
+    from . import zonal as _zonal
+    from ..functions import geometry as geo
+
+    idx = prepare_aoi_index(tiles.sparkSession, aoi_df, grid_name)
+    if idx is None:
+        raise ValueError("AOI batch exceeds the broadcastable index bound")
+    lookup = idx.lookup
+    grid = G.get_grid(grid_name)
+    r = 1
+    t2 = int(steep2_threshold)
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "aoi_id": pd.Series(dtype="object"),
+            "n_grad": pd.Series(dtype="int64"),
+            "grad2_sum": pd.Series(dtype="int64"),
+            "steep_n": pd.Series(dtype="int64"),
+        })
+        built = _build_pad(pdf, r, float("nan"))
+        if built is None:
+            return empty
+        cell, h, w, pad = built
+        entry = lookup.value.get(cell)
+        if entry is None:
+            return empty
+        full, gx, gy = _horn_gradients(pad, h, w)
+        g2 = gx * gx + gy * gy
+        x0, y0, ps = G.cell_affine(grid, cell)
+        rows = []
+        for aoi_id, wkb in entry[1]:
+            geom, g_edges, _ = _zonal._geom_edges(bytes(wkb))
+            amask = full & geo.rasterize_mask(geom, x0, y0, ps, h, w, edges=g_edges)
+            if not amask.any():
+                continue
+            rows.append((
+                aoi_id, int(amask.sum()), int(g2[amask].sum()),
+                int((g2[amask] >= t2).sum()),
+            ))
+        if not rows:
+            return empty
+        return pd.DataFrame(
+            rows, columns=["aoi_id", "n_grad", "grad2_sum", "steep_n"]
+        )
+
+    per_cell = _halo_parts(tiles, r).groupBy("target_cell").applyInPandas(
+        assemble, "aoi_id string, n_grad long, grad2_sum long, steep_n long"
+    )
+    return (
+        per_cell.groupBy("aoi_id")
+        .agg(
+            F.sum("n_grad").alias("n_grad"),
+            F.sum("grad2_sum").alias("grad2_sum"),
+            F.sum("steep_n").alias("steep_n"),
+        )
+        .withColumn(
+            "mean_grad2",
+            F.round(
+                F.col("grad2_sum").cast("double") / F.col("n_grad").cast("double"), 6
+            ),
+        )
     )

@@ -981,3 +981,40 @@ def test_terrain_stats_missing_tile_excludes_boundary_windows(spark):
     }
     assert got == _terrain_expected(_world(), present)
     assert int(G.cell_from_xy(GRID, X0 + 2, Y0 + 1)) not in got
+
+
+def test_terrain_zonal_triangle_matches_bruteforce(spark):
+    """Per-AOI terrain over a NON-rectangular AOI (the shape the SQL twin
+    can't express): gradients from the full DEM, pixels aggregated by an
+    independent strict-half-plane membership test at pixel centers."""
+    from gfw_raster_analysis_lambda_spark.functions import geometry as geo
+    from gfw_raster_analysis_lambda_spark.sources.fixtures import AOI_SCHEMA
+
+    # right triangle; edge offsets not representable on the 1/256-deg
+    # pixel-center lattice, so strict half-planes equal even-odd scanline
+    tri = np.array([[10.003, 20.251], [10.491, 20.251], [10.003, 20.739]])
+    aoi = spark.createDataFrame(
+        [("tri", geo.wkb_dumps([[tri]]))], AOI_SCHEMA
+    )
+    got = {
+        r["aoi_id"]: (r["n_grad"], r["grad2_sum"], r["steep_n"])
+        for r in focal.terrain_zonal(
+            _tiles_df(spark), aoi, GRID.name, steep2_threshold=400
+        ).collect()
+    }
+
+    world = _world().astype(np.int64)
+    h, w = world.shape
+    ps = GRID.tile_deg / TILE
+    gx = (world[:-2, 2:] + 2 * world[1:-1, 2:] + world[2:, 2:]) - (
+        world[:-2, :-2] + 2 * world[1:-1, :-2] + world[2:, :-2])
+    gy = (world[2:, :-2] + 2 * world[2:, 1:-1] + world[2:, 2:]) - (
+        world[:-2, :-2] + 2 * world[:-2, 1:-1] + world[:-2, 2:])
+    g2 = gx * gx + gy * gy
+    lon = 10.0 + (np.arange(1, w - 1) + 0.5) * ps
+    lat = 21.0 - (np.arange(1, h - 1) + 0.5) * ps
+    inside = ((lon[None, :] > 10.003) & (lat[:, None] > 20.251)
+              & ((lon[None, :] + lat[:, None]) < 30.742))
+    exp = (int(inside.sum()), int(g2[inside].sum()),
+           int((g2[inside] >= 400).sum()))
+    assert got == {"tri": exp}
