@@ -472,3 +472,57 @@ def terrain_zonal(
             ),
         )
     )
+
+
+def hillshade_tiles(
+    tiles: DataFrame,
+    z_factor: float = 1.0,
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+    fmt: str = "png",
+) -> DataFrame:
+    """Hillshade EXPORT — the visualization product over the Horn
+    gradients (`gdaldem hillshade` semantics: Horn 1981 gradients,
+    zenith/azimuth illumination, output 1..255 uint8 with 0 reserved for
+    pixels lacking a full 3x3 window). One tile in, one shaded tile out,
+    over the SAME one-Exchange halo-strip plan — edges shade seamlessly
+    across tile boundaries because each kernel sees its 1-px halo.
+
+    This is an export (float trig inside the kernel), not a contract
+    gate: determinism within one engine is pinned by pytest; the
+    numeric CONTRACT surface for terrain is :func:`terrain_stats` /
+    :func:`terrain_zonal`, which stay integer-exact."""
+    import math
+
+    r = 1
+    zen = math.radians(90.0 - altitude_deg)
+    az = math.radians(azimuth_deg)
+    zf = float(z_factor)
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["image_id", "bytes", "w", "h", "fmt", "cell_id"]
+        built = _build_pad(pdf, r, float("nan"))
+        if built is None:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in zip(
+                cols, ("object", "object", "int32", "int32", "object", "int64"))})
+        cell, h, w, pad = built
+        full, gx, gy = _horn_gradients(pad, h, w)
+        # gdaldem scaling: dz/dx = gx / 8 (unit cellsize), z_factor applied
+        p = gx.astype(np.float64) * (zf / 8.0)
+        q = gy.astype(np.float64) * (zf / 8.0)
+        slope = np.arctan(np.hypot(p, q))
+        aspect = np.arctan2(q, -p)
+        shade = (np.cos(zen) * np.cos(slope)
+                 + np.sin(zen) * np.sin(slope) * np.cos(az - aspect))
+        out = np.clip(np.floor(254.0 * np.maximum(shade, 0.0) + 0.5), 0, 254)
+        out = (out + 1.0).astype(np.uint8)       # 1..255; 0 = no data
+        out[~full] = 0
+        payload = codecs.encode_tile(np.ascontiguousarray(out), fmt)
+        return pd.DataFrame([(
+            f"hillshade/{cell:016x}", payload, w, h, fmt, cell
+        )], columns=cols)
+
+    return _halo_parts(tiles, r).groupBy("target_cell").applyInPandas(
+        assemble,
+        "image_id string, bytes binary, w int, h int, fmt string, cell_id long",
+    )

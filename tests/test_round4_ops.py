@@ -1018,3 +1018,43 @@ def test_terrain_zonal_triangle_matches_bruteforce(spark):
     exp = (int(inside.sum()), int(g2[inside].sum()),
            int((g2[inside] >= 400).sum()))
     assert got == {"tri": exp}
+
+
+def test_hillshade_tiles_seamless_and_deterministic(spark):
+    """Hillshade export: output tiles decode to the same values as a
+    single-array reference shading of the assembled world (seamless
+    across tile edges thanks to the halo), with 0 exactly on the 1-px
+    world border (no full window) and 1..255 elsewhere."""
+    import math
+
+    from gfw_raster_analysis_lambda_spark.functions import codecs
+
+    out = {
+        r["cell_id"]: codecs.decode_tile(
+            bytes(r["bytes"]), r["w"], r["h"], r["fmt"]
+        )
+        for r in focal.hillshade_tiles(_tiles_df(spark)).collect()
+    }
+    world = _world().astype(np.int64)
+    h, w = world.shape
+    gx = np.zeros((h, w)); gy = np.zeros((h, w))
+    gx[1:-1, 1:-1] = ((world[:-2, 2:] + 2 * world[1:-1, 2:] + world[2:, 2:])
+                      - (world[:-2, :-2] + 2 * world[1:-1, :-2] + world[2:, :-2]))
+    gy[1:-1, 1:-1] = ((world[2:, :-2] + 2 * world[2:, 1:-1] + world[2:, 2:])
+                      - (world[:-2, :-2] + 2 * world[:-2, 1:-1] + world[:-2, 2:]))
+    p, q = gx / 8.0, gy / 8.0
+    zen, az = math.radians(45.0), math.radians(315.0)
+    slope = np.arctan(np.hypot(p, q))
+    aspect = np.arctan2(q, -p)
+    shade = (np.cos(zen) * np.cos(slope)
+             + np.sin(zen) * np.sin(slope) * np.cos(az - aspect))
+    exp = (np.clip(np.floor(254.0 * np.maximum(shade, 0.0) + 0.5), 0, 254)
+           + 1.0).astype(np.uint8)
+    exp[0, :] = exp[-1, :] = 0
+    exp[:, 0] = exp[:, -1] = 0
+    assembled = np.zeros((h, w), np.uint8)
+    for dx in range(NX):
+        for dy in range(NY):
+            cell = int(G.cell_from_xy(GRID, X0 + dx, Y0 + dy))
+            assembled[dy * TILE:(dy + 1) * TILE, dx * TILE:(dx + 1) * TILE] = out[cell]
+    assert np.array_equal(assembled, exp)
