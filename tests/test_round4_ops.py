@@ -1058,3 +1058,36 @@ def test_hillshade_tiles_seamless_and_deterministic(spark):
             cell = int(G.cell_from_xy(GRID, X0 + dx, Y0 + dy))
             assembled[dy * TILE:(dy + 1) * TILE, dx * TILE:(dx + 1) * TILE] = out[cell]
     assert np.array_equal(assembled, exp)
+
+
+def test_terrain_stats_random_world_fuzz(spark):
+    """Seeded fuzz: random uint8 worlds with random missing tiles must
+    match the brute-force Horn oracle exactly (integer arithmetic, so
+    there is no tolerance to hide behind)."""
+    from gfw_raster_analysis_lambda_spark.functions import codecs
+
+    rng = np.random.default_rng(20260818)
+    for trial in range(3):
+        world = rng.integers(0, 256, size=(NY * TILE, NX * TILE)).astype(np.float64)
+        all_tiles = [(dx, dy) for dx in range(NX) for dy in range(NY)]
+        n_drop = int(rng.integers(0, 3))
+        drop_idx = rng.choice(len(all_tiles), size=n_drop, replace=False)
+        drop = {all_tiles[i] for i in drop_idx}
+        present = set(all_tiles) - drop
+        rows = []
+        for dx, dy in present:
+            arr = world[dy * TILE:(dy + 1) * TILE,
+                        dx * TILE:(dx + 1) * TILE].astype(np.uint8)
+            rows.append((
+                int(G.cell_from_xy(GRID, X0 + dx, Y0 + dy)),
+                codecs.encode_tile(arr, "png"), TILE, TILE, "png",
+            ))
+        df = spark.createDataFrame(
+            rows, "cell_id long, bytes binary, w int, h int, fmt string"
+        )
+        got = {
+            r["cell_id"]: (r["n_grad"], r["gx_sum"], r["gy_sum"],
+                           r["grad2_sum"], r["steep_n"])
+            for r in focal.terrain_stats(df).collect()
+        }
+        assert got == _terrain_expected(world, present), f"trial {trial} drop={drop}"
