@@ -1931,6 +1931,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("aoi_id", "n_grad", "grad2_sum", "steep_n", "mean_grad2")
     q["focal_terrain_zonal"] = focal_terrain_zonal
 
+    def focal_proximity_alerts(spark, sf_dir):
+        # bounded distance transform (gdal_proximity truncated at r=8):
+        # per pixel the min squared Euclidean distance to a year-20 loss
+        # pixel within the circular radius, cross-tile via 8-px halo
+        # strips; integer squared distances end to end
+        images, _, _ = _fixture(spark)
+        tiles = images.filter(F.col("layer") == "tcl_year")
+        out = focal.proximity_stats(tiles, target_values=[20], radius=8)
+        return out.select(
+            "cell_id", "n_px", "n_reach", "dist2_sum",
+            F.when(
+                F.col("n_reach") > 0,
+                F.round(
+                    F.col("dist2_sum").cast("double")
+                    / F.col("n_reach").cast("double"), 6,
+                ),
+            ).alias("mean_dist2"),
+        )
+    q["focal_proximity_alerts"] = focal_proximity_alerts
+
     def stream_focal_inc(spark, sf_dir):
         # incrementally-maintained focal stats: two micro-batches (the
         # interior (1,1) tile arrives LATE, so its neighbors' windows
@@ -4587,6 +4607,27 @@ SELECT aoi_id,
        CAST(SUM(CASE WHEN gxn * gxn + gyn * gyn >= 400 THEN 1 ELSE 0 END) AS BIGINT) AS steep_n,
        ROUND(CAST(SUM(gxn * gxn + gyn * gyn) AS DOUBLE) / COUNT(*), 6) AS mean_grad2
 FROM m GROUP BY 1
+"""
+
+    o["focal_proximity_alerts"] = f"""
+WITH px AS (
+  SELECT gx, gy FROM generate_series(0, {GX}) a(gx), generate_series(0, {GY}) b(gy)
+),
+w AS (
+  SELECT px.gx, px.gy, MIN(dx * dx + dy * dy) AS d2
+  FROM px, generate_series(-8, 8) a(dx), generate_series(-8, 8) b(dy)
+  WHERE dx * dx + dy * dy <= 64
+    AND px.gx + dx BETWEEN 0 AND {GX} AND px.gy + dy BETWEEN 0 AND {GY}
+    AND ({tclv}) = 20
+  GROUP BY px.gx, px.gy
+)
+SELECT CAST({CB} AS BIGINT) + CAST({X0} + px.gx // 64 AS BIGINT) * {YW} + ({Y0} + px.gy // 64) AS cell_id,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(COUNT(w.d2) AS BIGINT) AS n_reach,
+       CAST(COALESCE(SUM(w.d2), 0) AS BIGINT) AS dist2_sum,
+       ROUND(CAST(SUM(w.d2) AS DOUBLE) / COUNT(w.d2), 6) AS mean_dist2
+FROM px LEFT JOIN w ON w.gx = px.gx AND w.gy = px.gy
+GROUP BY 1
 """
 
     _var_expr = (

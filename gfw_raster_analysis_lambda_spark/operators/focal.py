@@ -526,3 +526,69 @@ def hillshade_tiles(
         assemble,
         "image_id string, bytes binary, w int, h int, fmt string, cell_id long",
     )
+
+
+def proximity_stats(
+    tiles: DataFrame,
+    target_values: list,
+    radius: int = 8,
+) -> DataFrame:
+    """Bounded distance transform — the GIS proximity/buffer primitive
+    (``gdal_proximity`` truncated at ``radius`` pixels): per pixel, the
+    MINIMUM squared Euclidean distance to a pixel whose value is in
+    ``target_values`` within the (2r+1)^2 Chebyshev window, cross-tile
+    via the same one-Exchange halo-strip plan (strips are r px wide; the
+    ``_MAX_RADIUS`` guard keeps them thin). Pixels with no target in
+    range are excluded from the sums and counted by difference; missing
+    neighbor tiles and world edges contribute no targets (the corpus-
+    edge semantics every focal operator here shares).
+
+    Returned per cell, int64-exact (squared distances stay integers, so
+    the DuckDB twin — MIN(dx^2+dy^2) over the same offsets on the
+    closed-form fixture pixels — hash-matches bit for bit):
+
+    - ``n_px``       pixels in the tile
+    - ``n_reach``    pixels with a target within ``radius`` (self counts:
+      a target pixel has distance 0)
+    - ``dist2_sum``  SUM over reachable pixels of min squared distance —
+      with ``mean_dist2 = dist2_sum / n_reach`` the buffer-pressure
+      metric ("how close is the average pixel to an alert/road")
+
+    A per-pixel proximity TILE export (for map rendering) is one
+    ``codecs.encode_tile`` away from the same kernel; the contract
+    surface is the integer aggregate."""
+    if radius < 1 or radius > _MAX_RADIUS:
+        raise ValueError("need 1 <= radius <= 8")
+    r = int(radius)
+    vals = [int(v) for v in target_values]
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        built = _build_pad(pdf, r, float("nan"))
+        if built is None:
+            return pd.DataFrame(
+                {c: pd.Series(dtype="int64")
+                 for c in ("cell_id", "n_px", "n_reach", "dist2_sum")}
+            )
+        cell, h, w, pad = built
+        tgt = np.isin(pad, vals) & ~np.isnan(pad)
+        k = 2 * r + 1
+        big = np.int64(4 * r * r + 1)
+        mind2 = np.full((h, w), big, dtype=np.int64)
+        for a in range(k):
+            for b in range(k):
+                d2 = (a - r) * (a - r) + (b - r) * (b - r)
+                if d2 > r * r:
+                    continue  # circular distance bound, not the square
+                win = tgt[a:a + h, b:b + w]
+                np.minimum(mind2, np.where(win, d2, big), out=mind2)
+        reach = mind2 <= r * r
+        return pd.DataFrame({
+            "cell_id": [cell],
+            "n_px": [int(h * w)],
+            "n_reach": [int(reach.sum())],
+            "dist2_sum": [int(mind2[reach].sum())],
+        })
+
+    return _halo_parts(tiles, r).groupBy("target_cell").applyInPandas(
+        assemble, "cell_id long, n_px long, n_reach long, dist2_sum long"
+    )

@@ -1091,3 +1091,63 @@ def test_terrain_stats_random_world_fuzz(spark):
             for r in focal.terrain_stats(df).collect()
         }
         assert got == _terrain_expected(world, present), f"trial {trial} drop={drop}"
+
+
+def test_proximity_stats_single_target_bruteforce(spark):
+    """proximity_stats on a world with ONE target pixel near a tile
+    corner: distances must cross tile boundaries through the 8-px halo,
+    pixels outside the circular radius are unreachable, and dropping the
+    tile that HOLDS the target empties every neighbor's reach."""
+    from gfw_raster_analysis_lambda_spark.functions import codecs
+
+    world = np.zeros((NY * TILE, NX * TILE), np.uint8)
+    ty, tx = TILE - 2, TILE - 2      # target 2 px inside tile (0,0)'s SE corner
+    world[ty, tx] = 5
+
+    def tiles_from(world, drop=()):
+        rows = []
+        for dx in range(NX):
+            for dy in range(NY):
+                if (dx, dy) in drop:
+                    continue
+                arr = world[dy * TILE:(dy + 1) * TILE, dx * TILE:(dx + 1) * TILE]
+                rows.append((
+                    int(G.cell_from_xy(GRID, X0 + dx, Y0 + dy)),
+                    codecs.encode_tile(np.ascontiguousarray(arr), "png"),
+                    TILE, TILE, "png",
+                ))
+        return spark.createDataFrame(
+            rows, "cell_id long, bytes binary, w int, h int, fmt string"
+        )
+
+    got = {
+        r["cell_id"]: (r["n_reach"], r["dist2_sum"])
+        for r in focal.proximity_stats(
+            tiles_from(world), [5], radius=8
+        ).collect()
+    }
+    exp = {}
+    for dx in range(NX):
+        for dy in range(NY):
+            nr = s = 0
+            for i in range(dy * TILE, (dy + 1) * TILE):
+                for j in range(dx * TILE, (dx + 1) * TILE):
+                    d2 = (i - ty) ** 2 + (j - tx) ** 2
+                    if d2 <= 64:
+                        nr += 1
+                        s += d2
+            exp[int(G.cell_from_xy(GRID, X0 + dx, Y0 + dy))] = (nr, s)
+    assert got == exp
+    # the four cells around the corner all reach the target
+    assert sum(1 for nr, _ in exp.values() if nr > 0) == 4
+
+    # drop tile (0,0): its pixels (and the target) vanish; every
+    # remaining cell's reach is empty
+    got2 = {
+        r["cell_id"]: (r["n_reach"], r["dist2_sum"])
+        for r in focal.proximity_stats(
+            tiles_from(world, drop={(0, 0)}), [5], radius=8
+        ).collect()
+    }
+    assert all(v == (0, 0) for v in got2.values())
+    assert int(G.cell_from_xy(GRID, X0, Y0)) not in got2
