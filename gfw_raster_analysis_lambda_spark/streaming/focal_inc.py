@@ -64,11 +64,23 @@ def incremental_focal(
     out_dir: str,
     radius: int = 1,
     trigger_once: bool = True,
+    kernel=None,
 ):
     """Start (and by default run-once) the incremental focal stream over
     ``images_dir`` for one ``layer``. Current state lives under
     ``{out_dir}/focal/layer={layer}`` partitioned by ``_fcell``; read it
-    with :func:`read_incremental_focal`. Returns the StreamingQuery."""
+    with :func:`read_incremental_focal`. Returns the StreamingQuery.
+
+    ``kernel`` generalizes the maintained table to ANY member of the
+    halo-exchange focal family: a callable ``tiles_df -> DataFrame``
+    whose output has a ``cell_id`` column — e.g.
+    ``focal.terrain_stats``, ``focal.focal_mode`` (partially applied),
+    or ``lambda df: focal.proximity_stats(df, [20], radius=8)``. The
+    invalidation contract is the same for all of them (an output cell
+    reads at most its 1-ring of neighbor tiles, since every kernel
+    radius is <= the tile size); default is ``focal_stats(radius)``.
+    Use a distinct ``out_dir`` per kernel — the state table's schema is
+    the kernel's."""
     fdir = f"{out_dir}/focal/layer={layer}"
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -87,9 +99,10 @@ def incremental_focal(
         ).filter(
             (F.col("layer") == layer) & _in_long_set("cell_id", in_cells)
         )
-        result = focal.focal_stats(imgs, radius=radius).filter(
-            _in_long_set("cell_id", out_cells)
+        run = kernel if kernel is not None else (
+            lambda df: focal.focal_stats(df, radius=radius)
         )
+        result = run(imgs).filter(_in_long_set("cell_id", out_cells))
         (
             result.withColumn("_fcell", F.col("cell_id"))
             .write.mode("overwrite")

@@ -358,3 +358,57 @@ def test_incremental_focal_late_neighbor_converges(spark, tmp_path):
 
     run_once()  # replay with no new files: nothing changes
     assert current() == got2
+
+
+def test_incremental_kernel_param_maintains_terrain(spark, tmp_path):
+    """The generalized kernel parameter: an incrementally-maintained
+    TERRAIN table (Horn gradients) converges to the batch terrain_stats
+    after a late interior tile arrives — same invalidation ring, the
+    kernel is just a different member of the focal family."""
+    from gfw_raster_analysis_lambda_spark.functions import grid as G
+    from gfw_raster_analysis_lambda_spark.operators import focal
+    from gfw_raster_analysis_lambda_spark.streaming.focal_inc import (
+        incremental_focal,
+        read_incremental_focal,
+    )
+
+    rows = fixtures.generate_images_rows(layers=["tcl_year"])
+    late_cell = int(G.cell_from_xy(fixtures.GRID, fixtures.X0 + 1, fixtures.Y0 + 1))
+    late_hex = format(late_cell, "016x")
+    wave1 = [r for r in rows if not r[0].endswith(late_hex)]
+    wave2 = [r for r in rows if r[0].endswith(late_hex)]
+    stream_dir = str(tmp_path / "terr_images")
+    out_dir = str(tmp_path / "terr_inc")
+    os.makedirs(stream_dir, exist_ok=True)
+
+    def batch_expected(batch_rows):
+        imgs = with_derived_keys(
+            spark.createDataFrame(batch_rows, fixtures.IMAGES_SCHEMA)
+        )
+        return {
+            r["cell_id"]: (r["n_grad"], r["grad2_sum"], r["steep_n"])
+            for r in focal.terrain_stats(imgs).collect()
+        }
+
+    def run_once():
+        sq = incremental_focal(
+            spark, stream_dir, "tcl_year", out_dir,
+            kernel=focal.terrain_stats,
+        )
+        sq.awaitTermination(120)
+
+    def current():
+        return {
+            r["cell_id"]: (r["n_grad"], r["grad2_sum"], r["steep_n"])
+            for r in read_incremental_focal(spark, out_dir, "tcl_year").collect()
+        }
+
+    _ingest(spark, stream_dir, wave1)
+    run_once()
+    assert current() == batch_expected(wave1)
+
+    _ingest(spark, stream_dir, wave2)
+    run_once()
+    got = current()
+    assert got == batch_expected(rows)
+    assert late_cell in got
