@@ -1951,6 +1951,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["focal_proximity_alerts"] = focal_proximity_alerts
 
+    def focal_proximity_zonal(spark, sf_dir):
+        # per-AOI buffer analysis ("area of this AOI within r px of a
+        # year-20 loss pixel"): distances from the full raster, pixels
+        # aggregated by the AOI containing their center
+        images, aoi, _ = _fixture(spark)
+        tiles = images.filter(F.col("layer") == "tcl_year")
+        boxes = aoi.filter(F.col("aoi_id").isin(list(_BOXES)))
+        return focal.proximity_zonal(
+            tiles, boxes, GRID.name, target_values=[20], radius=8
+        ).select("aoi_id", "n_px", "n_reach", "dist2_sum", "mean_dist2")
+    q["focal_proximity_zonal"] = focal_proximity_zonal
+
     def stream_focal_inc(spark, sf_dir):
         # incrementally-maintained focal stats: two micro-batches (the
         # interior (1,1) tile arrives LATE, so its neighbors' windows
@@ -4628,6 +4640,36 @@ SELECT CAST({CB} AS BIGINT) + CAST({X0} + px.gx // 64 AS BIGINT) * {YW} + ({Y0} 
        ROUND(CAST(SUM(w.d2) AS DOUBLE) / COUNT(w.d2), 6) AS mean_dist2
 FROM px LEFT JOIN w ON w.gx = px.gx AND w.gy = px.gy
 GROUP BY 1
+"""
+
+    o["focal_proximity_zonal"] = f"""
+WITH px AS (
+  SELECT gx, gy FROM generate_series(0, {GX}) a(gx), generate_series(0, {GY}) b(gy)
+),
+w AS (
+  SELECT px.gx, px.gy, MIN(dx * dx + dy * dy) AS d2
+  FROM px, generate_series(-8, 8) a(dx), generate_series(-8, 8) b(dy)
+  WHERE dx * dx + dy * dy <= 64
+    AND px.gx + dx BETWEEN 0 AND {GX} AND px.gy + dy BETWEEN 0 AND {GY}
+    AND ({tclv}) = 20
+  GROUP BY px.gx, px.gy
+),
+aoi(aoi_id, bx1, by1, bx2, by2) AS (VALUES {_box_vals}),
+m AS (
+  SELECT aoi.aoi_id, w.d2
+  FROM px JOIN aoi
+    ON (-180.0 + {X0}*{TD!r} + (px.gx + 0.5)*{PS!r}) > bx1
+   AND (-180.0 + {X0}*{TD!r} + (px.gx + 0.5)*{PS!r}) < bx2
+   AND (90.0 - {Y0}*{TD!r} - (px.gy + 0.5)*{PS!r}) > by1
+   AND (90.0 - {Y0}*{TD!r} - (px.gy + 0.5)*{PS!r}) < by2
+  LEFT JOIN w ON w.gx = px.gx AND w.gy = px.gy
+)
+SELECT aoi_id,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(COUNT(d2) AS BIGINT) AS n_reach,
+       CAST(COALESCE(SUM(d2), 0) AS BIGINT) AS dist2_sum,
+       ROUND(CAST(SUM(d2) AS DOUBLE) / COUNT(d2), 6) AS mean_dist2
+FROM m GROUP BY 1
 """
 
     _var_expr = (

@@ -592,3 +592,103 @@ def proximity_stats(
     return _halo_parts(tiles, r).groupBy("target_cell").applyInPandas(
         assemble, "cell_id long, n_px long, n_reach long, dist2_sum long"
     )
+
+
+def proximity_zonal(
+    tiles: DataFrame,
+    aoi_df: DataFrame,
+    grid_name: str,
+    target_values: list,
+    radius: int = 8,
+) -> DataFrame:
+    """Per-AOI buffer analysis — "how much of this AOI lies within
+    ``radius`` px of a target pixel" (the GFW alerts-near-X query
+    shape). Distances come from the full raster (:func:`proximity_stats`
+    semantics: a target OUTSIDE the AOI still pulls pixels inside it —
+    proximity is a property of the landscape, not the polygon); pixels
+    aggregate by the AOI containing their center, same even-odd
+    rasterization as the zonal engine.
+
+    Returns ``(aoi_id, n_px, n_reach, dist2_sum, mean_dist2)``: AOI
+    pixel count, pixels within the circular radius of a target, the
+    integer sum of their min squared distances, and the rounded mean.
+    One halo Exchange + a tiny per-AOI re-agg, like
+    :func:`terrain_zonal`."""
+    from ..plans.planner import prepare_aoi_index
+    from . import zonal as _zonal
+    from ..functions import geometry as geo
+
+    if radius < 1 or radius > _MAX_RADIUS:
+        raise ValueError("need 1 <= radius <= 8")
+    idx = prepare_aoi_index(tiles.sparkSession, aoi_df, grid_name)
+    if idx is None:
+        raise ValueError("AOI batch exceeds the broadcastable index bound")
+    lookup = idx.lookup
+    grid = G.get_grid(grid_name)
+    r = int(radius)
+    vals = [int(v) for v in target_values]
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "aoi_id": pd.Series(dtype="object"),
+            "n_px": pd.Series(dtype="int64"),
+            "n_reach": pd.Series(dtype="int64"),
+            "dist2_sum": pd.Series(dtype="int64"),
+        })
+        built = _build_pad(pdf, r, float("nan"))
+        if built is None:
+            return empty
+        cell, h, w, pad = built
+        entry = lookup.value.get(cell)
+        if entry is None:
+            return empty
+        tgt = np.isin(pad, vals) & ~np.isnan(pad)
+        k = 2 * r + 1
+        big = np.int64(4 * r * r + 1)
+        mind2 = np.full((h, w), big, dtype=np.int64)
+        for a in range(k):
+            for b in range(k):
+                d2 = (a - r) * (a - r) + (b - r) * (b - r)
+                if d2 > r * r:
+                    continue
+                win = tgt[a:a + h, b:b + w]
+                np.minimum(mind2, np.where(win, d2, big), out=mind2)
+        reach = mind2 <= r * r
+        x0, y0, ps = G.cell_affine(grid, cell)
+        rows = []
+        for aoi_id, wkb in entry[1]:
+            geom, g_edges, _ = _zonal._geom_edges(bytes(wkb))
+            amask = geo.rasterize_mask(geom, x0, y0, ps, h, w, edges=g_edges)
+            if not amask.any():
+                continue
+            ar = reach & amask
+            rows.append((
+                aoi_id, int(amask.sum()), int(ar.sum()), int(mind2[ar].sum()),
+            ))
+        if not rows:
+            return empty
+        return pd.DataFrame(
+            rows, columns=["aoi_id", "n_px", "n_reach", "dist2_sum"]
+        )
+
+    per_cell = _halo_parts(tiles, r).groupBy("target_cell").applyInPandas(
+        assemble, "aoi_id string, n_px long, n_reach long, dist2_sum long"
+    )
+    return (
+        per_cell.groupBy("aoi_id")
+        .agg(
+            F.sum("n_px").alias("n_px"),
+            F.sum("n_reach").alias("n_reach"),
+            F.sum("dist2_sum").alias("dist2_sum"),
+        )
+        .withColumn(
+            "mean_dist2",
+            F.when(
+                F.col("n_reach") > 0,
+                F.round(
+                    F.col("dist2_sum").cast("double")
+                    / F.col("n_reach").cast("double"), 6,
+                ),
+            ),
+        )
+    )

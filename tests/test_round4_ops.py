@@ -1151,3 +1151,57 @@ def test_proximity_stats_single_target_bruteforce(spark):
     }
     assert all(v == (0, 0) for v in got2.values())
     assert int(G.cell_from_xy(GRID, X0, Y0)) not in got2
+
+
+def test_proximity_zonal_triangle_outside_target_pulls_inside(spark):
+    """Per-AOI proximity over a triangle AOI with the ONLY target pixel
+    OUTSIDE the AOI: pixels inside still reach it (proximity is a
+    landscape property), pinned against a strict-half-plane brute force."""
+    from gfw_raster_analysis_lambda_spark.functions import codecs
+    from gfw_raster_analysis_lambda_spark.functions import geometry as geo
+    from gfw_raster_analysis_lambda_spark.sources.fixtures import AOI_SCHEMA
+
+    ps = GRID.tile_deg / TILE
+    world = np.zeros((NY * TILE, NX * TILE), np.uint8)
+    # triangle over the NW of tile (0,0); target pixel just EAST of its
+    # hypotenuse-adjacent bounding region, outside all three half-planes
+    tri = np.array([[10.003, 20.751], [10.116, 20.751], [10.003, 20.864]])
+    ti, tj = 40, 10          # global pixel (row, col): ~5 px east of the
+    #                          hypotenuse at this row — outside, in range
+    world[ti, tj] = 5
+    lon_t = 10.0 + (tj + 0.5) * ps
+    lat_t = 21.0 - (ti + 0.5) * ps
+    assert not (lon_t > 10.003 and lat_t > 20.751
+                and lon_t + lat_t < 10.003 + 20.864)  # target outside AOI
+
+    rows = []
+    for dx in range(NX):
+        for dy in range(NY):
+            arr = world[dy * TILE:(dy + 1) * TILE, dx * TILE:(dx + 1) * TILE]
+            rows.append((
+                int(G.cell_from_xy(GRID, X0 + dx, Y0 + dy)),
+                codecs.encode_tile(np.ascontiguousarray(arr), "png"),
+                TILE, TILE, "png",
+            ))
+    tiles = spark.createDataFrame(
+        rows, "cell_id long, bytes binary, w int, h int, fmt string"
+    )
+    aoi = spark.createDataFrame([("tri", geo.wkb_dumps([[tri]]))], AOI_SCHEMA)
+    got = {
+        r["aoi_id"]: (r["n_px"], r["n_reach"], r["dist2_sum"])
+        for r in focal.proximity_zonal(
+            tiles, aoi, GRID.name, target_values=[5], radius=8
+        ).collect()
+    }
+
+    h, w = world.shape
+    lon = 10.0 + (np.arange(w) + 0.5) * ps
+    lat = 21.0 - (np.arange(h) + 0.5) * ps
+    inside = ((lon[None, :] > 10.003) & (lat[:, None] > 20.751)
+              & ((lon[None, :] + lat[:, None]) < 10.003 + 20.864))
+    ii, jj = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    d2 = (ii - ti) ** 2 + (jj - tj) ** 2
+    reach = (d2 <= 64) & inside
+    exp = (int(inside.sum()), int(reach.sum()), int(d2[reach].sum()))
+    assert got == {"tri": exp}
+    assert exp[1] > 0  # the outside target really pulls inside pixels
