@@ -1205,3 +1205,15 @@ def test_proximity_zonal_triangle_outside_target_pulls_inside(spark):
     exp = (int(inside.sum()), int(reach.sum()), int(d2[reach].sum()))
     assert got == {"tri": exp}
     assert exp[1] > 0  # the outside target really pulls inside pixels
+
+
+def test_terrain_and_proximity_plan_single_exchange(spark):
+    """The whole focal family must keep the one-Exchange halo plan:
+    terrain and proximity are kernels on the same shuffle, not new
+    shuffle stages."""
+    for df in (
+        focal.terrain_stats(_tiles_df(spark)),
+        focal.proximity_stats(_tiles_df(spark), [20], radius=8),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
