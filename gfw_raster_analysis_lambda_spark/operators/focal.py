@@ -37,6 +37,16 @@ formula — hash-match bit-for-bit; see ``focal_tcl_stats`` and
 Incremental maintenance: :func:`touched_focal_cells` gives the exact
 recompute set for a changed-tile batch (a tile can only influence
 outputs within one cell at pixel radius <= tile size).
+
+The family on this one plan: :func:`focal_stats` (window sum/count/
+max/min — dilate/erode over presence layers), :func:`focal_mode`
+(categorical majority), :func:`terrain_stats` / :func:`terrain_zonal`
+(Horn slope/aspect gradients, per cell and per AOI),
+:func:`proximity_stats` / :func:`proximity_zonal` (bounded distance
+transform, per cell and per AOI), and :func:`hillshade_tiles` (the
+shaded-relief tile export). All share ``_halo_parts`` + ``_build_pad``;
+``streaming.focal_inc.incremental_focal(kernel=...)`` maintains any of
+them incrementally.
 """
 
 from __future__ import annotations
