@@ -497,148 +497,131 @@ def normalize(geom: Geometry) -> Geometry:
 # Polygon x polygon interiors-intersect (vector-overlay predicate)
 # ---------------------------------------------------------------------------
 
-def _proper_crossings(e1: np.ndarray, e2: np.ndarray) -> bool:
-    """Any PROPER crossing between two edge sets (strict orientation
-    flips on both segments). Vectorized over the full E1 x E2 pair grid —
-    fine for AOI-scale rings; swap in an interval sweep for megavertex
-    geometries."""
-    if not len(e1) or not len(e2):
-        return False
-    p1 = e1[:, None, 0:2]
-    p2 = e1[:, None, 2:4]
-    q1 = e2[None, :, 0:2]
-    q2 = e2[None, :, 2:4]
-
-    def cross(o, a, b):
-        return (a[..., 0] - o[..., 0]) * (b[..., 1] - o[..., 1]) - (
-            a[..., 1] - o[..., 1]
-        ) * (b[..., 0] - o[..., 0])
-
-    d1 = cross(p1, p2, q1)
-    d2 = cross(p1, p2, q2)
-    d3 = cross(q1, q2, p1)
-    d4 = cross(q1, q2, p2)
-    return bool(np.any((d1 * d2 < 0) & (d3 * d4 < 0)))
-
-
-def _strict_inside(edges: np.ndarray, pts: np.ndarray) -> np.ndarray:
-    """Even-odd membership with points ON an edge excluded — the
-    interiors-intersect fallback needs open-set membership, where the
-    half-open ray rule of :func:`contains_points` would classify
-    on-boundary probes arbitrarily."""
-    if not len(pts) or not len(edges):
-        return np.zeros(len(pts), dtype=bool)
-    px, py = pts[:, 0:1], pts[:, 1:2]
-    x1, y1, x2, y2 = (edges[None, :, i] for i in range(4))
-    cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
-    on = (
-        (cross == 0.0)
-        & (px >= np.minimum(x1, x2)) & (px <= np.maximum(x1, x2))
-        & (py >= np.minimum(y1, y2)) & (py <= np.maximum(y1, y2))
-    ).any(axis=1)
-    straddles = (y1 <= py) != (y2 <= py)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        xcross = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
-    odd = ((straddles & (xcross > px)).sum(axis=1) % 2).astype(bool)
-    return odd & ~on
+def _pairwise_intersection_ys(edges: np.ndarray) -> np.ndarray:
+    """y-coordinates of every pairwise segment intersection within the
+    edge set (proper and endpoint crossings of non-parallel pairs).
+    Collinear overlaps contribute no NEW levels: an overlap endpoint is
+    always an original vertex of one of the two segments, whose y is in
+    the vertex level set already. Row-chunked to bound the pair-grid
+    memory; fine for AOI-scale rings — swap in an interval sweep for
+    megavertex geometries."""
+    n = len(edges)
+    if n < 2:
+        return np.empty(0)
+    q1 = edges[None, :, 0:2]
+    q2 = edges[None, :, 2:4]
+    d2 = q2 - q1
+    out = []
+    for lo in range(0, n, 256):
+        e = edges[lo:lo + 256]
+        p1 = e[:, None, 0:2]
+        p2 = e[:, None, 2:4]
+        d1 = p2 - p1
+        den = d1[..., 0] * d2[..., 1] - d1[..., 1] * d2[..., 0]
+        w = q1 - p1
+        # NaN/inf from den == 0 rows are discarded by the `ok` mask
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+            t = (w[..., 0] * d2[..., 1] - w[..., 1] * d2[..., 0]) / den
+            u = (w[..., 0] * d1[..., 1] - w[..., 1] * d1[..., 0]) / den
+            yc = p1[..., 1] + t * d1[..., 1]
+        ok = (den != 0.0) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+        if ok.any():
+            out.append(yc[ok])
+    return np.concatenate(out) if out else np.empty(0)
 
 
-def _split_midpoints(e1: np.ndarray, e2: np.ndarray) -> np.ndarray:
-    """Midpoints of every subsegment of e1's edges after splitting them
-    at all intersections (incl. collinear overlaps) with e2's edges.
-    Between consecutive split points a subsegment lies entirely inside,
-    on, or outside the other region, so midpoints classify it."""
-    r, s = e2[:, 0:2], e2[:, 2:4]
-    d2 = s - r
-    mids = []
-    for e in e1:
-        p, d1 = e[0:2], e[2:4] - e[0:2]
-        if d1[0] == 0.0 and d1[1] == 0.0:
-            continue  # zero-length edge: its only point is a vertex, probed already
-        denom = d1[0] * d2[:, 1] - d1[1] * d2[:, 0]
-        w = r - p
-        num_t = w[:, 0] * d2[:, 1] - w[:, 1] * d2[:, 0]
-        num_u = w[:, 0] * d1[1] - w[:, 1] * d1[0]
-        gen = denom != 0.0
-        with np.errstate(divide="ignore", invalid="ignore"):
-            t = num_t[gen] / denom[gen]
-            u = num_u[gen] / denom[gen]
-        cuts = [np.array([0.0, 1.0]), t[(t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)]]
-        col = np.flatnonzero(~gen & (num_u == 0.0))  # parallel AND collinear
-        if len(col):
-            den = float(d1 @ d1)
-            for j in col:
-                for pt in (r[j], s[j]):
-                    tt = float((pt - p) @ d1) / den
-                    if 0.0 <= tt <= 1.0:
-                        cuts.append(np.array([tt]))
-        ts = np.unique(np.concatenate(cuts))
-        tm = (ts[:-1] + ts[1:]) / 2.0
-        mids.append(p + tm[:, None] * d1)
-    return np.vstack(mids) if mids else np.zeros((0, 2))
+def _in_intervals_at(edges: np.ndarray, y: float):
+    """Sorted boundary-crossing x's of the even-odd region on the
+    scanline at ``y`` — consecutive pairs are the region's open
+    in-intervals. Returns None for a scanline whose crossing count is
+    odd (a vertex landed exactly on it after float midpointing): that
+    slab is skipped, losing only a measure-zero configuration."""
+    y1, y2 = edges[:, 1], edges[:, 3]
+    m = (y1 <= y) != (y2 <= y)
+    if not m.any():
+        return None
+    e = edges[m]
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        xs = e[:, 0] + (y - e[:, 1]) * (e[:, 2] - e[:, 0]) / (e[:, 3] - e[:, 1])
+    xs.sort()
+    if len(xs) % 2:
+        return None
+    return xs
 
 
-def _interior_rep_points(edges: np.ndarray) -> np.ndarray:
-    """At least one strictly-interior point of EVERY component of the
-    even-odd region: every component's y-extent is bounded by vertex
-    levels, so scanning the mid-line of each vertex-y slab and taking
-    the midpoints of the even-odd in-intervals hits each component."""
-    levels = np.unique(np.concatenate([edges[:, 1], edges[:, 3]]))
-    x1, y1, x2, y2 = edges[:, 0], edges[:, 1], edges[:, 2], edges[:, 3]
-    pts = []
-    for ym in (levels[:-1] + levels[1:]) / 2.0:
-        m = (y1 <= ym) != (y2 <= ym)
-        if not m.any():
-            continue
-        with np.errstate(divide="ignore", invalid="ignore"):
-            xs = np.sort(x1[m] + (ym - y1[m]) * (x2[m] - x1[m]) / (y2[m] - y1[m]))
-        xa, xb = xs[0::2], xs[1::2]
-        keep = xa != xb
-        if keep.any():
-            mid = (xa[keep] + xb[keep]) / 2.0
-            pts.append(np.stack([mid, np.full(len(mid), ym)], axis=1))
-    return np.vstack(pts) if pts else np.zeros((0, 2))
+def _open_intervals_overlap(a: np.ndarray, b: np.ndarray) -> bool:
+    """Any STRICT overlap between two sorted flat interval lists
+    ((a[0],a[1]),(a[2],a[3]),...) — open-interval semantics, so a shared
+    endpoint is not an overlap.
+
+    The strictness carries a float-resolution tolerance: a collinear
+    DOUBLE WALL's two crossings are mathematically equal but computed
+    from two different edge parametrizations, so they can differ by an
+    ulp — without the tolerance that resurrects the zero-width interval
+    as a sliver and re-introduces the false accept the scanline design
+    eliminates. 1e-9 in degree units is ~0.1 mm on the ground: genuine
+    overlaps thinner than that are below the engine's float resolution
+    (the exact-rational test oracle keeps strict-zero semantics, and the
+    fuzz families sit far above the threshold on both sides)."""
+    i = j = 0
+    while i < len(a) and j < len(b):
+        lo = max(a[i], b[j])
+        hi = min(a[i + 1], b[j + 1])
+        if hi - lo > 1e-9 * (1.0 + abs(lo) + abs(hi)):
+            return True
+        if a[i + 1] < b[j + 1]:
+            i += 2
+        else:
+            j += 2
+    return False
 
 
 def interiors_intersect(g1: Geometry, g2: Geometry) -> bool:
-    """True iff the polygon INTERIORS overlap (the overlay-join
-    predicate; boundary-touching neighbors do not count, matching strict
-    interval overlap for boxes). Inputs should be :func:`normalize`\\ d
-    (zero-interior rings dropped).
+    """True iff the polygon INTERIORS (even-odd open regions) overlap —
+    the overlay-join predicate; boundary-touching neighbors do not
+    count, matching strict interval overlap for boxes. Inputs should be
+    :func:`normalize`\\ d (zero-interior rings dropped).
 
-    Decision: bbox reject, then any proper edge crossing (the common
-    overlapping case), else a COMPLETE fallback for degenerate contact —
-    shared vertices, collinear edge overlap, containment, holes:
-
-    1. any vertex of one strictly inside the other (cheap accept);
-    2. any split-subsegment midpoint of one boundary strictly inside the
-       other (a non-degenerate boundary point inside an open set forces
-       interior overlap, and splitting at every intersection makes each
-       subsegment's classification uniform);
-    3. any slab representative interior point of one strictly inside the
-       other (catches whole-component containment where the boundaries
-       only touch, e.g. identical polygons or a hole-filling island).
-
-    Strict (open-set) membership throughout, so boundary-touching
-    neighbors never count. The fallback's completeness argument mirrors
-    the independent test oracle (tests/geom_oracle.py), which verifies
-    this implementation over seeded random rotated/concave/holed and
-    lattice-degenerate polygon pairs in exact rational arithmetic."""
+    Decision: ONE sound-and-complete rule — a slab scanline over the
+    critical y-levels of the combined edge arrangement (every vertex y
+    plus every pairwise edge-intersection y, self- and cross-
+    intersections alike). Between consecutive levels the arrangement
+    has no vertex, so each region's in-intervals at the slab mid-line
+    classify the whole slab; ``int(g1) & int(g2)`` is an open polygonal
+    set whose every face spans at least one full slab (its vertices all
+    sit on critical levels), and a face shows up as a STRICT overlap of
+    open in-intervals at its slab's mid-line. Conversely any strict
+    overlap is a positive-length segment strictly inside both — so no
+    probe-point degeneracy can produce a false accept. This replaced a
+    proper-crossing + probe-point cascade after a 12k-pair fuzz found
+    its two traps on self-intersecting even-odd inputs: a collinear
+    DOUBLE WALL (two opposite-direction traversals of one segment)
+    yields genuine segment crossings that flip no region parity, and a
+    probe midpoint can land exactly ON the other boundary where float
+    parity is arbitrary. Verified against the independent exact-
+    rational oracle (tests/geom_oracle.py) over seeded random rotated/
+    concave/holed and lattice-degenerate families."""
     if is_empty(g1) or is_empty(g2):
         return False
     b1, b2 = bounds(g1), bounds(g2)
     if b1[0] >= b2[2] or b2[0] >= b1[2] or b1[1] >= b2[3] or b2[1] >= b1[3]:
         return False
     e1, e2 = all_edges(g1), all_edges(g2)
-    if _proper_crossings(e1, e2):
-        return True
-    # no proper crossings: disjoint, nested, or degenerate contact
-    if _strict_inside(e2, e1[:, 0:2]).any() or _strict_inside(e1, e2[:, 0:2]).any():
-        return True
-    if _strict_inside(e2, _split_midpoints(e1, e2)).any():
-        return True
-    if _strict_inside(e1, _split_midpoints(e2, e1)).any():
-        return True
-    if _strict_inside(e2, _interior_rep_points(e1)).any():
-        return True
-    return bool(_strict_inside(e1, _interior_rep_points(e2)).any())
+    if not len(e1) or not len(e2):
+        return False
+    lo, hi = max(b1[1], b2[1]), min(b1[3], b2[3])
+    eall = np.vstack([e1, e2])
+    ys = np.concatenate(
+        [eall[:, 1], eall[:, 3], _pairwise_intersection_ys(eall)]
+    )
+    ys = np.unique(ys[(ys >= lo) & (ys <= hi)])
+    for ym in (ys[:-1] + ys[1:]) / 2.0:
+        xs1 = _in_intervals_at(e1, ym)
+        if xs1 is None:
+            continue
+        xs2 = _in_intervals_at(e2, ym)
+        if xs2 is None:
+            continue
+        if _open_intervals_overlap(xs1, xs2):
+            return True
+    return False
