@@ -2188,6 +2188,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spatial_join.polygon_pairs(aoi, GRID.name)
     q["spatial_polygon_pairs"] = spatial_polygon_pairs
 
+    def spatial_pair_overlap(spark, sf_dir):
+        # MEASURED vector overlay: intersection/union area + IoU per
+        # overlapping pair via the slab-scanline intersection_area (the
+        # quantified form of the interiors_intersect predicate); the
+        # DuckDB twin computes the closed-form box overlap products on
+        # the same deterministic batch — the engine's slab decomposition
+        # of a box pair is the single product, so ROUND(6) parity is
+        # bit-exact
+        from gfw_raster_analysis_lambda_spark.functions import geometry as _geo
+        from gfw_raster_analysis_lambda_spark.operators import spatial_join
+
+        rows = [
+            (f"p{k:02d}", _geo.wkb_dumps(_geo.box(*_pp_box(k))))
+            for k in range(30)
+        ]
+        aoi = spark.createDataFrame(rows, fixtures.AOI_SCHEMA)
+        return spatial_join.polygon_pair_overlap(aoi, GRID.name).select(
+            "a", "b",
+            F.round("inter_area", 6).alias("inter_area"),
+            F.round("union_area", 6).alias("union_area"),
+            F.round("iou", 6).alias("iou"),
+        )
+    q["spatial_pair_overlap"] = spatial_pair_overlap
+
     def spatial_dissolve_labels(spark, sf_dir):
         # dissolve grouping: transitive closure of the overlay pairs via
         # the components engine (pointer-jumping hash_to_min); the twin
@@ -4934,6 +4958,23 @@ WITH bx(aoi_id, x1, y1, x2, y2) AS (VALUES {_pp_rows})
 SELECT a.aoi_id AS a, b.aoi_id AS b
 FROM bx a JOIN bx b ON a.aoi_id < b.aoi_id
 WHERE a.x1 < b.x2 AND b.x1 < a.x2 AND a.y1 < b.y2 AND b.y1 < a.y2
+"""
+
+    o["spatial_pair_overlap"] = f"""
+WITH bx(aoi_id, x1, y1, x2, y2) AS (VALUES {_pp_rows}),
+p AS (
+  SELECT a.aoi_id AS a, b.aoi_id AS b,
+         (LEAST(a.x2, b.x2) - GREATEST(a.x1, b.x1))
+           * (LEAST(a.y2, b.y2) - GREATEST(a.y1, b.y1)) AS i,
+         (a.x2 - a.x1) * (a.y2 - a.y1) AS aa,
+         (b.x2 - b.x1) * (b.y2 - b.y1) AS ab
+  FROM bx a JOIN bx b ON a.aoi_id < b.aoi_id
+  WHERE a.x1 < b.x2 AND b.x1 < a.x2 AND a.y1 < b.y2 AND b.y1 < a.y2
+)
+SELECT a, b, ROUND(i, 6) AS inter_area,
+       ROUND(aa + ab - i, 6) AS union_area,
+       ROUND(i / (aa + ab - i), 6) AS iou
+FROM p
 """
 
     o["zonal_multi_fused_gate"] = f"""

@@ -198,6 +198,88 @@ def polygon_pairs(
     )
 
 
+def polygon_pair_overlap(
+    aoi: DataFrame,
+    grid_name: str,
+    broadcast_bytes_limit: int = PAIR_BROADCAST_WKB_BYTES,
+) -> DataFrame:
+    """MEASURED vector overlay: every AOI pair with interior overlap,
+    quantified — (a, b, inter_area, union_area, iou) in planar degree^2
+    (a < b, each pair once; zero-overlap candidates dropped). The
+    measured form of :func:`polygon_pairs` — conflict AREA ranking,
+    IoU-thresholded dedup of re-submitted geometries, overlap matrices —
+    via ``geometry.intersection_area``'s slab scanline (exact on
+    even-odd inputs, fuzz-verified against the rational oracle).
+
+    Spark shape mirrors :func:`polygon_pairs` (cell equi-join candidate
+    generation is provably complete, never a cross join) with one extra
+    O(n) pass: per-polygon areas are computed ONCE in an Arrow kernel
+    over the AOI table — not per pair — and ride the same
+    broadcast-vs-shuffle attach decision as the geometries, so a pair
+    costs exactly one intersection_area call. union = |A| + |B| -
+    |A&B| and iou = inter/union are pure arithmetic on the attached
+    columns (kept in the kernel's float64; rounding is the caller's
+    gate-edge concern)."""
+    cells = aoi_cells(aoi, grid_name).select("aoi_id", "cell_id")
+    a = cells.select(F.col("aoi_id").alias("a"), "cell_id")
+    b = cells.select(F.col("aoi_id").alias("b"), "cell_id")
+    cand = (
+        a.join(b, "cell_id")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+    @F.pandas_udf("double")
+    def area_of(wkb: pd.Series) -> pd.Series:
+        return pd.Series([
+            geo.region_area(geo.wkb_loads(bytes(x))) for x in wkb
+        ])
+
+    withg = aoi.select(
+        "aoi_id", "geom_wkb", area_of(F.col("geom_wkb")).alias("area")
+    )
+    stats = aoi.select(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.length("geom_wkb")), F.lit(0)).alias("b"),
+    ).collect()[0]
+    fits = (
+        stats["n"] <= PAIR_BROADCAST_ROW_LIMIT
+        and stats["b"] <= broadcast_bytes_limit
+    )
+    ga = withg.select(
+        F.col("aoi_id").alias("a"),
+        F.col("geom_wkb").alias("wkb_a"),
+        F.col("area").alias("area_a"),
+    )
+    gb = withg.select(
+        F.col("aoi_id").alias("b"),
+        F.col("geom_wkb").alias("wkb_b"),
+        F.col("area").alias("area_b"),
+    )
+    if fits:
+        pairs = cand.join(F.broadcast(ga), "a").join(F.broadcast(gb), "b")
+    else:
+        pairs = cand.join(ga, "a").join(gb, "b")
+
+    @F.pandas_udf("double")
+    def inter_of(wa: pd.Series, wb: pd.Series) -> pd.Series:
+        return pd.Series([
+            geo.intersection_area(geo.wkb_loads(bytes(x)), geo.wkb_loads(bytes(y)))
+            for x, y in zip(wa, wb)
+        ])
+
+    return (
+        pairs.withColumn("inter_area", inter_of(F.col("wkb_a"), F.col("wkb_b")))
+        .filter(F.col("inter_area") > 0.0)
+        .withColumn(
+            "union_area", F.col("area_a") + F.col("area_b") - F.col("inter_area")
+        )
+        .withColumn("iou", F.col("inter_area") / F.col("union_area"))
+        .select("a", "b", "inter_area", "union_area", "iou")
+    )
+
+
 def dissolve_labels(
     aoi: DataFrame,
     grid_name: str,

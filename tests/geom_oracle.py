@@ -26,7 +26,11 @@ unsound exactly there).
 
 from fractions import Fraction
 
-__all__ = ["oracle_interiors_intersect"]
+__all__ = [
+    "oracle_interiors_intersect",
+    "oracle_intersection_area",
+    "oracle_region_area",
+]
 
 
 def _edges(geom):
@@ -107,3 +111,55 @@ def oracle_interiors_intersect(g1, g2) -> bool:
             else:
                 j += 2
     return False
+
+def _overlap_len(xs1, xs2):
+    """Exact total length of the intersection of two sorted flat
+    interval lists."""
+    total = Fraction(0)
+    i = j = 0
+    while i < len(xs1) and j < len(xs2):
+        lo = max(xs1[i], xs2[j])
+        hi = min(xs1[i + 1], xs2[j + 1])
+        if hi > lo:
+            total += hi - lo
+        if xs1[i + 1] < xs2[j + 1]:
+            i += 2
+        else:
+            j += 2
+    return total
+
+
+def _slab_area(edge_sets):
+    """Exact slab-scanline area: sum over slabs of h x mid-line length
+    of the (intersection of the) even-odd region(s). In exact rational
+    arithmetic the mid-line of two DISTINCT consecutive levels is never
+    itself a level, so every slab classifies cleanly (no skipped-slab
+    caveat, unlike the engine's float variant)."""
+    eall = [e for es in edge_sets for e in es]
+    levels = {a[1] for a, b in eall} | {b[1] for a, b in eall}
+    levels |= _intersection_ys(eall)
+    ys = sorted(levels)
+    area = Fraction(0)
+    for y0, y1 in zip(ys, ys[1:]):
+        ym = (y0 + y1) / 2
+        xs = [_in_xs(es, ym) for es in edge_sets]
+        if any(not x for x in xs):
+            continue
+        if len(edge_sets) == 1:
+            length = sum(xs[0][1::2], Fraction(0)) - sum(xs[0][0::2], Fraction(0))
+        else:
+            length = _overlap_len(xs[0], xs[1])
+        area += (y1 - y0) * length
+    return area
+
+
+def oracle_region_area(g) -> Fraction:
+    e = _edges(g)
+    return _slab_area([e]) if e else Fraction(0)
+
+
+def oracle_intersection_area(g1, g2) -> Fraction:
+    e1, e2 = _edges(g1), _edges(g2)
+    if not e1 or not e2:
+        return Fraction(0)
+    return _slab_area([e1, e2])

@@ -122,3 +122,62 @@ def test_normalize_drops_zero_interior_rings():
     kept = normalize(bowtie)
     assert kept and len(kept[0]) == 1
     assert interiors_intersect(kept, _box(0.05, 0.4, 0.2, 0.6))
+
+from geom_oracle import (
+    oracle_intersection_area,
+    oracle_region_area,
+)
+
+from gfw_raster_analysis_lambda_spark.functions.geometry import (
+    intersection_area,
+    region_area,
+)
+
+
+@pytest.mark.parametrize("seed", [7, 1337])
+def test_area_fuzz_vs_exact_oracle(seed):
+    """The measured overlay (region_area / intersection_area) against the
+    exact rational slab areas, over the same five random families as the
+    predicate fuzz. Float slab summation vs exact rationals: relative
+    1e-9 everywhere, and inter <= min(a1, a2) + eps always."""
+    rng = np.random.default_rng(seed)
+    tested = nonzero = 0
+    for _ in range(250):
+        g1, g2 = map(normalize, _gen_pair(rng))
+        if not g1 or not g2:
+            continue
+        tested += 1
+        a1, a2 = region_area(g1), region_area(g2)
+        for g, a in ((g1, a1), (g2, a2)):
+            exact = float(oracle_region_area(g))
+            assert abs(a - exact) <= 1e-9 * (1.0 + exact), (
+                f"seed={seed} region_area {a} vs exact {exact}"
+            )
+        inter = intersection_area(g1, g2)
+        exact_i = float(oracle_intersection_area(g1, g2))
+        assert abs(inter - exact_i) <= 1e-9 * (1.0 + exact_i), (
+            f"seed={seed} intersection_area {inter} vs exact {exact_i} "
+            f"g1={[r.tolist() for p in g1 for r in p]} "
+            f"g2={[r.tolist() for p in g2 for r in p]}"
+        )
+        assert inter <= min(a1, a2) + 1e-9
+        nonzero += exact_i > 0
+    assert tested >= 230 and 40 < nonzero < tested - 40
+
+
+def test_area_deterministic_pins():
+    """Closed-form pins: boxes, containment, hole subtraction, bowtie
+    even-odd measure, boundary-touch zero."""
+    A = _box(0, 0, 2, 2)
+    assert region_area(A) == 4.0
+    assert intersection_area(A, _box(1, 1, 3, 4)) == 1.0
+    assert intersection_area(A, _box(2, 0, 4, 2)) == 0.0  # shared wall
+    assert intersection_area(A, _box(0.5, 0.5, 1.5, 1.5)) == 1.0  # contained
+    holed = [[np.array([[0, 0], [4, 0], [4, 4], [0, 4]], float),
+              np.array([[1, 1], [3, 1], [3, 3], [1, 3]], float)]]
+    assert region_area(holed) == 12.0
+    assert intersection_area(holed, _box(1, 1, 3, 3)) == 0.0  # box == hole
+    assert intersection_area(holed, _box(0, 0, 2, 2)) == 3.0  # quarter minus hole quarter
+    bowtie = [[np.array([[0, 0], [2, 2], [2, 0], [0, 2]], float)]]
+    assert region_area(bowtie) == 2.0  # even-odd, not shoelace 0
+    assert intersection_area(bowtie, _box(0, 0, 2, 2)) == 2.0

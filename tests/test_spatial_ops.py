@@ -735,3 +735,38 @@ def test_pixel_components_geom_stats_bbox_centroid(spark):
             int(ys.size), int(xs.sum()), int(ys.sum())
         )
     assert got == exp
+
+
+def test_polygon_pair_overlap_measured(spark):
+    """polygon_pair_overlap through the full Spark path (cell candidates
+    -> area attach -> Arrow intersection kernel) on non-box shapes:
+    values must equal the driver-side geometry functions (themselves
+    fuzz-verified against the exact rational oracle), IoU must be
+    inter/union, and boundary-touching / disjoint-but-cell-sharing
+    candidates must drop out."""
+    tri = [[np.array([[10.05, 20.05], [10.45, 20.05], [10.05, 20.45]])]]
+    bx = geo.box(10.0, 20.0, 10.25, 20.25)
+    holed = [[np.array([[10.5, 20.5], [10.9, 20.5], [10.9, 20.9], [10.5, 20.9]]),
+              np.array([[10.6, 20.6], [10.8, 20.6], [10.8, 20.8], [10.6, 20.8]])]]
+    island = geo.box(10.62, 20.62, 10.78, 20.78)  # strictly inside the hole
+    toucher = geo.box(10.9, 20.5, 10.95, 20.9)    # shares holed's east wall
+    rows = [
+        ("t", geo.wkb_dumps(tri)),
+        ("x", geo.wkb_dumps(bx)),
+        ("h", geo.wkb_dumps(holed)),
+        ("i", geo.wkb_dumps(island)),
+        ("w", geo.wkb_dumps(toucher)),
+    ]
+    aoi = spark.createDataFrame(rows, fixtures.AOI_SCHEMA)
+    got = {
+        (r["a"], r["b"]): r
+        for r in spatial_join.polygon_pair_overlap(aoi, GRID_NAME).collect()
+    }
+    assert set(got) == {("t", "x")}  # island-in-hole and wall-touch: area 0
+    r = got[("t", "x")]
+    inter = geo.intersection_area(tri, bx)
+    union = geo.region_area(tri) + geo.region_area(bx) - inter
+    assert inter > 0
+    assert r["inter_area"] == pytest.approx(inter, rel=1e-12)
+    assert r["union_area"] == pytest.approx(union, rel=1e-12)
+    assert r["iou"] == pytest.approx(inter / union, rel=1e-12)
