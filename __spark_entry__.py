@@ -171,6 +171,15 @@ m AS (
 )"""
 
 
+# Partial-coverage oracle AOI box: edges avoid the FINE (k=4) subpixel
+# center lattice (1/1024 deg steps; 4-decimal offsets are not binary
+# representable), so strict DuckDB predicates on the supersampled grid
+# equal the engine's half-open fine rasterization — and the edges sit
+# strictly between subpixel columns, forcing fractional boundary pixels
+# (1..15 of 16 subsamples) on every side.
+_COV_BOX = (10.0031, 20.2517, 10.3577, 20.6113)
+
+
 # Polygon-with-hole oracle AOI: outer box minus an inner box (even-odd
 # rule); same lattice-avoiding offsets so strict box predicates in DuckDB
 # equal the engine's rasterization with the hole ring excluded.
@@ -371,6 +380,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return df.withColumn("loss_ha", F.round("loss_ha", 3))
     q["zonal_triangle_group_sum"] = zonal_triangle_group_sum
+
+    def zonal_partial_coverage(spark, sf_dir):
+        # partial-pixel coverage zonal: every pixel weighted by the
+        # fraction of its 4x4 subpixel centers inside the AOI (the
+        # accuracy upgrade over center containment for boundary-heavy
+        # AOIs); fractional-edge box + sloped-hypotenuse triangle; the
+        # DuckDB twin re-counts every subpixel on the 4x-finer grid —
+        # the integer cores (cov_sub/wsum_sub/n_any/n_full) match
+        # bit-for-bit
+        import numpy as np
+
+        from gfw_raster_analysis_lambda_spark.functions import geometry as _geo
+        from gfw_raster_analysis_lambda_spark.operators import coverage
+
+        images, _, _ = _fixture(spark)
+        tiles = images.filter(F.col("layer") == "tcl_year")
+        bx1, by1, bx2, by2 = _COV_BOX
+        aoi = spark.createDataFrame(
+            [
+                ("aoi_cov_box", _geo.wkb_dumps(_geo.box(bx1, by1, bx2, by2))),
+                ("aoi_triangle", _geo.wkb_dumps([[np.asarray(_TRI, dtype=float)]])),
+            ],
+            fixtures.AOI_SCHEMA,
+        )
+        out = coverage.coverage_zonal(tiles, aoi, GRID.name, k=4)
+        return out.select(
+            "aoi_id", "cov_sub", "wsum_sub", "n_any", "n_full",
+            F.round("cov_px", 6).alias("cov_px"),
+            F.round("area_ha", 3).alias("area_ha"),
+            F.round("wmean", 6).alias("wmean"),
+        )
+    q["zonal_partial_coverage"] = zonal_partial_coverage
 
     def zonal_hole_group_sum(spark, sf_dir):
         # polygon WITH HOLE: the even-odd rasterizer's hole handling
@@ -2716,6 +2757,48 @@ SELECT aoi_id, {_TCL_DECODE} AS tcl_year,
 FROM m
 WHERE tcl != 0 AND {_TCD_MEANING} >= 25
 GROUP BY aoi_id, tcl
+"""
+
+    _covf = fixtures.PIXEL_SQL["tcl_year"].format(x="x", y="y", i="i", j="j")
+    o["zonal_partial_coverage"] = f"""
+WITH aoi(aoi_id, kind, p1, p2, p3, p4) AS (VALUES
+  ('aoi_cov_box', 'box', CAST({_COV_BOX[0]!r} AS DOUBLE), CAST({_COV_BOX[1]!r} AS DOUBLE),
+   CAST({_COV_BOX[2]!r} AS DOUBLE), CAST({_COV_BOX[3]!r} AS DOUBLE)),
+  ('aoi_triangle', 'tri', CAST({_TRI[0][0]!r} AS DOUBLE), CAST({_TRI[0][1]!r} AS DOUBLE),
+   CAST({_TRI[1][0] + _TRI[1][1]!r} AS DOUBLE), CAST(0.0 AS DOUBLE))
+),
+fine AS (
+  SELECT x, y, (ii // 4) AS i, (jj // 4) AS j,
+         (-180.0 + x*{TD!r} + (jj + 0.5)*{PS / 4.0!r}) AS flon,
+         (90.0 - y*{TD!r} - (ii + 0.5)*{PS / 4.0!r}) AS flat
+  FROM generate_series({X0}, {X0 + NX - 1}) tx(x),
+       generate_series({Y0}, {Y0 + NY - 1}) ty(y),
+       generate_series(0, {GRID.chunk_px * 4 - 1}) ti(ii),
+       generate_series(0, {GRID.chunk_px * 4 - 1}) tj(jj)
+),
+cc AS (
+  SELECT a.aoi_id, f.x, f.y, f.i, f.j, CAST(COUNT(*) AS BIGINT) AS c
+  FROM fine f JOIN aoi a
+    ON (a.kind = 'box' AND f.flon > a.p1 AND f.flat > a.p2
+        AND f.flon < a.p3 AND f.flat < a.p4)
+    OR (a.kind = 'tri' AND f.flon > a.p1 AND f.flat > a.p2
+        AND f.flon + f.flat < a.p3)
+  GROUP BY 1, 2, 3, 4, 5
+),
+wv AS (
+  SELECT aoi_id, c, CAST({_covf} AS BIGINT) AS v, {_mean_area_case()} AS mean_area
+  FROM cc
+)
+SELECT aoi_id,
+       CAST(SUM(c) AS BIGINT) AS cov_sub,
+       CAST(SUM(v * c) AS BIGINT) AS wsum_sub,
+       CAST(COUNT(*) AS BIGINT) AS n_any,
+       CAST(SUM(CASE WHEN c = 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+       ROUND(SUM(c) / 16.0, 6) AS cov_px,
+       ROUND(SUM(mean_area * c) / 16.0, 3) AS area_ha,
+       ROUND(CAST(SUM(v * c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS wmean
+FROM wv
+GROUP BY aoi_id
 """
 
     o["zonal_hole_group_sum"] = f"""

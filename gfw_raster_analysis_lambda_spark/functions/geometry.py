@@ -256,6 +256,36 @@ def rasterize_mask(
     return mask
 
 
+def coverage_counts(
+    geom: Geometry,
+    x0: float,
+    y0: float,
+    pixel_size: float,
+    width: int,
+    height: int,
+    k: int = 4,
+    edges: np.ndarray | None = None,
+) -> np.ndarray:
+    """Supersampled PARTIAL-PIXEL coverage: ``counts[i, j]`` is how many
+    of pixel (i, j)'s k x k subpixel centers lie inside the geometry
+    (0..k^2); ``counts / k**2`` is the antialiased coverage fraction.
+    This is the standard accuracy upgrade over center-containment
+    rasterization for AOIs small relative to the pixel (GDAL exposes the
+    same idea as oversampled `gdal_rasterize`; exact per-pixel clip
+    areas cost a polygon clip per boundary pixel for one extra bit of
+    precision). Subpixel centers sit at x0 + (jk + 0.5) * pixel_size/k
+    — the same half-open center-containment convention as
+    :func:`rasterize_mask`, evaluated on the k-times-finer grid, so an
+    exact SQL twin can replicate every count with interval predicates.
+    Cost: one rasterize at k^2 the pixels + one reshape-sum."""
+    fine = rasterize_mask(
+        geom, x0, y0, pixel_size / k, width * k, height * k, edges=edges
+    )
+    return (
+        fine.reshape(height, k, width, k).sum(axis=(1, 3)).astype(np.int32)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Rectangle predicates / clipping (tile enumeration + per-tile clip)
 # ---------------------------------------------------------------------------

@@ -609,3 +609,96 @@ def test_mosaic_plan_exchanges_bounded(spark):
     assert "hashpartitioning(cell_id" not in plan, plan
     assert "BroadcastExchange" in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+# ---------------------------------------------------------------------------
+# Partial-pixel coverage zonal (operators/coverage.py)
+# ---------------------------------------------------------------------------
+
+
+def test_coverage_counts_box_closed_form():
+    """A box whose edges fall strictly between subpixel columns: every
+    pixel's count equals the product of its in-range subrows and
+    subcolumns — computable independently from first principles."""
+    from gfw_raster_analysis_lambda_spark.functions import geometry as geo
+
+    k = 4
+    x0, y0, ps, w, h = 0.0, 1.0, 0.125, 8, 8
+    bx = (0.17, 0.23, 0.81, 0.77)  # fractional w.r.t. both grids
+    cnt = geo.coverage_counts(geo.box(*bx), x0, y0, ps, w, h, k=k)
+    fx = ps / k
+    subx = x0 + (np.arange(w * k) + 0.5) * fx
+    suby = y0 - (np.arange(h * k) + 0.5) * fx
+    incol = ((subx > bx[0]) & (subx < bx[2])).reshape(w, k).sum(axis=1)
+    inrow = ((suby > bx[1]) & (suby < bx[3])).reshape(h, k).sum(axis=1)
+    exp = np.outer(inrow, incol)
+    assert cnt.shape == (h, w) and (cnt == exp).all()
+    assert cnt.max() == k * k
+    assert ((cnt > 0) & (cnt < k * k)).any()  # fractional boundary pixels
+
+
+def test_coverage_counts_matches_bruteforce_contains():
+    """Arbitrary concave polygon: counts equal a brute-force
+    contains_points over every subpixel center (independent of the
+    reshape-sum path's indexing)."""
+    from gfw_raster_analysis_lambda_spark.functions import geometry as geo
+
+    poly = [[np.array([[0.1, 0.15], [0.9, 0.3], [0.55, 0.5],
+                       [0.85, 0.9], [0.2, 0.8]])]]
+    k, w, h, ps = 3, 6, 6, 1.0 / 6
+    cnt = geo.coverage_counts(poly, 0.0, 1.0, ps, w, h, k=k)
+    fx = ps / k
+    sx = 0.0 + (np.arange(w * k) + 0.5) * fx
+    sy = 1.0 - (np.arange(h * k) + 0.5) * fx
+    gx, gy = np.meshgrid(sx, sy)
+    inside = geo.contains_points(poly, gx.ravel(), gy.ravel()).reshape(h * k, w * k)
+    exp = inside.reshape(h, k, w, k).sum(axis=(1, 3))
+    assert (cnt == exp).all()
+
+
+def test_coverage_zonal_beats_center_containment_on_thin_aoi(spark):
+    """The reason this operator exists: a thin sliver AOI (sub-pixel
+    width) has ZERO pixels by center containment on an unlucky offset,
+    but its coverage-weighted area converges to the true geometric
+    area. Also pins the exact-integer contract of cov_sub against a
+    driver-side recomputation over the same tiles."""
+    from gfw_raster_analysis_lambda_spark.functions import geometry as geo
+    from gfw_raster_analysis_lambda_spark.operators import coverage
+    from gfw_raster_analysis_lambda_spark.sources import fixtures
+    from gfw_raster_analysis_lambda_spark.sources.images import with_derived_keys
+
+    images = with_derived_keys(
+        spark.createDataFrame(
+            fixtures.generate_images_rows(), fixtures.IMAGES_SCHEMA
+        )
+    ).filter(F.col("layer") == "tcl_year")
+    grid = fixtures.GRID
+    ps = grid.pixel_size
+    # a sliver 0.4 px wide x 40 px tall, horizontally BETWEEN two pixel
+    # center columns (center column at 10 + (m+0.5)*ps; put the sliver
+    # in (center, next center) so no center falls inside)
+    x1 = 10.0 + 20.6 * ps
+    x2 = x1 + 0.4 * ps
+    y1, y2 = 20.1, 20.1 + 40 * ps
+    aoi = spark.createDataFrame(
+        [("sliver", geo.wkb_dumps(geo.box(x1, y1, x2, y2)))],
+        fixtures.AOI_SCHEMA,
+    )
+    rows = coverage.coverage_zonal(images, aoi, grid.name, k=4).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # center containment sees nothing; coverage sees ~0.4*40 = 16 px
+    mask_px = 0
+    for cell_row in images.collect():
+        x0, y0t, _ = __import__(
+            "gfw_raster_analysis_lambda_spark.functions.grid", fromlist=["g"]
+        ).cell_affine(grid, cell_row["cell_id"])
+        m = geo.rasterize_mask(
+            geo.box(x1, y1, x2, y2), x0, y0t, ps, grid.chunk_px, grid.chunk_px
+        )
+        mask_px += int(m.sum())
+    assert mask_px == 0
+    true_px = (x2 - x1) * (y2 - y1) / (ps * ps)
+    assert r["cov_px"] == pytest.approx(true_px, rel=0.3)
+    assert r["n_full"] == 0 and r["n_any"] >= 40
+    assert r["cov_px"] == r["cov_sub"] / 16.0  # the exact-integer core
