@@ -180,6 +180,22 @@ m AS (
 _COV_BOX = (10.0031, 20.2517, 10.3577, 20.6113)
 
 
+def _line_pts(k: int) -> list:
+    """Deterministic gate polyline #k: horizontal / vertical / 3-point
+    diagonal families on fractional (non-lattice) coordinates inside the
+    fixture extent, plus one boundary-riding segment (k == 0) along the
+    aligned AOI box's bottom edge to pin closed-region semantics."""
+    if k == 0:
+        return [(10.1037, 20.25), (10.3971, 20.25)]  # rides aligned box edge
+    bx = 10.01 + 0.071 * (k % 9) + 0.0043 * (k % 5)
+    by = 20.02 + 0.083 * (k % 7) + 0.0037 * (k % 4)
+    if k % 3 == 0:
+        return [(bx, by), (bx + 0.31, by)]
+    if k % 3 == 1:
+        return [(bx, by), (bx, by + 0.27)]
+    return [(bx, by), (bx + 0.17, by + 0.23), (bx + 0.05, by + 0.41)]
+
+
 # Polygon-with-hole oracle AOI: outer box minus an inner box (even-odd
 # rule); same lattice-avoiding offsets so strict box predicates in DuckDB
 # equal the engine's rasterization with the hole ring excluded.
@@ -412,6 +428,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("wmean", 6).alias("wmean"),
         )
     q["zonal_partial_coverage"] = zonal_partial_coverage
+
+    def spatial_line_zonal(spark, sf_dir):
+        # line x polygon overlay ("km of roads per admin area"): exact
+        # clip length per (line, AOI) pair — supercover cell equi-join
+        # candidates, split-at-crossings midpoint classification, closed
+        # region semantics (the k=0 line RIDES an AOI edge and counts);
+        # the DuckDB twin runs per-segment Liang-Barsky interval clips
+        import numpy as np
+
+        from gfw_raster_analysis_lambda_spark.functions import geometry as _geo
+        from gfw_raster_analysis_lambda_spark.operators import lines as _lines
+
+        aoi_rows = [
+            (a, _geo.wkb_dumps(_geo.box(*b)))
+            for a, b in list(_BOXES.items()) + [("aoi_cov_box", _COV_BOX)]
+        ]
+        aoi = spark.createDataFrame(aoi_rows, fixtures.AOI_SCHEMA)
+        line_rows = [
+            (f"l{k:02d}", _geo.wkb_dumps_lines([np.asarray(_line_pts(k), dtype=float)]))
+            for k in range(14)
+        ]
+        ldf = spark.createDataFrame(line_rows, "line_id string, geom_wkb binary")
+        out = _lines.line_zonal(ldf, aoi, GRID.name)
+        return out.select(
+            "aoi_id", "line_id", F.round("length_deg", 6).alias("length_deg")
+        )
+    q["spatial_line_zonal"] = spatial_line_zonal
 
     def zonal_hole_group_sum(spark, sf_dir):
         # polygon WITH HOLE: the even-odd rasterizer's hole handling
@@ -2757,6 +2800,51 @@ SELECT aoi_id, {_TCL_DECODE} AS tcl_year,
 FROM m
 WHERE tcl != 0 AND {_TCD_MEANING} >= 25
 GROUP BY aoi_id, tcl
+"""
+
+    _seg_vals = ", ".join(
+        "('l{:02d}', CAST({!r} AS DOUBLE), CAST({!r} AS DOUBLE), "
+        "CAST({!r} AS DOUBLE), CAST({!r} AS DOUBLE))".format(
+            k, *_line_pts(k)[s], *_line_pts(k)[s + 1]
+        )
+        for k in range(14)
+        for s in range(len(_line_pts(k)) - 1)
+    )
+    _lnbx_vals = ", ".join(
+        "('{}', CAST({!r} AS DOUBLE), CAST({!r} AS DOUBLE), "
+        "CAST({!r} AS DOUBLE), CAST({!r} AS DOUBLE))".format(a, *b)
+        for a, b in list(_BOXES.items()) + [("aoi_cov_box", _COV_BOX)]
+    )
+    o["spatial_line_zonal"] = f"""
+WITH seg(line_id, x1, y1, x2, y2) AS (VALUES {_seg_vals}),
+bx(aoi_id, bx1, by1, bx2, by2) AS (VALUES {_lnbx_vals}),
+d AS (
+  SELECT aoi_id, line_id, x1, y1, bx1, by1, bx2, by2,
+         x2 - x1 AS dx, y2 - y1 AS dy
+  FROM seg CROSS JOIN bx
+),
+iv AS (
+  SELECT aoi_id, line_id, dx, dy,
+    CASE WHEN dx = 0 THEN (CASE WHEN x1 >= bx1 AND x1 <= bx2 THEN 0.0 ELSE 1e30 END)
+         ELSE LEAST((bx1 - x1) / dx, (bx2 - x1) / dx) END AS xlo,
+    CASE WHEN dx = 0 THEN (CASE WHEN x1 >= bx1 AND x1 <= bx2 THEN 1.0 ELSE -1e30 END)
+         ELSE GREATEST((bx1 - x1) / dx, (bx2 - x1) / dx) END AS xhi,
+    CASE WHEN dy = 0 THEN (CASE WHEN y1 >= by1 AND y1 <= by2 THEN 0.0 ELSE 1e30 END)
+         ELSE LEAST((by1 - y1) / dy, (by2 - y1) / dy) END AS ylo,
+    CASE WHEN dy = 0 THEN (CASE WHEN y1 >= by1 AND y1 <= by2 THEN 1.0 ELSE -1e30 END)
+         ELSE GREATEST((by1 - y1) / dy, (by2 - y1) / dy) END AS yhi
+  FROM d
+),
+c AS (
+  SELECT aoi_id, line_id,
+    CASE WHEN LEAST(1.0, xhi, yhi) > GREATEST(0.0, xlo, ylo)
+         THEN (LEAST(1.0, xhi, yhi) - GREATEST(0.0, xlo, ylo))
+              * SQRT(dx * dx + dy * dy)
+         ELSE 0.0 END AS len
+  FROM iv
+)
+SELECT aoi_id, line_id, ROUND(SUM(len), 6) AS length_deg
+FROM c GROUP BY aoi_id, line_id HAVING SUM(len) > 0
 """
 
     _covf = fixtures.PIXEL_SQL["tcl_year"].format(x="x", y="y", i="i", j="j")

@@ -738,3 +738,170 @@ def intersection_area(g1: Geometry, g2: Geometry) -> float:
     if not len(e1) or not len(e2):
         return 0.0
     return _slab_area([e1, e2], max(b1[1], b2[1]), min(b1[3], b2[3]))
+
+
+# ---------------------------------------------------------------------------
+# Linestrings: WKB codec + exact length-in-region (the vector-raster
+# engine's third geometry type — roads/rivers per admin area queries)
+# ---------------------------------------------------------------------------
+
+_WKB_LINESTRING = 2
+_WKB_MULTILINESTRING = 5
+
+# a line geometry is a list of paths; a path is an (N, 2) float64 array of
+# consecutive vertices (NOT closed)
+Path = np.ndarray
+Lines = list
+
+
+def wkb_dumps_lines(lines: Lines) -> bytes:
+    """Serialize paths to little-endian WKB (MULTILINESTRING always)."""
+    out = [b"\x01", struct.pack("<I", _WKB_MULTILINESTRING),
+           struct.pack("<I", len(lines))]
+    for path in lines:
+        p = np.asarray(path, dtype=np.float64)
+        out.append(b"\x01")
+        out.append(struct.pack("<I", _WKB_LINESTRING))
+        out.append(struct.pack("<I", len(p)))
+        out.append(p.astype("<f8").tobytes())
+    return b"".join(out)
+
+
+def wkb_loads_lines(data: bytes) -> Lines:
+    """Parse WKB LineString / MultiLineString (either endianness)."""
+    buf = memoryview(data)
+
+    def header(off: int) -> tuple[str, int, int]:
+        bo = "<" if buf[off] == 1 else ">"
+        (gtype,) = struct.unpack_from(bo + "I", buf, off + 1)
+        return bo, gtype & 0xFF, off + 5
+
+    def path_body(off: int, bo: str) -> tuple[Path, int]:
+        (n,) = struct.unpack_from(bo + "I", buf, off)
+        off += 4
+        pts = np.frombuffer(
+            buf, dtype=("<f8" if bo == "<" else ">f8"), count=2 * n, offset=off
+        )
+        return pts.reshape(n, 2).astype(np.float64), off + 16 * n
+
+    bo, gtype, off = header(0)
+    if gtype == _WKB_LINESTRING:
+        path, _ = path_body(off, bo)
+        return [path] if len(path) >= 2 else []
+    if gtype == _WKB_MULTILINESTRING:
+        (npath,) = struct.unpack_from(bo + "I", buf, off)
+        off += 4
+        lines: Lines = []
+        for _ in range(npath):
+            bo2, g2, off = header(off)
+            if g2 != _WKB_LINESTRING:
+                raise ValueError(f"unexpected member type {g2} in MultiLineString")
+            path, off = path_body(off, bo2)
+            if len(path) >= 2:
+                lines.append(path)
+        return lines
+    raise ValueError(f"unsupported WKB line geometry type {gtype}")
+
+
+def lines_bounds(lines: Lines) -> tuple[float, float, float, float]:
+    pts = np.vstack(lines)
+    return (
+        float(pts[:, 0].min()), float(pts[:, 1].min()),
+        float(pts[:, 0].max()), float(pts[:, 1].max()),
+    )
+
+
+def lines_length(lines: Lines) -> float:
+    """Total planar length (degree units on the lon/lat plane)."""
+    total = 0.0
+    for path in lines:
+        d = np.diff(np.asarray(path, dtype=np.float64), axis=0)
+        total += float(np.hypot(d[:, 0], d[:, 1]).sum())
+    return total
+
+
+def line_length_in_region(lines: Lines, geom: Geometry) -> float:
+    """Planar length of the paths inside the CLOSED even-odd region
+    (interior + boundary — GIS ``ST_Length(ST_Intersection(line,
+    polygon))`` semantics: a road riding an admin border still counts).
+
+    Per segment: split at every parameter where it meets a region edge
+    (generic crossings via the segment-pair solve; collinear overlaps
+    via endpoint projection), then classify each piece by its midpoint —
+    inside by the even-odd crossing rule, or ON an edge within a
+    float-resolution tolerance (a boundary-riding piece's midpoint is
+    mathematically on the edge but float-split endpoints can sit an ulp
+    off it). Between consecutive split parameters the segment stays
+    entirely in, on, or out, so midpoints classify exactly; the exact-
+    rational test oracle (tests/geom_oracle.py) re-derives the same
+    rule with strict-zero tolerances."""
+    if not lines or is_empty(geom):
+        return 0.0
+    e = all_edges(geom)
+    if not len(e):
+        return 0.0
+    x1, y1, x2, y2 = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
+    d2x, d2y = x2 - x1, y2 - y1
+    total = 0.0
+    for path in lines:
+        p = np.asarray(path, dtype=np.float64)
+        for s in range(len(p) - 1):
+            px, py = p[s]
+            dx, dy = p[s + 1, 0] - px, p[s + 1, 1] - py
+            # sqrt(dx*dx + dy*dy), NOT hypot: same operation order as
+            # an ANSI-SQL twin (SQRT(dx*dx + dy*dy)), so lengths agree
+            # bit-for-bit across engines
+            seg_len = float(np.sqrt(dx * dx + dy * dy))
+            if seg_len == 0.0:
+                continue
+            den = dx * d2y - dy * d2x
+            wx, wy = x1 - px, y1 - py
+            with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+                t = (wx * d2y - wy * d2x) / den
+                u = (wx * dy - wy * dx) / den
+            gen = (den != 0.0) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+            cuts = [np.array([0.0, 1.0]), t[gen]]
+            # collinear edges: project both endpoints onto the segment
+            col = (den == 0.0) & (wx * dy - wy * dx == 0.0)
+            if col.any():
+                ll = dx * dx + dy * dy
+                for j in np.flatnonzero(col):
+                    for ex, ey in ((x1[j], y1[j]), (x2[j], y2[j])):
+                        tt = ((ex - px) * dx + (ey - py) * dy) / ll
+                        if 0.0 <= tt <= 1.0:
+                            cuts.append(np.array([tt]))
+            ts = np.unique(np.concatenate(cuts))
+            tm = (ts[:-1] + ts[1:]) / 2.0
+            mx, my = px + tm * dx, py + tm * dy
+            inside = contains_points(geom, mx, my, edges=e)
+            # on-boundary (closed-region semantics), tolerance-scaled
+            cr = (
+                d2x[None, :] * (my[:, None] - y1[None, :])
+                - d2y[None, :] * (mx[:, None] - x1[None, :])
+            )
+            scale = 1e-9 * (
+                np.abs(d2x[None, :]) + np.abs(d2y[None, :])
+            ) * (1.0 + np.abs(mx[:, None]) + np.abs(my[:, None]))
+            on = (
+                (np.abs(cr) <= scale)
+                & (mx[:, None] >= np.minimum(x1, x2)[None, :] - 1e-12)
+                & (mx[:, None] <= np.maximum(x1, x2)[None, :] + 1e-12)
+                & (my[:, None] >= np.minimum(y1, y2)[None, :] - 1e-12)
+                & (my[:, None] <= np.maximum(y1, y2)[None, :] + 1e-12)
+            ).any(axis=1)
+            keep = inside | on
+            if keep.any():
+                total += seg_len * float((ts[1:] - ts[:-1])[keep].sum())
+    return total
+
+
+def line_edges(lines: Lines) -> np.ndarray:
+    """All path segments as an (E, 4) array of (x1, y1, x2, y2)."""
+    segs = []
+    for path in lines:
+        p = np.asarray(path, dtype=np.float64)
+        if len(p) >= 2:
+            segs.append(np.hstack([p[:-1], p[1:]]))
+    if not segs:
+        return np.zeros((0, 4), dtype=np.float64)
+    return np.vstack(segs)

@@ -334,3 +334,40 @@ def tile_id_nw(lat_top: float, lon_left: float) -> str:
 def tile_id_nwse(lon_w: float, lat_s: float, lon_e: float, lat_n: float) -> str:
     """W_S_E_N style tile name used by some layers."""
     return f"{int(lon_w)}_{int(lat_s)}_{int(lon_e)}_{int(lat_n)}"
+
+
+def line_to_cells(grid: Grid, lines) -> np.ndarray:
+    """All cells whose tile rectangle the polyline touches — the
+    supercover enumeration that turns a line x polygon intersects-join
+    into a cell equi-join (same role as :func:`polygon_to_cells` for
+    AOIs; boundary touch counts, matching the line kernel's
+    closed-region semantics). Per-segment bbox candidates filtered by
+    the exact Liang-Barsky rectangle test, so a long diagonal transect
+    enumerates O(cells touched), not O(bbox)."""
+    e = geo.line_edges(lines)
+    if not len(e):
+        return np.zeros(0, dtype=np.int64)
+    td = grid.tile_deg
+    seen: set = set()
+    for seg in e:
+        sminx, smaxx = (seg[0], seg[2]) if seg[0] <= seg[2] else (seg[2], seg[0])
+        sminy, smaxy = (seg[1], seg[3]) if seg[1] <= seg[3] else (seg[3], seg[1])
+        x_lo = max(int(np.floor((sminx + 180.0) / td)), 0)
+        x_hi = min(int(np.floor((smaxx + 180.0) / td)), grid.nx - 1)
+        y_lo = max(int(np.floor((90.0 - smaxy) / td)), 0)
+        y_hi = min(int(np.floor((90.0 - sminy) / td)), grid.ny - 1)
+        s1 = seg[None, :]
+        for y in range(y_lo, y_hi + 1):
+            cmaxy = 90.0 - y * td
+            for x in range(x_lo, x_hi + 1):
+                if (x, y) in seen:
+                    continue
+                cminx = -180.0 + x * td
+                if geo._segments_intersect_rect(
+                    s1, cminx, cmaxy - td, cminx + td, cmaxy
+                ):
+                    seen.add((x, y))
+    if not seen:
+        return np.zeros(0, dtype=np.int64)
+    arr = np.asarray(sorted(seen), dtype=np.int64)
+    return np.asarray(cell_from_xy(grid, arr[:, 0], arr[:, 1]))

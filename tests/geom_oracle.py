@@ -163,3 +163,76 @@ def oracle_intersection_area(g1, g2) -> Fraction:
     if not e1 or not e2:
         return Fraction(0)
     return _slab_area([e1, e2])
+
+def _on_edge(edges, p):
+    """Exact: p lies on some closed boundary segment."""
+    x, y = p
+    for (x1, y1), (x2, y2) in edges:
+        if (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1) != 0:
+            continue
+        if min(x1, x2) <= x <= max(x1, x2) and min(y1, y2) <= y <= max(y1, y2):
+            return True
+    return False
+
+
+def _in_even_odd(edges, p):
+    """Exact even-odd membership by the half-open horizontal-ray rule
+    (only ever called on points already known NOT on the boundary, where
+    the half-open tie-break cannot matter)."""
+    x, y = p
+    cnt = 0
+    for (x1, y1), (x2, y2) in edges:
+        if y1 == y2:
+            continue
+        if (y1 <= y < y2) or (y2 <= y < y1):
+            if x1 + (y - y1) * (x2 - x1) / (y2 - y1) > x:
+                cnt += 1
+    return cnt % 2 == 1
+
+
+def oracle_line_length_in(lines, geom) -> float:
+    """Exact-parameter line clip: per segment, split at every exact
+    rational parameter where it meets a region edge (generic crossings
+    and collinear-overlap endpoint projections), classify each piece's
+    exact midpoint — ON the boundary or even-odd inside keeps it
+    (closed-region semantics) — and sum kept fractions exactly; only
+    the final sqrt-based segment length is float."""
+    import math
+
+    edges = _edges(geom)
+    if not edges or not lines:
+        return 0.0
+    total = 0.0
+    for path in lines:
+        pts = [(Fraction(float(x)), Fraction(float(y))) for x, y in path]
+        for s in range(len(pts) - 1):
+            p, q = pts[s], pts[s + 1]
+            d = (q[0] - p[0], q[1] - p[1])
+            if d == (0, 0):
+                continue
+            cuts = {Fraction(0), Fraction(1)}
+            ll = d[0] * d[0] + d[1] * d[1]
+            for (r, t2) in edges:
+                d2 = (t2[0] - r[0], t2[1] - r[1])
+                den = d[0] * d2[1] - d[1] * d2[0]
+                w = (r[0] - p[0], r[1] - p[1])
+                if den != 0:
+                    t = (w[0] * d2[1] - w[1] * d2[0]) / den
+                    u = (w[0] * d[1] - w[1] * d[0]) / den
+                    if 0 <= t <= 1 and 0 <= u <= 1:
+                        cuts.add(t)
+                elif w[0] * d[1] - w[1] * d[0] == 0:  # collinear
+                    for e in (r, t2):
+                        tt = ((e[0] - p[0]) * d[0] + (e[1] - p[1]) * d[1]) / ll
+                        if 0 <= tt <= 1:
+                            cuts.add(tt)
+            ts = sorted(cuts)
+            kept = Fraction(0)
+            for t0, t1 in zip(ts, ts[1:]):
+                tm = (t0 + t1) / 2
+                m = (p[0] + tm * d[0], p[1] + tm * d[1])
+                if _on_edge(edges, m) or _in_even_odd(edges, m):
+                    kept += t1 - t0
+            if kept:
+                total += float(kept) * math.hypot(float(d[0]), float(d[1]))
+    return total

@@ -181,3 +181,71 @@ def test_area_deterministic_pins():
     bowtie = [[np.array([[0, 0], [2, 2], [2, 0], [0, 2]], float)]]
     assert region_area(bowtie) == 2.0  # even-odd, not shoelace 0
     assert intersection_area(bowtie, _box(0, 0, 2, 2)) == 2.0
+
+
+from geom_oracle import oracle_line_length_in
+
+from gfw_raster_analysis_lambda_spark.functions.geometry import (
+    line_length_in_region,
+    lines_length,
+)
+
+
+def _gen_lines(rng):
+    """Random polyline families: free-floating walks, lattice polylines
+    (shared vertices / edge-riding / collinear overlap against the
+    lattice polygon family), and long transects."""
+    kind = rng.integers(0, 3)
+    if kind == 0:  # random walk
+        n = int(rng.integers(2, 8))
+        start = rng.uniform(-1.5, 1.5, 2)
+        steps = rng.uniform(-0.8, 0.8, (n - 1, 2))
+        return [np.vstack([start, start + np.cumsum(steps, axis=0)])]
+    if kind == 1:  # quarter-lattice polyline (degenerate contact family)
+        n = int(rng.integers(2, 7))
+        return [rng.integers(0, 5, (n, 2)).astype(float) * 0.25]
+    # long transect through the scene
+    ang = rng.uniform(0, 2 * np.pi)
+    c = rng.uniform(-0.5, 0.5, 2)
+    d = np.array([np.cos(ang), np.sin(ang)])
+    return [np.vstack([c - 3 * d, c + 3 * d])]
+
+
+@pytest.mark.parametrize("seed", [11, 911])
+def test_line_length_in_region_fuzz_vs_exact_oracle(seed):
+    rng = np.random.default_rng(seed)
+    tested = nonzero = 0
+    for _ in range(250):
+        g1, _ = _gen_pair(rng)
+        g1 = normalize(g1)
+        if not g1:
+            continue
+        lines = _gen_lines(rng)
+        tested += 1
+        got = line_length_in_region(lines, g1)
+        exp = oracle_line_length_in(lines, g1)
+        tol = 1e-9 * (1.0 + lines_length(lines))
+        assert abs(got - exp) <= tol, (
+            f"seed={seed} got {got} exp {exp} lines="
+            f"{[p.tolist() for p in lines]} "
+            f"geom={[r.tolist() for p in g1 for r in p]}"
+        )
+        assert got <= lines_length(lines) + 1e-9
+        nonzero += exp > 0
+    assert tested >= 240 and 40 < nonzero < tested - 20
+
+
+def test_line_length_deterministic_pins():
+    A = _box(0, 0, 2, 2)
+    diag = [np.array([[-1.0, -1.0], [3.0, 3.0]])]
+    assert line_length_in_region(diag, A) == pytest.approx(2 * np.sqrt(2), rel=1e-12)
+    # boundary-riding counts (closed region), hole interior does not
+    assert line_length_in_region([np.array([[0.0, 0.0], [0.0, 2.0]])], A) == pytest.approx(2.0)
+    holed = [[np.array([[0, 0], [4, 0], [4, 4], [0, 4]], float),
+              np.array([[1, 1], [3, 1], [3, 3], [1, 3]], float)]]
+    assert line_length_in_region([np.array([[0.0, 2.0], [4.0, 2.0]])], holed) == pytest.approx(2.0)
+    # riding the HOLE wall: boundary of the region, still counts
+    assert line_length_in_region([np.array([[1.0, 1.0], [3.0, 1.0]])], holed) == pytest.approx(2.0)
+    assert oracle_line_length_in([np.array([[1.0, 1.0], [3.0, 1.0]])], holed) == pytest.approx(2.0)
+    # fully outside
+    assert line_length_in_region([np.array([[5.0, 5.0], [6.0, 6.0]])], A) == 0.0

@@ -770,3 +770,39 @@ def test_polygon_pair_overlap_measured(spark):
     assert r["inter_area"] == pytest.approx(inter, rel=1e-12)
     assert r["union_area"] == pytest.approx(union, rel=1e-12)
     assert r["iou"] == pytest.approx(inter / union, rel=1e-12)
+
+
+def test_line_zonal_non_box_aoi(spark):
+    """line_zonal through the full Spark path against the driver-side
+    kernel on a triangle AOI (the oracle gate only exercises boxes): a
+    transect crossing the hypotenuse, a line fully inside, one fully
+    outside that still shares cells, and a multi-path MULTILINESTRING."""
+    from gfw_raster_analysis_lambda_spark.operators import lines as line_ops
+
+    tri = [[np.array([[10.05, 20.05], [10.85, 20.05], [10.05, 20.85]])]]
+    transect = [np.array([[10.0, 20.4], [11.0, 20.4]])]
+    inner = [np.array([[10.1, 20.1], [10.3, 20.12]])]
+    outer = [np.array([[10.85, 20.85], [10.99, 20.99]])]
+    multi = [np.array([[10.1, 20.2], [10.2, 20.2]]),
+             np.array([[10.9, 20.9], [10.95, 20.95]])]  # one path in, one out
+    aoi = spark.createDataFrame(
+        [("tri", geo.wkb_dumps(tri))], fixtures.AOI_SCHEMA
+    )
+    ldf = spark.createDataFrame(
+        [("transect", geo.wkb_dumps_lines(transect)),
+         ("inner", geo.wkb_dumps_lines(inner)),
+         ("outer", geo.wkb_dumps_lines(outer)),
+         ("multi", geo.wkb_dumps_lines(multi))],
+        "line_id string, geom_wkb binary",
+    )
+    got = {r["line_id"]: r["length_deg"]
+           for r in line_ops.line_zonal(ldf, aoi, GRID_NAME).collect()}
+    assert set(got) == {"transect", "inner", "multi"}
+    for name, lines in (("transect", transect), ("inner", inner), ("multi", multi)):
+        exp = geo.line_length_in_region(lines, tri)
+        assert got[name] == pytest.approx(exp, rel=1e-12), name
+    # WKB roundtrip both endiannesses of the reader's own output
+    rt = geo.wkb_loads_lines(geo.wkb_dumps_lines(multi))
+    assert len(rt) == 2 and all(
+        np.array_equal(a, b) for a, b in zip(rt, multi)
+    )
