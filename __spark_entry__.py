@@ -180,6 +180,14 @@ m AS (
 _COV_BOX = (10.0031, 20.2517, 10.3577, 20.6113)
 
 
+def _snap_pt(k: int) -> tuple:
+    """Deterministic snap-gate point #k (fractional, non-lattice)."""
+    return (
+        10.02 + 0.067 * (k % 11) + 0.0029 * (k % 7),
+        20.03 + 0.059 * (k % 13) + 0.0041 * (k % 5),
+    )
+
+
 def _line_pts(k: int) -> list:
     """Deterministic gate polyline #k: horizontal / vertical / 3-point
     diagonal families on fractional (non-lattice) coordinates inside the
@@ -455,6 +463,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "aoi_id", "line_id", F.round("length_deg", 6).alias("length_deg")
         )
     q["spatial_line_zonal"] = spatial_line_zonal
+
+    def spatial_snap_points(spark, sf_dir):
+        # point -> nearest-line snap (map-matching's first half): ring
+        # cell equi-join candidates, exact clamped point-segment
+        # distance in the SAME IEEE operation order as the DuckDB twin —
+        # dist2 and the snap coordinates compare raw, no rounding
+        import numpy as np
+
+        from gfw_raster_analysis_lambda_spark.functions import geometry as _geo
+        from gfw_raster_analysis_lambda_spark.operators import lines as _lines
+
+        line_rows = [
+            (f"l{k:02d}", _geo.wkb_dumps_lines([np.asarray(_line_pts(k), dtype=float)]))
+            for k in range(14)
+        ]
+        ldf = spark.createDataFrame(line_rows, "line_id string, geom_wkb binary")
+        pdf = spark.createDataFrame(
+            [(f"g{k:02d}", *_snap_pt(k)) for k in range(30)],
+            "point_id string, lon double, lat double",
+        )
+        return _lines.snap_points_to_lines(pdf, ldf, 0.15, GRID.name)
+    q["spatial_snap_points"] = spatial_snap_points
 
     def zonal_hole_group_sum(spark, sf_dir):
         # polygon WITH HOLE: the even-odd rasterizer's hole handling
@@ -2845,6 +2875,46 @@ c AS (
 )
 SELECT aoi_id, line_id, ROUND(SUM(len), 6) AS length_deg
 FROM c GROUP BY aoi_id, line_id HAVING SUM(len) > 0
+"""
+
+    _segi_vals = ", ".join(
+        "('l{:02d}', {}, CAST({!r} AS DOUBLE), CAST({!r} AS DOUBLE), "
+        "CAST({!r} AS DOUBLE), CAST({!r} AS DOUBLE))".format(
+            k, s, *_line_pts(k)[s], *_line_pts(k)[s + 1]
+        )
+        for k in range(14)
+        for s in range(len(_line_pts(k)) - 1)
+    )
+    _pt_vals = ", ".join(
+        "('g{:02d}', CAST({!r} AS DOUBLE), CAST({!r} AS DOUBLE))".format(
+            k, *_snap_pt(k)
+        )
+        for k in range(30)
+    )
+    o["spatial_snap_points"] = f"""
+WITH seg(line_id, seg, x1, y1, x2, y2) AS (VALUES {_segi_vals}),
+pt(point_id, px, py) AS (VALUES {_pt_vals}),
+c AS (
+  SELECT point_id, line_id, seg, px, py, x1, y1,
+         x2 - x1 AS dx, y2 - y1 AS dy,
+         LEAST(1.0, GREATEST(0.0,
+           ((px - x1) * (x2 - x1) + (py - y1) * (y2 - y1))
+             / ((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)))) AS tc
+  FROM pt CROSS JOIN seg
+),
+e AS (
+  SELECT point_id, line_id, seg,
+         (px - (x1 + tc * dx)) * (px - (x1 + tc * dx))
+           + (py - (y1 + tc * dy)) * (py - (y1 + tc * dy)) AS dist2,
+         x1 + tc * dx AS snap_lon, y1 + tc * dy AS snap_lat
+  FROM c
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY point_id ORDER BY dist2, line_id, seg) AS rn
+  FROM e WHERE dist2 <= CAST({0.15 * 0.15!r} AS DOUBLE)
+)
+SELECT point_id, line_id, dist2, snap_lon, snap_lat FROM r WHERE rn = 1
 """
 
     _covf = fixtures.PIXEL_SQL["tcl_year"].format(x="x", y="y", i="i", j="j")

@@ -806,3 +806,52 @@ def test_line_zonal_non_box_aoi(spark):
     assert len(rt) == 2 and all(
         np.array_equal(a, b) for a, b in zip(rt, multi)
     )
+
+
+def test_snap_points_to_lines_matches_bruteforce(spark):
+    """snap_points_to_lines (ring-cell candidates + windowed pick) vs a
+    driver-side brute force over ALL lines — candidate generation must
+    be complete within the radius; clamped endpoints and the
+    (dist2, line_id) tie-break must match."""
+    from gfw_raster_analysis_lambda_spark.operators import lines as line_ops
+
+    rng = np.random.default_rng(17)
+    lines = {}
+    for k in range(8):
+        n = int(rng.integers(2, 5))
+        pts = np.column_stack([
+            rng.uniform(10.05, 10.95, n), rng.uniform(20.05, 20.95, n)
+        ])
+        lines[f"l{k}"] = [pts]
+    pdf_rows = [
+        (f"p{k}", float(rng.uniform(10.0, 11.0)), float(rng.uniform(20.0, 21.0)))
+        for k in range(40)
+    ]
+    radius = 0.12
+    ldf = spark.createDataFrame(
+        [(lid, geo.wkb_dumps_lines(ls)) for lid, ls in lines.items()],
+        "line_id string, geom_wkb binary",
+    )
+    pdf = spark.createDataFrame(pdf_rows, "point_id string, lon double, lat double")
+    got = {
+        r["point_id"]: (r["line_id"], r["dist2"])
+        for r in line_ops.snap_points_to_lines(pdf, ldf, radius, GRID_NAME).collect()
+    }
+
+    def seg_d2(px, py, e):
+        x1, y1, x2, y2 = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
+        dx, dy = x2 - x1, y2 - y1
+        t = ((px - x1) * dx + (py - y1) * dy) / (dx * dx + dy * dy)
+        tc = np.minimum(1.0, np.maximum(0.0, t))
+        qx, qy = x1 + tc * dx, y1 + tc * dy
+        return float(((px - qx) ** 2 + (py - qy) ** 2).min())
+
+    exp = {}
+    for pid, px, py in pdf_rows:
+        best = min(
+            ((seg_d2(px, py, geo.line_edges(ls)), lid) for lid, ls in lines.items()),
+        )
+        if best[0] <= radius * radius:
+            exp[pid] = (best[1], best[0])
+    assert got == exp
+    assert len(exp) > 10  # the fixture must actually exercise snapping
