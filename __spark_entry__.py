@@ -1309,6 +1309,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["mm_reproject_stats"] = mm_reproject_stats
 
+    def mm_reproject_bilinear(spark, sf_dir):
+        # gdalwarp -r bilinear with a cross-seam HALO (border src tiles
+        # duplicated to adjacent dst groups; absent halo = per-axis edge
+        # replication): exact int64 4-corner numerators over den^2, one
+        # division, float32 tiles — the twin regenerates every output
+        # pixel bit-for-bit through the final float32, compared as
+        # scaled integers
+        import pandas as _pd
+
+        from gfw_raster_analysis_lambda_spark.functions import codecs as _codecs
+        from gfw_raster_analysis_lambda_spark.functions import grid as _G
+        from gfw_raster_analysis_lambda_spark.operators.reproject import (
+            reproject_bilinear,
+        )
+
+        src = _G.get_grid("4/1024")
+        cs = src.chunk_px
+        keys = [
+            (sx, sy)
+            for ddx, ddy in _REPRO_DST_CELLS
+            for sy in range(ddy * 4, ddy * 4 + 4)
+            for sx in range(ddx * 4, ddx * 4 + 4)
+        ]
+
+        def synth(batches):
+            import numpy as _np
+
+            for pdf in batches:
+                rows = []
+                for sx, sy in zip(pdf["sx"].astype(int), pdf["sy"].astype(int)):
+                    j = _np.arange(cs, dtype=_np.int64)
+                    gx = (sx * cs + j)[None, :]
+                    gy = (sy * cs + j)[:, None]
+                    tile = ((3 * gx + 5 * gy) % 241).astype(_np.uint8)
+                    cell = int(_G.cell_from_xy(src, int(sx), int(sy)))
+                    rows.append((
+                        f"tcl_year/{cell:016x}",
+                        _codecs.encode_tile(tile, "png"), cs, cs, "png",
+                    ))
+                yield _pd.DataFrame(
+                    rows, columns=["image_id", "bytes", "w", "h", "fmt"]
+                )
+
+        kdf = spark.createDataFrame(keys, "sx int, sy int").repartition(8)
+        images = kdf.mapInPandas(
+            synth, "image_id string, bytes binary, w int, h int, fmt string"
+        )
+        out = reproject_bilinear(images, "4/1024", "1/250")
+
+        def stats(batches):
+            import numpy as _np
+
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    arr = _codecs.decode_tile(
+                        bytes(r.bytes), int(r.w), int(r.h), str(r.fmt)
+                    )
+                    # float32 * 1e6 is exact in float64 (<= 38 mantissa
+                    # bits), so the scaled int is deterministic
+                    sc = _np.floor(
+                        arr.astype(_np.float64) * 1e6 + 0.5
+                    ).astype(_np.int64)
+                    cx, cy = (int(v) for v in _G.cell_to_xy(int(r.cell_id)))
+                    rows.append((cx, cy, int(sc.sum()), int(sc.min()),
+                                 int(sc.max())))
+                yield _pd.DataFrame(
+                    rows,
+                    columns=["cell_x", "cell_y", "pxs_sum", "pxs_min", "pxs_max"],
+                )
+
+        return out.mapInPandas(
+            stats,
+            "cell_x int, cell_y int, pxs_sum long, pxs_min long, pxs_max long",
+        )
+    q["mm_reproject_bilinear"] = mm_reproject_bilinear
+
     def mm_shard_index(spark, sf_dir):
         # WebDataset-style training-shard layout: md5-uniform shard
         # assignment + per-item byte offsets (running sum of payload
@@ -3697,6 +3774,55 @@ SELECT CAST(cx AS INT) AS cell_x, CAST(cy AS INT) AS cell_y,
        CAST(MIN((3 * sgx + 5 * sgy) % 241) AS INT) AS px_min,
        CAST(MAX((3 * sgx + 5 * sgy) % 241) AS INT) AS px_max
 FROM px GROUP BY cx, cy
+"""
+
+    # bilinear twin: exact int64 A = (2*g+1)*1024 - 1000, p0 = A // 2000,
+    # weight numerators A % 2000; 4-corner values via the present/clamp
+    # rule (present = the corner's src tile is in the synthesized set,
+    # else per-axis clamp into the dst cell's own range); numerator /
+    # 4e6 cast through REAL reproduces the engine's float32 pixels
+    def _bil_v(xe: str, ye: str) -> str:
+        pres = " OR ".join(
+            f"(({xe}) // 256 = {cx} AND ({ye}) // 256 = {cy})"
+            for cx, cy in _REPRO_DST_CELLS
+        )
+        xc = f"LEAST(GREATEST({xe}, cx * 256), cx * 256 + 255)"
+        yc = f"LEAST(GREATEST({ye}, cy * 256), cy * 256 + 255)"
+        return (
+            f"(CASE WHEN {pres} THEN (3 * ({xe}) + 5 * ({ye})) % 241 "
+            f"ELSE (3 * ({xc}) + 5 * ({yc})) % 241 END)"
+        )
+
+    o["mm_reproject_bilinear"] = f"""
+WITH cells(cx, cy) AS (VALUES {repro_vals}),
+q AS (
+  SELECT c.cx, c.cy,
+         ((2 * (c.cx * 250 + gj.j) + 1) * 1024 - 1000) // 2000 AS p0x,
+         ((2 * (c.cy * 250 + gi.i) + 1) * 1024 - 1000) // 2000 AS p0y,
+         ((2 * (c.cx * 250 + gj.j) + 1) * 1024 - 1000) % 2000 AS wx1,
+         ((2 * (c.cy * 250 + gi.i) + 1) * 1024 - 1000) % 2000 AS wy1
+  FROM cells c,
+       generate_series(0, 249) gi(i), generate_series(0, 249) gj(j)
+),
+n AS (
+  SELECT cx, cy,
+    {_bil_v("p0x", "p0y")} * (2000 - wy1) * (2000 - wx1)
+    + {_bil_v("p0x + 1", "p0y")} * (2000 - wy1) * wx1
+    + {_bil_v("p0x", "p0y + 1")} * wy1 * (2000 - wx1)
+    + {_bil_v("p0x + 1", "p0y + 1")} * wy1 * wx1 AS numer
+  FROM q
+),
+v AS (
+  SELECT cx, cy,
+    CAST(FLOOR(CAST(CAST(CAST(numer AS DOUBLE) / 4000000.0 AS REAL) AS DOUBLE)
+               * 1000000.0 + 0.5) AS BIGINT) AS sc
+  FROM n
+)
+SELECT CAST(cx AS INT) AS cell_x, CAST(cy AS INT) AS cell_y,
+       CAST(SUM(sc) AS BIGINT) AS pxs_sum,
+       CAST(MIN(sc) AS BIGINT) AS pxs_min,
+       CAST(MAX(sc) AS BIGINT) AS pxs_max
+FROM v GROUP BY cx, cy
 """
 
     cc_px_vals = ", ".join(f"({gx}, {gy})" for gx, gy in _cc_pixel_pts())

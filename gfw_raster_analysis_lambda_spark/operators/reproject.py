@@ -136,3 +136,162 @@ def reproject_nearest(
         .groupBy("layer", "__dst_cell")
         .applyInPandas(assemble, schema)
     )
+
+
+def reproject_bilinear(
+    images: DataFrame,
+    src_grid: str,
+    dst_grid: str,
+    fill: float = 0,
+) -> DataFrame:
+    """``gdalwarp -r bilinear``: re-tile onto ``dst_grid`` with each
+    destination pixel the bilinearly weighted average of the 4 source
+    pixel centers around it. Same one-shuffle plan as
+    :func:`reproject_nearest` plus a HALO: a source tile on its
+    destination cell's border is ALSO shipped to the adjacent
+    destination group(s) (corner tiles to 3), so interpolation across
+    destination-cell seams uses the true neighbor pixels — no per-chunk
+    edge artifacts; duplication factor is (k+1)^2/k^2. Where the halo
+    pixel's source tile is absent (corpus edge / missing tile), the
+    mosaic edge replicates (per-axis clamp — `gdalwarp`'s source-extent
+    edge behavior); missing interior tiles fill with ``fill``, the
+    engine's standard missing-tile tolerance.
+
+    EXACT-INTEGER interpolation: with rational grids the fractional
+    position of a destination center between source centers is
+    A/den with ``A = (2*dst_px + 1)*num - den//2`` (int64), so the
+    4-corner weighted sum is computed as an int64 NUMERATOR over den^2
+    and divided exactly once — a DuckDB twin regenerates every output
+    pixel bit-for-bit (through the final float32). Output tiles are
+    ``raw_f32``."""
+    src, dst = G.get_grid(src_grid), G.get_grid(dst_grid)
+    ratio = dst.tile_deg / src.tile_deg
+    k = int(round(ratio))
+    if abs(ratio - k) > 1e-9 or k < 1:
+        raise ValueError("dst cell must be an integer multiple of src cell")
+    from ..sources.images import with_derived_keys
+
+    if "cell_id" not in images.columns or "layer" not in images.columns:
+        images = with_derived_keys(images)
+
+    cs, cd = src.chunk_px, dst.chunk_px
+    num = dst.degrees * src.pixels
+    den = 2 * dst.pixels * src.degrees
+    if int(num) != num or int(den) != den or int(den) % 2:
+        raise ValueError("grid degrees/pixels must be integers, den even")
+    num, den = int(num), int(den)
+    half = den // 2
+    xb, yb = G._X_BITS, G._Y_BITS
+    mask = G._XY_MASK
+
+    sx = F.shiftright("cell_id", yb).bitwiseAND(F.lit(mask))
+    sy = F.col("cell_id").bitwiseAND(F.lit(mask))
+    dxc, dyc = (sx / k).cast("long"), (sy / k).cast("long")
+    rx, ry = sx - dxc * F.lit(k), sy - dyc * F.lit(k)
+    hi_bits = F.lit(int(dst.index)).cast("long") * F.lit(1 << (xb + yb))
+
+    def _pack(ddx, ddy):
+        return hi_bits + F.shiftleft(ddx, yb) + ddy
+
+    cands = [F.struct(_pack(dxc, dyc).alias("c"), F.lit(True).alias("own"))]
+    for ox in (-1, 0, 1):
+        for oy in (-1, 0, 1):
+            if ox == 0 and oy == 0:
+                continue
+            on_border = F.lit(True)
+            if ox == -1:
+                on_border = on_border & (rx == 0)
+            if ox == 1:
+                on_border = on_border & (rx == k - 1)
+            if oy == -1:
+                on_border = on_border & (ry == 0)
+            if oy == 1:
+                on_border = on_border & (ry == k - 1)
+            tx, ty = dxc + ox, dyc + oy
+            in_grid = (
+                (tx >= 0) & (tx < dst.nx) & (ty >= 0) & (ty < dst.ny)
+            )
+            cands.append(
+                F.when(
+                    on_border & in_grid,
+                    F.struct(_pack(tx, ty).alias("c"), F.lit(False).alias("own")),
+                ).otherwise(F.lit(None))
+            )
+    keyed = (
+        images.withColumn(
+            "__t", F.explode(F.filter(F.array(*cands), lambda c: c.isNotNull()))
+        )
+        .withColumn("__dst_cell", F.col("__t.c"))
+        .withColumn("__own", F.col("__t.own"))
+        .drop("__t")
+    )
+
+    schema = (
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "layer string, cell_id long"
+    )
+    kcs = k * cs
+
+    def assemble(key, pdf):
+        layer, dst_cell = str(key[0]), int(key[1])
+        if not bool(pdf["__own"].any()):
+            # halo-only group: this destination cell has no source data
+            return pd.DataFrame(
+                columns=["image_id", "bytes", "w", "h", "fmt", "layer", "cell_id"]
+            )
+        dx, dy = (int(v) for v in G.cell_to_xy(dst_cell))
+        canvas = np.full((kcs + 2, kcs + 2), -1, dtype=np.int64)
+        canvas[1:-1, 1:-1] = int(fill)
+        for r in pdf.itertuples(index=False):
+            tx, ty = (int(v) for v in G.cell_to_xy(int(r.cell_id)))
+            relx, rely = tx - dx * k, ty - dy * k
+            arr = codecs.decode_tile(
+                bytes(r.bytes), int(r.w), int(r.h), str(r.fmt)
+            ).astype(np.int64)
+            y0, x0 = 1 + rely * cs, 1 + relx * cs
+            ys, ye = max(0, y0), min(kcs + 2, y0 + cs)
+            xs, xe = max(0, x0), min(kcs + 2, x0 + cs)
+            if ys < ye and xs < xe:
+                canvas[ys:ye, xs:xe] = arr[ys - y0:ye - y0, xs - x0:xe - x0]
+        # unfilled halo cells replicate the clamped interior (per-axis)
+        hole = canvas == -1
+        if hole.any():
+            iy, ix = np.nonzero(hole)
+            canvas[iy, ix] = canvas[np.clip(iy, 1, kcs), np.clip(ix, 1, kcs)]
+
+        jj = np.arange(cd, dtype=np.int64)
+        ax = (2 * (dx * cd + jj) + 1) * num - half
+        ay = (2 * (dy * cd + jj) + 1) * num - half
+        p0x = ax // den - dx * kcs  # local src px of the left neighbor
+        p0y = ay // den - dy * kcs
+        wx1, wy1 = ax % den, ay % den
+        wx0, wy0 = den - wx1, den - wy1
+        cx0 = np.clip(p0x + 1, 0, kcs + 1)     # canvas indices
+        cx1 = np.clip(p0x + 2, 0, kcs + 1)
+        cy0 = np.clip(p0y + 1, 0, kcs + 1)
+        cy1 = np.clip(p0y + 2, 0, kcs + 1)
+        v00 = canvas[np.ix_(cy0, cx0)]
+        v01 = canvas[np.ix_(cy0, cx1)]
+        v10 = canvas[np.ix_(cy1, cx0)]
+        v11 = canvas[np.ix_(cy1, cx1)]
+        numer = (
+            v00 * (wy0[:, None] * wx0[None, :])
+            + v01 * (wy0[:, None] * wx1[None, :])
+            + v10 * (wy1[:, None] * wx0[None, :])
+            + v11 * (wy1[:, None] * wx1[None, :])
+        )
+        out = (numer.astype(np.float64) / float(den * den)).astype(np.float32)
+        payload = codecs.encode_tile(np.ascontiguousarray(out), "raw_f32")
+        return pd.DataFrame(
+            [(f"{layer}/{dst_cell:016x}", payload, cd, cd, "raw_f32",
+              layer, dst_cell)],
+            columns=["image_id", "bytes", "w", "h", "fmt", "layer", "cell_id"],
+        )
+
+    return (
+        keyed.select(
+            "layer", "__dst_cell", "__own", "cell_id", "bytes", "w", "h", "fmt"
+        )
+        .groupBy("layer", "__dst_cell")
+        .applyInPandas(assemble, schema)
+    )

@@ -702,3 +702,123 @@ def test_coverage_zonal_beats_center_containment_on_thin_aoi(spark):
     assert r["cov_px"] == pytest.approx(true_px, rel=0.3)
     assert r["n_full"] == 0 and r["n_any"] >= 40
     assert r["cov_px"] == r["cov_sub"] / 16.0  # the exact-integer core
+
+
+# ---------------------------------------------------------------------------
+# Bilinear reprojection (operators/reproject.py reproject_bilinear)
+# ---------------------------------------------------------------------------
+
+
+def _bilinear_reference(value_of, dx, dy, present):
+    """Global-mosaic bilinear reference, independent indexing: dst cell
+    (dx, dy) on 1/250 over src 4/1024. value_of(X, Y) gives the source
+    pixel; present(X, Y) says whether its tile exists; absent corners
+    clamp per axis into the dst cell's own range."""
+    cd, num, den = 250, 1024, 2000
+    out = np.zeros((cd, cd), dtype=np.float32)
+    for i in range(cd):
+        ay = (2 * (dy * cd + i) + 1) * num - den // 2
+        p0y, wy1 = ay // den, ay % den
+        for j in range(cd):
+            ax = (2 * (dx * cd + j) + 1) * num - den // 2
+            p0x, wx1 = ax // den, ax % den
+            acc = 0
+            for (X, Y, w) in (
+                (p0x, p0y, (den - wy1) * (den - wx1)),
+                (p0x + 1, p0y, (den - wy1) * wx1),
+                (p0x, p0y + 1, wy1 * (den - wx1)),
+                (p0x + 1, p0y + 1, wy1 * wx1),
+            ):
+                if present(X, Y):
+                    v = value_of(X, Y)
+                else:
+                    Xc = min(max(X, dx * 256), dx * 256 + 255)
+                    Yc = min(max(Y, dy * 256), dy * 256 + 255)
+                    v = value_of(Xc, Yc)
+                acc += v * w
+            out[i, j] = np.float32(acc / float(den * den))
+    return out
+
+
+def _repro_images(spark, dst_cells):
+    from gfw_raster_analysis_lambda_spark.functions import codecs, grid as G
+
+    src = G.get_grid("4/1024")
+    cs = src.chunk_px
+    rows = []
+    for ddx, ddy in dst_cells:
+        for sy in range(ddy * 4, ddy * 4 + 4):
+            for sx in range(ddx * 4, ddx * 4 + 4):
+                j = np.arange(cs, dtype=np.int64)
+                gx, gy = (sx * cs + j)[None, :], (sy * cs + j)[:, None]
+                tile = ((3 * gx + 5 * gy) % 241).astype(np.uint8)
+                cell = int(G.cell_from_xy(src, sx, sy))
+                rows.append((f"tcl_year/{cell:016x}",
+                             codecs.encode_tile(tile, "png"), cs, cs, "png"))
+    return spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+
+
+def test_reproject_bilinear_matches_global_reference(spark):
+    """Two ADJACENT dst cells: every output pixel — including the seam
+    column, whose right neighbors live in the other cell's source tiles
+    — must equal the global bilinear reference. Proves the halo
+    duplication actually ships the cross-seam pixels."""
+    from gfw_raster_analysis_lambda_spark.functions import codecs, grid as G
+    from gfw_raster_analysis_lambda_spark.operators.reproject import (
+        reproject_bilinear,
+    )
+
+    cells = [(40, 9), (41, 9)]
+    out = reproject_bilinear(_repro_images(spark, cells), "4/1024", "1/250")
+    got = {
+        tuple(int(v) for v in G.cell_to_xy(int(r["cell_id"]))):
+            codecs.decode_tile(bytes(r["bytes"]), r["w"], r["h"], r["fmt"])
+        for r in out.collect()
+    }
+    assert set(got) == set(cells)
+    tile_set = {(sx, sy) for dx, dy in cells
+                for sy in range(dy * 4, dy * 4 + 4)
+                for sx in range(dx * 4, dx * 4 + 4)}
+
+    def value_of(X, Y):
+        return (3 * X + 5 * Y) % 241
+
+    def present(X, Y):
+        return (X // 64, Y // 64) in tile_set
+
+    for dx, dy in cells:
+        ref = _bilinear_reference(value_of, dx, dy, present)
+        assert np.array_equal(got[(dx, dy)], ref), (dx, dy)
+    # the equality above includes the left cell's LAST dst column, whose
+    # right interpolation neighbors live in the other cell's source
+    # tiles — with a fill/clamp seam instead of the halo it would differ by
+    # up to a full source-pixel step, so exact equality IS the seam test
+
+
+def test_reproject_bilinear_constant_field_and_halo_only_groups(spark):
+    """Bilinear of a constant field is exactly the constant everywhere
+    (weights sum to den^2), and halo-only destination groups (borders of
+    the synthesized region) must produce NO output tiles."""
+    from gfw_raster_analysis_lambda_spark.functions import codecs, grid as G
+    from gfw_raster_analysis_lambda_spark.operators.reproject import (
+        reproject_bilinear,
+    )
+
+    src = G.get_grid("4/1024")
+    cs = src.chunk_px
+    rows = []
+    for sy in range(9 * 4, 9 * 4 + 4):
+        for sx in range(40 * 4, 40 * 4 + 4):
+            tile = np.full((cs, cs), 7, dtype=np.uint8)
+            cell = int(G.cell_from_xy(src, sx, sy))
+            rows.append((f"tcl_year/{cell:016x}",
+                         codecs.encode_tile(tile, "png"), cs, cs, "png"))
+    images = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    out = reproject_bilinear(images, "4/1024", "1/250").collect()
+    assert len(out) == 1  # neighbors got halo tiles but emit nothing
+    arr = codecs.decode_tile(bytes(out[0]["bytes"]), 250, 250, "raw_f32")
+    assert np.array_equal(arr, np.full((250, 250), 7.0, dtype=np.float32))
