@@ -1077,6 +1077,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["cc_blob_geometry"] = cc_blob_geometry
 
+    def cc_blob_perimeter(spark, sf_dir):
+        # per-blob 4-boundary perimeter (perimeter=True): 4*n - 2*adj
+        # with internal adjacencies counted in-kernel and cross-tile
+        # adjacencies subtracted via a strict-position strip meet; the
+        # E/W- and S/N-spanning blobs exercise the cross-tile term
+        import numpy as np
+
+        from gfw_raster_analysis_lambda_spark.functions import codecs
+        from gfw_raster_analysis_lambda_spark.operators import components
+
+        chunk = GRID.chunk_px
+        world = np.zeros((2 * chunk, 2 * chunk), dtype=np.uint8)
+        for gx, gy in _cc_pixel_pts():
+            world[gy, gx] = 7
+        rows = []
+        for dx in range(2):
+            for dy in range(2):
+                arr = world[dy * chunk:(dy + 1) * chunk, dx * chunk:(dx + 1) * chunk]
+                cell = int(_G.cell_from_xy(GRID, X0 + dx, Y0 + dy))
+                rows.append(("blob", cell, codecs.encode_tile(
+                    np.ascontiguousarray(arr), "png"), chunk, chunk, "png"))
+        df = spark.createDataFrame(
+            rows, "layer string, cell_id long, bytes binary, w int, h int, fmt string"
+        )
+        out = components.pixel_components(
+            df, "blob", [7], GRID.name, diagonal=True, perimeter=True
+        )
+        return out.select("min_cell", "n_px", "perim_px")
+    q["cc_blob_perimeter"] = cc_blob_perimeter
+
     def mm_audio_features(spark, sf_dir):
         # REAL WAV/PCM decode (stdlib wave) in an Arrow-batched kernel;
         # corpus = deterministic PCM16 sine waves whose quantized samples
@@ -3850,6 +3880,41 @@ comp AS (SELECT src AS pid, MIN(dst) AS component FROM r GROUP BY src)
 SELECT MIN(n.cell_id) AS min_cell, CAST(COUNT(*) AS BIGINT) AS n_px,
        CAST(COUNT(DISTINCT n.cell_id) AS BIGINT) AS n_cells
 FROM comp JOIN n USING (pid)
+GROUP BY comp.component
+"""
+
+    o["cc_blob_perimeter"] = f"""
+WITH RECURSIVE p(gx, gy) AS (VALUES {cc_px_vals}),
+n AS (
+  SELECT gx, gy, gx * 100000 + gy AS pid,
+         CAST({GRID.index << 54} AS BIGINT)
+           + CAST({X0} + gx // {chunk} AS BIGINT) * {1 << 27}
+           + ({Y0} + gy // {chunk}) AS cell_id
+  FROM p
+),
+e AS (
+  SELECT a.pid AS a, b.pid AS b
+  FROM n a JOIN n b
+    ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1 AND a.pid != b.pid
+),
+r(src, dst) AS (
+  SELECT pid, pid FROM n
+  UNION
+  SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a
+),
+comp AS (SELECT src AS pid, MIN(dst) AS component FROM r GROUP BY src),
+adj AS (
+  SELECT comp.component, COUNT(*) AS n4
+  FROM n a JOIN n b
+    ON (b.gx = a.gx + 1 AND b.gy = a.gy)
+    OR (b.gx = a.gx AND b.gy = a.gy + 1)
+  JOIN comp ON comp.pid = a.pid
+  GROUP BY comp.component
+)
+SELECT MIN(n.cell_id) AS min_cell, CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(4 * COUNT(*) - 2 * COALESCE(MIN(adj.n4), 0) AS BIGINT) AS perim_px
+FROM comp JOIN n USING (pid)
+LEFT JOIN adj ON adj.component = comp.component
 GROUP BY comp.component
 """
 

@@ -228,6 +228,7 @@ def pixel_components(
     max_iter: int = 30,
     aoi_df: DataFrame | None = None,
     geom_stats: bool = False,
+    perimeter: bool = False,
 ) -> DataFrame:
     """Connected components of the pixels whose value is in
     ``in_values``, ACROSS tile boundaries — the distributed form of
@@ -258,7 +259,16 @@ def pixel_components(
     AFTER the merge so the kernel stays integer-exact). All six are
     associative min/max/sum aggregates, so they merge through the same
     stitch with zero extra shuffle rows — each per-label kernel row just
-    carries six more int64 columns."""
+    carries six more int64 columns.
+
+    ``perimeter=True`` adds ``perim_px``, the 4-boundary perimeter in
+    pixel-edge units (the landscape-metrics edge length behind shape
+    index / edge density): per label the kernel counts 4*n_px minus 2
+    per INTERNAL 4-adjacency — exact within the tile — and each
+    CROSS-TILE 4-adjacency (a strict-position strip meet, one row per
+    adjacent pixel pair, already O(boundary pixels)) subtracts 2 more
+    at merge time. Both pixels of a 4-adjacency are always in the same
+    component, so the correction aggregates per component exactly."""
     import pandas as pd
 
     from ..functions import codecs
@@ -332,6 +342,14 @@ def pixel_components(
                 np.minimum.at(mny, ls, gys)
                 np.maximum.at(mxx, ls, gxs)
                 np.maximum.at(mxy, ls, gys)
+                # internal 4-adjacencies per label (adjacent foreground
+                # pixels are always the same label, under 4- OR 8-conn
+                # labeling, so either endpoint indexes the bincount)
+                adj = np.zeros(nl, np.int64)
+                hp = mask[:, 1:] & mask[:, :-1]
+                np.add.at(adj, lab[:, :-1][hp].astype(np.int64), 1)
+                vp = mask[1:, :] & mask[:-1, :]
+                np.add.at(adj, lab[:-1, :][vp].astype(np.int64), 1)
                 for i in range(1, nl):
                     if cnt[i]:
                         out_counts.append((
@@ -339,6 +357,7 @@ def pixel_components(
                             int(sgx[i]), int(sgy[i]),
                             int(mnx[i]), int(mny[i]),
                             int(mxx[i]), int(mxy[i]),
+                            int(4 * cnt[i] - 2 * adj[i]),
                         ))
                 h, w = lab.shape
                 for side, vec, elen in (("N", lab[0, :], w), ("S", lab[-1, :], w),
@@ -346,7 +365,7 @@ def pixel_components(
                     pos = np.flatnonzero(vec)
                     for p in pos.tolist():
                         out_strips.append((aoi_id, cell, side, p, int(vec[p]), elen))
-        gcols = ["sgx", "sgy", "mnx", "mny", "mxx", "mxy"]
+        gcols = ["sgx", "sgy", "mnx", "mny", "mxx", "mxy", "pm"]
         counts = pd.DataFrame(
             out_counts, columns=["aoi", "cell_id", "label", "n_px"] + gcols
         )
@@ -370,7 +389,7 @@ def pixel_components(
             kernel,
             "kind int, aoi string, cell_id long, label int, v long, "
             "side string, pos int, elen int, sgx long, sgy long, "
-            "mnx long, mny long, mxx long, mxy long",
+            "mnx long, mny long, mxx long, mxy long, pm long",
         ).persist()
 
         node = F.conv(
@@ -381,7 +400,7 @@ def pixel_components(
         # `rows` is unpersisted below
         counts = rows.filter(F.col("kind") == 0).select(
             "aoi", "cell_id", "label", F.col("v").alias("n_px"), node.alias("id"),
-            "sgx", "sgy", "mnx", "mny", "mxx", "mxy",
+            "sgx", "sgy", "mnx", "mny", "mxx", "mxy", "pm",
         ).localCheckpoint(eager=True)
         strips = rows.filter(F.col("kind") == 1).select(
             "aoi", "cell_id", "side", "pos", "elen", "label", node.alias("id")
@@ -390,7 +409,7 @@ def pixel_components(
         # adjacency between strips: my E edge meets the W edge of the cell one
         # x-step east (cell_id + (1 << yb)), my S edge meets the N edge of the
         # cell one y-step south (cell_id + 1); positions equal (or ±1 diagonal)
-        def meet(side_a, side_b, delta):
+        def meet(side_a, side_b, delta, strict=False):
             a = strips.filter(F.col("side") == side_a).select(
                 "aoi",
                 (F.col("cell_id") + F.lit(delta)).alias("cell_id"),
@@ -401,7 +420,7 @@ def pixel_components(
                 F.col("pos").alias("pos_b"), F.col("id").alias("ib"),
             )
             cond = (a.cell_id == b.cell_id) & (a.aoi == F.col("aoi_b")) & (
-                (F.abs(a.pos - F.col("pos_b")) <= 1) if diagonal
+                (F.abs(a.pos - F.col("pos_b")) <= 1) if (diagonal and not strict)
                 else (a.pos == F.col("pos_b"))
             )
             return a.join(b, cond).select(F.col("ia").alias("a"), F.col("ib").alias("b"))
@@ -433,6 +452,29 @@ def pixel_components(
             edges = edges.unionByName(corner(False, -(1 << yb) + 1))  # SW diagonal
         edges = edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
 
+        if perimeter:
+            # one row per cross-tile 4-adjacent pixel pair (strict
+            # position equality even under diagonal labeling: perimeter
+            # is always the 4-boundary); -2 attributed via the west/
+            # north endpoint's label node
+            cross = meet("E", "W", 1 << yb, strict=True).unionByName(
+                meet("S", "N", 1, strict=True)
+            )
+            crossn = cross.groupBy("a").count().select(
+                F.col("a").alias("id"), F.col("count").alias("__xadj")
+            )
+            counts = (
+                counts.join(crossn, "id", "left")
+                .withColumn(
+                    "pm",
+                    F.col("pm") - 2 * F.coalesce(F.col("__xadj"), F.lit(0)),
+                )
+                .drop("__xadj")
+                # re-truncate: the join pulled the strips lineage (and with
+                # it the decode+label kernel) back under the returned frame,
+                # which must stay valid after rows.unpersist()
+                .localCheckpoint(eager=True)
+            )
         labels = hash_to_min(counts.select("id"), edges, max_iter)
         keys = (["aoi"] if per_aoi else []) + ["component"]
         aggs = [
@@ -444,6 +486,8 @@ def pixel_components(
             # twin verify the labeling cross-engine
             F.min("cell_id").alias("min_cell"),
         ]
+        if perimeter:
+            aggs += [F.sum("pm").alias("perim_px")]
         if geom_stats:
             aggs += [
                 F.sum("sgx").alias("sum_gx"), F.sum("sgy").alias("sum_gy"),

@@ -855,3 +855,71 @@ def test_snap_points_to_lines_matches_bruteforce(spark):
             exp[pid] = (best[1], best[0])
     assert got == exp
     assert len(exp) > 10  # the fixture must actually exercise snapping
+
+
+def test_pixel_components_perimeter_cross_tile(spark):
+    """perim_px against a brute-force whole-world numpy computation on a
+    random 2x2-cell world: label globally (8-conn, matching
+    diagonal=True), then perimeter = 4n - 2*(4-adjacent same-blob
+    pairs). The random world guarantees blobs spanning tile edges, so
+    the cross-tile -2 correction is load-bearing."""
+    from gfw_raster_analysis_lambda_spark.functions import codecs
+    from gfw_raster_analysis_lambda_spark.functions import grid as G
+    from gfw_raster_analysis_lambda_spark.operators import components
+
+    grid = fixtures.GRID
+    chunk = grid.chunk_px
+    rng = np.random.default_rng(23)
+    world = (rng.random((2 * chunk, 2 * chunk)) < 0.45).astype(np.uint8) * 7
+    rows = []
+    for dx in range(2):
+        for dy in range(2):
+            arr = world[dy * chunk:(dy + 1) * chunk, dx * chunk:(dx + 1) * chunk]
+            cell = int(G.cell_from_xy(grid, fixtures.X0 + dx, fixtures.Y0 + dy))
+            rows.append(("blob", cell, codecs.encode_tile(
+                np.ascontiguousarray(arr), "png"), chunk, chunk, "png"))
+    df = spark.createDataFrame(
+        rows, "layer string, cell_id long, bytes binary, w int, h int, fmt string"
+    )
+    got = sorted(
+        (r["min_cell"], r["n_px"], r["perim_px"])
+        for r in components.pixel_components(
+            df, "blob", [7], grid.name, diagonal=True, perimeter=True
+        ).collect()
+    )
+
+    # independent global labeling (8-conn union-find over the world)
+    mask = world == 7
+    lab = components._label_tile(mask, diagonal=True)
+    per_blob_n = np.bincount(lab.ravel())[1:]
+    # 4-adjacent same-blob pairs
+    exp_perim = []
+    for b in range(1, lab.max() + 1):
+        m = lab == b
+        adj = int((m[:, 1:] & m[:, :-1]).sum() + (m[1:, :] & m[:-1, :]).sum())
+        n = int(m.sum())
+        ys, xs = np.nonzero(m)
+        cells = {
+            int(G.cell_from_xy(grid, fixtures.X0 + x // chunk, fixtures.Y0 + y // chunk))
+            for y, x in zip(ys, xs)
+        }
+        exp_perim.append((min(cells), n, 4 * n - 2 * adj))
+    assert got == sorted(exp_perim)
+    assert len(got) > 5
+    # hand pin: a lone 3x5 rectangle has perimeter 2*(3+5)
+    m2 = np.zeros((2 * chunk, 2 * chunk), np.uint8)
+    m2[10:13, 20:25] = 7
+    rows2 = []
+    for dx in range(2):
+        for dy in range(2):
+            arr = m2[dy * chunk:(dy + 1) * chunk, dx * chunk:(dx + 1) * chunk]
+            cell = int(G.cell_from_xy(grid, fixtures.X0 + dx, fixtures.Y0 + dy))
+            rows2.append(("blob", cell, codecs.encode_tile(
+                np.ascontiguousarray(arr), "png"), chunk, chunk, "png"))
+    df2 = spark.createDataFrame(
+        rows2, "layer string, cell_id long, bytes binary, w int, h int, fmt string"
+    )
+    out2 = components.pixel_components(
+        df2, "blob", [7], grid.name, perimeter=True
+    ).collect()
+    assert len(out2) == 1 and out2[0]["perim_px"] == 16
