@@ -180,6 +180,14 @@ m AS (
 _COV_BOX = (10.0031, 20.2517, 10.3577, 20.6113)
 
 
+def _dup_box(k: int) -> tuple:
+    """Geometry-dedup gate box #k: base box _pp_box(k // 2), with odd k
+    shifted +0.0007 east — a near-duplicate at IoU ~0.99."""
+    x1, y1, x2, y2 = _pp_box(k // 2)
+    dx = 0.0007 * (k % 2)
+    return (x1 + dx, y1, x2 + dx, y2)
+
+
 def _snap_pt(k: int) -> tuple:
     """Deterministic snap-gate point #k (fractional, non-lattice)."""
     return (
@@ -2432,6 +2440,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("iou", 6).alias("iou"),
         )
     q["spatial_pair_overlap"] = spatial_pair_overlap
+
+    def spatial_geom_dedup(spark, sf_dir):
+        # geometry near-dup keepers: the dedup-family keeper rule on
+        # polygons — each AOI collapses to the smallest id among its
+        # IoU >= 0.5 overlap partners (itself when none); the batch is
+        # 15 base boxes each with a +0.0007-shifted near-duplicate, so
+        # every shifted copy must keep to its base while sub-threshold
+        # cross-group overlaps stay independent; raw-double IoU parity
+        # with the closed-form box twin
+        from gfw_raster_analysis_lambda_spark.functions import geometry as _geo
+        from gfw_raster_analysis_lambda_spark.operators import spatial_join
+
+        rows = [
+            (f"d{k:02d}", _geo.wkb_dumps(_geo.box(*_dup_box(k))))
+            for k in range(30)
+        ]
+        aoi = spark.createDataFrame(rows, fixtures.AOI_SCHEMA)
+        return spatial_join.geometry_dedup_keepers(aoi, GRID.name, 0.5)
+    q["spatial_geom_dedup"] = spatial_geom_dedup
 
     def spatial_dissolve_labels(spark, sf_dir):
         # dissolve grouping: transitive closure of the overlay pairs via
@@ -5407,6 +5434,33 @@ SELECT a, b, ROUND(i, 6) AS inter_area,
        ROUND(aa + ab - i, 6) AS union_area,
        ROUND(i / (aa + ab - i), 6) AS iou
 FROM p
+"""
+
+    _dup_rows = ", ".join(
+        "('d{:02d}', CAST({!r} AS DOUBLE), CAST({!r} AS DOUBLE), "
+        "CAST({!r} AS DOUBLE), CAST({!r} AS DOUBLE))".format(k, *_dup_box(k))
+        for k in range(30)
+    )
+    o["spatial_geom_dedup"] = f"""
+WITH bx(aoi_id, x1, y1, x2, y2) AS (VALUES {_dup_rows}),
+p AS (
+  SELECT a.aoi_id AS a, b.aoi_id AS b,
+         (LEAST(a.x2, b.x2) - GREATEST(a.x1, b.x1))
+           * (LEAST(a.y2, b.y2) - GREATEST(a.y1, b.y1)) AS i,
+         (a.x2 - a.x1) * (a.y2 - a.y1) AS aa,
+         (b.x2 - b.x1) * (b.y2 - b.y1) AS ab
+  FROM bx a JOIN bx b ON a.aoi_id < b.aoi_id
+  WHERE a.x1 < b.x2 AND b.x1 < a.x2 AND a.y1 < b.y2 AND b.y1 < a.y2
+),
+t AS (
+  SELECT b AS aoi_id, a AS keeper, i / (aa + ab - i) AS iou,
+         ROW_NUMBER() OVER (PARTITION BY b ORDER BY a) AS rn
+  FROM p WHERE i / (aa + ab - i) >= 0.5
+)
+SELECT bx.aoi_id,
+       COALESCE(t.keeper, bx.aoi_id) AS keeper,
+       COALESCE(t.iou, 1.0) AS iou
+FROM bx LEFT JOIN t ON t.aoi_id = bx.aoi_id AND t.rn = 1
 """
 
     o["zonal_multi_fused_gate"] = f"""

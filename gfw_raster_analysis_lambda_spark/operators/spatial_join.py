@@ -439,3 +439,48 @@ def dbscan_labels(
             F.coalesce("label", "__blabel").alias("label"),
         )
     )
+
+
+def geometry_dedup_keepers(
+    aoi: DataFrame,
+    grid_name: str,
+    iou_threshold: float = 0.8,
+) -> DataFrame:
+    """Geometry near-dup KEEPERS — the dedup family's keeper rule
+    (operators/dedup.py `minhash_dedup_keepers`) applied to polygons:
+    re-submitted / re-digitized AOIs whose interiors overlap with
+    IoU >= ``iou_threshold`` collapse to the lowest id. Returns
+    ``(aoi_id, keeper, iou)`` for every polygon: keeper = the smallest
+    id among its at-or-above-threshold overlap partners (itself when
+    none), ``iou`` = the overlap with that keeper (1.0 for self).
+
+    One :func:`polygon_pair_overlap` pass (cell equi-join candidates,
+    exact slab-scanline areas) + one windowed min — output O(polygons)
+    no matter how duplicated the batch is, the same scale contract as
+    the text/image keeper operators. For full transitive closure
+    compose the thresholded pairs with ``components.hash_to_min``
+    exactly like :func:`dissolve_labels`."""
+    from pyspark.sql import Window
+
+    pairs = polygon_pair_overlap(aoi, grid_name).filter(
+        F.col("iou") >= F.lit(float(iou_threshold))
+    )
+    # candidate keepers for b: any >=tau partner a < b
+    cand = pairs.select(
+        F.col("b").alias("aoi_id"), F.col("a").alias("keeper"), "iou"
+    )
+    w = Window.partitionBy("aoi_id").orderBy(F.asc("keeper"))
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        aoi.select("aoi_id")
+        .join(best, "aoi_id", "left")
+        .select(
+            "aoi_id",
+            F.coalesce(F.col("keeper"), F.col("aoi_id")).alias("keeper"),
+            F.coalesce(F.col("iou"), F.lit(1.0)).alias("iou"),
+        )
+    )

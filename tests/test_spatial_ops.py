@@ -923,3 +923,28 @@ def test_pixel_components_perimeter_cross_tile(spark):
         df2, "blob", [7], grid.name, perimeter=True
     ).collect()
     assert len(out2) == 1 and out2[0]["perim_px"] == 16
+
+
+def test_geometry_dedup_keepers_semantics(spark):
+    """Keeper rule on non-box shapes: a triangle and its slightly-shifted
+    near-duplicate collapse (keeper = smaller id), a rotated distinct
+    shape keeps itself, and sub-threshold overlaps stay independent."""
+    from gfw_raster_analysis_lambda_spark.operators import spatial_join
+
+    tri = np.array([[10.1, 20.1], [10.5, 20.1], [10.1, 20.5]])
+    rows = [
+        ("a_tri", geo.wkb_dumps([[tri]])),
+        ("b_tri_shift", geo.wkb_dumps([[tri + [0.002, 0.001]]])),
+        ("c_half", geo.wkb_dumps(geo.box(10.1, 20.1, 10.3, 20.3))),  # inside tri, low IoU
+        ("d_far", geo.wkb_dumps(geo.box(10.7, 20.7, 10.9, 20.9))),
+    ]
+    aoi = spark.createDataFrame(rows, fixtures.AOI_SCHEMA)
+    got = {
+        r["aoi_id"]: (r["keeper"], r["iou"])
+        for r in spatial_join.geometry_dedup_keepers(aoi, GRID_NAME, 0.8).collect()
+    }
+    assert set(got) == {"a_tri", "b_tri_shift", "c_half", "d_far"}
+    assert got["a_tri"] == ("a_tri", 1.0)
+    assert got["b_tri_shift"][0] == "a_tri" and got["b_tri_shift"][1] > 0.95
+    assert got["c_half"] == ("c_half", 1.0)  # IoU vs tri = 0.04/0.08 = 0.5 < 0.8
+    assert got["d_far"] == ("d_far", 1.0)
