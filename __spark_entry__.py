@@ -1115,6 +1115,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("min_cell", "n_px", "perim_px")
     q["cc_blob_perimeter"] = cc_blob_perimeter
 
+    def cc_patch_value(spark, sf_dir):
+        # zonal statistics BY BLOB (value_layer=...): a second layer's
+        # tiles join the mask tiles on cell_id, the kernel sums values
+        # over each local label, and the int64 partials merge through
+        # the same strips-and-counts stitch — "total emissions per
+        # contiguous loss patch"
+        import numpy as np
+
+        from gfw_raster_analysis_lambda_spark.functions import codecs
+        from gfw_raster_analysis_lambda_spark.operators import components
+
+        chunk = GRID.chunk_px
+        world = np.zeros((2 * chunk, 2 * chunk), dtype=np.uint8)
+        for gx, gy in _cc_pixel_pts():
+            world[gy, gx] = 7
+        rows = []
+        for dx in range(2):
+            for dy in range(2):
+                sl = np.s_[dy * chunk:(dy + 1) * chunk, dx * chunk:(dx + 1) * chunk]
+                cell = int(_G.cell_from_xy(GRID, X0 + dx, Y0 + dy))
+                rows.append(("blob", cell, codecs.encode_tile(
+                    np.ascontiguousarray(world[sl]), "png"), chunk, chunk, "png"))
+                j = np.arange(chunk, dtype=np.int64)
+                vx = (dx * chunk + j)[None, :]
+                vy = (dy * chunk + j)[:, None]
+                val = ((3 * vx + 5 * vy) % 241).astype(np.uint8)
+                rows.append(("val", cell, codecs.encode_tile(
+                    np.ascontiguousarray(val), "png"), chunk, chunk, "png"))
+        df = spark.createDataFrame(
+            rows, "layer string, cell_id long, bytes binary, w int, h int, fmt string"
+        )
+        out = components.pixel_components(
+            df, "blob", [7], GRID.name, diagonal=True, value_layer="val"
+        )
+        return out.select(
+            "min_cell", "n_px", "val_sum",
+            F.round(
+                F.col("val_sum").cast("double") / F.col("n_px").cast("double"), 6
+            ).alias("val_mean"),
+        )
+    q["cc_patch_value"] = cc_patch_value
+
     def mm_audio_features(spark, sf_dir):
         # REAL WAV/PCM decode (stdlib wave) in an Arrow-batched kernel;
         # corpus = deterministic PCM16 sine waves whose quantized samples
@@ -3906,6 +3948,34 @@ r(src, dst) AS (
 comp AS (SELECT src AS pid, MIN(dst) AS component FROM r GROUP BY src)
 SELECT MIN(n.cell_id) AS min_cell, CAST(COUNT(*) AS BIGINT) AS n_px,
        CAST(COUNT(DISTINCT n.cell_id) AS BIGINT) AS n_cells
+FROM comp JOIN n USING (pid)
+GROUP BY comp.component
+"""
+
+    o["cc_patch_value"] = f"""
+WITH RECURSIVE p(gx, gy) AS (VALUES {cc_px_vals}),
+n AS (
+  SELECT gx, gy, gx * 100000 + gy AS pid,
+         CAST({GRID.index << 54} AS BIGINT)
+           + CAST({X0} + gx // {chunk} AS BIGINT) * {1 << 27}
+           + ({Y0} + gy // {chunk}) AS cell_id
+  FROM p
+),
+e AS (
+  SELECT a.pid AS a, b.pid AS b
+  FROM n a JOIN n b
+    ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1 AND a.pid != b.pid
+),
+r(src, dst) AS (
+  SELECT pid, pid FROM n
+  UNION
+  SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a
+),
+comp AS (SELECT src AS pid, MIN(dst) AS component FROM r GROUP BY src)
+SELECT MIN(n.cell_id) AS min_cell, CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM((3 * n.gx + 5 * n.gy) % 241) AS BIGINT) AS val_sum,
+       ROUND(CAST(SUM((3 * n.gx + 5 * n.gy) % 241) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS val_mean
 FROM comp JOIN n USING (pid)
 GROUP BY comp.component
 """

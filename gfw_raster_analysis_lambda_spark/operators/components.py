@@ -229,6 +229,7 @@ def pixel_components(
     aoi_df: DataFrame | None = None,
     geom_stats: bool = False,
     perimeter: bool = False,
+    value_layer: str | None = None,
 ) -> DataFrame:
     """Connected components of the pixels whose value is in
     ``in_values``, ACROSS tile boundaries — the distributed form of
@@ -268,7 +269,15 @@ def pixel_components(
     CROSS-TILE 4-adjacency (a strict-position strip meet, one row per
     adjacent pixel pair, already O(boundary pixels)) subtracts 2 more
     at merge time. Both pixels of a 4-adjacency are always in the same
-    component, so the correction aggregates per component exactly."""
+    component, so the correction aggregates per component exactly.
+
+    ``value_layer`` adds ``val_sum`` — zonal statistics BY BLOB ("total
+    emissions per contiguous loss patch"): the named layer's tiles join
+    the mask tiles on cell_id before the kernel, which sums the value
+    (cast int64 — integer-coded layers stay exact end to end) over each
+    local label's pixels; the partial merges through the stitch like
+    every other column. A missing value tile contributes 0 (the
+    missing-tile tolerance); per-patch means divide after the merge."""
     import pandas as pd
 
     from ..functions import codecs
@@ -303,6 +312,12 @@ def pixel_components(
             base = np.isin(arr, list(vals))
             if not base.any():
                 continue
+            if value_layer is not None and r.vbytes is not None:
+                varr = codecs.decode_tile(
+                    bytes(r.vbytes), int(r.w), int(r.h), str(r.vfmt)
+                ).astype(np.int64)
+            else:
+                varr = None
             cell = int(r.cell_id)
             if per_aoi:
                 entry = aoi_lookup.value.get(cell)
@@ -350,6 +365,9 @@ def pixel_components(
                 np.add.at(adj, lab[:, :-1][hp].astype(np.int64), 1)
                 vp = mask[1:, :] & mask[:-1, :]
                 np.add.at(adj, lab[:-1, :][vp].astype(np.int64), 1)
+                vsum = np.zeros(nl, np.int64)
+                if varr is not None:
+                    np.add.at(vsum, ls, varr[ys, xs])
                 for i in range(1, nl):
                     if cnt[i]:
                         out_counts.append((
@@ -358,6 +376,7 @@ def pixel_components(
                             int(mnx[i]), int(mny[i]),
                             int(mxx[i]), int(mxy[i]),
                             int(4 * cnt[i] - 2 * adj[i]),
+                            int(vsum[i]),
                         ))
                 h, w = lab.shape
                 for side, vec, elen in (("N", lab[0, :], w), ("S", lab[-1, :], w),
@@ -365,7 +384,7 @@ def pixel_components(
                     pos = np.flatnonzero(vec)
                     for p in pos.tolist():
                         out_strips.append((aoi_id, cell, side, p, int(vec[p]), elen))
-        gcols = ["sgx", "sgy", "mnx", "mny", "mxx", "mxy", "pm"]
+        gcols = ["sgx", "sgy", "mnx", "mny", "mxx", "mxy", "pm", "vs"]
         counts = pd.DataFrame(
             out_counts, columns=["aoi", "cell_id", "label", "n_px"] + gcols
         )
@@ -385,11 +404,21 @@ def pixel_components(
         tiles = images.filter(F.col("layer") == layer).select(
             "cell_id", "bytes", "w", "h", "fmt"
         )
+        if value_layer is not None:
+            vt = images.filter(F.col("layer") == value_layer).select(
+                "cell_id", F.col("bytes").alias("vbytes"),
+                F.col("fmt").alias("vfmt"),
+            )
+            tiles = tiles.join(vt, "cell_id", "left")
+        else:
+            tiles = tiles.withColumn(
+                "vbytes", F.lit(None).cast("binary")
+            ).withColumn("vfmt", F.lit(None).cast("string"))
         rows = tiles.mapInPandas(
             kernel,
             "kind int, aoi string, cell_id long, label int, v long, "
             "side string, pos int, elen int, sgx long, sgy long, "
-            "mnx long, mny long, mxx long, mxy long, pm long",
+            "mnx long, mny long, mxx long, mxy long, pm long, vs long",
         ).persist()
 
         node = F.conv(
@@ -400,7 +429,7 @@ def pixel_components(
         # `rows` is unpersisted below
         counts = rows.filter(F.col("kind") == 0).select(
             "aoi", "cell_id", "label", F.col("v").alias("n_px"), node.alias("id"),
-            "sgx", "sgy", "mnx", "mny", "mxx", "mxy", "pm",
+            "sgx", "sgy", "mnx", "mny", "mxx", "mxy", "pm", "vs",
         ).localCheckpoint(eager=True)
         strips = rows.filter(F.col("kind") == 1).select(
             "aoi", "cell_id", "side", "pos", "elen", "label", node.alias("id")
@@ -488,6 +517,8 @@ def pixel_components(
         ]
         if perimeter:
             aggs += [F.sum("pm").alias("perim_px")]
+        if value_layer is not None:
+            aggs += [F.sum("vs").alias("val_sum")]
         if geom_stats:
             aggs += [
                 F.sum("sgx").alias("sum_gx"), F.sum("sgy").alias("sum_gy"),

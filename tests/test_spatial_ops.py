@@ -948,3 +948,52 @@ def test_geometry_dedup_keepers_semantics(spark):
     assert got["b_tri_shift"][0] == "a_tri" and got["b_tri_shift"][1] > 0.95
     assert got["c_half"] == ("c_half", 1.0)  # IoU vs tri = 0.04/0.08 = 0.5 < 0.8
     assert got["d_far"] == ("d_far", 1.0)
+
+
+def test_pixel_components_value_layer_cross_tile(spark):
+    """value_layer sums a second layer's pixels per blob, exactly,
+    including blobs spanning tile edges; a missing value tile
+    contributes zero (missing-tile tolerance)."""
+    from gfw_raster_analysis_lambda_spark.functions import codecs
+    from gfw_raster_analysis_lambda_spark.functions import grid as G
+    from gfw_raster_analysis_lambda_spark.operators import components
+
+    grid = fixtures.GRID
+    chunk = grid.chunk_px
+    rng = np.random.default_rng(31)
+    world = (rng.random((2 * chunk, 2 * chunk)) < 0.4).astype(np.uint8) * 7
+    vals = rng.integers(0, 200, world.shape).astype(np.uint8)
+    rows = []
+    for dx in range(2):
+        for dy in range(2):
+            sl = np.s_[dy * chunk:(dy + 1) * chunk, dx * chunk:(dx + 1) * chunk]
+            cell = int(G.cell_from_xy(grid, fixtures.X0 + dx, fixtures.Y0 + dy))
+            rows.append(("blob", cell, codecs.encode_tile(
+                np.ascontiguousarray(world[sl]), "png"), chunk, chunk, "png"))
+            if (dx, dy) != (1, 1):  # withhold one value tile
+                rows.append(("val", cell, codecs.encode_tile(
+                    np.ascontiguousarray(vals[sl]), "png"), chunk, chunk, "png"))
+    df = spark.createDataFrame(
+        rows, "layer string, cell_id long, bytes binary, w int, h int, fmt string"
+    )
+    got = sorted(
+        (r["min_cell"], r["n_px"], r["val_sum"])
+        for r in components.pixel_components(
+            df, "blob", [7], grid.name, diagonal=True, value_layer="val"
+        ).collect()
+    )
+    mask = world == 7
+    lab = components._label_tile(mask, diagonal=True)
+    veff = vals.astype(np.int64).copy()
+    veff[chunk:, chunk:] = 0  # the withheld tile
+    exp = []
+    for b in range(1, lab.max() + 1):
+        m = lab == b
+        ys, xs = np.nonzero(m)
+        cells = {
+            int(G.cell_from_xy(grid, fixtures.X0 + x // chunk, fixtures.Y0 + y // chunk))
+            for y, x in zip(ys, xs)
+        }
+        exp.append((min(cells), int(m.sum()), int(veff[m].sum())))
+    assert got == sorted(exp)
+    assert len(got) > 5
