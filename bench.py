@@ -283,6 +283,26 @@ def bench_queries(spark):
         return text.benchmark_contamination(d, bench_side, n=3, threshold=0.3)
     q["text_decontaminate"] = text_decon
 
+    def spatial_overlay():
+        # measured vector overlay (pair intersection area / IoU) over a
+        # dense deterministic batch on the bench grid: cell equi-join
+        # candidates + slab-scanline exact areas, never a cross join
+        from gfw_raster_analysis_lambda_spark.functions import geometry as geo
+        from gfw_raster_analysis_lambda_spark.operators import spatial_join
+
+        lon0, lat0 = BX0 * BGRID.tile_deg - 180.0, 90.0 - BY0 * BGRID.tile_deg
+        span = BNX * BGRID.tile_deg
+        rows = []
+        for k in range(3000):
+            x1 = lon0 + ((k * 9973) % 100003) / 100003.0 * (span - 0.3)
+            y1 = lat0 - ((k * 7919) % 100019) / 100019.0 * (span - 0.3) - 0.3
+            w = 0.06 + 0.09 * ((k * 31) % 7) / 7.0
+            h = 0.05 + 0.08 * ((k * 17) % 5) / 5.0
+            rows.append((f"b{k:05d}", geo.wkb_dumps(geo.box(x1, y1, x1 + w, y1 + h))))
+        ov_aoi = spark.createDataFrame(rows, fixtures.AOI_SCHEMA)
+        return spatial_join.polygon_pair_overlap(ov_aoi, BGRID.name)
+    q["spatial_overlay"] = spatial_overlay
+
     return q, images, aoi
 
 
