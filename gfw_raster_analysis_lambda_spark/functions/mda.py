@@ -123,6 +123,13 @@ def _code_lengths(counts: np.ndarray) -> np.ndarray:
         sym = np.flatnonzero(counts)
         if len(sym) == 0:
             raise ValueError("empty alphabet")
+        if len(sym) > (1 << _MAX_CODE_LEN):
+            # Kraft: >2^L used symbols admit NO L-bit-limited prefix code,
+            # so the flatten-retry loop below could never terminate.
+            raise ValueError(
+                f"{len(sym)} used symbols exceed the {_MAX_CODE_LEN}-bit "
+                "code-length limit; reduce prec/alphabet"
+            )
         if len(sym) == 1:
             out = np.zeros(len(counts), np.int64)
             out[sym[0]] = 1

@@ -207,6 +207,8 @@ def mdv_parse(data: bytes) -> tuple[np.ndarray, int, list[str], list[np.ndarray]
         ftype = data[pos : pos + 1]
         pos += 1
         if ftype == b"I":
+            if len(data) < pos + 4:
+                raise ValueError("truncated MDV I-frame length")
             (jlen,) = struct.unpack(">I", data[pos : pos + 4])
             pos += 4
             if len(data) < pos + jlen + 2:
@@ -231,6 +233,8 @@ def mdv_parse(data: bytes) -> tuple[np.ndarray, int, list[str], list[np.ndarray]
             if mv.shape[0] != len(grid):
                 raise ValueError("truncated MDV motion vectors")
             pos += 2 * len(grid)
+            if len(data) < pos + 2:
+                raise ValueError("truncated MDV Huffman alphabet")
             (alphabet,) = struct.unpack(">H", data[pos : pos + 2])
             tbl_end = pos + 2 + alphabet
             if len(data) < tbl_end:

@@ -342,31 +342,37 @@ def pixel_components(
                 lab = _label_tile(mask, diagonal)
                 ys, xs = np.nonzero(lab)
                 ls = lab[ys, xs].astype(np.int64)
-                gxs = (gx0 + xs).astype(np.int64)
-                gys = (gy0 + ys).astype(np.int64)
                 nl = int(ls.max()) + 1
                 cnt = np.bincount(ls, minlength=nl)
-                sgx = np.zeros(nl, np.int64)
-                sgy = np.zeros(nl, np.int64)
-                np.add.at(sgx, ls, gxs)
-                np.add.at(sgy, ls, gys)
-                big = np.int64(1) << 62
-                mnx = np.full(nl, big); mny = np.full(nl, big)
-                mxx = np.full(nl, -big); mxy = np.full(nl, -big)
-                np.minimum.at(mnx, ls, gxs)
-                np.minimum.at(mny, ls, gys)
-                np.maximum.at(mxx, ls, gxs)
-                np.maximum.at(mxy, ls, gys)
-                # internal 4-adjacencies per label (adjacent foreground
-                # pixels are always the same label, under 4- OR 8-conn
-                # labeling, so either endpoint indexes the bincount)
-                adj = np.zeros(nl, np.int64)
-                hp = mask[:, 1:] & mask[:, :-1]
-                np.add.at(adj, lab[:, :-1][hp].astype(np.int64), 1)
-                vp = mask[1:, :] & mask[:-1, :]
-                np.add.at(adj, lab[:-1, :][vp].astype(np.int64), 1)
-                vsum = np.zeros(nl, np.int64)
+                # the stats scatter-passes are paid ONLY by the features
+                # that need them — the plain blob-count path stays lean
+                zeros = np.zeros(nl, np.int64)
+                sgx = sgy = mnx = mny = mxx = mxy = adj = vsum = zeros
+                if geom_stats:
+                    gxs = (gx0 + xs).astype(np.int64)
+                    gys = (gy0 + ys).astype(np.int64)
+                    sgx = np.zeros(nl, np.int64)
+                    sgy = np.zeros(nl, np.int64)
+                    np.add.at(sgx, ls, gxs)
+                    np.add.at(sgy, ls, gys)
+                    big = np.int64(1) << 62
+                    mnx = np.full(nl, big); mny = np.full(nl, big)
+                    mxx = np.full(nl, -big); mxy = np.full(nl, -big)
+                    np.minimum.at(mnx, ls, gxs)
+                    np.minimum.at(mny, ls, gys)
+                    np.maximum.at(mxx, ls, gxs)
+                    np.maximum.at(mxy, ls, gys)
+                if perimeter:
+                    # internal 4-adjacencies per label (adjacent foreground
+                    # pixels are always the same label, under 4- OR 8-conn
+                    # labeling, so either endpoint indexes the bincount)
+                    adj = np.zeros(nl, np.int64)
+                    hp = mask[:, 1:] & mask[:, :-1]
+                    np.add.at(adj, lab[:, :-1][hp].astype(np.int64), 1)
+                    vp = mask[1:, :] & mask[:-1, :]
+                    np.add.at(adj, lab[:-1, :][vp].astype(np.int64), 1)
                 if varr is not None:
+                    vsum = np.zeros(nl, np.int64)
                     np.add.at(vsum, ls, varr[ys, xs])
                 for i in range(1, nl):
                     if cnt[i]:
@@ -375,7 +381,7 @@ def pixel_components(
                             int(sgx[i]), int(sgy[i]),
                             int(mnx[i]), int(mny[i]),
                             int(mxx[i]), int(mxy[i]),
-                            int(4 * cnt[i] - 2 * adj[i]),
+                            int(4 * cnt[i] - 2 * adj[i]) if perimeter else 0,
                             int(vsum[i]),
                         ))
                 h, w = lab.shape

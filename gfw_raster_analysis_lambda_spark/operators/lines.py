@@ -29,7 +29,11 @@ from pyspark.sql import types as T
 from ..functions import geometry as geo
 from ..functions import grid as G
 from ..plans.planner import aoi_cells
-from .spatial_join import PAIR_BROADCAST_ROW_LIMIT, PAIR_BROADCAST_WKB_BYTES
+from .spatial_join import (
+    PAIR_BROADCAST_WKB_BYTES,
+    broadcast_fits,
+    broadcast_fits_many,
+)
 
 
 def line_cells(lines_df: DataFrame, grid_name: str) -> DataFrame:
@@ -66,17 +70,13 @@ def line_zonal(
     ac = aoi_cells(aoi_df, grid_name).select("aoi_id", "cell_id")
     cand = lc.join(ac, "cell_id").select("aoi_id", "line_id").distinct()
 
-    def _fits(df: DataFrame) -> bool:
-        s = df.select(
-            F.count("*").alias("n"),
-            F.coalesce(F.sum(F.length("geom_wkb")), F.lit(0)).alias("b"),
-        ).collect()[0]
-        return s["n"] <= PAIR_BROADCAST_ROW_LIMIT and s["b"] <= broadcast_bytes_limit
-
     ga = aoi_df.select("aoi_id", F.col("geom_wkb").alias("wkb_aoi"))
     gl = lines_df.select("line_id", F.col("geom_wkb").alias("wkb_line"))
-    pairs = cand.join(F.broadcast(ga) if _fits(aoi_df) else ga, "aoi_id").join(
-        F.broadcast(gl) if _fits(lines_df) else gl, "line_id"
+    fits_aoi, fits_lines = broadcast_fits_many(
+        [aoi_df, lines_df], broadcast_bytes_limit
+    )
+    pairs = cand.join(F.broadcast(ga) if fits_aoi else ga, "aoi_id").join(
+        F.broadcast(gl) if fits_lines else gl, "line_id"
     )
 
     @F.pandas_udf("double")
@@ -150,11 +150,7 @@ def snap_points_to_lines(
         .distinct()
     )
     gl = lines_df.select("line_id", F.col("geom_wkb").alias("wkb_line"))
-    s = lines_df.select(
-        F.count("*").alias("n"),
-        F.coalesce(F.sum(F.length("geom_wkb")), F.lit(0)).alias("b"),
-    ).collect()[0]
-    fits = s["n"] <= PAIR_BROADCAST_ROW_LIMIT and s["b"] <= broadcast_bytes_limit
+    fits = broadcast_fits(lines_df, broadcast_bytes_limit)
     pairs = cand.join(F.broadcast(gl) if fits else gl, "line_id")
 
     @F.pandas_udf("struct<dist2: double, snap_lon: double, snap_lat: double>")

@@ -162,7 +162,10 @@ def reproject_bilinear(
     A/den with ``A = (2*dst_px + 1)*num - den//2`` (int64), so the
     4-corner weighted sum is computed as an int64 NUMERATOR over den^2
     and divided exactly once — a DuckDB twin regenerates every output
-    pixel bit-for-bit (through the final float32). Output tiles are
+    pixel bit-for-bit (through the final float32). Float sources
+    (``raw_f32``) interpolate on a float64 canvas with the same integer
+    weights — no truncation, NaN holes propagate — so chained re-grids
+    of this operator's own output are exact too. Output tiles are
     ``raw_f32``."""
     src, dst = G.get_grid(src_grid), G.get_grid(dst_grid)
     ratio = dst.tile_deg / src.tile_deg
@@ -240,23 +243,35 @@ def reproject_bilinear(
                 columns=["image_id", "bytes", "w", "h", "fmt", "layer", "cell_id"]
             )
         dx, dy = (int(v) for v in G.cell_to_xy(dst_cell))
-        canvas = np.full((kcs + 2, kcs + 2), -1, dtype=np.int64)
-        canvas[1:-1, 1:-1] = int(fill)
-        for r in pdf.itertuples(index=False):
-            tx, ty = (int(v) for v in G.cell_to_xy(int(r.cell_id)))
+        tiles = [
+            (
+                int(r.cell_id),
+                codecs.decode_tile(bytes(r.bytes), int(r.w), int(r.h), str(r.fmt)),
+            )
+            for r in pdf.itertuples(index=False)
+        ]
+        # int64 canvas keeps the integer-numerator path bit-exact for the
+        # DuckDB twin; float sources get a float64 canvas (no truncation,
+        # and no sentinel value that could collide with real pixels — an
+        # explicit unset mask tracks the halo ring instead).
+        is_float = any(np.issubdtype(a.dtype, np.floating) for _, a in tiles)
+        ctype = np.float64 if is_float else np.int64
+        canvas = np.full((kcs + 2, kcs + 2), fill if is_float else int(fill),
+                         dtype=ctype)
+        unset = np.ones((kcs + 2, kcs + 2), dtype=bool)
+        unset[1:-1, 1:-1] = False  # missing interior tiles keep `fill`
+        for cell_id, arr in tiles:
+            tx, ty = (int(v) for v in G.cell_to_xy(cell_id))
             relx, rely = tx - dx * k, ty - dy * k
-            arr = codecs.decode_tile(
-                bytes(r.bytes), int(r.w), int(r.h), str(r.fmt)
-            ).astype(np.int64)
             y0, x0 = 1 + rely * cs, 1 + relx * cs
             ys, ye = max(0, y0), min(kcs + 2, y0 + cs)
             xs, xe = max(0, x0), min(kcs + 2, x0 + cs)
             if ys < ye and xs < xe:
                 canvas[ys:ye, xs:xe] = arr[ys - y0:ye - y0, xs - x0:xe - x0]
+                unset[ys:ye, xs:xe] = False
         # unfilled halo cells replicate the clamped interior (per-axis)
-        hole = canvas == -1
-        if hole.any():
-            iy, ix = np.nonzero(hole)
+        if unset.any():
+            iy, ix = np.nonzero(unset)
             canvas[iy, ix] = canvas[np.clip(iy, 1, kcs), np.clip(ix, 1, kcs)]
 
         jj = np.arange(cd, dtype=np.int64)

@@ -125,6 +125,46 @@ PAIR_BROADCAST_WKB_BYTES = 256 * 2**20  # geometry bytes broadcast per side
 PAIR_BROADCAST_ROW_LIMIT = 1_000_000    # AOI rows broadcast per side
 
 
+def broadcast_fits_many(
+    dfs: "list[DataFrame]",
+    bytes_limit: int = PAIR_BROADCAST_WKB_BYTES,
+    row_limit: int = PAIR_BROADCAST_ROW_LIMIT,
+) -> "list[bool]":
+    """Probe whether each geometry table (``geom_wkb`` column) fits a
+    broadcast — row count and total WKB bytes under the limits — in ONE
+    Spark job for all of them (union of tagged length projections; no
+    geometry crosses the wire). The single broadcast-fitness rule for
+    every pair-join operator; change it here, not per call site."""
+    probe = None
+    for i, d in enumerate(dfs):
+        p = d.select(
+            F.lit(i).alias("__side"), F.length("geom_wkb").alias("__b")
+        )
+        probe = p if probe is None else probe.unionByName(p)
+    by = {
+        r["__side"]: r
+        for r in probe.groupBy("__side")
+        .agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("__b"), F.lit(0)).alias("b"),
+        )
+        .collect()
+    }
+    return [
+        i not in by  # empty table: trivially fits
+        or (by[i]["n"] <= row_limit and by[i]["b"] <= bytes_limit)
+        for i in range(len(dfs))
+    ]
+
+
+def broadcast_fits(
+    df: DataFrame,
+    bytes_limit: int = PAIR_BROADCAST_WKB_BYTES,
+    row_limit: int = PAIR_BROADCAST_ROW_LIMIT,
+) -> bool:
+    return broadcast_fits_many([df], bytes_limit, row_limit)[0]
+
+
 def polygon_pairs(
     aoi: DataFrame,
     grid_name: str,
@@ -170,14 +210,7 @@ def polygon_pairs(
         .select("a", "b")
         .distinct()
     )
-    stats = aoi.select(
-        F.count("*").alias("n"),
-        F.coalesce(F.sum(F.length("geom_wkb")), F.lit(0)).alias("b"),
-    ).collect()[0]
-    fits = (
-        stats["n"] <= PAIR_BROADCAST_ROW_LIMIT
-        and stats["b"] <= broadcast_bytes_limit
-    )
+    fits = broadcast_fits(aoi, broadcast_bytes_limit)
     ga = aoi.select(F.col("aoi_id").alias("a"), F.col("geom_wkb").alias("wkb_a"))
     gb = aoi.select(F.col("aoi_id").alias("b"), F.col("geom_wkb").alias("wkb_b"))
     if fits:
@@ -239,14 +272,7 @@ def polygon_pair_overlap(
     withg = aoi.select(
         "aoi_id", "geom_wkb", area_of(F.col("geom_wkb")).alias("area")
     )
-    stats = aoi.select(
-        F.count("*").alias("n"),
-        F.coalesce(F.sum(F.length("geom_wkb")), F.lit(0)).alias("b"),
-    ).collect()[0]
-    fits = (
-        stats["n"] <= PAIR_BROADCAST_ROW_LIMIT
-        and stats["b"] <= broadcast_bytes_limit
-    )
+    fits = broadcast_fits(aoi, broadcast_bytes_limit)
     ga = withg.select(
         F.col("aoi_id").alias("a"),
         F.col("geom_wkb").alias("wkb_a"),

@@ -676,9 +676,13 @@ def paragraph_dedup(
     Exactly the plan of the exact-dedup family, at paragraph grain."""
     from pyspark.sql import Window
 
+    # F.split takes a Java REGEX but array_join reassembles with the
+    # LITERAL separator — quote the pattern (Pattern.quote algorithm) so
+    # metacharacter separators ('||', '.', ...) split literally too.
+    sep_rx = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     paras = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para"),
+        F.posexplode(F.split(F.col(text_col), sep_rx)).alias("__pos", "__para"),
     )
     target = paras.filter(F.length("__para") >= min_chars)
     passthrough = paras.filter(F.length("__para") < min_chars)

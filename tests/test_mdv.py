@@ -175,3 +175,16 @@ def test_negative_wrapping_motion_vector_raises():
     enc[body_end:] = struct.pack(">H", _crc16(bytes(enc[body_start:body_end])))
     with pytest.raises(ValueError, match="out of bounds"):
         mdv_decode(bytes(enc))
+
+
+def test_every_prefix_truncation_raises_valueerror():
+    """Cutting the stream at ANY byte must surface as ValueError (the
+    documented contract), never struct.error — the I-frame length field
+    and the P-frame alphabet field were once unguarded."""
+    v = _translating(nf=3)
+    enc = mdv_encode(v, gop=2)  # I, P, I -> exercises both frame paths
+    for cut in range(len(enc)):
+        try:
+            mdv_parse(enc[:cut])
+        except ValueError:
+            pass

@@ -822,3 +822,71 @@ def test_reproject_bilinear_constant_field_and_halo_only_groups(spark):
     assert len(out) == 1  # neighbors got halo tiles but emit nothing
     arr = codecs.decode_tile(bytes(out[0]["bytes"]), 250, 250, "raw_f32")
     assert np.array_equal(arr, np.full((250, 250), 7.0, dtype=np.float32))
+
+
+def test_reproject_bilinear_float_source_no_truncation(spark):
+    """Float32 sources must interpolate on their REAL values: fractional
+    pixels (previously truncated by an int64 cast) and pixels equal to
+    -1.0 / fill=-1 (previously colliding with the unset-halo sentinel)
+    both reproject to the exact global bilinear reference."""
+    from gfw_raster_analysis_lambda_spark.functions import codecs, grid as G
+    from gfw_raster_analysis_lambda_spark.operators.reproject import (
+        reproject_bilinear,
+    )
+
+    src = G.get_grid("4/1024")
+    cs = src.chunk_px
+    cells = [(40, 9), (41, 9)]
+
+    def value_of(X, Y):
+        v = ((3 * X + 5 * Y) % 241) / 8.0 - 1.0  # fractional, hits -1.0
+        return np.float64(np.float32(v))
+
+    rows = []
+    tile_set = {(sx, sy) for dx, dy in cells
+                for sy in range(dy * 4, dy * 4 + 4)
+                for sx in range(dx * 4, dx * 4 + 4)}
+    for sx, sy in sorted(tile_set):
+        j = np.arange(cs, dtype=np.int64)
+        gx, gy = (sx * cs + j)[None, :], (sy * cs + j)[:, None]
+        tile = ((((3 * gx + 5 * gy) % 241) / 8.0) - 1.0).astype(np.float32)
+        cell = int(G.cell_from_xy(src, sx, sy))
+        rows.append((f"emissions/{cell:016x}",
+                     codecs.encode_tile(tile, "raw_f32"), cs, cs, "raw_f32"))
+    images = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    out = reproject_bilinear(images, "4/1024", "1/250", fill=-1)
+    got = {
+        tuple(int(v) for v in G.cell_to_xy(int(r["cell_id"]))):
+            codecs.decode_tile(bytes(r["bytes"]), r["w"], r["h"], r["fmt"])
+        for r in out.collect()
+    }
+    assert set(got) == set(cells)
+
+    def present(X, Y):
+        return (X // 64, Y // 64) in tile_set
+
+    for dx, dy in cells:
+        ref = _bilinear_reference(value_of, dx, dy, present)
+        assert np.array_equal(got[(dx, dy)], ref), (dx, dy)
+    # fractional values survive: truncation would floor every pixel
+    assert not np.array_equal(got[cells[0]], np.floor(got[cells[0]]))
+
+
+def test_paragraph_dedup_metachar_separator_is_literal(spark):
+    """A regex-metacharacter separator ('||') must split LITERALLY —
+    before the Pattern.quote fix F.split treated it as a regex matching
+    the empty string, shredding every document into characters."""
+    from gfw_raster_analysis_lambda_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [("d1", "alpha||beta||gamma"), ("d2", "beta||delta")],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           text.paragraph_dedup(docs, sep="||").collect()}
+    assert out["d1"]["text"] == "alpha||beta||gamma"
+    assert out["d1"]["n_paragraphs"] == 3 and out["d1"]["n_dropped"] == 0
+    assert out["d2"]["text"] == "delta"  # 'beta' first seen in d1
+    assert out["d2"]["n_paragraphs"] == 2 and out["d2"]["n_dropped"] == 1
