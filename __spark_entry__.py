@@ -2187,6 +2187,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["focal_terrain_slope"] = focal_terrain_slope
 
+    def focal_flow_direction(spark, sf_dir):
+        # D8 flow direction (O'Callaghan & Mark) over the tiled "DEM":
+        # steepest-descent neighbor per pixel, integer-exact cardinal-vs-
+        # diagonal comparison (2a^2 > b^2), lowest-ESRI-code tie-break;
+        # per-cell direction histogram through the halo-strip exchange
+        images, _, _ = _fixture(spark)
+        tiles = images.filter(F.col("layer") == "tcl_year")
+        return focal.flow_direction_stats(tiles)
+    q["focal_flow_direction"] = focal_flow_direction
+
     def focal_terrain_zonal(spark, sf_dir):
         # the reference's PRODUCT shape: zonal statistics OF a derivative
         # layer ("loss on steep slopes") — Horn gradients from the full
@@ -5035,10 +5045,14 @@ FROM (
 
     GX, GY = NX * GRID.chunk_px - 1, NY * GRID.chunk_px - 1  # 255, 255
     CB, YW = 54043195528445952, 134217728  # fixture grid-id base, 2^_Y_BITS
-    tclv = (
-        f"(({X0} + (px.gx+dx)//64)*7 + ({Y0} + (px.gy+dy)//64)*11 "
-        f"+ ((px.gy+dy)%64)*13 + ((px.gx+dx)%64)*17) % 21"
-    )
+    def _tclv_at(gxe: str, gye: str) -> str:
+        # closed-form tcl_year fixture pixel value at global px (gxe, gye)
+        return (
+            f"(({X0} + ({gxe})//64)*7 + ({Y0} + ({gye})//64)*11 "
+            f"+ (({gye})%64)*13 + (({gxe})%64)*17) % 21"
+        )
+
+    tclv = _tclv_at("px.gx+dx", "px.gy+dy")
     o["focal_tcl_stats"] = f"""
 WITH px AS (
   SELECT gx, gy FROM generate_series(0, {GX}) a(gx), generate_series(0, {GY}) b(gy)
@@ -5136,6 +5150,49 @@ SELECT CAST({CB} AS BIGINT) + CAST({X0} + gx // 64 AS BIGINT) * {YW} + ({Y0} + g
        CAST(SUM(CASE WHEN gxn * gxn + gyn * gyn >= 400 THEN 1 ELSE 0 END) AS BIGINT) AS steep_n,
        ROUND(CAST(SUM(gxn * gxn + gyn * gyn) AS DOUBLE) / COUNT(*), 6) AS mean_grad2
 FROM w WHERE wn = 9 GROUP BY 1
+"""
+
+    # D8 twin: same integer selection key (2*drop^2 cardinal, drop^2
+    # diagonal — exact, since 2a^2=b^2 has no nonzero integer solutions)
+    # and the same lowest-code tie-break; full window <=> interior pixel
+    # on the complete fixture lattice
+    _d8c = _tclv_at("px.gx", "px.gy")
+    _d8n = _tclv_at("px.gx + dx", "px.gy + dy")
+    o["focal_flow_direction"] = f"""
+WITH px AS (
+  SELECT gx, gy FROM generate_series(1, {GX - 1}) a(gx), generate_series(1, {GY - 1}) b(gy)
+),
+off(dx, dy, code) AS (VALUES (1,0,1),(1,1,2),(0,1,4),(-1,1,8),
+                             (-1,0,16),(-1,-1,32),(0,-1,64),(1,-1,128)),
+nb AS (
+  SELECT px.gx, px.gy, off.code,
+         ({_d8c}) - ({_d8n}) AS dr,
+         CASE WHEN dx = 0 OR dy = 0 THEN 2 ELSE 1 END AS wgt
+  FROM px, off
+),
+best AS (
+  SELECT gx, gy, code,
+         ROW_NUMBER() OVER (PARTITION BY gx, gy
+                            ORDER BY wgt * dr * dr DESC, code ASC) AS rn
+  FROM nb WHERE dr > 0
+),
+dircode AS (
+  SELECT px.gx, px.gy, COALESCE(b.code, 0) AS c
+  FROM px LEFT JOIN (SELECT gx, gy, code FROM best WHERE rn = 1) b
+    USING (gx, gy)
+)
+SELECT CAST({CB} AS BIGINT) + CAST({X0} + gx // 64 AS BIGINT) * {YW} + ({Y0} + gy // 64) AS cell_id,
+       CAST(COUNT(*) AS BIGINT) AS n_full,
+       CAST(SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sink,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_e,
+       CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_se,
+       CAST(SUM(CASE WHEN c = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_s,
+       CAST(SUM(CASE WHEN c = 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_sw,
+       CAST(SUM(CASE WHEN c = 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_w,
+       CAST(SUM(CASE WHEN c = 32 THEN 1 ELSE 0 END) AS BIGINT) AS n_nw,
+       CAST(SUM(CASE WHEN c = 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_n,
+       CAST(SUM(CASE WHEN c = 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_ne
+FROM dircode GROUP BY 1
 """
 
     _box_vals = ", ".join(

@@ -538,6 +538,79 @@ def hillshade_tiles(
     )
 
 
+# D8 direction codes, ESRI convention, in ascending-code order (the
+# deterministic tie-break: equal steepest slopes resolve to the LOWEST
+# code). (dx, dy) with x growing east and y growing south (row index).
+_D8 = (
+    (1, (1, 0)),     # E
+    (2, (1, 1)),     # SE
+    (4, (0, 1)),     # S
+    (8, (-1, 1)),    # SW
+    (16, (-1, 0)),   # W
+    (32, (-1, -1)),  # NW
+    (64, (0, -1)),   # N
+    (128, (1, -1)),  # NE
+)
+
+
+def flow_direction_stats(tiles: DataFrame) -> DataFrame:
+    """D8 flow direction over a tiled integer DEM — the ``gdaldem``/
+    ArcGIS hydrology primitive (O'Callaghan & Mark 1984): each pixel
+    drains to the steepest-descent neighbor of its 3x3 window, encoded
+    with the ESRI power-of-two codes (E=1, SE=2, S=4, SW=8, W=16, NW=32,
+    N=64, NE=128; 0 = sink/flat, no lower neighbor). Cross-tile via the
+    SAME one-Exchange halo-strip plan as :func:`terrain_stats`; pixels
+    without a full 3x3 window (corpus edge, missing neighbor tile) are
+    excluded, not padded.
+
+    INTEGER-EXACT steepest choice: slopes are drop/1 (cardinal) vs
+    drop/sqrt(2) (diagonal); for positive integer drops a, b the
+    comparison a/1 > b/sqrt(2) is exactly 2a^2 > b^2, so the selection
+    key is ``(2 if cardinal else 1) * drop^2`` — no float crosses the
+    decision, 2a^2 = b^2 has no nonzero integer solutions, and key ties
+    are therefore REAL slope ties, broken to the lowest code. That is
+    what lets a DuckDB twin reproduce every pixel's direction bit-exactly.
+
+    Returns one row per cell with the direction HISTOGRAM (the form
+    drainage analyses consume): ``n_full`` pixels with a full window,
+    ``n_sink`` with no lower neighbor, and ``n_e .. n_ne`` per code."""
+    r = 1
+    dir_cols = ["n_e", "n_se", "n_s", "n_sw", "n_w", "n_nw", "n_n", "n_ne"]
+    out_cols = ["cell_id", "n_full", "n_sink"] + dir_cols
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        built = _build_pad(pdf, r, float("nan"))
+        if built is None:
+            return pd.DataFrame(
+                {c: pd.Series(dtype="int64") for c in out_cols}
+            )
+        cell, h, w, pad = built
+        z = pad[r:r + h, r:r + w]
+        full = np.isfinite(z)
+        best_key = np.zeros((h, w), np.float64)
+        best_code = np.zeros((h, w), np.int64)
+        for code, (dx, dy) in _D8:
+            zn = pad[r + dy:r + dy + h, r + dx:r + dx + w]
+            full = full & np.isfinite(zn)
+            drop = z - zn
+            wgt = 2.0 if (dx == 0 or dy == 0) else 1.0
+            key = wgt * drop * drop
+            # ascending-code iteration + strict '>' = lowest code on ties
+            better = (drop > 0) & (key > best_key)
+            best_key[better] = key[better]
+            best_code[better] = code
+        best_code[~full] = -1  # excluded, counted nowhere
+        row = {"cell_id": [cell], "n_full": [int(full.sum())],
+               "n_sink": [int((best_code == 0).sum())]}
+        for (code, _), col in zip(_D8, dir_cols):
+            row[col] = [int((best_code == code).sum())]
+        return pd.DataFrame(row)
+
+    return _halo_parts(tiles, r).groupBy("target_cell").applyInPandas(
+        assemble, ", ".join(f"{c} long" for c in out_cols)
+    )
+
+
 def proximity_stats(
     tiles: DataFrame,
     target_values: list,

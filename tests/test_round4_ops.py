@@ -1217,3 +1217,80 @@ def test_terrain_and_proximity_plan_single_exchange(spark):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1, plan
+
+
+def _flow_expected(world, present):
+    """Brute-force D8 oracle: per-cell direction histogram over pixels
+    whose full 3x3 window is present. Independent implementation: float
+    slopes with an epsilon-free exact comparison via Fraction."""
+    from fractions import Fraction
+
+    h, w = world.shape
+    valid = np.zeros_like(world, dtype=bool)
+    for dx, dy in present:
+        valid[dy * TILE:(dy + 1) * TILE, dx * TILE:(dx + 1) * TILE] = True
+    z = world.astype(np.int64)
+    d8 = [(1, (1, 0)), (2, (1, 1)), (4, (0, 1)), (8, (-1, 1)),
+          (16, (-1, 0)), (32, (-1, -1)), (64, (0, -1)), (128, (1, -1))]
+    out = {}
+    for tx, ty in present:
+        hist = {0: 0}
+        for c, _ in d8:
+            hist[c] = 0
+        n_full = 0
+        for i in range(ty * TILE, (ty + 1) * TILE):
+            for j in range(tx * TILE, (tx + 1) * TILE):
+                if i < 1 or j < 1 or i >= h - 1 or j >= w - 1:
+                    continue
+                if not valid[i - 1:i + 2, j - 1:j + 2].all():
+                    continue
+                n_full += 1
+                # slope^2 = drop^2 / dist^2 as an exact rational
+                best, best_code = Fraction(0), 0
+                for code, (dx, dy) in d8:
+                    drop = int(z[i, j] - z[i + dy, j + dx])
+                    if drop <= 0:
+                        continue
+                    s2 = Fraction(drop * drop, 1 if (dx == 0 or dy == 0) else 2)
+                    if s2 > best:
+                        best, best_code = s2, code
+                hist[best_code] += 1
+        cell = int(G.cell_from_xy(GRID, X0 + tx, Y0 + ty))
+        out[cell] = (n_full, hist[0], hist[1], hist[2], hist[4], hist[8],
+                     hist[16], hist[32], hist[64], hist[128])
+    return out
+
+
+def test_flow_direction_random_world_fuzz(spark):
+    """Seeded fuzz: random uint8 DEMs with random missing tiles must
+    match a brute-force D8 oracle (exact-rational slope comparison,
+    lowest-code tie-break) pixel for pixel."""
+    from gfw_raster_analysis_lambda_spark.functions import codecs
+
+    rng = np.random.default_rng(20260819)
+    for trial in range(2):
+        # values 0..3: a flat-ish world maximizes ties and sinks
+        world = rng.integers(0, 4, size=(NY * TILE, NX * TILE)).astype(np.float64)
+        all_tiles = [(dx, dy) for dx in range(NX) for dy in range(NY)]
+        drop_idx = rng.choice(len(all_tiles), size=int(rng.integers(0, 3)),
+                              replace=False)
+        drop = {all_tiles[i] for i in drop_idx}
+        present = set(all_tiles) - drop
+        rows = []
+        for dx, dy in present:
+            arr = world[dy * TILE:(dy + 1) * TILE,
+                        dx * TILE:(dx + 1) * TILE].astype(np.uint8)
+            rows.append((
+                int(G.cell_from_xy(GRID, X0 + dx, Y0 + dy)),
+                codecs.encode_tile(arr, "png"), TILE, TILE, "png",
+            ))
+        df = spark.createDataFrame(
+            rows, "cell_id long, bytes binary, w int, h int, fmt string"
+        )
+        got = {
+            r["cell_id"]: (r["n_full"], r["n_sink"], r["n_e"], r["n_se"],
+                           r["n_s"], r["n_sw"], r["n_w"], r["n_nw"],
+                           r["n_n"], r["n_ne"])
+            for r in focal.flow_direction_stats(df).collect()
+        }
+        assert got == _flow_expected(world, present), f"trial {trial} drop={drop}"
