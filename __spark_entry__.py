@@ -1718,6 +1718,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.withColumn("ts", F.col("ts").cast("string"))
     q["rel_rolling_time"] = rel_rolling_time
 
+    def rel_heavy_hitters(spark, sf_dir):
+        # exact phi=1/140 heavy hitters via Misra-Gries mergeable
+        # summaries + exact refinement: one MG scan (O(parts x summary)
+        # rows out, no key shuffle), candidate-pruned exact recount —
+        # sketch prunes, never approximates, so the twin is GROUP
+        # BY/HAVING
+        from gfw_raster_analysis_lambda_spark.operators import sketches
+
+        ev = _t(spark, sf_dir, "events")
+        return sketches.heavy_hitters(ev, "user_id", k=140)
+    q["rel_heavy_hitters"] = rel_heavy_hitters
+
     def rel_asof_attribution(spark, sf_dir):
         # point-in-time attribution: every purchase picks the user's
         # latest preceding click (as-of join, one keyed shuffle + running
@@ -5626,6 +5638,12 @@ SELECT event_id, user_id, CAST(ts AS VARCHAR) AS ts, value,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+"""
+
+    o["rel_heavy_hitters"] = """
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(COUNT(*) AS BIGINT) AS freq
+FROM events GROUP BY user_id
+HAVING COUNT(*) * 140 > (SELECT COUNT(*) FROM events)
 """
 
     _rx_email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -1,0 +1,133 @@
+"""Mergeable-summary (sketch) operators for corpus-scale frequency work.
+
+A 100-TB training-data pipeline constantly asks "which keys dominate?"
+— domains to frequency-cap, users to rate-limit, boilerplate shingles
+to drop — over key spaces far too large to groupBy in full. The
+classic answer is a MERGEABLE SUMMARY: each partition builds a small
+deterministic digest, digests merge associatively, and an exact
+refinement pass pins the final answer so no approximation error ever
+reaches the caller.
+
+``heavy_hitters`` implements the Misra–Gries (1982) frequent-items
+summary this way:
+
+- **Phase 1 (one scan, no key shuffle)**: every partition streams its
+  Arrow batches through an MG(summary_size) summary — at most
+  ``summary_size`` (key, count) pairs, undercounting any key by at most
+  n_partition/(summary_size+1). Each partition also emits its row
+  count. Only O(partitions x summary_size) rows leave the scan, vs the
+  full key space for a groupBy.
+- **Merge**: summed per key (MG summaries merge by addition, the
+  Agarwal et al. 2013 mergeable-summaries result), giving every true
+  heavy hitter (freq * k > N) a merged estimate strictly above
+  ``N/k - N/(summary_size+1)`` — with ``summary_size >= k`` no true
+  hitter can be missed. The merged frame is tiny and collected.
+- **Phase 2 (one scan, candidate-pruned)**: exact counts for the
+  candidate set only (broadcast semi-join; map-side partial aggregation
+  makes the shuffle O(partitions x candidates)), filtered to the exact
+  integer predicate ``freq * k > N``.
+
+The output is therefore EXACT — the sketch only prunes — which is what
+lets a DuckDB twin verify it with plain GROUP BY/HAVING. Determinism
+does not depend on partitioning: any partition layout yields the same
+final rows (pytest re-runs under several layouts to pin this).
+
+Reference scope note: the reference engine (wri/gfw-raster-analysis-
+lambda) has no frequency-sketch surface; this module is part of the
+beyond-reference LLM-pipeline toolkit, like operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_update(summary: dict, counts: "dict", size: int) -> None:
+    """Merge a batch's value counts into an MG summary in place,
+    shrinking back to ``size`` keys by the batched decrement rule
+    (subtract the smallest count from all, drop zeros — each decrement
+    unit hits > size keys at once, preserving the n/(size+1) bound)."""
+    for k, c in counts.items():
+        summary[k] = summary.get(k, 0) + int(c)
+    while len(summary) > size:
+        d = min(summary.values())
+        for k in list(summary):
+            nv = summary[k] - d
+            if nv <= 0:
+                del summary[k]
+            else:
+                summary[k] = nv
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    summary_size: int | None = None,
+) -> DataFrame:
+    """Exact phi=1/k heavy hitters of ``key_col``: every key whose
+    frequency satisfies ``freq * k > N`` (N = total rows), as
+    (key, freq) — sketch-pruned but exact, see the module docstring.
+
+    ``summary_size`` (default ``4 * k``) trades candidate-set size
+    against summary memory; any value >= k is correct (no false
+    negatives), larger values admit fewer false candidates into the
+    exact pass."""
+    if k < 2:
+        raise ValueError("k must be >= 2 (phi = 1/k < 1)")
+    size = int(summary_size) if summary_size is not None else 4 * k
+    if size < k:
+        raise ValueError(f"summary_size {size} < k {k} loses true hitters")
+
+    keyed = df.select(F.col(key_col).alias("__key"))
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        summary: dict = {}
+        n_part = 0
+        for pdf in batches:
+            n_part += len(pdf)
+            _mg_update(summary, pdf["__key"].value_counts().to_dict(), size)
+        out = pd.DataFrame(
+            {"__key": list(summary), "cnt": list(summary.values())}
+        )
+        out["tot"] = 0
+        total = pd.DataFrame({"__key": [None], "cnt": [0], "tot": [n_part]})
+        yield pd.concat([out, total], ignore_index=True)
+
+    field = keyed.schema["__key"]
+    digests = keyed.mapInPandas(
+        summarize, f"__key {field.dataType.simpleString()}, cnt long, tot long"
+    )
+    merged = (
+        digests.groupBy("__key")
+        .agg(F.sum("cnt").alias("est"), F.sum("tot").alias("tot"))
+        .collect()
+    )  # <= partitions * summary_size + partitions rows, by construction
+    n_total = sum(r["tot"] for r in merged if r["__key"] is None)
+    if n_total == 0:
+        return df.sparkSession.createDataFrame(
+            [], f"{key_col} {field.dataType.simpleString()}, freq long"
+        )
+    # MG bound: est >= freq - N/(size+1); true hitters have freq > N/k,
+    # so est > N/k - N/(size+1) (real-valued). est is an integer, so
+    # est > floor(...) is the tightest cut that cannot lose one —
+    # computed as an exact rational floor (the two-floor difference
+    # N//k - N//(size+1) can exceed it and WOULD drop true hitters).
+    floor_est = (n_total * (size + 1 - k)) // (k * (size + 1))
+    cand = [r["__key"] for r in merged
+            if r["__key"] is not None and r["est"] > floor_est]
+    spark = df.sparkSession
+    cand_df = spark.createDataFrame(
+        [(c,) for c in cand], f"__key {field.dataType.simpleString()}"
+    )
+    return (
+        keyed.join(F.broadcast(cand_df), "__key")
+        .groupBy("__key")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") * F.lit(int(k)) > F.lit(int(n_total)))
+        .select(F.col("__key").alias(key_col), "freq")
+    )
