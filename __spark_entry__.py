@@ -2209,6 +2209,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return focal.flow_direction_stats(tiles)
     q["focal_flow_direction"] = focal_flow_direction
 
+    def focal_drainage_basins(spark, sf_dir):
+        # watershed delineation: every pixel assigned to the D8 sink its
+        # water reaches — in-tile pointer doubling + cross-cell ring-map
+        # stitch, O(basins) output; twin follows every path recursively
+        images, _, _ = _fixture(spark)
+        tiles = images.filter(F.col("layer") == "tcl_year")
+        return focal.drainage_basins(tiles)
+    q["focal_drainage_basins"] = focal_drainage_basins
+
     def focal_terrain_zonal(spark, sf_dir):
         # the reference's PRODUCT shape: zonal statistics OF a derivative
         # layer ("loss on steep slopes") — Horn gradients from the full
@@ -5205,6 +5214,50 @@ SELECT CAST({CB} AS BIGINT) + CAST({X0} + gx // 64 AS BIGINT) * {YW} + ({Y0} + g
        CAST(SUM(CASE WHEN c = 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_n,
        CAST(SUM(CASE WHEN c = 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_ne
 FROM dircode GROUP BY 1
+"""
+
+    # watershed twin: follow every pixel's D8 path recursively to its
+    # terminal (no outgoing step = sink if interior/full-window, edge
+    # otherwise); basin sizes group by terminal. Same integer selection
+    # key and lowest-code tie-break as the direction twin.
+    o["focal_drainage_basins"] = f"""
+WITH RECURSIVE
+px AS (
+  SELECT gx, gy FROM generate_series(0, {GX}) a(gx), generate_series(0, {GY}) b(gy)
+),
+off(dx, dy, code) AS (VALUES (1,0,1),(1,1,2),(0,1,4),(-1,1,8),
+                             (-1,0,16),(-1,-1,32),(0,-1,64),(1,-1,128)),
+nb AS (
+  SELECT px.gx, px.gy, off.code, off.dx, off.dy,
+         ({_d8c}) - ({_d8n}) AS dr,
+         CASE WHEN dx = 0 OR dy = 0 THEN 2 ELSE 1 END AS wgt
+  FROM px, off
+  WHERE px.gx BETWEEN 1 AND {GX - 1} AND px.gy BETWEEN 1 AND {GY - 1}
+),
+step AS (
+  SELECT gx, gy, gx + dx AS nx, gy + dy AS ny FROM (
+    SELECT gx, gy, dx, dy,
+           ROW_NUMBER() OVER (PARTITION BY gx, gy
+                              ORDER BY wgt * dr * dr DESC, code ASC) AS rn
+    FROM nb WHERE dr > 0
+  ) WHERE rn = 1
+),
+walk(sx, sy, cx, cy) AS (
+  SELECT gx, gy, gx, gy FROM px
+  UNION ALL
+  SELECT w.sx, w.sy, s.nx, s.ny
+  FROM walk w JOIN step s ON s.gx = w.cx AND s.gy = w.cy
+),
+roots AS (
+  SELECT w.sx, w.sy, w.cx, w.cy
+  FROM walk w LEFT JOIN step s ON s.gx = w.cx AND s.gy = w.cy
+  WHERE s.gx IS NULL
+)
+SELECT CAST({X0 * 64} + cx AS BIGINT) AS root_gx,
+       CAST({Y0 * 64} + cy AS BIGINT) AS root_gy,
+       (cx BETWEEN 1 AND {GX - 1} AND cy BETWEEN 1 AND {GY - 1}) AS is_sink,
+       CAST(COUNT(*) AS BIGINT) AS basin_px
+FROM roots GROUP BY 1, 2, 3
 """
 
     _box_vals = ", ".join(

@@ -611,6 +611,167 @@ def flow_direction_stats(tiles: DataFrame) -> DataFrame:
     )
 
 
+# global pixel id packing for the drainage stitch: gid = gx * 2^31 + gy.
+# Any earth grid at >= 10 cm resolution fits (4e8 px circumference < 2^31);
+# the kernel asserts the bound rather than silently wrapping.
+_PX_PACK = 1 << 31
+
+
+def drainage_basins(tiles: DataFrame, max_rounds: int = 48) -> DataFrame:
+    """Watershed delineation over a tiled integer DEM: every pixel is
+    assigned to the D8 sink its water reaches, and basins are returned
+    as (root_gx, root_gy, is_sink, basin_px) — the drainage-basin area
+    table (``r.watershed`` / TauDEM's basin product, as one Spark job).
+
+    Flow follows :func:`flow_direction_stats`' integer-exact steepest
+    descent. Drops are strictly positive, so paths strictly descend and
+    can never cycle. Every chain ends at a SINK (directed pixel with no
+    lower neighbor, ``is_sink`` true) or an EDGE pixel (no full 3x3
+    window — corpus edge or missing neighbor tile — so its direction is
+    undefined; ``is_sink`` false, water simply stops being tracked).
+    A directed pixel always has all 8 neighbors present, so a step can
+    never land on a nonexistent pixel: the chain algebra is total.
+
+    Scale shape (the components-stitch pattern, never pixels-as-rows):
+
+    1. **Kernel** (same one-Exchange halo plan): each cell compresses
+       its pixel paths in-tile by vectorized pointer DOUBLING
+       (O(log px) numpy gathers), then emits only (a) per-terminal
+       COUNTS — O(distinct terminals) rows — and (b) a per-pixel map of
+       its outermost 1-px ring — O(perimeter) rows. A cross-cell step
+       from a neighbor can only land in that ring, so ring maps are the
+       complete cross-cell interface.
+    2. **Stitch**: the ring maps form a FUNCTIONAL graph (out-degree
+       <= 1, acyclic); pointer doubling (map := map∘map, lineage
+       truncated per round) resolves every external pointer to its
+       final root in O(log longest-chain) shuffle rounds over
+       O(cells x perimeter) rows. Counts then resolve through the final
+       map in one join and re-aggregate to O(basins) output rows.
+    """
+    r = 1
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["tag", "kind", "root", "node", "cnt"]
+        built = _build_pad(pdf, r, float("nan"))
+        if built is None:
+            return pd.DataFrame({
+                "tag": pd.Series(dtype="int32"),
+                "kind": pd.Series(dtype="object"),
+                "root": pd.Series(dtype="int64"),
+                "node": pd.Series(dtype="int64"),
+                "cnt": pd.Series(dtype="int64"),
+            })
+        cell, h, w, pad = built
+        cx, cy = (int(v) for v in G.cell_to_xy(cell))
+        gx0, gy0 = cx * w, cy * h
+        assert gx0 + w < _PX_PACK and gy0 + h < _PX_PACK, "pixel coords overflow gid packing"
+        z = pad[r:r + h, r:r + w]
+        full = np.isfinite(z)
+        best_key = np.zeros((h, w), np.float64)
+        bdx = np.zeros((h, w), np.int64)
+        bdy = np.zeros((h, w), np.int64)
+        for code, (dx, dy) in _D8:
+            zn = pad[r + dy:r + dy + h, r + dx:r + dx + w]
+            full = full & np.isfinite(zn)
+            drop = z - zn
+            wgt = 2.0 if (dx == 0 or dy == 0) else 1.0
+            key = wgt * drop * drop
+            better = (drop > 0) & (key > best_key)
+            best_key[better] = key[better]
+            bdx[better] = dx
+            bdy[better] = dy
+        directed = full & ((bdx != 0) | (bdy != 0))
+        ii, jj = np.mgrid[0:h, 0:w]
+        ti, tj = ii + bdy, jj + bdx  # step target (core coords)
+        inb = (ti >= 0) & (ti < h) & (tj >= 0) & (tj < w)
+        n = h * w
+        par = np.arange(n, dtype=np.int64)
+        internal = directed & inb
+        par[(ii[internal] * w + jj[internal])] = (
+            ti[internal] * w + tj[internal]
+        )
+        for _ in range(int(np.ceil(np.log2(max(n, 2)))) + 1):
+            par = par[par]  # pointer doubling to the in-tile terminal
+        # classify each pixel's in-tile terminal t: external step, sink,
+        # or edge (undirected) pixel
+        t_i, t_j = par // w, par % w
+        t_ext = (directed & ~inb)[t_i, t_j]
+        t_sink = (full & ~directed)[t_i, t_j]
+        gids = (gx0 + t_j).astype(np.int64) * _PX_PACK + (gy0 + t_i)
+        ext_gids = (
+            (gx0 + tj[t_i, t_j]).astype(np.int64) * _PX_PACK
+            + (gy0 + ti[t_i, t_j])
+        )
+        root = np.where(t_ext, ext_gids, gids)
+        kind = np.where(t_ext, "x", np.where(t_sink, "s", "e"))
+        # (a) per-terminal counts over all pixels
+        key_df = pd.DataFrame({"kind": kind.ravel(), "root": root.ravel()})
+        groups = key_df.groupby(["kind", "root"], as_index=False).size()
+        groups = pd.DataFrame({
+            "tag": np.int32(0), "kind": groups["kind"],
+            "root": groups["root"].astype(np.int64),
+            "node": np.int64(0), "cnt": groups["size"].astype(np.int64),
+        })
+        # (b) outermost-ring per-pixel map (the cross-cell interface)
+        ring = (ii == 0) | (ii == h - 1) | (jj == 0) | (jj == w - 1)
+        rr = ring.ravel()
+        node_gid = ((gx0 + jj).astype(np.int64) * _PX_PACK + (gy0 + ii)).ravel()
+        maps = pd.DataFrame({
+            "tag": np.int32(1), "kind": kind.ravel()[rr],
+            "root": root.ravel()[rr].astype(np.int64),
+            "node": node_gid[rr], "cnt": np.int64(0),
+        })
+        return pd.concat([groups, maps], ignore_index=True)[cols]
+
+    parts = _halo_parts(tiles, r).groupBy("target_cell").applyInPandas(
+        assemble, "tag int, kind string, root long, node long, cnt long"
+    ).persist()
+    groups = parts.filter(F.col("tag") == 0).select("kind", "root", "cnt")
+    m = parts.filter(F.col("tag") == 1).select("node", "kind", "root")
+    # pointer doubling over the ring-pixel functional graph
+    for _ in range(max_rounds):
+        if m.filter(F.col("kind") == "x").limit(1).count() == 0:
+            break
+        hop = m.select(
+            F.col("node").alias("__t"),
+            F.col("kind").alias("__k"),
+            F.col("root").alias("__r"),
+        )
+        m = (
+            m.join(hop, (m.kind == "x") & (m.root == hop.__t), "left")
+            .select(
+                "node",
+                F.coalesce("__k", "kind").alias("kind"),
+                F.coalesce("__r", "root").alias("root"),
+            )
+            .localCheckpoint()
+        )
+    resolved = (
+        groups.join(
+            m.select(F.col("node").alias("__t"), F.col("kind").alias("__k"),
+                     F.col("root").alias("__r")),
+            (groups.kind == "x") & (groups.root == F.col("__t")),
+            "left",
+        )
+        .select(
+            F.coalesce("__k", "kind").alias("kind"),
+            F.coalesce("__r", "root").alias("root"),
+            "cnt",
+        )
+    )
+    return (
+        resolved.groupBy("kind", "root")
+        .agg(F.sum("cnt").alias("basin_px"))
+        .select(
+            # integer unpack (a float divide would lose bits past 2^53)
+            F.shiftright("root", 31).alias("root_gx"),
+            F.col("root").bitwiseAND(F.lit(_PX_PACK - 1)).alias("root_gy"),
+            (F.col("kind") == "s").alias("is_sink"),
+            "basin_px",
+        )
+    )
+
+
 def proximity_stats(
     tiles: DataFrame,
     target_values: list,

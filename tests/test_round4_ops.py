@@ -1294,3 +1294,91 @@ def test_flow_direction_random_world_fuzz(spark):
             for r in focal.flow_direction_stats(df).collect()
         }
         assert got == _flow_expected(world, present), f"trial {trial} drop={drop}"
+
+
+def _basins_expected(world, present):
+    """Brute-force watershed oracle: follow D8 (exact-rational slope
+    compare, lowest-code ties) from every pixel of every present tile
+    until a sink (directed pixel with no lower neighbor) or an edge
+    pixel (incomplete 3x3 window); aggregate basin sizes by root."""
+    from fractions import Fraction
+
+    h, w = world.shape
+    valid = np.zeros_like(world, dtype=bool)
+    for dx, dy in present:
+        valid[dy * TILE:(dy + 1) * TILE, dx * TILE:(dx + 1) * TILE] = True
+    z = world.astype(np.int64)
+    d8 = [(1, (1, 0)), (2, (1, 1)), (4, (0, 1)), (8, (-1, 1)),
+          (16, (-1, 0)), (32, (-1, -1)), (64, (0, -1)), (128, (1, -1))]
+
+    def step(i, j):
+        """(next_i, next_j) or None if (i, j) is a root."""
+        if i < 1 or j < 1 or i >= h - 1 or j >= w - 1:
+            return None  # world edge: no full window
+        if not valid[i - 1:i + 2, j - 1:j + 2].all():
+            return None  # missing neighbor tile
+        best, best_d = Fraction(0), None
+        for code, (dx, dy) in d8:
+            drop = int(z[i, j] - z[i + dy, j + dx])
+            if drop <= 0:
+                continue
+            s2 = Fraction(drop * drop, 1 if (dx == 0 or dy == 0) else 2)
+            if s2 > best:
+                best, best_d = s2, (dy, dx)
+        return None if best_d is None else (i + best_d[0], j + best_d[1])
+
+    basins = {}
+    for tx, ty in present:
+        for i in range(ty * TILE, (ty + 1) * TILE):
+            for j in range(tx * TILE, (tx + 1) * TILE):
+                ci, cj = i, j
+                while True:
+                    nxt = step(ci, cj)
+                    if nxt is None:
+                        break
+                    ci, cj = nxt
+                is_sink = (
+                    1 <= ci < h - 1 and 1 <= cj < w - 1
+                    and valid[ci - 1:ci + 2, cj - 1:cj + 2].all()
+                )
+                key = (GX0 + cj, GY0 + ci, bool(is_sink))
+                basins[key] = basins.get(key, 0) + 1
+    return basins
+
+
+GX0, GY0 = X0 * TILE, Y0 * TILE
+
+
+def test_drainage_basins_random_world_fuzz(spark):
+    """Seeded fuzz incl. a missing tile: basin sizes from the two-level
+    engine (in-tile pointer doubling + cross-cell ring-map stitch) must
+    equal the brute-force path-following oracle exactly. Wide value
+    range makes long cross-cell chains; the missing tile converts its
+    ring into edge roots."""
+    from gfw_raster_analysis_lambda_spark.functions import codecs
+
+    rng = np.random.default_rng(20260820)
+    for trial, n_drop in ((0, 0), (1, 1)):
+        world = rng.integers(0, 200, size=(NY * TILE, NX * TILE)).astype(np.float64)
+        all_tiles = [(dx, dy) for dx in range(NX) for dy in range(NY)]
+        drop_idx = rng.choice(len(all_tiles), size=n_drop, replace=False)
+        drop = {all_tiles[i] for i in drop_idx}
+        present = set(all_tiles) - drop
+        rows = []
+        for dx, dy in present:
+            arr = world[dy * TILE:(dy + 1) * TILE,
+                        dx * TILE:(dx + 1) * TILE].astype(np.uint8)
+            rows.append((
+                int(G.cell_from_xy(GRID, X0 + dx, Y0 + dy)),
+                codecs.encode_tile(arr, "png"), TILE, TILE, "png",
+            ))
+        df = spark.createDataFrame(
+            rows, "cell_id long, bytes binary, w int, h int, fmt string"
+        )
+        got = {
+            (r["root_gx"], r["root_gy"], r["is_sink"]): r["basin_px"]
+            for r in focal.drainage_basins(df).collect()
+        }
+        expect = _basins_expected(world, present)
+        assert sum(got.values()) == sum(expect.values()) == len(present) * TILE * TILE
+        assert got == expect, f"trial {trial} drop={drop}"
