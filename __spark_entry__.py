@@ -56,6 +56,17 @@ TD = GRID.tile_deg          # 0.25 (binary-exact)
 PS = GRID.pixel_size        # 0.00390625 (binary-exact)
 X0, Y0, NX, NY = fixtures.X0, fixtures.Y0, fixtures.NX, fixtures.NY
 
+# Voronoi gate points: literal doubles inlined into BOTH engines (repr
+# round-trips binary64 exactly). Kept >= 16 px inside the 4x4-tile
+# fixture region so every pixel within the 0.04-deg radius lies on the
+# twin's lattice.
+_VORONOI_POINTS = [
+    (k,
+     -180.0 + X0 * TD + ((16 + (k * 131) % 224) + 0.31) * PS,
+     90.0 - Y0 * TD - ((16 + (k * 173) % 224) + 0.67) * PS)
+    for k in range(30)
+]
+
 
 # ---------------------------------------------------------------------------
 # Shared input loaders
@@ -2350,6 +2361,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return knn.knn_geo(pts, qs, k=5, ring=1, max_ring=8, grid_name=GRID.name)
     q["knn_geo_cells"] = knn_geo_cells
+
+    def spatial_voronoi_rasterize(spark, sf_dir):
+        # discrete Voronoi allocation (gdal_grid nearest): every pixel
+        # within the radius of >=1 point is assigned to its nearest point
+        # (exact ties -> lowest id); O(points x cells) output rows. Pixel
+        # centers / d^2 / the radius compare are the identical double
+        # expression sequence on both engines -> bit-exact argmin
+        pts = spark.createDataFrame(
+            _VORONOI_POINTS, "point_id long, lon double, lat double"
+        )
+        return knn.voronoi_rasterize(pts, GRID.name, radius_deg=0.04)
+    q["spatial_voronoi_rasterize"] = spatial_voronoi_rasterize
 
     def dedup_ngram_containment(spark, sf_dir):
         # asymmetric containment (common / min set size): catches the
@@ -5258,6 +5281,37 @@ SELECT CAST({X0 * 64} + cx AS BIGINT) AS root_gx,
        (cx BETWEEN 1 AND {GX - 1} AND cy BETWEEN 1 AND {GY - 1}) AS is_sink,
        CAST(COUNT(*) AS BIGINT) AS basin_px
 FROM roots GROUP BY 1, 2, 3
+"""
+
+    # Voronoi twin: identical double expression sequence for pixel
+    # centers and d^2 (products and adds only, no sums) -> the argmin
+    # and the radius compare are bit-exact across engines
+    _vor_vals = ", ".join(
+        f"({k}, {lon!r}, {lat!r})" for k, lon, lat in _VORONOI_POINTS
+    )
+    _vor_d2 = "(lat - plat)*(lat - plat) + (lon - plon)*(lon - plon)"
+    o["spatial_voronoi_rasterize"] = f"""
+WITH px AS (
+  SELECT gx, gy FROM generate_series(0, {GX}) a(gx), generate_series(0, {GY}) b(gy)
+),
+pts(pid, plon, plat) AS (VALUES {_vor_vals}),
+c AS (
+  SELECT gx, gy,
+         -180.0 + CAST({X0} + gx // 64 AS DOUBLE) * {TD!r} + ((gx % 64) + 0.5) * {PS!r} AS lon,
+         90.0 - CAST({Y0} + gy // 64 AS DOUBLE) * {TD!r} - ((gy % 64) + 0.5) * {PS!r} AS lat
+  FROM px
+),
+b AS (
+  SELECT gx, gy, pid,
+         ROW_NUMBER() OVER (PARTITION BY gx, gy
+                            ORDER BY {_vor_d2} ASC, pid ASC) AS rn
+  FROM c, pts
+  WHERE {_vor_d2} <= {0.04 * 0.04!r}
+)
+SELECT CAST({CB} AS BIGINT) + CAST({X0} + gx // 64 AS BIGINT) * {YW} + ({Y0} + gy // 64) AS cell_id,
+       CAST(pid AS BIGINT) AS point_id,
+       CAST(COUNT(*) AS BIGINT) AS n_px
+FROM b WHERE rn = 1 GROUP BY 1, 2
 """
 
     _box_vals = ", ".join(

@@ -314,3 +314,85 @@ def knn_geo(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def voronoi_rasterize(
+    points: DataFrame,  # (point_id long, lon double, lat double)
+    grid_name: str,
+    radius_deg: float,
+) -> DataFrame:
+    """Discrete Voronoi allocation of the pixel lattice — ``gdal_grid``'s
+    nearest-neighbor interpolation, summarized: every pixel whose center
+    lies within ``radius_deg`` (planar degrees, like
+    ``spatial_join.geo_distance_pairs``'s metric contract) of at least
+    one point is assigned to its NEAREST point (ties on exact equal
+    squared distance break to the lowest point_id), and the result is
+    returned as (cell_id, point_id, n_px) — the discrete Voronoi cell
+    area per grid cell, O(points x covered cells) rows, never O(pixels).
+
+    Spark shape: each point explodes to the cell k-ring that can contain
+    pixels within the radius (ring = ceil(r / tile) + 1 — a pixel at
+    Chebyshev cell distance k is at least (k-1) tiles away, so the ring
+    provably over-covers; the kernel's exact d^2 <= r^2 filter discards
+    the rest), one groupBy(cell) shuffle of O(points x ring^2) small
+    rows, and an Arrow kernel that scans the (points x pixels) distance
+    matrix per cell. Pixel centers, d^2 and the radius compare use the
+    IDENTICAL double-precision expression sequence as the DuckDB twin
+    (no sums — only products, adds and an argmin — so the comparison is
+    bit-exact, the `spatial_distance_band` precedent)."""
+    grid = G.get_grid(grid_name)
+    td, ps, cp = grid.tile_deg, grid.pixel_size, grid.chunk_px
+    r2 = float(radius_deg) * float(radius_deg)
+    ring = int(np.ceil(float(radius_deg) / td)) + 1
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def ring_cells(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        own = G.latlng_to_cell(grid, lon.to_numpy(), lat.to_numpy())
+        return pd.Series(
+            [G.k_ring(grid, int(c), ring).tolist() for c in own]
+        )
+
+    cand = points.select(
+        "point_id", "lon", "lat",
+        F.explode(ring_cells("lon", "lat")).alias("cell_id"),
+    )
+
+    def kernel(key, pdf):
+        cell = int(key[0])
+        cx, cy = (int(v) for v in G.cell_to_xy(cell))
+        x0 = -180.0 + cx * td
+        y0 = 90.0 - cy * td
+        jj = np.arange(cp, dtype=np.float64)
+        lon = x0 + (jj + 0.5) * ps           # (w,)
+        lat = y0 - (jj + 0.5) * ps           # (h,)
+        best_d2 = np.full((cp, cp), np.inf)
+        best_pid = np.full((cp, cp), -1, dtype=np.int64)
+        order = pdf.sort_values("point_id")
+        for pid, plon, plat in zip(
+            order["point_id"], order["lon"], order["lat"]
+        ):
+            dx = lon - float(plon)           # (w,)
+            dy = lat - float(plat)           # (h,)
+            d2 = dy[:, None] * dy[:, None] + dx[None, :] * dx[None, :]
+            better = d2 < best_d2            # strict: equal keeps lower pid
+            best_d2[better] = d2[better]
+            best_pid[better] = int(pid)
+        labeled = best_d2 <= r2
+        if not labeled.any():
+            return pd.DataFrame(
+                {"cell_id": pd.Series(dtype="int64"),
+                 "point_id": pd.Series(dtype="int64"),
+                 "n_px": pd.Series(dtype="int64")}
+            )
+        pids = best_pid[labeled]
+        uniq, cnt = np.unique(pids, return_counts=True)
+        return pd.DataFrame({
+            "cell_id": np.full(len(uniq), cell, dtype=np.int64),
+            "point_id": uniq,
+            "n_px": cnt.astype(np.int64),
+        })
+
+    return (
+        cand.groupBy("cell_id")
+        .applyInPandas(kernel, "cell_id long, point_id long, n_px long")
+    )

@@ -997,3 +997,59 @@ def test_pixel_components_value_layer_cross_tile(spark):
         exp.append((min(cells), int(m.sum()), int(veff[m].sum())))
     assert got == sorted(exp)
     assert len(got) > 5
+
+
+def test_voronoi_rasterize_matches_bruteforce(spark):
+    """Random points: per-(cell, point) discrete Voronoi areas must equal
+    a brute-force all-pixels argmin over the covering lattice, with the
+    (d2, point_id) tie-break and the radius cut."""
+    import numpy as np
+
+    from gfw_raster_analysis_lambda_spark.functions import grid as G
+    from gfw_raster_analysis_lambda_spark.operators import knn
+
+    grid = G.GRID_FIXTURE
+    td, ps, cp = grid.tile_deg, grid.pixel_size, grid.chunk_px
+    rng = np.random.default_rng(31)
+    cx0, cy0 = 740, 270
+    pts = []
+    for k in range(25):
+        lon = -180.0 + cx0 * td + float(rng.uniform(0.1, 3.9)) * td
+        lat = 90.0 - cy0 * td - float(rng.uniform(0.1, 3.9)) * td
+        pts.append((k, lon, lat))
+    radius = 0.05
+    df = spark.createDataFrame(pts, "point_id long, lon double, lat double")
+    got = {
+        (r["cell_id"], r["point_id"]): r["n_px"]
+        for r in knn.voronoi_rasterize(df, grid.name, radius).collect()
+    }
+
+    # brute force over a lattice window that over-covers points + radius
+    pad = 2
+    expect = {}
+    r2 = radius * radius
+    for cy in range(cy0 - pad, cy0 + 4 + pad):
+        for cx in range(cx0 - pad, cx0 + 4 + pad):
+            x0 = -180.0 + cx * td
+            y0 = 90.0 - cy * td
+            jj = np.arange(cp, dtype=np.float64)
+            lon = x0 + (jj + 0.5) * ps
+            lat = y0 - (jj + 0.5) * ps
+            best = np.full((cp, cp), np.inf)
+            bpid = np.full((cp, cp), -1, dtype=np.int64)
+            for k, plon, plat in pts:
+                dx = lon - plon
+                dy = lat - plat
+                d2 = dy[:, None] * dy[:, None] + dx[None, :] * dx[None, :]
+                m = d2 < best
+                best[m] = d2[m]
+                bpid[m] = k
+            lab = best <= r2
+            if not lab.any():
+                continue
+            cell = int(G.cell_from_xy(grid, cx, cy))
+            u, c = np.unique(bpid[lab], return_counts=True)
+            for pid, n in zip(u, c):
+                expect[(cell, int(pid))] = int(n)
+    assert got == expect
+    assert sum(got.values()) == sum(expect.values()) > 0
