@@ -345,14 +345,15 @@ def pixel_components(
                 nl = int(ls.max()) + 1
                 cnt = np.bincount(ls, minlength=nl)
                 # the stats scatter-passes are paid ONLY by the features
-                # that need them — the plain blob-count path stays lean
-                zeros = np.zeros(nl, np.int64)
-                sgx = sgy = mnx = mny = mxx = mxy = adj = vsum = zeros
+                # that need them — the plain blob-count path stays lean.
+                # Separate zero buffers per stat (aliasing one shared
+                # array would let a future in-place scatter corrupt all)
+                sgx, sgy, mnx, mny, mxx, mxy, adj, vsum = (
+                    np.zeros(nl, np.int64) for _ in range(8)
+                )
                 if geom_stats:
                     gxs = (gx0 + xs).astype(np.int64)
                     gys = (gy0 + ys).astype(np.int64)
-                    sgx = np.zeros(nl, np.int64)
-                    sgy = np.zeros(nl, np.int64)
                     np.add.at(sgx, ls, gxs)
                     np.add.at(sgy, ls, gys)
                     big = np.int64(1) << 62

@@ -553,6 +553,34 @@ _D8 = (
 )
 
 
+def _d8_select(pad: np.ndarray, h: int, w: int, r: int):
+    """The ONE integer-exact D8 steepest-descent selection both
+    :func:`flow_direction_stats` and :func:`drainage_basins` (and both
+    DuckDB twins) must agree on: key = (2 if cardinal else 1) * drop^2,
+    ascending-code iteration with strict '>' so exact ties resolve to
+    the lowest ESRI code. Returns (full, best_code, bdx, bdy) — code 0
+    and (0, 0) offsets for sinks/flats; ``full`` marks pixels whose
+    entire 3x3 window is present."""
+    z = pad[r:r + h, r:r + w]
+    full = np.isfinite(z)
+    best_key = np.zeros((h, w), np.float64)
+    best_code = np.zeros((h, w), np.int64)
+    bdx = np.zeros((h, w), np.int64)
+    bdy = np.zeros((h, w), np.int64)
+    for code, (dx, dy) in _D8:
+        zn = pad[r + dy:r + dy + h, r + dx:r + dx + w]
+        full = full & np.isfinite(zn)
+        drop = z - zn
+        wgt = 2.0 if (dx == 0 or dy == 0) else 1.0
+        key = wgt * drop * drop
+        better = (drop > 0) & (key > best_key)
+        best_key[better] = key[better]
+        best_code[better] = code
+        bdx[better] = dx
+        bdy[better] = dy
+    return full, best_code, bdx, bdy
+
+
 def flow_direction_stats(tiles: DataFrame) -> DataFrame:
     """D8 flow direction over a tiled integer DEM — the ``gdaldem``/
     ArcGIS hydrology primitive (O'Callaghan & Mark 1984): each pixel
@@ -585,20 +613,8 @@ def flow_direction_stats(tiles: DataFrame) -> DataFrame:
                 {c: pd.Series(dtype="int64") for c in out_cols}
             )
         cell, h, w, pad = built
-        z = pad[r:r + h, r:r + w]
-        full = np.isfinite(z)
-        best_key = np.zeros((h, w), np.float64)
-        best_code = np.zeros((h, w), np.int64)
-        for code, (dx, dy) in _D8:
-            zn = pad[r + dy:r + dy + h, r + dx:r + dx + w]
-            full = full & np.isfinite(zn)
-            drop = z - zn
-            wgt = 2.0 if (dx == 0 or dy == 0) else 1.0
-            key = wgt * drop * drop
-            # ascending-code iteration + strict '>' = lowest code on ties
-            better = (drop > 0) & (key > best_key)
-            best_key[better] = key[better]
-            best_code[better] = code
+        full, best_code, _, _ = _d8_select(pad, h, w, r)
+        best_code = best_code.copy()
         best_code[~full] = -1  # excluded, counted nowhere
         row = {"cell_id": [cell], "n_full": [int(full.sum())],
                "n_sink": [int((best_code == 0).sum())]}
@@ -664,23 +680,13 @@ def drainage_basins(tiles: DataFrame, max_rounds: int = 48) -> DataFrame:
         cell, h, w, pad = built
         cx, cy = (int(v) for v in G.cell_to_xy(cell))
         gx0, gy0 = cx * w, cy * h
-        assert gx0 + w < _PX_PACK and gy0 + h < _PX_PACK, "pixel coords overflow gid packing"
-        z = pad[r:r + h, r:r + w]
-        full = np.isfinite(z)
-        best_key = np.zeros((h, w), np.float64)
-        bdx = np.zeros((h, w), np.int64)
-        bdy = np.zeros((h, w), np.int64)
-        for code, (dx, dy) in _D8:
-            zn = pad[r + dy:r + dy + h, r + dx:r + dx + w]
-            full = full & np.isfinite(zn)
-            drop = z - zn
-            wgt = 2.0 if (dx == 0 or dy == 0) else 1.0
-            key = wgt * drop * drop
-            better = (drop > 0) & (key > best_key)
-            best_key[better] = key[better]
-            bdx[better] = dx
-            bdy[better] = dy
-        directed = full & ((bdx != 0) | (bdy != 0))
+        if gx0 + w >= _PX_PACK or gy0 + h >= _PX_PACK:
+            # raise, never silently wrap (an assert vanishes under -O)
+            raise ValueError(
+                f"global pixel coords exceed 2^31 gid packing (cell {cell})"
+            )
+        full, best_code, bdx, bdy = _d8_select(pad, h, w, r)
+        directed = full & (best_code != 0)
         ii, jj = np.mgrid[0:h, 0:w]
         ti, tj = ii + bdy, jj + bdx  # step target (core coords)
         inb = (ti >= 0) & (ti < h) & (tj >= 0) & (tj < w)
@@ -729,8 +735,10 @@ def drainage_basins(tiles: DataFrame, max_rounds: int = 48) -> DataFrame:
     groups = parts.filter(F.col("tag") == 0).select("kind", "root", "cnt")
     m = parts.filter(F.col("tag") == 1).select("node", "kind", "root")
     # pointer doubling over the ring-pixel functional graph
+    converged = False
     for _ in range(max_rounds):
         if m.filter(F.col("kind") == "x").limit(1).count() == 0:
+            converged = True
             break
         hop = m.select(
             F.col("node").alias("__t"),
@@ -746,6 +754,13 @@ def drainage_basins(tiles: DataFrame, max_rounds: int = 48) -> DataFrame:
             )
             .localCheckpoint()
         )
+    if not converged and m.filter(F.col("kind") == "x").limit(1).count() > 0:
+        # partially-resolved roots are silently WRONG basins — refuse,
+        # exactly like components.hash_to_min on non-convergence
+        parts.unpersist()
+        raise RuntimeError(
+            f"drainage stitch did not converge in {max_rounds} rounds"
+        )
     resolved = (
         groups.join(
             m.select(F.col("node").alias("__t"), F.col("kind").alias("__k"),
@@ -759,7 +774,7 @@ def drainage_basins(tiles: DataFrame, max_rounds: int = 48) -> DataFrame:
             "cnt",
         )
     )
-    return (
+    out = (
         resolved.groupBy("kind", "root")
         .agg(F.sum("cnt").alias("basin_px"))
         .select(
@@ -769,7 +784,12 @@ def drainage_basins(tiles: DataFrame, max_rounds: int = 48) -> DataFrame:
             (F.col("kind") == "s").alias("is_sink"),
             "basin_px",
         )
+        # O(basins) rows: checkpoint eagerly so the kernel cache can be
+        # released before returning (the components unpersist pattern)
+        .localCheckpoint(eager=True)
     )
+    parts.unpersist()
+    return out
 
 
 def proximity_stats(

@@ -76,7 +76,12 @@ def heavy_hitters(
     ``summary_size`` (default ``4 * k``) trades candidate-set size
     against summary memory; any value >= k is correct (no false
     negatives), larger values admit fewer false candidates into the
-    exact pass."""
+    exact pass.
+
+    NULL keys form one group, exactly as GROUP BY/HAVING would keep
+    them: their count is tracked exactly in phase 1 (one counter per
+    partition — no sketch involved) and the NULL row is emitted when it
+    qualifies."""
     if k < 2:
         raise ValueError("k must be >= 2 (phi = 1/k < 1)")
     size = int(summary_size) if summary_size is not None else 4 * k
@@ -88,30 +93,45 @@ def heavy_hitters(
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         summary: dict = {}
         n_part = 0
+        n_null = 0  # NULL keys form one exact group (no sketch needed)
         for pdf in batches:
             n_part += len(pdf)
+            n_null += int(pdf["__key"].isna().sum())
             _mg_update(summary, pdf["__key"].value_counts().to_dict(), size)
         out = pd.DataFrame(
             {"__key": list(summary), "cnt": list(summary.values())}
         )
         out["tot"] = 0
-        total = pd.DataFrame({"__key": [None], "cnt": [0], "tot": [n_part]})
+        out["nulls"] = 0
+        total = pd.DataFrame(
+            {"__key": [None], "cnt": [0], "tot": [n_part], "nulls": [n_null]}
+        )
         yield pd.concat([out, total], ignore_index=True)
 
     field = keyed.schema["__key"]
     digests = keyed.mapInPandas(
-        summarize, f"__key {field.dataType.simpleString()}, cnt long, tot long"
+        summarize,
+        f"__key {field.dataType.simpleString()}, cnt long, tot long, nulls long",
     )
     merged = (
         digests.groupBy("__key")
-        .agg(F.sum("cnt").alias("est"), F.sum("tot").alias("tot"))
+        .agg(F.sum("cnt").alias("est"), F.sum("tot").alias("tot"),
+             F.sum("nulls").alias("nulls"))
         .collect()
     )  # <= partitions * summary_size + partitions rows, by construction
     n_total = sum(r["tot"] for r in merged if r["__key"] is None)
+    n_null = sum(r["nulls"] for r in merged if r["__key"] is None)
+    out_schema = f"{key_col} {field.dataType.simpleString()}, freq long"
+    spark = df.sparkSession
     if n_total == 0:
-        return df.sparkSession.createDataFrame(
-            [], f"{key_col} {field.dataType.simpleString()}, freq long"
-        )
+        return spark.createDataFrame([], out_schema)
+    # value_counts drops nulls, so the NULL group never reaches the MG
+    # summary; its exact count comes from phase 1 — emit it directly so
+    # the contract matches GROUP BY/HAVING (which keeps a NULL group)
+    null_row = (
+        spark.createDataFrame([(None, n_null)], out_schema)
+        if n_null * k > n_total else spark.createDataFrame([], out_schema)
+    )
     # MG bound: est >= freq - N/(size+1); true hitters have freq > N/k,
     # so est > N/k - N/(size+1) (real-valued). est is an integer, so
     # est > floor(...) is the tightest cut that cannot lose one —
@@ -120,7 +140,6 @@ def heavy_hitters(
     floor_est = (n_total * (size + 1 - k)) // (k * (size + 1))
     cand = [r["__key"] for r in merged
             if r["__key"] is not None and r["est"] > floor_est]
-    spark = df.sparkSession
     cand_df = spark.createDataFrame(
         [(c,) for c in cand], f"__key {field.dataType.simpleString()}"
     )
@@ -130,4 +149,5 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") * F.lit(int(k)) > F.lit(int(n_total)))
         .select(F.col("__key").alias(key_col), "freq")
+        .unionByName(null_row)
     )

@@ -76,3 +76,14 @@ def test_heavy_hitters_string_keys_and_empty(spark):
     assert got == {"a": 30}
     empty = spark.createDataFrame([], "key string")
     assert sketches.heavy_hitters(empty, "key", 3).count() == 0
+
+
+def test_heavy_hitters_null_keys_form_exact_group(spark):
+    """GROUP BY keeps a NULL group; so must heavy_hitters — nulls are
+    counted exactly in phase 1 (value_counts drops them from the MG
+    summary, and an equi-join could never recount them)."""
+    rows = [("a",)] * 30 + [(None,)] * 25 + [("b",)] * 3
+    df = spark.createDataFrame(rows, "key string").repartition(4)
+    got = {r["key"]: r["freq"]
+           for r in sketches.heavy_hitters(df, "key", 3).collect()}
+    assert got == {"a": 30, None: 25}
