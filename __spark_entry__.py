@@ -66,6 +66,8 @@ _VORONOI_POINTS = [
      90.0 - Y0 * TD - ((16 + (k * 173) % 224) + 0.67) * PS)
     for k in range(30)
 ]
+# same sites with an integer value column for the IDW gate
+_IDW_POINTS = [(k, lon, lat, (k * 17) % 100) for k, lon, lat in _VORONOI_POINTS]
 
 
 # ---------------------------------------------------------------------------
@@ -2373,6 +2375,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return knn.voronoi_rasterize(pts, GRID.name, radius_deg=0.04)
     q["spatial_voronoi_rasterize"] = spatial_voronoi_rasterize
+
+    def spatial_idw_buckets(spark, sf_dir):
+        # gdal_grid invdist: per-pixel IDW surface summarized as per-cell
+        # bucket histograms. Weights integer-quantized (floor(2^36/d^2),
+        # capped at 2^40) so every sum is order-independent int64 — the
+        # twin hash-matches with no rounding tricks
+        pts = spark.createDataFrame(
+            _IDW_POINTS, "point_id long, lon double, lat double, value long"
+        )
+        return knn.idw_interpolate(pts, GRID.name, radius_deg=0.04, n_buckets=8)
+    q["spatial_idw_buckets"] = spatial_idw_buckets
 
     def dedup_ngram_containment(spark, sf_dir):
         # asymmetric containment (common / min set size): catches the
@@ -5312,6 +5325,41 @@ SELECT CAST({CB} AS BIGINT) + CAST({X0} + gx // 64 AS BIGINT) * {YW} + ({Y0} + g
        CAST(pid AS BIGINT) AS point_id,
        CAST(COUNT(*) AS BIGINT) AS n_px
 FROM b WHERE rn = 1 GROUP BY 1, 2
+"""
+
+    # IDW twin: quantized integer weights (one double divide + floor +
+    # cap, bit-identical across engines) make num/den exact integer sums
+    # in ANY order; the bucket floor-divide is integer too
+    _idw_vals = ", ".join(
+        f"({k}, {lon!r}, {lat!r}, {v})" for k, lon, lat, v in _IDW_POINTS
+    )
+    _idw_w = (
+        f"CAST(LEAST(FLOOR({float(1 << 36)!r} / ({_vor_d2})), "
+        f"{1 << 40}) AS BIGINT)"
+    )
+    o["spatial_idw_buckets"] = f"""
+WITH px AS (
+  SELECT gx, gy FROM generate_series(0, {GX}) a(gx), generate_series(0, {GY}) b(gy)
+),
+pts(pid, plon, plat, v) AS (VALUES {_idw_vals}),
+c AS (
+  SELECT gx, gy,
+         -180.0 + CAST({X0} + gx // 64 AS DOUBLE) * {TD!r} + ((gx % 64) + 0.5) * {PS!r} AS lon,
+         90.0 - CAST({Y0} + gy // 64 AS DOUBLE) * {TD!r} - ((gy % 64) + 0.5) * {PS!r} AS lat
+  FROM px
+),
+w AS (
+  SELECT gx, gy,
+         SUM(CASE WHEN {_vor_d2} <= {0.04 * 0.04!r}
+             THEN {_idw_w} * v ELSE 0 END) AS num,
+         SUM(CASE WHEN {_vor_d2} <= {0.04 * 0.04!r}
+             THEN {_idw_w} ELSE 0 END) AS den
+  FROM c, pts GROUP BY gx, gy
+)
+SELECT CAST({CB} AS BIGINT) + CAST({X0} + gx // 64 AS BIGINT) * {YW} + ({Y0} + gy // 64) AS cell_id,
+       CAST((num * 8) // den AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_px
+FROM w WHERE den > 0 GROUP BY 1, 2
 """
 
     _box_vals = ", ".join(

@@ -396,3 +396,92 @@ def voronoi_rasterize(
         cand.groupBy("cell_id")
         .applyInPandas(kernel, "cell_id long, point_id long, n_px long")
     )
+
+
+# IDW weight quantization: w = min(floor(2^36 / d^2), 2^40). The single
+# double division and floor are bit-identical across engines, the cap
+# bounds the near-point singularity, and INTEGER weights make every
+# downstream sum order-independent — which is what lets the DuckDB twin
+# hash-match without rounding tricks.
+_IDW_SCALE = float(1 << 36)
+_IDW_WMAX = 1 << 40
+
+
+def idw_interpolate(
+    points: DataFrame,  # (point_id long, lon double, lat double, value long)
+    grid_name: str,
+    radius_deg: float,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Inverse-distance-weighted interpolation — ``gdal_grid invdist``
+    (its default algorithm), with the per-pixel surface summarized as a
+    per-cell BUCKET histogram: every pixel within ``radius_deg`` of at
+    least one point gets interp = sum(w_i * v_i) / sum(w_i) over the
+    in-radius points, reported as bucket = floor(interp * n_buckets /
+    v_scale) counts — (cell_id, bucket, n_px), O(cells x buckets) rows,
+    never O(pixels). ``v_scale`` is implicit: bucket = (num *
+    n_buckets) // den in exact int64, so buckets are in VALUE units
+    (bucket b covers [b/n_buckets, (b+1)/n_buckets) of the value range).
+
+    Same plan as :func:`voronoi_rasterize` (provably-covering cell ring
+    explode, one groupBy(cell) shuffle, Arrow kernel over the points x
+    pixels matrix). Weights are integer-quantized (module note above):
+    all sums and the bucket floor-divide are exact integers, so result
+    hashes are engine-independent by construction."""
+    grid = G.get_grid(grid_name)
+    td, ps, cp = grid.tile_deg, grid.pixel_size, grid.chunk_px
+    r2 = float(radius_deg) * float(radius_deg)
+    ring = int(np.ceil(float(radius_deg) / td)) + 1
+    q = int(n_buckets)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def ring_cells(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        own = G.latlng_to_cell(grid, lon.to_numpy(), lat.to_numpy())
+        return pd.Series(
+            [G.k_ring(grid, int(c), ring).tolist() for c in own]
+        )
+
+    cand = points.select(
+        "point_id", "lon", "lat", "value",
+        F.explode(ring_cells("lon", "lat")).alias("cell_id"),
+    )
+
+    def kernel(key, pdf):
+        cell = int(key[0])
+        cx, cy = (int(v) for v in G.cell_to_xy(cell))
+        x0 = -180.0 + cx * td
+        y0 = 90.0 - cy * td
+        jj = np.arange(cp, dtype=np.float64)
+        lon = x0 + (jj + 0.5) * ps
+        lat = y0 - (jj + 0.5) * ps
+        num = np.zeros((cp, cp), np.int64)
+        den = np.zeros((cp, cp), np.int64)
+        for plon, plat, pval in zip(pdf["lon"], pdf["lat"], pdf["value"]):
+            dx = lon - float(plon)
+            dy = lat - float(plat)
+            d2 = dy[:, None] * dy[:, None] + dx[None, :] * dx[None, :]
+            with np.errstate(divide="ignore"):
+                wf = np.floor(_IDW_SCALE / d2)  # inf at d2 == 0, capped next
+            w = np.minimum(wf, float(_IDW_WMAX)).astype(np.int64)
+            inr = d2 <= r2
+            num += np.where(inr, w * int(pval), 0)
+            den += np.where(inr, w, 0)
+        lab = den > 0
+        if not lab.any():
+            return pd.DataFrame(
+                {"cell_id": pd.Series(dtype="int64"),
+                 "bucket": pd.Series(dtype="int64"),
+                 "n_px": pd.Series(dtype="int64")}
+            )
+        bucket = (num[lab] * q) // den[lab]
+        uniq, cnt = np.unique(bucket, return_counts=True)
+        return pd.DataFrame({
+            "cell_id": np.full(len(uniq), cell, dtype=np.int64),
+            "bucket": uniq,
+            "n_px": cnt.astype(np.int64),
+        })
+
+    return (
+        cand.groupBy("cell_id")
+        .applyInPandas(kernel, "cell_id long, bucket long, n_px long")
+    )

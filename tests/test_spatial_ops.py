@@ -1053,3 +1053,62 @@ def test_voronoi_rasterize_matches_bruteforce(spark):
                 expect[(cell, int(pid))] = int(n)
     assert got == expect
     assert sum(got.values()) == sum(expect.values()) > 0
+
+
+def test_idw_interpolate_matches_bruteforce(spark):
+    """Random points with values: per-cell IDW bucket histograms must
+    equal a brute-force all-pixels evaluation with the same quantized
+    integer weights (floor(2^36/d^2) capped at 2^40) and bucket divide."""
+    import numpy as np
+
+    from gfw_raster_analysis_lambda_spark.functions import grid as G
+    from gfw_raster_analysis_lambda_spark.operators import knn
+
+    grid = G.GRID_FIXTURE
+    td, ps, cp = grid.tile_deg, grid.pixel_size, grid.chunk_px
+    rng = np.random.default_rng(43)
+    cx0, cy0 = 810, 300
+    pts = []
+    for k in range(20):
+        lon = -180.0 + cx0 * td + float(rng.uniform(0.1, 3.9)) * td
+        lat = 90.0 - cy0 * td - float(rng.uniform(0.1, 3.9)) * td
+        pts.append((k, lon, lat, int(rng.integers(0, 200))))
+    radius, q = 0.05, 8
+    df = spark.createDataFrame(
+        pts, "point_id long, lon double, lat double, value long"
+    )
+    got = {
+        (r["cell_id"], r["bucket"]): r["n_px"]
+        for r in knn.idw_interpolate(df, grid.name, radius, q).collect()
+    }
+
+    pad = 2
+    expect = {}
+    r2 = radius * radius
+    S, WMAX = float(1 << 36), float(1 << 40)
+    for cy in range(cy0 - pad, cy0 + 4 + pad):
+        for cx in range(cx0 - pad, cx0 + 4 + pad):
+            x0 = -180.0 + cx * td
+            y0 = 90.0 - cy * td
+            jj = np.arange(cp, dtype=np.float64)
+            lon = x0 + (jj + 0.5) * ps
+            lat = y0 - (jj + 0.5) * ps
+            num = np.zeros((cp, cp), np.int64)
+            den = np.zeros((cp, cp), np.int64)
+            for k, plon, plat, v in pts:
+                dx = lon - plon
+                dy = lat - plat
+                d2 = dy[:, None] * dy[:, None] + dx[None, :] * dx[None, :]
+                w = np.minimum(np.floor(S / d2), WMAX).astype(np.int64)
+                inr = d2 <= r2
+                num += np.where(inr, w * v, 0)
+                den += np.where(inr, w, 0)
+            lab = den > 0
+            if not lab.any():
+                continue
+            cell = int(G.cell_from_xy(grid, cx, cy))
+            u, c = np.unique((num[lab] * q) // den[lab], return_counts=True)
+            for b, n in zip(u, c):
+                expect[(cell, int(b))] = int(n)
+    assert got == expect
+    assert sum(got.values()) == sum(expect.values()) > 0
