@@ -2231,6 +2231,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return focal.drainage_basins(tiles)
     q["focal_drainage_basins"] = focal_drainage_basins
 
+    def focal_basin_zonal(spark, sf_dir):
+        # zonal statistics BY basin ("sediment yield per watershed"): a
+        # co-gridded value layer's per-pixel values summed over each
+        # drainage basin, riding the same kernel + ring-map stitch (the
+        # values accumulate into the per-terminal count rows; only the
+        # final O(basins) re-agg widens by one column)
+        images, _, _ = _fixture(spark)
+        tiles = images.filter(F.col("layer") == "tcl_year")
+        vals = images.filter(F.col("layer") == "drivers")
+        return focal.drainage_basins(tiles, value_tiles=vals)
+    q["focal_basin_zonal"] = focal_basin_zonal
+
     def focal_terrain_zonal(spark, sf_dir):
         # the reference's PRODUCT shape: zonal statistics OF a derivative
         # layer ("loss on steep slopes") — Horn gradients from the full
@@ -5295,6 +5307,21 @@ SELECT CAST({X0 * 64} + cx AS BIGINT) AS root_gx,
        CAST(COUNT(*) AS BIGINT) AS basin_px
 FROM roots GROUP BY 1, 2, 3
 """
+
+    # zonal-by-basin twin: same recursive walk; each starting pixel also
+    # carries its drivers-layer fixture value (closed form, global px),
+    # summed per root alongside the count
+    _drvv_at = (
+        f"((({X0} + (sx)//64)*17 + ({Y0} + (sy)//64)*19 "
+        f"+ ((sy)%64)*23 + ((sx)%64)*29) % 6)"
+    )
+    _basin_twin = o["focal_drainage_basins"]
+    o["focal_basin_zonal"] = _basin_twin.replace(
+        "CAST(COUNT(*) AS BIGINT) AS basin_px\nFROM roots GROUP BY 1, 2, 3",
+        f"CAST(COUNT(*) AS BIGINT) AS basin_px,\n"
+        f"       CAST(SUM({_drvv_at}) AS BIGINT) AS val_sum\n"
+        f"FROM roots GROUP BY 1, 2, 3",
+    )
 
     # Voronoi twin: identical double expression sequence for pixel
     # centers and d^2 (products and adds only, no sums) -> the argmin

@@ -633,7 +633,11 @@ def flow_direction_stats(tiles: DataFrame) -> DataFrame:
 _PX_PACK = 1 << 31
 
 
-def drainage_basins(tiles: DataFrame, max_rounds: int = 48) -> DataFrame:
+def drainage_basins(
+    tiles: DataFrame,
+    value_tiles: DataFrame | None = None,
+    max_rounds: int = 48,
+) -> DataFrame:
     """Watershed delineation over a tiled integer DEM: every pixel is
     assigned to the D8 sink its water reaches, and basins are returned
     as (root_gx, root_gy, is_sink, basin_px) — the drainage-basin area
@@ -663,21 +667,43 @@ def drainage_basins(tiles: DataFrame, max_rounds: int = 48) -> DataFrame:
        final root in O(log longest-chain) shuffle rounds over
        O(cells x perimeter) rows. Counts then resolve through the final
        map in one join and re-aggregate to O(basins) output rows.
+
+    ``value_tiles`` (same input-hint tile shape, co-gridded) adds
+    ``val_sum`` — zonal statistics BY BASIN ("sediment yield per
+    watershed"): the integer per-pixel values of that layer summed over
+    each basin, riding the exact same kernel and stitch (values
+    accumulate into the per-terminal count rows; the resolution join is
+    unchanged). Cells without a value tile contribute 0 (the engine's
+    standard missing-tile tolerance).
     """
     r = 1
+    has_value = value_tiles is not None
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
-        cols = ["tag", "kind", "root", "node", "cnt"]
+        cols = ["tag", "kind", "root", "node", "cnt", "vs"]
+        empty = pd.DataFrame({
+            "tag": pd.Series(dtype="int32"),
+            "kind": pd.Series(dtype="object"),
+            "root": pd.Series(dtype="int64"),
+            "node": pd.Series(dtype="int64"),
+            "cnt": pd.Series(dtype="int64"),
+            "vs": pd.Series(dtype="int64"),
+        })
+        vmask = pdf["dt"].str.startswith("val:")
+        vrows = pdf[vmask]
+        if vmask.any():
+            pdf = pdf[~vmask]
         built = _build_pad(pdf, r, float("nan"))
         if built is None:
-            return pd.DataFrame({
-                "tag": pd.Series(dtype="int32"),
-                "kind": pd.Series(dtype="object"),
-                "root": pd.Series(dtype="int64"),
-                "node": pd.Series(dtype="int64"),
-                "cnt": pd.Series(dtype="int64"),
-            })
+            return empty
         cell, h, w, pad = built
+        if len(vrows):
+            v0 = vrows.iloc[0]
+            varr = codecs.decode_tile(
+                bytes(v0["strip"]), int(v0["sw"]), int(v0["sh"]), v0["dt"][4:]
+            ).astype(np.int64)
+        else:
+            varr = np.zeros((h, w), np.int64)
         cx, cy = (int(v) for v in G.cell_to_xy(cell))
         gx0, gy0 = cx * w, cy * h
         if gx0 + w >= _PX_PACK or gy0 + h >= _PX_PACK:
@@ -710,13 +736,19 @@ def drainage_basins(tiles: DataFrame, max_rounds: int = 48) -> DataFrame:
         )
         root = np.where(t_ext, ext_gids, gids)
         kind = np.where(t_ext, "x", np.where(t_sink, "s", "e"))
-        # (a) per-terminal counts over all pixels
-        key_df = pd.DataFrame({"kind": kind.ravel(), "root": root.ravel()})
-        groups = key_df.groupby(["kind", "root"], as_index=False).size()
+        # (a) per-terminal counts + value sums over all pixels (the
+        # flat p = i*w+j order of kind/root matches varr.ravel())
+        key_df = pd.DataFrame({
+            "kind": kind.ravel(), "root": root.ravel(), "vs": varr.ravel()
+        })
+        groups = key_df.groupby(["kind", "root"], as_index=False).agg(
+            cnt=("vs", "size"), vs=("vs", "sum")
+        )
         groups = pd.DataFrame({
             "tag": np.int32(0), "kind": groups["kind"],
             "root": groups["root"].astype(np.int64),
-            "node": np.int64(0), "cnt": groups["size"].astype(np.int64),
+            "node": np.int64(0), "cnt": groups["cnt"].astype(np.int64),
+            "vs": groups["vs"].astype(np.int64),
         })
         # (b) outermost-ring per-pixel map (the cross-cell interface)
         ring = (ii == 0) | (ii == h - 1) | (jj == 0) | (jj == w - 1)
@@ -725,14 +757,25 @@ def drainage_basins(tiles: DataFrame, max_rounds: int = 48) -> DataFrame:
         maps = pd.DataFrame({
             "tag": np.int32(1), "kind": kind.ravel()[rr],
             "root": root.ravel()[rr].astype(np.int64),
-            "node": node_gid[rr], "cnt": np.int64(0),
+            "node": node_gid[rr], "cnt": np.int64(0), "vs": np.int64(0),
         })
         return pd.concat([groups, maps], ignore_index=True)[cols]
 
-    parts = _halo_parts(tiles, r).groupBy("target_cell").applyInPandas(
-        assemble, "tag int, kind string, root long, node long, cnt long"
+    parts_in = _halo_parts(tiles, r)
+    if has_value:
+        parts_in = parts_in.unionByName(
+            value_tiles.select(
+                F.col("cell_id").alias("target_cell"),
+                F.lit(0).alias("sx"), F.lit(0).alias("sy"),
+                F.col("bytes").alias("strip"),
+                F.col("h").alias("sh"), F.col("w").alias("sw"),
+                F.concat(F.lit("val:"), F.col("fmt")).alias("dt"),
+            )
+        )
+    parts = parts_in.groupBy("target_cell").applyInPandas(
+        assemble, "tag int, kind string, root long, node long, cnt long, vs long"
     ).persist()
-    groups = parts.filter(F.col("tag") == 0).select("kind", "root", "cnt")
+    groups = parts.filter(F.col("tag") == 0).select("kind", "root", "cnt", "vs")
     m = parts.filter(F.col("tag") == 1).select("node", "kind", "root")
     # pointer doubling over the ring-pixel functional graph
     converged = False
@@ -771,24 +814,26 @@ def drainage_basins(tiles: DataFrame, max_rounds: int = 48) -> DataFrame:
         .select(
             F.coalesce("__k", "kind").alias("kind"),
             F.coalesce("__r", "root").alias("root"),
-            "cnt",
+            "cnt", "vs",
         )
     )
     out = (
         resolved.groupBy("kind", "root")
-        .agg(F.sum("cnt").alias("basin_px"))
+        .agg(F.sum("cnt").alias("basin_px"), F.sum("vs").alias("val_sum"))
         .select(
             # integer unpack (a float divide would lose bits past 2^53)
             F.shiftright("root", 31).alias("root_gx"),
             F.col("root").bitwiseAND(F.lit(_PX_PACK - 1)).alias("root_gy"),
             (F.col("kind") == "s").alias("is_sink"),
-            "basin_px",
+            "basin_px", "val_sum",
         )
         # O(basins) rows: checkpoint eagerly so the kernel cache can be
         # released before returning (the components unpersist pattern)
         .localCheckpoint(eager=True)
     )
     parts.unpersist()
+    if not has_value:
+        out = out.drop("val_sum")
     return out
 
 

@@ -1296,11 +1296,13 @@ def test_flow_direction_random_world_fuzz(spark):
         assert got == _flow_expected(world, present), f"trial {trial} drop={drop}"
 
 
-def _basins_expected(world, present):
+def _basins_expected(world, present, values=None, val_present=None):
     """Brute-force watershed oracle: follow D8 (exact-rational slope
     compare, lowest-code ties) from every pixel of every present tile
     until a sink (directed pixel with no lower neighbor) or an edge
-    pixel (incomplete 3x3 window); aggregate basin sizes by root."""
+    pixel (incomplete 3x3 window); aggregate basin sizes by root.
+    With ``values`` (+ the set of tiles whose value layer exists), the
+    per-basin value sum rides along: missing value tiles contribute 0."""
     from fractions import Fraction
 
     h, w = world.shape
@@ -1329,6 +1331,7 @@ def _basins_expected(world, present):
 
     basins = {}
     for tx, ty in present:
+        has_val = values is not None and (tx, ty) in (val_present or ())
         for i in range(ty * TILE, (ty + 1) * TILE):
             for j in range(tx * TILE, (tx + 1) * TILE):
                 ci, cj = i, j
@@ -1342,7 +1345,10 @@ def _basins_expected(world, present):
                     and valid[ci - 1:ci + 2, cj - 1:cj + 2].all()
                 )
                 key = (GX0 + cj, GY0 + ci, bool(is_sink))
-                basins[key] = basins.get(key, 0) + 1
+                cnt, vs = basins.get(key, (0, 0))
+                basins[key] = (cnt + 1, vs + (int(values[i, j]) if has_val else 0))
+    if values is None:
+        return {k: c for k, (c, _) in basins.items()}
     return basins
 
 
@@ -1382,3 +1388,47 @@ def test_drainage_basins_random_world_fuzz(spark):
         expect = _basins_expected(world, present)
         assert sum(got.values()) == sum(expect.values()) == len(present) * TILE * TILE
         assert got == expect, f"trial {trial} drop={drop}"
+
+
+def test_drainage_basins_value_sums(spark):
+    """Zonal statistics BY basin: drainage_basins with a co-gridded value
+    layer must return per-basin value sums matching the path-following
+    oracle exactly — including a DEM cell whose value tile is missing
+    (contributes 0, the engine's standard missing-tile tolerance) and a
+    missing DEM tile (its value tile is ignored entirely)."""
+    from gfw_raster_analysis_lambda_spark.functions import codecs
+
+    rng = np.random.default_rng(20260821)
+    world = rng.integers(0, 200, size=(NY * TILE, NX * TILE)).astype(np.float64)
+    vals = rng.integers(0, 256, size=(NY * TILE, NX * TILE))
+    all_tiles = [(dx, dy) for dx in range(NX) for dy in range(NY)]
+    drop_dem = {all_tiles[int(rng.integers(len(all_tiles)))]}
+    present = set(all_tiles) - drop_dem
+    # one present DEM cell has no value tile; the dropped DEM cell DOES
+    # have one (must be ignored: no center tile -> no pixels)
+    drop_val = {sorted(present)[0]}
+    val_present = (present - drop_val) | drop_dem
+
+    def rows_of(arr2d, cells):
+        out = []
+        for dx, dy in cells:
+            arr = arr2d[dy * TILE:(dy + 1) * TILE,
+                        dx * TILE:(dx + 1) * TILE].astype(np.uint8)
+            out.append((
+                int(G.cell_from_xy(GRID, X0 + dx, Y0 + dy)),
+                codecs.encode_tile(arr, "png"), TILE, TILE, "png",
+            ))
+        return out
+
+    schema = "cell_id long, bytes binary, w int, h int, fmt string"
+    dem = spark.createDataFrame(rows_of(world, present), schema)
+    vtiles = spark.createDataFrame(rows_of(vals, val_present), schema)
+    got = {
+        (r["root_gx"], r["root_gy"], r["is_sink"]): (r["basin_px"], r["val_sum"])
+        for r in focal.drainage_basins(dem, value_tiles=vtiles).collect()
+    }
+    expect = _basins_expected(world, present, vals, val_present)
+    assert got == expect
+    # plain call unchanged: no val_sum column
+    plain = focal.drainage_basins(dem)
+    assert "val_sum" not in plain.columns
