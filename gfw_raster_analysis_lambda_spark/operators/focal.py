@@ -736,19 +736,32 @@ def drainage_basins(
         )
         root = np.where(t_ext, ext_gids, gids)
         kind = np.where(t_ext, "x", np.where(t_sink, "s", "e"))
-        # (a) per-terminal counts + value sums over all pixels (the
-        # flat p = i*w+j order of kind/root matches varr.ravel())
-        key_df = pd.DataFrame({
-            "kind": kind.ravel(), "root": root.ravel(), "vs": varr.ravel()
-        })
-        groups = key_df.groupby(["kind", "root"], as_index=False).agg(
-            cnt=("vs", "size"), vs=("vs", "sum")
-        )
+        # (a) per-terminal counts + value sums over all pixels. Within a
+        # tile root->kind is FUNCTIONAL (an interior root's kind is its
+        # own sink/edge property, shared by every pixel draining to it;
+        # pad roots are always "x"; gids are globally unique positions so
+        # the two sets never collide) — so group on root alone via
+        # factorize + bincount (a pandas two-column groupby here was 3x
+        # the whole operator's wall time) and recover kind per root by
+        # scatter (repeated writes all carry the same kind).
+        root_flat, kind_flat, v_flat = root.ravel(), kind.ravel(), varr.ravel()
+        codes, uniq = pd.factorize(root_flat)
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        vmax = int(np.abs(v_flat).max()) if v_flat.size else 0
+        if vmax * v_flat.size < (1 << 53):
+            # float64 accumulator exact below 2^53 (uint8..int32 tiles)
+            vsum = np.bincount(
+                codes, weights=v_flat.astype(np.float64), minlength=len(uniq)
+            ).astype(np.int64)
+        else:  # huge int64 values: exact integer scatter-add
+            vsum = np.zeros(len(uniq), np.int64)
+            np.add.at(vsum, codes, v_flat)
+        kind_u = np.empty(len(uniq), dtype=object)
+        kind_u[codes] = kind_flat
         groups = pd.DataFrame({
-            "tag": np.int32(0), "kind": groups["kind"],
-            "root": groups["root"].astype(np.int64),
-            "node": np.int64(0), "cnt": groups["cnt"].astype(np.int64),
-            "vs": groups["vs"].astype(np.int64),
+            "tag": np.int32(0), "kind": kind_u,
+            "root": uniq.astype(np.int64),
+            "node": np.int64(0), "cnt": cnt, "vs": vsum,
         })
         # (b) outermost-ring per-pixel map (the cross-cell interface)
         ring = (ii == 0) | (ii == h - 1) | (jj == 0) | (jj == w - 1)
