@@ -2243,6 +2243,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return focal.drainage_basins(tiles, value_tiles=vals)
     q["focal_basin_zonal"] = focal_basin_zonal
 
+    def focal_flow_accumulation(spark, sf_dir):
+        # D8 flow accumulation (upstream contributing area): pixels
+        # shuffle once; cross-tile pass-through sums ride a binary-
+        # lifting path-add over the ring-pixel forest (O(log depth)
+        # rounds), then a cogrouped replay emits per-cell stats. Twin
+        # enumerates every path prefix recursively and counts
+        # memberships — integer-exact end to end.
+        images, _, _ = _fixture(spark)
+        tiles = images.filter(F.col("layer") == "tcl_year")
+        return focal.flow_accumulation_stats(tiles, stream_threshold=25)
+    q["focal_flow_accumulation"] = focal_flow_accumulation
+
     def focal_terrain_zonal(spark, sf_dir):
         # the reference's PRODUCT shape: zonal statistics OF a derivative
         # layer ("loss on steep slopes") — Horn gradients from the full
@@ -5322,6 +5334,21 @@ FROM roots GROUP BY 1, 2, 3
         f"       CAST(SUM({_drvv_at}) AS BIGINT) AS val_sum\n"
         f"FROM roots GROUP BY 1, 2, 3",
     )
+
+    # flow-accumulation twin: the SAME recursive walk enumerates every
+    # (source, visited) path prefix exactly once, so per-pixel
+    # accumulation is COUNT(*) per visited pixel; per-cell stats follow
+    _walk_prefix = _basin_twin.split("roots AS (")[0]
+    o["focal_flow_accumulation"] = _walk_prefix + f"""acc AS (
+  SELECT cx, cy, COUNT(*) AS a FROM walk GROUP BY cx, cy
+)
+SELECT CAST({CB} AS BIGINT) + CAST({X0} + cx // 64 AS BIGINT) * {YW} + ({Y0} + cy // 64) AS cell_id,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(MAX(a) AS BIGINT) AS acc_max,
+       CAST(SUM(a) AS BIGINT) AS acc_sum,
+       CAST(SUM(CASE WHEN a >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS stream_px
+FROM acc GROUP BY 1
+"""
 
     # Voronoi twin: identical double expression sequence for pixel
     # centers and d^2 (products and adds only, no sums) -> the argmin

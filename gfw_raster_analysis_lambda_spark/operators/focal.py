@@ -1014,3 +1014,255 @@ def proximity_zonal(
             ),
         )
     )
+
+
+def _d8_tile_graph(pdf: pd.DataFrame):
+    """Shared per-tile D8 path compression for the drainage family:
+    assemble the padded DEM, select D8 steps (:func:`_d8_select`),
+    compress every core pixel's in-tile path by pointer doubling, and
+    classify terminals. Returns ``None`` for centerless groups, else
+    ``(cell, h, w, pad, full, directed, inb, tgt_flat, par, kind, root,
+    gx0, gy0)`` where ``par`` maps each flat core index to its in-tile
+    terminal, ``kind`` is 'x' (terminal steps out of the tile) / 's'
+    (sink) / 'e' (edge, window incomplete), and ``root`` is the packed
+    global gid of the terminal ('x': the EXTERNAL target pixel)."""
+    built = _build_pad(pdf, 1, float("nan"))
+    if built is None:
+        return None
+    cell, h, w, pad = built
+    cx, cy = (int(v) for v in G.cell_to_xy(cell))
+    gx0, gy0 = cx * w, cy * h
+    if gx0 + w >= _PX_PACK or gy0 + h >= _PX_PACK:
+        raise ValueError(
+            f"global pixel coords exceed 2^31 gid packing (cell {cell})"
+        )
+    full, best_code, bdx, bdy = _d8_select(pad, h, w, 1)
+    directed = full & (best_code != 0)
+    ii, jj = np.mgrid[0:h, 0:w]
+    ti, tj = ii + bdy, jj + bdx
+    inb = (ti >= 0) & (ti < h) & (tj >= 0) & (tj < w)
+    n = h * w
+    par = np.arange(n, dtype=np.int64)
+    internal = directed & inb
+    par[(ii[internal] * w + jj[internal])] = (ti[internal] * w + tj[internal])
+    for _ in range(int(np.ceil(np.log2(max(n, 2)))) + 1):
+        par = par[par]
+    t_i, t_j = par // w, par % w
+    t_ext = (directed & ~inb)[t_i, t_j]
+    t_sink = (full & ~directed)[t_i, t_j]
+    gids = (gx0 + t_j).astype(np.int64) * _PX_PACK + (gy0 + t_i)
+    ext_gids = (
+        (gx0 + tj[t_i, t_j]).astype(np.int64) * _PX_PACK
+        + (gy0 + ti[t_i, t_j])
+    )
+    root = np.where(t_ext, ext_gids, gids)
+    kind = np.where(t_ext, "x", np.where(t_sink, "s", "e"))
+    tgt_flat = (ti * w + tj).ravel()
+    return (cell, h, w, pad, full, directed, inb, tgt_flat, par, kind,
+            root, gx0, gy0)
+
+
+def flow_accumulation_stats(
+    tiles: DataFrame,
+    stream_threshold: int = 50,
+    max_rounds: int = 48,
+) -> DataFrame:
+    """D8 flow accumulation over a tiled integer DEM — upstream
+    contributing area, the ``r.watershed``/TauDEM "flow accumulation"
+    product: ``A[p]`` = number of pixels whose steepest-descent path
+    passes through ``p`` (every pixel's path starts at itself, so
+    ``A >= 1``). Directions are :func:`_d8_select`'s integer-exact
+    choice; pixels without a full 3x3 window hold water (corpus edge /
+    missing-tile semantics shared by the whole drainage family).
+
+    Returned per cell: ``n_px``, ``acc_max`` (the trunk-river pixel),
+    ``acc_sum`` (sum of A = total path length through the cell, the
+    wetness mass), and ``stream_px`` (pixels with
+    ``A >= stream_threshold`` — the extracted channel network size).
+
+    Scale shape — tile pixels shuffle ONCE; everything cross-tile is
+    O(cells x perimeter) rows in O(log depth) rounds:
+
+    1. **Kernel pass 1** (the one halo Exchange, persisted): per-tile
+       D8 pointer doubling compresses every in-tile path; emits (a)
+       J rows — for each EXTERNAL target pixel, how many in-tile
+       pixels drain to it — and (b) the boundary graph: each ring
+       pixel's next hop (its in-tile terminal's external target), the
+       same functional forest :func:`drainage_basins` stitches.
+    2. **Binary-lifting path-add** over that forest: every unit of
+       water entering ring pixel ``u`` must increment ALL boundary
+       pixels on u's onward chain. Ancestor tables ``L_k`` (2^k-th
+       hop) are built by doubling; each source decomposes its path
+       into <= K jump segments (lazy adds at level k), which are then
+       pushed down level by level — the classic O(n log D) tree
+       path-update, as K Spark joins instead of a per-hop loop. Depth
+       D is bounded by the # of distinct DEM values (strict descent),
+       so K <= 8 for uint8 DEMs.
+    3. **Kernel pass 2** (cogrouped replay over the SAME persisted
+       parts — no second pixel shuffle): per-tile level-ordered
+       scatter-add (descending elevation; strict descent makes each
+       level's inflows final) with the stitched arrivals injected at
+       ring pixels, then one O(cells) aggregate.
+
+    The DuckDB twin enumerates every path prefix recursively and
+    counts memberships per pixel — bit-exact because the selection
+    key, tie-break, and all sums are integers."""
+    thr = int(stream_threshold)
+
+    def emit_graph(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["tag", "cell", "node", "nxt", "kind", "j"]
+        empty = pd.DataFrame({
+            "tag": pd.Series(dtype="int32"),
+            "cell": pd.Series(dtype="int64"),
+            "node": pd.Series(dtype="int64"),
+            "nxt": pd.Series(dtype="int64"),
+            "kind": pd.Series(dtype="object"),
+            "j": pd.Series(dtype="int64"),
+        })
+        g = _d8_tile_graph(pdf)
+        if g is None:
+            return empty
+        (cell, h, w, _pad, _full, _directed, _inb, _tgt, par, kind, root,
+         _gx0, _gy0) = g
+        ii, jj = np.mgrid[0:h, 0:w]
+        frames = []
+        # (a) J rows: in-tile pixels delivered to each external target
+        xm = (kind == "x").ravel()
+        if xm.any():
+            codes, uniq = pd.factorize(root.ravel()[xm])
+            frames.append(pd.DataFrame({
+                "tag": np.int32(0), "cell": np.int64(cell),
+                "node": uniq.astype(np.int64), "nxt": np.int64(0),
+                "kind": "", "j": np.bincount(
+                    codes, minlength=len(uniq)).astype(np.int64),
+            }))
+        # (b) boundary-graph nodes: the outermost ring, each with its
+        # in-tile terminal classification (next hop when kind='x')
+        ring = ((ii == 0) | (ii == h - 1) | (jj == 0) | (jj == w - 1)).ravel()
+        node_gid = (
+            (_gx0 + jj).astype(np.int64) * _PX_PACK + (_gy0 + ii)
+        ).ravel()
+        frames.append(pd.DataFrame({
+            "tag": np.int32(1), "cell": np.int64(cell),
+            "node": node_gid[ring],
+            "nxt": np.where(
+                kind.ravel()[ring] == "x", root.ravel()[ring], 0
+            ).astype(np.int64),
+            "kind": kind.ravel()[ring], "j": np.int64(0),
+        }))
+        return pd.concat(frames, ignore_index=True)[cols]
+
+    parts = _halo_parts(tiles, 1).persist()
+    graph = parts.groupBy("target_cell").applyInPandas(
+        emit_graph,
+        "tag int, cell long, node long, nxt long, kind string, j long",
+    ).persist()
+    ring_nodes = graph.filter(F.col("tag") == 1).select("cell", "node", "nxt", "kind")
+    sources = (
+        graph.filter(F.col("tag") == 0)
+        .groupBy("node").agg(F.sum("j").alias("j"))
+    )
+    # --- binary-lifting ancestor tables over the ring forest ---
+    levels = []  # L_k: (node, anc) rows where the 2^k-th hop exists
+    lk = (
+        ring_nodes.filter(F.col("kind") == "x")
+        .select("node", F.col("nxt").alias("anc"))
+        .localCheckpoint(eager=True)
+    )
+    while lk.limit(1).count() > 0:
+        levels.append(lk)
+        if len(levels) > max_rounds:
+            graph.unpersist(); parts.unpersist()
+            raise RuntimeError(
+                f"flow-accumulation lift exceeded {max_rounds} levels "
+                "(cycle? strict descent makes this impossible on valid input)"
+            )
+        up = lk.select(F.col("node").alias("__n"), F.col("anc").alias("__a"))
+        lk = (
+            lk.join(up, lk.anc == up.__n, "inner")
+            .select("node", F.col("__a").alias("anc"))
+            .localCheckpoint(eager=True)
+        )
+    K = len(levels) - 1  # levels[k] = L_k; empty forest -> K = -1
+    # --- pass B: each source decomposes its path into jump segments ---
+    lazy: dict[int, DataFrame] = {}
+    walk = sources.select(F.col("node").alias("cur"), "j")
+    for k in range(K, -1, -1):
+        hop = levels[k].select(
+            F.col("node").alias("__n"), F.col("anc").alias("__a")
+        )
+        joined = walk.join(hop, walk.cur == F.col("__n"), "left")
+        seg = joined.filter(F.col("__a").isNotNull()).select(
+            F.col("cur").alias("node"), F.col("j").alias("amt")
+        )
+        lazy[k] = seg if k not in lazy else lazy[k].unionByName(seg)
+        walk = joined.select(
+            F.coalesce("__a", "cur").alias("cur"), "j"
+        ).localCheckpoint(eager=True)
+    root_add = walk.select(F.col("cur").alias("node"), F.col("j").alias("amt"))
+    # --- pass C: push lazy segment adds down to single nodes ---
+    for k in range(K, 0, -1):
+        if k not in lazy:
+            continue
+        cur = lazy[k].groupBy("node").agg(F.sum("amt").alias("amt"))
+        down = levels[k - 1].select(
+            F.col("node").alias("__n"), F.col("anc").alias("__a")
+        )
+        shifted = cur.join(down, cur.node == F.col("__n"), "inner").select(
+            F.col("__a").alias("node"), "amt"
+        )
+        both = cur.unionByName(shifted)
+        lazy[k - 1] = (
+            both if (k - 1) not in lazy else lazy[k - 1].unionByName(both)
+        ).localCheckpoint(eager=True)
+    w_parts = [root_add]
+    if 0 in lazy:
+        w_parts.append(lazy[0])
+    arrivals = w_parts[0]
+    for p in w_parts[1:]:
+        arrivals = arrivals.unionByName(p)
+    arrivals = arrivals.groupBy("node").agg(F.sum("amt").alias("w"))
+    # attach each arrival to its tile (arrival nodes are always ring
+    # pixels of an existing tile)
+    inj = arrivals.join(
+        ring_nodes.select("cell", "node"), "node", "inner"
+    ).select("cell", "node", "w")
+
+    def replay(parts_pdf: pd.DataFrame, inj_pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["cell_id", "n_px", "acc_max", "acc_sum", "stream_px"]
+        g = _d8_tile_graph(parts_pdf)
+        if g is None:
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+        (cell, h, w_, pad, _full, directed, inb, tgt_flat, _par, _kind,
+         _root, gx0, gy0) = g
+        acc = np.ones(h * w_, dtype=np.int64)
+        if len(inj_pdf):
+            gj = inj_pdf["node"].to_numpy(np.int64)
+            jx = (gj // _PX_PACK - gx0).astype(np.int64)
+            jy = (gj % _PX_PACK - gy0).astype(np.int64)
+            acc[jy * w_ + jx] += inj_pdf["w"].to_numpy(np.int64)
+        z = pad[1:1 + h, 1:1 + w_].ravel()
+        src = (directed & inb).ravel()
+        # descending-level scatter-add: strict descent means a level's
+        # inflows are final before any of its pixels flow onward
+        for v in np.unique(z[src])[::-1]:
+            sel = src & (z == v)
+            np.add.at(acc, tgt_flat[sel], acc[sel])
+        return pd.DataFrame({
+            "cell_id": [int(cell)], "n_px": [int(h * w_)],
+            "acc_max": [int(acc.max())], "acc_sum": [int(acc.sum())],
+            "stream_px": [int((acc >= thr).sum())],
+        })
+
+    out = (
+        parts.groupBy("target_cell")
+        .cogroup(inj.groupBy("cell"))
+        .applyInPandas(
+            lambda left, right: replay(left, right),
+            "cell_id long, n_px long, acc_max long, acc_sum long, stream_px long",
+        )
+        .localCheckpoint(eager=True)
+    )
+    graph.unpersist()
+    parts.unpersist()
+    return out

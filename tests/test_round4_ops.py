@@ -1432,3 +1432,94 @@ def test_drainage_basins_value_sums(spark):
     # plain call unchanged: no val_sum column
     plain = focal.drainage_basins(dem)
     assert "val_sum" not in plain.columns
+
+
+def test_flow_accumulation_random_world_fuzz(spark):
+    """Seeded fuzz incl. a missing tile: per-cell flow-accumulation
+    stats from the three-phase engine (in-tile scatter-add + binary-
+    lifting boundary path-add + cogrouped replay) must equal the
+    brute-force path walker exactly. A narrow value range (0..5)
+    forces long many-tile chains through the lifting passes; the
+    missing tile turns its ring into undirected water-holding pixels."""
+    from gfw_raster_analysis_lambda_spark.functions import codecs
+
+    rng = np.random.default_rng(20260822)
+    for trial, n_drop, lo_hi in ((0, 0, (0, 6)), (1, 1, (0, 200))):
+        world = rng.integers(*lo_hi, size=(NY * TILE, NX * TILE)).astype(
+            np.float64
+        )
+        all_tiles = [(dx, dy) for dx in range(NX) for dy in range(NY)]
+        drop_idx = rng.choice(len(all_tiles), size=n_drop, replace=False)
+        drop = {all_tiles[i] for i in drop_idx}
+        present = set(all_tiles) - drop
+        rows = []
+        for dx, dy in present:
+            arr = world[dy * TILE:(dy + 1) * TILE,
+                        dx * TILE:(dx + 1) * TILE].astype(np.uint8)
+            rows.append((
+                int(G.cell_from_xy(GRID, X0 + dx, Y0 + dy)),
+                codecs.encode_tile(arr, "png"), TILE, TILE, "png",
+            ))
+        df = spark.createDataFrame(
+            rows, "cell_id long, bytes binary, w int, h int, fmt string"
+        )
+        thr = 5
+        got = {
+            tuple(int(v) for v in G.cell_to_xy(r["cell_id"])):
+                (r["n_px"], r["acc_max"], r["acc_sum"], r["stream_px"])
+            for r in focal.flow_accumulation_stats(
+                df, stream_threshold=thr
+            ).collect()
+        }
+        expect = _flow_acc_expected(world, present, thr)
+        assert got == expect, f"trial {trial} drop={drop}"
+
+
+def _flow_acc_expected(world, present, thr):
+    """Brute-force flow-accumulation oracle: walk every present pixel's
+    D8 path (same exact-rational compare as _basins_expected) counting
+    a visit at every pixel on it, then aggregate per cell."""
+    from fractions import Fraction
+
+    h, w = world.shape
+    valid = np.zeros_like(world, dtype=bool)
+    for dx, dy in present:
+        valid[dy * TILE:(dy + 1) * TILE, dx * TILE:(dx + 1) * TILE] = True
+    z = world.astype(np.int64)
+    d8 = [(1, (1, 0)), (2, (1, 1)), (4, (0, 1)), (8, (-1, 1)),
+          (16, (-1, 0)), (32, (-1, -1)), (64, (0, -1)), (128, (1, -1))]
+
+    def step(i, j):
+        if i < 1 or j < 1 or i >= h - 1 or j >= w - 1:
+            return None
+        if not valid[i - 1:i + 2, j - 1:j + 2].all():
+            return None
+        best, best_d = Fraction(0), None
+        for code, (dx, dy) in d8:
+            drop = int(z[i, j] - z[i + dy, j + dx])
+            if drop <= 0:
+                continue
+            s2 = Fraction(drop * drop, 1 if (dx == 0 or dy == 0) else 2)
+            if s2 > best:
+                best, best_d = s2, (dy, dx)
+        return None if best_d is None else (i + best_d[0], j + best_d[1])
+
+    acc = np.zeros((h, w), dtype=np.int64)
+    for tx, ty in present:
+        for i in range(ty * TILE, (ty + 1) * TILE):
+            for j in range(tx * TILE, (tx + 1) * TILE):
+                ci, cj = i, j
+                acc[ci, cj] += 1
+                while True:
+                    nxt = step(ci, cj)
+                    if nxt is None:
+                        break
+                    ci, cj = nxt
+                    acc[ci, cj] += 1
+    out = {}
+    for tx, ty in present:
+        a = acc[ty * TILE:(ty + 1) * TILE, tx * TILE:(tx + 1) * TILE]
+        out[(X0 + tx, Y0 + ty)] = (
+            TILE * TILE, int(a.max()), int(a.sum()), int((a >= thr).sum())
+        )
+    return out
