@@ -2255,6 +2255,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return focal.flow_accumulation_stats(tiles, stream_threshold=25)
     q["focal_flow_accumulation"] = focal_flow_accumulation
 
+    def focal_contour_stats(spark, sf_dir):
+        # gdal_contour's integer-exact core: marching-squares case
+        # classification of every 2x2 square at three iso levels, per-
+        # cell crossed/segment/saddle counts over the one-Exchange halo
+        # plan; twin evaluates the same 4-corner case table on the
+        # closed-form fixture
+        images, _, _ = _fixture(spark)
+        tiles = images.filter(F.col("layer") == "tcl_year")
+        return focal.contour_stats(tiles, levels=[5, 10, 16])
+    q["focal_contour_stats"] = focal_contour_stats
+
     def focal_terrain_zonal(spark, sf_dir):
         # the reference's PRODUCT shape: zonal statistics OF a derivative
         # layer ("loss on steep slopes") — Horn gradients from the full
@@ -5348,6 +5359,36 @@ SELECT CAST({CB} AS BIGINT) + CAST({X0} + cx // 64 AS BIGINT) * {YW} + ({Y0} + c
        CAST(SUM(a) AS BIGINT) AS acc_sum,
        CAST(SUM(CASE WHEN a >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS stream_px
 FROM acc GROUP BY 1
+"""
+
+    # contour twin: marching-squares case per 2x2 square (clockwise
+    # bits TL=8 TR=4 BR=2 BL=1, matching the kernel), integer compares
+    # only; squares anchored at their top-left pixel, full lattice
+    # minus the last row/col (engine: missing right/bottom corner)
+    _ctl = _tclv_at("gx", "gy")
+    _ctr = _tclv_at("gx + 1", "gy")
+    _cbr = _tclv_at("gx + 1", "gy + 1")
+    _cbl = _tclv_at("gx", "gy + 1")
+    o["focal_contour_stats"] = f"""
+WITH sq AS (
+  SELECT gx, gy FROM generate_series(0, {GX - 1}) a(gx), generate_series(0, {GY - 1}) b(gy)
+),
+lv(level) AS (VALUES (5), (10), (16)),
+cs AS (
+  SELECT gx, gy, level,
+         (CASE WHEN ({_ctl}) >= level THEN 8 ELSE 0 END
+        + CASE WHEN ({_ctr}) >= level THEN 4 ELSE 0 END
+        + CASE WHEN ({_cbr}) >= level THEN 2 ELSE 0 END
+        + CASE WHEN ({_cbl}) >= level THEN 1 ELSE 0 END) AS c
+  FROM sq, lv
+)
+SELECT CAST({CB} AS BIGINT) + CAST({X0} + gx // 64 AS BIGINT) * {YW} + ({Y0} + gy // 64) AS cell_id,
+       CAST(level AS BIGINT) AS level,
+       CAST(SUM(CASE WHEN c NOT IN (0, 15) THEN 1 ELSE 0 END) AS BIGINT) AS n_crossed,
+       CAST(SUM(CASE WHEN c NOT IN (0, 15) THEN 1 ELSE 0 END)
+          + SUM(CASE WHEN c IN (5, 10) THEN 1 ELSE 0 END) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN c IN (5, 10) THEN 1 ELSE 0 END) AS BIGINT) AS n_saddles
+FROM cs GROUP BY 1, 2
 """
 
     # Voronoi twin: identical double expression sequence for pixel

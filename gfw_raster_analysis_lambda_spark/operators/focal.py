@@ -1266,3 +1266,63 @@ def flow_accumulation_stats(
     graph.unpersist()
     parts.unpersist()
     return out
+
+
+def contour_stats(
+    tiles: DataFrame,
+    levels: list,
+) -> DataFrame:
+    """Marching-squares contour statistics over a tiled integer DEM —
+    the ``gdal_contour`` primitive reduced to its integer-exact core:
+    for each iso ``level`` L, classify every 2x2 pixel square by which
+    corners sit at or above L (the 16 marching-squares cases; Lorensen
+    & Cline's 2D reduction) and count, per cell:
+
+    - ``n_crossed``  squares the L-contour passes through (case not in
+      {0, 15})
+    - ``n_segments`` contour segments (saddle cases 5/10 carry two)
+    - ``n_saddles``  ambiguous saddle squares — the density of contour
+      self-complexity, which map renderers use to pick label gaps
+
+    A square is ANCHORED at its top-left pixel and owned by that
+    pixel's tile; the right/bottom corners come from the 1-px halo, so
+    the plan is the standard one-Exchange halo exchange. Squares with
+    any missing corner (corpus edge, missing neighbor tile) are
+    excluded on both engines. Counts are pure integer compares — the
+    DuckDB twin evaluates the same 4-corner case table on the closed-
+    form fixture and hash-matches exactly; segment LENGTHS need
+    interpolated square roots (order-dependent float sums), so they are
+    deliberately not part of the contract surface."""
+    lvls = [int(v) for v in levels]
+    if not lvls:
+        raise ValueError("need at least one contour level")
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["cell_id", "level", "n_crossed", "n_segments", "n_saddles"]
+        empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+        built = _build_pad(pdf, 1, float("nan"))
+        if built is None:
+            return empty
+        cell, h, w, pad = built
+        # (h+1) x (w+1) corner grid: core pixels + right/bottom halo
+        corners = pad[1:h + 2, 1:w + 2]
+        valid = np.isfinite(corners)
+        v4 = valid[:h, :w] & valid[:h, 1:] & valid[1:, :w] & valid[1:, 1:]
+        rows = []
+        for L in lvls:
+            b = (corners >= L)
+            # clockwise bit order TL=8 TR=4 BR=2 BL=1 (twin matches)
+            case = (
+                b[:h, :w].astype(np.int64) * 8 + b[:h, 1:] * 4
+                + b[1:, 1:] * 2 + b[1:, :w] * 1
+            )
+            crossed = v4 & (case != 0) & (case != 15)
+            saddle = v4 & ((case == 5) | (case == 10))
+            nc, ns = int(crossed.sum()), int(saddle.sum())
+            rows.append((int(cell), int(L), nc, nc + ns, ns))
+        return pd.DataFrame(rows, columns=cols)
+
+    return _halo_parts(tiles, 1).groupBy("target_cell").applyInPandas(
+        assemble,
+        "cell_id long, level long, n_crossed long, n_segments long, n_saddles long",
+    )

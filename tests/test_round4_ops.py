@@ -1475,6 +1475,61 @@ def test_flow_accumulation_random_world_fuzz(spark):
         assert got == expect, f"trial {trial} drop={drop}"
 
 
+def test_contour_stats_random_world_fuzz(spark):
+    """Seeded fuzz incl. a missing tile: marching-squares contour
+    counts (crossed / segments / saddles per level) from the halo-
+    exchange kernel must equal a dense numpy oracle exactly. Squares
+    are anchored at their top-left pixel; any missing corner (world
+    edge or missing tile) excludes the square on both sides."""
+    from gfw_raster_analysis_lambda_spark.functions import codecs
+
+    rng = np.random.default_rng(20260823)
+    levels = [40, 100, 180]
+    for trial, n_drop in ((0, 0), (1, 1)):
+        world = rng.integers(0, 200, size=(NY * TILE, NX * TILE))
+        all_tiles = [(dx, dy) for dx in range(NX) for dy in range(NY)]
+        drop_idx = rng.choice(len(all_tiles), size=n_drop, replace=False)
+        drop = {all_tiles[i] for i in drop_idx}
+        present = set(all_tiles) - drop
+        valid = np.zeros(world.shape, dtype=bool)
+        rows = []
+        for dx, dy in present:
+            valid[dy * TILE:(dy + 1) * TILE, dx * TILE:(dx + 1) * TILE] = True
+            rows.append((
+                int(G.cell_from_xy(GRID, X0 + dx, Y0 + dy)),
+                codecs.encode_tile(
+                    world[dy * TILE:(dy + 1) * TILE,
+                          dx * TILE:(dx + 1) * TILE].astype(np.uint8), "png"
+                ), TILE, TILE, "png",
+            ))
+        df = spark.createDataFrame(
+            rows, "cell_id long, bytes binary, w int, h int, fmt string"
+        )
+        got = {
+            (tuple(int(v) for v in G.cell_to_xy(r["cell_id"])), r["level"]):
+                (r["n_crossed"], r["n_segments"], r["n_saddles"])
+            for r in focal.contour_stats(df, levels).collect()
+        }
+        # dense oracle over the full world, masked by corner validity
+        h, w = world.shape
+        v4 = (valid[:h - 1, :w - 1] & valid[:h - 1, 1:]
+              & valid[1:, :w - 1] & valid[1:, 1:])
+        expect = {}
+        for L in levels:
+            b = world >= L
+            case = (b[:h - 1, :w - 1].astype(np.int64) * 8
+                    + b[:h - 1, 1:] * 4 + b[1:, 1:] * 2 + b[1:, :w - 1])
+            crossed = v4 & (case != 0) & (case != 15)
+            saddle = v4 & ((case == 5) | (case == 10))
+            for dx, dy in present:
+                # squares anchored in this tile's core
+                sl = (slice(dy * TILE, min((dy + 1) * TILE, h - 1)),
+                      slice(dx * TILE, min((dx + 1) * TILE, w - 1)))
+                nc, ns = int(crossed[sl].sum()), int(saddle[sl].sum())
+                expect[((X0 + dx, Y0 + dy), L)] = (nc, nc + ns, ns)
+        assert got == expect, f"trial {trial} drop={drop}"
+
+
 def _flow_acc_expected(world, present, thr):
     """Brute-force flow-accumulation oracle: walk every present pixel's
     D8 path (same exact-rational compare as _basins_expected) counting
