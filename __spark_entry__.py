@@ -2255,6 +2255,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return focal.flow_accumulation_stats(tiles, stream_threshold=25)
     q["focal_flow_accumulation"] = focal_flow_accumulation
 
+    def focal_flow_acc_export(spark, sf_dir):
+        # raster EXPORT form: the same three-phase engine re-encodes
+        # each tile's per-pixel accumulation as a raw_i64 tile payload
+        # (the engine's standard frame), which this gate decodes back
+        # and aggregates — proving the exported raster is pixel-exact
+        # end to end against the same recursive path-walk twin.
+        images, _, _ = _fixture(spark)
+        tiles = images.filter(F.col("layer") == "tcl_year")
+        rast = focal.flow_accumulation_tiles(tiles)
+
+        def stats(batches):
+            import pandas as _pd
+            from gfw_raster_analysis_lambda_spark.functions import (
+                codecs as _codecs,
+            )
+
+            for pdf in batches:
+                rows = []
+                for _, r in pdf.iterrows():
+                    a = _codecs.decode_tile(
+                        r["bytes"], int(r["w"]), int(r["h"]), r["fmt"]
+                    )
+                    rows.append((
+                        int(r["cell_id"]), int(a.size), int(a.max()),
+                        int(a.sum()), int((a >= 25).sum()),
+                    ))
+                if rows:
+                    yield _pd.DataFrame(
+                        rows,
+                        columns=["cell_id", "n_px", "acc_max", "acc_sum",
+                                 "stream_px"],
+                    )
+
+        return rast.mapInPandas(
+            stats,
+            "cell_id long, n_px long, acc_max long, acc_sum long, "
+            "stream_px long",
+        )
+    q["focal_flow_acc_export"] = focal_flow_acc_export
+
     def focal_contour_stats(spark, sf_dir):
         # gdal_contour's integer-exact core: marching-squares case
         # classification of every 2x2 square at three iso levels, per-
@@ -5360,6 +5400,9 @@ SELECT CAST({CB} AS BIGINT) + CAST({X0} + cx // 64 AS BIGINT) * {YW} + ({Y0} + c
        CAST(SUM(CASE WHEN a >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS stream_px
 FROM acc GROUP BY 1
 """
+
+    # export form decodes the raw_i64 payloads back to the same stats
+    o["focal_flow_acc_export"] = o["focal_flow_accumulation"]
 
     # contour twin: marching-squares case per 2x2 square (clockwise
     # bits TL=8 TR=4 BR=2 BL=1, matching the kernel), integer compares

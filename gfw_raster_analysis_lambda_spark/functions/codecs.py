@@ -184,6 +184,10 @@ def encode_tile(arr: np.ndarray, fmt: str) -> bytes:
         return np.ascontiguousarray(arr.astype("<u2")).tobytes()
     if fmt == "raw_f32":
         return np.ascontiguousarray(arr.astype("<f4")).tobytes()
+    if fmt == "raw_i64":
+        # exact integer export (flow accumulation: a continental basin
+        # exceeds 2^31 pixels at 30 m, and f32 is lossy past 2^24)
+        return np.ascontiguousarray(arr.astype("<i8")).tobytes()
     raise ValueError(f"unknown tile format {fmt!r}")
 
 
@@ -203,6 +207,8 @@ def decode_tile(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         arr = np.frombuffer(data, dtype="<u2").astype(np.uint16).reshape(h, w)
     elif fmt == "raw_f32":
         arr = np.frombuffer(data, dtype="<f4").astype(np.float32).reshape(h, w)
+    elif fmt == "raw_i64":
+        arr = np.frombuffer(data, dtype="<i8").astype(np.int64).reshape(h, w)
     else:
         raise ValueError(f"unknown tile format {fmt!r}")
     if arr.shape != (h, w):

@@ -1108,6 +1108,114 @@ def flow_accumulation_stats(
     counts memberships per pixel — bit-exact because the selection
     key, tie-break, and all sums are integers."""
     thr = int(stream_threshold)
+    parts, graph, inj = _flow_arrivals(tiles, max_rounds)
+
+    def replay(parts_pdf: pd.DataFrame, inj_pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["cell_id", "n_px", "acc_max", "acc_sum", "stream_px"]
+        got = _acc_array(parts_pdf, inj_pdf)
+        if got is None:
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+        cell, h, w_, acc = got
+        return pd.DataFrame({
+            "cell_id": [int(cell)], "n_px": [int(h * w_)],
+            "acc_max": [int(acc.max())], "acc_sum": [int(acc.sum())],
+            "stream_px": [int((acc >= thr).sum())],
+        })
+
+    out = (
+        parts.groupBy("target_cell")
+        .cogroup(inj.groupBy("cell"))
+        .applyInPandas(
+            lambda left, right: replay(left, right),
+            "cell_id long, n_px long, acc_max long, acc_sum long, stream_px long",
+        )
+        .localCheckpoint(eager=True)
+    )
+    graph.unpersist()
+    parts.unpersist()
+    return out
+
+
+def flow_accumulation_tiles(
+    tiles: DataFrame,
+    fmt: str = "raw_i64",
+    max_rounds: int = 48,
+) -> DataFrame:
+    """Per-pixel flow-accumulation RASTER export — the same three-phase
+    engine as :func:`flow_accumulation_stats`, but the cogrouped replay
+    re-encodes each tile's accumulation array as a tile payload
+    (``cell_id, bytes, w, h, fmt`` — the engine's standard tile frame,
+    so the output feeds any downstream operator unchanged). Default
+    format is ``raw_i64``: accumulation counts are exact pixel counts
+    and a continental basin exceeds both uint16 and f32's exact-integer
+    range."""
+    parts, graph, inj = _flow_arrivals(tiles, max_rounds)
+
+    def replay(parts_pdf: pd.DataFrame, inj_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "cell_id": pd.Series(dtype="int64"),
+            "bytes": pd.Series(dtype="object"),
+            "w": pd.Series(dtype="int32"),
+            "h": pd.Series(dtype="int32"),
+            "fmt": pd.Series(dtype="object"),
+        })
+        got = _acc_array(parts_pdf, inj_pdf)
+        if got is None:
+            return empty
+        cell, h, w_, acc = got
+        payload = codecs.encode_tile(acc.reshape(h, w_), fmt)
+        return pd.DataFrame({
+            "cell_id": [int(cell)], "bytes": [payload],
+            "w": [np.int32(w_)], "h": [np.int32(h)], "fmt": [fmt],
+        })
+
+    out = (
+        parts.groupBy("target_cell")
+        .cogroup(inj.groupBy("cell"))
+        .applyInPandas(
+            lambda left, right: replay(left, right),
+            "cell_id long, bytes binary, w int, h int, fmt string",
+        )
+        .localCheckpoint(eager=True)
+    )
+    graph.unpersist()
+    parts.unpersist()
+    return out
+
+
+def _acc_array(parts_pdf: pd.DataFrame, inj_pdf: pd.DataFrame):
+    """Per-tile accumulation replay: rebuild the D8 graph from the
+    persisted parts group, inject stitched arrivals at ring pixels, and
+    scatter-add by descending elevation level (strict descent makes a
+    level's inflows final before any of its pixels flow onward).
+    Returns ``(cell, h, w, acc)`` with ``acc`` flat int64, or ``None``
+    for centerless groups."""
+    g = _d8_tile_graph(parts_pdf)
+    if g is None:
+        return None
+    (cell, h, w_, pad, _full, directed, inb, tgt_flat, _par, _kind,
+     _root, gx0, gy0) = g
+    acc = np.ones(h * w_, dtype=np.int64)
+    if len(inj_pdf):
+        gj = inj_pdf["node"].to_numpy(np.int64)
+        jx = (gj // _PX_PACK - gx0).astype(np.int64)
+        jy = (gj % _PX_PACK - gy0).astype(np.int64)
+        acc[jy * w_ + jx] += inj_pdf["w"].to_numpy(np.int64)
+    z = pad[1:1 + h, 1:1 + w_].ravel()
+    src = (directed & inb).ravel()
+    for v in np.unique(z[src])[::-1]:
+        sel = src & (z == v)
+        np.add.at(acc, tgt_flat[sel], acc[sel])
+    return cell, h, w_, acc
+
+
+def _flow_arrivals(tiles: DataFrame, max_rounds: int):
+    """Phases 1–2 of the flow-accumulation engine, shared by the stats
+    and raster-export forms: the halo-exchange kernel emitting the
+    boundary interface, then binary-lifting path-add pass-through sums
+    over the ring forest. Returns ``(parts, graph, inj)`` — the two
+    persisted frames (caller unpersists after its replay) and the
+    per-ring-pixel arrival amounts."""
 
     def emit_graph(pdf: pd.DataFrame) -> pd.DataFrame:
         cols = ["tag", "cell", "node", "nxt", "kind", "j"]
@@ -1227,45 +1335,7 @@ def flow_accumulation_stats(
     inj = arrivals.join(
         ring_nodes.select("cell", "node"), "node", "inner"
     ).select("cell", "node", "w")
-
-    def replay(parts_pdf: pd.DataFrame, inj_pdf: pd.DataFrame) -> pd.DataFrame:
-        cols = ["cell_id", "n_px", "acc_max", "acc_sum", "stream_px"]
-        g = _d8_tile_graph(parts_pdf)
-        if g is None:
-            return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
-        (cell, h, w_, pad, _full, directed, inb, tgt_flat, _par, _kind,
-         _root, gx0, gy0) = g
-        acc = np.ones(h * w_, dtype=np.int64)
-        if len(inj_pdf):
-            gj = inj_pdf["node"].to_numpy(np.int64)
-            jx = (gj // _PX_PACK - gx0).astype(np.int64)
-            jy = (gj % _PX_PACK - gy0).astype(np.int64)
-            acc[jy * w_ + jx] += inj_pdf["w"].to_numpy(np.int64)
-        z = pad[1:1 + h, 1:1 + w_].ravel()
-        src = (directed & inb).ravel()
-        # descending-level scatter-add: strict descent means a level's
-        # inflows are final before any of its pixels flow onward
-        for v in np.unique(z[src])[::-1]:
-            sel = src & (z == v)
-            np.add.at(acc, tgt_flat[sel], acc[sel])
-        return pd.DataFrame({
-            "cell_id": [int(cell)], "n_px": [int(h * w_)],
-            "acc_max": [int(acc.max())], "acc_sum": [int(acc.sum())],
-            "stream_px": [int((acc >= thr).sum())],
-        })
-
-    out = (
-        parts.groupBy("target_cell")
-        .cogroup(inj.groupBy("cell"))
-        .applyInPandas(
-            lambda left, right: replay(left, right),
-            "cell_id long, n_px long, acc_max long, acc_sum long, stream_px long",
-        )
-        .localCheckpoint(eager=True)
-    )
-    graph.unpersist()
-    parts.unpersist()
-    return out
+    return parts, graph, inj
 
 
 def contour_stats(

@@ -1475,6 +1475,52 @@ def test_flow_accumulation_random_world_fuzz(spark):
         assert got == expect, f"trial {trial} drop={drop}"
 
 
+def test_flow_accumulation_tiles_matches_dense_oracle(spark):
+    """The raster-export form re-encodes each tile's per-pixel
+    accumulation array; decoded payloads must be bit-identical to the
+    brute-force path walker's dense array, including across a missing
+    tile (its ring holds water: paths stop there)."""
+    from gfw_raster_analysis_lambda_spark.functions import codecs
+
+    rng = np.random.default_rng(20260824)
+    world = rng.integers(0, 6, size=(NY * TILE, NX * TILE)).astype(np.float64)
+    all_tiles = [(dx, dy) for dx in range(NX) for dy in range(NY)]
+    drop = {all_tiles[int(rng.integers(len(all_tiles)))]}
+    present = set(all_tiles) - drop
+    rows = []
+    for dx, dy in present:
+        arr = world[dy * TILE:(dy + 1) * TILE,
+                    dx * TILE:(dx + 1) * TILE].astype(np.uint8)
+        rows.append((
+            int(G.cell_from_xy(GRID, X0 + dx, Y0 + dy)),
+            codecs.encode_tile(arr, "png"), TILE, TILE, "png",
+        ))
+    df = spark.createDataFrame(
+        rows, "cell_id long, bytes binary, w int, h int, fmt string"
+    )
+    out = focal.flow_accumulation_tiles(df).collect()
+    dense = _flow_acc_dense(world, present)
+    got_cells = set()
+    for r in out:
+        assert (r["w"], r["h"], r["fmt"]) == (TILE, TILE, "raw_i64")
+        gx, gy = (int(v) for v in G.cell_to_xy(r["cell_id"]))
+        dx, dy = gx - X0, gy - Y0
+        got_cells.add((dx, dy))
+        arr = codecs.decode_tile(r["bytes"], r["w"], r["h"], "raw_i64")
+        exp = dense[dy * TILE:(dy + 1) * TILE, dx * TILE:(dx + 1) * TILE]
+        assert arr.dtype == np.int64
+        assert np.array_equal(arr, exp), f"tile {(dx, dy)}"
+    assert got_cells == present
+    # round-trip through the codec keeps exact int64
+    big = np.arange(TILE * TILE, dtype=np.int64).reshape(TILE, TILE) * (
+        2 ** 33
+    )
+    assert np.array_equal(
+        codecs.decode_tile(codecs.encode_tile(big, "raw_i64"),
+                           TILE, TILE, "raw_i64"), big
+    )
+
+
 def test_contour_stats_random_world_fuzz(spark):
     """Seeded fuzz incl. a missing tile: marching-squares contour
     counts (crossed / segments / saddles per level) from the halo-
@@ -1530,10 +1576,11 @@ def test_contour_stats_random_world_fuzz(spark):
         assert got == expect, f"trial {trial} drop={drop}"
 
 
-def _flow_acc_expected(world, present, thr):
+def _flow_acc_dense(world, present):
     """Brute-force flow-accumulation oracle: walk every present pixel's
     D8 path (same exact-rational compare as _basins_expected) counting
-    a visit at every pixel on it, then aggregate per cell."""
+    a visit at every pixel on it. Returns the dense per-pixel int64
+    accumulation array over the whole world."""
     from fractions import Fraction
 
     h, w = world.shape
@@ -1571,6 +1618,12 @@ def _flow_acc_expected(world, present, thr):
                         break
                     ci, cj = nxt
                     acc[ci, cj] += 1
+    return acc
+
+
+def _flow_acc_expected(world, present, thr):
+    """Per-cell stats over :func:`_flow_acc_dense`."""
+    acc = _flow_acc_dense(world, present)
     out = {}
     for tx, ty in present:
         a = acc[ty * TILE:(ty + 1) * TILE, tx * TILE:(tx + 1) * TILE]
