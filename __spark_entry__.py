@@ -2195,6 +2195,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return focal.focal_mode(tiles, n_values=6, radius=1)
     q["focal_mode_drivers"] = focal_mode_drivers
 
+    def focal_median_tcl(spark, sf_dir):
+        # median (rank) filter — classical salt-and-pepper denoising,
+        # cross-tile via the same halo-strip exchange; lower median by
+        # cumulative count planes (rank selection by counting), integer
+        # end to end so the running-count SQL twin is hash-exact
+        images, _, _ = _fixture(spark)
+        tiles = images.filter(F.col("layer") == "tcl_year")
+        return focal.focal_median(tiles, n_values=21, radius=1)
+    q["focal_median_tcl"] = focal_median_tcl
+
+    def focal_morph_open(spark, sf_dir):
+        # grayscale morphological opening (erode -> dilate): two chained
+        # halo-exchange passes with a raw_u16 tile frame between them —
+        # the focal family composed with itself; windows clip at world
+        # edges in BOTH passes, and the twin nests the two SQL windows
+        # the same way
+        images, _, _ = _fixture(spark)
+        tiles = images.filter(F.col("layer") == "tcl_year")
+        return focal.morphology_stats(tiles, op="open", radius=1)
+    q["focal_morph_open"] = focal_morph_open
+
     def focal_terrain_slope(spark, sf_dir):
         # Horn-method terrain derivatives (the gdaldem slope family) over
         # the tiled "DEM", cross-tile via the same halo-strip exchange;
@@ -5258,6 +5279,66 @@ SELECT CAST({CB} AS BIGINT) + CAST({X0} + gx // 64 AS BIGINT) * {YW} + ({Y0} + g
        CAST(val AS INT) AS value,
        CAST(COUNT(*) AS BIGINT) AS n_px
 FROM m WHERE rn = 1 GROUP BY 1, 2
+"""
+
+    # median twin: rank selection by running count — lower median is the
+    # smallest value whose cumulative window count reaches ceil(n/2),
+    # matching the kernel's cumsum+argmax over count planes
+    o["focal_median_tcl"] = f"""
+WITH px AS (
+  SELECT gx, gy FROM generate_series(0, {GX}) a(gx), generate_series(0, {GY}) b(gy)
+),
+off AS (SELECT dx, dy FROM generate_series(-1, 1) a(dx), generate_series(-1, 1) b(dy)),
+nb AS (
+  SELECT px.gx, px.gy, {tclv} AS val
+  FROM px, off
+  WHERE px.gx + dx BETWEEN 0 AND {GX} AND px.gy + dy BETWEEN 0 AND {GY}
+),
+w AS (SELECT gx, gy, val, COUNT(*) AS cnt FROM nb GROUP BY gx, gy, val),
+t AS (
+  SELECT gx, gy, val,
+         SUM(cnt) OVER (PARTITION BY gx, gy ORDER BY val) AS cum,
+         SUM(cnt) OVER (PARTITION BY gx, gy) AS tot
+  FROM w
+),
+m AS (
+  SELECT gx, gy, MIN(val) AS val FROM t
+  WHERE cum >= (tot + 1) // 2 GROUP BY gx, gy
+)
+SELECT CAST({CB} AS BIGINT) + CAST({X0} + gx // 64 AS BIGINT) * {YW} + ({Y0} + gy // 64) AS cell_id,
+       CAST(val AS INT) AS value,
+       CAST(COUNT(*) AS BIGINT) AS n_px
+FROM m GROUP BY 1, 2
+"""
+
+    # opening twin: nested clipped windows — inner MIN (erode) then
+    # outer MAX (dilate) over the eroded lattice, composed exactly as
+    # the engine chains its two halo passes
+    o["focal_morph_open"] = f"""
+WITH px AS (
+  SELECT gx, gy FROM generate_series(0, {GX}) a(gx), generate_series(0, {GY}) b(gy)
+),
+off AS (SELECT dx, dy FROM generate_series(-1, 1) a(dx), generate_series(-1, 1) b(dy)),
+e AS (
+  SELECT px.gx, px.gy, MIN({tclv}) AS v
+  FROM px, off
+  WHERE px.gx + dx BETWEEN 0 AND {GX} AND px.gy + dy BETWEEN 0 AND {GY}
+  GROUP BY px.gx, px.gy
+),
+o2 AS (
+  -- scatter form of the outer window: each eroded pixel contributes to
+  -- its 9 neighbors, grouped by receiver — no join key computation
+  SELECT e.gx - dx AS gx, e.gy - dy AS gy, MAX(e.v) AS v
+  FROM e, off
+  WHERE e.gx - dx BETWEEN 0 AND {GX} AND e.gy - dy BETWEEN 0 AND {GY}
+  GROUP BY 1, 2
+)
+SELECT CAST({CB} AS BIGINT) + CAST({X0} + gx // 64 AS BIGINT) * {YW} + ({Y0} + gy // 64) AS cell_id,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(v) AS BIGINT) AS morph_sum,
+       CAST(MIN(v) AS BIGINT) AS morph_min,
+       CAST(MAX(v) AS BIGINT) AS morph_max
+FROM o2 GROUP BY 1
 """
 
     o["focal_terrain_slope"] = f"""

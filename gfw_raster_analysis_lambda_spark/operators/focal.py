@@ -316,6 +316,171 @@ def focal_mode(
     )
 
 
+def focal_median(
+    tiles: DataFrame,
+    n_values: int,
+    radius: int = 1,
+) -> DataFrame:
+    """Median (rank) filter — the salt-and-pepper denoiser of classical
+    image processing, per pixel the LOWER MEDIAN of the (2r+1)^2 window:
+    the smallest value whose cumulative window count reaches
+    ``ceil(n/2)``. Deterministic for even-count windows (clipped world
+    edges / missing neighbor tiles shrink ``n``; missing neighbors are
+    excluded, exactly as :func:`focal_mode`). Returns the per-cell
+    histogram of the filtered tile: ``(cell_id, value, n_px)``.
+
+    Same single-Exchange halo-strip plan as the rest of the family. The
+    kernel reuses the shifted-add count planes of :func:`focal_mode`
+    and takes one cumulative-sum + argmax over the value axis instead
+    of a plain argmax — rank selection by counting, integer end to end,
+    so the DuckDB running-count twin is hash-exact.
+    """
+    if not (1 <= n_values <= 256):
+        raise ValueError("focal_median is for small-alphabet integer layers")
+    if radius < 1 or radius > _MAX_RADIUS:
+        raise ValueError("need 1 <= radius <= 8")
+    r = int(radius)
+    k = 2 * r + 1
+    nv = int(n_values)
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        built = _build_pad(pdf, r, -1)
+        if built is None:
+            return pd.DataFrame({
+                "cell_id": pd.Series(dtype="int64"),
+                "value": pd.Series(dtype="int32"),
+                "n_px": pd.Series(dtype="int64"),
+            })
+        cell, h, w, pad = built
+        counts = np.zeros((nv, h, w), dtype=np.int32)
+        for v in range(nv):
+            isv = (pad == v)
+            for a in range(k):
+                for b in range(k):
+                    counts[v] += isv[a:a + h, b:b + w]
+        cum = counts.cumsum(axis=0)
+        need = (cum[-1] + 1) // 2  # ceil(n/2): lower median
+        med = (cum >= need).argmax(axis=0)
+        vals, cnts = np.unique(med, return_counts=True)
+        return pd.DataFrame({
+            "cell_id": np.full(len(vals), cell, dtype=np.int64),
+            "value": vals.astype(np.int32),
+            "n_px": cnts.astype(np.int64),
+        })
+
+    return _halo_parts(tiles, r).groupBy("target_cell").applyInPandas(
+        assemble, "cell_id long, value int, n_px long"
+    )
+
+
+def _extremum_tiles(
+    tiles: DataFrame, r: int, use_max: bool, fmt: str
+) -> DataFrame:
+    """One grayscale dilation (``use_max``) or erosion pass over the
+    halo exchange, re-encoded as the engine's standard tile frame so
+    passes compose. Missing neighbors are excluded from each window
+    (the window clips, it does not poison), so a present cell always
+    yields a full tile."""
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        built = _build_pad(pdf, r, float("nan"))
+        if built is None:
+            return pd.DataFrame({
+                "cell_id": pd.Series(dtype="int64"),
+                "bytes": pd.Series(dtype="object"),
+                "w": pd.Series(dtype="int32"),
+                "h": pd.Series(dtype="int32"),
+                "fmt": pd.Series(dtype="object"),
+            })
+        cell, h, w, pad = built
+        k = 2 * r + 1
+        valid = ~np.isnan(pad)
+        ext = np.full((h, w), -np.inf if use_max else np.inf)
+        op = np.fmax if use_max else np.fmin
+        sentinel = -np.inf if use_max else np.inf
+        for a in range(k):
+            for b in range(k):
+                win = pad[a:a + h, b:b + w]
+                ok = valid[a:a + h, b:b + w]
+                op(ext, np.where(ok, win, sentinel), out=ext)
+        arr = ext.astype(np.int64)
+        if not np.array_equal(arr, ext) or arr.min() < 0 or arr.max() > 65535:
+            raise ValueError(
+                "morphology needs integer grayscale values in [0, 65535]"
+            )
+        payload = codecs.encode_tile(arr.astype(np.uint16), fmt)
+        return pd.DataFrame({
+            "cell_id": [int(cell)], "bytes": [payload],
+            "w": [np.int32(w)], "h": [np.int32(h)], "fmt": [fmt],
+        })
+
+    return _halo_parts(tiles, r).groupBy("target_cell").applyInPandas(
+        assemble, "cell_id long, bytes binary, w int, h int, fmt string"
+    )
+
+
+def morphology_stats(
+    tiles: DataFrame,
+    op: str = "open",
+    radius: int = 1,
+) -> DataFrame:
+    """Grayscale morphological OPENING (erode then dilate — removes
+    bright speckle smaller than the structuring element) or CLOSING
+    (dilate then erode — fills dark pits), as two chained halo-exchange
+    passes; the intermediate raster is the engine's standard tile frame
+    (``raw_u16``), so the composition is just the family applied twice
+    (two Exchanges total, each byte-thin). Windows CLIP at world edges
+    and missing tiles in both passes — the clipped-window convention of
+    the whole focal family, applied twice.
+
+    Returns one row per present cell with the filtered tile's integer
+    stats: ``(cell_id, n_px, morph_sum, morph_min, morph_max)`` —
+    int64-exact, so the DuckDB nested-window twin is hash-exact.
+    """
+    if op not in ("open", "close"):
+        raise ValueError("op must be 'open' or 'close'")
+    if radius < 1 or radius > _MAX_RADIUS:
+        raise ValueError("need 1 <= radius <= 8")
+    r = int(radius)
+    mid = _extremum_tiles(tiles, r, use_max=(op == "close"), fmt="raw_u16")
+    # materialize the intermediate so the second halo pass reads settled
+    # tiles (and the first pass's shuffle is not replayed per partition)
+    mid = mid.localCheckpoint(eager=True)
+    k = 2 * r + 1
+    use_max2 = op == "open"
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ("cell_id", "n_px", "morph_sum", "morph_min", "morph_max")
+        built = _build_pad(pdf, r, float("nan"))
+        if built is None:
+            return pd.DataFrame(
+                {c: pd.Series(dtype="int64") for c in cols}
+            )
+        cell, h, w, pad = built
+        valid = ~np.isnan(pad)
+        ext = np.full((h, w), -np.inf if use_max2 else np.inf)
+        opf = np.fmax if use_max2 else np.fmin
+        sentinel = -np.inf if use_max2 else np.inf
+        for a in range(k):
+            for b in range(k):
+                win = pad[a:a + h, b:b + w]
+                ok = valid[a:a + h, b:b + w]
+                opf(ext, np.where(ok, win, sentinel), out=ext)
+        arr = ext.astype(np.int64)
+        return pd.DataFrame({
+            "cell_id": [int(cell)], "n_px": [int(h * w)],
+            "morph_sum": [int(arr.sum())],
+            "morph_min": [int(arr.min())],
+            "morph_max": [int(arr.max())],
+        })
+
+    return _halo_parts(mid, r).groupBy("target_cell").applyInPandas(
+        assemble,
+        "cell_id long, n_px long, morph_sum long, morph_min long, "
+        "morph_max long",
+    )
+
+
 def _horn_gradients(pad: np.ndarray, h: int, w: int):
     """(full, gx, gy) over a 1-px-padded NaN-filled tile: ``full`` marks
     pixels whose whole 3x3 window exists; gx/gy are the int64 Horn

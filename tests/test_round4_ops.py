@@ -1521,6 +1521,121 @@ def test_flow_accumulation_tiles_matches_dense_oracle(spark):
     )
 
 
+def test_focal_median_random_world_fuzz(spark):
+    """Seeded fuzz incl. a missing tile: the counting-rank median kernel
+    must equal a per-pixel sort-and-pick lower median over the valid
+    window (missing-tile neighbors excluded, windows clipped at world
+    edges)."""
+    from gfw_raster_analysis_lambda_spark.functions import codecs
+
+    rng = np.random.default_rng(20260825)
+    nv = 21
+    world = rng.integers(0, nv, size=(NY * TILE, NX * TILE))
+    all_tiles = [(dx, dy) for dx in range(NX) for dy in range(NY)]
+    drop = {all_tiles[int(rng.integers(len(all_tiles)))]}
+    present = set(all_tiles) - drop
+    valid = np.zeros(world.shape, dtype=bool)
+    rows = []
+    for dx, dy in present:
+        valid[dy * TILE:(dy + 1) * TILE, dx * TILE:(dx + 1) * TILE] = True
+        rows.append((
+            int(G.cell_from_xy(GRID, X0 + dx, Y0 + dy)),
+            codecs.encode_tile(
+                world[dy * TILE:(dy + 1) * TILE,
+                      dx * TILE:(dx + 1) * TILE].astype(np.uint8), "png"
+            ), TILE, TILE, "png",
+        ))
+    df = spark.createDataFrame(
+        rows, "cell_id long, bytes binary, w int, h int, fmt string"
+    )
+    got = {}
+    for r in focal.focal_median(df, n_values=nv).collect():
+        gx, gy = (int(v) for v in G.cell_to_xy(r["cell_id"]))
+        got[(gx - X0, gy - Y0, r["value"])] = r["n_px"]
+    h, w = world.shape
+    expect = {}
+    for tx, ty in present:
+        hist = {}
+        for i in range(ty * TILE, (ty + 1) * TILE):
+            for j in range(tx * TILE, (tx + 1) * TILE):
+                vals = sorted(
+                    int(world[ii, jj])
+                    for ii in range(max(0, i - 1), min(h, i + 2))
+                    for jj in range(max(0, j - 1), min(w, j + 2))
+                    if valid[ii, jj]
+                )
+                med = vals[(len(vals) + 1) // 2 - 1]
+                hist[med] = hist.get(med, 0) + 1
+        for v, n in hist.items():
+            expect[(tx, ty, v)] = n
+    assert got == expect
+
+
+def test_morphology_open_close_random_world_fuzz(spark):
+    """Seeded fuzz incl. a missing tile: opening (erode->dilate) and
+    closing (dilate->erode) as two chained halo passes must equal the
+    dense two-pass numpy oracle with clipped valid windows, and obey
+    the classical inequalities opening <= identity <= closing."""
+    from gfw_raster_analysis_lambda_spark.functions import codecs
+
+    rng = np.random.default_rng(20260826)
+    world = rng.integers(0, 200, size=(NY * TILE, NX * TILE))
+    all_tiles = [(dx, dy) for dx in range(NX) for dy in range(NY)]
+    drop = {all_tiles[int(rng.integers(len(all_tiles)))]}
+    present = set(all_tiles) - drop
+    valid = np.zeros(world.shape, dtype=bool)
+    rows = []
+    for dx, dy in present:
+        valid[dy * TILE:(dy + 1) * TILE, dx * TILE:(dx + 1) * TILE] = True
+        rows.append((
+            int(G.cell_from_xy(GRID, X0 + dx, Y0 + dy)),
+            codecs.encode_tile(
+                world[dy * TILE:(dy + 1) * TILE,
+                      dx * TILE:(dx + 1) * TILE].astype(np.uint8), "png"
+            ), TILE, TILE, "png",
+        ))
+    df = spark.createDataFrame(
+        rows, "cell_id long, bytes binary, w int, h int, fmt string"
+    )
+
+    def ext_pass(arr, vmask, use_max):
+        h, w = arr.shape
+        out = np.full((h, w), -np.inf if use_max else np.inf)
+        opf = np.fmax if use_max else np.fmin
+        sent = -np.inf if use_max else np.inf
+        for i in range(h):
+            for j in range(w):
+                for ii in range(max(0, i - 1), min(h, i + 2)):
+                    for jj in range(max(0, j - 1), min(w, j + 2)):
+                        if vmask[ii, jj]:
+                            out[i, j] = opf(out[i, j], arr[ii, jj])
+        return np.where(vmask, out, sent)
+
+    dense = world.astype(np.float64)
+    for op, first_max in (("open", False), ("close", True)):
+        mid = ext_pass(dense, valid, first_max)
+        fin = ext_pass(mid, valid, not first_max)
+        got = {}
+        for r in focal.morphology_stats(df, op=op).collect():
+            gx, gy = (int(v) for v in G.cell_to_xy(r["cell_id"]))
+            got[(gx - X0, gy - Y0)] = (
+                r["n_px"], r["morph_sum"], r["morph_min"], r["morph_max"]
+            )
+        expect = {}
+        for tx, ty in present:
+            a = fin[ty * TILE:(ty + 1) * TILE, tx * TILE:(tx + 1) * TILE]
+            expect[(tx, ty)] = (
+                TILE * TILE, int(a.sum()), int(a.min()), int(a.max())
+            )
+            core = world[ty * TILE:(ty + 1) * TILE,
+                         tx * TILE:(tx + 1) * TILE]
+            if op == "open":
+                assert (a <= core).all()
+            else:
+                assert (a >= core).all()
+        assert got == expect, op
+
+
 def test_contour_stats_random_world_fuzz(spark):
     """Seeded fuzz incl. a missing tile: marching-squares contour
     counts (crossed / segments / saddles per level) from the halo-
