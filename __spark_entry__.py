@@ -1743,6 +1743,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sketches.heavy_hitters(ev, "user_id", k=140)
     q["rel_heavy_hitters"] = rel_heavy_hitters
 
+    def rel_hll_distinct(spark, sf_dir):
+        # HyperLogLog approximate distinct users per event type, held
+        # entirely in relational state (md5-derived 60-bit hash, bin()-
+        # length rho, exact-integer register denominator): one codegen
+        # scan + an O(groups x 64) reduce regardless of corpus size.
+        # The twin recomputes the identical sketch in SQL — estimate,
+        # register state, and empty-bucket count all hash-exact — and
+        # both sides carry the exact distinct for the measured error.
+        from gfw_raster_analysis_lambda_spark.operators import sketches
+
+        ev = _t(spark, sf_dir, "events")
+        sk = sketches.hll_distinct(ev, "user_id", ["event_type"], b=6)
+        exact = ev.filter(F.col("user_id").isNotNull()).groupBy(
+            "event_type"
+        ).agg(F.countDistinct("user_id").alias("n_exact"))
+        return sk.join(F.broadcast(exact), "event_type").select(
+            "event_type", "n_exact", "v_empty", "reg_sum", "n_hll",
+            F.round(
+                F.abs(F.col("n_hll") - F.col("n_exact"))
+                / F.col("n_exact"), 6
+            ).alias("rel_err"),
+        )
+    q["rel_hll_distinct"] = rel_hll_distinct
+
     def rel_asof_attribution(spark, sf_dir):
         # point-in-time attribution: every purchase picks the user's
         # latest preceding click (as-of join, one keyed shuffle + running
@@ -6018,6 +6042,48 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 SELECT CAST(user_id AS BIGINT) AS user_id, CAST(COUNT(*) AS BIGINT) AS freq
 FROM events GROUP BY user_id
 HAVING COUNT(*) * 140 > (SELECT COUNT(*) FROM events)
+"""
+
+    # HLL twin: the identical sketch in SQL — same md5-derived 60-bit
+    # hash, same bin()-length rho, same exact-integer denominator, and
+    # the SAME generated small-range CASE text (literal-for-literal, so
+    # no cross-engine ln() can disagree)
+    from gfw_raster_analysis_lambda_spark.operators import sketches as _sk
+    _hll_case = _sk.hll_small_range_sql(
+        6, "v_empty",
+        f"(CAST({_sk.hll_numerator(6)!r} AS DOUBLE) / reg_sum)",
+    )
+    o["rel_hll_distinct"] = f"""
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events WHERE user_id IS NOT NULL
+),
+r AS (
+  SELECT event_type, hv % 64 AS bucket,
+         MAX(CASE WHEN (hv >> 6) = 0 THEN 55
+                  ELSE 55 - length(bin(hv >> 6)) END) AS M
+  FROM h GROUP BY 1, 2
+),
+a AS (
+  SELECT event_type,
+         CAST(64 - COUNT(*) AS BIGINT) AS v_empty,
+         CAST(SUM(1::BIGINT << (55 - M))
+              + (64 - COUNT(*)) * (1::BIGINT << 55) AS BIGINT) AS reg_sum
+  FROM r GROUP BY 1
+),
+e AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+est AS (
+  SELECT a.event_type, e.n_exact, a.v_empty, a.reg_sum,
+         ROUND({_hll_case}, 6) AS n_hll
+  FROM a JOIN e ON a.event_type = e.event_type
+)
+SELECT event_type, n_exact, v_empty, reg_sum, n_hll,
+       ROUND(ABS(n_hll - n_exact) / n_exact, 6) AS rel_err
+FROM est
 """
 
     _rx_email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -151,3 +151,117 @@ def heavy_hitters(
         .select(F.col("__key").alias(key_col), "freq")
         .unionByName(null_row)
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog approximate distinct
+# ---------------------------------------------------------------------------
+
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _hll_bits(b: int) -> tuple[int, int, int]:
+    """(m, wbits, shift) for a 60-bit md5-derived hash split into a
+    ``b``-bit bucket index and a ``wbits``-bit pattern word; ``shift``
+    is the register scale exponent (rho ranges 1..wbits+1, so the
+    integer denominator term for register M is ``2^(shift - M)``)."""
+    m = 1 << b
+    wbits = 60 - b
+    return m, wbits, wbits + 1
+
+
+def hll_small_range_sql(b: int, v_col: str, raw_col: str) -> str:
+    """The HLL small-range (linear-counting) correction as a CASE over
+    the empty-bucket count, with every ``m*ln(m/V)`` value baked in as
+    a decimal literal. Shared verbatim by the Spark expression and the
+    DuckDB twin: both engines parse the same shortest-round-trip
+    literals to the same doubles, so no cross-engine ``ln`` call can
+    disagree in the last ulp."""
+    import math
+
+    m = 1 << b
+    branches = " ".join(
+        f"WHEN {v} THEN CAST({m * math.log(m / v)!r} AS DOUBLE)"
+        for v in range(1, m + 1)
+    )
+    return (
+        f"CASE WHEN {v_col} > 0 AND {raw_col} <= {2.5 * m!r} "
+        f"THEN (CASE {v_col} {branches} END) ELSE {raw_col} END"
+    )
+
+
+def hll_numerator(b: int) -> float:
+    """``alpha_m * m^2 * 2^shift`` precomputed in Python — the only
+    float constant in the estimator. Embedding the product (rather than
+    multiplying engine-side) keeps the estimate a single literal-over-
+    integer division, identical on any engine."""
+    m, _, shift = _hll_bits(b)
+    return _HLL_ALPHA[m] * m * m * float(1 << shift)
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_by: list[str],
+    b: int = 6,
+) -> DataFrame:
+    """Approximate COUNT DISTINCT per group via a HyperLogLog sketch
+    (Flajolet et al. 2007) held entirely in RELATIONAL state — no UDF,
+    no driver collect, every stage whole-stage-codegen:
+
+    - hash: first 15 hex chars of ``md5(key)`` as a 60-bit integer
+      (portable: any engine computes the identical value);
+    - registers: ``groupBy(group, hash % m) -> MAX(rho)`` where
+      ``rho = leading zeros of the remaining 54-bit word + 1`` via
+      ``bin()`` string length — one shuffle of O(groups x m) rows, with
+      map-side partial MAX, regardless of corpus size. The register
+      frame IS the mergeable sketch state: persist it, union new data,
+      re-MAX to fold days together.
+    - estimate: the denominator is accumulated as the EXACT integer
+      ``sum(2^(55-M)) + V*2^55`` (sum of dyadic rationals scaled to
+      int64 — float summation here would be partition-order-dependent),
+      so the one float division and the baked-in small-range table are
+      the only non-integer steps. Same rows -> bit-identical estimate
+      on any engine and any partitioning.
+
+    Returns one row per group: ``(group..., v_empty, reg_sum, n_hll)``
+    with ``n_hll`` the rounded estimate and (v_empty, reg_sum) the
+    exact integer sketch state (standard error ~1.04/sqrt(m): b=6 gives
+    ~13%, for corpus-scale "roughly how many distinct" questions —
+    exact distinct of a 100-TB key column is a full-key shuffle, this
+    is one scan + a 64-row-per-group reduce).
+    """
+    m, wbits, shift = _hll_bits(b)
+    if m not in _HLL_ALPHA:
+        raise ValueError("b must be 4, 5, or 6")
+    if not group_by:
+        raise ValueError("group_by must name at least one column")
+    h = (
+        f"cast(conv(substring(md5(cast({key_col} as string)), 1, 15), "
+        f"16, 10) as bigint)"
+    )
+    w = f"shiftright({h}, {b})"
+    rho = (
+        f"CASE WHEN {w} = 0 THEN {shift} "
+        f"ELSE {shift} - length(bin({w})) END"
+    )
+    regs = (
+        df.filter(F.col(key_col).isNotNull())
+        .withColumn("__bucket", F.expr(f"{h} % {m}"))
+        .withColumn("__rho", F.expr(rho))
+        .groupBy(*group_by, "__bucket")
+        .agg(F.max("__rho").alias("__M"))
+    )
+    agg = regs.groupBy(*group_by).agg(
+        (F.lit(m) - F.count(F.lit(1))).cast("long").alias("v_empty"),
+        (
+            F.sum(F.expr(f"shiftleft(1L, cast({shift} - __M as int))"))
+            + (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << shift)
+        ).cast("long").alias("reg_sum"),
+    )
+    raw = f"CAST({hll_numerator(b)!r} AS DOUBLE) / reg_sum"
+    est = hll_small_range_sql(b, "v_empty", f"({raw})")
+    return agg.select(
+        *group_by, "v_empty", "reg_sum",
+        F.round(F.expr(est), 6).alias("n_hll"),
+    )
