@@ -2240,6 +2240,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return focal.morphology_stats(tiles, op="open", radius=1)
     q["focal_morph_open"] = focal_morph_open
 
+    def focal_morans_i(spark, sf_dir):
+        # global Moran's I spatial autocorrelation (queen weights) —
+        # one halo pass emits exact integer sufficient statistics per
+        # cell, the global closed form is two decimal polynomials and
+        # one float division each, so the twin is hash-exact including
+        # the statistic itself
+        images, _, _ = _fixture(spark)
+        tiles = images.filter(F.col("layer") == "tcl_year")
+        return focal.morans_i(tiles)
+    q["focal_morans_i"] = focal_morans_i
+
     def focal_terrain_slope(spark, sf_dir):
         # Horn-method terrain derivatives (the gdaldem slope family) over
         # the tiled "DEM", cross-tile via the same halo-strip exchange;
@@ -5363,6 +5374,44 @@ SELECT CAST({CB} AS BIGINT) + CAST({X0} + gx // 64 AS BIGINT) * {YW} + ({Y0} + g
        CAST(MIN(v) AS BIGINT) AS morph_min,
        CAST(MAX(v) AS BIGINT) AS morph_max
 FROM o2 GROUP BY 1
+"""
+
+    # Moran's I twin: identical sufficient statistics over the fixture
+    # lattice (HUGEINT keeps the polynomials exact, mirroring the
+    # engine's decimal(38,0)), identical division order in the finalize
+    _mv = _tclv_at("gx", "gy")
+    o["focal_morans_i"] = f"""
+WITH px AS (
+  SELECT gx, gy FROM generate_series(0, {GX}) a(gx), generate_series(0, {GY}) b(gy)
+),
+off AS (SELECT dx, dy FROM generate_series(-1, 1) a(dx), generate_series(-1, 1) b(dy)),
+w AS (
+  SELECT px.gx, px.gy, SUM({tclv}) AS wsum, COUNT(*) AS wn
+  FROM px, off
+  WHERE px.gx + dx BETWEEN 0 AND {GX} AND px.gy + dy BETWEEN 0 AND {GY}
+  GROUP BY px.gx, px.gy
+),
+v AS (SELECT gx, gy, {_mv} AS x, wsum, wn FROM w),
+st AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS s1,
+         CAST(SUM(x * x) AS HUGEINT) AS s2,
+         CAST(SUM(wn - 1) AS HUGEINT) AS wp,
+         CAST(SUM(x * (wsum - x)) AS HUGEINT) AS c,
+         CAST(SUM(x * (wn - 1)) AS HUGEINT) AS d
+  FROM v
+)
+SELECT CAST(n AS BIGINT) AS n_px,
+       CAST(wp AS BIGINT) AS w_pairs,
+       CAST(s1 AS BIGINT) AS s1,
+       CAST(s2 AS BIGINT) AS s2,
+       CAST(c AS BIGINT) AS c_sum,
+       CAST(d AS BIGINT) AS d_sum,
+       ROUND((CAST(n AS DOUBLE) / CAST(wp AS DOUBLE))
+             * (CAST(n * n * c - 2 * n * s1 * d + wp * s1 * s1 AS DOUBLE)
+                / CAST(n * n * s2 - n * s1 * s1 AS DOUBLE)), 6) AS moran_i,
+       ROUND(-1.0 / (CAST(n AS DOUBLE) - 1.0), 6) AS e_i
+FROM st
 """
 
     o["focal_terrain_slope"] = f"""

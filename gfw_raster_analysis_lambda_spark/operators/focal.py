@@ -481,6 +481,94 @@ def morphology_stats(
     )
 
 
+def morans_i(tiles: DataFrame) -> DataFrame:
+    """Global Moran's I spatial autocorrelation of a raster layer under
+    binary 8-neighbor (queen) weights — the standard "is this layer
+    clustered, dispersed, or random?" statistic of spatial analysis.
+
+    One halo-exchange pass emits per-cell EXACT integer sufficient
+    statistics (x <= 2^32, per-cell sums < 2^63):
+
+    - ``s1`` = sum(x), ``s2`` = sum(x^2)
+    - ``w_pairs`` = ordered valid neighbor pairs (window count - 1)
+    - ``c_sum`` = sum(x * neighbor-sum), ``d_sum`` = sum(x * degree)
+
+    which aggregate globally in decimal(38,0) (int64 would wrap past
+    ~1e9 pixels, same trap as the variance rollup). The closed form
+
+        I = (N / W) * (N^2 C - 2 N S1 D + W S1^2) / (N^2 S2 - N S1^2)
+
+    is two exact-decimal polynomials and ONE float division each —
+    bit-identical on any engine and any partitioning; missing-tile
+    borders simply shrink the valid pair set, exactly as every other
+    member of the focal family. Returns one row: the six integer
+    statistics plus ``moran_i`` and the null expectation ``e_i =
+    -1/(N-1)`` (both ROUND 6). Worst-case decimal bound: the three-way
+    product N*S1*D needs N^2 * x_max^2 * 8 * N < 1e38, which holds to
+    ~1e10 pixels of uint8 — past that, finalize on the collected row
+    with arbitrary-precision ints (the per-cell frame is already
+    exact)."""
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ("cell_id", "n_px", "s1", "s2", "w_pairs", "c_sum", "d_sum")
+        built = _build_pad(pdf, 1, float("nan"))
+        if built is None:
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+        cell, h, w, pad = built
+        valid = ~np.isnan(pad)
+        vals = np.where(valid, pad, 0.0)
+        s = np.pad(vals.cumsum(0).cumsum(1), ((1, 0), (1, 0)))
+        n = np.pad(
+            valid.astype(np.float64).cumsum(0).cumsum(1), ((1, 0), (1, 0))
+        )
+        wsum = s[3:, 3:] - s[:-3, 3:] - s[3:, :-3] + s[:-3, :-3]
+        wn = n[3:, 3:] - n[:-3, 3:] - n[3:, :-3] + n[:-3, :-3]
+        x = pad[1:1 + h, 1:1 + w].astype(np.int64)
+        nbr = np.rint(wsum).astype(np.int64) - x
+        deg = np.rint(wn).astype(np.int64) - 1
+        return pd.DataFrame({
+            "cell_id": [int(cell)], "n_px": [int(h * w)],
+            "s1": [int(x.sum())], "s2": [int((x * x).sum())],
+            "w_pairs": [int(deg.sum())],
+            "c_sum": [int((x * nbr).sum())],
+            "d_sum": [int((x * deg).sum())],
+        })
+
+    per_cell = _halo_parts(tiles, 1).groupBy("target_cell").applyInPandas(
+        assemble,
+        "cell_id long, n_px long, s1 long, s2 long, w_pairs long, "
+        "c_sum long, d_sum long",
+    )
+    dec = "decimal(38,0)"
+    g = per_cell.agg(
+        F.sum(F.col("n_px").cast(dec)).cast(dec).alias("n"),
+        F.sum(F.col("s1").cast(dec)).cast(dec).alias("s1"),
+        F.sum(F.col("s2").cast(dec)).cast(dec).alias("s2"),
+        F.sum(F.col("w_pairs").cast(dec)).cast(dec).alias("wp"),
+        F.sum(F.col("c_sum").cast(dec)).cast(dec).alias("c"),
+        F.sum(F.col("d_sum").cast(dec)).cast(dec).alias("d"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    wp, c, d = F.col("wp"), F.col("c"), F.col("d")
+    num = n * n * c - F.lit(2).cast(dec) * n * s1 * d + wp * s1 * s1
+    den = n * n * s2 - n * s1 * s1
+    i_val = (n.cast("double") / wp.cast("double")) * (
+        num.cast("double") / den.cast("double")
+    )
+    return g.select(
+        n.cast("long").alias("n_px"),
+        wp.cast("long").alias("w_pairs"),
+        s1.cast("long").alias("s1"),
+        s2.cast("long").alias("s2"),
+        c.cast("long").alias("c_sum"),
+        d.cast("long").alias("d_sum"),
+        F.round(i_val, 6).alias("moran_i"),
+        F.round(
+            F.lit(-1.0) / (n.cast("double") - F.lit(1.0)), 6
+        ).alias("e_i"),
+    )
+
+
 def _horn_gradients(pad: np.ndarray, h: int, w: int):
     """(full, gx, gy) over a 1-px-padded NaN-filled tile: ``full`` marks
     pixels whose whole 3x3 window exists; gx/gy are the int64 Horn

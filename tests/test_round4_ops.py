@@ -1636,6 +1636,71 @@ def test_morphology_open_close_random_world_fuzz(spark):
         assert got == expect, op
 
 
+def test_morans_i_random_world_fuzz(spark):
+    """Seeded fuzz incl. a missing tile: the halo-exchange sufficient
+    statistics and closed-form Moran's I must equal a direct ordered-
+    pair enumeration with float means (computed via exact integer sums,
+    so both sides agree bit-for-bit); clustered vs shuffled worlds
+    bracket the statistic's sign."""
+    from gfw_raster_analysis_lambda_spark.functions import codecs
+
+    rng = np.random.default_rng(20260827)
+    # smooth (clustered) world: blocky gradient -> strongly positive I
+    base = np.repeat(np.repeat(
+        rng.integers(0, 200, size=(NY * 8, NX * 8)), 8, 0), 8, 1)
+    worlds = {"clustered": base,
+              "shuffled": rng.permutation(base.ravel()).reshape(base.shape)}
+    all_tiles = [(dx, dy) for dx in range(NX) for dy in range(NY)]
+    drop = {all_tiles[int(rng.integers(len(all_tiles)))]}
+    present = set(all_tiles) - drop
+    results = {}
+    for name, world in worlds.items():
+        valid = np.zeros(world.shape, dtype=bool)
+        rows = []
+        for dx, dy in present:
+            valid[dy * TILE:(dy + 1) * TILE, dx * TILE:(dx + 1) * TILE] = True
+            rows.append((
+                int(G.cell_from_xy(GRID, X0 + dx, Y0 + dy)),
+                codecs.encode_tile(
+                    world[dy * TILE:(dy + 1) * TILE,
+                          dx * TILE:(dx + 1) * TILE].astype(np.uint8), "png"
+                ), TILE, TILE, "png",
+            ))
+        df = spark.createDataFrame(
+            rows, "cell_id long, bytes binary, w int, h int, fmt string"
+        )
+        (got,) = focal.morans_i(df).collect()
+        # independent oracle: exact integer pair sums over the lattice
+        h, w = world.shape
+        x = world.astype(object)  # python ints: no overflow anywhere
+        n = s1 = s2 = wp = c = d = 0
+        for i in range(h):
+            for j in range(w):
+                if not valid[i, j]:
+                    continue
+                n += 1
+                s1 += int(x[i, j]); s2 += int(x[i, j]) ** 2
+                nb = [
+                    int(x[ii, jj])
+                    for ii in range(max(0, i - 1), min(h, i + 2))
+                    for jj in range(max(0, j - 1), min(w, j + 2))
+                    if (ii, jj) != (i, j) and valid[ii, jj]
+                ]
+                wp += len(nb)
+                c += int(x[i, j]) * sum(nb)
+                d += int(x[i, j]) * len(nb)
+        num = n * n * c - 2 * n * s1 * d + wp * s1 * s1
+        den = n * n * s2 - n * s1 * s1
+        expect_i = round((float(n) / float(wp)) * (float(num) / float(den)), 6)
+        assert (got["n_px"], got["s1"], got["s2"], got["w_pairs"],
+                got["c_sum"], got["d_sum"]) == (n, s1, s2, wp, c, d), name
+        assert got["moran_i"] == expect_i, name
+        assert got["e_i"] == round(-1.0 / (n - 1.0), 6)
+        results[name] = got["moran_i"]
+    assert results["clustered"] > 0.8
+    assert abs(results["shuffled"]) < 0.05
+
+
 def test_contour_stats_random_world_fuzz(spark):
     """Seeded fuzz incl. a missing tile: marching-squares contour
     counts (crossed / segments / saddles per level) from the halo-
