@@ -2251,6 +2251,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return focal.morans_i(tiles)
     q["focal_morans_i"] = focal_morans_i
 
+    def focal_hotspots(spark, sf_dir):
+        # Getis-Ord Gi* hot/cold-spot counts at |z| >= 2: the sqrt-free
+        # squared form makes the classification exact integers end to
+        # end (Python ints in the kernel, HUGEINT in the twin) — no
+        # float ever enters, so the gate is hash-exact
+        images, _, _ = _fixture(spark)
+        tiles = images.filter(F.col("layer") == "tcl_year")
+        return focal.hotspot_stats(tiles, t=2)
+    q["focal_hotspots"] = focal_hotspots
+
     def focal_terrain_slope(spark, sf_dir):
         # Horn-method terrain derivatives (the gdaldem slope family) over
         # the tiled "DEM", cross-tile via the same halo-strip exchange;
@@ -5412,6 +5422,46 @@ SELECT CAST(n AS BIGINT) AS n_px,
                 / CAST(n * n * s2 - n * s1 * s1 AS DOUBLE)), 6) AS moran_i,
        ROUND(-1.0 / (CAST(n AS DOUBLE) - 1.0), 6) AS e_i
 FROM st
+"""
+
+    # Gi* twin: same squared inequality in HUGEINT — A = N*wsum - S1*W,
+    # hot iff A > 0 and A^2*(N-1) >= t^2*(N*S2 - S1^2)*(N*W - W^2)
+    o["focal_hotspots"] = f"""
+WITH px AS (
+  SELECT gx, gy FROM generate_series(0, {GX}) a(gx), generate_series(0, {GY}) b(gy)
+),
+off AS (SELECT dx, dy FROM generate_series(-1, 1) a(dx), generate_series(-1, 1) b(dy)),
+gstat AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM({_mv}) AS HUGEINT) AS s1,
+         CAST(SUM(({_mv}) * ({_mv})) AS HUGEINT) AS s2
+  FROM px
+),
+w AS (
+  SELECT px.gx, px.gy,
+         CAST(SUM({tclv}) AS HUGEINT) AS wsum,
+         CAST(COUNT(*) AS HUGEINT) AS wn
+  FROM px, off
+  WHERE px.gx + dx BETWEEN 0 AND {GX} AND px.gy + dy BETWEEN 0 AND {GY}
+  GROUP BY px.gx, px.gy
+),
+f AS (
+  SELECT w.gx, w.gy,
+         CASE WHEN (n * wsum - s1 * wn) > 0
+               AND (n * wsum - s1 * wn) * (n * wsum - s1 * wn) * (n - 1)
+                   >= 4 * (n * s2 - s1 * s1) * (n * wn - wn * wn)
+              THEN 1 ELSE 0 END AS hot,
+         CASE WHEN (n * wsum - s1 * wn) < 0
+               AND (n * wsum - s1 * wn) * (n * wsum - s1 * wn) * (n - 1)
+                   >= 4 * (n * s2 - s1 * s1) * (n * wn - wn * wn)
+              THEN 1 ELSE 0 END AS cold
+  FROM w, gstat
+)
+SELECT CAST({CB} AS BIGINT) + CAST({X0} + gx // 64 AS BIGINT) * {YW} + ({Y0} + gy // 64) AS cell_id,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(hot) AS BIGINT) AS hot_px,
+       CAST(SUM(cold) AS BIGINT) AS cold_px
+FROM f GROUP BY 1
 """
 
     o["focal_terrain_slope"] = f"""

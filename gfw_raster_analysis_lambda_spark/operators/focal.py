@@ -569,6 +569,96 @@ def morans_i(tiles: DataFrame) -> DataFrame:
     )
 
 
+def hotspot_stats(tiles: DataFrame, t: int = 2) -> DataFrame:
+    """Getis-Ord Gi* hot-spot analysis — per pixel, is the LOCAL window
+    sum significantly above (hot) or below (cold) the global mean at
+    ``|z| >= t``? Returned as per-cell counts ``(cell_id, n_px, hot_px,
+    cold_px)``.
+
+    The z-score involves two square roots, but the CLASSIFICATION is
+    integer-exact: with A = N*wsum - S1*W, B = N*S2 - S1^2, C = N*W -
+    W^2 (W = window count incl. center), ``z >= t  <=>  A > 0 and
+    A^2*(N-1) >= t^2*B*C`` — both sides exact integers, so the DuckDB
+    HUGEINT twin matches hash-for-hash with no float anywhere. The
+    products exceed int64 (~1e24 at 1e6 px), so the kernel evaluates
+    them in Python ints; the per-pixel window sums still come from the
+    integral images.
+
+    Two passes: a keyless scan aggregates the three global scalars
+    (N, S1, S2 — collected to the driver as one row, the scalar
+    equivalent of a broadcast), then the standard one-Exchange halo
+    pass classifies every pixel. Missing-tile borders shrink W — the
+    family's clipped-window convention."""
+    if not isinstance(t, int) or t < 1:
+        raise ValueError("t must be a positive integer z threshold")
+    tsq = t * t
+
+    def tile_sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for data, w_, h_, fmt in zip(
+                pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                arr = codecs.decode_tile(
+                    bytes(data), int(w_), int(h_), fmt
+                ).astype(np.int64)
+                rows.append((int(arr.size), int(arr.sum()),
+                             int((arr * arr).sum())))
+            if rows:
+                yield pd.DataFrame(rows, columns=["n", "s1", "s2"])
+
+    dec = "decimal(38,0)"
+    glob = (
+        tiles.select("bytes", "w", "h", "fmt")
+        .mapInPandas(tile_sums, "n long, s1 long, s2 long")
+        .agg(
+            F.sum(F.col("n").cast(dec)).alias("n"),
+            F.sum(F.col("s1").cast(dec)).alias("s1"),
+            F.sum(F.col("s2").cast(dec)).alias("s2"),
+        )
+        .collect()[0]
+    )
+    big_n, big_s1, big_s2 = int(glob["n"]), int(glob["s1"]), int(glob["s2"])
+    b_term = big_n * big_s2 - big_s1 * big_s1
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ("cell_id", "n_px", "hot_px", "cold_px")
+        built = _build_pad(pdf, 1, float("nan"))
+        if built is None:
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+        cell, h, w, pad = built
+        valid = ~np.isnan(pad)
+        vals = np.where(valid, pad, 0.0)
+        s = np.pad(vals.cumsum(0).cumsum(1), ((1, 0), (1, 0)))
+        n = np.pad(
+            valid.astype(np.float64).cumsum(0).cumsum(1), ((1, 0), (1, 0))
+        )
+        wsum = np.rint(
+            s[3:, 3:] - s[:-3, 3:] - s[3:, :-3] + s[:-3, :-3]
+        ).astype(np.int64).ravel()
+        wn = np.rint(
+            n[3:, 3:] - n[:-3, 3:] - n[3:, :-3] + n[:-3, :-3]
+        ).astype(np.int64).ravel()
+        hot = cold = 0
+        nm1 = big_n - 1
+        for ws, wv in zip(wsum.tolist(), wn.tolist()):
+            a = big_n * ws - big_s1 * wv
+            rhs = tsq * b_term * (big_n * wv - wv * wv)
+            if a * a * nm1 >= rhs:
+                if a > 0:
+                    hot += 1
+                elif a < 0:
+                    cold += 1
+        return pd.DataFrame({
+            "cell_id": [int(cell)], "n_px": [int(h * w)],
+            "hot_px": [hot], "cold_px": [cold],
+        })
+
+    return _halo_parts(tiles, 1).groupBy("target_cell").applyInPandas(
+        assemble, "cell_id long, n_px long, hot_px long, cold_px long"
+    )
+
+
 def _horn_gradients(pad: np.ndarray, h: int, w: int):
     """(full, gx, gy) over a 1-px-padded NaN-filled tile: ``full`` marks
     pixels whose whole 3x3 window exists; gx/gy are the int64 Horn

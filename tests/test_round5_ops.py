@@ -890,3 +890,82 @@ def test_paragraph_dedup_metachar_separator_is_literal(spark):
     assert out["d1"]["n_paragraphs"] == 3 and out["d1"]["n_dropped"] == 0
     assert out["d2"]["text"] == "delta"  # 'beta' first seen in d1
     assert out["d2"]["n_paragraphs"] == 2 and out["d2"]["n_dropped"] == 1
+
+
+def test_hotspot_stats_random_world_fuzz(spark):
+    """Seeded fuzz incl. a missing tile: Gi* hot/cold-pixel counts from
+    the halo-exchange integral-image kernel must equal a direct
+    per-pixel enumeration with exact python-int arithmetic (the squared
+    inequality A^2*(N-1) >= t^2*B*C never touches a float on either
+    side). A clustered world must flag hot spots; a constant world has
+    B = 0 and must flag nothing."""
+    from gfw_raster_analysis_lambda_spark.functions import codecs
+    from gfw_raster_analysis_lambda_spark.operators import focal
+    from gfw_raster_analysis_lambda_spark.sources import fixtures
+    from gfw_raster_analysis_lambda_spark.functions import grid as G
+
+    GRID = fixtures.GRID
+    TILE = GRID.chunk_px
+    X0, Y0, NX, NY = fixtures.X0, fixtures.Y0, fixtures.NX, fixtures.NY
+
+    rng = np.random.default_rng(20260819)
+    base = np.repeat(np.repeat(
+        rng.integers(0, 200, size=(NY * 8, NX * 8)), 8, 0), 8, 1)
+    worlds = {"clustered": base.astype(np.uint8),
+              "constant": np.full_like(base, 7, dtype=np.uint8)}
+    all_tiles = [(dx, dy) for dx in range(NX) for dy in range(NY)]
+    drop = {all_tiles[int(rng.integers(len(all_tiles)))]}
+    present = sorted(set(all_tiles) - drop)
+    t = 2
+    for name, world in worlds.items():
+        valid = np.zeros(world.shape, dtype=bool)
+        rows = []
+        for dx, dy in present:
+            valid[dy * TILE:(dy + 1) * TILE, dx * TILE:(dx + 1) * TILE] = True
+            rows.append((
+                int(G.cell_from_xy(GRID, X0 + dx, Y0 + dy)),
+                codecs.encode_tile(
+                    world[dy * TILE:(dy + 1) * TILE,
+                          dx * TILE:(dx + 1) * TILE], "png"
+                ), TILE, TILE, "png",
+            ))
+        df = spark.createDataFrame(
+            rows, "cell_id long, bytes binary, w int, h int, fmt string"
+        )
+        got = {r["cell_id"]: r for r in
+               focal.hotspot_stats(df, t=t).collect()}
+        # brute-force oracle in python ints
+        x = world.astype(object)
+        n = int(valid.sum())
+        s1 = int(world[valid].astype(np.int64).sum())
+        s2 = int((world[valid].astype(np.int64) ** 2).sum())
+        b_term = n * s2 - s1 * s1
+        h, w = world.shape
+        expect = {}
+        for dx, dy in present:
+            cell = int(G.cell_from_xy(GRID, X0 + dx, Y0 + dy))
+            hot = cold = 0
+            for i in range(dy * TILE, (dy + 1) * TILE):
+                for j in range(dx * TILE, (dx + 1) * TILE):
+                    ws = wn = 0
+                    for ii in range(max(0, i - 1), min(h, i + 2)):
+                        for jj in range(max(0, j - 1), min(w, j + 2)):
+                            if valid[ii, jj]:
+                                ws += int(x[ii, jj]); wn += 1
+                    a = n * ws - s1 * wn
+                    if a * a * (n - 1) >= t * t * b_term * (n * wn - wn * wn):
+                        if a > 0:
+                            hot += 1
+                        elif a < 0:
+                            cold += 1
+            expect[cell] = (TILE * TILE, hot, cold)
+        assert set(got) == set(expect), name
+        for cell, (npx, hot, cold) in expect.items():
+            r = got[cell]
+            assert (r["n_px"], r["hot_px"], r["cold_px"]) == (npx, hot, cold), (
+                name, cell)
+        if name == "clustered":
+            assert sum(v[1] for v in expect.values()) > 0
+            assert sum(v[2] for v in expect.values()) > 0
+        else:
+            assert sum(v[1] + v[2] for v in expect.values()) == 0
