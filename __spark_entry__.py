@@ -2261,6 +2261,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return focal.hotspot_stats(tiles, t=2)
     q["focal_hotspots"] = focal_hotspots
 
+    def focal_lisa(spark, sf_dir):
+        # Anselin LISA quadrant counts: both classifying signs
+        # (centered value, spatial lag) are exact int64 products —
+        # sign-only, no squares — so the kernel vectorizes in numpy
+        # and the HUGEINT twin is hash-exact
+        images, _, _ = _fixture(spark)
+        tiles = images.filter(F.col("layer") == "tcl_year")
+        return focal.lisa_stats(tiles)
+    q["focal_lisa"] = focal_lisa
+
     def focal_terrain_slope(spark, sf_dir):
         # Horn-method terrain derivatives (the gdaldem slope family) over
         # the tiled "DEM", cross-tile via the same halo-strip exchange;
@@ -5390,6 +5400,7 @@ FROM o2 GROUP BY 1
     # lattice (HUGEINT keeps the polynomials exact, mirroring the
     # engine's decimal(38,0)), identical division order in the finalize
     _mv = _tclv_at("gx", "gy")
+    _mv_w = _tclv_at("w.gx", "w.gy")
     o["focal_morans_i"] = f"""
 WITH px AS (
   SELECT gx, gy FROM generate_series(0, {GX}) a(gx), generate_series(0, {GY}) b(gy)
@@ -5461,6 +5472,44 @@ SELECT CAST({CB} AS BIGINT) + CAST({X0} + gx // 64 AS BIGINT) * {YW} + ({Y0} + g
        CAST(COUNT(*) AS BIGINT) AS n_px,
        CAST(SUM(hot) AS BIGINT) AS hot_px,
        CAST(SUM(cold) AS BIGINT) AS cold_px
+FROM f GROUP BY 1
+"""
+
+    # LISA twin: center EXCLUDED from the weights (w_ii = 0); both
+    # classifying signs as exact HUGEINT products
+    o["focal_lisa"] = f"""
+WITH px AS (
+  SELECT gx, gy FROM generate_series(0, {GX}) a(gx), generate_series(0, {GY}) b(gy)
+),
+off AS (
+  SELECT dx, dy FROM generate_series(-1, 1) a(dx), generate_series(-1, 1) b(dy)
+  WHERE NOT (dx = 0 AND dy = 0)
+),
+gstat AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM({_mv}) AS HUGEINT) AS s1
+  FROM px
+),
+w AS (
+  SELECT px.gx, px.gy,
+         CAST(SUM({tclv}) AS HUGEINT) AS nbsum,
+         CAST(COUNT(*) AS HUGEINT) AS nbn
+  FROM px, off
+  WHERE px.gx + dx BETWEEN 0 AND {GX} AND px.gy + dy BETWEEN 0 AND {GY}
+  GROUP BY px.gx, px.gy
+),
+f AS (
+  SELECT w.gx, w.gy,
+         n * CAST({_mv_w} AS HUGEINT) - s1 AS cd,
+         n * nbsum - s1 * nbn AS lag
+  FROM w, gstat
+)
+SELECT CAST({CB} AS BIGINT) + CAST({X0} + gx // 64 AS BIGINT) * {YW} + ({Y0} + gy // 64) AS cell_id,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(CASE WHEN cd > 0 AND lag > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hh_px,
+       CAST(SUM(CASE WHEN cd < 0 AND lag < 0 THEN 1 ELSE 0 END) AS BIGINT) AS ll_px,
+       CAST(SUM(CASE WHEN cd > 0 AND lag < 0 THEN 1 ELSE 0 END) AS BIGINT) AS hl_px,
+       CAST(SUM(CASE WHEN cd < 0 AND lag > 0 THEN 1 ELSE 0 END) AS BIGINT) AS lh_px
 FROM f GROUP BY 1
 """
 

@@ -659,6 +659,92 @@ def hotspot_stats(tiles: DataFrame, t: int = 2) -> DataFrame:
     )
 
 
+def lisa_stats(tiles: DataFrame) -> DataFrame:
+    """Anselin Local Moran's I cluster typing (LISA) — per pixel,
+    classify into the four Moran-scatterplot quadrants by the sign of
+    the centered value and the sign of the spatial lag, returned as
+    per-cell counts ``(cell_id, n_px, hh_px, ll_px, hl_px, lh_px)``
+    (high-high / low-low cores, high-low / low-high outliers; pixels
+    with a zero deviation or zero lag fall in no quadrant).
+
+    Both signs are integer-exact: with N = global pixel count and S1 =
+    global sum, ``sign(x_i - mean) = sign(N*x_i - S1)`` and, for the
+    binary 8-neighbor weights, ``sign(lag_i) = sign(N*nbsum_i -
+    S1*nbn_i)`` where nbsum/nbn are the neighbor sum/count (center
+    EXCLUDED — Moran weights have w_ii = 0, unlike Gi*). No division,
+    no float, no squared product — the largest intermediate is
+    ``N*nbsum <= 8*N*max_value``, inside int64 up to N ~ 3.6e15 pixels
+    for uint8 layers, so the classification vectorizes in plain int64
+    numpy (no per-pixel Python loop).
+
+    Same two-pass shape as :func:`hotspot_stats`: a keyless scan for
+    (N, S1), then the one-Exchange halo pass. Missing neighbors (tile
+    borders / absent tiles) shrink nbn — the clipped-window convention
+    shared by the whole focal family."""
+
+    def tile_sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for data, w_, h_, fmt in zip(
+                pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                arr = codecs.decode_tile(
+                    bytes(data), int(w_), int(h_), fmt
+                ).astype(np.int64)
+                rows.append((int(arr.size), int(arr.sum())))
+            if rows:
+                yield pd.DataFrame(rows, columns=["n", "s1"])
+
+    dec = "decimal(38,0)"
+    glob = (
+        tiles.select("bytes", "w", "h", "fmt")
+        .mapInPandas(tile_sums, "n long, s1 long")
+        .agg(
+            F.sum(F.col("n").cast(dec)).alias("n"),
+            F.sum(F.col("s1").cast(dec)).alias("s1"),
+        )
+        .collect()[0]
+    )
+    big_n, big_s1 = int(glob["n"]), int(glob["s1"])
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ("cell_id", "n_px", "hh_px", "ll_px", "hl_px", "lh_px")
+        built = _build_pad(pdf, 1, float("nan"))
+        if built is None:
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+        cell, h, w, pad = built
+        valid = ~np.isnan(pad)
+        vals = np.where(valid, pad, 0.0)
+        s = np.pad(vals.cumsum(0).cumsum(1), ((1, 0), (1, 0)))
+        n = np.pad(
+            valid.astype(np.float64).cumsum(0).cumsum(1), ((1, 0), (1, 0))
+        )
+        wsum = np.rint(
+            s[3:, 3:] - s[:-3, 3:] - s[3:, :-3] + s[:-3, :-3]
+        ).astype(np.int64)
+        wn = np.rint(
+            n[3:, 3:] - n[:-3, 3:] - n[3:, :-3] + n[:-3, :-3]
+        ).astype(np.int64)
+        center = np.rint(pad[1:-1, 1:-1]).astype(np.int64)
+        nbsum = wsum - center          # w_ii = 0: drop the center
+        nbn = wn - 1
+        cd = big_n * center - big_s1                 # sign of x_i - mean
+        lag = big_n * nbsum - big_s1 * nbn           # sign of the lag
+        return pd.DataFrame({
+            "cell_id": [int(cell)], "n_px": [int(h * w)],
+            "hh_px": [int(((cd > 0) & (lag > 0)).sum())],
+            "ll_px": [int(((cd < 0) & (lag < 0)).sum())],
+            "hl_px": [int(((cd > 0) & (lag < 0)).sum())],
+            "lh_px": [int(((cd < 0) & (lag > 0)).sum())],
+        })
+
+    return _halo_parts(tiles, 1).groupBy("target_cell").applyInPandas(
+        assemble,
+        "cell_id long, n_px long, hh_px long, ll_px long, "
+        "hl_px long, lh_px long",
+    )
+
+
 def _horn_gradients(pad: np.ndarray, h: int, w: int):
     """(full, gx, gy) over a 1-px-padded NaN-filled tile: ``full`` marks
     pixels whose whole 3x3 window exists; gx/gy are the int64 Horn

@@ -969,3 +969,77 @@ def test_hotspot_stats_random_world_fuzz(spark):
             assert sum(v[2] for v in expect.values()) > 0
         else:
             assert sum(v[1] + v[2] for v in expect.values()) == 0
+
+
+def test_lisa_stats_random_world_fuzz(spark):
+    """Seeded fuzz incl. a missing tile: LISA quadrant counts from the
+    halo kernel must equal a per-pixel enumeration with exact integer
+    sign tests (center EXCLUDED from the lag — w_ii = 0). A blocky
+    clustered world must put most classified pixels in HH/LL cores;
+    outliers (HL/LH) must exist but stay the minority."""
+    from gfw_raster_analysis_lambda_spark.functions import codecs
+    from gfw_raster_analysis_lambda_spark.operators import focal
+    from gfw_raster_analysis_lambda_spark.sources import fixtures
+    from gfw_raster_analysis_lambda_spark.functions import grid as G
+
+    GRID = fixtures.GRID
+    TILE = GRID.chunk_px
+    X0, Y0, NX, NY = fixtures.X0, fixtures.Y0, fixtures.NX, fixtures.NY
+
+    rng = np.random.default_rng(20260820)
+    world = np.repeat(np.repeat(
+        rng.integers(0, 200, size=(NY * 8, NX * 8)), 8, 0), 8, 1
+    ).astype(np.uint8)
+    all_tiles = [(dx, dy) for dx in range(NX) for dy in range(NY)]
+    drop = {all_tiles[int(rng.integers(len(all_tiles)))]}
+    present = sorted(set(all_tiles) - drop)
+    valid = np.zeros(world.shape, dtype=bool)
+    rows = []
+    for dx, dy in present:
+        valid[dy * TILE:(dy + 1) * TILE, dx * TILE:(dx + 1) * TILE] = True
+        rows.append((
+            int(G.cell_from_xy(GRID, X0 + dx, Y0 + dy)),
+            codecs.encode_tile(
+                world[dy * TILE:(dy + 1) * TILE,
+                      dx * TILE:(dx + 1) * TILE], "png"
+            ), TILE, TILE, "png",
+        ))
+    df = spark.createDataFrame(
+        rows, "cell_id long, bytes binary, w int, h int, fmt string"
+    )
+    got = {r["cell_id"]: r for r in focal.lisa_stats(df).collect()}
+    n = int(valid.sum())
+    s1 = int(world[valid].astype(np.int64).sum())
+    h, w = world.shape
+    x = world.astype(object)
+    expect = {}
+    for dx, dy in present:
+        cell = int(G.cell_from_xy(GRID, X0 + dx, Y0 + dy))
+        hh = ll = hl = lh = 0
+        for i in range(dy * TILE, (dy + 1) * TILE):
+            for j in range(dx * TILE, (dx + 1) * TILE):
+                nbs = nbn = 0
+                for ii in range(max(0, i - 1), min(h, i + 2)):
+                    for jj in range(max(0, j - 1), min(w, j + 2)):
+                        if (ii, jj) != (i, j) and valid[ii, jj]:
+                            nbs += int(x[ii, jj]); nbn += 1
+                cd = n * int(x[i, j]) - s1
+                lag = n * nbs - s1 * nbn
+                if cd > 0 and lag > 0:
+                    hh += 1
+                elif cd < 0 and lag < 0:
+                    ll += 1
+                elif cd > 0 and lag < 0:
+                    hl += 1
+                elif cd < 0 and lag > 0:
+                    lh += 1
+        expect[cell] = (hh, ll, hl, lh)
+    assert set(got) == set(expect)
+    for cell, (hh, ll, hl, lh) in expect.items():
+        r = got[cell]
+        assert (r["hh_px"], r["ll_px"], r["hl_px"], r["lh_px"]) == (
+            hh, ll, hl, lh), cell
+        assert r["n_px"] == TILE * TILE
+    tot = np.array([expect[c] for c in expect]).sum(axis=0)
+    assert tot[0] + tot[1] > 4 * (tot[2] + tot[3])  # clustered: cores dominate
+    assert tot[2] + tot[3] > 0                      # block edges yield outliers
