@@ -2271,6 +2271,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return focal.lisa_stats(tiles)
     q["focal_lisa"] = focal_lisa
 
+    def focal_glcm(spark, sf_dir):
+        # Haralick texture from the symmetric horizontal GLCM — the
+        # second orientation-pinning gate (transposed tiles change the
+        # adjacency set); integer-exact numerators, zero Exchange
+        images, _, _ = _fixture(spark)
+        tiles = images.filter(F.col("layer") == "tcl_year")
+        return focal.glcm_stats(tiles, bin_div=3, levels=7)
+    q["focal_glcm"] = focal_glcm
+
     def focal_terrain_slope(spark, sf_dir):
         # Horn-method terrain derivatives (the gdaldem slope family) over
         # the tiled "DEM", cross-tile via the same halo-strip exchange;
@@ -5511,6 +5520,48 @@ SELECT CAST({CB} AS BIGINT) + CAST({X0} + gx // 64 AS BIGINT) * {YW} + ({Y0} + g
        CAST(SUM(CASE WHEN cd > 0 AND lag < 0 THEN 1 ELSE 0 END) AS BIGINT) AS hl_px,
        CAST(SUM(CASE WHEN cd < 0 AND lag > 0 THEN 1 ELSE 0 END) AS BIGINT) AS lh_px
 FROM f GROUP BY 1
+"""
+
+    # GLCM twin: neighbor value from the closed-form formula at gx+1
+    # (no self-join); L = lcm(1+d^2, d<7) = 81770 makes homogeneity an
+    # exact integer numerator on both sides
+    _mv_r = _tclv_at("gx+1", "gy")
+    o["focal_glcm"] = f"""
+WITH px AS (
+  SELECT gx, gy FROM generate_series(0, {GX}) a(gx), generate_series(0, {GY}) b(gy)
+),
+adj AS (
+  SELECT gx // 64 AS cx, gy // 64 AS cy,
+         LEAST(CAST(({_mv}) AS BIGINT) // 3, 6) AS a,
+         LEAST(CAST(({_mv_r}) AS BIGINT) // 3, 6) AS b
+  FROM px WHERE (gx % 64) < 63
+),
+pairs AS (
+  SELECT cx, cy, a, b FROM adj
+  UNION ALL
+  SELECT cx, cy, b, a FROM adj
+),
+c AS (
+  SELECT cx, cy, a, b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pairs GROUP BY 1, 2, 3, 4
+),
+feat AS (
+  SELECT cx, cy,
+         SUM(c) AS n_pairs,
+         SUM(c * (a - b) * (a - b)) AS contrast_num,
+         SUM(c * c) AS energy_num,
+         SUM(c * (81770 // (1 + (a - b) * (a - b)))) AS homog_num
+  FROM c GROUP BY cx, cy
+)
+SELECT CAST({CB} AS BIGINT) + CAST({X0} + cx AS BIGINT) * {YW} + ({Y0} + cy) AS cell_id,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(contrast_num AS BIGINT) AS contrast_num,
+       CAST(energy_num AS BIGINT) AS energy_num,
+       CAST(homog_num AS BIGINT) AS homog_num,
+       ROUND(CAST(contrast_num AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6) AS contrast,
+       ROUND(CAST(energy_num AS DOUBLE) / (CAST(n_pairs AS DOUBLE) * CAST(n_pairs AS DOUBLE)), 6) AS asm,
+       ROUND(CAST(homog_num AS DOUBLE) / (81770.0 * CAST(n_pairs AS DOUBLE)), 6) AS homog
+FROM feat
 """
 
     o["focal_terrain_slope"] = f"""

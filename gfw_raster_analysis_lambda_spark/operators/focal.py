@@ -51,6 +51,7 @@ them incrementally.
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import numpy as np
@@ -60,6 +61,7 @@ from pyspark.sql import functions as F
 
 from ..functions import codecs
 from ..functions import grid as G
+from ..functions.expressions import round_half_up
 
 _PART_SCHEMA = (
     "target_cell long, sx int, sy int, strip binary, sh int, sw int, dt string"
@@ -742,6 +744,74 @@ def lisa_stats(tiles: DataFrame) -> DataFrame:
         assemble,
         "cell_id long, n_px long, hh_px long, ll_px long, "
         "hl_px long, lh_px long",
+    )
+
+
+def glcm_stats(tiles: DataFrame, bin_div: int = 3, levels: int = 7) -> DataFrame:
+    """Haralick texture features from the symmetric HORIZONTAL gray-level
+    co-occurrence matrix, per cell: ``(cell_id, n_pairs, contrast_num,
+    energy_num, homog_num, contrast, asm, homog)``.
+
+    Pixels quantize to ``min(v // bin_div, levels-1)``; each horizontally
+    adjacent pair inside the tile contributes to ``c[a,b]`` AND ``c[b,a]``
+    (the standard symmetric GLCM). Adjacency is strictly WITHIN-tile — no
+    halo, so the whole operator is one mapInPandas projection with ZERO
+    Exchange (each tile emits its own row; there is no finer-than-tile
+    group to re-shuffle for). The horizontal direction makes this the
+    focal family's second orientation-PINNING gate (a transposed tile
+    changes the adjacency set; window sums would not see it).
+
+    The three feature numerators are exact integers — contrast and
+    energy directly; homogeneity via the constant ``L = lcm(1 + d^2)``
+    over the level differences, so ``L // (1 + d^2)`` is exact and
+    ``homog = homog_num / (L * n_pairs)``. The floats are derived from
+    those integers identically on both engines (round_half_up), keeping
+    the DuckDB twin hash-exact. Bounds: ``c <= 2*h*w``, ``energy_num <=
+    levels^2 * (2hw)^2`` — inside int64 up to ~48k-px-side tiles."""
+    if levels < 2 or bin_div < 1:
+        raise ValueError("levels >= 2 and bin_div >= 1 required")
+    big_l = 1
+    for d in range(levels):
+        big_l = math.lcm(big_l, 1 + d * d)
+    dd = np.arange(levels, dtype=np.int64)
+    diff2 = (dd[:, None] - dd[None, :]) ** 2
+    homog_w = big_l // (1 + diff2)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cell, data, w_, h_, fmt in zip(
+                pdf["cell_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                arr = codecs.decode_tile(bytes(data), int(w_), int(h_), fmt)
+                q = np.minimum(
+                    arr.astype(np.int64) // bin_div, levels - 1
+                )
+                idx = q[:, :-1].ravel() * levels + q[:, 1:].ravel()
+                cdir = np.bincount(
+                    idx, minlength=levels * levels
+                ).reshape(levels, levels)
+                c = cdir + cdir.T
+                t = int(c.sum())
+                con = int((c * diff2).sum())
+                eng = int((c * c).sum())
+                hom = int((c * homog_w).sum())
+                rows.append((
+                    int(cell), t, con, eng, hom,
+                    float(round_half_up(con / t, 6)) if t else 0.0,
+                    float(round_half_up(eng / (t * t), 6)) if t else 0.0,
+                    float(round_half_up(hom / (big_l * t), 6)) if t else 0.0,
+                ))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "cell_id", "n_pairs", "contrast_num", "energy_num",
+                    "homog_num", "contrast", "asm", "homog",
+                ])
+
+    return tiles.select("cell_id", "bytes", "w", "h", "fmt").mapInPandas(
+        run,
+        "cell_id long, n_pairs long, contrast_num long, energy_num long, "
+        "homog_num long, contrast double, asm double, homog double",
     )
 
 

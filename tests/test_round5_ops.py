@@ -1043,3 +1043,54 @@ def test_lisa_stats_random_world_fuzz(spark):
     tot = np.array([expect[c] for c in expect]).sum(axis=0)
     assert tot[0] + tot[1] > 4 * (tot[2] + tot[3])  # clustered: cores dominate
     assert tot[2] + tot[3] > 0                      # block edges yield outliers
+
+
+def test_glcm_stats_brute_force_and_orientation(spark):
+    """GLCM features must equal a hand-built symmetric co-occurrence
+    count; a TRANSPOSED tile must change them (this is the family's
+    orientation-pinning gate — isotropic window sums cannot see a
+    transpose); and the plan must contain no Exchange at all."""
+    from gfw_raster_analysis_lambda_spark.functions import codecs
+    from gfw_raster_analysis_lambda_spark.operators import focal
+
+    rng = np.random.default_rng(20260821)
+    tile = rng.integers(0, 21, size=(16, 16)).astype(np.uint8)
+    levels, bin_div = 7, 3
+    big_l = 81770
+
+    def brute(arr):
+        q = np.minimum(arr.astype(int) // bin_div, levels - 1)
+        c = np.zeros((levels, levels), dtype=int)
+        for i in range(arr.shape[0]):
+            for j in range(arr.shape[1] - 1):
+                c[q[i, j], q[i, j + 1]] += 1
+                c[q[i, j + 1], q[i, j]] += 1
+        t = c.sum()
+        d = np.arange(levels)
+        dd2 = (d[:, None] - d[None, :]) ** 2
+        return (int(t), int((c * dd2).sum()), int((c * c).sum()),
+                int((c * (big_l // (1 + dd2))).sum()))
+
+    def run(arr, cell):
+        df = spark.createDataFrame(
+            [(cell, codecs.encode_tile(arr, "png"),
+              arr.shape[1], arr.shape[0], "png")],
+            "cell_id long, bytes binary, w int, h int, fmt string",
+        )
+        out = focal.glcm_stats(df, bin_div=bin_div, levels=levels)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        (r,) = out.collect()
+        return r
+
+    r = run(tile, 1)
+    t, con, eng, hom = brute(tile)
+    assert (r["n_pairs"], r["contrast_num"], r["energy_num"],
+            r["homog_num"]) == (t, con, eng, hom)
+    assert r["contrast"] == round(con / t, 6) or abs(
+        r["contrast"] - con / t) < 1e-6
+    rt = run(tile.T.copy(), 2)
+    tt, cont, engt, homt = brute(tile.T)
+    assert (rt["n_pairs"], rt["contrast_num"], rt["energy_num"],
+            rt["homog_num"]) == (tt, cont, engt, homt)
+    assert (con, eng, hom) != (cont, engt, homt)  # orientation visible
