@@ -1608,6 +1608,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spatial_join.dbscan_labels(df, 0.05, 5, "4/1024")
     q["spatial_dbscan"] = spatial_dbscan
 
+    def _pattern_points(spark, with_value=False):
+        # the distance-band fixture's 60 points (coords multiples of
+        # 1/64 -> exact IEEE doubles); optional integer value channel
+        pts = [
+            (i, 10.0 + (i * 13 % 40) / 64.0, 20.0 + (i * 29 % 40) / 64.0,
+             (i * i * 7) % 50)
+            for i in range(60)
+        ]
+        if with_value:
+            return spark.createDataFrame(
+                pts, "image_id long, lon double, lat double, z long")
+        return spark.createDataFrame(
+            [(a, b, c) for a, b, c, _ in pts],
+            "image_id long, lon double, lat double")
+
+    def spatial_ripley_k(spark, sf_dir):
+        # Ripley's K at three radii over ONE range join at max(radii);
+        # area = the 40/64-deg bounding square (exact binary fraction)
+        from gfw_raster_analysis_lambda_spark.operators import pointpattern
+
+        return pointpattern.ripley_k(
+            _pattern_points(spark), [0.0625, 0.125, 0.25], "4/1024",
+            area=0.390625,
+        )
+    q["spatial_ripley_k"] = spatial_ripley_k
+
+    def spatial_semivariogram(spark, sf_dir):
+        # Matheron semivariogram: 4 lag rings of width 1/16 deg (binary
+        # fraction -> floor(sqrt/w) engine-exact); z rides the range
+        # join via carry=, sq-diff sums exact int64
+        from gfw_raster_analysis_lambda_spark.operators import pointpattern
+
+        return pointpattern.semivariogram(
+            _pattern_points(spark, with_value=True), "z", 0.25, 4, "4/1024",
+        )
+    q["spatial_semivariogram"] = spatial_semivariogram
+
+    def spatial_kde_cells(spark, sf_dir):
+        # KDE splat raster: integer Epanechnikov profile w = 5 - d2 over
+        # a radius-2 cell disc, scatter + one groupBy(x, y)
+        from gfw_raster_analysis_lambda_spark.operators import pointpattern
+
+        return pointpattern.kde_cells(_pattern_points(spark), 2, "4/1024")
+    q["spatial_kde_cells"] = spatial_kde_cells
+
     def zonal_after_reproject(spark, sf_dir):
         # END-TO-END COMPOSITION: reproject's output feeds the zonal
         # query engine UNCHANGED — re-tile the fixture tcl_year layer
@@ -4000,6 +4045,77 @@ SELECT a.id AS a, b.id AS b,
 FROM p a JOIN p b ON a.id < b.id
 WHERE (a.lon - b.lon) * (a.lon - b.lon)
       + (a.lat - b.lat) * (a.lat - b.lat) <= 0.01
+"""
+
+    o["spatial_ripley_k"] = """
+WITH p AS (
+  SELECT g.i AS id, 10.0 + (g.i * 13 % 40) / 64.0 AS lon,
+         20.0 + (g.i * 29 % 40) / 64.0 AS lat
+  FROM generate_series(0, 59) g(i)
+),
+d AS (
+  SELECT (a.lon - b.lon) * (a.lon - b.lon)
+         + (a.lat - b.lat) * (a.lat - b.lat) AS dist2
+  FROM p a JOIN p b ON a.id < b.id
+),
+r AS (
+  SELECT CAST(radius AS DOUBLE) AS radius
+  FROM (VALUES (0.0625), (0.125), (0.25)) v(radius)
+)
+SELECT r.radius,
+       COUNT(d.dist2) AS pair_count,
+       ROUND(CAST(0.390625 AS DOUBLE) * (2 * COUNT(d.dist2))
+             / CAST(60 * 59 AS DOUBLE), 6) AS k_hat
+FROM r LEFT JOIN d ON d.dist2 <= r.radius * r.radius
+GROUP BY r.radius
+"""
+
+    o["spatial_semivariogram"] = """
+WITH p AS (
+  SELECT g.i AS id, 10.0 + (g.i * 13 % 40) / 64.0 AS lon,
+         20.0 + (g.i * 29 % 40) / 64.0 AS lat,
+         CAST((g.i * g.i * 7) % 50 AS BIGINT) AS z
+  FROM generate_series(0, 59) g(i)
+),
+d AS (
+  SELECT LEAST(CAST(FLOOR(SQRT(
+             (a.lon - b.lon) * (a.lon - b.lon)
+             + (a.lat - b.lat) * (a.lat - b.lat)
+         ) / CAST(0.0625 AS DOUBLE)) AS INT), 3) AS lag_bin,
+         (a.z - b.z) * (a.z - b.z) AS sq
+  FROM p a JOIN p b ON a.id < b.id
+  WHERE (a.lon - b.lon) * (a.lon - b.lon)
+        + (a.lat - b.lat) * (a.lat - b.lat) <= 0.0625
+),
+b AS (SELECT g.b AS lag_bin FROM generate_series(0, 3) g(b))
+SELECT b.lag_bin,
+       ROUND(b.lag_bin * CAST(0.0625 AS DOUBLE), 6) AS lag_lo,
+       COUNT(d.sq) AS n_pairs,
+       COALESCE(CAST(SUM(d.sq) AS BIGINT), 0) AS sq_diff_sum,
+       ROUND(CAST(SUM(d.sq) AS DOUBLE)
+             / CAST(2 * COUNT(d.sq) AS DOUBLE), 6) AS gamma
+FROM b LEFT JOIN d ON d.lag_bin = b.lag_bin
+GROUP BY b.lag_bin
+"""
+
+    o["spatial_kde_cells"] = """
+WITH p AS (
+  SELECT 10.0 + (g.i * 13 % 40) / 64.0 AS lon,
+         20.0 + (g.i * 29 % 40) / 64.0 AS lat
+  FROM generate_series(0, 59) g(i)
+),
+o AS (
+  SELECT dx.v AS dx, dy.v AS dy,
+         5 - dx.v * dx.v - dy.v * dy.v AS w
+  FROM generate_series(-2, 2) dx(v), generate_series(-2, 2) dy(v)
+  WHERE dx.v * dx.v + dy.v * dy.v <= 4
+)
+SELECT CAST(FLOOR((p.lon + 180) / CAST(0.25 AS DOUBLE)) AS BIGINT) + o.dx AS x,
+       CAST(FLOOR((90 - p.lat) / CAST(0.25 AS DOUBLE)) AS BIGINT) + o.dy AS y,
+       COUNT(*) AS n_contrib,
+       CAST(SUM(o.w) AS BIGINT) AS density
+FROM p, o
+GROUP BY 1, 2
 """
 
     o["mm_quality_signals"] = """

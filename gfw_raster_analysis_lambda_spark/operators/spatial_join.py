@@ -340,12 +340,16 @@ def geo_distance_pairs(
     id_col: str = "image_id",
     lon_col: str = "lon",
     lat_col: str = "lat",
+    carry: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Distance-band spatial SELF-JOIN: every unordered point pair within
     ``radius_deg`` (planar squared-degree metric), as (a, b, dist2) with
     a < b — the epsilon-neighborhood primitive under DBSCAN-style
     clustering, station-pairing, and dedup-by-location, and the "range
-    join" Spark's built-in join set lacks.
+    join" Spark's built-in join set lacks. ``carry`` names extra point
+    columns to ride the join (emitted as ``a_<col>`` / ``b_<col>``) so
+    pair-valued statistics (semivariogram, co-location) need no second
+    join back to the point table.
 
     Plan: points bucket to grid cells (pure Catalyst bit arithmetic);
     the left side explodes its (2r+1)^2 Chebyshev cell neighborhood
@@ -370,6 +374,7 @@ def geo_distance_pairs(
     pts = points.select(
         F.col(id_col).alias("id"), F.col(lon_col).alias("lon"),
         F.col(lat_col).alias("lat"), cell.alias("__cell"),
+        *[F.col(c).alias(f"b_{c}") for c in carry],
     )
     x = F.shiftright("__cell", yb).bitwiseAND(F.lit(G._XY_MASK))
     y = F.col("__cell").bitwiseAND(F.lit(G._XY_MASK))
@@ -382,6 +387,7 @@ def geo_distance_pairs(
     left = pts.select(
         F.col("id").alias("a"), F.col("lon").alias("a_lon"),
         F.col("lat").alias("a_lat"), F.explode(neighbors).alias("__cell"),
+        *[F.col(f"b_{c}").alias(f"a_{c}") for c in carry],
     )
     dx_ = F.col("a_lon") - F.col("lon")
     dy_ = F.col("a_lat") - F.col("lat")
@@ -392,7 +398,10 @@ def geo_distance_pairs(
         .filter(F.col("a") < F.col("id"))
         .withColumn("dist2", d2)
         .filter(F.col("dist2") <= F.lit(r2))
-        .select("a", F.col("id").alias("b"), "dist2")
+        .select(
+            "a", F.col("id").alias("b"), "dist2",
+            *[f"a_{c}" for c in carry], *[f"b_{c}" for c in carry],
+        )
     )
 
 

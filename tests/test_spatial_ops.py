@@ -1112,3 +1112,122 @@ def test_idw_interpolate_matches_bruteforce(spark):
                 expect[(cell, int(b))] = int(n)
     assert got == expect
     assert sum(got.values()) == sum(expect.values()) > 0
+
+
+def test_ripley_k_matches_bruteforce(spark):
+    # seeded random points OFF the contract fixture; brute-force O(n^2)
+    # numpy oracle for pair counts and the K estimator
+    from gfw_raster_analysis_lambda_spark.operators import pointpattern
+
+    rng = np.random.default_rng(11)
+    n = 150
+    lons = 10.0 + rng.integers(0, 512, n) / 256.0   # exact binary fractions
+    lats = 20.0 + rng.integers(0, 512, n) / 256.0
+    df = spark.createDataFrame(
+        [(i, float(lons[i]), float(lats[i])) for i in range(n)],
+        "image_id long, lon double, lat double",
+    )
+    radii = [0.125, 0.5, 1.0]
+    area = 4.0
+    got = (
+        pointpattern.ripley_k(df, radii, GRID_NAME, area=area)
+        .toPandas().sort_values("radius").reset_index(drop=True)
+    )
+    dx = lons[:, None] - lons[None, :]
+    dy = lats[:, None] - lats[None, :]
+    d2 = dx * dx + dy * dy
+    iu = np.triu_indices(n, 1)
+    for i, r in enumerate(radii):
+        pc = int(np.count_nonzero(d2[iu] <= r * r))
+        assert got.loc[i, "radius"] == r
+        assert got.loc[i, "pair_count"] == pc
+        k = area * 2.0 * pc / (n * (n - 1))
+        assert abs(got.loc[i, "k_hat"] - round(k, 6)) <= 1e-6
+
+
+def test_semivariogram_matches_bruteforce(spark):
+    from gfw_raster_analysis_lambda_spark.operators import pointpattern
+
+    rng = np.random.default_rng(12)
+    n = 120
+    lons = 10.0 + rng.integers(0, 256, n) / 128.0
+    lats = 20.0 + rng.integers(0, 256, n) / 128.0
+    z = rng.integers(0, 1000, n)
+    df = spark.createDataFrame(
+        [(i, float(lons[i]), float(lats[i]), int(z[i])) for i in range(n)],
+        "image_id long, lon double, lat double, z long",
+    )
+    max_lag, n_bins = 1.0, 8
+    w = max_lag / n_bins
+    got = (
+        pointpattern.semivariogram(df, "z", max_lag, n_bins, GRID_NAME)
+        .toPandas().sort_values("lag_bin").reset_index(drop=True)
+    )
+    dx = lons[:, None] - lons[None, :]
+    dy = lats[:, None] - lats[None, :]
+    d2 = dx * dx + dy * dy
+    iu = np.triu_indices(n, 1)
+    d2p = d2[iu]
+    sq = (z[:, None].astype(np.int64) - z[None, :].astype(np.int64)) ** 2
+    sqp = sq[iu]
+    keep = d2p <= max_lag * max_lag
+    bins = np.minimum(
+        np.floor(np.sqrt(d2p[keep]) / w).astype(int), n_bins - 1
+    )
+    for b in range(n_bins):
+        sel = bins == b
+        n_pairs = int(np.count_nonzero(sel))
+        assert got.loc[b, "n_pairs"] == n_pairs
+        assert got.loc[b, "sq_diff_sum"] == int(sqp[keep][sel].sum())
+        if n_pairs:
+            gamma = float(sqp[keep][sel].sum()) / (2.0 * n_pairs)
+            assert abs(got.loc[b, "gamma"] - round(gamma, 6)) <= 1e-6
+        else:
+            assert got.loc[b, "gamma"] is None or np.isnan(got.loc[b, "gamma"])
+
+
+def test_kde_cells_matches_bruteforce(spark):
+    from gfw_raster_analysis_lambda_spark.operators import pointpattern
+
+    rng = np.random.default_rng(13)
+    n = 200
+    lons = -3.0 + rng.integers(0, 1024, n) / 128.0
+    lats = 40.0 + rng.integers(0, 1024, n) / 128.0
+    df = spark.createDataFrame(
+        [(i, float(lons[i]), float(lats[i])) for i in range(n)],
+        "image_id long, lon double, lat double",
+    )
+    R = 3
+    got = pointpattern.kde_cells(df, R, GRID_NAME).toPandas()
+    grid = fixtures.GRID
+    acc: dict = {}
+    xs = np.floor((lons + 180.0) / grid.tile_deg).astype(np.int64)
+    ys = np.floor((90.0 - lats) / grid.tile_deg).astype(np.int64)
+    for x0, y0 in zip(xs, ys):
+        for dx in range(-R, R + 1):
+            for dy in range(-R, R + 1):
+                d2 = dx * dx + dy * dy
+                if d2 > R * R:
+                    continue
+                key = (x0 + dx, y0 + dy)
+                cnt, dens = acc.get(key, (0, 0))
+                acc[key] = (cnt + 1, dens + (R * R + 1 - d2))
+    got_map = {
+        (int(r.x), int(r.y)): (int(r.n_contrib), int(r.density))
+        for r in got.itertuples()
+    }
+    assert got_map == acc
+
+
+def test_kde_cells_single_exchange(spark):
+    # scatter KDE must be scan -> explode -> ONE Exchange -> final agg
+    from gfw_raster_analysis_lambda_spark.operators import pointpattern
+
+    df = spark.range(100).select(
+        F.col("id").alias("image_id"),
+        (F.col("id") / 64.0).alias("lon"),
+        (F.col("id") / 128.0).alias("lat"),
+    )
+    plan = pointpattern.kde_cells(df, 2, GRID_NAME)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("Exchange") == 1
