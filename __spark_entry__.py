@@ -1859,6 +1859,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return text.text_profile(_t(spark, sf_dir, "documents"))
     q["text_profile"] = text_profile
 
+    def text_bm25(spark, sf_dir):
+        # Okapi BM25 against a 3-term probe; fixed-order float fold so
+        # the twin builds the identical expression tree
+        return text.bm25_scores(
+            _t(spark, sf_dir, "documents"), ["spark", "window", "merge"]
+        )
+    q["text_bm25"] = text_bm25
+
+    def text_bpe_pairs(spark, sf_dir):
+        # the BPE merge-round statistic: adjacent char-pair counts
+        # within whitespace words, pure codegen
+        return text.bpe_pair_counts(_t(spark, sf_dir, "documents"), min_count=5)
+    q["text_bpe_pairs"] = text_bpe_pairs
+
     def text_chunks(spark, sf_dir):
         # fixed-token training windows with overlap (chunk 32, stride 24):
         # tokenize/sequence/explode/slice all inside one codegen
@@ -4537,6 +4551,57 @@ SELECT doc_id,
                / GREATEST(CAST(length(text) AS DOUBLE), 1.0)), 6) AS quality,
   {fingerprint} AS fingerprint
 FROM s2
+"""
+
+    # BM25 twin: the same single-row global stats + the same fixed-order
+    # float expression tree (left-assoc sum, explicit double casts)
+    _bm25_tf = {
+        i: f"CAST(len(regexp_extract_all(lower(text), '\\b{t}\\b')) AS BIGINT)"
+        for i, t in enumerate(["spark", "window", "merge"])
+    }
+    _bm25_contrib = " + ".join(
+        f"""(ln(1.0 + (CAST(s.n AS DOUBLE) - CAST(s.df{i} AS DOUBLE) + 0.5)
+        / (CAST(s.df{i} AS DOUBLE) + 0.5))
+      * ((CAST(d.tf{i} AS DOUBLE) * CAST(2.2 AS DOUBLE))
+         / (CAST(d.tf{i} AS DOUBLE) + CAST(1.2 AS DOUBLE)
+            * (0.25 + (0.75 * CAST(d.dl AS DOUBLE))
+               / (CAST(s.dl_sum AS DOUBLE) / CAST(s.n AS DOUBLE))))))"""
+        for i in range(3)
+    )
+    o["text_bm25"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS dl,
+         {_bm25_tf[0]} AS tf0, {_bm25_tf[1]} AS tf1, {_bm25_tf[2]} AS tf2
+  FROM documents
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS dl_sum,
+         CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+         CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+  FROM d
+)
+SELECT d.doc_id, d.dl,
+       CAST((CASE WHEN d.tf0 > 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN d.tf1 > 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN d.tf2 > 0 THEN 1 ELSE 0 END) AS INT) AS n_terms_hit,
+       ROUND({_bm25_contrib}, 6) AS score
+FROM d, s
+"""
+
+    o["text_bpe_pairs"] = r"""
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents
+),
+w2 AS (SELECT w FROM w WHERE length(w) >= 2),
+p AS (
+  SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2)))
+           AS pair
+  FROM w2
+)
+SELECT pair, COUNT(*) AS n FROM p GROUP BY pair HAVING COUNT(*) >= 5
 """
 
     # chunking twin: same ceil((n-chunk)/stride)+1 start count, 1-based

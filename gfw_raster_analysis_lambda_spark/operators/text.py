@@ -95,6 +95,203 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    terms: "list[str]",
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 relevance scoring (Robertson & Walker 1994) of every
+    document against a fixed query-term set — the retrieval/quality
+    scorer a training-data pipeline uses to rank corpus slices against
+    a topic probe. ``terms`` are plain lowercase words (matched with
+    ASCII ``\\b`` boundaries, case-folded).
+
+    Plan: two corpus scans, zero wide shuffles. Pass 1 folds the GLOBAL
+    statistics into ONE codegen aggregate row (N, total token length,
+    per-term document frequency); pass 2 re-scans, broadcast-joins that
+    single row, and evaluates the score in ONE codegen projection. The
+    per-term contributions are added in the FIXED term order (float
+    addition is order-dependent — a groupBy-sum over exploded terms
+    would not be engine-reproducible), which is what lets the DuckDB
+    contract twin hash-match: both engines build the identical
+    float-expression tree over exact integer inputs.
+
+    ``idf = ln(1 + (N - df + 0.5) / (df + 0.5))`` (the non-negative
+    "plus one" variant, standard in Lucene). Returns
+    (id, dl, n_terms_hit, score) with score rounded to 6.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    t = F.lower(F.col(text_col))
+    tf_int = [
+        F.regexp_count(t, F.lit(rf"\b{term.lower()}\b")).cast("long")
+        for term in terms
+    ]
+    dl = whitespace_token_count(F.col(text_col)).cast("long")
+    stats = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(dl).alias("__dl_sum"),
+        *[
+            F.sum((tf > F.lit(0)).cast("long")).alias(f"__df_{i}")
+            for i, tf in enumerate(tf_int)
+        ],
+    )
+    scored = df.select(
+        F.col(id_col), dl.alias("dl"),
+        *[tf.alias(f"__tf_{i}") for i, tf in enumerate(tf_int)],
+    ).crossJoin(F.broadcast(stats))
+    avgdl = F.col("__dl_sum").cast("double") / F.col("__n").cast("double")
+    contribs = []
+    for i in range(len(terms)):
+        tf = F.col(f"__tf_{i}").cast("double")
+        dfreq = F.col(f"__df_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("__n").cast("double") - dfreq + F.lit(0.5))
+            / (dfreq + F.lit(0.5))
+        )
+        denom = tf + F.lit(float(k1)) * (
+            F.lit(1.0 - float(b))
+            + (F.lit(float(b)) * F.col("dl").cast("double")) / avgdl
+        )
+        contribs.append(idf * ((tf * F.lit(float(k1) + 1.0)) / denom))
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    n_hit = None
+    for i in range(len(terms)):
+        h = (F.col(f"__tf_{i}") > 0).cast("int")
+        n_hit = h if n_hit is None else n_hit + h
+    return scored.select(
+        id_col, "dl",
+        n_hit.cast("int").alias("n_terms_hit"),
+        F.round(score, 6).alias("score"),
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    min_count: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Adjacent symbol-pair frequencies within whitespace-pretokenized
+    words — the statistic one BPE merge round consumes (Sennrich et al.
+    2016 trains by repeatedly taking this table's argmax). Exposed as
+    its own operator because the pair table IS the expensive distributed
+    step; the merge loop (:func:`bpe_train`) is O(vocab) per round once
+    this exists.
+
+    Pure codegen: split -> explode words -> explode the length-1 slide
+    (``transform(sequence(...))``) -> one groupBy(pair) count. Character
+    (not byte) pairs, case-folded. Returns (pair, n) with n >= min_count.
+    """
+    words = df.select(
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= int(min_count))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+) -> "tuple[list[tuple[str, str]], DataFrame]":
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): learn
+    ``n_merges`` merge rules over the corpus' word-frequency table.
+
+    The corpus collapses to its UNIQUE words + counts first (the
+    classical formulation — at 100 TB the word table is a few orders of
+    magnitude smaller than the corpus and is the only state the loop
+    touches). Each round: adjacent-pair frequencies weighted by word
+    count (one small groupBy), argmax with a deterministic
+    (count DESC, pair ASC) tie-break — a 1-row collect, the loop's only
+    driver traffic — then the merge applied in an Arrow batch kernel.
+    ``localCheckpoint`` per round truncates the lineage (the word table
+    is referenced twice per round; see the bigram-LM lesson — deep
+    iterative lineage explodes Catalyst analysis time).
+
+    Returns (merge rules in order, final word table
+    (word, n, symbols array)). Word boundaries never merge across (the
+    standard word-internal BPE), symbols start as single characters.
+    """
+    spark = df.sparkSession
+    words = (
+        df.select(
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w")
+        )
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("w", "n", F.split("w", "").alias("symbols"))
+        .localCheckpoint(eager=True)
+    )
+    merges: "list[tuple[str, str]]" = []
+    for _ in range(int(n_merges)):
+        pair_counts = (
+            words.select(
+                "n",
+                F.explode(
+                    # sequence(1, 0) DESCENDS in Spark — guard 1-symbol
+                    # words with an empty array instead
+                    F.expr(
+                        "CASE WHEN size(symbols) >= 2 THEN "
+                        "transform(sequence(1, size(symbols) - 1), "
+                        "i -> struct(symbols[i - 1] AS a, symbols[i] AS b)) "
+                        "ELSE array() END"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        top = pair_counts.orderBy(
+            F.desc("cnt"), F.asc("a"), F.asc("b")
+        ).limit(1).collect()
+        if not top or top[0]["cnt"] < 2:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+
+        def merge_batch(it, a=a, b=b):
+            for pdf in it:
+                out = []
+                for syms in pdf["symbols"]:
+                    syms = list(syms)
+                    j, merged = 0, []
+                    while j < len(syms):
+                        if (
+                            j + 1 < len(syms)
+                            and syms[j] == a
+                            and syms[j + 1] == b
+                        ):
+                            merged.append(a + b)
+                            j += 2
+                        else:
+                            merged.append(syms[j])
+                            j += 1
+                    out.append(merged)
+                pdf = pdf.copy()
+                pdf["symbols"] = out
+                yield pdf
+
+        words = words.mapInPandas(
+            merge_batch, "w string, n bigint, symbols array<string>"
+        ).localCheckpoint(eager=True)
+    return merges, words
+
+
 def benchmark_contamination(
     docs: DataFrame,
     bench: DataFrame,

@@ -1228,3 +1228,127 @@ def test_minhash_lsh_max_pairs_guard(spark):
     hot = out[(out["a"] < 100) & (out["b"] < 100)]
     assert len(hot) == 780  # the hot bucket's full pair set, exactly once each
     assert len(out.drop_duplicates(["a", "b"])) == len(out)
+
+
+def test_bm25_matches_reference_formula(spark):
+    # independent python twin: dict-loop BM25 with math.log
+    import math
+
+    from gfw_raster_analysis_lambda_spark.operators import text as T
+
+    docs = [
+        (0, "spark window merge spark spark"),
+        (1, "window window table scan"),
+        (2, "merge sort join spark"),
+        (3, "the quick brown fox"),
+        (4, "spark"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    terms = ["spark", "window", "merge"]
+    got = (
+        T.bm25_scores(df, terms)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    n = len(docs)
+    dls = {i: len(t.split()) for i, t in docs}
+    avgdl = sum(dls.values()) / n
+    tfs = {i: {t: txt.split().count(t) for t in terms} for i, txt in docs}
+    dfreq = {t: sum(1 for i in tfs if tfs[i][t] > 0) for t in terms}
+    k1, b = 1.2, 0.75
+    for i, _ in docs:
+        score = 0.0
+        for t in terms:
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            tf = tfs[i][t]
+            score += idf * (tf * (k1 + 1)) / (
+                tf + k1 * (1 - b + b * dls[i] / avgdl)
+            )
+        assert got.loc[i, "dl"] == dls[i]
+        assert got.loc[i, "n_terms_hit"] == sum(
+            1 for t in terms if tfs[i][t] > 0
+        )
+        assert abs(got.loc[i, "score"] - score) < 1e-6
+    # ranking sanity: the spark-heavy doc outranks the no-hit doc
+    assert got.loc[0, "score"] > got.loc[3, "score"] == 0.0
+
+
+def _bpe_train_reference(texts, n_merges):
+    # independent single-node BPE (Sennrich et al. 2016), same
+    # (count desc, pair asc) tie-break and <2 stop rule
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in t.lower().strip().split():
+            if w:
+                vocab[w] += 1
+    words = {w: list(w) for w in vocab}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, syms in words.items():
+            for j in range(len(syms) - 1):
+                pairs[(syms[j], syms[j + 1])] += vocab[w]
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        for w, syms in words.items():
+            j, out = 0, []
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[w] = out
+    return merges, words, vocab
+
+
+def test_bpe_train_matches_reference(spark):
+    from gfw_raster_analysis_lambda_spark.operators import text as T
+
+    rng = np.random.default_rng(7)
+    vocab_words = ["lower", "lowest", "newer", "newest", "wider",
+                   "widest", "low", "new", "wide", "slower"]
+    texts = [
+        " ".join(rng.choice(vocab_words, size=rng.integers(3, 12)))
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    merges, words_df = T.bpe_train(df, 15)
+    exp_merges, exp_words, exp_vocab = _bpe_train_reference(texts, 15)
+    assert merges == exp_merges
+    got = {
+        r["w"]: (r["n"], list(r["symbols"]))
+        for r in words_df.collect()
+    }
+    assert got == {
+        w: (exp_vocab[w], syms) for w, syms in exp_words.items()
+    }
+
+
+def test_bpe_pair_counts_matches_bruteforce(spark):
+    from collections import Counter
+
+    from gfw_raster_analysis_lambda_spark.operators import text as T
+
+    texts = ["Hello world", "hello hell", "a bc", "worldly words"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = {
+        r["pair"]: r["n"]
+        for r in T.bpe_pair_counts(df, min_count=1).collect()
+    }
+    exp = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            if len(w) >= 2:
+                for j in range(len(w) - 1):
+                    exp[w[j:j + 2]] += 1
+    assert got == dict(exp)
