@@ -1653,6 +1653,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pointpattern.kde_cells(_pattern_points(spark), 2, "4/1024")
     q["spatial_kde_cells"] = spatial_kde_cells
 
+    def spatial_zorder_blocks(spark, sf_dir):
+        # Z-order (Morton) layout codes, pure Catalyst bit arithmetic
+        # (spatial_join.zorder_expr): 600 points over a 4-deg span =
+        # 16x16 cells of the 4/1024 grid, grouped by 4-bit-truncated
+        # code (2x2-cell quadtree blocks); min/max pin the exact 54-bit
+        # interleave, the twin re-derives the 5 magic-mask rounds in SQL
+        from gfw_raster_analysis_lambda_spark.functions import grid as G
+        from gfw_raster_analysis_lambda_spark.operators import spatial_join
+
+        pts = [
+            (i, 10.0 + (i * 13 % 256) / 64.0, 20.0 + (i * 29 % 256) / 64.0)
+            for i in range(600)
+        ]
+        df = spark.createDataFrame(pts, "image_id long, lon double, lat double")
+        g = G.get_grid("4/1024")
+        z = df.select(spatial_join.zorder_expr(g, F.col("lon"), F.col("lat")))
+        return (
+            z.groupBy(F.shiftright(F.col("zorder"), 4).alias("block"))
+            .agg(
+                F.count(F.lit(1)).alias("n_points"),
+                F.min("zorder").alias("z_min"),
+                F.max("zorder").alias("z_max"),
+            )
+        )
+    q["spatial_zorder_blocks"] = spatial_zorder_blocks
+
     def zonal_after_reproject(spark, sf_dir):
         # END-TO-END COMPOSITION: reproject's output feeds the zonal
         # query engine UNCHANGED — re-tile the fixture tcl_year layer
@@ -4130,6 +4156,34 @@ SELECT CAST(FLOOR((p.lon + 180) / CAST(0.25 AS DOUBLE)) AS BIGINT) + o.dx AS x,
        CAST(SUM(o.w) AS BIGINT) AS density
 FROM p, o
 GROUP BY 1, 2
+"""
+
+    o["spatial_zorder_blocks"] = """
+WITH p AS (
+  SELECT 10.0 + (g.i * 13 % 256) / 64.0 AS lon,
+         20.0 + (g.i * 29 % 256) / 64.0 AS lat
+  FROM generate_series(0, 599) g(i)
+),
+xy AS (
+  SELECT CAST(FLOOR((lon + 180) / CAST(0.25 AS DOUBLE)) AS BIGINT) AS x,
+         CAST(FLOOR((90 - lat) / CAST(0.25 AS DOUBLE)) AS BIGINT) AS y
+  FROM p
+),
+s1 AS (SELECT (x | (x << 16)) & 281470681808895 AS x,
+              (y | (y << 16)) & 281470681808895 AS y FROM xy),
+s2 AS (SELECT (x | (x << 8)) & 71777214294589695 AS x,
+              (y | (y << 8)) & 71777214294589695 AS y FROM s1),
+s3 AS (SELECT (x | (x << 4)) & 1085102592571150095 AS x,
+              (y | (y << 4)) & 1085102592571150095 AS y FROM s2),
+s4 AS (SELECT (x | (x << 2)) & 3689348814741910323 AS x,
+              (y | (y << 2)) & 3689348814741910323 AS y FROM s3),
+s5 AS (SELECT (x | (x << 1)) & 6148914691236517205 AS x,
+              (y | (y << 1)) & 6148914691236517205 AS y FROM s4),
+z AS (SELECT x | (y << 1) AS zorder FROM s5)
+SELECT zorder >> 4 AS block, COUNT(*) AS n_points,
+       MIN(zorder) AS z_min, MAX(zorder) AS z_max
+FROM z
+GROUP BY 1
 """
 
     o["mm_quality_signals"] = """

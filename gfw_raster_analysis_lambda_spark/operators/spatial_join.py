@@ -45,6 +45,72 @@ def cell_expr(grid: G.Grid, lon: Column, lat: Column) -> Column:
     )
 
 
+_MORTON_MASKS = (
+    (16, 281470681808895),        # 0x0000FFFF0000FFFF
+    (8, 71777214294589695),       # 0x00FF00FF00FF00FF
+    (4, 1085102592571150095),     # 0x0F0F0F0F0F0F0F0F
+    (2, 3689348814741910323),     # 0x3333333333333333
+    (1, 6148914691236517205),     # 0x5555555555555555
+)
+
+
+def _spread_bits(v: Column) -> Column:
+    # insert a 0 between consecutive bits of a <=32-bit value (the
+    # classic magic-mask doubling sequence), pure codegen
+    for shift, mask in _MORTON_MASKS:
+        v = v.bitwiseOR(F.shiftleft(v, shift)).bitwiseAND(F.lit(mask))
+    return v
+
+
+def zorder_expr(grid: G.Grid, lon: Column, lat: Column) -> Column:
+    """Z-order (Morton) code of the point's grid cell: the x/y bits
+    interleaved, so sorting by it clusters 2-D neighbors into the same
+    file/row-group — the layout key for write-path clustering (what
+    Delta's OPTIMIZE ZORDER and Iceberg's sort orders do). The packed
+    ``cell_id`` (grid.py:21) is row-major: x-neighbors sort 2^27 apart,
+    destroying y-locality; the Morton code keeps both axes local, so a
+    k-ring probe touches O(k^2) row groups instead of O(k * nx).
+
+    27-bit x and y interleave into 54 bits — exact in int64. Pure
+    Catalyst bit arithmetic (five mask rounds per axis), mirrorable in
+    ANSI SQL for the contract twin."""
+    td = grid.tile_deg
+    x = F.floor((lon + F.lit(180.0)) / F.lit(td)).cast("long")
+    y = F.floor((F.lit(90.0) - lat) / F.lit(td)).cast("long")
+    x = F.greatest(F.lit(0), F.least(x, F.lit(grid.nx - 1)))
+    y = F.greatest(F.lit(0), F.least(y, F.lit(grid.ny - 1)))
+    return _spread_bits(x).bitwiseOR(
+        F.shiftleft(_spread_bits(y), 1)
+    ).alias("zorder")
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    grid: G.Grid,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Layout a point/feature frame for spatial locality: range-partition
+    on the Morton code, sort within partitions, drop the helper column.
+    Written to parquet, every output file then covers one contiguous
+    Z-range = one compact quadtree region, so a bbox/k-ring reader prunes
+    to O(region) files via parquet min/max stats on cell_id instead of
+    scanning O(nx) row-major stripes. This is the write-path half of the
+    spatial index: `repartitionByRange` samples the zorder distribution
+    (one lightweight pass) so skewed corpora (cities, coastlines) still
+    split into equal-row files — a static grid->file map would put half
+    the planet in one file. Scale: one Exchange (range), then a
+    per-partition sort, both shuffle-byte linear in rows."""
+    z = zorder_expr(grid, F.col(lon_col), F.col(lat_col))
+    out = df.withColumn("__z", z)
+    if n_partitions is not None:
+        out = out.repartitionByRange(n_partitions, "__z")
+    else:
+        out = out.repartitionByRange("__z")
+    return out.sortWithinPartitions("__z").drop("__z")
+
+
 def point_in_polygon_join(
     points: DataFrame,  # (..., lon double, lat double)
     aoi: DataFrame,  # (aoi_id string, geom_wkb binary)

@@ -1231,3 +1231,92 @@ def test_kde_cells_single_exchange(spark):
     plan = pointpattern.kde_cells(df, 2, GRID_NAME)._jdf.queryExecution(
     ).executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def _morton_np(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Independent bit-by-bit interleave (no magic masks) — the oracle
+    for zorder_expr's mask sequence."""
+    out = np.zeros_like(x)
+    for b in range(27):
+        out |= ((x >> b) & 1) << (2 * b)
+        out |= ((y >> b) & 1) << (2 * b + 1)
+    return out
+
+
+def test_zorder_expr_matches_numpy(spark):
+    rng = np.random.default_rng(11)
+    lons = rng.uniform(-179.9, 179.9, 500)
+    lats = rng.uniform(-89.9, 89.9, 500)
+    grid = fixtures.GRID
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lons, lats)], "lon double, lat double"
+    )
+    got = np.array(
+        df.select(spatial_join.zorder_expr(grid, F.col("lon"), F.col("lat")))
+        .toPandas()["zorder"]
+    )
+    x = np.floor((lons + 180.0) / grid.tile_deg).astype(np.int64)
+    y = np.floor((90.0 - lats) / grid.tile_deg).astype(np.int64)
+    x = np.clip(x, 0, grid.nx - 1)
+    y = np.clip(y, 0, grid.ny - 1)
+    assert np.array_equal(got, _morton_np(x, y))
+
+
+def test_cluster_by_zorder_layout_and_locality(spark):
+    # 4096 points over an 8-deg span (32x32 cells of the 4/1024 grid).
+    grid = fixtures.GRID
+    pts = [
+        (i, 10.0 + (i * 13 % 512) / 64.0, 20.0 + (i * 29 % 512) / 64.0)
+        for i in range(4096)
+    ]
+    df = spark.createDataFrame(pts, "image_id long, lon double, lat double")
+    n_part = 16
+    out = spatial_join.cluster_by_zorder(df, grid, n_partitions=n_part)
+    assert out.columns == ["image_id", "lon", "lat"]  # helper column dropped
+
+    # Re-derive the code per row and check: within every output
+    # partition codes are sorted, and partition code-ranges are disjoint
+    # (range partitioning) — i.e. written files have non-overlapping
+    # parquet min/max stats on the layout key.
+    rows = (
+        out.withColumn("part", F.spark_partition_id())
+        .withColumn("z", spatial_join.zorder_expr(grid, F.col("lon"), F.col("lat")))
+        .select("part", "z")
+        .toPandas()
+    )
+    ranges = []
+    for part, sub in rows.groupby("part", sort=True):
+        z = sub["z"].to_numpy()
+        assert np.all(np.diff(z) >= 0), f"partition {part} not sorted"
+        ranges.append((z.min(), z.max()))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "partition z-ranges overlap"
+
+    # Locality: a small bbox probe (4x4 cells) must touch fewer
+    # row-groups under the Morton layout than under row-major cell_id
+    # order. Model a row group as 64 consecutive rows of the sorted
+    # order; average distinct groups over seeded random probes.
+    pdf = df.toPandas()
+    x = np.floor((pdf["lon"].to_numpy() + 180.0) / grid.tile_deg).astype(np.int64)
+    y = np.floor((90.0 - pdf["lat"].to_numpy()) / grid.tile_deg).astype(np.int64)
+    z = _morton_np(x, y)
+    rowmajor = x * (1 << 27) + y  # cell_id order (grid.py packing)
+    rng = np.random.default_rng(7)
+    B = 64
+
+    def groups_touched(key: np.ndarray) -> float:
+        order = np.argsort(key, kind="stable")
+        grp = np.empty(len(key), dtype=np.int64)
+        grp[order] = np.arange(len(key)) // B
+        tot = 0
+        for _ in range(50):
+            cx = rng.integers(x.min(), x.max() - 3)
+            cy = rng.integers(y.min(), y.max() - 3)
+            hit = (x >= cx) & (x < cx + 4) & (y >= cy) & (y < cy + 4)
+            tot += len(np.unique(grp[hit]))
+        return tot / 50.0
+
+    g_morton = groups_touched(z)
+    g_rowmajor = groups_touched(rowmajor)
+    assert g_morton < g_rowmajor, (g_morton, g_rowmajor)
