@@ -363,6 +363,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["zonal_drivers_default_group"] = zonal_drivers_default_group
 
+    def zonal_crosstab_area(spark, sf_dir):
+        # raster cross-tabulation (GRASS r.coin / ArcGIS Tabulate Area):
+        # n x m contingency of two categorical layers per AOI — counts +
+        # geodesic area — in ONE kernel pass (multi-layer GROUP BY)
+        return _zonal(
+            spark,
+            "SELECT drivers, tcl_year, COUNT(*) AS n, SUM(area__ha) AS area_ha "
+            "FROM tcl_year GROUP BY drivers, tcl_year",
+            list(_BOXES),
+            rounding=[("area_ha", 3)],
+        )
+    q["zonal_crosstab_area"] = zonal_crosstab_area
+
+    def zonal_crosstab_kappa(spark, sf_dir):
+        # classification-agreement assessment (GRASS r.kappa): binary
+        # "recent loss" (tcl_year >= 2010) vs "agriculture-driven"
+        # (drivers = Agriculture) per AOI -> overall accuracy + Cohen's
+        # kappa; integer-exact decimal(38,0) numerators until one divide
+        from gfw_raster_analysis_lambda_spark.operators import crosstab
+
+        counts = _zonal(
+            spark,
+            "SELECT tcl_year, drivers, COUNT(*) AS n "
+            "FROM tcl_year GROUP BY tcl_year, drivers",
+            list(_BOXES),
+        )
+        cls = counts.select(
+            "aoi_id",
+            crosstab.binarize(F.col("tcl_year"), F.col("tcl_year") >= 2010)
+            .alias("pred"),
+            crosstab.binarize(F.col("drivers"), F.col("drivers") == "Agriculture")
+            .alias("truth"),
+            "n",
+        )
+        return crosstab.agreement_stats(cls)
+    q["zonal_crosstab_kappa"] = zonal_crosstab_kappa
+
     def zonal_nodata255_topk(spark, sf_dir):
         # non-zero NoData=255 + ORDER BY + per-AOI LIMIT (O1/O2)
         return _zonal(
@@ -3272,6 +3309,45 @@ GROUP BY 1, 2, 3
 WITH {_pix_cte(list(_BOXES))}
 SELECT aoi_id, {_DRV_DECODE} AS drivers, CAST(COUNT(*) AS BIGINT) AS n
 FROM m GROUP BY aoi_id, drv
+"""
+
+    o["zonal_crosstab_area"] = f"""
+WITH {_pix_cte(list(_BOXES))}
+SELECT aoi_id, {_DRV_DECODE} AS drivers, {_TCL_DECODE} AS tcl_year,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(mean_area), 3) AS area_ha
+FROM m WHERE tcl != 0
+GROUP BY aoi_id, drv, tcl
+"""
+
+    o["zonal_crosstab_kappa"] = f"""
+WITH {_pix_cte(list(_BOXES))},
+c AS (
+  SELECT aoi_id,
+         CASE WHEN 2000 + tcl >= 2010 THEN 1 ELSE 0 END AS pred,
+         CASE WHEN drv = 1 THEN 1 ELSE 0 END AS truth,
+         COUNT(*) AS n
+  FROM m WHERE tcl != 0
+  GROUP BY 1, 2, 3
+),
+tot AS (
+  SELECT aoi_id, SUM(n) AS n_px,
+         SUM(CASE WHEN pred = truth THEN n ELSE 0 END) AS agree_px
+  FROM c GROUP BY 1
+),
+r AS (SELECT aoi_id, pred AS cls, SUM(n) AS rr FROM c GROUP BY 1, 2),
+cc AS (SELECT aoi_id, truth AS cls, SUM(n) AS cn FROM c GROUP BY 1, 2),
+pe AS (
+  SELECT r.aoi_id, SUM(r.rr * cc.cn) AS pe_num
+  FROM r JOIN cc ON r.aoi_id = cc.aoi_id AND r.cls = cc.cls
+  GROUP BY 1
+)
+SELECT tot.aoi_id, CAST(n_px AS BIGINT) AS n_px,
+       CAST(agree_px AS BIGINT) AS agree_px,
+       ROUND(CAST(agree_px AS DOUBLE) / CAST(n_px AS DOUBLE), 6) AS acc,
+       ROUND(CAST(n_px * agree_px - pe_num AS DOUBLE)
+             / CAST(n_px * n_px - pe_num AS DOUBLE), 6) AS kappa
+FROM tot JOIN pe ON tot.aoi_id = pe.aoi_id
 """
 
     o["zonal_nodata255_topk"] = f"""

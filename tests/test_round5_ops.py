@@ -1094,3 +1094,46 @@ def test_glcm_stats_brute_force_and_orientation(spark):
     assert (rt["n_pairs"], rt["contrast_num"], rt["energy_num"],
             rt["homog_num"]) == (tt, cont, engt, homt)
     assert (con, eng, hom) != (cont, engt, homt)  # orientation visible
+
+
+def test_agreement_stats_known_kappa(spark):
+    # hand-computed: 2x2 [[20,5],[10,15]] -> po=0.7, kappa=0.4;
+    # 3x3 [[10,2,3],[1,15,4],[2,3,10]] -> kappa=900/1650=0.545455
+    from gfw_raster_analysis_lambda_spark.operators import crosstab
+
+    rows = []
+    m2 = [[20, 5], [10, 15]]
+    for a in range(2):
+        for b in range(2):
+            rows.append(("g2", a, b, m2[a][b]))
+    m3 = [[10, 2, 3], [1, 15, 4], [2, 3, 10]]
+    for a in range(3):
+        for b in range(3):
+            rows.append(("g3", a, b, m3[a][b]))
+    rows.append(("g1", 7, 7, 42))  # degenerate single class -> kappa NULL
+    df = spark.createDataFrame(rows, "aoi_id string, pred int, truth int, n long")
+    got = {
+        r["aoi_id"]: r
+        for r in crosstab.agreement_stats(df).collect()
+    }
+    assert got["g2"]["n_px"] == 50 and got["g2"]["agree_px"] == 35
+    assert got["g2"]["acc"] == 0.7 and got["g2"]["kappa"] == 0.4
+    assert got["g3"]["kappa"] == round(900 / 1650, 6)
+    assert got["g1"]["acc"] == 1.0 and got["g1"]["kappa"] is None
+
+
+def test_agreement_stats_one_sided_class(spark):
+    # a class present only in pred (row total, no col total) contributes
+    # 0 to chance agreement: [[5,0],[5,0]] with truth always 0 ->
+    # po=0.5, pe=(10*5 + 0*5)/100=0.5 -> kappa=0/50=0... compute:
+    # N=10, agree=5, pe_num=r0*c0 + r1*c1 = 5*10 + 5*0 = 50
+    # kappa = (10*5 - 50)/(100 - 50) = 0
+    from gfw_raster_analysis_lambda_spark.operators import crosstab
+
+    df = spark.createDataFrame(
+        [("g", 0, 0, 5), ("g", 1, 0, 5)],
+        "aoi_id string, pred int, truth int, n long",
+    )
+    r = crosstab.agreement_stats(df).collect()[0]
+    assert r["n_px"] == 10 and r["agree_px"] == 5
+    assert r["kappa"] == 0.0
