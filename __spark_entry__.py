@@ -1716,6 +1716,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["spatial_zorder_blocks"] = spatial_zorder_blocks
 
+    def spatial_geohash_points(spark, sf_dir):
+        # standard geohash (base32, lon-first interleave) as pure
+        # Catalyst arithmetic; precision 5 (25 bits) exercises the odd
+        # interleave parity, precision 6 (30 bits) the even one
+        from gfw_raster_analysis_lambda_spark.operators import spatial_join
+
+        pts = [
+            (i, -180.0 + (i * 131 % 720) / 2.0 + 0.1,
+             -90.0 + (i * 67 % 360) / 2.0 + 0.05)
+            for i in range(400)
+        ]
+        df = spark.createDataFrame(pts, "image_id long, lon double, lat double")
+        return df.select(
+            "image_id",
+            spatial_join.geohash_expr(F.col("lon"), F.col("lat"), 5).alias("gh5"),
+            spatial_join.geohash_expr(F.col("lon"), F.col("lat"), 6).alias("gh6"),
+        )
+    q["spatial_geohash_points"] = spatial_geohash_points
+
     def zonal_after_reproject(spark, sf_dir):
         # END-TO-END COMPOSITION: reproject's output feeds the zonal
         # query engine UNCHANGED — re-tile the fixture tcl_year layer
@@ -2418,6 +2437,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("mean_grad2"),
         )
     q["focal_terrain_slope"] = focal_terrain_slope
+
+    def focal_harris_corners(spark, sf_dir):
+        # Harris-Stephens corner response over the tiled corpus: Sobel
+        # structure tensor in a flat 3x3 window, k=1/16 so R16 =
+        # 16*(AB - C^2) - (A+B)^2 is integer-exact; r=2 halo strips
+        images, _, _ = _fixture(spark)
+        tiles = images.filter(F.col("layer") == "tcl_year")
+        return focal.harris_stats(tiles, tau=5000)
+    q["focal_harris_corners"] = focal_harris_corners
 
     def focal_flow_direction(spark, sf_dir):
         # D8 flow direction (O'Callaghan & Mark) over the tiled "DEM":
@@ -4262,6 +4290,42 @@ FROM z
 GROUP BY 1
 """
 
+    # geohash twin: same spread-mask chain, base32 chars via substr
+    def _gh_spread(e: str) -> str:
+        masks = [(16, 281470681808895), (8, 71777214294589695),
+                 (4, 1085102592571150095), (2, 3689348814741910323),
+                 (1, 6148914691236517205)]
+        out = e
+        for sh, mk in masks:
+            out = f"((({out}) | (({out}) << {sh})) & {mk})"
+        return out
+
+    def _gh_sql(p: int) -> str:
+        bits = 5 * p
+        nlon, nlat = (bits + 1) // 2, bits // 2
+        lx = f"CAST(FLOOR((lon + 180.0) / 360.0 * {float(1 << nlon)!r}) AS BIGINT)"
+        ly = f"CAST(FLOOR((lat + 90.0) / 180.0 * {float(1 << nlat)!r}) AS BIGINT)"
+        sx, sy = _gh_spread(lx), _gh_spread(ly)
+        z = (f"(({sx}) << 1) | ({sy})" if bits % 2 == 0
+             else f"({sx}) | (({sy}) << 1)")
+        chars = " || ".join(
+            f"substr('0123456789bcdefghjkmnpqrstuvwxyz', "
+            f"CAST(((({z}) >> {5 * (p - 1 - k)}) & 31) + 1 AS INT), 1)"
+            for k in range(p)
+        )
+        return chars
+
+    o["spatial_geohash_points"] = f"""
+WITH p AS (
+  SELECT g.i AS image_id,
+         -180.0 + (g.i * 131 % 720) / 2.0 + 0.1 AS lon,
+         -90.0 + (g.i * 67 % 360) / 2.0 + 0.05 AS lat
+  FROM generate_series(0, 399) g(i)
+)
+SELECT image_id, {_gh_sql(5)} AS gh5, {_gh_sql(6)} AS gh6
+FROM p
+"""
+
     o["mm_quality_signals"] = """
 WITH cells AS (
   SELECT gx.x AS x, gy.y AS y
@@ -5897,6 +5961,48 @@ SELECT CAST({CB} AS BIGINT) + CAST({X0} + gx // 64 AS BIGINT) * {YW} + ({Y0} + g
        CAST(SUM(CASE WHEN gxn * gxn + gyn * gyn >= 400 THEN 1 ELSE 0 END) AS BIGINT) AS steep_n,
        ROUND(CAST(SUM(gxn * gxn + gyn * gyn) AS DOUBLE) / COUNT(*), 6) AS mean_grad2
 FROM w WHERE wn = 9 GROUP BY 1
+"""
+
+    # Harris twin: Sobel gradients as an equi-joined offset walk over
+    # the interior lattice, then the flat 3x3 structure-tensor window
+    # over the gradient table; R16 = 16*(AB - C^2) - (A+B)^2 exact
+    _hv = _tclv_at("g0.gx+dx", "g0.gy+dy")
+    o["focal_harris_corners"] = f"""
+WITH g0 AS (
+  SELECT gx, gy FROM generate_series(1, {GX - 1}) a(gx),
+                     generate_series(1, {GY - 1}) b(gy)
+),
+off AS (SELECT dx, dy FROM generate_series(-1, 1) a(dx), generate_series(-1, 1) b(dy)),
+grad AS (
+  SELECT g0.gx, g0.gy,
+         SUM(dx * (2 - ABS(dy)) * ({_hv})) AS gxn,
+         SUM(dy * (2 - ABS(dx)) * ({_hv})) AS gyn
+  FROM g0, off
+  GROUP BY g0.gx, g0.gy
+),
+px AS (
+  SELECT gx, gy FROM generate_series(2, {GX - 2}) a(gx),
+                     generate_series(2, {GY - 2}) b(gy)
+),
+win AS (
+  SELECT px.gx, px.gy,
+         SUM(g.gxn * g.gxn) AS a, SUM(g.gyn * g.gyn) AS b,
+         SUM(g.gxn * g.gyn) AS c
+  FROM px JOIN off ON TRUE
+       JOIN grad g ON g.gx = px.gx + off.dx AND g.gy = px.gy + off.dy
+  GROUP BY px.gx, px.gy
+),
+resp AS (
+  SELECT gx, gy, 16 * (a * b - c * c) - (a + b) * (a + b) AS r16
+  FROM win
+)
+SELECT CAST({CB} AS BIGINT) + CAST({X0} + gx // 64 AS BIGINT) * {YW} + ({Y0} + gy // 64) AS cell_id,
+       CAST(COUNT(*) AS BIGINT) AS n_win,
+       CAST(SUM(CASE WHEN r16 > 5000 THEN 1 ELSE 0 END) AS BIGINT) AS corner_n,
+       CAST(SUM(CASE WHEN r16 < -5000 THEN 1 ELSE 0 END) AS BIGINT) AS edge_n,
+       CAST(MAX(r16) AS BIGINT) AS r_max,
+       CAST(MIN(r16) AS BIGINT) AS r_min
+FROM resp GROUP BY 1
 """
 
     # D8 twin: same integer selection key (2*drop^2 cardinal, drop^2

@@ -815,6 +815,79 @@ def glcm_stats(tiles: DataFrame, bin_div: int = 3, levels: int = 7) -> DataFrame
     )
 
 
+def harris_stats(tiles: DataFrame, tau: int = 5000) -> DataFrame:
+    """Harris-Stephens corner response (Harris & Stephens 1988) over the
+    tiled corpus — the interest-point detector classical feature
+    pipelines (SIFT-era registration, image-matching dedup) run first —
+    cross-tile via the same halo-strip exchange as :func:`focal_stats`,
+    with ``r = 2`` strips (Sobel needs 1 px, the structure-tensor window
+    another 1).
+
+    Integer-exact end to end, which is what lets the DuckDB twin re-walk
+    both windows closed-form: Sobel gradients are the Horn numerators
+    (int64), the structure tensor uses a flat 3x3 window (the usual
+    Gaussian taper changes constants, not structure), and the Harris
+    ``k`` is fixed at 1/16 so the response can be scaled through::
+
+        A = sum_w gx^2   B = sum_w gy^2   C = sum_w gx*gy
+        R16 = 16*(A*B - C^2) - (A + B)^2     # 16 * (det - k*trace^2)
+
+    Per cell: ``n_win`` (pixels whose full 5x5 support exists — corpus
+    edges and missing-tile borders are excluded, not padded), ``corner_n``
+    (R16 > tau: both eigenvalues large), ``edge_n`` (R16 < -tau: one
+    dominant eigenvalue), ``r_max``/``r_min``. Bounds: for uint8 input
+    |gx| <= 1020, A <= 9.4e6, |R16| <= ~1.4e15 — exact in int64; response
+    SUMS are deliberately not emitted (they'd overflow int64 near ~6k
+    responses of that magnitude, and nobody consumes them)."""
+    r = 2
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        built = _build_pad(pdf, r, float("nan"))
+        if built is None:
+            return pd.DataFrame(
+                {c: pd.Series(dtype="int64")
+                 for c in ("cell_id", "n_win", "corner_n", "edge_n",
+                           "r_max", "r_min")}
+            )
+        cell, h, w, pad = built
+        # Sobel over the (h+2, w+2) plane covering the tile + 1-px ring
+        gfull, gx, gy = _horn_gradients(pad, h + 2, w + 2)
+        # structure tensor: flat 3x3 sums of gx^2 / gy^2 / gx*gy
+        full = np.ones((h, w), dtype=bool)
+        a = np.zeros((h, w), dtype=np.int64)
+        b = np.zeros((h, w), dtype=np.int64)
+        c = np.zeros((h, w), dtype=np.int64)
+        for di in range(3):
+            for dj in range(3):
+                sx = gx[di:di + h, dj:dj + w]
+                sy = gy[di:di + h, dj:dj + w]
+                full &= gfull[di:di + h, dj:dj + w]
+                a += sx * sx
+                b += sy * sy
+                c += sx * sy
+        r16 = 16 * (a * b - c * c) - (a + b) * (a + b)
+        rv = r16[full]
+        if rv.size == 0:
+            return pd.DataFrame({
+                "cell_id": [cell], "n_win": [0], "corner_n": [0],
+                "edge_n": [0], "r_max": [0], "r_min": [0],
+            })
+        return pd.DataFrame({
+            "cell_id": [cell],
+            "n_win": [int(full.sum())],
+            "corner_n": [int((rv > int(tau)).sum())],
+            "edge_n": [int((rv < -int(tau)).sum())],
+            "r_max": [int(rv.max())],
+            "r_min": [int(rv.min())],
+        })
+
+    return _halo_parts(tiles, r).groupBy("target_cell").applyInPandas(
+        assemble,
+        "cell_id long, n_win long, corner_n long, edge_n long, "
+        "r_max long, r_min long",
+    )
+
+
 def _horn_gradients(pad: np.ndarray, h: int, w: int):
     """(full, gx, gy) over a 1-px-padded NaN-filled tile: ``full`` marks
     pixels whose whole 3x3 window exists; gx/gy are the int64 Horn

@@ -1320,3 +1320,21 @@ def test_cluster_by_zorder_layout_and_locality(spark):
     g_morton = groups_touched(z)
     g_rowmajor = groups_touched(rowmajor)
     assert g_morton < g_rowmajor, (g_morton, g_rowmajor)
+
+
+def test_geohash_public_vectors(spark):
+    # public reference vectors: u4pruydqqvj (Jutland), ezs42 (the
+    # original geohash.org example)
+    df = spark.createDataFrame(
+        [(10.40744, 57.64911), (-5.6, 42.6), (0.0, 0.0)],
+        "lon double, lat double",
+    )
+    got = df.select(
+        spatial_join.geohash_expr(F.col("lon"), F.col("lat"), 11).alias("g11"),
+        spatial_join.geohash_expr(F.col("lon"), F.col("lat"), 5).alias("g5"),
+    ).collect()
+    assert got[0]["g11"] == "u4pruydqqvj"
+    assert got[1]["g5"] == "ezs42"
+    assert got[2]["g5"] == "s0000"
+    # prefix property: higher precision extends, never rewrites
+    assert got[0]["g11"].startswith(got[0]["g5"])
