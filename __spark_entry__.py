@@ -129,6 +129,14 @@ _BOXES = {
     "aoi_box_offset": (10.125, 20.375, 10.625, 20.875),
 }
 
+# Fixed BPE merge list for the tokenizer-inference gate (the shape
+# bpe_train emits; "tabl"+"e" and "val"+"ue" exercise multi-level alias
+# compilation). Shared verbatim by the Spark query and the DuckDB twin.
+_BPE_MERGES = [
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("a", "l"), ("v", "al"), ("u", "e"), ("val", "ue"),
+]
+
 
 def _pix_only() -> str:
     f = {k: v.format(x="x", y="y", i="i", j="j") for k, v in fixtures.PIXEL_SQL.items()}
@@ -1763,6 +1771,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["spatial_geohash_points"] = spatial_geohash_points
 
+    def _compact_fixture_cells(spark):
+        # deterministic 16x16-cell box of the 4/1024 grid (0.25-deg
+        # cells at lon 10..14, lat 20..24) minus pseudo-random holes —
+        # holes keep boundary groups incomplete so all three ladder
+        # rungs are exercised; the twin regenerates the same set with
+        # generate_series
+        import numpy as np
+
+        from gfw_raster_analysis_lambda_spark.functions import grid as G
+
+        xs, ys = [], []
+        for x in range(760, 776):
+            for y in range(264, 280):
+                if (x * 7 + y * 3) % 29 == 0:
+                    continue
+                xs.append(x)
+                ys.append(y)
+        ids = G.cell_from_xy(G.get_grid("4/1024"), np.array(xs), np.array(ys))
+        return spark.createDataFrame(
+            [(int(c),) for c in ids], "cell_id long"
+        )
+
+    def spatial_cells_compact(spark, sf_dir):
+        # H3-style compact_cells over the 4/1024 -> 4/512 -> 1/250
+        # ladder (cells.compact_cells): complete 2x2 sibling groups
+        # promote recursively; the twin replays both rungs relationally
+        from gfw_raster_analysis_lambda_spark.operators import cells as C
+
+        comp = C.compact_cells(
+            _compact_fixture_cells(spark), ["4/1024", "4/512", "1/250"]
+        )
+        return comp.select(
+            "cell_id", F.shiftright("cell_id", 54).alias("gidx")
+        )
+    q["spatial_cells_compact"] = spatial_cells_compact
+
+    def spatial_cells_roundtrip(spark, sf_dir):
+        # uncompact(compact(S)) == S exactly — the inverse contract;
+        # the twin is just S's generating formula
+        from gfw_raster_analysis_lambda_spark.operators import cells as C
+
+        comp = C.compact_cells(
+            _compact_fixture_cells(spark), ["4/1024", "4/512", "1/250"]
+        )
+        return C.uncompact_cells(comp, "4/1024")
+    q["spatial_cells_roundtrip"] = spatial_cells_roundtrip
+
     def zonal_after_reproject(spark, sf_dir):
         # END-TO-END COMPOSITION: reproject's output feeds the zonal
         # query engine UNCHANGED — re-tile the fixture tcl_year layer
@@ -1982,6 +2037,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # within whitespace words, pure codegen
         return text.bpe_pair_counts(_t(spark, sf_dir, "documents"), min_count=5)
     q["text_bpe_pairs"] = text_bpe_pairs
+
+    def text_bpe_encode(spark, sf_dir):
+        # tokenizer INFERENCE: a fixed trained merge list (the kind
+        # text_bpe_pairs/bpe_train produces) compiled to a literal
+        # replace chain (text.compile_bpe_aliases) — multi-level merges
+        # ("val"+"ue") exercise the alias compiler; the twin replays the
+        # same chain with the same private-use-area alias characters
+        from gfw_raster_analysis_lambda_spark.operators.text import bpe_encode
+
+        docs = _t(spark, sf_dir, "documents")
+        return bpe_encode(docs, _BPE_MERGES)
+    q["text_bpe_encode"] = text_bpe_encode
+
+    def text_quality_classifier(spark, sf_dir):
+        # fastText-style hashed linear classifier: 256-bucket integer
+        # milliweight model table broadcast as a map, HOF-aggregate
+        # scoring (zero shuffle); the twin explodes tokens and joins
+        from gfw_raster_analysis_lambda_spark.operators.text import (
+            quality_classifier_score,
+        )
+
+        docs = _t(spark, sf_dir, "documents")
+        weights = spark.createDataFrame(
+            [(b, ((b * 37) % 201) - 100) for b in range(256)],
+            "bucket int, w_milli long",
+        )
+        return quality_classifier_score(docs, weights, n_buckets=256, salt="qc")
+    q["text_quality_classifier"] = text_quality_classifier
 
     def text_chunks(spark, sf_dir):
         # fixed-token training windows with overlap (chunk 32, stride 24):
@@ -2810,6 +2893,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
         return sampling.reservoir_sample(docs, 5, strata_col="lang")
     q["sample_reservoir"] = sample_reservoir
+
+    def sample_weighted(spark, sf_dir):
+        # Poisson sampling, inclusion probability ~ document length
+        # (sampling.weighted_sample): one IEEE multiply + the md5
+        # uniform, bit-identical in the twin; inclusion_p feeds a
+        # downstream Horvitz-Thompson reweight
+        from gfw_raster_analysis_lambda_spark.operators.sampling import (
+            weighted_sample,
+        )
+
+        docs = _t(spark, sf_dir, "documents")
+        return weighted_sample(docs, "n_chars", rate=0.0025).select(
+            "doc_id", "n_chars", "inclusion_p"
+        )
+    q["sample_weighted"] = sample_weighted
 
     def sample_embedding_decontaminate(spark, sf_dir):
         # embedding-space benchmark decontamination: corpus vectors whose
@@ -4352,6 +4450,104 @@ WITH p AS (
 )
 SELECT image_id, {_gh_sql(5)} AS gh5, {_gh_sql(6)} AS gh6
 FROM p
+"""
+
+    # compact_cells twin: replay both ladder rungs relationally.
+    # 3<<54 = 54043195528445952 (grid 4/1024), 6<<54 = 108086391056891904
+    # (4/512), 8<<54 = 144115188075855872 (1/250); 1<<27 = 134217728.
+    _CELLS_F = """
+f AS (
+  SELECT gx.x AS x, gy.y AS y
+  FROM generate_series(760, 775) gx(x), generate_series(264, 279) gy(y)
+  WHERE (gx.x * 7 + gy.y * 3) % 29 <> 0
+)"""
+    o["spatial_cells_compact"] = f"""
+WITH {_CELLS_F},
+g1 AS (SELECT x // 2 AS px, y // 2 AS py, COUNT(*) AS n FROM f GROUP BY 1, 2),
+kept1 AS (SELECT f.x, f.y FROM f JOIN g1 ON f.x // 2 = g1.px AND f.y // 2 = g1.py
+          WHERE g1.n < 4),
+prom1 AS (SELECT px, py FROM g1 WHERE n = 4),
+g2 AS (SELECT px // 2 AS qx, py // 2 AS qy, COUNT(*) AS n FROM prom1 GROUP BY 1, 2),
+kept2 AS (SELECT p.px, p.py FROM prom1 p JOIN g2 ON p.px // 2 = g2.qx AND p.py // 2 = g2.qy
+          WHERE g2.n < 4),
+prom2 AS (SELECT qx, qy FROM g2 WHERE n = 4)
+SELECT 54043195528445952 + x * 134217728 + y AS cell_id, 3 AS gidx FROM kept1
+UNION ALL
+SELECT 108086391056891904 + px * 134217728 + py, 6 FROM kept2
+UNION ALL
+SELECT 144115188075855872 + qx * 134217728 + qy, 8 FROM prom2
+"""
+
+    o["spatial_cells_roundtrip"] = f"""
+WITH {_CELLS_F}
+SELECT 54043195528445952 + x * 134217728 + y AS cell_id FROM f
+"""
+
+    # bpe_encode twin: independent re-derivation of the alias chain
+    # (same PUA alias characters by construction: merge i -> U+E000+i)
+    _bpe_alias: "dict[str, str]" = {}
+    _bpe_steps: "list[tuple[str, str]]" = []
+    for _i, (_a, _b) in enumerate(_BPE_MERGES):
+        _ra = _a if len(_a) == 1 else _bpe_alias[_a]
+        _rb = _b if len(_b) == 1 else _bpe_alias[_b]
+        _out = chr(0xE000 + _i)
+        _bpe_alias[_a + _b] = _out
+        _bpe_steps.append((_ra + _rb, _out))
+    _enc_sql = "norm"
+    for _pat, _out in _bpe_steps:
+        _enc_sql = f"replace({_enc_sql}, '{_pat}', '{_out}')"
+    o["text_bpe_encode"] = f"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', '', 'g'),
+                             ' +', ' ', 'g')) AS norm
+  FROM documents
+),
+e AS (SELECT doc_id, norm, {_enc_sql} AS enc FROM n)
+SELECT doc_id,
+  CAST(CASE WHEN norm = '' THEN 0
+       ELSE length(norm) - length(replace(norm, ' ', '')) + 1 END AS BIGINT) AS n_words,
+  CAST(length(replace(norm, ' ', '')) AS BIGINT) AS n_chars,
+  CAST(length(replace(enc, ' ', '')) AS BIGINT) AS n_tokens,
+  CASE WHEN norm = '' THEN 0.0
+       ELSE ROUND(CAST(length(replace(enc, ' ', '')) AS DOUBLE)
+                  / (length(norm) - length(replace(norm, ' ', '')) + 1), 6)
+  END AS tokens_per_word
+FROM e
+"""
+
+    o["text_quality_classifier"] = """
+WITH w AS (
+  SELECT b.b AS bucket, ((b.b * 37) % 201) - 100 AS w_milli
+  FROM generate_series(0, 255) b(b)
+),
+tok AS (
+  SELECT doc_id, u.t AS t
+  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) u(t)
+  WHERE u.t <> ''
+),
+s AS (
+  SELECT tok.doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(w.w_milli) AS BIGINT) AS score_milli
+  FROM tok JOIN w
+    ON w.bucket = CAST(('0x' || substr(md5('qc:' || tok.t), 1, 12)) AS BIGINT) % 256
+  GROUP BY tok.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_tokens, 0) AS n_tokens,
+       COALESCE(s.score_milli, 0) AS score_milli,
+       ROUND(COALESCE(s.score_milli, 0) / 1000.0, 6) AS score
+FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+"""
+
+    o["sample_weighted"] = """
+SELECT doc_id, n_chars,
+       ROUND(LEAST(CAST(1.0 AS DOUBLE), CAST(n_chars AS DOUBLE) * CAST(0.0025 AS DOUBLE)), 9)
+         AS inclusion_p
+FROM documents
+WHERE CAST(('0x' || substr(md5('weighted:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+        / 281474976710656.0
+      < LEAST(CAST(1.0 AS DOUBLE), CAST(n_chars AS DOUBLE) * CAST(0.0025 AS DOUBLE))
 """
 
     o["mm_quality_signals"] = """

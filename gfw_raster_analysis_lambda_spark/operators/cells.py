@@ -1,0 +1,175 @@
+"""Hierarchical cell-set compaction (the H3 ``compact_cells`` role).
+
+The engine's spatial index is a flat fixed-resolution cell grid
+(functions/grid.py): AOI covers, image-tile assignments, and kNN probes
+are all sets of int64 cell ids at ONE resolution, exactly like the
+reference's per-tile chunk lists (reference grid.py:33-51 enumerates every
+fixed-degree chunk a geometry touches). At 10^12-image scale a
+continent-sized AOI covered at the finest grid is O(area / fine_cell) ids
+— tens of millions of rows that every downstream equi-join must carry.
+
+``compact_cells`` applies the standard hierarchical fix (the public H3
+``compactCells`` semantics): wherever ALL r x r children of a coarser,
+grid-aligned cell are present, replace them by the parent, recursively up
+a resolution ladder. Interior regions collapse by ~r^2 per level while the
+boundary stays at fine resolution, so a cover shrinks from O(area) to
+O(perimeter) at the fine grid plus O(area / coarsest_cell) parents.
+``uncompact_cells`` is the exact inverse (every cell explodes to its
+descendant set at the target grid), so ``uncompact(compact(S)) == S`` for
+any single-resolution set S — pinned by tests and by the driver's oracle
+gate.
+
+Spark shape: one groupBy(parent) per ladder rung, each strictly smaller
+than the last; complete groups emit the parent, incomplete groups re-emit
+their children from the grouped array (collect_list is bounded by r^2 <=
+16 here), so there is NO join-back and exactly one Exchange per level.
+Everything is integer bit arithmetic on the packed (grid, x, y) codec —
+pure Catalyst, mirrored 1:1 in the DuckDB oracle twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import grid as G
+
+_XY_BITS = G._X_BITS  # x and y share the same width (27 bits)
+_HDR_SHIFT = 2 * _XY_BITS
+
+
+def _ratio(fine: G.Grid, coarse: G.Grid) -> int:
+    """Integer side ratio fine-cells-per-coarse-cell; raises if the two
+    grids do not nest exactly (same origin, integer multiple tile size)."""
+    r = coarse.tile_deg / fine.tile_deg
+    ri = int(round(r))
+    if ri < 2 or abs(r - ri) > 1e-12:
+        raise ValueError(
+            f"grids {fine.name} -> {coarse.name} do not nest: ratio {r}"
+        )
+    return ri
+
+
+def cell_xy(cell: Column) -> tuple[Column, Column]:
+    x = F.shiftright(cell, _XY_BITS).bitwiseAND(F.lit(G._XY_MASK))
+    y = cell.bitwiseAND(F.lit(G._XY_MASK))
+    return x, y
+
+
+def pack_cell(grid: G.Grid, x: Column, y: Column) -> Column:
+    return (
+        F.shiftleft(F.lit(grid.index).cast("long"), _HDR_SHIFT)
+        .bitwiseOR(F.shiftleft(x.cast("long"), _XY_BITS))
+        .bitwiseOR(y.cast("long"))
+    )
+
+
+def parent_cell_expr(fine: G.Grid, coarse: G.Grid, cell: Column) -> Column:
+    """Packed id of the coarse cell containing ``cell`` (integer divide —
+    both grids share the (-180, 90) origin so alignment is exact)."""
+    r = _ratio(fine, coarse)
+    x, y = cell_xy(cell)
+    return pack_cell(coarse, (x / r).cast("long"), (y / r).cast("long"))
+
+
+def compact_cells(
+    df: DataFrame,
+    levels: "list[str]",
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """Compact a single-resolution cell set up a resolution ladder.
+
+    ``levels`` is grid names finest-first (e.g. ``["4/1024", "4/512",
+    "1/250"]``); the input must be entirely at ``levels[0]``. Returns one
+    ``cell_id`` column mixing resolutions: each id is at the coarsest
+    grid whose cell was completely covered by the input.
+
+    One Exchange per rung: groupBy(parent) with a bounded (<= r^2)
+    collect_list, then either the parent id (complete) or the re-emitted
+    children (incomplete). Incomplete groups exit the ladder immediately;
+    only promoted parents — at most 1/r^2 of the previous rung — continue,
+    so the shuffles shrink geometrically. No joins, no driver collects.
+    """
+    grids = [G.get_grid(n) for n in levels]
+    if len(grids) < 2:
+        return df.select(F.col(cell_col).alias("cell_id"))
+    done: "DataFrame | None" = None
+    cur = df.select(F.col(cell_col).cast("long").alias("cell_id"))
+    for fine, coarse in zip(grids, grids[1:]):
+        r = _ratio(fine, coarse)
+        parent = parent_cell_expr(fine, coarse, F.col("cell_id"))
+        grouped = (
+            cur.groupBy(parent.alias("__parent"))
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.collect_list("cell_id").alias("__kids"),
+            )
+        )
+        emitted = grouped.select(
+            F.explode(
+                F.when(
+                    F.col("__n") == r * r, F.array(F.col("__parent"))
+                ).otherwise(F.col("__kids"))
+            ).alias("cell_id"),
+            (F.col("__n") == r * r).alias("__promoted"),
+        )
+        finished = emitted.filter(~F.col("__promoted")).select("cell_id")
+        done = finished if done is None else done.unionByName(finished)
+        cur = emitted.filter(F.col("__promoted")).select("cell_id")
+    return cur if done is None else done.unionByName(cur)
+
+
+def uncompact_cells(
+    df: DataFrame,
+    target: str,
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """Explode a mixed-resolution cell set to ``target`` resolution —
+    the exact inverse of :func:`compact_cells`. Each cell at a grid R x
+    coarser than the target emits its R^2 descendants; cells already at
+    the target pass through. Pure Catalyst (sequence/transform/flatten
+    inside one projection, then explode) — zero shuffle."""
+    tgt = G.get_grid(target)
+    by_index = {g.index: g for g in G.GRIDS.values()}
+    cell = F.col(cell_col).cast("long")
+    gidx = F.shiftright(cell, _HDR_SHIFT)
+    x, y = cell_xy(cell)
+
+    def children(grid: G.Grid) -> Column:
+        if grid.index == tgt.index:
+            return F.array(cell)
+        r = _ratio(tgt, grid)
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(r - 1)),
+                lambda dx: F.transform(
+                    F.sequence(F.lit(0), F.lit(r - 1)),
+                    lambda dy: pack_cell(tgt, x * r + dx, y * r + dy),
+                ),
+            )
+        )
+
+    guarded: "Column | None" = None
+    for idx, grid in sorted(by_index.items()):
+        try:
+            arm = children(grid)
+        except ValueError:
+            continue  # grid does not nest over the target: no arm
+        guarded = (
+            F.when(gidx == idx, arm)
+            if guarded is None
+            else guarded.when(gidx == idx, arm)
+        )
+    if guarded is None:
+        raise ValueError(f"no registered grid nests over target {target}")
+    # cells at a grid with no arm (non-nesting index) hit the implicit
+    # NULL default and are rejected loudly rather than silently dropped
+    guarded = guarded.otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("uncompact_cells: cell at non-nesting grid index "),
+                gidx.cast("string"),
+            )
+        )
+    )
+    return df.select(F.explode(guarded).alias("cell_id"))

@@ -231,3 +231,34 @@ def reservoir_sample(
         .filter(F.col("__rn") <= int(k))
         .drop("__rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    rate: float,
+    id_col: str = "doc_id",
+    salt: str = "weighted",
+) -> DataFrame:
+    """Deterministic Poisson sampling with inclusion probability
+    proportional to a per-row weight: keep row i iff
+    ``hash_uniform(id) < min(1, w_i * rate)`` — the survey-sampling
+    Poisson design (Särndal et al., "Model Assisted Survey Sampling",
+    ch. 3), the standard way to bias a training mix toward long or
+    high-quality documents without a shuffle.
+
+    Expected sample size is ``sum(min(1, w_i * rate))``; rows with
+    ``w_i >= 1/rate`` are always kept. Like every sampler here the
+    decision is a pure function of (salt, id), so the sample is
+    reproducible across runs, partitionings, and engines, and changing
+    ``rate`` grows/shrinks the sample monotonically (nested designs).
+    ``w * rate`` is one IEEE double multiply — bit-identical in the
+    DuckDB twin — and the filter is a codegen scan: zero shuffle.
+
+    Returns the kept rows plus ``inclusion_p`` (the Horvitz-Thompson
+    1/pi reweighting needs it downstream)."""
+    w = F.col(weight_col).cast("double")
+    p = F.least(F.lit(1.0), w * F.lit(float(rate)))
+    return df.filter(hash_uniform(F.col(id_col), salt) < p).withColumn(
+        "inclusion_p", F.round(p, 9)
+    )

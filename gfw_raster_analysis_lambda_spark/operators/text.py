@@ -732,6 +732,144 @@ def scrub_pii(
     ).withColumn("n_pii", total.cast("long"))
 
 
+def compile_bpe_aliases(
+    merges: "list[tuple[str, str]]",
+    alias_base: int = 0xE000,
+) -> "list[tuple[str, str]]":
+    """Compile BPE merge rules into literal string-replace steps.
+
+    The GPT-2-style single-character trick: every merged symbol gets a
+    private-use-area character alias, so applying merge i is ONE literal
+    2-chars -> 1-char replace. Because each pattern is two contiguous
+    non-space characters, leftmost non-overlapping ``replace`` semantics
+    (identical in Spark and DuckDB) reproduce the canonical left-to-right
+    single-pass merge, and a pattern can never straddle a word boundary
+    (spaces are never inside a symbol). Returns [(pattern, alias), ...]
+    in merge order; token count after the chain = character count.
+
+    Validates the BPE invariant that every merge operand is either a
+    single character or the product of an earlier merge.
+    """
+    alias: "dict[str, str]" = {}
+    steps: "list[tuple[str, str]]" = []
+    for i, (a, b) in enumerate(merges):
+        ra = a if len(a) == 1 else alias.get(a)
+        rb = b if len(b) == 1 else alias.get(b)
+        if ra is None or rb is None:
+            raise ValueError(
+                f"merge {i} ({a!r},{b!r}) references a symbol no earlier "
+                "merge produced — merges must be in training order"
+            )
+        out = chr(alias_base + i)
+        alias[a + b] = out
+        steps.append((ra + rb, out))
+    return steps
+
+
+def bpe_normalize(text: Column) -> Column:
+    """The tokenizer's canonical pre-tokenization: case-fold, strip
+    everything outside [a-z0-9 ], collapse runs of whitespace to one
+    space, trim. Mirrored verbatim in the DuckDB twins."""
+    t = F.regexp_replace(F.lower(text), "[^a-z0-9 ]+", "")
+    return F.trim(F.regexp_replace(t, " +", " "))
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: "list[tuple[str, str]]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained BPE merge list (:func:`bpe_train`'s output) to a
+    corpus — the INFERENCE half of the tokenizer, the step that actually
+    runs over all 100 TB when a training corpus is tokenized.
+
+    Entirely codegen: the merge list compiles to a chain of literal
+    ``replace`` calls (:func:`compile_bpe_aliases`) inside one Catalyst
+    projection — no Python, no shuffle, no explode; cost is a linear
+    scan exactly like the PII scrub. Per document returns the word,
+    character, and token counts plus tokens-per-word — the numbers a
+    token-budget planner (:func:`pack_token_bins`) consumes.
+    """
+    steps = compile_bpe_aliases(merges)
+    norm = bpe_normalize(F.col(text_col))
+    enc = norm
+    for pat, out in steps:
+        enc = F.replace(enc, F.lit(pat), F.lit(out))
+    n_chars = F.length(F.replace(norm, F.lit(" "), F.lit("")))
+    n_tokens = F.length(F.replace(enc, F.lit(" "), F.lit("")))
+    n_words = F.when(norm == "", F.lit(0)).otherwise(
+        F.size(F.split(norm, " "))
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.when(n_words > 0, F.round(n_tokens / n_words, 6))
+        .otherwise(F.lit(0.0))
+        .alias("tokens_per_word"),
+    )
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    salt: str = "qc",
+) -> DataFrame:
+    """Hashed linear text classifier — fastText-style bag-of-words
+    scoring (Joulin et al. 2016), the standard cheap quality filter in
+    front of an LLM data pipeline (e.g. CCNet/LLaMA's linear classifier
+    pass). ``weights`` is a (bucket int, w_milli long) model table:
+    token -> md5 hash -> bucket -> integer milliweight; document score =
+    sum of its tokens' milliweights.
+
+    Scale shape: the model table rides ONE broadcast as a map literal
+    (map_from_entries over collect_list — model tables are KB-to-MB),
+    and scoring is a Catalyst higher-order ``aggregate`` over the token
+    array — zero shuffle, zero Python, zero explode; the corpus is
+    scanned once. INTEGER milliweights make the sum order-independent,
+    so the DuckDB twin (explode + join + SUM) is bit-exact even though
+    it visits tokens in a different order.
+    """
+    wmap = weights.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.col("bucket").cast("int").alias("k"),
+                    F.col("w_milli").cast("long").alias("v"),
+                )
+            )
+        ).alias("__wmap")
+    )
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda t: t != F.lit(""),
+    )
+
+    def bucket(t: Column) -> Column:
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(salt), t)), 1, 12), 16, 10
+        ).cast("long")
+        return (h % n_buckets).cast("int")
+
+    score_milli = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.coalesce(F.element_at(F.col("__wmap"), bucket(t)), F.lit(0).cast("long")),
+    )
+    return df.crossJoin(F.broadcast(wmap)).select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        score_milli.alias("score_milli"),
+        F.round(score_milli / F.lit(1000.0), 6).alias("score"),
+    )
+
+
 def bigram_lm_scores(
     df: DataFrame,
     train: DataFrame | None = None,
