@@ -1977,6 +1977,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["rel_hll_distinct"] = rel_hll_distinct
 
+    def rel_snapshot_timetravel(spark, sf_dir):
+        # the Iceberg-layout contract END TO END (sources/snapshots.py):
+        # two appends + one dynamic partition overwrite on a real
+        # snapshot log, then per-day aggregates of BOTH the pre-overwrite
+        # snapshot (time travel) and the head; the twin re-derives both
+        # table states relationally (overwrite = whole-day replacement).
+        # Integer cents keep the sums order-independent.
+        import shutil
+        import tempfile
+
+        from gfw_raster_analysis_lambda_spark.sources.snapshots import (
+            SnapshotTable,
+        )
+
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+        )
+        b1 = ev.filter(F.col("event_id") % 5 == 0)
+        b2 = ev.filter(F.col("event_id") % 5 == 1)
+        ow = b1.filter(F.col("day") <= "2024-01-15").withColumn(
+            "v_cents", F.col("v_cents") * 2
+        )
+        work = tempfile.mkdtemp(prefix="snaptt_")
+        try:
+            t = SnapshotTable.create(
+                spark, os.path.join(work, "t"), partition_by=["day"]
+            )
+            t.append(b1)
+            pre = t.append(b2)
+            t.overwrite_partitions(ow)
+
+            def agg(df, state):
+                return df.groupBy("day").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("v_cents").alias("sum_cents"),
+                ).select(F.lit(state).alias("state"), "day", "n", "sum_cents")
+
+            out = agg(t.read(snapshot_id=pre), "pre_overwrite").unionByName(
+                agg(t.read(), "head")
+            )
+            rows = out.collect()  # materialize before the tmp dir dies
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+        return spark.createDataFrame(
+            rows, "state string, day string, n long, sum_cents long"
+        )
+    q["rel_snapshot_timetravel"] = rel_snapshot_timetravel
+
     def rel_asof_attribution(spark, sf_dir):
         # point-in-time attribution: every purchase picks the user's
         # latest preceding click (as-of join, one keyed shuffle + running
@@ -4538,6 +4588,27 @@ SELECT d.doc_id,
        COALESCE(s.score_milli, 0) AS score_milli,
        ROUND(COALESCE(s.score_milli, 0) / 1000.0, 6) AS score
 FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+"""
+
+    o["rel_snapshot_timetravel"] = """
+WITH e AS (
+  SELECT event_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         CAST(ROUND(value * 100) AS BIGINT) AS v_cents
+  FROM events
+),
+b1 AS (SELECT * FROM e WHERE event_id % 5 = 0),
+b2 AS (SELECT * FROM e WHERE event_id % 5 = 1),
+pre AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+ow AS (SELECT event_id, day, v_cents * 2 AS v_cents FROM b1 WHERE day <= '2024-01-15'),
+head AS (
+  SELECT * FROM ow
+  UNION ALL
+  SELECT * FROM pre WHERE day NOT IN (SELECT DISTINCT day FROM ow)
+)
+SELECT 'pre_overwrite' AS state, day, COUNT(*) AS n, SUM(v_cents) AS sum_cents
+FROM pre GROUP BY day
+UNION ALL
+SELECT 'head', day, COUNT(*), SUM(v_cents) FROM head GROUP BY day
 """
 
     o["sample_weighted"] = """

@@ -328,7 +328,36 @@ def workloads(spark, sf_dir):
                 F.col("doc_id").cast("string").alias("image_id"),
                 F.encode("text", "utf-8").alias("bytes")),
             n_shards=64),
+        # cell set synthesized from doc ids (idx-3 packed cells over the
+        # full grid): compaction is one bounded groupBy per ladder rung
+        "spatial_cells_compact": lambda: _cells_compact(
+            t("documents").select(
+                (F.lit(3 << 54)
+                 + F.shiftleft((F.col("doc_id") % 1440).cast("long"), 27)
+                 + (F.col("doc_id") * 7 % 720).cast("long")).alias("cell_id")
+            ).distinct()),
+        # tokenizer inference: literal replace chain, one codegen scan
+        "text_bpe_encode": lambda: text.bpe_encode(
+            t("documents"),
+            [("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+             ("a", "l"), ("v", "al"), ("u", "e"), ("val", "ue")]),
+        # hashed linear classifier: broadcast map + HOF aggregate, no shuffle
+        "text_quality_classifier": lambda: text.quality_classifier_score(
+            t("documents"),
+            spark.createDataFrame(
+                [(b, ((b * 37) % 201) - 100) for b in range(256)],
+                "bucket int, w_milli long"),
+            n_buckets=256),
+        # Poisson weighted sampling: codegen filter, no shuffle
+        "sample_weighted": lambda: sampling.weighted_sample(
+            t("documents"), "n_chars", rate=0.0025),
     }
+
+
+def _cells_compact(df):
+    from gfw_raster_analysis_lambda_spark.operators import cells as C
+
+    return C.compact_cells(df, ["4/1024", "4/512", "1/250"])
 
 
 def _sim_sq8(spark, t):
@@ -469,6 +498,7 @@ def main():
     from gfw_raster_analysis_lambda_spark.session import get_spark
 
     skip_zonal = "--skip-zonal" in sys.argv
+    only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
     spark = get_spark("datascale", master="local[32]", shuffle_partitions=32,
                       arrow_batch_rows=256)
     spark.sparkContext.setLogLevel("ERROR")
@@ -491,6 +521,8 @@ def main():
     table = {}
     for tag, d in sizes:
         for name, fn in workloads(spark, d).items():
+            if only and not any(name.startswith(p) for p in only):
+                continue
             sec, samples = best_of(fn)
             table.setdefault(name, {})[tag] = (sec, samples)
             print(f"{tag:16s} {name:28s} {sec:8.3f}s  {samples}", flush=True)
@@ -515,7 +547,11 @@ def main():
               "sim_ivf_pq_residual": "embeddings",
               "text_lm_scores": "documents",
               "sample_embedding_decontam": "embeddings",
-              "mm_shard_index": "documents"}
+              "mm_shard_index": "documents",
+              "spatial_cells_compact": "documents",
+              "text_bpe_encode": "documents",
+              "text_quality_classifier": "documents",
+              "sample_weighted": "documents"}
 
     lines = [
         "## Data-size scaling (round 5)", "",
@@ -589,9 +625,14 @@ def main():
         lines.append("")
 
     out_path = os.path.join(REPO, "BENCH", "DATASCALE_r05.md")
-    with open(out_path, "w") as f:
+    # an --only run measures a subset: APPEND so the full-run table
+    # survives (a full run still starts a fresh file)
+    mode = "a" if only and os.path.exists(out_path) else "w"
+    with open(out_path, mode) as f:
+        if mode == "a":
+            f.write("\n\n## Addendum (--only=" + ",".join(only) + ")\n\n")
         f.write("\n".join(lines))
-    print(f"wrote {out_path}")
+    print(f"wrote {out_path} ({mode})")
 
 
 if __name__ == "__main__":
