@@ -121,3 +121,104 @@ def run_zonal_checkpointed(
 
 def read_lineage(spark: SparkSession, checkpoint_dir: str) -> DataFrame | None:
     return _try_read(spark, f"{checkpoint_dir}/lineage")
+
+
+def run_zonal_checkpointed_snapshot(
+    spark: SparkSession,
+    images: DataFrame,
+    aoi_df: DataFrame,
+    query: ZonalQuery,
+    env: DataEnvironment,
+    grid_name: str,
+    table_dir: str,
+    run_id: str | None = None,
+    colocated: bool = False,
+) -> DataFrame:
+    """The snapshot-native form of :func:`run_zonal_checkpointed`: the
+    module docstring's promise — "on a real deployment ... the two-phase
+    commit collapses into one atomic snapshot" — made literal on
+    :class:`~..sources.snapshots.SnapshotTable`.
+
+    One partials table per query fingerprint, partitioned by run_id.
+    A run's partials AND its done markers land in ONE atomic snapshot
+    commit (marker rows ride the same table flagged ``_marker``, so an
+    (aoi, cell) pair that produces zero partial rows — AOI over cells
+    with no image tiles — is still recorded done), which removes the
+    two-phase crash window entirely: a run that dies mid-write leaves
+    only invisible staged files (readers resolve file sets from
+    manifests). Resume anti-joins the committed distinct
+    (aoi_id, cell_id). Replays of the same run_id are idempotent via
+    dynamic partition overwrite (the partition key is run_id).
+    Concurrent DIFFERENT run_ids that race the same todo set are still
+    resolved first-committed-wins by the min(run_id) rule, as before.
+
+    Lineage rows ride a second snapshot table — queryable history
+    (``SnapshotTable.snapshots()``) plus per-partition metrics rows.
+    """
+    from .sources.snapshots import SnapshotTable
+
+    if query.select_pixels:
+        raise ValueError("checkpointing applies to aggregate queries (partials)")
+    fp = query_fingerprint(query, env, grid_name)
+    run_id = run_id or f"r{time.time_ns():020d}"
+    pt = SnapshotTable.create(
+        spark, f"{table_dir}/partials_q_{fp}", partition_by=["run_id"]
+    )
+    lt = SnapshotTable.create(
+        spark, f"{table_dir}/lineage", partition_by=["run_id"]
+    )
+
+    cells = planner.aoi_cells(aoi_df, grid_name)
+    committed = pt.read() if pt.current_snapshot_id() else None
+    todo = (
+        cells.join(
+            F.broadcast(committed.select("aoi_id", "cell_id").distinct()),
+            ["aoi_id", "cell_id"],
+            "left_anti",
+        )
+        if committed is not None
+        else cells
+    )
+
+    if not todo.isEmpty():
+        lookup, salted = planner._aoi_lookup(spark, todo, planner.MAX_AOIS_PER_TASK)
+        new_partials = (
+            planner.build_partials_with_lookup(
+                images, lookup, salted, query, env, grid_name, colocated
+            )
+            .withColumn("_pid", F.spark_partition_id())
+            .withColumn("run_id", F.lit(run_id))
+        )
+        markers = (
+            todo.select("aoi_id", "cell_id")
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("_marker", F.lit(True))
+        )
+        commit_df = new_partials.withColumn("_marker", F.lit(False)).unionByName(
+            markers, allowMissingColumns=True
+        )
+        # ONE atomic commit (partials + done markers); a replayed run_id
+        # overwrites its own partition instead of duplicating partials
+        pt.overwrite_partitions(commit_df)
+        lineage = (
+            pt.read(partition_filter={"run_id": run_id})
+            .filter(~F.col("_marker"))
+            .groupBy("run_id", "_pid")
+            .agg(
+                F.countDistinct("cell_id").alias("n_cells"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("_ms").alias("kernel_ms"),
+            )
+            .withColumn("query_fp", F.lit(fp))
+            .withColumn("committed_at", F.current_timestamp())
+        )
+        lt.overwrite_partitions(lineage)
+
+    full = pt.read().filter(~F.col("_marker")).drop("_marker")
+    # first-committed-wins across racing run_ids (same rule as the
+    # two-phase variant; with a single writer this is a no-op)
+    auth = full.groupBy("aoi_id", "cell_id").agg(F.min("run_id").alias("run_id"))
+    full = full.join(
+        F.broadcast(auth), ["aoi_id", "cell_id", "run_id"], "left_semi"
+    ).drop("run_id", "_pid")
+    return planner.finalize_partials(full, query, env)

@@ -119,3 +119,68 @@ def test_overwrite_all_replaces_everything(spark, tmp_path):
     t.overwrite_all(_df(spark, [(7, "d9", 70)]))
     assert [(r.k, r.day) for r in t.read().collect()] == [(7, "d9")]
     assert {r.k for r in t.read(snapshot_id=1).collect()} == {1, 2}
+
+
+def test_zonal_checkpoint_snapshot_resume(spark, corpus, tmp_path):
+    """The snapshot-native resume path: one atomic commit per run, the
+    committed partials ARE the done set, replayed run_ids idempotent."""
+    from gfw_raster_analysis_lambda_spark import checkpoint, oracle
+    from gfw_raster_analysis_lambda_spark.plans.ir import Aggregate, ZonalQuery
+    from gfw_raster_analysis_lambda_spark.sources import fixtures
+    from gfw_raster_analysis_lambda_spark.sources.images import read_images
+    from tests.test_zonal_e2e import assert_frames_match
+
+    images = read_images(spark, corpus["images"])
+    env = fixtures.fixture_environment()
+    aois = fixtures.fixture_aois()
+    q = ZonalQuery(
+        base_layer="tcl_year",
+        group_layers=("tcl_year",),
+        aggregates=(Aggregate("sum", "area__ha", "a"), Aggregate("count", None, "n")),
+    )
+    ck = str(tmp_path / "snapck")
+    aoi1 = spark.createDataFrame([aois[0]], "aoi_id string, geom_wkb binary")
+    checkpoint.run_zonal_checkpointed_snapshot(
+        spark, images, aoi1, q, env, fixtures.GRID.name, ck, run_id="r1"
+    ).toPandas()
+
+    fp = checkpoint.query_fingerprint(q, env, fixtures.GRID.name)
+    pt = SnapshotTable.load(spark, f"{ck}/partials_q_{fp}")
+    snaps_after_r1 = pt.current_snapshot_id()
+    assert snaps_after_r1 == 1
+
+    # superset resume: only the new AOI computes (one more commit)
+    aoi2 = spark.createDataFrame(aois[:2], "aoi_id string, geom_wkb binary")
+    r2 = checkpoint.run_zonal_checkpointed_snapshot(
+        spark, images, aoi2, q, env, fixtures.GRID.name, ck, run_id="r2"
+    ).toPandas()
+    assert pt.current_snapshot_id() == 2
+    assert {r.run_id for r in pt.read().select("run_id").distinct().collect()} == {"r1", "r2"}
+
+    # pure cache hit: NO new snapshot commit
+    r3 = checkpoint.run_zonal_checkpointed_snapshot(
+        spark, images, aoi2, q, env, fixtures.GRID.name, ck, run_id="r3"
+    ).toPandas()
+    assert pt.current_snapshot_id() == 2
+
+    # a crashed writer that staged but never committed is invisible
+    orphan = pt.read().limit(5).withColumn("run_id", F.lit("crashed"))
+    pt._stage(orphan)
+    r4 = checkpoint.run_zonal_checkpointed_snapshot(
+        spark, images, aoi2, q, env, fixtures.GRID.name, ck, run_id="r4"
+    ).toPandas()
+    assert pt.current_snapshot_id() == 2  # still nothing new to do
+
+    exp = oracle.run_oracle(q, env, aois[:2])
+    for got in (r2, r3, r4):
+        assert_frames_match(
+            got.sort_values(["aoi_id", "tcl_year"]).reset_index(drop=True),
+            exp.sort_values(["aoi_id", "tcl_year"]).reset_index(drop=True),
+        )
+
+    # lineage table has per-run metrics and queryable snapshot history
+    lt = SnapshotTable.load(spark, f"{ck}/lineage")
+    lin = lt.read().toPandas()
+    assert set(lin["run_id"]) == {"r1", "r2"}
+    assert (lin["kernel_ms"] > 0).all()
+    assert [s["operation"] for s in lt.snapshots()] == ["overwrite", "overwrite"]
