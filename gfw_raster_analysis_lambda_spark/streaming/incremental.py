@@ -126,15 +126,31 @@ def incremental_zonal(
     grid_name: str,
     out_dir: str,
     trigger_once: bool = True,
+    use_snapshots: bool = False,
 ):
     """Start (and by default run-once) the incremental zonal stream.
 
     Partials accumulate under ``{out_dir}/partials/q={fingerprint}``,
     partitioned by cell; read the current result with
     :func:`read_incremental_result`. ``trigger_once=False`` leaves a
-    continuous micro-batch stream running. Returns the StreamingQuery."""
+    continuous micro-batch stream running. Returns the StreamingQuery.
+
+    ``use_snapshots=True`` routes the sink through
+    :class:`~..sources.snapshots.SnapshotTable.overwrite_partitions`
+    instead of Spark's dynamic partition overwrite. Same idempotence,
+    two upgrades: the multi-partition overwrite becomes ONE atomic
+    manifest swap (Spark's dynamic overwrite swaps partition directories
+    one by one — a reader can catch a half-overwritten state), and every
+    micro-batch leaves a time-travelable snapshot, so the zonal result
+    as-of any past commit stays queryable."""
     fp = query_fingerprint(query, env, grid_name)
     pdir = f"{out_dir}/partials/q={fp}"
+    snap_table = None
+    if use_snapshots:
+        from ..sources.snapshots import SnapshotTable
+
+        snap_table = SnapshotTable.create(spark, pdir + ".snap",
+                                          partition_by=["_pcell"])
 
     lookup, salted = _aoi_lookup(spark, aoi_df, grid_name)
 
@@ -167,13 +183,16 @@ def incremental_zonal(
         for f in partials.schema.fields:
             if f.name != "_pcell":
                 sent = sent.withColumn(f.name, F.lit(None).cast(f.dataType))
-        (
-            partials.unionByName(sent.select(partials.columns))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_pcell")
-            .parquet(pdir)
-        )
+        out = partials.unionByName(sent.select(partials.columns))
+        if snap_table is not None:
+            snap_table.overwrite_partitions(out)
+        else:
+            (
+                out.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_pcell")
+                .parquet(pdir)
+            )
         sub_lookup.unpersist()
 
     stream = (
@@ -194,8 +213,13 @@ def read_incremental_result(
     grid_name: str,
     out_dir: str,
     aoi_df: DataFrame | None = None,
+    use_snapshots: bool = False,
+    snapshot_id: int | None = None,
 ) -> DataFrame:
     """The current zonal result over every tile ingested so far.
+    With ``use_snapshots`` the partial state comes from the snapshot
+    table (optionally time-traveled to ``snapshot_id`` — the zonal
+    result AS OF that micro-batch commit).
 
     ``aoi_df`` is required for FROM-data queries: AOI cells that never
     received any tile still owe rows (missing-tile tolerance S2); they are
@@ -204,8 +228,19 @@ def read_incremental_result(
     fp = query_fingerprint(query, env, grid_name)
     pdir = f"{out_dir}/partials/q={fp}"
     try:
-        stored = spark.read.parquet(pdir)
+        if use_snapshots:
+            from ..sources.snapshots import SnapshotTable
+
+            stored = (
+                SnapshotTable.load(spark, pdir + ".snap")
+                .read(snapshot_id=snapshot_id)
+                .withColumn("_pcell", F.col("_pcell").cast("long"))
+            )
+        else:
+            stored = spark.read.parquet(pdir)
     except Exception:
+        if use_snapshots and snapshot_id is not None:
+            raise  # an explicit time-travel target must not degrade to empty
         # no batch has written partials yet (no ingested tile intersected
         # any AOI): the current result is empty — or, FROM data, entirely
         # the synthesized missing-cell rows below

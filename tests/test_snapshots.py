@@ -184,3 +184,86 @@ def test_zonal_checkpoint_snapshot_resume(spark, corpus, tmp_path):
     assert set(lin["run_id"]) == {"r1", "r2"}
     assert (lin["kernel_ms"] > 0).all()
     assert [s["operation"] for s in lt.snapshots()] == ["overwrite", "overwrite"]
+
+
+def test_incremental_zonal_snapshot_sink_time_travel(spark, corpus, tmp_path):
+    """Streaming sink through SnapshotTable: idempotent replays AND the
+    zonal result as-of any past micro-batch stays queryable."""
+    import numpy as np
+
+    from gfw_raster_analysis_lambda_spark.api import run_zonal_query
+    from gfw_raster_analysis_lambda_spark.plans.ir import (
+        Aggregate,
+        ZonalQuery,
+    )
+    from gfw_raster_analysis_lambda_spark.sources import fixtures
+    from gfw_raster_analysis_lambda_spark.sources.images import read_images
+    from gfw_raster_analysis_lambda_spark.streaming.incremental import (
+        incremental_zonal,
+        query_fingerprint,
+        read_incremental_result,
+    )
+
+    env = fixtures.fixture_environment()
+    aoi = spark.read.parquet(corpus["aoi"])
+    q = ZonalQuery(
+        base_layer="tcl_year",
+        group_layers=("tcl_year",),
+        aggregates=(
+            Aggregate("sum", "area__ha", "loss_ha"),
+            Aggregate("count", None, "n"),
+        ),
+    )
+    rows = fixtures.generate_images_rows()
+    wave1 = [r for r in rows if r[0].startswith("tcl_year/")]
+    wave2 = [r for r in rows if not r[0].startswith("tcl_year/")]
+    stream_dir = str(tmp_path / "stream_images")
+    out_dir = str(tmp_path / "inc")
+    os.makedirs(stream_dir, exist_ok=True)
+
+    def run(batch_rows):
+        if batch_rows:
+            spark.createDataFrame(
+                batch_rows, fixtures.IMAGES_SCHEMA
+            ).coalesce(1).write.mode("append").parquet(stream_dir)
+        incremental_zonal(
+            spark, stream_dir, aoi, q, env, fixtures.GRID.name, out_dir,
+            use_snapshots=True,
+        ).awaitTermination(120)
+
+    def result(**kw):
+        return (
+            read_incremental_result(
+                spark, q, env, fixtures.GRID.name, out_dir,
+                use_snapshots=True, **kw)
+            .toPandas().sort_values(["aoi_id", "tcl_year"])
+            .reset_index(drop=True)
+        )
+
+    run(wave1)
+    got1 = result()
+    fp = query_fingerprint(q, env, fixtures.GRID.name)
+    t = SnapshotTable.load(spark, f"{out_dir}/partials/q={fp}.snap")
+    sid1 = t.current_snapshot_id()
+    assert sid1 >= 1
+
+    run(wave2)
+    got2 = result()
+    exp = (
+        run_zonal_query(
+            spark, read_images(spark, corpus["images"]), aoi, q, env,
+            fixtures.GRID.name)
+        .toPandas().sort_values(["aoi_id", "tcl_year"]).reset_index(drop=True)
+    )
+    assert got2["n"].tolist() == exp["n"].tolist()
+    np.testing.assert_allclose(got2["loss_ha"], exp["loss_ha"], rtol=1e-9)
+
+    # TIME TRAVEL: the result as of the wave-1 commit is still got1
+    back = result(snapshot_id=sid1)
+    assert back["n"].tolist() == got1["n"].tolist()
+
+    # replay with no new files: no new snapshot, result unchanged
+    head = t.current_snapshot_id()
+    run([])
+    assert t.current_snapshot_id() == head
+    assert result()["n"].tolist() == got2["n"].tolist()
