@@ -1818,6 +1818,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return C.uncompact_cells(comp, "4/1024")
     q["spatial_cells_roundtrip"] = spatial_cells_roundtrip
 
+    def _track_points(spark, sf_dir):
+        # GPS-style tracks synthesized from events: per-user integer
+        # random walk (steps in [-1000, 1000] micro-units, exact int
+        # cumsums both engines); user = track, (ts, event_id) = order
+        from pyspark.sql import Window
+
+        ev = _t(spark, sf_dir, "events")
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy(F.asc("ts"), F.asc("event_id"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return ev.select(
+            F.col("user_id").alias("track_id"),
+            "ts",
+            F.col("event_id").alias("point_id"),
+            F.sum((F.col("event_id") * 131) % 2001 - 1000).over(w).alias("x_micro"),
+            F.sum((F.col("event_id") * 197) % 2001 - 1000).over(w).alias("y_micro"),
+        )
+
+    def spatial_track_stats(spark, sf_dir):
+        # per-track path/net/straightness, all integer-exact
+        # (trajectories.track_stats): one track-keyed window pass
+        from gfw_raster_analysis_lambda_spark.operators.trajectories import (
+            track_stats,
+        )
+
+        return track_stats(_track_points(spark, sf_dir))
+    q["spatial_track_stats"] = spatial_track_stats
+
+    def spatial_stay_points(spark, sf_dir):
+        # stay-point detection (gaps-and-islands runs of slow points)
+        from gfw_raster_analysis_lambda_spark.operators.trajectories import (
+            stay_points,
+        )
+
+        return stay_points(_track_points(spark, sf_dir), eps_micro=600, min_run=3)
+    q["spatial_stay_points"] = spatial_stay_points
+
     def zonal_after_reproject(spark, sf_dir):
         # END-TO-END COMPOSITION: reproject's output feeds the zonal
         # query engine UNCHANGED — re-tile the fixture tcl_year layer
@@ -4588,6 +4627,87 @@ SELECT d.doc_id,
        COALESCE(s.score_milli, 0) AS score_milli,
        ROUND(COALESCE(s.score_milli, 0) / 1000.0, 6) AS score
 FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+"""
+
+    _TRACK_PTS = """
+pts AS (
+  SELECT user_id AS track_id, ts, event_id AS point_id,
+    SUM((event_id * 131) % 2001 - 1000) OVER w AS x_micro,
+    SUM((event_id * 197) % 2001 - 1000) OVER w AS y_micro
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)
+),
+seg AS (
+  SELECT track_id, ts, point_id, x_micro, y_micro,
+    x_micro - LAG(x_micro) OVER w2 AS dx,
+    y_micro - LAG(y_micro) OVER w2 AS dy,
+    ROW_NUMBER() OVER w2 AS rn,
+    COUNT(*) OVER (PARTITION BY track_id) AS n_all
+  FROM pts
+  WINDOW w2 AS (PARTITION BY track_id ORDER BY ts, point_id)
+)"""
+
+    o["spatial_track_stats"] = f"""
+WITH {_TRACK_PTS},
+per AS (
+  SELECT track_id, COUNT(*) AS n_points,
+    COALESCE(SUM(CAST(FLOOR(SQRT(CAST(dx*dx + dy*dy AS DOUBLE))) AS BIGINT)), 0)
+      AS path_micro,
+    COALESCE(MAX(CAST(FLOOR(SQRT(CAST(dx*dx + dy*dy AS DOUBLE))) AS BIGINT)), 0)
+      AS max_seg_micro
+  FROM seg GROUP BY track_id
+),
+ends AS (
+  SELECT f.track_id,
+         CAST(FLOOR(SQRT(CAST((l.x_micro - f.x_micro) * (l.x_micro - f.x_micro)
+              + (l.y_micro - f.y_micro) * (l.y_micro - f.y_micro) AS DOUBLE)))
+              AS BIGINT) AS net_micro
+  FROM (SELECT * FROM seg WHERE rn = 1) f
+  JOIN (SELECT * FROM seg WHERE rn = n_all) l USING (track_id)
+)
+SELECT per.track_id, per.n_points, per.path_micro, per.max_seg_micro,
+       ends.net_micro,
+       CASE WHEN per.path_micro > 0
+            THEN ROUND(CAST(ends.net_micro AS DOUBLE) / per.path_micro, 6)
+            ELSE 0.0 END AS straightness
+FROM per JOIN ends USING (track_id)
+"""
+
+    o["spatial_stay_points"] = f"""
+WITH {_TRACK_PTS},
+slow AS (
+  SELECT track_id, ts, point_id,
+         COALESCE(dx*dx + dy*dy <= 360000, FALSE) AS s
+  FROM seg
+),
+chg AS (
+  SELECT track_id, ts, point_id, s,
+    CASE WHEN s != COALESCE(LAG(s) OVER w3, NOT s) THEN 1 ELSE 0 END AS c
+  FROM slow
+  WINDOW w3 AS (PARTITION BY track_id ORDER BY ts, point_id)
+),
+runs AS (
+  SELECT track_id, s,
+    SUM(c) OVER (PARTITION BY track_id ORDER BY ts, point_id
+                 ROWS UNBOUNDED PRECEDING) AS r
+  FROM chg
+),
+stays AS (
+  SELECT track_id, r, COUNT(*) AS len
+  FROM runs WHERE s GROUP BY track_id, r HAVING COUNT(*) >= 3
+),
+per AS (
+  SELECT track_id, COUNT(*) AS n_stays, SUM(len) AS stay_points,
+         MAX(len) AS longest_stay
+  FROM stays GROUP BY track_id
+)
+SELECT t.track_id,
+       COALESCE(per.n_stays, 0) AS n_stays,
+       CAST(COALESCE(per.stay_points, 0) AS BIGINT) AS stay_points,
+       COALESCE(per.longest_stay, 0) AS longest_stay
+FROM (SELECT DISTINCT user_id AS track_id FROM events) t
+LEFT JOIN per USING (track_id)
 """
 
     o["rel_snapshot_timetravel"] = """
