@@ -214,23 +214,30 @@ class SnapshotTable:
         shutil.rmtree(stage_dir, ignore_errors=True)
         return entries
 
-    def _commit(self, operation: str, new_entries, drop_partitions) -> int:
-        """The optimistic-concurrency commit loop."""
+    def _commit(
+        self, operation: str, new_entries, drop_partitions, drop_files=None
+    ) -> int:
+        """The optimistic-concurrency commit loop. ``drop_partitions``
+        removes whole partition tuples (overwrite semantics);
+        ``drop_files`` removes exactly the named files (compaction
+        semantics — a concurrently appended file in the same partition
+        survives, Iceberg's rewrite-validation behavior)."""
         for _attempt in range(20):
             head = self.current_snapshot_id()
             if head:
                 base = self._load_snapshot(head)["manifest"]
             else:
                 base = []
+            keep = list(base)
             if drop_partitions is not None:
                 keep = [
                     e
-                    for e in base
+                    for e in keep
                     if tuple(sorted(e["partition"].items()))
                     not in drop_partitions
                 ]
-            else:
-                keep = list(base)
+            if drop_files is not None:
+                keep = [e for e in keep if e["file"] not in drop_files]
             sid = head + 1
             snap = {
                 "snapshot_id": sid,
@@ -338,7 +345,93 @@ class SnapshotTable:
             df = df.withColumn(c, F.col(c).cast("string"))
         return df
 
+    # -- incremental consumption ----------------------------------------------
+
+    def changes(self, from_id: int, to_id: "int | None" = None) -> DataFrame:
+        """Rows ADDED between two snapshots (exclusive ``from_id``,
+        inclusive ``to_id``; default head) — the incremental-consumption
+        primitive: a downstream job that processed snapshot N reads only
+        the files newer snapshots appended, never rescanning the table.
+        ``from_id=0`` returns everything (bootstrap).
+
+        Works on manifests alone: added files = to's file set minus
+        from's. For append-only flows this is exact CDC; after an
+        overwrite it returns the REWRITTEN rows (the replaced rows'
+        removal is visible via :meth:`removed_files`), matching
+        Iceberg's incremental append scan semantics."""
+        from_files = (
+            set()
+            if from_id == 0
+            else {e["file"] for e in self._resolve(from_id)["manifest"]}
+        )
+        to_snap = self._resolve(to_id)
+        added = [
+            e["file"] for e in to_snap["manifest"] if e["file"] not in from_files
+        ]
+        if not added:
+            raise ValueError(
+                f"no rows added between snapshots {from_id} and "
+                f"{to_snap['snapshot_id']}"
+            )
+        from pyspark.sql import functions as F
+
+        df = self.spark.read.option("basePath", self.data_dir).parquet(
+            *[os.path.join(self.data_dir, f) for f in added]
+        )
+        for c in self.partition_by:
+            df = df.withColumn(c, F.col(c).cast("string"))
+        return df
+
+    def removed_files(self, from_id: int, to_id: "int | None" = None) -> "list[str]":
+        """Files dropped between two snapshots (overwritten/expired data)
+        — the delete half of the change stream, as manifest paths."""
+        if from_id == 0:
+            return []
+        from_files = {e["file"] for e in self._resolve(from_id)["manifest"]}
+        to_files = {e["file"] for e in self._resolve(to_id)["manifest"]}
+        return sorted(from_files - to_files)
+
     # -- maintenance ---------------------------------------------------------
+
+    def compact_files(self, files_per_partition: int = 1) -> "int | None":
+        """Small-file compaction (Iceberg ``rewriteDataFiles``): rewrite
+        every partition that has more than ``files_per_partition`` data
+        files into that many, and commit the swap as ONE new snapshot —
+        logical content identical, old snapshots still time-travelable
+        (their files are only reclaimed by :meth:`expire_snapshots`).
+        Streaming sinks and frequent small appends need this or scans
+        drown in file-open overhead. Returns the new snapshot id, or
+        None if nothing needed compaction."""
+        head = self.current_snapshot_id()
+        if not head:
+            return None
+        manifest = self._load_snapshot(head)["manifest"]
+        by_part: "dict[tuple, list[dict]]" = {}
+        for e in manifest:
+            by_part.setdefault(tuple(sorted(e["partition"].items())), []).append(e)
+        todo = {k: v for k, v in by_part.items() if len(v) > int(files_per_partition)}
+        if not todo:
+            return None
+        pcols = self.partition_by
+        new_entries: "list[dict]" = []
+        drop_files: "set[str]" = set()
+        from pyspark.sql import functions as F
+
+        for key, entries in sorted(todo.items()):
+            paths = [os.path.join(self.data_dir, e["file"]) for e in entries]
+            df = self.spark.read.parquet(*paths)
+            # re-attach partition columns (hive layout keeps them out of
+            # the payload) so _stage lands files back in the partition
+            for c, v in key:
+                df = df.withColumn(c, F.lit(v))
+            df = df.select(
+                *[c for c in df.columns if c not in pcols], *pcols
+            ).coalesce(int(files_per_partition))
+            new_entries.extend(self._stage(df))
+            drop_files.update(e["file"] for e in entries)
+        # file-level drop: a file another writer appends to the same
+        # partition mid-compaction is NOT discarded
+        return self._commit("compact", new_entries, None, drop_files=drop_files)
 
     def expire_snapshots(self, keep_last: int = 1) -> "dict[str, int]":
         """Drop all but the newest ``keep_last`` snapshots and delete

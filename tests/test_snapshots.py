@@ -267,3 +267,42 @@ def test_incremental_zonal_snapshot_sink_time_travel(spark, corpus, tmp_path):
     run([])
     assert t.current_snapshot_id() == head
     assert result()["n"].tolist() == got2["n"].tolist()
+
+
+def test_changes_incremental_consumption(spark, tmp_path):
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), partition_by=["day"])
+    t.append(_df(spark, [(1, "d1", 10)]))
+    t.append(_df(spark, [(2, "d1", 20), (3, "d2", 30)]))
+    t.append(_df(spark, [(4, "d3", 40)]))
+    # consumer processed snapshot 1: reads exactly what 2..3 added
+    assert {r.k for r in t.changes(1).collect()} == {2, 3, 4}
+    assert {r.k for r in t.changes(1, to_id=2).collect()} == {2, 3}
+    assert {r.k for r in t.changes(0, to_id=1).collect()} == {1}
+    with pytest.raises(ValueError, match="no rows added"):
+        t.changes(3)
+    # overwrite: adds rewritten rows, removals visible via removed_files
+    t.overwrite_partitions(_df(spark, [(9, "d1", 99)]))
+    assert {r.k for r in t.changes(3).collect()} == {9}
+    assert len(t.removed_files(3)) == 2  # d1 had two files (snap 1 + 2)
+
+
+def test_compact_files_preserves_content_and_history(spark, tmp_path):
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), partition_by=["day"])
+    for i in range(4):  # 4 small appends into the same partition
+        t.append(_df(spark, [(i, "d1", i * 10)]))
+    t.append(_df(spark, [(100, "d2", 1)]))
+    before = {(r.k, r.day, r.v) for r in t.read().collect()}
+    n_files_before = len(t.files(partition_filter={"day": "d1"}))
+    assert n_files_before == 4
+    sid = t.compact_files(files_per_partition=1)
+    assert sid == t.current_snapshot_id()
+    assert len(t.files(partition_filter={"day": "d1"})) == 1
+    # logical content identical; pre-compaction snapshots still read
+    assert {(r.k, r.day, r.v) for r in t.read().collect()} == before
+    assert {r.k for r in t.read(snapshot_id=2).collect()} == {0, 1}
+    # d2 (a single file) untouched
+    assert t.compact_files(files_per_partition=1) is None
+    # expiry then reclaims the replaced small files
+    dropped = t.expire_snapshots(keep_last=1)
+    assert dropped["files"] >= 4
+    assert {(r.k, r.day, r.v) for r in t.read().collect()} == before
