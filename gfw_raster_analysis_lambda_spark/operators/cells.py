@@ -76,6 +76,7 @@ def compact_cells(
     df: DataFrame,
     levels: "list[str]",
     cell_col: str = "cell_id",
+    materialize_rungs: bool = True,
 ) -> DataFrame:
     """Compact a single-resolution cell set up a resolution ladder.
 
@@ -89,6 +90,15 @@ def compact_cells(
     children (incomplete). Incomplete groups exit the ladder immediately;
     only promoted parents — at most 1/r^2 of the previous rung — continue,
     so the shuffles shrink geometrically. No joins, no driver collects.
+
+    Each rung's emission is referenced by TWO branches (the finished
+    union and the next rung), so by default it is localCheckpoint-ed —
+    the repo's standard per-round materialization for iterative
+    operators (see components/bpe_train) — guaranteeing each rung's
+    shuffle runs exactly once and the final plan holds exactly
+    ``len(levels) - 1`` Exchanges regardless of AQE exchange-reuse
+    behavior. ``materialize_rungs=False`` keeps the operator fully lazy
+    (AQE reuse then dedupes the repeated subtrees at runtime).
     """
     grids = [G.get_grid(n) for n in levels]
     if len(grids) < 2:
@@ -113,6 +123,8 @@ def compact_cells(
             ).alias("cell_id"),
             (F.col("__n") == r * r).alias("__promoted"),
         )
+        if materialize_rungs:
+            emitted = emitted.localCheckpoint(eager=True)
         finished = emitted.filter(~F.col("__promoted")).select("cell_id")
         done = finished if done is None else done.unionByName(finished)
         cur = emitted.filter(F.col("__promoted")).select("cell_id")

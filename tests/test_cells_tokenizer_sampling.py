@@ -185,3 +185,51 @@ def test_weighted_sample_deterministic_and_monotone(spark):
     # selection is genuinely weight-biased: mean kept weight > corpus mean
     kept_w = dict(rows)
     assert sum(kept_w[i] for i in hi) / len(hi) > sum(w for _, w in rows) / len(rows)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_new_ops_plan_shapes(spark):
+    """Pin the scale-critical plan claims from the docstrings: the
+    tokenizer-inference, classifier, and sampler plans contain NO
+    Exchange (pure codegen scans); compact_cells has exactly one
+    Exchange per ladder rung; uncompact is shuffle-free."""
+    from gfw_raster_analysis_lambda_spark.operators.sampling import weighted_sample
+    from gfw_raster_analysis_lambda_spark.operators.text import (
+        bpe_encode,
+        quality_classifier_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"table value tab {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    assert "Exchange" not in _plan(bpe_encode(docs, [("t", "a"), ("ta", "b")]))
+    weights = spark.createDataFrame(
+        [(b, b % 7) for b in range(64)], "bucket int, w_milli long"
+    )
+    qc = quality_classifier_score(docs, weights, n_buckets=64)
+    # the model-map broadcast is a BroadcastExchange; the CORPUS must not
+    # shuffle: no shuffle-Exchange (hash/range partitioning) allowed
+    plan = _plan(qc)
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Exchange" not in _plan(weighted_sample(docs, "doc_id", 0.01))
+
+    cells_df = spark.createDataFrame(
+        [(_pack(3, x, y),) for x in range(8) for y in range(8)], "cell_id long"
+    )
+    # default: each rung materialized once (localCheckpoint), so the
+    # FINAL plan is pure unions of checkpointed scans — no Exchange at
+    # all downstream, and each rung's shuffle ran exactly once eagerly
+    comp = C.compact_cells(cells_df, LEVELS)
+    assert "Exchange" not in _plan(comp)
+    # lazy mode keeps the rung groupBys in-plan (one per rung, with the
+    # subtrees duplicated across union branches for AQE reuse to dedupe)
+    lazy = C.compact_cells(cells_df, LEVELS, materialize_rungs=False)
+    assert "Exchange hashpartitioning" in _plan(lazy)
+    assert "Exchange" not in _plan(
+        C.uncompact_cells(cells_df, "4/1024")
+    )
