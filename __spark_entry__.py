@@ -1771,6 +1771,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["spatial_geohash_points"] = spatial_geohash_points
 
+    def spatial_xyz_quadkey(spark, sf_dir):
+        # web-mercator slippy-map tile addresses + Bing quadkeys (the
+        # tile-SERVING keys; spatial_join.tile_xyz_expr/quadkey_expr):
+        # zooms 10 and 13 exercise two floor scales, the quadkey at 8
+        # the prefix-containment digits. Points dodge tile boundaries
+        # by construction (irrational-ish offsets).
+        from gfw_raster_analysis_lambda_spark.operators import spatial_join
+
+        pts = [
+            (i, -179.7 + (i * 257 % 3593) / 10.0,
+             -84.3 + (i * 173 % 1687) / 10.0)
+            for i in range(500)
+        ]
+        df = spark.createDataFrame(pts, "image_id long, lon double, lat double")
+        xyz10 = spatial_join.tile_xyz_expr(F.col("lon"), F.col("lat"), 10)
+        xyz13 = spatial_join.tile_xyz_expr(F.col("lon"), F.col("lat"), 13)
+        return df.select(
+            "image_id",
+            xyz10["x"].alias("x10"),
+            xyz10["y"].alias("y10"),
+            xyz13["x"].alias("x13"),
+            xyz13["y"].alias("y13"),
+            spatial_join.quadkey_expr(F.col("lon"), F.col("lat"), 8).alias("qk8"),
+        )
+    q["spatial_xyz_quadkey"] = spatial_xyz_quadkey
+
     def _compact_fixture_cells(spark):
         # deterministic 16x16-cell box of the 4/1024 grid (0.25-deg
         # cells at lon 10..14, lat 20..24) minus pseudo-random holes —
@@ -4539,6 +4565,42 @@ WITH p AS (
 )
 SELECT image_id, {_gh_sql(5)} AS gh5, {_gh_sql(6)} AS gh6
 FROM p
+"""
+
+    # xyz/quadkey twin: Spark's ASINH identity log(t + sqrt(t*t+1))
+    # spelled out (DuckDB has no asinh); same spread-mask interleave as
+    # the geohash twin for the quadkey digits
+    def _xyz_sql(frac: str, n: int) -> str:
+        return (f"GREATEST(0, LEAST(CAST(FLOOR(({frac}) * {float(n)!r}) "
+                f"AS BIGINT), {n - 1}))")
+
+    _QK_Z = (f"(({_gh_spread(_xyz_sql('yfrac', 256))}) << 1) | "
+             f"({_gh_spread(_xyz_sql('xfrac', 256))})")
+    _QK = " || ".join(
+        f"substr('0123', CAST((({_QK_Z}) >> {2 * (7 - k)}) & 3 AS INT) + 1, 1)"
+        for k in range(8)
+    )
+    o["spatial_xyz_quadkey"] = f"""
+WITH p AS (
+  SELECT g.i AS image_id,
+         -179.7 + (g.i * 257 % 3593) / 10.0 AS lon,
+         -84.3 + (g.i * 173 % 1687) / 10.0 AS lat
+  FROM generate_series(0, 499) g(i)
+),
+m AS (
+  SELECT image_id,
+         (lon + 180.0) / 360.0 AS xfrac,
+         (1.0 - ln(tan(radians(lat)) + sqrt(tan(radians(lat)) * tan(radians(lat)) + 1.0))
+                / pi()) / 2.0 AS yfrac
+  FROM p
+)
+SELECT image_id,
+       {_xyz_sql('xfrac', 1024)} AS x10,
+       {_xyz_sql('yfrac', 1024)} AS y10,
+       {_xyz_sql('xfrac', 8192)} AS x13,
+       {_xyz_sql('yfrac', 8192)} AS y13,
+       {_QK} AS qk8
+FROM m
 """
 
     # compact_cells twin: replay both ladder rungs relationally.

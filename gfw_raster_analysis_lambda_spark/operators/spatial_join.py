@@ -15,6 +15,8 @@ only has implicitly (its one join is AOI x tile-grid, J1):
                            pathological hot-cell distributions).
 """
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -126,6 +128,60 @@ def geohash_expr(lon: Column, lat: Column, precision: int = 6) -> Column:
         for k in range(precision)
     ]
     return F.concat(*chars).alias("geohash")
+
+
+def tile_xyz_expr(lon: Column, lat: Column, zoom: int) -> Column:
+    """Web-mercator slippy-map tile address ``struct(z, x, y)`` (the
+    OSM/XYZ scheme every web map and tile CDN speaks — the SERVING key,
+    where :func:`zorder_expr` is the layout key and geohash the interop
+    key). x = floor((lon+180)/360 · 2^z); y from the Mercator projection
+    y = floor((1 − asinh(tan φ)/π)/2 · 2^z), clamped to the valid range
+    (poles clamp to the edge tiles, the standard convention).
+
+    Pure Catalyst math — ``asinh(tan(φ))`` is two libm calls inside
+    whole-stage codegen; no UDF. Spark evaluates ASINH as
+    ``log(t + sqrt(t·t + 1))``, and the DuckDB twin spells exactly that
+    identity out (DuckDB has no asinh), so the operation sequences
+    match; the residual cross-engine risk is libm log/tan ulp drift,
+    which flips a floor() only for points within ~1 ulp of a tile
+    boundary — the contract fixture uses generic points nowhere near
+    one."""
+    if not 0 <= zoom <= 30:
+        raise ValueError("zoom must be in [0, 30]")
+    n = 1 << zoom
+    xf = (lon + F.lit(180.0)) / F.lit(360.0)
+    rad = F.radians(lat)
+    yf = (F.lit(1.0) - F.asinh(F.tan(rad)) / F.lit(math.pi)) / F.lit(2.0)
+    x = F.floor(xf * F.lit(float(n))).cast("long")
+    y = F.floor(yf * F.lit(float(n))).cast("long")
+    x = F.greatest(F.lit(0), F.least(x, F.lit(n - 1)))
+    y = F.greatest(F.lit(0), F.least(y, F.lit(n - 1)))
+    return F.struct(
+        F.lit(zoom).alias("z"), x.alias("x"), y.alias("y")
+    ).alias("xyz")
+
+
+def quadkey_expr(lon: Column, lat: Column, zoom: int) -> Column:
+    """Bing-maps quadkey of the XYZ tile: one base-4 digit per zoom
+    level, digit k = the interleaved (x, y) bit pair at level k — so a
+    tile's quadkey is PREFIXED by every ancestor's, making prefix match
+    the containment test (string-range pruning over tile hierarchies,
+    the same trick geohash plays on lon/lat boxes). Pure Catalyst: the
+    Morton spread of (x, y) read out two bits at a time."""
+    xyz = tile_xyz_expr(lon, lat, zoom)
+    z = F.shiftleft(_spread_bits(xyz["y"]), 1).bitwiseOR(
+        _spread_bits(xyz["x"])
+    )
+    digits = [
+        F.substr(
+            F.lit("0123"),
+            (F.shiftright(z, 2 * (zoom - 1 - k)).bitwiseAND(F.lit(3))
+             + F.lit(1)).cast("int"),
+            F.lit(1),
+        )
+        for k in range(zoom)
+    ]
+    return F.concat(*digits).alias("quadkey")
 
 
 def cluster_by_zorder(

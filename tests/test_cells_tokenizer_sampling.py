@@ -233,3 +233,49 @@ def test_new_ops_plan_shapes(spark):
     assert "Exchange" not in _plan(
         C.uncompact_cells(cells_df, "4/1024")
     )
+
+
+def test_xyz_quadkey_vs_python_oracle(spark):
+    """tile_xyz_expr/quadkey_expr vs the textbook slippy-map formula
+    (math.asinh in pure python), plus the quadkey prefix-containment
+    property: zoom-z quadkey is prefixed by the zoom-(z-1) one."""
+    import math as m
+
+    from gfw_raster_analysis_lambda_spark.operators.spatial_join import (
+        quadkey_expr,
+        tile_xyz_expr,
+    )
+
+    pts = [(i, -179.7 + (i * 257 % 3593) / 10.0, -84.3 + (i * 173 % 1687) / 10.0)
+           for i in range(300)]
+    # include pole/antimeridian clamps
+    pts += [(900, -180.0, 89.999), (901, 179.999, -89.999), (902, 0.0, 0.1)]
+    df = spark.createDataFrame(pts, "image_id long, lon double, lat double")
+    got = {
+        r.image_id: (r.xyz.x, r.xyz.y, r.qk7, r.qk8)
+        for r in df.select(
+            "image_id",
+            tile_xyz_expr(F.col("lon"), F.col("lat"), 12).alias("xyz"),
+            quadkey_expr(F.col("lon"), F.col("lat"), 7).alias("qk7"),
+            quadkey_expr(F.col("lon"), F.col("lat"), 8).alias("qk8"),
+        ).collect()
+    }
+
+    def ref(lon, lat, z):
+        n = 1 << z
+        x = int(m.floor((lon + 180.0) / 360.0 * n))
+        y = int(m.floor((1.0 - m.asinh(m.tan(m.radians(lat))) / m.pi) / 2.0 * n))
+        return max(0, min(x, n - 1)), max(0, min(y, n - 1))
+
+    def ref_qk(lon, lat, z):
+        x, y = ref(lon, lat, z)
+        return "".join(
+            str(((y >> (z - 1 - k) & 1) << 1) | (x >> (z - 1 - k) & 1))
+            for k in range(z)
+        )
+
+    for i, lon, lat in pts:
+        assert got[i][:2] == ref(lon, lat, 12), (i, lon, lat)
+        assert got[i][2] == ref_qk(lon, lat, 7)
+        assert got[i][3] == ref_qk(lon, lat, 8)
+        assert got[i][3].startswith(got[i][2])  # ancestor prefix
