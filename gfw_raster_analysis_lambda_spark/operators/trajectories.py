@@ -134,21 +134,22 @@ def stay_points(
             w2.rowsBetween(Window.unboundedPreceding, 0)
         ).alias("__run"),
     )
-    stays = (
-        runs.filter(F.col("__slow"))
-        .groupBy(track_col, "__run")
-        .agg(F.count(F.lit(1)).alias("__len"))
-        .filter(F.col("__len") >= int(min_run))
+    # aggregate ALL runs (slow and fast) with conditionals so every
+    # track keeps a row — no distinct-tracks branch, no join-back, and
+    # both groupBys reuse the window's hashpartitioning(track): the
+    # whole operator is exactly ONE Exchange (asserted by
+    # test_new_ops_plan_shapes). grouping on (track, run) is satisfied
+    # by partitioning on track alone (same track ⇒ same partition).
+    run_stats = runs.groupBy(track_col, "__run").agg(
+        F.count(F.lit(1)).alias("__len"),
+        F.first("__slow").alias("__s"),
     )
-    per = stays.groupBy(track_col).agg(
-        F.count(F.lit(1)).alias("n_stays"),
-        F.sum("__len").alias("stay_points"),
-        F.max("__len").alias("longest_stay"),
-    )
-    all_tracks = points.select(track_col).distinct()
-    return all_tracks.join(per, track_col, "left").select(
-        track_col,
-        F.coalesce("n_stays", F.lit(0)).cast("long").alias("n_stays"),
-        F.coalesce("stay_points", F.lit(0)).cast("long").alias("stay_points"),
-        F.coalesce("longest_stay", F.lit(0)).cast("long").alias("longest_stay"),
+    is_stay = F.col("__s") & (F.col("__len") >= int(min_run))
+    return run_stats.groupBy(track_col).agg(
+        F.sum(is_stay.cast("long")).alias("n_stays"),
+        F.sum(F.when(is_stay, F.col("__len")).otherwise(F.lit(0)))
+        .alias("stay_points"),
+        F.coalesce(
+            F.max(F.when(is_stay, F.col("__len"))), F.lit(0)
+        ).alias("longest_stay"),
     )

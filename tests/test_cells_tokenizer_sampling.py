@@ -279,3 +279,20 @@ def test_xyz_quadkey_vs_python_oracle(spark):
         assert got[i][2] == ref_qk(lon, lat, 7)
         assert got[i][3] == ref_qk(lon, lat, 8)
         assert got[i][3].startswith(got[i][2])  # ancestor prefix
+
+
+def test_trajectory_plans_single_exchange(spark):
+    """track_stats and stay_points each keep exactly ONE
+    hashpartitioning Exchange (the track shuffle); every aggregation
+    reuses the window's partitioning."""
+    from gfw_raster_analysis_lambda_spark.operators.trajectories import (
+        stay_points,
+        track_stats,
+    )
+
+    df = spark.createDataFrame(
+        [("t%d" % (i % 5), i, i, i * 3, i * 7) for i in range(100)],
+        "track_id string, ts long, point_id long, x_micro long, y_micro long",
+    )
+    assert _plan(track_stats(df)).count("Exchange hashpartitioning") == 1
+    assert _plan(stay_points(df, 100)).count("Exchange hashpartitioning") == 1
