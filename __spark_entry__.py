@@ -1797,6 +1797,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["spatial_xyz_quadkey"] = spatial_xyz_quadkey
 
+    def mm_tile_stats(spark, sf_dir):
+        # tile-payload footer stats (tilestats.collect_tile_stats): the
+        # per-tile min/max/valid-count bounds that make value-predicate
+        # cell pruning possible (Iceberg column-bounds analog for pixels
+        # inside encoded tiles). uint8-with-nodata and float32-with-NaN
+        # layers; the twin re-derives bounds from the pixel formulas.
+        from gfw_raster_analysis_lambda_spark.operators import tilestats
+
+        images, _aoi, env = _fixture(spark)
+        two = images.filter(
+            F.col("layer").isin("tcd_threshold", "emissions")
+        )
+        return tilestats.collect_tile_stats(
+            two,
+            {"tcd_threshold": 0.0, "emissions": float("nan")},
+        )
+    q["mm_tile_stats"] = mm_tile_stats
+
     def _compact_fixture_cells(spark):
         # deterministic 16x16-cell box of the 4/1024 grid (0.25-deg
         # cells at lon 10..14, lat 20..24) minus pseudo-random holes —
@@ -4601,6 +4619,39 @@ SELECT image_id,
        {_xyz_sql('yfrac', 8192)} AS y13,
        {_QK} AS qk8
 FROM m
+"""
+
+    o["mm_tile_stats"] = """
+WITH cells AS (
+  SELECT gx.x AS x, gy.y AS y
+  FROM generate_series(760, 763) gx(x), generate_series(276, 279) gy(y)
+),
+px AS (
+  SELECT x, y, gi.i AS i, gj.j AS j
+  FROM cells, generate_series(0, 63) gi(i), generate_series(0, 63) gj(j)
+),
+tcd AS (
+  SELECT x, y, ((x*3 + y*5 + i*7 + j*11) % 8) AS v FROM px
+),
+em AS (
+  SELECT x, y,
+    CASE WHEN (x + y + i*31 + j*17) % 17 = 0 THEN NULL
+         ELSE CAST(((x*13 + y*3 + i*5 + j*7) % 1000) / 10.0 AS REAL) END AS v
+  FROM px
+)
+SELECT 'tcd_threshold' AS layer,
+       54043195528445952 + x * 134217728 + y AS cell_id,
+       CAST(MIN(CASE WHEN v <> 0 THEN v END) AS DOUBLE) AS vmin,
+       CAST(MAX(CASE WHEN v <> 0 THEN v END) AS DOUBLE) AS vmax,
+       CAST(COUNT(CASE WHEN v <> 0 THEN 1 END) AS BIGINT) AS n_valid,
+       CAST(4096 AS BIGINT) AS n_px
+FROM tcd GROUP BY x, y
+UNION ALL
+SELECT 'emissions',
+       54043195528445952 + x * 134217728 + y,
+       CAST(MIN(v) AS DOUBLE), CAST(MAX(v) AS DOUBLE),
+       CAST(COUNT(v) AS BIGINT), CAST(4096 AS BIGINT)
+FROM em GROUP BY x, y
 """
 
     # compact_cells twin: replay both ladder rungs relationally.

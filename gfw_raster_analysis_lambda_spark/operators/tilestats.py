@@ -1,0 +1,142 @@
+"""Tile-level statistics and predicate-pushdown cell pruning.
+
+Parquet scans skip row groups whose min/max footer stats cannot match a
+predicate — but the engine's pixel values live INSIDE encoded tile
+payloads, invisible to the parquet reader. This module restores that
+pruning level for the tiles themselves: a one-time stats collection pass
+(min/max/valid-count per tile, the footer-stats analog — Iceberg keeps
+the same per-file column bounds in its manifests) and a conservative
+cell-pruning rule, so a zonal query with ``WHERE tcd >= 4`` never
+decodes a cell whose tcd tile tops out at 3.
+
+At 10^12 images this is the difference between decoding the corpus and
+decoding the matching fraction: the reference reads every tile its AOI
+touches (reference window.py:62–94 windows the full raster regardless
+of values); here the stats table is O(images) tiny rows, lives next to
+the corpus (in production: Iceberg column bounds or a stats table
+maintained by the ingest job), and one broadcast semi-join applies it.
+
+Soundness rule: a cell may be pruned only if NO pixel in it can satisfy
+the predicate — [vmin, vmax] ∩ [lo, hi] = ∅ for tiles with stats, and
+0 ∉ [lo, hi] for cells MISSING the layer's tile (the kernel zero-fills
+absent layers, sources/catalog.py, so a missing tile evaluates the
+predicate at 0). Pruned cells contribute no result rows by construction,
+so grouped zonal aggregates are unchanged — pinned by a parity gate
+whose oracle does not model pruning at all.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import codecs
+
+
+def collect_tile_stats(
+    images: DataFrame,
+    nodata: "dict[str, float] | None" = None,
+) -> DataFrame:
+    """One Arrow pass over the corpus → (layer, cell_id, vmin, vmax,
+    n_valid, n_px) per tile. ``nodata`` maps layer name → its NoData
+    value (values equal to it — or NaN for float layers — are excluded
+    from the bounds, mirroring the kernel's masking); layers absent
+    from the map treat every pixel as valid. Zero shuffle, O(images)
+    output; in production this runs once at ingest and appends to a
+    stats SnapshotTable alongside the corpus."""
+    nodata = dict(nodata or {})
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode_tile(
+                    bytes(r.bytes), int(r.w), int(r.h), str(r.fmt)
+                )
+                v = arr.ravel()
+                nd = nodata.get(r.layer)
+                valid = np.ones(v.shape, dtype=bool)
+                if v.dtype.kind == "f":
+                    valid &= ~np.isnan(v)
+                if nd is not None and not (isinstance(nd, float) and np.isnan(nd)):
+                    valid &= v != nd
+                vv = v[valid]
+                out.append(
+                    (
+                        r.layer,
+                        int(r.cell_id),
+                        float(vv.min()) if len(vv) else None,
+                        float(vv.max()) if len(vv) else None,
+                        int(len(vv)),
+                        int(v.size),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["layer", "cell_id", "vmin", "vmax", "n_valid", "n_px"],
+            )
+
+    cols = images
+    if "layer" not in images.columns or "cell_id" not in images.columns:
+        from ..sources.images import with_derived_keys
+
+        cols = with_derived_keys(images)
+    return cols.select("layer", "cell_id", "bytes", "w", "h", "fmt").mapInPandas(
+        run,
+        "layer string, cell_id long, vmin double, vmax double, "
+        "n_valid long, n_px long",
+    )
+
+
+def viable_cells(
+    stats: DataFrame,
+    layer: str,
+    lo: "float | None" = None,
+    hi: "float | None" = None,
+) -> DataFrame:
+    """Cell ids that COULD contain a pixel of ``layer`` in [lo, hi]
+    (either bound None = unbounded). Conservative and sound:
+
+    - a cell whose ``layer`` tile has stats survives iff
+      [vmin, vmax] ∩ [lo, hi] ≠ ∅;
+    - a cell that appears in the corpus but has NO ``layer`` tile
+      survives iff 0 ∈ [lo, hi] (the kernel zero-fills absent layers);
+    - for an IN-set predicate pass lo=min(set), hi=max(set) — wider,
+      never narrower, than the true set.
+
+    Returns a 1-column ``cell_id`` frame sized O(cells) — broadcast it
+    into a ``left_semi`` join against the corpus (:func:`prune_images`).
+    """
+    zero_passes = (lo is None or lo <= 0.0) and (hi is None or hi >= 0.0)
+    layer_stats = stats.filter(F.col("layer") == layer)
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (F.col("vmax") >= float(lo))
+    if hi is not None:
+        cond = cond & (F.col("vmin") <= float(hi))
+    hit = layer_stats.filter(F.col("n_valid") > 0).filter(cond).select("cell_id")
+    if not zero_passes:
+        return hit.distinct()
+    # zero passes: every corpus cell WITHOUT this layer's tile also
+    # survives (plus tiles that are all-NoData: they zero-fill too)
+    all_cells = stats.select("cell_id").distinct()
+    with_layer = layer_stats.filter(F.col("n_valid") > 0).select("cell_id").distinct()
+    missing = all_cells.join(with_layer, "cell_id", "left_anti")
+    return hit.distinct().unionByName(missing).distinct()
+
+
+def prune_images(images: DataFrame, cells: DataFrame) -> DataFrame:
+    """Corpus restricted to the viable cells: one broadcast left-semi
+    join on cell_id — the scan-side application of the stats, shaped
+    exactly like the planner's AOI cell pruning."""
+    from ..sources.images import with_derived_keys
+
+    src = images
+    if "cell_id" not in images.columns:
+        src = with_derived_keys(images)
+    pruned = src.join(F.broadcast(cells.select("cell_id")), "cell_id", "left_semi")
+    return pruned.select(images.columns)

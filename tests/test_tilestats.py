@@ -1,0 +1,120 @@
+"""Tile-stats collection and value-predicate cell pruning
+(operators/tilestats.py): bounds vs numpy, pruning PARITY (results
+identical with and without pruning — the soundness contract) and
+EFFECTIVENESS (cells actually pruned)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gfw_raster_analysis_lambda_spark.api import zonal_statistics
+from gfw_raster_analysis_lambda_spark.functions import codecs
+from gfw_raster_analysis_lambda_spark.functions import grid as G
+from gfw_raster_analysis_lambda_spark.operators import tilestats
+from gfw_raster_analysis_lambda_spark.sources import fixtures
+from gfw_raster_analysis_lambda_spark.sources.catalog import (
+    DataEnvironment,
+    SourceLayer,
+)
+from gfw_raster_analysis_lambda_spark.sources.images import with_derived_keys
+
+GRID = fixtures.GRID  # 4/1024 fixture grid, 64-px chunks
+
+
+def _corpus(spark):
+    """8 cells in a row; cell k's 'v' tile holds values k..k+2 (plus a
+    nodata-0 stripe), so a predicate v >= 5 can only match cells >= 3."""
+    rows = []
+    rng = np.random.RandomState(7)
+    for k in range(8):
+        x, y = 760 + k, 276
+        cell = int(G.cell_from_xy(GRID, x, y))
+        arr = rng.randint(k, k + 3, size=(64, 64)).astype(np.uint8)
+        arr[0, :] = 0  # nodata stripe
+        rows.append(
+            (f"v/{cell:016x}", codecs.encode_tile(arr, "png"),
+             64, 64, "png", "", 0)
+        )
+    df = spark.createDataFrame(rows, fixtures.IMAGES_SCHEMA)
+    return with_derived_keys(df), [760 + k for k in range(8)]
+
+
+def _env():
+    return DataEnvironment(
+        layers=[SourceLayer("v", grid=GRID.name, dtype="uint8", fmt="png",
+                            no_data=0)]
+    )
+
+
+def _aoi(spark):
+    # one box spanning all 8 cells (lon 10..12, lat 20.75..21)
+    import struct
+
+    def wkb_box(x0, y0, x1, y1):
+        pts = [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
+        return (
+            struct.pack("<BII", 1, 3, 1)
+            + struct.pack("<I", len(pts))
+            + b"".join(struct.pack("<dd", *p) for p in pts)
+        )
+
+    return spark.createDataFrame(
+        [("box", wkb_box(10.0, 20.75, 12.0, 21.0))],
+        "aoi_id string, geom_wkb binary",
+    )
+
+
+def test_stats_bounds_match_numpy(spark):
+    images, xs = _corpus(spark)
+    stats = tilestats.collect_tile_stats(images, {"v": 0.0}).collect()
+    assert len(stats) == 8
+    by_cell = {r.cell_id: r for r in stats}
+    for k in range(8):
+        cell = int(G.cell_from_xy(GRID, 760 + k, 276))
+        r = by_cell[cell]
+        lo = max(k, 1)  # 0 is nodata, excluded
+        assert r.vmin >= lo and r.vmax <= k + 2 and r.n_px == 4096
+        assert r.n_valid < 4096  # the stripe (and k=0 values) excluded
+
+
+@pytest.mark.parametrize("lo,expect_kept", [(5.0, 5), (7.0, 3), (1.0, 8)])
+def test_pruning_parity_and_effectiveness(spark, lo, expect_kept):
+    images, _ = _corpus(spark)
+    env, aoi = _env(), _aoi(spark)
+    sql = (
+        f"SELECT COUNT(*) AS n, SUM(v) AS s FROM v WHERE v >= {int(lo)}"
+    )
+    full = zonal_statistics(spark, images, aoi, sql, env, GRID.name).collect()
+
+    stats = tilestats.collect_tile_stats(images, {"v": 0.0})
+    viable = tilestats.viable_cells(stats, "v", lo=lo)
+    kept = viable.count()
+    # cell k holds values max(k,?)..k+2: vmax >= lo iff k+2 >= lo
+    assert kept == expect_kept
+    pruned = tilestats.prune_images(images, viable)
+    got = zonal_statistics(spark, pruned, aoi, sql, env, GRID.name).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in full]
+
+
+def test_zero_fill_missing_layer_kept(spark):
+    """A cell in the corpus WITHOUT the layer's tile zero-fills: it must
+    survive pruning iff 0 is inside the predicate interval."""
+    images, _ = _corpus(spark)
+    # second layer 'm' present only in the first 2 cells
+    extra = []
+    for k in range(2):
+        cell = int(G.cell_from_xy(GRID, 760 + k, 276))
+        arr = np.full((64, 64), 9, dtype=np.uint8)
+        extra.append((f"m/{cell:016x}", codecs.encode_tile(arr, "png"),
+                      64, 64, "png", "", 0))
+    both = images.unionByName(
+        with_derived_keys(
+            images.sparkSession.createDataFrame(extra, fixtures.IMAGES_SCHEMA)
+        )
+    )
+    stats = tilestats.collect_tile_stats(both, {"v": 0.0, "m": 0.0})
+    # predicate m >= 1: missing-m cells zero-fill to 0 -> prunable
+    assert tilestats.viable_cells(stats, "m", lo=1.0).count() == 2
+    # predicate m <= 3: 0 passes -> the 6 missing-m cells survive via
+    # zero-fill; the 2 cells whose m tiles are all 9s still prune
+    assert tilestats.viable_cells(stats, "m", hi=3.0).count() == 6
