@@ -1815,6 +1815,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["mm_tile_stats"] = mm_tile_stats
 
+    def mm_header_sniff(spark, sf_dir):
+        # zero-decode PNG integrity audit (multimodal.sniff_png_headers):
+        # signature + IHDR parsed with one hex() projection; the twin
+        # knows the fixture layout (64x64 gray tiles, depth 8 for uint8
+        # layers / 16 for the uint16 alert layer) and re-derives every
+        # field — a parse bug in either engine breaks the hash
+        from gfw_raster_analysis_lambda_spark.operators.multimodal import (
+            sniff_png_headers,
+        )
+
+        images, _aoi, _env = _fixture(spark)
+        pngs = images.filter(
+            F.col("layer").isin("tcd_threshold", "alert_date_conf")
+        )
+        return sniff_png_headers(pngs).drop("n_bytes")
+    q["mm_header_sniff"] = mm_header_sniff
+
     def _compact_fixture_cells(spark):
         # deterministic 16x16-cell box of the 4/1024 grid (0.25-deg
         # cells at lon 10..14, lat 20..24) minus pseudo-random holes —
@@ -4619,6 +4636,25 @@ SELECT image_id,
        {_xyz_sql('yfrac', 8192)} AS y13,
        {_QK} AS qk8
 FROM m
+"""
+
+    o["mm_header_sniff"] = """
+WITH cells AS (
+  SELECT gx.x AS x, gy.y AS y
+  FROM generate_series(760, 763) gx(x), generate_series(276, 279) gy(y)
+),
+imgs AS (
+  SELECT printf('tcd_threshold/%016x', 54043195528445952 + x * 134217728 + y)
+           AS image_id, 8 AS bit_depth FROM cells
+  UNION ALL
+  SELECT printf('alert_date_conf/%016x', 54043195528445952 + x * 134217728 + y),
+         16 FROM cells
+)
+SELECT image_id, TRUE AS sig_ok,
+       CAST(64 AS BIGINT) AS hdr_w, CAST(64 AS BIGINT) AS hdr_h,
+       bit_depth, 0 AS color_type,
+       TRUE AS w_match, TRUE AS h_match
+FROM imgs
 """
 
     o["mm_tile_stats"] = """

@@ -118,3 +118,31 @@ def test_zero_fill_missing_layer_kept(spark):
     # predicate m <= 3: 0 passes -> the 6 missing-m cells survive via
     # zero-fill; the 2 cells whose m tiles are all 9s still prune
     assert tilestats.viable_cells(stats, "m", hi=3.0).count() == 6
+
+
+def test_sniff_png_headers_detects_corruption(spark):
+    """Corrupt payloads: wrong signature, truncated header, metadata
+    lying about dimensions — all flagged without a decode."""
+    from gfw_raster_analysis_lambda_spark.operators.multimodal import (
+        sniff_png_headers,
+    )
+
+    good = codecs.encode_tile(np.arange(64, dtype=np.uint8).reshape(8, 8), "png")
+    wide = codecs.encode_tile(np.zeros((8, 16), dtype=np.uint8), "png")
+    rows = [
+        ("ok", good, 8, 8, "png", "", 0),
+        ("badsig", b"\x00" + good[1:], 8, 8, "png", "", 0),
+        ("lying_meta", wide, 8, 8, "png", "", 0),  # header says 16x8
+        ("plan_b", codecs.encode_tile(
+            np.zeros((8, 8), dtype=np.uint16), "png"), 8, 8, "png", "", 0),
+    ]
+    df = spark.createDataFrame(rows, fixtures.IMAGES_SCHEMA)
+    got = {r.image_id: r for r in sniff_png_headers(df).collect()}
+    assert got["ok"].sig_ok and got["ok"].w_match and got["ok"].bit_depth == 8
+    assert not got["badsig"].sig_ok and got["badsig"].hdr_w is None
+    assert got["lying_meta"].sig_ok and not got["lying_meta"].w_match
+    assert got["lying_meta"].hdr_w == 16
+    assert got["plan_b"].bit_depth == 16 and got["plan_b"].color_type == 0
+    # zero shuffle, zero Python: pure codegen projection
+    plan = sniff_png_headers(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
