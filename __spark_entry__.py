@@ -2127,6 +2127,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["rel_snapshot_timetravel"] = rel_snapshot_timetravel
 
+    def rel_pagerank(spark, sf_dir):
+        # integer-exact PageRank (operators/graphs.py): 4 rounds over a
+        # deterministic 3-rule link graph on the events users; dangling
+        # mass redistributed; the twin replays the same rounds as
+        # chained CTEs — bit-identical because every step is int64
+        from gfw_raster_analysis_lambda_spark.operators.graphs import pagerank
+
+        ev = _t(spark, sf_dir, "events").select("user_id").distinct()
+        e1 = ev.select(
+            F.col("user_id").alias("src"),
+            ((F.col("user_id") * 7 + 3) % 150).alias("dst"),
+        )
+        e2 = ev.select(
+            F.col("user_id").alias("src"),
+            ((F.col("user_id") * 13 + 11) % 150).alias("dst"),
+        )
+        e3 = ev.filter(F.col("user_id") % 5 == 0).select(
+            F.col("user_id").alias("src"),
+            ((F.col("user_id") * 29 + 1) % 150).alias("dst"),
+        )
+        edges = e1.unionByName(e2).unionByName(e3)
+        return pagerank(edges, iterations=4)
+    q["rel_pagerank"] = rel_pagerank
+
     def rel_asof_attribution(spark, sf_dir):
         # point-in-time attribution: every purchase picks the user's
         # latest preceding click (as-of join, one keyed shuffle + running
@@ -4858,6 +4882,49 @@ SELECT t.track_id,
 FROM (SELECT DISTINCT user_id AS track_id FROM events) t
 LEFT JOIN per USING (track_id)
 """
+
+    # pagerank twin: the same 4 integer rounds as chained CTEs
+    _pr_head = """
+u AS (SELECT DISTINCT user_id FROM events),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT user_id AS src, (user_id * 7 + 3) % 150 AS dst FROM u
+    UNION ALL
+    SELECT user_id, (user_id * 13 + 11) % 150 FROM u
+    UNION ALL
+    SELECT user_id, (user_id * 29 + 1) % 150 FROM u WHERE user_id % 5 = 0
+  )
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nc AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, 1000000 // (SELECT n FROM nc) AS rank FROM nodes)"""
+
+    def _pr_round(i: int) -> str:
+        p = f"r{i - 1}"
+        return f"""
+d{i} AS (
+  SELECT COALESCE(SUM(r.rank), 0) AS s
+  FROM {p} r LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL
+),
+c{i} AS (
+  SELECT e.dst, SUM(r.rank // deg.deg) AS in_sum
+  FROM edges e JOIN {p} r ON e.src = r.node JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT n.node,
+         150000 // (SELECT n FROM nc)
+         + (85 * (COALESCE(c.in_sum, 0)
+                  + (SELECT s FROM d{i}) // (SELECT n FROM nc))) // 100 AS rank
+  FROM nodes n LEFT JOIN c{i} c ON c.dst = n.node
+)"""
+
+    o["rel_pagerank"] = (
+        "WITH " + _pr_head + ","
+        + ",".join(_pr_round(i) for i in range(1, 5))
+        + "\nSELECT node, CAST(rank AS BIGINT) AS rank_micro FROM r4"
+    )
 
     o["rel_snapshot_timetravel"] = """
 WITH e AS (
