@@ -306,3 +306,48 @@ def test_compact_files_preserves_content_and_history(spark, tmp_path):
     dropped = t.expire_snapshots(keep_last=1)
     assert dropped["files"] >= 4
     assert {(r.k, r.day, r.v) for r in t.read().collect()} == before
+
+
+def test_spark_submit_maintenance(spark, tmp_path):
+    """maintenance_submit.py through a real spark-submit --py-files run:
+    compaction + expiry on a fragmented table, logical content intact."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import build_dist
+
+    tdir = str(tmp_path / "frag")
+    t = SnapshotTable.create(spark, tdir, partition_by=["day"])
+    for i in range(5):
+        t.append(_df(spark, [(i, "d1", i), (100 + i, "d2", i)]))
+    before = {(r.k, r.day, r.v) for r in t.read().collect()}
+
+    zip_path = build_dist.build(str(tmp_path / "engine.zip"))
+    report_path = str(tmp_path / "report.json")
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    proc = subprocess.run(
+        [
+            "spark-submit", "--master", "local[2]",
+            "--conf", "spark.sql.shuffle.partitions=2",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            os.path.join(REPO, "jobs", "maintenance_submit.py"),
+            "--table", tdir, "--files-per-partition", "1",
+            "--keep-snapshots", "1", "--report", report_path,
+        ],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    rep = _json.load(open(report_path))
+    assert rep["head_before"] == 5 and rep["compacted_snapshot"] == 6
+    assert rep["files_after"] == 2  # one file per day partition
+    # keep only the compacted head: all 5 append snapshots expire and
+    # their 10 small files are unreferenced -> reclaimed
+    assert rep["expired_snapshots"] == 5 and rep["reclaimed_files"] == 10
+    assert {(r.k, r.day, r.v) for r in t.read().collect()} == before
