@@ -140,3 +140,100 @@ def prune_images(images: DataFrame, cells: DataFrame) -> DataFrame:
         src = with_derived_keys(images)
     pruned = src.join(F.broadcast(cells.select("cell_id")), "cell_id", "left_semi")
     return pruned.select(images.columns)
+
+
+_FULL = (None, None)  # unbounded interval
+
+
+def _hull(a, b):
+    lo = None if a[0] is None or b[0] is None else min(a[0], b[0])
+    hi = None if a[1] is None or b[1] is None else max(a[1], b[1])
+    return (lo, hi)
+
+
+def _intersect(a, b):
+    lo = b[0] if a[0] is None else (a[0] if b[0] is None else max(a[0], b[0]))
+    hi = b[1] if a[1] is None else (a[1] if b[1] is None else min(a[1], b[1]))
+    return (lo, hi)
+
+
+def filter_interval(filt, layer: str):
+    """Conservative value interval for ``layer`` implied by a query
+    filter tree (plans/ir.py): every pixel satisfying the tree has its
+    ``layer`` value inside the returned [lo, hi] (None = unbounded).
+    AND intersects, OR takes the hull, leaves on other layers (and
+    ``!=``) are unbounded — always sound, sometimes wider than tight.
+    Literals are already raw-encoded in the IR, matching the stats."""
+    from ..plans.ir import FilterAnd, FilterLeaf, FilterOr
+
+    if filt is None:
+        return _FULL
+    if isinstance(filt, FilterLeaf):
+        if filt.layer != layer:
+            return _FULL
+        vs = [float(v) for v in filt.values]
+        if filt.op in (">", ">="):
+            return (vs[0], None)
+        if filt.op in ("<", "<="):
+            return (None, vs[0])
+        if filt.op == "==":
+            return (vs[0], vs[0])
+        if filt.op == "in":
+            return (min(vs), max(vs))
+        return _FULL  # != constrains nothing interval-wise
+    if isinstance(filt, FilterAnd):
+        out = _FULL
+        for c in filt.children:
+            out = _intersect(out, filter_interval(c, layer))
+        return out
+    if isinstance(filt, FilterOr):
+        out = None
+        for c in filt.children:
+            ci = filter_interval(c, layer)
+            out = ci if out is None else _hull(out, ci)
+        return out or _FULL
+    raise TypeError(f"unknown filter node {type(filt)}")
+
+
+def prune_images_for_query(
+    images: DataFrame,
+    stats: DataFrame,
+    query,
+    env,
+) -> DataFrame:
+    """Automatic stats pruning for a parsed ZonalQuery: derive each
+    STORED filter layer's conservative interval from the WHERE tree and
+    intersect the viable-cell sets (a cell must be viable for EVERY
+    conjunct-constrained layer — each per-layer rule is sound on its
+    own, so their intersection is too). Derived layers are skipped
+    (their raw bounds do not translate); a query with no prunable
+    constraint returns the corpus unchanged. This is the query-level
+    form of the parquet row-group skip, applied to tile payloads."""
+    from ..plans.ir import FilterAnd, FilterLeaf, FilterOr
+    from ..sources.catalog import SourceLayer
+
+    def leaf_layers(f):
+        if f is None:
+            return set()
+        if isinstance(f, FilterLeaf):
+            return {f.layer}
+        if isinstance(f, (FilterAnd, FilterOr)):
+            out = set()
+            for c in f.children:
+                out |= leaf_layers(c)
+            return out
+        return set()
+
+    stored = {
+        layer.name
+        for layer in getattr(env, "layers", [])
+        if isinstance(layer, SourceLayer)
+    }
+    pruned = images
+    for lname in sorted(leaf_layers(query.where) & stored):
+        lo, hi = filter_interval(query.where, lname)
+        if lo is None and hi is None:
+            continue
+        cells = viable_cells(stats, lname, lo=lo, hi=hi)
+        pruned = prune_images(pruned, cells)
+    return pruned

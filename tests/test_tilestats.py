@@ -146,3 +146,49 @@ def test_sniff_png_headers_detects_corruption(spark):
     # zero shuffle, zero Python: pure codegen projection
     plan = sniff_png_headers(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_query_level_auto_pruning(spark):
+    """prune_images_for_query: intervals derived from the parsed WHERE
+    tree — AND conjuncts prune, OR across layers must NOT prune (no
+    sound single-layer bound exists), parity always holds."""
+    from gfw_raster_analysis_lambda_spark.operators.tilestats import (
+        filter_interval,
+        prune_images_for_query,
+    )
+    from gfw_raster_analysis_lambda_spark.plans.sql_frontend import (
+        parse_raster_sql,
+    )
+
+    images, _ = _corpus(spark)
+    env, aoi = _env(), _aoi(spark)
+    stats = tilestats.collect_tile_stats(images, {"v": 0.0})
+
+    q_and = parse_raster_sql("SELECT COUNT(*) AS n FROM v WHERE v >= 6", _env())
+    assert filter_interval(q_and.where, "v") == (6.0, None)
+    pruned = prune_images_for_query(images, stats, q_and, env)
+    n_cells = pruned.select("cell_id").distinct().count()
+    assert n_cells == 4  # cells k>=4 have vmax k+2 >= 6
+    full = zonal_statistics(
+        spark, images, aoi, "SELECT COUNT(*) AS n FROM v WHERE v >= 6", env,
+        GRID.name).collect()
+    got = zonal_statistics(
+        spark, pruned, aoi, "SELECT COUNT(*) AS n FROM v WHERE v >= 6", env,
+        GRID.name).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in full]
+
+    # IN-set: hull [2, 7]
+    q_in = parse_raster_sql(
+        "SELECT COUNT(*) AS n FROM v WHERE v in (2, 7)", _env())
+    assert filter_interval(q_in.where, "v") == (2.0, 7.0)
+
+    # OR across layers: no sound bound on either -> corpus unchanged
+    env2 = DataEnvironment(layers=[
+        SourceLayer("v", grid=GRID.name, dtype="uint8", fmt="png", no_data=0),
+        SourceLayer("m", grid=GRID.name, dtype="uint8", fmt="png", no_data=0),
+    ])
+    q_or = parse_raster_sql(
+        "SELECT COUNT(*) AS n FROM v WHERE v >= 6 OR m >= 1", env2)
+    assert filter_interval(q_or.where, "v") == (None, None)
+    same = prune_images_for_query(images, stats, q_or, env2)
+    assert same.count() == images.count()
