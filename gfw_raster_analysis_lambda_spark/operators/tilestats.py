@@ -237,3 +237,46 @@ def prune_images_for_query(
         cells = viable_cells(stats, lname, lo=lo, hi=hi)
         pruned = prune_images(pruned, cells)
     return pruned
+
+
+def update_tile_stats(
+    spark,
+    corpus_table,
+    stats_table,
+    nodata: "dict[str, float] | None" = None,
+) -> "int | None":
+    """Incremental stats maintenance: compute tile stats ONLY for the
+    corpus rows added since the stats table last caught up, and commit
+    them to the stats SnapshotTable in one atomic overwrite keyed by the
+    corpus snapshot id. The composition that keeps pruning bounds fresh
+    as ingest lands: O(new tiles) decode work per run, never a corpus
+    rescan.
+
+    Bookkeeping rides the stats table itself: each commit's partition is
+    ``src_snap=<corpus snapshot id>``, so the high-water mark is just
+    the max partition value — no side state. Returns the new stats
+    snapshot id, or None when the corpus has nothing new."""
+    from ..sources.images import with_derived_keys
+
+    head = corpus_table.current_snapshot_id()
+    if head == 0:
+        return None
+    done = 0
+    if stats_table.current_snapshot_id():
+        done = max(
+            (
+                int(e["partition"].get("src_snap", 0))
+                for e in stats_table._resolve()["manifest"]
+            ),
+            default=0,
+        )
+    if done >= head:
+        return None
+    try:
+        added = corpus_table.changes(done, head)
+    except ValueError:
+        return None  # snapshots advanced but no data files added
+    stats = collect_tile_stats(with_derived_keys(added), nodata)
+    return stats_table.overwrite_partitions(
+        stats.withColumn("src_snap", F.lit(str(head)))
+    )

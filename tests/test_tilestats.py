@@ -192,3 +192,35 @@ def test_query_level_auto_pruning(spark):
     assert filter_interval(q_or.where, "v") == (None, None)
     same = prune_images_for_query(images, stats, q_or, env2)
     assert same.count() == images.count()
+
+
+def test_update_tile_stats_incremental(spark, tmp_path):
+    """Stats stay fresh via snapshot changes: only new tiles decode,
+    replays are idempotent, and the merged stats equal a full rebuild."""
+    from gfw_raster_analysis_lambda_spark.operators.tilestats import (
+        update_tile_stats,
+    )
+    from gfw_raster_analysis_lambda_spark.sources.snapshots import SnapshotTable
+
+    images, _ = _corpus(spark)
+    rows = images.drop("layer", "cell_id")
+    corpus = SnapshotTable.create(spark, str(tmp_path / "corpus"))
+    stats_t = SnapshotTable.create(
+        spark, str(tmp_path / "stats"), partition_by=["src_snap"]
+    )
+    first = rows.limit(3)
+    corpus.append(first)
+    sid1 = update_tile_stats(spark, corpus, stats_t, {"v": 0.0})
+    assert sid1 == 1
+    assert stats_t.read().count() == 3
+    # nothing new: no-op
+    assert update_tile_stats(spark, corpus, stats_t, {"v": 0.0}) is None
+
+    corpus.append(rows.subtract(first))
+    sid2 = update_tile_stats(spark, corpus, stats_t, {"v": 0.0})
+    assert sid2 is not None
+    got = stats_t.read().drop("src_snap")
+    full = tilestats.collect_tile_stats(images, {"v": 0.0})
+    a = sorted(tuple(r) for r in got.collect())
+    b = sorted(tuple(r) for r in full.collect())
+    assert a == b
