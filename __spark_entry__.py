@@ -2151,6 +2151,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pagerank(edges, iterations=4)
     q["rel_pagerank"] = rel_pagerank
 
+    def rel_hist_quantile(spark, sf_dir):
+        # mergeable equi-width histogram quantiles (sketches.
+        # histogram_quantiles): integer-cents bins, O(n_bins) state per
+        # group, estimates = lower bin boundary at ceil(q*n) cumulative
+        from gfw_raster_analysis_lambda_spark.operators.sketches import (
+            histogram_quantiles,
+        )
+
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+        return histogram_quantiles(
+            li, "cents", ["l_returnflag"], lo_cents=0, hi_cents=19_999_999,
+            n_bins=512, qs=(0.5, 0.9, 0.99),
+        )
+    q["rel_hist_quantile"] = rel_hist_quantile
+
     def rel_asof_attribution(spark, sf_dir):
         # point-in-time attribution: every purchase picks the user's
         # latest preceding click (as-of join, one keyed shuffle + running
@@ -4882,6 +4900,41 @@ SELECT t.track_id,
 FROM (SELECT DISTINCT user_id AS track_id FROM events) t
 LEFT JOIN per USING (track_id)
 """
+
+    _HQ_BODY = """
+v AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem
+),
+b AS (
+  SELECT l_returnflag,
+         (LEAST(GREATEST(c, 0), 19999999) * 512) // 20000000 AS bin
+  FROM v
+),
+cnt AS (SELECT l_returnflag, bin, COUNT(*) AS n FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT l_returnflag, bin,
+    SUM(n) OVER (PARTITION BY l_returnflag ORDER BY bin
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+    SUM(n) OVER (PARTITION BY l_returnflag) AS tot
+  FROM cnt
+)"""
+
+    def _hq_q(qv: float) -> str:
+        # CAST to DOUBLE: a bare 0.5 literal is DECIMAL in DuckDB, and
+        # Spark's ceil(q * n) multiplies doubles — match it exactly
+        return f"""
+SELECT l_returnflag, CAST({qv!r} AS DOUBLE) AS q,
+       CAST(MIN(bin) * 20000000 // 512 AS BIGINT) AS est_cents,
+       CAST(tot AS BIGINT) AS n
+FROM cum WHERE cum >= CEIL(CAST({qv!r} AS DOUBLE) * tot)
+GROUP BY l_returnflag, tot"""
+
+    o["rel_hist_quantile"] = (
+        "WITH " + _HQ_BODY
+        + _hq_q(0.5) + " UNION ALL" + _hq_q(0.9) + " UNION ALL" + _hq_q(0.99)
+    )
 
     # pagerank twin: the same 4 integer rounds as chained CTEs
     _pr_head = """

@@ -42,7 +42,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -265,3 +265,77 @@ def hll_distinct(
         *group_by, "v_empty", "reg_sum",
         F.round(F.expr(est), 6).alias("n_hll"),
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_cents_col: str,
+    group_cols: "list[str]",
+    lo_cents: int,
+    hi_cents: int,
+    n_bins: int = 256,
+    qs: "tuple[float, ...]" = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Mergeable equi-width histogram quantiles — the deterministic
+    fixed-state quantile sketch (the shape t-digest/KLL fill for
+    arbitrary domains, restricted to a known [lo, hi] so every step is
+    integer-exact and therefore hash-gateable; the zonal engine's exact
+    percentiles cover the uint8 pixel domain, this covers wide numeric
+    relational columns at O(n_bins) state per group).
+
+    Values arrive as INTEGER cents (callers round once); bin =
+    (v - lo) * n_bins div (hi - lo + 1), clamped. The per-group bin
+    count vector IS the sketch: merging partitions is the ordinary
+    partial/final SUM, so accuracy is independent of data layout. The
+    q-quantile estimate is the LOWER BOUNDARY of the first bin whose
+    cumulative count reaches ceil(q * n) — error bounded by one bin
+    width, deterministic, order-independent.
+
+    One shuffle (groupBy group+bin), one windowed cumsum over ≤ n_bins
+    rows per group. Returns (group..., q, est_cents, n)."""
+    span = int(hi_cents) - int(lo_cents) + 1
+    if span <= 0 or n_bins < 1:
+        raise ValueError("need hi_cents >= lo_cents and n_bins >= 1")
+    v = F.col(value_cents_col).cast("long")
+    clamped = F.greatest(
+        F.lit(int(lo_cents)), F.least(v, F.lit(int(hi_cents)))
+    )
+    binned = df.select(*group_cols, clamped.alias("__v")).select(
+        *group_cols,
+        F.expr(
+            f"((__v - {int(lo_cents)}L) * {int(n_bins)}L) div {span}L"
+        ).alias("__bin"),
+    )
+    counts = binned.groupBy(*group_cols, "__bin").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__bin")
+    cum = counts.select(
+        *group_cols,
+        "__bin",
+        F.sum("__c").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("__cum"),
+        F.sum("__c").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    out = None
+    for q in qs:
+        need = F.expr(f"CAST(ceil({float(q)!r} * n) AS BIGINT)")
+        hit = (
+            cum.filter(F.col("__cum") >= need)
+            .groupBy(*group_cols, "n")
+            .agg(F.min("__bin").alias("__bin"))
+            .select(
+                *group_cols,
+                F.lit(float(q)).alias("q"),
+                (
+                    F.lit(int(lo_cents))
+                    + F.expr(f"__bin * {span}L div {int(n_bins)}L")
+                ).cast("long").alias("est_cents"),
+                F.col("n"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

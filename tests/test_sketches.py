@@ -164,3 +164,44 @@ def test_hll_rejects_bad_params(spark):
         sketches.hll_distinct(df, "key", [], b=6)
     with pytest.raises(ValueError):
         sketches.hll_distinct(df, "key", ["grp"], b=12)
+
+
+def test_histogram_quantiles_error_bound_and_merge_invariance(spark):
+    """The sketch contract: estimate within one bin width of the exact
+    quantile, and the result independent of partitioning (mergeable
+    state)."""
+    import numpy as np
+
+    from gfw_raster_analysis_lambda_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    vals = [(int(((i * 613) % 997) * 37), "g") for i in range(997)]
+    df = spark.createDataFrame(vals, "cents long, g string")
+    lo, hi, bins = 0, 997 * 37, 128
+    width = (hi - lo + 1) / bins
+    got = {
+        r.q: (r.est_cents, r.n)
+        for r in histogram_quantiles(
+            df, "cents", ["g"], lo, hi, n_bins=bins, qs=(0.5, 0.9)
+        ).collect()
+    }
+    arr = np.sort([v for v, _ in vals])
+    for q, (est, n) in got.items():
+        assert n == 997
+        exact = arr[int(np.ceil(q * 997)) - 1]
+        assert abs(est - exact) <= width + 1, (q, est, exact)
+    # partition invariance: 1 vs 16 partitions, identical rows
+    a = sorted(
+        tuple(r)
+        for r in histogram_quantiles(
+            df.coalesce(1), "cents", ["g"], lo, hi, n_bins=bins
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in histogram_quantiles(
+            df.repartition(16), "cents", ["g"], lo, hi, n_bins=bins
+        ).collect()
+    )
+    assert a == b
