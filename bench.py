@@ -303,6 +303,34 @@ def bench_queries(spark):
         return spatial_join.polygon_pair_overlap(ov_aoi, BGRID.name)
     q["spatial_overlay"] = spatial_overlay
 
+    def tile_stats_bench():
+        # tile-payload footer-stats collection over the full 9216-tile
+        # bench corpus: decode-bound Arrow throughput (the one-time
+        # ingest pass that enables value-predicate cell pruning)
+        from gfw_raster_analysis_lambda_spark.operators import tilestats
+
+        return tilestats.collect_tile_stats(
+            images, {"tcl_year": 0.0, "tcd_threshold": 0.0, "is_primary": 0.0}
+        )
+    q["tile_stats"] = tile_stats_bench
+
+    def cells_compact_bench():
+        # H3-style compaction of a 1M-cell cover (dense block + holes):
+        # two bounded groupBy rungs, output ~O(perimeter + coarse area)
+        from gfw_raster_analysis_lambda_spark.operators import cells as C
+
+        base = (
+            spark.range(0, 1_000_000)
+            .filter((F.col("id") * 7 + 3) % 97 != 0)  # ~1% holes
+            .select(
+                (F.lit(3 << 54)
+                 + F.shiftleft((F.col("id") % 1000 + 100).cast("long"), 27)
+                 + (F.col("id") / 1000 + 100).cast("long")).alias("cell_id")
+            )
+        )
+        return C.compact_cells(base, ["4/1024", "4/512", "1/250"])
+    q["cells_compact"] = cells_compact_bench
+
     return q, images, aoi
 
 
