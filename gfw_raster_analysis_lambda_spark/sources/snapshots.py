@@ -340,7 +340,14 @@ class SnapshotTable:
         )
         if not paths:
             raise ValueError(f"no files match {partition_filter}")
-        df = self.spark.read.option("basePath", self.data_dir).parquet(*paths)
+        # mergeSchema: additive column evolution — an append carrying a
+        # new column reads back with NULLs for older files (the Iceberg
+        # add-column semantics; renames/drops are out of scope)
+        df = (
+            self.spark.read.option("basePath", self.data_dir)
+            .option("mergeSchema", "true")
+            .parquet(*paths)
+        )
         for c in pcols:
             df = df.withColumn(c, F.col(c).cast("string"))
         return df

@@ -351,3 +351,47 @@ def test_spark_submit_maintenance(spark, tmp_path):
     # their 10 small files are unreferenced -> reclaimed
     assert rep["expired_snapshots"] == 5 and rep["reclaimed_files"] == 10
     assert {(r.k, r.day, r.v) for r in t.read().collect()} == before
+
+
+def test_concurrent_appends_all_commit(spark, tmp_path):
+    """8 threads append concurrently: the O_EXCL CAS serializes them —
+    every commit lands, no rows lost, snapshot ids are a clean 1..8."""
+    import threading
+
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), partition_by=["day"])
+    errs = []
+
+    def writer(i):
+        try:
+            t.append(_df(spark, [(i, f"d{i % 3}", i * 10)]))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert t.current_snapshot_id() == 8
+    assert {r.k for r in t.read().collect()} == set(range(8))
+    # parent chain is a clean linear history
+    hist = t.snapshots()
+    assert [h["snapshot_id"] for h in hist] == list(range(1, 9))
+    assert [h["parent_id"] for h in hist] == [None] + list(range(1, 8))
+
+
+def test_schema_evolution_additive_column(spark, tmp_path):
+    """An append carrying a new column evolves the table: old files read
+    back with NULLs (Iceberg add-column semantics), time travel to the
+    pre-evolution snapshot keeps the old schema."""
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), partition_by=["day"])
+    t.append(_df(spark, [(1, "d1", 10)]))
+    evolved = spark.createDataFrame(
+        [(2, "d2", 20, "en")], "k long, day string, v long, lang string"
+    )
+    t.append(evolved)
+    got = {r.k: r for r in t.read().collect()}
+    assert set(t.read().columns) == {"k", "day", "v", "lang"}
+    assert got[1].lang is None and got[2].lang == "en"
+    assert "lang" not in t.read(snapshot_id=1).columns
