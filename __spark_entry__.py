@@ -1832,6 +1832,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sniff_png_headers(pngs).drop("n_bytes")
     q["mm_header_sniff"] = mm_header_sniff
 
+    def zonal_pruned_parity(spark, sf_dir):
+        # END-TO-END stats pruning through the zonal engine: collect
+        # tile stats, auto-derive intervals from the parsed WHERE tree,
+        # prune the corpus, run the flagship grouped query — the ORACLE
+        # IS THE UNPRUNED TWIN (same SQL as zonal_group_sum), so any
+        # unsound prune breaks the hash. The soundness contract as a
+        # driver gate, not just a pytest.
+        from gfw_raster_analysis_lambda_spark.operators import tilestats
+        from gfw_raster_analysis_lambda_spark.plans.sql_frontend import (
+            parse_raster_sql,
+        )
+
+        images, aoi, env = _fixture(spark)
+        sql = (
+            "SELECT tcl_year, SUM(area__ha) AS loss_ha, COUNT(*) AS n "
+            "FROM tcl_year WHERE tcd_threshold >= 25 AND is_primary = 'true' "
+            "GROUP BY tcl_year"
+        )
+        nodata = {
+            name: env.nodata_of(name)
+            for name in ("tcl_year", "tcd_threshold", "is_primary")
+        }
+        stats = tilestats.collect_tile_stats(
+            images.filter(
+                F.col("layer").isin("tcl_year", "tcd_threshold", "is_primary")
+            ),
+            nodata,
+        )
+        query = parse_raster_sql(sql, env)
+        pruned = tilestats.prune_images_for_query(images, stats, query, env)
+        df = zonal_statistics(
+            spark, pruned, aoi.filter(F.col("aoi_id").isin(list(_BOXES))),
+            sql, env, GRID.name,
+        )
+        return df.withColumn("loss_ha", F.round("loss_ha", 3))
+    q["zonal_pruned_parity"] = zonal_pruned_parity
+
     def _compact_fixture_cells(spark):
         # deterministic 16x16-cell box of the 4/1024 grid (0.25-deg
         # cells at lon 10..14, lat 20..24) minus pseudo-random holes —
@@ -2257,6 +2294,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return quality_classifier_score(docs, weights, n_buckets=256, salt="qc")
     q["text_quality_classifier"] = text_quality_classifier
+
+    def text_dist_drift(spark, sf_dir):
+        # corpus-distribution drift monitoring: per-category chi-square
+        # contributions between a reference slice and a current slice —
+        # integer numerators (counts only), ONE division per category
+        # rounded at the end, so the twin is hash-exact. The monitoring
+        # primitive a recurring ingest pipeline alerts on.
+        docs = _t(spark, sf_dir, "documents")
+        tagged = docs.select(
+            "lang", (F.col("doc_id") % 2 == 0).alias("is_ref")
+        )
+        per = tagged.groupBy("lang").agg(
+            F.sum(F.col("is_ref").cast("long")).alias("n_ref"),
+            F.sum((~F.col("is_ref")).cast("long")).alias("n_cur"),
+        )
+        tot = per.agg(
+            F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+        )
+        j = per.crossJoin(F.broadcast(tot))
+        num = (
+            F.col("n_cur") * F.col("t_ref") - F.col("n_ref") * F.col("t_cur")
+        )
+        den = F.col("n_ref") * F.col("t_cur") * F.col("t_ref")
+        return j.select(
+            "lang", "n_ref", "n_cur",
+            F.when(den > 0, F.round((num * num) / den, 6))
+            .otherwise(F.lit(None))
+            .alias("chi2_contrib"),
+        )
+    q["text_dist_drift"] = text_dist_drift
 
     def text_chunks(spark, sf_dir):
         # fixed-token training windows with overlap (chunk 32, stride 24):
@@ -4899,6 +4966,25 @@ SELECT t.track_id,
        COALESCE(per.longest_stay, 0) AS longest_stay
 FROM (SELECT DISTINCT user_id AS track_id FROM events) t
 LEFT JOIN per USING (track_id)
+"""
+
+    o["zonal_pruned_parity"] = o["zonal_group_sum"]
+
+    o["text_dist_drift"] = """
+WITH per AS (
+  SELECT lang,
+         SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_ref,
+         SUM(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS n_cur
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM per)
+SELECT lang, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+       CASE WHEN n_ref * t_cur * t_ref > 0
+            THEN ROUND(CAST((n_cur * t_ref - n_ref * t_cur)
+                            * (n_cur * t_ref - n_ref * t_cur) AS DOUBLE)
+                       / (n_ref * t_cur * t_ref), 6)
+            ELSE NULL END AS chi2_contrib
+FROM per, tot
 """
 
     _HQ_BODY = """
