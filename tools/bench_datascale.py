@@ -351,7 +351,71 @@ def workloads(spark, sf_dir):
         # Poisson weighted sampling: codegen filter, no shuffle
         "sample_weighted": lambda: sampling.weighted_sample(
             t("documents"), "n_chars", rate=0.0025),
+        # one track-keyed shuffle each; tracks = users, points = events
+        "spatial_track_stats": lambda: _track_stats(spark, t("events")),
+        "spatial_stay_points": lambda: _stay_points(spark, t("events")),
+        # one groupBy(group, bin) + a <=n_bins-row window per group
+        "rel_hist_quantile": lambda: _hist_quantile(t("lineitem")),
+        # 4 integer rounds over a 2-rule graph on the event users
+        "rel_pagerank": lambda: _pagerank(t("events")),
     }
+
+
+def _track_pts(events):
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return events.select(
+        F.col("user_id").alias("track_id"), "ts",
+        F.col("event_id").alias("point_id"),
+        F.sum((F.col("event_id") * 131) % 2001 - 1000).over(w).alias("x_micro"),
+        F.sum((F.col("event_id") * 197) % 2001 - 1000).over(w).alias("y_micro"),
+    )
+
+
+def _track_stats(spark, events):
+    from gfw_raster_analysis_lambda_spark.operators.trajectories import track_stats
+
+    return track_stats(_track_pts(events))
+
+
+def _stay_points(spark, events):
+    from gfw_raster_analysis_lambda_spark.operators.trajectories import stay_points
+
+    return stay_points(_track_pts(events), eps_micro=600, min_run=3)
+
+
+def _hist_quantile(lineitem):
+    from gfw_raster_analysis_lambda_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    li = lineitem.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return histogram_quantiles(
+        li, "cents", ["l_returnflag"], 0, 19_999_999, n_bins=512)
+
+
+def _pagerank(events):
+    from gfw_raster_analysis_lambda_spark.operators.graphs import pagerank
+
+    u = events.select("user_id").distinct()
+    edges = u.select(
+        F.col("user_id").alias("src"),
+        ((F.col("user_id") * 7 + 3) % 150).alias("dst"),
+    ).unionByName(
+        u.select(
+            F.col("user_id").alias("src"),
+            ((F.col("user_id") * 13 + 11) % 150).alias("dst"),
+        )
+    )
+    return pagerank(edges, iterations=4)
 
 
 def _cells_compact(df):
@@ -551,7 +615,11 @@ def main():
               "spatial_cells_compact": "documents",
               "text_bpe_encode": "documents",
               "text_quality_classifier": "documents",
-              "sample_weighted": "documents"}
+              "sample_weighted": "documents",
+              "spatial_track_stats": "events",
+              "spatial_stay_points": "events",
+              "rel_hist_quantile": "lineitem",
+              "rel_pagerank": "events"}
 
     lines = [
         "## Data-size scaling (round 5)", "",
