@@ -319,16 +319,21 @@ class SnapshotTable:
         return out
 
     def read(
-        self, snapshot_id=None, as_of=None, partition_filter=None
+        self, snapshot_id=None, as_of=None, partition_filter=None, tag=None
     ) -> DataFrame:
         """DataFrame over exactly one snapshot's file set (time travel
         via ``snapshot_id`` or ``as_of`` epoch-seconds). ONE scan node:
         the hive-style data layout plus ``basePath`` lets Spark derive
         partition columns natively from the manifest-selected paths.
         Partition columns are surfaced as strings (hive convention) so
-        the schema never depends on value-shape inference."""
+        the schema never depends on value-shape inference. ``tag`` reads
+        a named ref (:meth:`tag`)."""
         from pyspark.sql import functions as F
 
+        if tag is not None:
+            if snapshot_id is not None or as_of is not None:
+                raise ValueError("pass exactly one of tag/snapshot_id/as_of")
+            snapshot_id = self.resolve_tag(tag)
         snap = self._resolve(snapshot_id, as_of)
         if not snap["manifest"]:
             raise ValueError("empty table has no schema; append first")
@@ -351,6 +356,36 @@ class SnapshotTable:
         for c in pcols:
             df = df.withColumn(c, F.col(c).cast("string"))
         return df
+
+    # -- named refs (Iceberg tags) ---------------------------------------------
+
+    def tag(self, name: str, snapshot_id: "int | None" = None) -> int:
+        """Pin a name to a snapshot (Iceberg tag): release cuts,
+        "the corpus the model was trained on". Atomic rename write;
+        re-tagging moves the name. Tagged snapshots still expire unless
+        retained — pass a generous keep_last or re-tag before expiry."""
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        if not os.path.exists(self._snap_path(sid)):
+            raise ValueError(f"no snapshot {sid} to tag")
+        if "/" in name or name.startswith("snap-"):
+            raise ValueError(f"invalid tag name {name!r}")
+        _atomic_write(os.path.join(self.meta_dir, f"tag-{name}.text"), str(sid))
+        return sid
+
+    def resolve_tag(self, name: str) -> int:
+        try:
+            with open(os.path.join(self.meta_dir, f"tag-{name}.text")) as f:
+                return int(f.read().strip())
+        except OSError:
+            raise ValueError(f"unknown tag {name!r}") from None
+
+    def tags(self) -> "dict[str, int]":
+        out = {}
+        for fn in os.listdir(self.meta_dir):
+            if fn.startswith("tag-") and fn.endswith(".text"):
+                with open(os.path.join(self.meta_dir, fn)) as f:
+                    out[fn[4:-5]] = int(f.read().strip())
+        return out
 
     # -- incremental consumption ----------------------------------------------
 

@@ -395,3 +395,23 @@ def test_schema_evolution_additive_column(spark, tmp_path):
     assert set(t.read().columns) == {"k", "day", "v", "lang"}
     assert got[1].lang is None and got[2].lang == "en"
     assert "lang" not in t.read(snapshot_id=1).columns
+
+
+def test_tags_named_refs(spark, tmp_path):
+    """Iceberg-style tags: pin a training cut by name, read it forever
+    (until expiry), re-tag moves the name."""
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), partition_by=["day"])
+    t.append(_df(spark, [(1, "d1", 10)]))
+    t.tag("train-v1")
+    t.append(_df(spark, [(2, "d2", 20)]))
+    assert {r.k for r in t.read(tag="train-v1").collect()} == {1}
+    assert {r.k for r in t.read().collect()} == {1, 2}
+    t.tag("train-v1", 2)  # re-tag
+    assert {r.k for r in t.read(tag="train-v1").collect()} == {1, 2}
+    assert t.tags() == {"train-v1": 2}
+    with pytest.raises(ValueError, match="unknown tag"):
+        t.read(tag="nope")
+    with pytest.raises(ValueError, match="exactly one"):
+        t.read(tag="train-v1", snapshot_id=1)
+    with pytest.raises(ValueError, match="no snapshot"):
+        t.tag("bad", 99)
