@@ -273,6 +273,22 @@ class SnapshotTable:
         # an empty incoming df overwrites nothing (no partitions present)
         return self._commit("overwrite", new_entries, drop)
 
+    def delete_partitions(self, values: "list[dict]") -> int:
+        """Logical partition delete: one metadata-only commit dropping
+        every file whose partition tuple matches an entry of ``values``
+        (e.g. ``[{"day": "d1"}]``) — the takedown/retention primitive.
+        Data files remain until :meth:`expire_snapshots` reclaims them,
+        so pre-delete snapshots stay time-travelable for audit."""
+        pcols = self.partition_by
+        if not pcols:
+            raise ValueError("delete_partitions needs a partitioned table")
+        drop = set()
+        for v in values:
+            if set(v) != set(pcols):
+                raise ValueError(f"specify all partition cols {pcols}: {v}")
+            drop.add(tuple(sorted((k, str(x)) for k, x in v.items())))
+        return self._commit("delete", [], drop)
+
     def overwrite_all(self, df: DataFrame) -> int:
         """Full-table replace (Iceberg ``overwrite`` with true filter)."""
         new_entries = self._stage(df)

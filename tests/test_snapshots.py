@@ -415,3 +415,19 @@ def test_tags_named_refs(spark, tmp_path):
         t.read(tag="train-v1", snapshot_id=1)
     with pytest.raises(ValueError, match="no snapshot"):
         t.tag("bad", 99)
+
+
+def test_delete_partitions_logical_tombstone(spark, tmp_path):
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), partition_by=["day"])
+    t.append(_df(spark, [(1, "d1", 10), (2, "d2", 20), (3, "d3", 30)]))
+    sid = t.delete_partitions([{"day": "d1"}, {"day": "d3"}])
+    assert sid == 2
+    assert {r.k for r in t.read().collect()} == {2}
+    # audit trail: pre-delete snapshot still reads everything
+    assert {r.k for r in t.read(snapshot_id=1).collect()} == {1, 2, 3}
+    # the files exist until expiry reclaims them
+    assert len(t.files(snapshot_id=1)) == 3
+    dropped = t.expire_snapshots(keep_last=1)
+    assert dropped["files"] == 2
+    with pytest.raises(ValueError, match="all partition cols"):
+        t.delete_partitions([{}])
