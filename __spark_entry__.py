@@ -3168,6 +3168,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["sample_weighted"] = sample_weighted
 
+    def sample_spatial_split(spark, sf_dir):
+        # spatial block cross-validation split with a boundary dead zone
+        # (sampling.spatial_block_split): tiles assigned by hashed 4x4
+        # superblock; tiles within 1 cell of a DIFFERENT-split block
+        # become 'buffer' (excluded from both sides) — the standard
+        # spatial-autocorrelation leakage guard. Pure integer+md5
+        # codegen, zero shuffle; the twin replays every block hash.
+        from gfw_raster_analysis_lambda_spark.operators.sampling import (
+            spatial_block_split,
+        )
+
+        base = 3 << 54  # fixture grid 4/1024 (index 3)
+        cells = (
+            spark.range(1024)
+            .filter((F.col("id") * 11) % 23 != 0)
+            .select(
+                (
+                    F.lit(base)
+                    + (F.lit(700) + F.col("id") % 32) * F.lit(1 << 27)
+                    + (F.lit(250) + (F.col("id") / 32).cast("long"))
+                ).alias("cell_id")
+            )
+        )
+        return spatial_block_split(
+            cells,
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+            block_cells=4,
+            buffer_cells=1,
+        ).select("cell_id", "split")
+    q["sample_spatial_split"] = sample_spatial_split
+
     def sample_embedding_decontaminate(spark, sf_dir):
         # embedding-space benchmark decontamination: corpus vectors whose
         # best rounded cosine vs ANY benchmark embedding >= 0.8 are
@@ -5094,6 +5125,56 @@ FROM documents
 WHERE CAST(('0x' || substr(md5('weighted:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
         / 281474976710656.0
       < LEAST(CAST(1.0 AS DOUBLE), CAST(n_chars AS DOUBLE) * CAST(0.0025 AS DOUBLE))
+"""
+
+    # spatial block split twin: replay the per-block md5 threshold for
+    # the home block and all 8 neighbors (buffer = near a boundary to a
+    # block whose hash lands in a different split interval)
+    def _sb_u(kx: str, ky: str) -> str:
+        return (
+            "(CAST(('0x' || substr(md5('spatial:' || CAST(" + kx
+            + " AS VARCHAR) || '/' || CAST(" + ky
+            + " AS VARCHAR)), 1, 12)) AS BIGINT) / 281474976710656.0)"
+        )
+
+    def _sb_split(kx: str, ky: str) -> str:
+        u = _sb_u(kx, ky)
+        return (
+            f"CASE WHEN {u} < 0.8 THEN 'train' "
+            f"WHEN {u} < 0.9 THEN 'val' ELSE 'test' END"
+        )
+
+    _sb_buf = " OR ".join(
+        f"({near} AND {_sb_split(nkx, nky)} <> home)"
+        for nkx, nky, near in [
+            ("bx-1", "by", "lx < 1"),
+            ("bx+1", "by", "lx >= 3"),
+            ("bx", "by-1", "ly < 1"),
+            ("bx", "by+1", "ly >= 3"),
+            ("bx-1", "by-1", "lx < 1 AND ly < 1"),
+            ("bx-1", "by+1", "lx < 1 AND ly >= 3"),
+            ("bx+1", "by-1", "lx >= 3 AND ly < 1"),
+            ("bx+1", "by+1", "lx >= 3 AND ly >= 3"),
+        ]
+    )
+    o["sample_spatial_split"] = f"""
+WITH ids AS (
+  SELECT i FROM generate_series(0, 1023) g(i) WHERE (i*11) % 23 <> 0
+),
+c AS (
+  SELECT 54043195528445952 + (700 + i % 32) * 134217728 + (250 + i // 32) AS cell_id,
+         700 + i % 32 AS x, 250 + i // 32 AS y
+  FROM ids
+),
+b AS (
+  SELECT cell_id, x // 4 AS bx, y // 4 AS by, x % 4 AS lx, y % 4 AS ly FROM c
+),
+h AS (
+  SELECT cell_id, bx, by, lx, ly, {_sb_split('bx', 'by')} AS home FROM b
+)
+SELECT cell_id,
+       CASE WHEN {_sb_buf} THEN 'buffer' ELSE home END AS split
+FROM h
 """
 
     o["mm_quality_signals"] = """

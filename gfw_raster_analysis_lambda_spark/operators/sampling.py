@@ -233,6 +233,88 @@ def reservoir_sample(
     )
 
 
+def spatial_block_split(
+    cells: DataFrame,
+    weights: "dict[str, float]",
+    block_cells: int = 4,
+    buffer_cells: int = 1,
+    cell_col: str = "cell_id",
+    salt: str = "spatial",
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe SPATIAL train/val/test assignment with a boundary
+    buffer — the geospatial analog of :func:`leakage_safe_split`.
+
+    Random per-tile splits leak in geospatial ML because neighboring
+    tiles are spatially autocorrelated (a val tile 30 m from a train
+    tile is nearly a duplicate). The standard remedy (Roberts et al.
+    2017, "Cross-validation strategies for data with temporal, spatial,
+    hierarchical, or phylogenetic structure", Ecography 40) is block
+    cross-validation with a dead zone: tiles are assigned by SUPERBLOCK
+    (``block_cells`` x ``block_cells`` groups of grid cells, hashed as a
+    unit exactly like :func:`split_assign`), and any tile within
+    ``buffer_cells`` of a boundary to a block holding a DIFFERENT split
+    is re-assigned to the sentinel split ``"buffer"`` and excluded from
+    both sides.
+
+    Everything is integer arithmetic on the cell id (grid index / x / y
+    bit fields) plus up to 8 md5-threshold evaluations for the adjacent
+    blocks — one codegen projection, zero shuffle, zero Python. The
+    assignment is a pure function of (salt, block), so it is stable
+    under corpus growth and identical in the DuckDB twin. Boundary
+    blocks at the grid edge have no neighbor on that side, so edge
+    proximity alone never buffers a tile; two adjacent blocks that
+    hash to the SAME split keep their border tiles (no dead zone is
+    needed where there is no split boundary).
+
+    ``buffer_cells`` must be < ``block_cells`` (a buffer as wide as the
+    block would erase whole blocks; use a coarser block instead).
+    """
+    if not 0 <= int(buffer_cells) < int(block_cells):
+        raise ValueError("need 0 <= buffer_cells < block_cells")
+    b = int(block_cells)
+    r = int(buffer_cells)
+    c = F.col(cell_col).cast("long")
+    x = F.shiftright(c, 27).bitwiseAND(F.lit((1 << 27) - 1))
+    y = c.bitwiseAND(F.lit((1 << 27) - 1))
+    bx = (x / b).cast("long")
+    by = (y / b).cast("long")
+    lx = x % b
+    ly = y % b
+
+    names = list(weights.keys())
+    total = float(sum(weights.values()))
+
+    def split_of(kx: Column, ky: Column) -> Column:
+        u = hash_uniform(F.concat_ws("/", kx.cast("string"), ky.cast("string")), salt)
+        expr = None
+        cum = 0.0
+        for name in names[:-1]:
+            cum += float(weights[name]) / total
+            cond = u < F.lit(cum)
+            expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        return F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+
+    home = split_of(bx, by)
+    # (neighbor-exists, near-that-boundary) for the 8 adjacent blocks;
+    # r = 0 disables buffering entirely (no condition can hold)
+    sides = [
+        (bx - 1, by, (bx > 0) & (lx < r)),
+        (bx + 1, by, lx >= b - r),
+        (bx, by - 1, (by > 0) & (ly < r)),
+        (bx, by + 1, ly >= b - r),
+        (bx - 1, by - 1, (bx > 0) & (by > 0) & (lx < r) & (ly < r)),
+        (bx - 1, by + 1, (bx > 0) & (lx < r) & (ly >= b - r)),
+        (bx + 1, by - 1, (by > 0) & (lx >= b - r) & (ly < r)),
+        (bx + 1, by + 1, (lx >= b - r) & (ly >= b - r)),
+    ]
+    buffered = F.lit(False)
+    if r > 0:
+        for nx_, ny_, near in sides:
+            buffered = buffered | (near & (split_of(nx_, ny_) != home))
+    return cells.withColumn(out_col, F.when(buffered, F.lit("buffer")).otherwise(home))
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,

@@ -1137,3 +1137,75 @@ def test_agreement_stats_one_sided_class(spark):
     r = crosstab.agreement_stats(df).collect()[0]
     assert r["n_px"] == 10 and r["agree_px"] == 5
     assert r["kappa"] == 0.0
+
+
+def test_spatial_block_split_semantics(spark):
+    """Block split: interior cells inherit their block's hash split;
+    a cell at a boundary to a DIFFERENT-split block becomes 'buffer';
+    grid-edge proximity alone never buffers; buffer_cells=0 disables."""
+    import numpy as np
+
+    from gfw_raster_analysis_lambda_spark.functions import grid as G
+    from gfw_raster_analysis_lambda_spark.operators.sampling import (
+        spatial_block_split,
+    )
+
+    g = G.GRID_FIXTURE
+    b, r = 4, 1
+    # a 12x12 cell patch INCLUDING the grid origin (x=0, y=0) so the
+    # edge guards (no neighbor off-grid) are exercised
+    xs, ys = np.meshgrid(np.arange(12), np.arange(12), indexing="ij")
+    cells = [
+        (int(G.cell_from_xy(g, int(x), int(y))),)
+        for x, y in zip(xs.ravel(), ys.ravel())
+    ]
+    df = spark.createDataFrame(cells, "cell_id long")
+    w = {"train": 0.5, "val": 0.25, "test": 0.25}
+    got = {
+        row["cell_id"]: row["split"]
+        for row in spatial_block_split(df, w, block_cells=b, buffer_cells=r).collect()
+    }
+
+    # python oracle: same md5 math, independent control flow
+    import hashlib
+
+    def u(bx, by):
+        h = hashlib.md5(f"spatial:{bx}/{by}".encode()).hexdigest()[:12]
+        return int(h, 16) / float(1 << 48)
+
+    def home(bx, by):
+        v = u(bx, by)
+        return "train" if v < 0.5 else ("val" if v < 0.75 else "test")
+
+    n_buffer = 0
+    for x, y in zip(xs.ravel().tolist(), ys.ravel().tolist()):
+        bx, by, lx, ly = x // b, y // b, x % b, y % b
+        h = home(bx, by)
+        buffered = False
+        for dx, dy in [(-1, 0), (1, 0), (0, -1), (0, 1),
+                       (-1, -1), (-1, 1), (1, -1), (1, 1)]:
+            nbx, nby = bx + dx, by + dy
+            if nbx < 0 or nby < 0:
+                continue  # off-grid: no split boundary there
+            near_x = (lx < r and dx == -1) or (lx >= b - r and dx == 1) or dx == 0
+            near_y = (ly < r and dy == -1) or (ly >= b - r and dy == 1) or dy == 0
+            if dx != 0 and dy != 0:
+                near = ((lx < r and dx == -1) or (lx >= b - r and dx == 1)) and \
+                       ((ly < r and dy == -1) or (ly >= b - r and dy == 1))
+            elif dx != 0:
+                near = (lx < r and dx == -1) or (lx >= b - r and dx == 1)
+            else:
+                near = (ly < r and dy == -1) or (ly >= b - r and dy == 1)
+            if near and home(nbx, nby) != h:
+                buffered = True
+                break
+        want = "buffer" if buffered else h
+        cell = int(G.cell_from_xy(g, x, y))
+        assert got[cell] == want, (x, y, got[cell], want)
+        n_buffer += want == "buffer"
+    # the patch crosses 3x3 blocks of 3 splits: some buffer must exist
+    assert 0 < n_buffer < len(cells)
+
+    # buffer_cells=0: pure block assignment, no sentinel anywhere
+    got0 = spatial_block_split(df, w, block_cells=b, buffer_cells=0)
+    assert got0.filter("split = 'buffer'").count() == 0
