@@ -3199,6 +3199,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("cell_id", "split")
     q["sample_spatial_split"] = sample_spatial_split
 
+    def spatial_buffer_cells(spark, sf_dir):
+        # buffered cell cover (cells.buffer_cells): chebyshev dilation
+        # of three AOI covers by 2 rings with min-ring labeling — the
+        # ST_Buffer / H3 gridDiskDistances role. AOI C sits at the
+        # antimeridian corner (x=1439, y=719) so the x-wrap and pole
+        # clip are both exercised; the twin replays the integer rule.
+        from gfw_raster_analysis_lambda_spark.functions import grid as G
+        from gfw_raster_analysis_lambda_spark.operators.cells import (
+            buffer_cells,
+        )
+
+        g = G.GRID_FIXTURE
+        rows = [
+            ("A", int(G.cell_from_xy(g, x, y)))
+            for x in range(760, 766)
+            for y in range(276, 280)
+        ] + [
+            ("B", int(G.cell_from_xy(g, x, y)))
+            for x in range(768, 771)
+            for y in range(278, 284)
+        ] + [("C", int(G.cell_from_xy(g, 1439, 719)))]
+        df = spark.createDataFrame(rows, "aoi_id string, cell_id long")
+        return buffer_cells(df, 2, g.name)
+    q["spatial_buffer_cells"] = spatial_buffer_cells
+
     def sample_embedding_decontaminate(spark, sf_dir):
         # embedding-space benchmark decontamination: corpus vectors whose
         # best rounded cosine vs ANY benchmark embedding >= 0.8 are
@@ -5175,6 +5200,31 @@ h AS (
 SELECT cell_id,
        CASE WHEN {_sb_buf} THEN 'buffer' ELSE home END AS split
 FROM h
+"""
+
+    o["spatial_buffer_cells"] = """
+WITH cover AS (
+  SELECT 'A' AS aoi_id, gx.x AS x, gy.y AS y
+  FROM generate_series(760, 765) gx(x), generate_series(276, 279) gy(y)
+  UNION ALL
+  SELECT 'B', gx.x, gy.y
+  FROM generate_series(768, 770) gx(x), generate_series(278, 283) gy(y)
+  UNION ALL
+  SELECT 'C', 1439, 719
+),
+fan AS (
+  SELECT aoi_id,
+         ((x + dx.d) % 1440 + 1440) % 1440 AS nx,
+         y + dy.d AS ny,
+         GREATEST(ABS(dx.d), ABS(dy.d)) AS ring
+  FROM cover, generate_series(-2, 2) dx(d), generate_series(-2, 2) dy(d)
+  WHERE y + dy.d >= 0 AND y + dy.d < 720
+)
+SELECT aoi_id,
+       54043195528445952 + nx * 134217728 + ny AS cell_id,
+       MIN(ring) AS ring
+FROM fan
+GROUP BY aoi_id, nx, ny
 """
 
     o["mm_quality_signals"] = """

@@ -185,3 +185,60 @@ def uncompact_cells(
         )
     )
     return df.select(F.explode(guarded).alias("cell_id"))
+
+
+def buffer_cells(
+    cells: DataFrame,
+    radius: int,
+    grid_name: str,
+    cell_col: str = "cell_id",
+    group_col: "str | None" = "aoi_id",
+) -> DataFrame:
+    """Buffered cell cover — the GIS *buffer* primitive at cell
+    granularity (``ST_Buffer`` over an indexed cover; the H3
+    ``gridDiskDistances`` role). For every input cell, emits all cells
+    within chebyshev distance <= ``radius`` rings, tagged with ``ring``
+    = the MINIMUM ring distance to any input cell of the same group —
+    ring 0 is the original cover, ring k the k-th dilation shell.
+
+    This is how an engine widens an AOI cover for proximity queries
+    ("tiles within 10 km of the park boundary"), pre-fetches halo tiles
+    for focal kernels, or builds the dead zone for spatial splits at
+    query time — without re-rasterizing the polygon at a padded extent.
+
+    Spark shape: two nested ``explode(sequence(-r, r))`` projections
+    fan each cover cell to its (2r+1)^2 neighborhood (x wraps at the
+    antimeridian, y clips at the poles — exactly :func:`~..functions.
+    grid.k_ring`'s rule), then ONE groupBy((group, cell)) MIN(ring)
+    dedups overlapping shells. Output is O(cover x (2r+1)^2) before
+    the combine and O(buffered cover) after; map-side partial MIN makes
+    the Exchange carry only the deduped rows per partition. All integer
+    bit arithmetic — zero Python, one shuffle.
+    """
+    if radius < 0:
+        raise ValueError("radius must be >= 0")
+    g = G.get_grid(grid_name)
+    x, y = cell_xy(F.col(cell_col))
+    keys = [group_col] if group_col else []
+    df = (
+        cells.select(*keys, x.alias("__x"), y.alias("__y"))
+        .withColumn("__dx", F.explode(F.sequence(F.lit(-radius), F.lit(radius))))
+        .withColumn("__dy", F.explode(F.sequence(F.lit(-radius), F.lit(radius))))
+        .select(
+            *keys,
+            # antimeridian wrap in x (pmod keeps the result non-negative)
+            F.pmod(F.col("__x") + F.col("__dx"), F.lit(g.nx)).alias("__nx"),
+            (F.col("__y") + F.col("__dy")).alias("__ny"),
+            F.greatest(F.abs(F.col("__dx")), F.abs(F.col("__dy"))).alias("__ring"),
+        )
+        .filter((F.col("__ny") >= 0) & (F.col("__ny") < g.ny))
+    )
+    return (
+        df.groupBy(*keys, "__nx", "__ny")
+        .agg(F.min("__ring").alias("ring"))
+        .select(
+            *keys,
+            pack_cell(g, F.col("__nx"), F.col("__ny")).alias(cell_col),
+            "ring",
+        )
+    )

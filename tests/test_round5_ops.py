@@ -1209,3 +1209,44 @@ def test_spatial_block_split_semantics(spark):
     # buffer_cells=0: pure block assignment, no sentinel anywhere
     got0 = spatial_block_split(df, w, block_cells=b, buffer_cells=0)
     assert got0.filter("split = 'buffer'").count() == 0
+
+
+def test_buffer_cells_ring_and_wrap(spark):
+    """buffer_cells: ring = min chebyshev distance, x wraps at the
+    antimeridian, y clips at the pole, radius 0 = identity cover."""
+    from gfw_raster_analysis_lambda_spark.functions import grid as G
+    from gfw_raster_analysis_lambda_spark.operators.cells import buffer_cells
+
+    g = G.GRID_FIXTURE  # nx=1440, ny=720
+    rows = [("w", int(G.cell_from_xy(g, 0, 719)))]  # NW corner cell
+    df = spark.createDataFrame(rows, "aoi_id string, cell_id long")
+    out = {
+        tuple(map(int, G.cell_to_xy(r["cell_id"]))) + (r["ring"],)
+        for r in buffer_cells(df, 1, g.name).collect()
+    }
+    # y=720 clipped; x=-1 wraps to 1439
+    want = {
+        (1439, 718, 1), (1439, 719, 1),
+        (0, 718, 1), (0, 719, 0),
+        (1, 718, 1), (1, 719, 1),
+    }
+    assert out == want
+
+    # two nearby cover cells: overlapping shells keep the MIN ring
+    rows2 = [
+        ("a", int(G.cell_from_xy(g, 100, 100))),
+        ("a", int(G.cell_from_xy(g, 102, 100))),
+    ]
+    df2 = spark.createDataFrame(rows2, "aoi_id string, cell_id long")
+    got = {
+        tuple(map(int, G.cell_to_xy(r["cell_id"]))): r["ring"]
+        for r in buffer_cells(df2, 1, g.name).collect()
+    }
+    assert got[(101, 100)] == 1  # between the two, dist 1 to both
+    assert got[(100, 100)] == 0 and got[(102, 100)] == 0
+    assert got[(103, 100)] == 1
+    assert len(got) == 5 * 3  # union of two 3x3 disks centered 2 apart
+
+    # radius 0: identity with ring 0
+    ident = buffer_cells(df2, 0, g.name).collect()
+    assert sorted(r["ring"] for r in ident) == [0, 0]
