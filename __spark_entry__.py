@@ -3224,6 +3224,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return buffer_cells(df, 2, g.name)
     q["spatial_buffer_cells"] = spatial_buffer_cells
 
+    def mm_tile_moments(spark, sf_dir):
+        # integer-exact raw image moments m00..m02 + intensity centroid
+        # (multimodal.tile_moments, Hu 1962) over the lossless
+        # ttc_percent tiles with NoData 255 zeroed — the shape /
+        # orientation / dedup-sketch primitive; the twin re-derives all
+        # six sums from the pixel formula in exact integer SQL
+        images, _aoi, _env = _fixture(spark)
+        ttc = images.filter(F.col("layer") == "ttc_percent")
+        return multimodal.tile_moments(ttc, no_data=255)
+    q["mm_tile_moments"] = mm_tile_moments
+
     def sample_embedding_decontaminate(spark, sf_dir):
         # embedding-space benchmark decontamination: corpus vectors whose
         # best rounded cosine vs ANY benchmark embedding >= 0.8 are
@@ -5225,6 +5236,31 @@ SELECT aoi_id,
        MIN(ring) AS ring
 FROM fan
 GROUP BY aoi_id, nx, ny
+"""
+
+    o["mm_tile_moments"] = """
+WITH cells AS (
+  SELECT gx.x AS x, gy.y AS y
+  FROM generate_series(760, 763) gx(x), generate_series(276, 279) gy(y)
+),
+px AS (
+  SELECT x, y, gi.i AS i, gj.j AS j,
+         CASE WHEN (x + y + gi.i + gj.j) % 7 = 0 THEN 0
+              ELSE (x*5 + y*13 + gi.i*11 + gj.j*3) % 128 END AS v
+  FROM cells, generate_series(0, 63) gi(i), generate_series(0, 63) gj(j)
+),
+m AS (
+  SELECT x, y,
+         SUM(v) AS m00, SUM(i*v) AS m10, SUM(j*v) AS m01,
+         SUM(i*j*v) AS m11, SUM(i*i*v) AS m20, SUM(j*j*v) AS m02
+  FROM px GROUP BY x, y
+)
+SELECT printf('ttc_percent/%016x', 54043195528445952 + x * 134217728 + y)
+         AS image_id,
+       m00, m10, m01, m11, m20, m02,
+       CAST(m10 AS DOUBLE) / m00 AS ci,
+       CAST(m01 AS DOUBLE) / m00 AS cj
+FROM m
 """
 
     o["mm_quality_signals"] = """

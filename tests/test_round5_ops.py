@@ -1250,3 +1250,47 @@ def test_buffer_cells_ring_and_wrap(spark):
     # radius 0: identity with ring 0
     ident = buffer_cells(df2, 0, g.name).collect()
     assert sorted(r["ring"] for r in ident) == [0, 0]
+
+
+def test_tile_moments_nodata_and_degenerate(spark):
+    """tile_moments: NoData pixels weigh 0; all-NoData tile -> null
+    centroid; moments match a direct numpy computation."""
+    import numpy as np
+
+    from gfw_raster_analysis_lambda_spark.functions import codecs
+    from gfw_raster_analysis_lambda_spark.operators.multimodal import tile_moments
+
+    a = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    a[1, 2] = 9  # duplicate a value so masking is value-based, not unique
+    dead = np.full((4, 4), 7, dtype=np.uint8)  # all pixels == no_data
+    rows = [
+        ("t/a", codecs.encode_tile(a, "png"), 4, 4, "png", "", 0),
+        ("t/dead", codecs.encode_tile(dead, "png"), 4, 4, "png", "", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+    )
+    got = {r["image_id"]: r for r in tile_moments(df, no_data=7).collect()}
+
+    v = a.astype(np.int64)
+    v[v == 7] = 0
+    i = np.arange(4)[:, None]
+    j = np.arange(4)[None, :]
+    r = got["t/a"]
+    assert r["m00"] == int(v.sum())
+    assert r["m10"] == int((i * v).sum()) and r["m01"] == int((j * v).sum())
+    assert r["m11"] == int((i * j * v).sum())
+    assert r["m20"] == int((i * i * v).sum()) and r["m02"] == int((j * j * v).sum())
+    assert r["ci"] == (i * v).sum() / v.sum()
+
+    d = got["t/dead"]
+    assert d["m00"] == 0 and d["ci"] is None and d["cj"] is None
+
+    # NaN-sentinel float layer: NaN contributes 0
+    f = np.array([[1.0, float("nan")], [2.0, 3.0]], dtype=np.float32)
+    rows_f = [("t/f", codecs.encode_tile(f, "raw_f32"), 2, 2, "raw_f32", "", 0)]
+    dff = spark.createDataFrame(
+        rows_f, "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+    )
+    rf = tile_moments(dff, no_data=float("nan")).collect()[0]
+    assert rf["m00"] == 6 and rf["m10"] == 5 and rf["m01"] == 3
