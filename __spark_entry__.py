@@ -3235,6 +3235,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multimodal.tile_moments(ttc, no_data=255)
     q["mm_tile_moments"] = mm_tile_moments
 
+    def spatial_adaptive_cells(spark, sf_dir):
+        # skew-adaptive quadtree cover (cells.adaptive_cell_cover):
+        # 2000 points with a 1200-point hot cluster in ONE finest cell
+        # plus a medium-density field; each region emits at the
+        # coarsest rung of 4/512 -> 4/1024 -> 4/2048 holding <= 6
+        # points (the hot cell stays heavy at the finest rung and is
+        # emitted there — the irreducible floor). Points shuffle once;
+        # the decision runs on the fine-cell count table. The twin
+        # replays the ladder with SQL window sums.
+        from gfw_raster_analysis_lambda_spark.operators.cells import (
+            adaptive_cell_cover,
+        )
+
+        i = F.col("id")
+        hot = i % 5 < 3
+        pts = spark.range(2000).select(
+            F.when(hot, F.lit(-100.0) + (i % 16) / F.lit(128.0))
+            .otherwise(F.lit(-180.0) + ((i * 7) % 80) / F.lit(8.0))
+            .alias("lon"),
+            F.when(hot, F.lit(10.0) - (i % 16) / F.lit(128.0))
+            .otherwise(F.lit(90.0) - ((i * 13) % 40) / F.lit(8.0))
+            .alias("lat"),
+        )
+        return adaptive_cell_cover(
+            pts, ["4/512", "4/1024", "4/2048"], max_count=6
+        )
+    q["spatial_adaptive_cells"] = spatial_adaptive_cells
+
     def sample_embedding_decontaminate(spark, sf_dir):
         # embedding-space benchmark decontamination: corpus vectors whose
         # best rounded cosine vs ANY benchmark embedding >= 0.8 are
@@ -5261,6 +5289,32 @@ SELECT printf('ttc_percent/%016x', 54043195528445952 + x * 134217728 + y)
        CAST(m10 AS DOUBLE) / m00 AS ci,
        CAST(m01 AS DOUBLE) / m00 AS cj
 FROM m
+"""
+
+    # adaptive quadtree cover twin: fine-cell counts + ladder window
+    # sums. Grid headers: 4/512 -> 6<<54, 4/1024 -> 3<<54, 4/2048 ->
+    # 4<<54; ratios vs fine are 4 and 2.
+    o["spatial_adaptive_cells"] = """
+WITH pts AS (
+  SELECT CASE WHEN i % 5 < 3 THEN 640 ELSE (i*7) % 80 END AS xf,
+         CASE WHEN i % 5 < 3 THEN 640 ELSE (i*13) % 40 END AS yf
+  FROM generate_series(0, 1999) g(i)
+),
+c AS (SELECT xf, yf, COUNT(*) AS n FROM pts GROUP BY xf, yf),
+t AS (
+  SELECT xf, yf, n,
+         SUM(n) OVER (PARTITION BY xf // 4, yf // 4) AS t0,
+         SUM(n) OVER (PARTITION BY xf // 2, yf // 2) AS t1
+  FROM c
+)
+SELECT CASE
+         WHEN t0 <= 6 THEN 108086391056891904 + (xf // 4) * 134217728 + (yf // 4)
+         WHEN t1 <= 6 THEN 54043195528445952 + (xf // 2) * 134217728 + (yf // 2)
+         ELSE 72057594037927936 + xf * 134217728 + yf
+       END AS cell_id,
+       SUM(n) AS n_points
+FROM t
+GROUP BY 1
 """
 
     o["mm_quality_signals"] = """

@@ -242,3 +242,65 @@ def buffer_cells(
             "ring",
         )
     )
+
+
+def adaptive_cell_cover(
+    points: DataFrame,
+    ladder: "list[str]",
+    max_count: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Adaptive multi-resolution cell cover over a point set — the
+    quadtree/S2-style answer to SPATIAL SKEW. A fixed-resolution grid
+    either drowns hot spots (one cell holding 10^8 points breaks every
+    downstream equi-join partition) or shatters sparse regions into
+    billions of empty cells. This operator emits each region at the
+    COARSEST rung of ``ladder`` (grid names, coarse -> fine, must nest)
+    where its point count is <= ``max_count``; regions still heavy at
+    the finest rung are emitted there regardless (a single hot fine
+    cell is the irreducible floor — salt it downstream).
+
+    The output ``(cell_id, n_points)`` is a disjoint cover of the input
+    points whose per-cell counts are bounded by max_count everywhere
+    the ladder could achieve it — exactly the balanced partition map a
+    web-scale spatial shuffle wants (build once per corpus snapshot,
+    broadcast, range-partition by it).
+
+    Scale shape: points shuffle ONCE (groupBy finest cell); every later
+    step — parent derivation, per-rung window totals, the emit-rung
+    decision, the final regroup — runs on the O(distinct fine cells)
+    count table, not the points. Decision is per fine cell and depends
+    only on its ancestor totals, so the cover is deterministic and
+    independent of partitioning. All integer bit math; the DuckDB twin
+    replays it with window sums.
+    """
+    from pyspark.sql.window import Window
+
+    from .spatial_join import cell_expr
+
+    grids = [G.get_grid(n) for n in ladder]
+    if len(grids) < 2:
+        raise ValueError("ladder needs >= 2 grids (coarse -> fine)")
+    fine = grids[-1]
+    counts = points.groupBy(
+        cell_expr(fine, F.col(lon_col), F.col(lat_col)).alias("__c")
+    ).agg(F.count("*").alias("__n"))
+    df = counts
+    for gi, g in enumerate(grids[:-1]):
+        df = df.withColumn(
+            f"__p{gi}", parent_cell_expr(fine, g, F.col("__c"))
+        )
+        df = df.withColumn(
+            f"__t{gi}", F.sum("__n").over(Window.partitionBy(f"__p{gi}"))
+        )
+    chosen = None
+    for gi in range(len(grids) - 1):
+        cond = F.col(f"__t{gi}") <= int(max_count)
+        arm = F.col(f"__p{gi}")
+        chosen = F.when(cond, arm) if chosen is None else chosen.when(cond, arm)
+    chosen = chosen.otherwise(F.col("__c"))
+    return (
+        df.groupBy(chosen.alias("cell_id"))
+        .agg(F.sum("__n").alias("n_points"))
+    )

@@ -1294,3 +1294,50 @@ def test_tile_moments_nodata_and_degenerate(spark):
     )
     rf = tile_moments(dff, no_data=float("nan")).collect()[0]
     assert rf["m00"] == 6 and rf["m10"] == 5 and rf["m01"] == 3
+
+
+def test_adaptive_cell_cover_invariants(spark):
+    """adaptive_cell_cover: emitted cells form a disjoint cover whose
+    counts sum to the input size; every cell above the finest rung
+    respects max_count; a hot cluster lands at the finest rung."""
+    from pyspark.sql import functions as F
+
+    from gfw_raster_analysis_lambda_spark.functions import grid as G
+    from gfw_raster_analysis_lambda_spark.operators.cells import (
+        adaptive_cell_cover,
+    )
+
+    i = F.col("id")
+    hot = i % 5 < 3
+    pts = spark.range(2000).select(
+        F.when(hot, F.lit(-100.0) + (i % 16) / F.lit(128.0))
+        .otherwise(F.lit(-180.0) + ((i * 7) % 80) / F.lit(8.0))
+        .alias("lon"),
+        F.when(hot, F.lit(10.0) - (i % 16) / F.lit(128.0))
+        .otherwise(F.lit(90.0) - ((i * 13) % 40) / F.lit(8.0))
+        .alias("lat"),
+    )
+    k = 6
+    rows = adaptive_cell_cover(pts, ["4/512", "4/1024", "4/2048"], k).collect()
+    total = sum(r["n_points"] for r in rows)
+    assert total == 2000  # exact partition of the input
+
+    fine_idx = G.get_grid("4/2048").index
+    seen_fine_hot = False
+    covered = set()
+    for r in rows:
+        g = G.grid_of_cell(r["cell_id"])
+        if g.index != fine_idx:
+            assert r["n_points"] <= k, (g.name, r["n_points"])
+        x, y = map(int, G.cell_to_xy(r["cell_id"]))
+        # expand to the fine-grid footprint; assert disjointness
+        ratio = round(g.tile_deg / G.get_grid("4/2048").tile_deg)
+        for dx in range(ratio):
+            for dy in range(ratio):
+                key = (x * ratio + dx, y * ratio + dy)
+                assert key not in covered
+                covered.add(key)
+        if g.index == fine_idx and (x, y) == (640, 640):
+            seen_fine_hot = True
+            assert r["n_points"] == 1200  # > k: irreducible at finest
+    assert seen_fine_hot  # the hot cluster surfaced at the finest rung
