@@ -3263,6 +3263,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["spatial_adaptive_cells"] = spatial_adaptive_cells
 
+    def zonal_buffer_rings(spark, sf_dir):
+        # "tree-cover density within 2 rings OUTSIDE the park" — the
+        # GFW buffer-analysis shape, composed from cells.buffer_cells
+        # (min-ring dilation of the park's cell cover) x
+        # multimodal.tile_moments (masked per-tile pixel sums): tiles
+        # join the ring map on cell_id (broadcast — the cover is tiny
+        # vs the corpus), then one groupBy(ring). The twin replays the
+        # chebyshev ring rule and the pixel formula.
+        from gfw_raster_analysis_lambda_spark.functions import grid as G
+        from gfw_raster_analysis_lambda_spark.operators.cells import (
+            buffer_cells,
+        )
+
+        g = G.GRID_FIXTURE
+        images, _aoi, _env = _fixture(spark)
+        tcd = images.filter(F.col("layer") == "tcd_threshold")
+        park = spark.createDataFrame(
+            [
+                ("park", int(G.cell_from_xy(g, x, y)))
+                for x in range(760, 762)
+                for y in range(276, 278)
+            ],
+            "aoi_id string, cell_id long",
+        )
+        rings = buffer_cells(park, 2, g.name)
+        mom = multimodal.tile_moments(tcd, no_data=0)
+        j = (
+            mom.join(tcd.select("image_id", "cell_id"), "image_id")
+            .join(F.broadcast(rings), "cell_id")
+        )
+        return j.groupBy("aoi_id", "ring").agg(
+            F.sum("m00").alias("px_sum"),
+            F.count("*").alias("n_tiles"),
+        )
+    q["zonal_buffer_rings"] = zonal_buffer_rings
+
     def sample_embedding_decontaminate(spark, sf_dir):
         # embedding-space benchmark decontamination: corpus vectors whose
         # best rounded cosine vs ANY benchmark embedding >= 0.8 are
@@ -5315,6 +5351,27 @@ SELECT CASE
        SUM(n) AS n_points
 FROM t
 GROUP BY 1
+"""
+
+    o["zonal_buffer_rings"] = """
+WITH cells AS (
+  SELECT gx.x AS x, gy.y AS y
+  FROM generate_series(760, 763) gx(x), generate_series(276, 279) gy(y)
+),
+r AS (
+  SELECT x, y,
+         GREATEST(CASE WHEN x > 761 THEN x - 761 ELSE 0 END,
+                  CASE WHEN y > 277 THEN y - 277 ELSE 0 END) AS ring
+  FROM cells
+),
+s AS (
+  SELECT x, y, SUM((x*3 + y*5 + gi.i*7 + gj.j*11) % 8) AS m00
+  FROM cells, generate_series(0, 63) gi(i), generate_series(0, 63) gj(j)
+  GROUP BY x, y
+)
+SELECT 'park' AS aoi_id, r.ring, SUM(s.m00) AS px_sum, COUNT(*) AS n_tiles
+FROM r JOIN s USING (x, y)
+GROUP BY r.ring
 """
 
     o["mm_quality_signals"] = """
