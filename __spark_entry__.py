@@ -3299,6 +3299,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["zonal_buffer_rings"] = zonal_buffer_rings
 
+    def spatial_geom_props(spark, sf_dir):
+        # vector property extraction (spatial_join.geometry_props):
+        # part/ring/vertex counts, bbox, even-odd region area (exact
+        # 0.01125 on the self-intersecting bowtie where shoelace
+        # cancels to zero), boundary perimeter — over all 5 fixture
+        # AOIs; the twin replays every value analytically
+        from gfw_raster_analysis_lambda_spark.operators.spatial_join import (
+            geometry_props,
+        )
+
+        _images, aoi, _env = _fixture(spark)
+        return geometry_props(aoi)
+    q["spatial_geom_props"] = spatial_geom_props
+
     def sample_embedding_decontaminate(spark, sf_dir):
         # embedding-space benchmark decontamination: corpus vectors whose
         # best rounded cosine vs ANY benchmark embedding >= 0.8 are
@@ -5372,6 +5386,37 @@ s AS (
 SELECT 'park' AS aoi_id, r.ring, SUM(s.m00) AS px_sum, COUNT(*) AS n_tiles
 FROM r JOIN s USING (x, y)
 GROUP BY r.ring
+"""
+
+    # geometry-props twin: every fixture AOI's properties derived
+    # analytically (L-shape = two rectangles; bowtie = two triangles
+    # meeting at the crossing point; perimeters from edge literals)
+    o["spatial_geom_props"] = """
+SELECT aoi_id, n_parts, n_rings, n_vertices,
+       CAST(minx AS DOUBLE) AS minx, CAST(miny AS DOUBLE) AS miny,
+       CAST(maxx AS DOUBLE) AS maxx, CAST(maxy AS DOUBLE) AS maxy,
+       CAST(area_deg2 AS DOUBLE) AS area_deg2,
+       CAST(perimeter_deg AS DOUBLE) AS perimeter_deg
+FROM (VALUES
+  ('aoi_box_aligned', 1, 1, 4,
+   10.0, 20.25, 10.5, 20.75,
+   ROUND(0.5 * 0.5, 6), ROUND(4 * 0.5, 6)),
+  ('aoi_box_offset', 1, 1, 4,
+   10.125, 20.375, 10.625, 20.875,
+   ROUND(0.5 * 0.5, 6), ROUND(4 * 0.5, 6)),
+  ('aoi_concave_hole', 2, 3, 14,
+   10.05, 20.05, 10.95, 20.95,
+   ROUND(0.65*0.40 + 0.35*0.25 - 0.15*0.15 + 0.15*0.15, 6),
+   ROUND(0.65+0.40+0.30+0.25+0.35+0.65 + 4*0.15 + 4*0.15, 6)),
+  ('aoi_degenerate', 1, 1, 4,
+   10.05, 20.05, 10.2, 20.2,
+   ROUND(2 * 0.5 * 0.15 * 0.075, 6),
+   ROUND(2*0.15 + 2*0.15*sqrt(2.0), 6)),
+  ('aoi_outside', 1, 1, 4,
+   -60.0, -10.0, -59.5, -9.5,
+   ROUND(0.5 * 0.5, 6), ROUND(4 * 0.5, 6))
+) AS t(aoi_id, n_parts, n_rings, n_vertices,
+       minx, miny, maxx, maxy, area_deg2, perimeter_deg)
 """
 
     o["mm_quality_signals"] = """

@@ -685,3 +685,59 @@ def geometry_dedup_keepers(
             F.coalesce(F.col("iou"), F.lit(1.0)).alias("iou"),
         )
     )
+
+
+GEOM_PROPS_SCHEMA = (
+    "aoi_id string, n_parts int, n_rings int, n_vertices int, "
+    "minx double, miny double, maxx double, maxy double, "
+    "area_deg2 double, perimeter_deg double"
+)
+
+
+def geometry_props(aoi_df: DataFrame, round_to: int = 6) -> DataFrame:
+    """Per-geometry property extraction — the vector-side profiling
+    API (shapely's ``.area`` / ``.length`` / ``.bounds`` surface, the
+    reference leans on shapely for these; reference geometry.py): part/
+    ring/vertex counts, bbox, even-odd region area (degrees^2 — exact
+    on self-intersecting bowties where plain shoelace cancels to 0),
+    and boundary perimeter. Used to validate ingests, size rasterize
+    work (vertex count bounds kernel cost), and route big AOIs to the
+    distributed cover path.
+
+    One ``mapInPandas`` over the WKB column — embarrassingly parallel,
+    O(1) output per geometry, no shuffle. Area/perimeter are rounded
+    to ``round_to`` decimals so twins replaying the analytic values
+    compare exactly."""
+    from ..functions import geometry as geo
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                g = geo.wkb_loads(bytes(r.geom_wkb))
+                e = geo.all_edges(g)
+                per = float(
+                    np.sqrt((e[:, 2] - e[:, 0]) ** 2 + (e[:, 3] - e[:, 1]) ** 2).sum()
+                ) if len(e) else 0.0
+                b = geo.bounds(g) if not geo.is_empty(g) else (None,) * 4
+                rows.append(
+                    (
+                        r.aoi_id,
+                        len(g),
+                        sum(len(p) for p in g),
+                        sum(len(ring) for p in g for ring in p),
+                        *[float(v) if v is not None else None for v in b],
+                        round(geo.region_area(g), round_to),
+                        round(per, round_to),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "aoi_id", "n_parts", "n_rings", "n_vertices",
+                    "minx", "miny", "maxx", "maxy",
+                    "area_deg2", "perimeter_deg",
+                ],
+            )
+
+    return aoi_df.select("aoi_id", "geom_wkb").mapInPandas(run, GEOM_PROPS_SCHEMA)
