@@ -3313,6 +3313,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return geometry_props(aoi)
     q["spatial_geom_props"] = spatial_geom_props
 
+    def zonal_trend_tcl(spark, sf_dir):
+        # "is loss ACCELERATING here": per-AOI OLS line + Mann-Kendall
+        # S over the yearly loss-area series the zonal engine emits
+        # (operators/trends.py). The fit is one aggregation over
+        # O(AOIs x years) rows; MK self-joins the short series on the
+        # year. x is offset to years-since-2000 (small ints) so the
+        # normal equations stay well-conditioned; y is the PUBLISHED
+        # rounded series, making MK's sign() engine-independent.
+        from gfw_raster_analysis_lambda_spark.operators import trends
+
+        series = _zonal(
+            spark,
+            "SELECT tcl_year, SUM(area__ha) AS loss_ha FROM tcl_year "
+            "WHERE tcd_threshold >= 25 GROUP BY tcl_year",
+            list(_BOXES),
+            rounding=[("loss_ha", 3)],
+        ).withColumn("xi", F.col("tcl_year").cast("long") - 2000)
+        t = trends.ols_trend(series, "xi", "loss_ha", ["aoi_id"])
+        mk = trends.mann_kendall(series, "xi", "loss_ha", ["aoi_id"])
+        return t.join(mk, "aoi_id")
+    q["zonal_trend_tcl"] = zonal_trend_tcl
+
     def sample_embedding_decontaminate(spark, sf_dir):
         # embedding-space benchmark decontamination: corpus vectors whose
         # best rounded cosine vs ANY benchmark embedding >= 0.8 are
@@ -5417,6 +5439,46 @@ FROM (VALUES
    ROUND(0.5 * 0.5, 6), ROUND(4 * 0.5, 6))
 ) AS t(aoi_id, n_parts, n_rings, n_vertices,
        minx, miny, maxx, maxy, area_deg2, perimeter_deg)
+"""
+
+    o["zonal_trend_tcl"] = f"""
+WITH {_pix_cte(list(_BOXES))},
+series AS (
+  SELECT aoi_id, CAST(tcl AS BIGINT) AS xi,
+         ROUND(SUM(mean_area), 3) AS y
+  FROM m
+  WHERE tcl != 0 AND {_TCD_MEANING} >= 25
+  GROUP BY aoi_id, tcl
+),
+agg AS (
+  SELECT aoi_id, COUNT(*) AS n,
+         SUM(CAST(xi AS DOUBLE)) AS sx, SUM(y) AS sy,
+         SUM(xi * y) AS sxy, SUM(CAST(xi * xi AS DOUBLE)) AS sxx,
+         SUM(y * y) AS syy
+  FROM series GROUP BY aoi_id
+),
+ols AS (
+  SELECT aoi_id, n,
+         CASE WHEN n >= 2 AND n*sxx - sx*sx <> 0
+              THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END AS slope,
+         CASE WHEN n >= 2 AND n*sxx - sx*sx <> 0 AND n*syy - sy*sy <> 0
+              THEN (n*sxy - sx*sy) * (n*sxy - sx*sy)
+                   / ((n*sxx - sx*sx) * (n*syy - sy*sy)) END AS r2,
+         sx, sy
+  FROM agg
+),
+mk AS (
+  SELECT a.aoi_id, SUM(CAST(SIGN(b.y - a.y) AS BIGINT)) AS s,
+         COUNT(*) AS n_pairs
+  FROM series a JOIN series b ON a.aoi_id = b.aoi_id AND a.xi < b.xi
+  GROUP BY a.aoi_id
+)
+SELECT o.aoi_id, o.n,
+       ROUND(o.slope, 6) AS slope,
+       ROUND((o.sy - o.slope * o.sx) / o.n, 6) AS intercept,
+       ROUND(o.r2, 6) AS r2,
+       mk.s, mk.n_pairs
+FROM ols o JOIN mk USING (aoi_id)
 """
 
     o["mm_quality_signals"] = """

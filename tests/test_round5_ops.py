@@ -1341,3 +1341,29 @@ def test_adaptive_cell_cover_invariants(spark):
             seen_fine_hot = True
             assert r["n_points"] == 1200  # > k: irreducible at finest
     assert seen_fine_hot  # the hot cluster surfaced at the finest rung
+
+
+def test_trends_ols_and_mann_kendall(spark):
+    """ols_trend recovers a known line exactly; degenerate groups go
+    NULL; mann_kendall counts signed pairs with exact tie handling."""
+    from gfw_raster_analysis_lambda_spark.operators import trends
+
+    rows = (
+        [("lin", x, 3.0 * x + 2.0) for x in range(5)]  # exact line
+        + [("one", 7, 4.0)]                             # single point
+        + [("flat", x, 5.0) for x in range(4)]          # zero y-variance
+        + [("zig", 0, 1.0), ("zig", 1, 3.0), ("zig", 2, 2.0), ("zig", 3, 2.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, x int, y double")
+    t = {r["g"]: r for r in trends.ols_trend(df, "x", "y", ["g"]).collect()}
+    assert t["lin"]["slope"] == 3.0 and t["lin"]["intercept"] == 2.0
+    assert t["lin"]["r2"] == 1.0
+    assert t["one"]["slope"] is None and t["one"]["r2"] is None
+    assert t["flat"]["slope"] == 0.0 and t["flat"]["r2"] is None
+
+    mk = {r["g"]: r for r in trends.mann_kendall(df, "x", "y", ["g"]).collect()}
+    assert mk["lin"]["s"] == 10 and mk["lin"]["n_pairs"] == 10
+    assert mk["flat"]["s"] == 0 and mk["flat"]["n_pairs"] == 6
+    # zig pairs: (0,1)+1 (0,2)+1 (0,3)+1 (1,2)-1 (1,3)-1 (2,3)0 -> S=1
+    assert mk["zig"]["s"] == 1 and mk["zig"]["n_pairs"] == 6
+    assert "one" not in mk  # no pairs for a single point
