@@ -1367,3 +1367,47 @@ def test_trends_ols_and_mann_kendall(spark):
     # zig pairs: (0,1)+1 (0,2)+1 (0,3)+1 (1,2)-1 (1,3)-1 (2,3)0 -> S=1
     assert mk["zig"]["s"] == 1 and mk["zig"]["n_pairs"] == 6
     assert "one" not in mk  # no pairs for a single point
+
+
+def test_new_round5_plan_shapes(spark):
+    """Plan-shape pins for the closing round-5 operators:
+    spatial_block_split is one codegen projection (NO Exchange);
+    buffer_cells shuffles exactly once (the min-ring groupBy);
+    adaptive_cell_cover shuffles points once, then only count-table
+    window exchanges (no second pass over points)."""
+    from pyspark.sql import functions as F
+
+    from gfw_raster_analysis_lambda_spark.functions import grid as G
+    from gfw_raster_analysis_lambda_spark.operators.cells import (
+        adaptive_cell_cover,
+        buffer_cells,
+    )
+    from gfw_raster_analysis_lambda_spark.operators.sampling import (
+        spatial_block_split,
+    )
+
+    g = G.GRID_FIXTURE
+    cells = spark.createDataFrame(
+        [("a", int(G.cell_from_xy(g, 700, 300)))], "aoi_id string, cell_id long"
+    )
+    plan = (
+        spatial_block_split(cells, {"train": 0.8, "val": 0.2})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan  # pure codegen, no UDF
+
+    plan = buffer_cells(cells, 2, g.name)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+    pts = spark.range(100).select(
+        (F.col("id") / 10.0).alias("lon"), (F.col("id") / 20.0).alias("lat")
+    )
+    plan = (
+        adaptive_cell_cover(pts, ["4/512", "4/1024", "4/2048"], 5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # exchanges: points->fine-cell groupBy, 2 ladder windows, final
+    # regroup — all but the first carry O(distinct cells) rows
+    assert plan.count("Exchange") <= 4, plan
+    assert "Python" not in plan
