@@ -3335,6 +3335,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return t.join(mk, "aoi_id")
     q["zonal_trend_tcl"] = zonal_trend_tcl
 
+    def zonal_trend_theilsen(spark, sf_dir):
+        # robust trend: Theil-Sen median-of-pairwise-slopes per AOI
+        # over the same published yearly series — one anomalous year
+        # cannot swing it the way it swings least squares. Exact
+        # interpolating percentile on both engines.
+        from gfw_raster_analysis_lambda_spark.operators import trends
+
+        series = _zonal(
+            spark,
+            "SELECT tcl_year, SUM(area__ha) AS loss_ha FROM tcl_year "
+            "WHERE tcd_threshold >= 25 GROUP BY tcl_year",
+            list(_BOXES),
+            rounding=[("loss_ha", 3)],
+        ).withColumn("xi", F.col("tcl_year").cast("long") - 2000)
+        return trends.theil_sen(series, "xi", "loss_ha", ["aoi_id"])
+    q["zonal_trend_theilsen"] = zonal_trend_theilsen
+
     def sample_embedding_decontaminate(spark, sf_dir):
         # embedding-space benchmark decontamination: corpus vectors whose
         # best rounded cosine vs ANY benchmark embedding >= 0.8 are
@@ -5479,6 +5496,23 @@ SELECT o.aoi_id, o.n,
        ROUND(o.r2, 6) AS r2,
        mk.s, mk.n_pairs
 FROM ols o JOIN mk USING (aoi_id)
+"""
+
+    o["zonal_trend_theilsen"] = f"""
+WITH {_pix_cte(list(_BOXES))},
+series AS (
+  SELECT aoi_id, CAST(tcl AS BIGINT) AS xi,
+         ROUND(SUM(mean_area), 3) AS y
+  FROM m
+  WHERE tcl != 0 AND {_TCD_MEANING} >= 25
+  GROUP BY aoi_id, tcl
+)
+SELECT a.aoi_id,
+       ROUND(quantile_cont((b.y - a.y) / CAST(b.xi - a.xi AS DOUBLE), 0.5), 6)
+         AS ts_slope,
+       COUNT(*) AS n_pairs
+FROM series a JOIN series b ON a.aoi_id = b.aoi_id AND a.xi < b.xi
+GROUP BY a.aoi_id
 """
 
     o["mm_quality_signals"] = """

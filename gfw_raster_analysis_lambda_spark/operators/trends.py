@@ -87,3 +87,30 @@ def mann_kendall(
         F.sum(F.signum(F.col("__yb") - F.col("__ya")).cast("long")).alias("s"),
         F.count("*").alias("n_pairs"),
     )
+
+
+def theil_sen(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    keys: "list[str]",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group Theil-Sen slope — the robust companion to
+    :func:`ols_trend` (the median of all pairwise slopes; breakdown
+    point ~29%, so one anomalous year cannot swing the trend the way
+    it swings least squares). Same O(groups x years²) pair join as
+    :func:`mann_kendall`; the median is Spark's exact interpolating
+    ``percentile`` (DuckDB ``quantile_cont`` twin computes the same
+    midpoint of the two central doubles). Pairs with equal x are
+    excluded (vertical slopes), matching the classical estimator."""
+    a = df.select(*keys, F.col(x_col).alias("__xa"), F.col(y_col).alias("__ya"))
+    b = df.select(*keys, F.col(x_col).alias("__xb"), F.col(y_col).alias("__yb"))
+    pairs = a.join(b, on=keys).filter(F.col("__xa") < F.col("__xb"))
+    slope = (F.col("__yb") - F.col("__ya")) / (
+        F.col("__xb").cast("double") - F.col("__xa").cast("double")
+    )
+    return pairs.groupBy(*keys).agg(
+        F.round(F.percentile(slope, F.lit(0.5)), round_to).alias("ts_slope"),
+        F.count("*").alias("n_pairs"),
+    )

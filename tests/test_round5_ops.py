@@ -1411,3 +1411,56 @@ def test_new_round5_plan_shapes(spark):
     # regroup — all but the first carry O(distinct cells) rows
     assert plan.count("Exchange") <= 4, plan
     assert "Python" not in plan
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    """Theil-Sen: exact median of pairwise slopes; one wild outlier
+    year leaves the slope at the clean value while OLS swings."""
+    from gfw_raster_analysis_lambda_spark.operators import trends
+
+    clean = [("g", x, 2.0 * x) for x in range(9)]
+    spiked = [("s", x, 2.0 * x if x != 8 else 500.0) for x in range(9)]
+    df = spark.createDataFrame(clean + spiked, "g string, x int, y double")
+    ts = {r["g"]: r for r in trends.theil_sen(df, "x", "y", ["g"]).collect()}
+    assert ts["g"]["ts_slope"] == 2.0 and ts["g"]["n_pairs"] == 36
+    assert ts["s"]["ts_slope"] == 2.0  # median unmoved by the spike
+    ols = {r["g"]: r for r in trends.ols_trend(df, "x", "y", ["g"]).collect()}
+    assert abs(ols["s"]["slope"] - 2.0) > 1.0  # OLS dragged by it
+
+
+def test_adaptive_cover_balances_partitions(spark):
+    """End-to-end use of adaptive_cell_cover as a partition map: keying
+    a skewed point set by its adaptive cell bounds the largest
+    hash-partition far below what the fixed fine grid gives (where the
+    hot cell lands whole in one task)."""
+    from pyspark.sql import functions as F
+
+    from gfw_raster_analysis_lambda_spark.operators.cells import (
+        adaptive_cell_cover,
+    )
+    from gfw_raster_analysis_lambda_spark.operators.spatial_join import cell_expr
+    from gfw_raster_analysis_lambda_spark.functions import grid as G
+
+    i = F.col("id")
+    hot = i % 10 < 8  # 80% of points in one fine cell
+    pts = spark.range(5000).select(
+        F.when(hot, F.lit(-100.0)).otherwise(
+            F.lit(-180.0) + ((i * 7) % 1000) / F.lit(8.0)
+        ).alias("lon"),
+        F.when(hot, F.lit(10.0)).otherwise(
+            F.lit(90.0) - ((i * 13) % 600) / F.lit(8.0)
+        ).alias("lat"),
+    )
+    fine = G.get_grid("4/2048")
+    fixed = pts.groupBy(cell_expr(fine, F.col("lon"), F.col("lat"))).count()
+    fixed_max = max(r["count"] for r in fixed.collect())
+    assert fixed_max == 4000  # the hot cell IS one key at fixed resolution
+
+    cover = adaptive_cell_cover(pts, ["4/512", "4/1024", "4/2048"], 50)
+    counts = {r["cell_id"]: r["n_points"] for r in cover.collect()}
+    # the hot cell is irreducible — but every OTHER region is bounded,
+    # so the partition map isolates the skew into exactly one key that
+    # downstream salting can split, instead of hiding it among 4k keys
+    over = [n for n in counts.values() if n > 50]
+    assert over == [4000]
+    assert sum(counts.values()) == 5000
