@@ -3352,6 +3352,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return trends.theil_sen(series, "xi", "loss_ha", ["aoi_id"])
     q["zonal_trend_theilsen"] = zonal_trend_theilsen
 
+    def mm_chip_stats(spark, sf_dir):
+        # training-chip enumeration (multimodal.chip_tiles_stats):
+        # 64-px tiles -> 3x3 overlapping 32-px chips at stride 16,
+        # integer-exact per-chip sum/min/max — the curation pass that
+        # picks WHICH chips train without materializing payloads; the
+        # twin replays every chip window over the pixel formula
+        images, _aoi, _env = _fixture(spark)
+        ttc = images.filter(F.col("layer") == "ttc_percent")
+        return multimodal.chip_tiles_stats(ttc, chip_px=32, stride=16)
+    q["mm_chip_stats"] = mm_chip_stats
+
     def sample_embedding_decontaminate(spark, sf_dir):
         # embedding-space benchmark decontamination: corpus vectors whose
         # best rounded cosine vs ANY benchmark embedding >= 0.8 are
@@ -5513,6 +5524,30 @@ SELECT a.aoi_id,
        COUNT(*) AS n_pairs
 FROM series a JOIN series b ON a.aoi_id = b.aoi_id AND a.xi < b.xi
 GROUP BY a.aoi_id
+"""
+
+    o["mm_chip_stats"] = """
+WITH cells AS (
+  SELECT gx.x AS x, gy.y AS y
+  FROM generate_series(760, 763) gx(x), generate_series(276, 279) gy(y)
+),
+chips AS (
+  SELECT x, y, gi.ci AS ci, gj.cj AS cj
+  FROM cells, generate_series(0, 2) gi(ci), generate_series(0, 2) gj(cj)
+),
+px AS (
+  SELECT x, y, ci, cj,
+         CASE WHEN (x + y + (ci*16 + di.i) + (cj*16 + dj.j)) % 7 = 0 THEN 255
+              ELSE (x*5 + y*13 + (ci*16 + di.i)*11 + (cj*16 + dj.j)*3) % 128
+         END AS v
+  FROM chips, generate_series(0, 31) di(i), generate_series(0, 31) dj(j)
+)
+SELECT printf('ttc_percent/%016x', 54043195528445952 + x * 134217728 + y)
+         AS image_id,
+       ci AS chip_i, cj AS chip_j,
+       SUM(v) AS px_sum, MIN(v) AS px_min, MAX(v) AS px_max
+FROM px
+GROUP BY x, y, ci, cj
 """
 
     o["mm_quality_signals"] = """

@@ -973,3 +973,60 @@ def tile_moments(images: DataFrame, no_data: "float | None" = None) -> DataFrame
     return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
         run, TILE_MOMENTS_SCHEMA
     )
+
+
+CHIP_STATS_SCHEMA = (
+    "image_id string, chip_i int, chip_j int, "
+    "px_sum long, px_min long, px_max long"
+)
+
+
+def chip_tiles_stats(
+    images: DataFrame, chip_px: int, stride: int
+) -> DataFrame:
+    """Sliding-window training-chip enumeration — the vision-training
+    prep step that turns storage tiles into model-input chips
+    (``chip_px`` square, stepping ``stride``; stride < chip_px gives
+    the standard overlapping augmentation grid). Emits integer-exact
+    per-chip statistics keyed by (tile, chip row index, chip col
+    index): the curation pass that decides WHICH chips enter training
+    (all-NoData chips drop, low-variance sky/ocean chips downsample)
+    without ever materializing chip payloads — at 10^12 tiles x k²
+    chips each, shipping chip bytes before filtering is the mistake.
+
+    One ``mapInPandas`` decode per tile; chips are numpy strided views
+    (no copy); output is O(chips), integers end to end. The payload
+    materialization for the KEPT set is a second pass that re-decodes
+    only survivors (decode is cheaper than shuffling rejected bytes).
+    """
+    if chip_px <= 0 or stride <= 0:
+        raise ValueError("chip_px and stride must be positive")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode_tile(
+                    bytes(r.bytes), int(r.w), int(r.h), str(r.fmt)
+                ).astype(np.int64)
+                h, w = arr.shape
+                for ci, i0 in enumerate(range(0, h - chip_px + 1, stride)):
+                    for cj, j0 in enumerate(range(0, w - chip_px + 1, stride)):
+                        c = arr[i0:i0 + chip_px, j0:j0 + chip_px]
+                        rows.append(
+                            (
+                                r.image_id, ci, cj,
+                                int(c.sum()), int(c.min()), int(c.max()),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "chip_i", "chip_j",
+                    "px_sum", "px_min", "px_max",
+                ],
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        run, CHIP_STATS_SCHEMA
+    )

@@ -1464,3 +1464,35 @@ def test_adaptive_cover_balances_partitions(spark):
     over = [n for n in counts.values() if n > 50]
     assert over == [4000]
     assert sum(counts.values()) == 5000
+
+
+def test_chip_tiles_stats_windows(spark):
+    """chip_tiles_stats: chip grid covers exactly the windows that fit;
+    stride == chip_px tiles without overlap; stats match numpy."""
+    import numpy as np
+
+    from gfw_raster_analysis_lambda_spark.functions import codecs
+    from gfw_raster_analysis_lambda_spark.operators.multimodal import (
+        chip_tiles_stats,
+    )
+
+    a = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 251
+    rows = [("t/a", codecs.encode_tile(a, "png"), 8, 8, "png", "", 0)]
+    df = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )
+    got = {
+        (r["chip_i"], r["chip_j"]): r
+        for r in chip_tiles_stats(df, chip_px=4, stride=2).collect()
+    }
+    assert len(got) == 9  # (8-4)/2+1 = 3 per axis
+    for (ci, cj), r in got.items():
+        c = a[ci * 2:ci * 2 + 4, cj * 2:cj * 2 + 4].astype(np.int64)
+        assert r["px_sum"] == int(c.sum())
+        assert r["px_min"] == int(c.min()) and r["px_max"] == int(c.max())
+
+    # non-overlapping tiling: 4 chips, sums partition the tile sum
+    tiled = chip_tiles_stats(df, chip_px=4, stride=4).collect()
+    assert len(tiled) == 4
+    assert sum(r["px_sum"] for r in tiled) == int(a.astype(np.int64).sum())
