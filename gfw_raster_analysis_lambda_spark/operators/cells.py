@@ -275,8 +275,6 @@ def adaptive_cell_cover(
     independent of partitioning. All integer bit math; the DuckDB twin
     replays it with window sums.
     """
-    from pyspark.sql.window import Window
-
     from .spatial_join import cell_expr
 
     grids = [G.get_grid(n) for n in ladder]
@@ -284,9 +282,30 @@ def adaptive_cell_cover(
         raise ValueError("ladder needs >= 2 grids (coarse -> fine)")
     fine = grids[-1]
     counts = points.groupBy(
-        cell_expr(fine, F.col(lon_col), F.col(lat_col)).alias("__c")
-    ).agg(F.count("*").alias("__n"))
-    df = counts
+        cell_expr(fine, F.col(lon_col), F.col(lat_col)).alias("cell_id")
+    ).agg(F.count("*").alias("n"))
+    return adaptive_cover_from_counts(counts, ladder, max_count)
+
+
+def adaptive_cover_from_counts(
+    fine_counts: DataFrame,
+    ladder: "list[str]",
+    max_count: int,
+) -> DataFrame:
+    """The count-table half of :func:`adaptive_cell_cover`, exposed
+    for INCREMENTAL maintenance: fine-cell counts are additive, so an
+    ingest wave updates the cover by summing the stored counts with the
+    delta's counts and re-running this (tiny) relational tail — the
+    corpus is never re-scanned, and the result is provably identical to
+    a full rebuild (pinned by pytest). Input: ``(cell_id, n)`` at the
+    finest ladder grid."""
+    from pyspark.sql.window import Window
+
+    grids = [G.get_grid(n) for n in ladder]
+    fine = grids[-1]
+    df = fine_counts.groupBy(F.col("cell_id").alias("__c")).agg(
+        F.sum("n").alias("__n")
+    )
     for gi, g in enumerate(grids[:-1]):
         df = df.withColumn(
             f"__p{gi}", parent_cell_expr(fine, g, F.col("__c"))

@@ -1496,3 +1496,48 @@ def test_chip_tiles_stats_windows(spark):
     tiled = chip_tiles_stats(df, chip_px=4, stride=4).collect()
     assert len(tiled) == 4
     assert sum(r["px_sum"] for r in tiled) == int(a.astype(np.int64).sum())
+
+
+def test_adaptive_cover_incremental_equals_rebuild(spark):
+    """Incremental cover maintenance: merging stored fine-cell counts
+    with an ingest wave's delta counts and re-running the relational
+    tail gives EXACTLY the cover a full rebuild over all points gives
+    — fine counts are additive, so the corpus is never re-scanned."""
+    from pyspark.sql import functions as F
+
+    from gfw_raster_analysis_lambda_spark.operators.cells import (
+        adaptive_cell_cover,
+        adaptive_cover_from_counts,
+    )
+    from gfw_raster_analysis_lambda_spark.operators.spatial_join import cell_expr
+    from gfw_raster_analysis_lambda_spark.functions import grid as G
+
+    ladder = ["4/512", "4/1024", "4/2048"]
+    fine = G.get_grid(ladder[-1])
+
+    def pts(lo, hi):
+        i = F.col("id")
+        return (
+            spark.range(lo, hi)
+            .select(
+                (F.lit(-180.0) + ((i * 7) % 300) / F.lit(8.0)).alias("lon"),
+                (F.lit(90.0) - ((i * 13) % 200) / F.lit(8.0)).alias("lat"),
+            )
+        )
+
+    def counts(df):
+        return df.groupBy(
+            cell_expr(fine, F.col("lon"), F.col("lat")).alias("cell_id")
+        ).agg(F.count("*").alias("n"))
+
+    base, delta, full = pts(0, 900), pts(900, 1400), pts(0, 1400)
+    merged = counts(base).unionByName(counts(delta))
+    inc = {
+        (r["cell_id"], r["n_points"])
+        for r in adaptive_cover_from_counts(merged, ladder, 4).collect()
+    }
+    rebuild = {
+        (r["cell_id"], r["n_points"])
+        for r in adaptive_cell_cover(full, ladder, 4).collect()
+    }
+    assert inc == rebuild and len(inc) > 10
