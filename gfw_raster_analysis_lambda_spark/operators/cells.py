@@ -323,3 +323,52 @@ def adaptive_cover_from_counts(
         df.groupBy(chosen.alias("cell_id"))
         .agg(F.sum("__n").alias("n_points"))
     )
+
+
+def join_points_to_cover(
+    points: DataFrame,
+    cover: DataFrame,
+    ladder: "list[str]",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Assign every point its covering cell from a MIXED-resolution
+    cover (the output of :func:`adaptive_cell_cover`) — the join that
+    turns the cover into a working partition map. A point's covering
+    cell is its own cell at whichever rung the cover emitted for that
+    region; since the cover is a disjoint partition of space across
+    rungs, exactly one rung matches per point.
+
+    Spark shape: the point computes its cell id at EVERY rung (pure
+    bit arithmetic, no fan-out — one column per rung), then ONE
+    equi-join against the cover on ``coalesce``-free rung dispatch:
+    the cover row's grid index (top 8 bits of its cell_id) selects
+    which rung column to compare, expressed as a join on an array
+    containment — in practice we union per-rung equi-joins, each of
+    which Catalyst plans as a broadcast when the cover is small (it is
+    O(regions), not O(points)). Output: the point columns plus
+    ``cell_id`` (covering cell).
+    """
+    from .spatial_join import cell_expr
+
+    grids = [G.get_grid(n) for n in ladder]
+    fine = grids[-1]
+    pts = points.withColumn(
+        "__cf", cell_expr(fine, F.col(lon_col), F.col(lat_col))
+    )
+    for gi, g in enumerate(grids[:-1]):
+        pts = pts.withColumn(f"__c{gi}", parent_cell_expr(fine, g, F.col("__cf")))
+    rung_cols = [F.col(f"__c{gi}") for gi in range(len(grids) - 1)] + [F.col("__cf")]
+    parts = []
+    for g, c in zip(grids, rung_cols):
+        side = cover.filter(
+            F.shiftright(F.col("cell_id"), _HDR_SHIFT) == F.lit(g.index)
+        ).select("cell_id")
+        parts.append(
+            pts.join(F.broadcast(side), c == F.col("cell_id"), "inner")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    drop = ["__cf"] + [f"__c{gi}" for gi in range(len(grids) - 1)]
+    return out.drop(*drop)

@@ -1541,3 +1541,37 @@ def test_adaptive_cover_incremental_equals_rebuild(spark):
         for r in adaptive_cell_cover(full, ladder, 4).collect()
     }
     assert inc == rebuild and len(inc) > 10
+
+
+def test_join_points_to_cover_exactly_once(spark):
+    """Every point joins the adaptive cover exactly once, and per-cell
+    point counts equal the cover's recorded n_points."""
+    from pyspark.sql import functions as F
+
+    from gfw_raster_analysis_lambda_spark.operators.cells import (
+        adaptive_cell_cover,
+        join_points_to_cover,
+    )
+
+    ladder = ["4/512", "4/1024", "4/2048"]
+    i = F.col("id")
+    hot = i % 5 < 3
+    pts = spark.range(2000).select(
+        "id",
+        F.when(hot, F.lit(-100.0) + (i % 16) / F.lit(128.0))
+        .otherwise(F.lit(-180.0) + ((i * 7) % 80) / F.lit(8.0))
+        .alias("lon"),
+        F.when(hot, F.lit(10.0) - (i % 16) / F.lit(128.0))
+        .otherwise(F.lit(90.0) - ((i * 13) % 40) / F.lit(8.0))
+        .alias("lat"),
+    )
+    cover = adaptive_cell_cover(pts, ladder, 6)
+    joined = join_points_to_cover(pts, cover, ladder)
+    assert joined.count() == 2000  # every point exactly once
+    assert joined.select("id").distinct().count() == 2000
+    got = {
+        r["cell_id"]: r["n"]
+        for r in joined.groupBy("cell_id").agg(F.count("*").alias("n")).collect()
+    }
+    want = {r["cell_id"]: r["n_points"] for r in cover.collect()}
+    assert got == want
