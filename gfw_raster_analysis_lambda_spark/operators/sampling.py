@@ -241,6 +241,7 @@ def spatial_block_split(
     cell_col: str = "cell_id",
     salt: str = "spatial",
     out_col: str = "split",
+    grid_name: "str | None" = None,
 ) -> DataFrame:
     """Leakage-safe SPATIAL train/val/test assignment with a boundary
     buffer — the geospatial analog of :func:`leakage_safe_split`.
@@ -269,11 +270,29 @@ def spatial_block_split(
 
     ``buffer_cells`` must be < ``block_cells`` (a buffer as wide as the
     block would erase whole blocks; use a coarser block instead).
+
+    With ``grid_name`` set, block neighbors WRAP at the antimeridian
+    (block column arithmetic mod the grid's block count) — without it a
+    train tile at x = nx-1 sits unguarded next to a val tile at x = 0,
+    the one adjacency the open-plane default cannot see. Requires the
+    blocks to tile the grid evenly (nx % block_cells == 0), because a
+    ragged last column would make "the block across the seam" ambiguous.
     """
     if not 0 <= int(buffer_cells) < int(block_cells):
         raise ValueError("need 0 <= buffer_cells < block_cells")
     b = int(block_cells)
     r = int(buffer_cells)
+    nbx = None
+    if grid_name is not None:
+        from ..functions import grid as G
+
+        nx_cells = G.get_grid(grid_name).nx
+        if nx_cells % b:
+            raise ValueError(
+                f"blocks of {b} cells do not tile grid {grid_name}"
+                f" (nx={nx_cells}) evenly; antimeridian wrap undefined"
+            )
+        nbx = nx_cells // b
     c = F.col(cell_col).cast("long")
     x = F.shiftright(c, 27).bitwiseAND(F.lit((1 << 27) - 1))
     y = c.bitwiseAND(F.lit((1 << 27) - 1))
@@ -296,17 +315,26 @@ def spatial_block_split(
         return F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
 
     home = split_of(bx, by)
-    # (neighbor-exists, near-that-boundary) for the 8 adjacent blocks;
+    if nbx is None:
+        west, east = bx - 1, bx + 1
+        w_ok = bx > 0  # open plane: no neighbor past the edge
+        e_ok = F.lit(True)
+    else:
+        west = F.pmod(bx - 1, F.lit(nbx))  # antimeridian wrap
+        east = F.pmod(bx + 1, F.lit(nbx))
+        w_ok = F.lit(True)
+        e_ok = F.lit(True)
+    # (neighbor-block, near-that-boundary) for the 8 adjacent blocks;
     # r = 0 disables buffering entirely (no condition can hold)
     sides = [
-        (bx - 1, by, (bx > 0) & (lx < r)),
-        (bx + 1, by, lx >= b - r),
+        (west, by, w_ok & (lx < r)),
+        (east, by, e_ok & (lx >= b - r)),
         (bx, by - 1, (by > 0) & (ly < r)),
         (bx, by + 1, ly >= b - r),
-        (bx - 1, by - 1, (bx > 0) & (by > 0) & (lx < r) & (ly < r)),
-        (bx - 1, by + 1, (bx > 0) & (lx < r) & (ly >= b - r)),
-        (bx + 1, by - 1, (by > 0) & (lx >= b - r) & (ly < r)),
-        (bx + 1, by + 1, (lx >= b - r) & (ly >= b - r)),
+        (west, by - 1, w_ok & (by > 0) & (lx < r) & (ly < r)),
+        (west, by + 1, w_ok & (lx < r) & (ly >= b - r)),
+        (east, by - 1, e_ok & (by > 0) & (lx >= b - r) & (ly < r)),
+        (east, by + 1, e_ok & (lx >= b - r) & (ly >= b - r)),
     ]
     buffered = F.lit(False)
     if r > 0:

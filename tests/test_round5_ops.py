@@ -1575,3 +1575,83 @@ def test_join_points_to_cover_exactly_once(spark):
     }
     want = {r["cell_id"]: r["n_points"] for r in cover.collect()}
     assert got == want
+
+
+def test_spatial_block_split_antimeridian_wrap(spark):
+    """With grid_name set, block neighbors wrap at the antimeridian:
+    a cell at x=0 is buffered when the block ACROSS the seam (block
+    column nbx-1) holds a different split; the open-plane default
+    cannot see that adjacency. y (poles) never wraps."""
+    import hashlib
+
+    from gfw_raster_analysis_lambda_spark.functions import grid as G
+    from gfw_raster_analysis_lambda_spark.operators.sampling import (
+        spatial_block_split,
+    )
+
+    g = G.GRID_FIXTURE  # nx=1440 -> 360 blocks of 4
+    b, r, nbx = 4, 1, 360
+    w = {"train": 0.5, "val": 0.25, "test": 0.25}
+
+    def u(bx, by):
+        h = hashlib.md5(f"spatial:{bx}/{by}".encode()).hexdigest()[:12]
+        return int(h, 16) / float(1 << 48)
+
+    def home(bx, by):
+        v = u(bx, by)
+        return "train" if v < 0.5 else ("val" if v < 0.75 else "test")
+
+    # pick a row where the seam blocks DISAGREE and one where they agree
+    disagree = agree = None
+    for by in range(30, 200):
+        if home(0, by) != home(nbx - 1, by) and disagree is None:
+            disagree = by
+        if home(0, by) == home(nbx - 1, by) and {home(0, k) for k in (by - 1, by, by + 1)} == {home(0, by)} and \
+           {home(nbx - 1, k) for k in (by - 1, by, by + 1)} == {home(nbx - 1, by)} and \
+           {home(1, k) for k in (by - 1, by, by + 1)} == {home(0, by)} and agree is None:
+            agree = by
+    assert disagree is not None
+
+    y_d = disagree * b + 2  # block-interior row (not near a y boundary)
+    cells = [
+        (int(G.cell_from_xy(g, 0, y_d)),),        # west seam edge
+        (int(G.cell_from_xy(g, 1439, y_d)),),     # east seam edge
+        (int(G.cell_from_xy(g, 2, y_d)),),        # interior of block 0
+    ]
+    df = spark.createDataFrame(cells, "cell_id long")
+    wrapped = {
+        tuple(map(int, G.cell_to_xy(row["cell_id"]))): row["split"]
+        for row in spatial_block_split(
+            df, w, block_cells=b, buffer_cells=r, grid_name=g.name
+        ).collect()
+    }
+    # both seam-edge cells buffer (their cross-seam neighbor disagrees)
+    assert wrapped[(0, y_d)] == "buffer"
+    assert wrapped[(1439, y_d)] == "buffer"
+    # interior cell keeps its block's split
+    assert wrapped[(2, y_d)] == home(0, disagree)
+
+    # open-plane default: the west seam cell does NOT buffer (x=0 has
+    # no west neighbor without wrap) unless its OTHER neighbors differ
+    plain = {
+        tuple(map(int, G.cell_to_xy(row["cell_id"]))): row["split"]
+        for row in spatial_block_split(
+            df, w, block_cells=b, buffer_cells=r
+        ).collect()
+    }
+    if agree is not None:
+        y_a = agree * b + 2
+        df2 = spark.createDataFrame(
+            [(int(G.cell_from_xy(g, 0, y_a)),)], "cell_id long"
+        )
+        row = spatial_block_split(
+            df2, w, block_cells=b, buffer_cells=r, grid_name=g.name
+        ).collect()[0]
+        assert row["split"] == home(0, agree)  # seam agrees -> no buffer
+
+    # uneven block tiling refuses wrap semantics loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        spatial_block_split(df, w, block_cells=7, buffer_cells=1,
+                            grid_name=g.name)
