@@ -1752,6 +1752,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["spatial_zorder_blocks"] = spatial_zorder_blocks
 
+    def spatial_hilbert_blocks(spark, sf_dir):
+        # Hilbert-curve layout codes (the zorder query's locality-superior
+        # sibling): same 600 points and 0.25-deg cells, indexed by a
+        # 12-round rotate-and-reflect walk (spatial_join.hilbert_index) —
+        # a linear Catalyst projection chain, no UDF, no Exchange before
+        # the final groupBy. The DuckDB twin nests the IDENTICAL per-round
+        # expression strings (hilbert_rounds), so the 24 integer selects
+        # have nothing engine-specific to disagree on. Blocks of 16
+        # consecutive curve positions: on Hilbert every block is a
+        # spatially contiguous patch (consecutive codes are 4-adjacent),
+        # which is the file-skipping win over Morton's seam jumps.
+        from gfw_raster_analysis_lambda_spark.operators import spatial_join
+
+        pts = [
+            (i, 10.0 + (i * 13 % 256) / 64.0, 20.0 + (i * 29 % 256) / 64.0)
+            for i in range(600)
+        ]
+        df = spark.createDataFrame(pts, "image_id long, lon double, lat double")
+        xy = df.selectExpr(
+            "CAST(FLOOR((lon + 180) / CAST(0.25 AS DOUBLE)) AS BIGINT) AS x",
+            "CAST(FLOOR((90 - lat) / CAST(0.25 AS DOUBLE)) AS BIGINT) AS y",
+        )
+        h = spatial_join.hilbert_index(xy, 12, keep=[])
+        return (
+            h.groupBy(F.shiftright(F.col("hilbert"), 4).alias("block"))
+            .agg(
+                F.count(F.lit(1)).alias("n_points"),
+                F.min("hilbert").alias("h_min"),
+                F.max("hilbert").alias("h_max"),
+            )
+        )
+    q["spatial_hilbert_blocks"] = spatial_hilbert_blocks
+
     def spatial_geohash_points(spark, sf_dir):
         # standard geohash (base32, lon-first interleave) as pure
         # Catalyst arithmetic; precision 5 (25 bits) exercises the odd
@@ -4867,6 +4900,24 @@ z AS (SELECT x | (y << 1) AS zorder FROM s5)
 SELECT zorder >> 4 AS block, COUNT(*) AS n_points,
        MIN(zorder) AS z_min, MAX(zorder) AS z_max
 FROM z
+GROUP BY 1
+"""
+
+    # hilbert twin: the engine's own per-round expression strings nested
+    # as subqueries (spatial_join.hilbert_sql) over the same floor-cell
+    # derivation — shared-literal arithmetic, zero engine-specific math
+    from gfw_raster_analysis_lambda_spark.operators.spatial_join import (
+        hilbert_sql as _hilbert_sql,
+    )
+    _hsrc = """
+SELECT CAST(FLOOR((10.0 + (g.i * 13 % 256) / 64.0 + 180) / CAST(0.25 AS DOUBLE)) AS BIGINT) AS x,
+       CAST(FLOOR((90 - (20.0 + (g.i * 29 % 256) / 64.0)) / CAST(0.25 AS DOUBLE)) AS BIGINT) AS y
+FROM generate_series(0, 599) g(i)
+"""
+    o["spatial_hilbert_blocks"] = f"""
+SELECT hilbert >> 4 AS block, COUNT(*) AS n_points,
+       MIN(hilbert) AS h_min, MAX(hilbert) AS h_max
+FROM ({_hilbert_sql(12, _hsrc, [])})
 GROUP BY 1
 """
 

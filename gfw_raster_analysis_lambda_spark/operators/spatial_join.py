@@ -211,6 +211,94 @@ def cluster_by_zorder(
     return out.sortWithinPartitions("__z").drop("__z")
 
 
+def hilbert_rounds(order: int) -> list[tuple[list[str], list[str]]]:
+    """Per-round SQL expression pairs for the Hilbert xy→d walk
+    (Hilbert 1891; the iterative rotate-and-reflect form popularized by
+    Warren, Hacker's Delight §16 / the Wikipedia `xy2d` loop). Round
+    ``s = 2^(order-1) … 1`` reads quadrant bits, accumulates
+    ``d += s²·(3·rx XOR ry)`` and rotates the frame. The XOR is emitted
+    as pure arithmetic (``3·rx + ry − 2·rx·ry`` — identical truth table
+    on {0,1}) so every expression is portable integer ANSI SQL; both
+    the Spark plan and the DuckDB contract twin consume these exact
+    strings, leaving nothing for the two engines to disagree on.
+
+    Returns ``[(pre_exprs, post_exprs), …]`` per round: ``pre`` adds
+    ``rx, ry`` from the current ``x, y, d``; ``post`` replaces
+    ``d, x, y``. Column names are fixed (``x``, ``y``, ``d``)."""
+    if not 1 <= order <= 31:
+        raise ValueError("order must be in [1, 31]")
+    rounds = []
+    for level in range(order - 1, -1, -1):
+        s = 1 << level
+        pre = [
+            f"CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END AS rx",
+            f"CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END AS ry",
+        ]
+        post = [
+            f"d + {s * s} * (3 * rx + ry - 2 * rx * ry) AS d",
+            (
+                f"CASE WHEN ry = 0 THEN "
+                f"(CASE WHEN rx = 1 THEN {s - 1} - y ELSE y END) "
+                f"ELSE x END AS x"
+            ),
+            (
+                f"CASE WHEN ry = 0 THEN "
+                f"(CASE WHEN rx = 1 THEN {s - 1} - x ELSE x END) "
+                f"ELSE y END AS y"
+            ),
+        ]
+        rounds.append((pre, post))
+    return rounds
+
+
+def hilbert_index(
+    df: DataFrame,
+    order: int,
+    x_col: str = "x",
+    y_col: str = "y",
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Hilbert-curve index of integer grid coordinates, as a linear
+    chain of Catalyst projections (``2·order`` selects, all folded into
+    ONE whole-stage-codegen span — no UDF, no shuffle). ``x_col``/
+    ``y_col`` must already be nonneg integers below ``2^order``.
+
+    Z-order (:func:`zorder_expr`) is one mask cascade but has worst-case
+    locality seams: crossing the middle of the curve jumps half the key
+    space. The Hilbert walk visits every cell exactly once with EVERY
+    consecutive pair 4-adjacent (|Δx|+|Δy| = 1), so range-partitioned
+    layout by ``hilbert`` yields strictly fewer fragmented bbox reads —
+    the same reason Databricks added Hilbert clustering after Z-order.
+    Output column: ``hilbert`` (long, < 4^order)."""
+    keep = keep if keep is not None else [
+        c for c in df.columns if c not in (x_col, y_col)
+    ]
+    cur = df.selectExpr(
+        *keep,
+        f"CAST({x_col} AS BIGINT) AS x",
+        f"CAST({y_col} AS BIGINT) AS y",
+        "CAST(0 AS BIGINT) AS d",
+    )
+    for pre, post in hilbert_rounds(order):
+        cur = cur.selectExpr(*keep, "x", "y", "d", *pre)
+        cur = cur.selectExpr(*keep, *post)
+    return cur.selectExpr(*keep, "d AS hilbert")
+
+
+def hilbert_sql(order: int, source_sql: str, keep: list[str]) -> str:
+    """The DuckDB/ANSI twin of :func:`hilbert_index`: nests the SAME
+    per-round expression strings (:func:`hilbert_rounds`) as chained
+    subqueries over ``source_sql``, which must yield integer columns
+    ``x, y`` plus ``keep``. Returns SQL selecting ``keep + [hilbert]``."""
+    kp = (", ".join(keep) + ", ") if keep else ""
+    cols = kp + "x, y"
+    inner = f"SELECT {cols}, CAST(0 AS BIGINT) AS d FROM ({source_sql})"
+    for pre, post in hilbert_rounds(order):
+        inner = f"SELECT {cols}, d, {', '.join(pre)} FROM ({inner})"
+        inner = f"SELECT {kp}{', '.join(post)} FROM ({inner})"
+    return f"SELECT {kp}d AS hilbert FROM ({inner})"
+
+
 def point_in_polygon_join(
     points: DataFrame,  # (..., lon double, lat double)
     aoi: DataFrame,  # (aoi_id string, geom_wkb binary)

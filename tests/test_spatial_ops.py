@@ -1338,3 +1338,75 @@ def test_geohash_public_vectors(spark):
     assert got[2]["g5"] == "s0000"
     # prefix property: higher precision extends, never rewrites
     assert got[0]["g11"].startswith(got[0]["g5"])
+
+
+def _hilbert_xy2d_ref(order: int, x: int, y: int) -> int:
+    # independent loop transcription of the public xy2d algorithm
+    # (Hacker's Delight / Wikipedia), NOT sharing the engine's SQL path
+    d = 0
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = 1 if (x & s) else 0
+        ry = 1 if (y & s) else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def test_hilbert_index_matches_reference_and_is_adjacent(spark):
+    order = 5
+    n = 1 << order
+    df = spark.range(n * n).selectExpr(
+        f"id % {n} AS x", f"CAST(id / {n} AS BIGINT) AS y", "id AS pid"
+    )
+    rows = spatial_join.hilbert_index(df, order, keep=["pid"]).collect()
+    got = {}
+    for r in rows:
+        x, y = r.pid % n, r.pid // n
+        assert r.hilbert == _hilbert_xy2d_ref(order, x, y)
+        got[r.hilbert] = (x, y)
+    # bijection over the full domain
+    assert len(got) == n * n
+    assert min(got) == 0 and max(got) == n * n - 1
+    # THE Hilbert property (what Morton lacks): every consecutive pair
+    # of curve positions is 4-adjacent
+    for i in range(n * n - 1):
+        ax, ay = got[i]
+        bx, by = got[i + 1]
+        assert abs(ax - bx) + abs(ay - by) == 1, (i, got[i], got[i + 1])
+
+
+def test_hilbert_sql_twin_matches_engine(spark):
+    import duckdb
+
+    order = 6
+    n = 1 << order
+    src = (
+        f"SELECT x * 7 % {n} AS ox, (x * 13 + 5) % {n} AS oy, "
+        f"x * 7 % {n} AS x, (x * 13 + 5) % {n} AS y "
+        f"FROM generate_series(0, 199) g(x)"
+    )
+    twin = {
+        (r[0], r[1]): r[2]
+        for r in duckdb.connect().execute(
+            spatial_join.hilbert_sql(order, src, ["ox", "oy"])
+        ).fetchall()
+    }
+    df = spark.range(200).selectExpr(
+        f"id * 7 % {n} AS x", f"(id * 13 + 5) % {n} AS y",
+        f"id * 7 % {n} AS ox", f"(id * 13 + 5) % {n} AS oy",
+    )
+    for r in spatial_join.hilbert_index(df, order, keep=["ox", "oy"]).collect():
+        assert twin[(r.ox, r.oy)] == r.hilbert
+
+
+def test_hilbert_index_no_exchange(spark):
+    df = spark.range(64).selectExpr("id % 8 AS x", "CAST(id / 8 AS BIGINT) AS y")
+    plan = spatial_join.hilbert_index(df, 3, keep=[])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan
