@@ -2147,6 +2147,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["rel_hll_distinct"] = rel_hll_distinct
 
+    def rel_countmin_users(spark, sf_dir):
+        # Count-Min point queries next to exact truth: the register
+        # table is one stack + groupBy COUNT (map-side partials -> at
+        # most d*w rows shuffle) and IS the mergeable sketch state;
+        # estimates are a broadcast join + MIN. CM never undercounts,
+        # so `overcount` is the visible error channel. The twin
+        # re-derives registers, probes, and minima from the identical
+        # md5 buckets in SQL.
+        from gfw_raster_analysis_lambda_spark.operators import sketches
+
+        ev = _t(spark, sf_dir, "events")
+        regs = sketches.count_min(ev, "user_id", w=128, d=3)
+        probes = (
+            ev.filter(F.col("user_id").isNotNull())
+            .filter(F.col("user_id") % 39 == 0)
+            .select("user_id").distinct()
+        )
+        est = sketches.count_min_estimate(regs, probes, "user_id", 128, 3)
+        exact = ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact")
+        )
+        return est.join(exact, "user_id").select(
+            "user_id", "n_exact", "n_cm",
+            (F.col("n_cm") - F.col("n_exact")).cast("long").alias("overcount"),
+        )
+    q["rel_countmin_users"] = rel_countmin_users
+
+    def rel_bloom_semijoin(spark, sf_dir):
+        # Bloom-filter runtime pruning of a fact scan: BUILDING-segment
+        # customer keys packed into 32 int64 words (bit_or fold), the
+        # orders table probed via k=3 broadcast word joins — the fact
+        # side NEVER shuffles, the explicit form of the runtime filters
+        # engines inject before a join Exchange. Aggregates count true
+        # matches vs Bloom passes per priority; n_false is the measured
+        # false-positive mass the exact join would discard (never a
+        # false negative — the twin's set-membership bits pin that).
+        from gfw_raster_analysis_lambda_spark.operators import sketches
+
+        cust = _t(spark, sf_dir, "customer")
+        orders = _t(spark, sf_dir, "orders")
+        keys = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+            "c_custkey"
+        )
+        words = sketches.bloom_words(keys, "c_custkey", m=1024, k=3)
+        passed = sketches.bloom_pass_col(orders, "o_custkey", words, 1024, 3)
+        truth = passed.join(
+            F.broadcast(keys.distinct().withColumnRenamed("c_custkey", "__k")),
+            F.col("o_custkey") == F.col("__k"),
+            "left",
+        )
+        return truth.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("bloom_pass").cast("long")).cast("long").alias("n_pass"),
+            F.sum(F.col("__k").isNotNull().cast("long")).cast("long").alias("n_true"),
+            (
+                F.sum(F.col("bloom_pass").cast("long"))
+                - F.sum(F.col("__k").isNotNull().cast("long"))
+            ).cast("long").alias("n_false"),
+        )
+    q["rel_bloom_semijoin"] = rel_bloom_semijoin
+
     def rel_snapshot_timetravel(spark, sf_dir):
         # the Iceberg-layout contract END TO END (sources/snapshots.py):
         # two appends + one dynamic partition overwrite on a real
@@ -7975,6 +8036,63 @@ est AS (
 SELECT event_type, n_exact, v_empty, reg_sum, n_hll,
        ROUND(ABS(n_hll - n_exact) / n_exact, 6) AS rel_err
 FROM est
+"""
+
+    o["rel_countmin_users"] = """
+WITH reg AS (
+  SELECT g.i AS row,
+         ('0x' || substr(md5(g.i::VARCHAR || ':' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 128 AS col,
+         COUNT(*) AS cnt
+  FROM events, generate_series(0, 2) g(i)
+  WHERE user_id IS NOT NULL
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE user_id IS NOT NULL AND user_id % 39 = 0
+),
+est AS (
+  SELECT p.user_id, CAST(MIN(COALESCE(r.cnt, 0)) AS BIGINT) AS n_cm
+  FROM probes p
+  CROSS JOIN generate_series(0, 2) g(i)
+  LEFT JOIN reg r
+    ON r.row = g.i
+   AND r.col = ('0x' || substr(md5(g.i::VARCHAR || ':' || CAST(p.user_id AS VARCHAR)), 1, 15))::BIGINT % 128
+  GROUP BY 1
+),
+ex AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM events GROUP BY 1)
+SELECT e.user_id, ex.n_exact, e.n_cm,
+       CAST(e.n_cm - ex.n_exact AS BIGINT) AS overcount
+FROM est e JOIN ex ON e.user_id = ex.user_id
+"""
+
+    o["rel_bloom_semijoin"] = """
+WITH keys AS (
+  SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+bits AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5(g.i::VARCHAR || ':' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 1024 AS bit
+  FROM keys, generate_series(0, 2) g(i)
+),
+ob AS (
+  SELECT o.o_orderkey, o.o_orderpriority, o.o_custkey,
+         ('0x' || substr(md5(g.i::VARCHAR || ':' || CAST(o.o_custkey AS VARCHAR)), 1, 15))::BIGINT % 1024 AS bit
+  FROM orders o, generate_series(0, 2) g(i)
+),
+p2 AS (
+  SELECT ob.o_orderkey, ob.o_orderpriority, ob.o_custkey,
+         SUM(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS nbits
+  FROM ob LEFT JOIN bits b USING (bit)
+  GROUP BY 1, 2, 3
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN nbits = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(SUM(CASE WHEN o_custkey IN (SELECT c_custkey FROM keys) THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN nbits = 3 THEN 1 ELSE 0 END)
+            - SUM(CASE WHEN o_custkey IN (SELECT c_custkey FROM keys) THEN 1 ELSE 0 END) AS BIGINT) AS n_false
+FROM p2 GROUP BY 1
 """
 
     _rx_email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

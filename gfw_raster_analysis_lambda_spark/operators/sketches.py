@@ -339,3 +339,156 @@ def histogram_quantiles(
         )
         out = hit if out is None else out.unionByName(hit)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+def _cm_hash_sql(key_col: str, row: int, w: int) -> str:
+    """Row-``row``'s bucket for ``key_col``: the first 15 hex chars of
+    ``md5('row:key')`` as a 60-bit integer, mod ``w``. Same portable
+    md5 idiom as the HLL sketch — any engine computes the identical
+    bucket, so the DuckDB twin re-derives the whole register table."""
+    return (
+        f"cast(conv(substring(md5(concat('{row}:', "
+        f"cast({key_col} as string))), 1, 15), 16, 10) as bigint) % {w}"
+    )
+
+
+def count_min(
+    df: DataFrame,
+    key_col: str,
+    w: int = 256,
+    d: int = 3,
+) -> DataFrame:
+    """Count-Min register table over ``key_col``: ``d`` hash rows of
+    ``w`` counters, as one relational pass — ``stack`` fans each input
+    row into its ``d`` (row, col) register hits, then a groupBy COUNT
+    with map-side partial aggregation reduces every partition to at
+    most ``d*w`` rows before the (only) shuffle. The register frame IS
+    the mergeable sketch: persist it, build tomorrow's over new data,
+    and SUM matching (row, col) cells to fold days together —
+    point-query error stays bounded by n/w with probability
+    ``1 - (1/2)^d`` and the estimate NEVER undercounts.
+
+    State is O(d*w) per sketch regardless of corpus size — the whole
+    reason to prefer it over an exact groupBy on a 100-TB key column.
+
+    Returns ``(row int, col long, cnt long)``."""
+    if w < 2 or d < 1:
+        raise ValueError("need w >= 2 and d >= 1")
+    pairs = ", ".join(
+        f"{i}, ({_cm_hash_sql(key_col, i, w)})" for i in range(d)
+    )
+    hits = df.filter(F.col(key_col).isNotNull()).selectExpr(
+        f"stack({d}, {pairs}) AS (row, col)"
+    )
+    return hits.groupBy("row", "col").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def count_min_estimate(
+    registers: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    w: int,
+    d: int,
+) -> DataFrame:
+    """Point-query a Count-Min register table for every probe key:
+    ``min`` over the key's ``d`` registers. The register frame is at
+    most ``d*w`` rows, so Catalyst broadcasts it and the probe side
+    never shuffles — estimating a billion keys is a broadcast join plus
+    one partial/final MIN.
+
+    Returns ``probes.columns + [n_cm long]`` (upper bound on the true
+    count; equality when no collision hit the key's minimal row)."""
+    probe_hits = probes.selectExpr(
+        "*",
+        f"stack({d}, "
+        + ", ".join(f"{i}, ({_cm_hash_sql(key_col, i, w)})" for i in range(d))
+        + ") AS (row, col)",
+    )
+    joined = probe_hits.join(
+        F.broadcast(registers), on=["row", "col"], how="left"
+    ).withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+    return (
+        joined.groupBy(*probes.columns)
+        .agg(F.min("cnt").cast("long").alias("n_cm"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter runtime pruning (Bloom 1970)
+# ---------------------------------------------------------------------------
+
+def bloom_words(
+    dim: DataFrame,
+    key_col: str,
+    m: int = 2048,
+    k: int = 3,
+) -> DataFrame:
+    """Build-side Bloom filter over ``dim.key_col`` packed into 32-bit
+    words (bit ``b`` lives in word ``b div 32``; 32-bit words keep every
+    value positive in int64 on any engine — no sign-bit edge case):
+    each key sets ``k`` md5-derived bits, ``bit_or`` folds them into at
+    most ``m/32`` rows. That frame is the whole filter state —
+    mergeable across builds by another ``bit_or``, broadcastable at any
+    ``m`` a real pipeline would use (2^27 bits = 4 MB of words).
+
+    Returns ``(word_idx long, word long)``."""
+    if m % 32 != 0 or m < 32 or k < 1:
+        raise ValueError("need m a positive multiple of 32 and k >= 1")
+    bits = dim.filter(F.col(key_col).isNotNull()).selectExpr(
+        f"stack({k}, "
+        + ", ".join(f"{i}, ({_cm_hash_sql(key_col, i, m)})" for i in range(k))
+        + ") AS (row, bit)"
+    )
+    return (
+        bits.select(
+            F.expr("bit div 32").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(bit % 32 as int))").alias("w1"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(w1)").alias("word"))
+    )
+
+
+def bloom_pass_col(
+    fact: DataFrame,
+    key_col: str,
+    words: DataFrame,
+    m: int,
+    k: int,
+) -> DataFrame:
+    """Append ``bloom_pass`` (boolean) to ``fact``: true iff all ``k``
+    bits of ``key_col`` are set in the filter. One broadcast join per
+    hash row against the tiny word frame — the fact table NEVER
+    shuffles, which is the point: at 100 TB this is the runtime filter
+    you apply on the scan side to kill non-matching rows before the
+    join Exchange, exactly what engines' automatic runtime filters do
+    for equi-joins, but explicit, persistable, and mergeable. False
+    positives (rate ~ (1 - e^(-k*n/m))^k) only cost wasted shuffle
+    rows; the subsequent exact join removes them, so composition with
+    any join is sound."""
+    out = fact
+    for i in range(k):
+        wtab = words.selectExpr(
+            f"word_idx AS __wi{i}", f"word AS __w{i}"
+        )
+        out = out.withColumn(
+            f"__b{i}", F.expr(_cm_hash_sql(key_col, i, m))
+        ).join(
+            F.broadcast(wtab),
+            F.expr(f"cast(__b{i} / 32 as bigint) = __wi{i}"),
+            "left",
+        )
+    cond = None
+    for i in range(k):
+        c = F.expr(
+            f"coalesce(__w{i}, 0L) & shiftleft(1L, cast(__b{i} % 32 as int))"
+        ) != 0
+        cond = c if cond is None else (cond & c)
+    drop = [c for i in range(k) for c in (f"__b{i}", f"__wi{i}", f"__w{i}")]
+    return out.withColumn("bloom_pass", cond).drop(*drop)
