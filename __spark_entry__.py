@@ -1785,6 +1785,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["spatial_hilbert_blocks"] = spatial_hilbert_blocks
 
+    def spatial_convex_hull(spark, sf_dir):
+        # distributed convex hull, two-phase: Akl-Toussaint 8-direction
+        # extreme-point prune (one map-side-combinable agg + broadcast
+        # filter — the only full-data passes) then the exact integer
+        # monotone chain per group on the tiny survivor set. Output is
+        # order-free (count / coordinate sums / |shoelace|) so the twin
+        # verifies hull MEMBERSHIP via the NOT-EXISTS-containing-triangle
+        # characterization and the area via an atan2-ordered shoelace —
+        # two genuinely independent hull derivations, hash-equal.
+        from gfw_raster_analysis_lambda_spark.operators import spatial_join
+
+        pts = spark.range(240).selectExpr(
+            "id % 6 AS g", "id div 6 AS i"
+        ).selectExpr(
+            "g",
+            "(i * i * 37 + g * 101) % 1000 AS x",
+            "(i * 73 + i * i * 11 + g * 57) % 1000 AS y",
+        )
+        return spatial_join.convex_hull_stats(pts, "g")
+    q["spatial_convex_hull"] = spatial_convex_hull
+
     def spatial_geohash_points(spark, sf_dir):
         # standard geohash (base32, lon-first interleave) as pure
         # Catalyst arithmetic; precision 5 (25 bits) exercises the odd
@@ -4980,6 +5001,71 @@ SELECT hilbert >> 4 AS block, COUNT(*) AS n_points,
        MIN(hilbert) AS h_min, MAX(hilbert) AS h_max
 FROM ({_hilbert_sql(12, _hsrc, [])})
 GROUP BY 1
+"""
+
+    # convex-hull twin: hull membership by the closed-triangle NOT EXISTS
+    # characterization (strict vertices only: a collinear mid-edge point
+    # sits in the closed triangle of its edge endpoints + any third
+    # point), area by atan2-ordered shoelace (safe: distinct convex-
+    # position vertices can never share a direction from the interior
+    # centroid, so the ordering is unambiguous; atan2 is only used
+    # WITHIN this engine, never compared across engines)
+    o["spatial_convex_hull"] = """
+WITH raw AS (
+  SELECT gg.g, (ii.i * ii.i * 37 + gg.g * 101) % 1000 AS x,
+         (ii.i * 73 + ii.i * ii.i * 11 + gg.g * 57) % 1000 AS y
+  FROM generate_series(0, 5) gg(g), generate_series(0, 39) ii(i)
+),
+pts AS (SELECT DISTINCT g, x, y FROM raw),
+np AS (SELECT g, COUNT(*) AS n_points FROM pts GROUP BY 1),
+hv AS (
+  SELECT p.g, p.x, p.y
+  FROM pts p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pts a, pts b, pts c
+    WHERE a.g = p.g AND b.g = p.g AND c.g = p.g
+      AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+      AND (b.x < c.x OR (b.x = c.x AND b.y < c.y))
+      AND NOT (a.x = p.x AND a.y = p.y)
+      AND NOT (b.x = p.x AND b.y = p.y)
+      AND NOT (c.x = p.x AND c.y = p.y)
+      AND ((b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x)) <> 0
+      AND (
+        (    ((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x)) >= 0
+         AND ((c.x - b.x) * (p.y - b.y) - (c.y - b.y) * (p.x - b.x)) >= 0
+         AND ((a.x - c.x) * (p.y - c.y) - (a.y - c.y) * (p.x - c.x)) >= 0)
+        OR
+        (    ((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x)) <= 0
+         AND ((c.x - b.x) * (p.y - b.y) - (c.y - b.y) * (p.x - b.x)) <= 0
+         AND ((a.x - c.x) * (p.y - c.y) - (a.y - c.y) * (p.x - c.x)) <= 0)
+      )
+  )
+),
+cent AS (SELECT g, AVG(x) AS cx, AVG(y) AS cy FROM hv GROUP BY 1),
+ord AS (
+  SELECT hv.g, hv.x, hv.y,
+         row_number() OVER (
+           PARTITION BY hv.g ORDER BY atan2(hv.y - c.cy, hv.x - c.cx)
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY hv.g) AS n
+  FROM hv JOIN cent c ON hv.g = c.g
+),
+sh AS (
+  SELECT o1.g, SUM(o1.x * o2.y - o2.x * o1.y) AS s2
+  FROM ord o1 JOIN ord o2 ON o1.g = o2.g AND o2.rn = (o1.rn % o1.n) + 1
+  GROUP BY 1
+),
+hs AS (
+  SELECT g, COUNT(*) AS n_hull, SUM(x) AS sum_hx, SUM(y) AS sum_hy
+  FROM hv GROUP BY 1
+)
+SELECT np.g,
+       CAST(np.n_points AS BIGINT) AS n_points,
+       CAST(hs.n_hull AS BIGINT) AS n_hull,
+       CAST(hs.sum_hx AS BIGINT) AS sum_hx,
+       CAST(hs.sum_hy AS BIGINT) AS sum_hy,
+       CAST(ABS(sh.s2) AS BIGINT) AS area2
+FROM np JOIN hs ON np.g = hs.g JOIN sh ON np.g = sh.g
 """
 
     # geohash twin: same spread-mask chain, base32 chars via substr

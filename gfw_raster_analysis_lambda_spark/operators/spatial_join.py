@@ -829,3 +829,139 @@ def geometry_props(aoi_df: DataFrame, round_to: int = 6) -> DataFrame:
             )
 
     return aoi_df.select("aoi_id", "geom_wkb").mapInPandas(run, GEOM_PROPS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Distributed convex hull (Andrew 1979 monotone chain + Akl-Toussaint 1978
+# relational prune)
+# ---------------------------------------------------------------------------
+
+_HULL_DIRS = (
+    ("x", "y"),            # E : max x
+    ("x + y", "x"),        # NE: max x+y
+    ("y", "x"),            # N : max y
+    ("y - x", "y"),        # NW: max y-x
+    ("-x", "y"),           # W : min x
+    ("-x - y", "x"),       # SW: min x+y
+    ("-y", "x"),           # S : min y
+    ("x - y", "x"),        # SE: max x-y
+)
+
+
+def _hull_chain(pts: "list[tuple[int, int]]") -> "list[tuple[int, int]]":
+    """Strict convex hull (collinear mid-edge points dropped) of distinct
+    integer points, CCW, via Andrew's monotone chain. Exact: int cross
+    products only."""
+    pts = sorted(set(pts))
+    if len(pts) <= 2:
+        return pts
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower: list = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list = []
+    for p in reversed(pts):
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    return lower[:-1] + upper[:-1]
+
+
+def convex_hull_stats(
+    points: DataFrame,
+    group_col: str,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Per-group convex hull of integer-coordinate points, scaled the
+    classic two-phase way:
+
+    - **Akl-Toussaint prune (relational)**: one groupBy computes the 8
+      directional extreme points (``max(struct(dot, x, y))`` — the
+      lexicographic struct max keeps tie-breaks deterministic), whose
+      polygon is INSCRIBED in the hull; a broadcast join back drops
+      every point strictly inside it. On uniform data that eliminates
+      ~all points with one map-side-combinable agg + one codegen
+      filter — the only full-data passes. No hull vertex is ever lost:
+      vertices lie on the hull boundary, which the inscribed polygon's
+      strict interior cannot touch.
+    - **Monotone chain (kernel)**: the O(survivors log survivors) exact
+      chain per group in applyInPandas, integer cross products only.
+
+    Output is deliberately ORDER-FREE so a DuckDB twin can verify it
+    without reproducing vertex order: ``(group, n_points distinct,
+    n_hull, sum_hx, sum_hy, area2)`` with ``area2 = |shoelace|`` exact
+    in int64. Strict-hull semantics: collinear mid-edge points are not
+    vertices (matches the NOT-EXISTS-triangle SQL characterization)."""
+    g = group_col
+    pts = (
+        points.selectExpr(
+            g,
+            f"CAST({x_col} AS BIGINT) AS x",
+            f"CAST({y_col} AS BIGINT) AS y",
+        )
+        .filter("x IS NOT NULL AND y IS NOT NULL")
+        .distinct()
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_points")]
+    for i, (dot, tie) in enumerate(_HULL_DIRS):
+        aggs.append(
+            F.expr(f"max(struct({dot} AS d, {tie} AS t, x, y))").alias(f"a{i}")
+        )
+    anchors = pts.groupBy(g).agg(*aggs)
+    edges = []
+    for i in range(8):
+        a, b = f"a{i}", f"a{(i + 1) % 8}"
+        # skip degenerate (duplicate-anchor) edges; strict-inside test
+        edges.append(
+            f"(({a}.x = {b}.x AND {a}.y = {b}.y) OR "
+            f"(({b}.x - {a}.x) * (y - {a}.y) - "
+            f"({b}.y - {a}.y) * (x - {a}.x)) > 0)"
+        )
+    inside = " AND ".join(edges)
+    # a point equal to any anchor is a candidate by definition — this
+    # also covers the all-edges-degenerate case (a single-point group
+    # would otherwise read as "strictly inside" its own zero-area hull)
+    is_anchor = " OR ".join(
+        f"(x = a{i}.x AND y = a{i}.y)" for i in range(8)
+    )
+    cand = (
+        pts.join(F.broadcast(anchors), g)
+        .filter(f"({is_anchor}) OR NOT ({inside})")
+        .select(g, "x", "y")
+    )
+
+    def chain(pdf: pd.DataFrame) -> pd.DataFrame:
+        hull = _hull_chain(list(zip(pdf["x"].tolist(), pdf["y"].tolist())))
+        n = len(hull)
+        area2 = 0
+        if n >= 3:
+            for k in range(n):
+                x1, y1 = hull[k]
+                x2, y2 = hull[(k + 1) % n]
+                area2 += x1 * y2 - x2 * y1
+        return pd.DataFrame(
+            {
+                g: [pdf[g].iloc[0]],
+                "n_hull": [n],
+                "sum_hx": [sum(p[0] for p in hull)],
+                "sum_hy": [sum(p[1] for p in hull)],
+                "area2": [abs(area2)],
+            }
+        )
+
+    gtype = dict(pts.dtypes)[g]
+    schema = (
+        f"{g} {gtype}, n_hull long, sum_hx long, sum_hy long, area2 long"
+    )
+    hulls = cand.groupBy(g).applyInPandas(chain, schema)
+    return (
+        anchors.select(g, "n_points")
+        .join(hulls, g)
+        .select(g, "n_points", "n_hull", "sum_hx", "sum_hy", "area2")
+    )

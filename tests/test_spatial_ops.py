@@ -1410,3 +1410,112 @@ def test_hilbert_index_no_exchange(spark):
     plan = spatial_join.hilbert_index(df, 3, keep=[])._jdf.queryExecution(
     ).executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def _jarvis_hull(pts):
+    # independent oracle: gift-wrapping (Jarvis 1973), strict vertices
+    # only — shares no code with the engine's monotone chain
+    pts = sorted(set(pts))
+    if len(pts) <= 2:
+        return pts
+    if all(
+        (b[0] - pts[0][0]) * (c[1] - pts[0][1])
+        == (b[1] - pts[0][1]) * (c[0] - pts[0][0])
+        for b in pts[1:]
+        for c in pts[1:]
+    ):
+        return [pts[0], pts[-1]]  # fully collinear: the two endpoints
+    start = min(pts)
+    hull = [start]
+    cur = start
+    while True:
+        nxt = None
+        for cand in pts:
+            if cand == cur:
+                continue
+            if nxt is None:
+                nxt = cand
+                continue
+            cr = (nxt[0] - cur[0]) * (cand[1] - cur[1]) - (
+                nxt[1] - cur[1]
+            ) * (cand[0] - cur[0])
+            if cr > 0 or (
+                cr == 0
+                and (cand[0] - cur[0]) ** 2 + (cand[1] - cur[1]) ** 2
+                > (nxt[0] - cur[0]) ** 2 + (nxt[1] - cur[1]) ** 2
+            ):
+                nxt = cand
+        if nxt == start:
+            break
+        hull.append(nxt)
+        cur = nxt
+    return hull
+
+
+def test_convex_hull_stats_matches_jarvis(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    expect = {}
+    for g in range(5):
+        n = int(rng.integers(5, 60))
+        pts = [
+            (int(rng.integers(0, 200)), int(rng.integers(0, 200)))
+            for _ in range(n)
+        ]
+        # inject duplicates and a collinear run through the interior
+        pts += pts[:3]
+        pts += [(50 + 10 * t, 60 + 10 * t) for t in range(4)]
+        rows += [(g, x, y) for x, y in pts]
+        hull = _jarvis_hull(pts)
+        area2 = 0
+        for k in range(len(hull)):
+            x1, y1 = hull[k]
+            x2, y2 = hull[(k + 1) % len(hull)]
+            area2 += x1 * y2 - x2 * y1
+        expect[g] = (
+            len(set(pts)),
+            len(hull),
+            sum(p[0] for p in hull),
+            sum(p[1] for p in hull),
+            abs(area2) if len(hull) >= 3 else 0,
+        )
+    df = spark.createDataFrame(rows, "g long, x long, y long")
+    got = {
+        r["g"]: (r["n_points"], r["n_hull"], r["sum_hx"], r["sum_hy"], r["area2"])
+        for r in spatial_join.convex_hull_stats(df, "g").collect()
+    }
+    assert got == expect
+
+
+def test_convex_hull_prune_never_loses_vertices(spark):
+    # clustered blob + far outliers: the 8-direction prune must keep
+    # every true hull vertex; verified by comparing against the chain
+    # over ALL points
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    pts = [(int(rng.integers(90, 110)), int(rng.integers(90, 110)))
+           for _ in range(400)]
+    pts += [(0, 0), (200, 3), (197, 201), (2, 198), (100, 250)]
+    full = spatial_join._hull_chain(pts)
+    df = spark.createDataFrame([(0, x, y) for x, y in pts], "g long, x long, y long")
+    r = spatial_join.convex_hull_stats(df, "g").collect()[0]
+    assert r["n_hull"] == len(full)
+    assert r["sum_hx"] == sum(p[0] for p in full)
+    assert r["sum_hy"] == sum(p[1] for p in full)
+
+
+def test_convex_hull_degenerate_groups(spark):
+    rows = (
+        [(0, 5, 5)]                      # single point
+        + [(1, 1, 1), (1, 9, 9)]         # two points
+        + [(2, i, 2 * i) for i in range(6)]  # fully collinear
+    )
+    df = spark.createDataFrame(rows, "g long, x long, y long")
+    got = {r["g"]: r for r in spatial_join.convex_hull_stats(df, "g").collect()}
+    assert (got[0]["n_hull"], got[0]["area2"]) == (1, 0)
+    assert (got[1]["n_hull"], got[1]["area2"]) == (2, 0)
+    assert (got[2]["n_hull"], got[2]["area2"]) == (2, 0)
+    assert got[2]["sum_hx"] == 0 + 5 and got[2]["sum_hy"] == 0 + 10
