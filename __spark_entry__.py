@@ -1025,6 +1025,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["mm_jpg_stats"] = mm_jpg_stats
 
+    def mm_otsu_threshold(spark, sf_dir):
+        # per-tile Otsu binarization threshold (document/chart curation
+        # signal): EXACT integer argmax of the between-class variance via
+        # cross-multiplied Python-int comparison — at 25M-px reference
+        # windows A^2 overflows int64, so floats would be unfaithful.
+        # The twin re-derives the argmax with a HUGEINT NOT-EXISTS over
+        # all 255 candidate splits per tile, pinning the smallest-t
+        # tie-break. Corpus: 24 raw-u8 32x32 tiles from a full-pixel
+        # formula, synthesized executor-side.
+        import pandas as _pd
+
+        def synth(batches):
+            import numpy as np
+
+            from gfw_raster_analysis_lambda_spark.functions.codecs import (
+                encode_tile,
+            )
+
+            for pdf in batches:
+                rows = []
+                for t in pdf["id"].astype(int):
+                    i, j = np.meshgrid(
+                        np.arange(32), np.arange(32), indexing="ij"
+                    )
+                    arr = ((t * 37 + i * 11 + j * 5) % 256).astype(np.uint8)
+                    rows.append(
+                        (f"otsu/{t:04d}", encode_tile(arr, "raw_u8"),
+                         32, 32, "raw_u8")
+                    )
+                yield _pd.DataFrame(
+                    rows, columns=["image_id", "bytes", "w", "h", "fmt"]
+                )
+
+        corpus = spark.range(24).repartition(8).mapInPandas(
+            synth, "image_id string, bytes binary, w int, h int, fmt string"
+        )
+        return multimodal.otsu_threshold(corpus)
+    q["mm_otsu_threshold"] = mm_otsu_threshold
+
     def mm_overview_stats(spark, sf_dir):
         # build one pyramid level (fixture grid -> 2x coarser, 2x2 cells
         # per parent) with block-mean reduction, then stat the parents;
@@ -4496,6 +4535,48 @@ SELECT image_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
        ROUND(MAX(v), 6) AS px_max,
        'inf' AS rt_psnr
 FROM px GROUP BY 1, 2, 3
+"""
+
+    # Otsu twin: histogram from the pixel formula, exact HUGEINT argmax
+    # (A1^2*B2 vs A2^2*B1 cross-multiplication, <= 2^76 at 1024 px), MIN
+    # threshold among maximal scores = the engine's smallest-t tie-break
+    o["mm_otsu_threshold"] = """
+WITH px AS (
+  SELECT tt.t, (tt.t * 37 + ti.i * 11 + tj.j * 5) % 256 AS v
+  FROM generate_series(0, 23) tt(t),
+       generate_series(0, 31) ti(i),
+       generate_series(0, 31) tj(j)
+),
+tot AS (SELECT t, COUNT(*) AS n, SUM(v) AS s FROM px GROUP BY 1),
+cum AS (
+  SELECT p.t, th.th,
+         COUNT(*) FILTER (WHERE p.v <= th.th) AS n0,
+         COALESCE(SUM(p.v) FILTER (WHERE p.v <= th.th), 0) AS s0
+  FROM px p, generate_series(0, 254) th(th)
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT c.t, c.th,
+         CAST(c.s0 * tt.n - tt.s * c.n0 AS HUGEINT) AS a,
+         CAST(c.n0 * (tt.n - c.n0) AS HUGEINT) AS b,
+         tt.n, tt.s, c.n0, c.s0
+  FROM cum c JOIN tot tt ON c.t = tt.t
+  WHERE c.n0 > 0 AND c.n0 < tt.n
+),
+best AS (
+  SELECT t, MIN(th) AS otsu_t
+  FROM scored s1
+  WHERE NOT EXISTS (
+    SELECT 1 FROM scored s2
+    WHERE s2.t = s1.t AND s2.a * s2.a * s1.b > s1.a * s1.a * s2.b
+  )
+  GROUP BY 1
+)
+SELECT 'otsu/' || lpad(CAST(b.t AS VARCHAR), 4, '0') AS image_id,
+       CAST(b.otsu_t AS INT) AS otsu_t,
+       CAST(sc.n - sc.n0 AS BIGINT) AS n_fg,
+       CAST(sc.s - sc.s0 AS BIGINT) AS sum_fg
+FROM best b JOIN scored sc ON sc.t = b.t AND sc.th = b.otsu_t
 """
 
     _U8_LAYERS = ["tcl_year", "tcd_threshold", "is_primary", "drivers",

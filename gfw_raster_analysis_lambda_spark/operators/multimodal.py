@@ -1030,3 +1030,72 @@ def chip_tiles_stats(
     return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
         run, CHIP_STATS_SCHEMA
     )
+
+
+def otsu_threshold(images: DataFrame) -> DataFrame:
+    """Per-tile Otsu (1979) binarization threshold — the classic
+    histogram-based foreground/background split used to gate scanned-
+    document and chart images in multimodal curation (a page whose Otsu
+    foreground mass is tiny is blank; one whose split is degenerate is
+    flat noise).
+
+    EXACT integer arithmetic end to end: the between-class variance
+    argmax ``max_t A(t)^2 / B(t)`` with ``A = s0*n - s*n0`` and
+    ``B = n0*(n-n0)`` is evaluated by cross-multiplied Python-int
+    comparison (``A1^2*B2 > A2^2*B1``), never a float — at the
+    reference's 25M-pixel windows A^2 overflows int64 and a double
+    comparison could flip near-ties, so arbitrary-precision ints are
+    the only faithful evaluation. Ties break to the smallest t (the
+    convention the DuckDB twin pins with a HUGEINT NOT-EXISTS argmax).
+
+    One Arrow pass per tile, no shuffle, O(images) output rows:
+    ``(image_id, otsu_t int, n_fg long, sum_fg long)`` where fg =
+    pixels strictly above the threshold. Constant tiles (no valid
+    split) return ``otsu_t = -1, n_fg = 0, sum_fg = 0``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode_tile(
+                    bytes(r.bytes), int(r.w), int(r.h), str(r.fmt)
+                )
+                if arr.dtype != np.uint8:
+                    raise ValueError(
+                        f"otsu_threshold is defined over uint8 tiles; "
+                        f"{r.image_id} decodes to {arr.dtype}"
+                    )
+                hist = np.bincount(arr.ravel(), minlength=256)
+                n = int(hist.sum())
+                s = int((hist * np.arange(256, dtype=np.int64)).sum())
+                best_t, best_a2, best_b = -1, 0, 1
+                n0 = 0
+                s0 = 0
+                for t in range(255):
+                    n0 += int(hist[t])
+                    s0 += t * int(hist[t])
+                    if n0 == 0 or n0 == n:
+                        continue
+                    a = s0 * n - s * n0
+                    b = n0 * (n - n0)
+                    # maximize a^2/b: exact cross-multiplied compare
+                    if best_t < 0 or a * a * best_b > best_a2 * b:
+                        best_t, best_a2, best_b = t, a * a, b
+                if best_t < 0:
+                    rows.append((str(r.image_id), -1, 0, 0))
+                else:
+                    n0 = int(hist[: best_t + 1].sum())
+                    s0 = int(
+                        (hist[: best_t + 1]
+                         * np.arange(best_t + 1, dtype=np.int64)).sum()
+                    )
+                    rows.append(
+                        (str(r.image_id), best_t, n - n0, s - s0)
+                    )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "otsu_t", "n_fg", "sum_fg"]
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        run, "image_id string, otsu_t int, n_fg long, sum_fg long"
+    )

@@ -1655,3 +1655,83 @@ def test_spatial_block_split_antimeridian_wrap(spark):
     with _pytest.raises(ValueError):
         spatial_block_split(df, w, block_cells=7, buffer_cells=1,
                             grid_name=g.name)
+
+
+def _otsu_fraction_oracle(arr):
+    # independent exact oracle: argmax of A^2/B as a Fraction, smallest
+    # t on ties — no code shared with the engine kernel
+    from fractions import Fraction
+
+    import numpy as _np
+
+    hist = _np.bincount(arr.ravel(), minlength=256)
+    n = int(hist.sum())
+    s = int((hist * _np.arange(256, dtype=_np.int64)).sum())
+    best_t, best = -1, Fraction(-1)
+    n0 = s0 = 0
+    for t in range(255):
+        n0 += int(hist[t])
+        s0 += t * int(hist[t])
+        if n0 == 0 or n0 == n:
+            continue
+        score = Fraction((s0 * n - s * n0) ** 2, n0 * (n - n0))
+        if score > best:
+            best, best_t = score, t
+    return best_t
+
+
+def _otsu_corpus(spark, arrays):
+    import pandas as _pd
+
+    from gfw_raster_analysis_lambda_spark.functions.codecs import encode_tile
+
+    rows = [
+        (f"t/{k}", encode_tile(a, "raw_u8"), a.shape[1], a.shape[0], "raw_u8")
+        for k, a in enumerate(arrays)
+    ]
+    return spark.createDataFrame(
+        _pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"]),
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+
+
+def test_otsu_matches_fraction_oracle_on_random_tiles(spark):
+    from gfw_raster_analysis_lambda_spark.operators import multimodal
+
+    rng = np.random.default_rng(3)
+    arrays = []
+    for k in range(12):
+        # mixtures of two gaussians at varying separation + uniform noise
+        a = np.clip(
+            np.concatenate([
+                rng.normal(60 + 5 * k, 12, 600),
+                rng.normal(180 - 3 * k, 20, 424),
+            ]).reshape(32, 32), 0, 255
+        ).astype(np.uint8)
+        arrays.append(a)
+    got = {
+        r["image_id"]: (r["otsu_t"], r["n_fg"], r["sum_fg"])
+        for r in multimodal.otsu_threshold(_otsu_corpus(spark, arrays)).collect()
+    }
+    for k, a in enumerate(arrays):
+        t = _otsu_fraction_oracle(a)
+        v = a.astype(np.int64)
+        assert got[f"t/{k}"] == (
+            t, int((v > t).sum()), int(v[v > t].sum())
+        ), (k, t, got[f"t/{k}"])
+
+
+def test_otsu_bimodal_tiebreak_and_constant(spark):
+    from gfw_raster_analysis_lambda_spark.operators import multimodal
+
+    two = np.full((16, 16), 200, dtype=np.uint8)
+    two[:8] = 10  # exactly two values: every t in [10, 199] ties -> smallest
+    const = np.full((16, 16), 42, dtype=np.uint8)
+    got = {
+        r["image_id"]: (r["otsu_t"], r["n_fg"], r["sum_fg"])
+        for r in multimodal.otsu_threshold(
+            _otsu_corpus(spark, [two, const])
+        ).collect()
+    }
+    assert got["t/0"] == (10, 128, 128 * 200)
+    assert got["t/1"] == (-1, 0, 0)
