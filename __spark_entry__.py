@@ -3555,6 +3555,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["mm_global_histeq"] = mm_global_histeq
 
+    def mm_hist_match(spark, sf_dir):
+        # CORPUS-wide histogram MATCHING (cross-sensor radiometric
+        # normalization): remap the narrow tcl_year distribution onto
+        # the measured ttc_percent distribution. Same two-pass scale
+        # shape as global equalization — two 256-long histograms to the
+        # driver, LUT in the kernel closure, zero-shuffle apply — but
+        # the LUT argmin is exact big-int cross-multiplication
+        # (cdf_ref*n_src vs cdf_src*n_ref overflows int64 at corpus
+        # scale; the twin uses HUGEINT).
+        images, _, _ = _fixture(spark)
+        cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+        src = images.filter(F.col("layer") == "tcl_year").select(*cols)
+        ref = images.filter(F.col("layer") == "ttc_percent").select(*cols)
+        hs = multimodal.global_histogram(src)
+        hr = multimodal.global_histogram(ref)
+        matched = multimodal.match_tiles_global(src, hs, hr)
+        st = multimodal.image_stats(matched)
+        return st.select(
+            "image_id",
+            F.round("px_mean", 6).alias("px_mean"),
+            F.round("px_min", 6).alias("px_min"),
+            F.round("px_max", 6).alias("px_max"),
+        )
+    q["mm_hist_match"] = mm_hist_match
+
     def spatial_polygon_pairs(spark, sf_dir):
         # vector-overlay self-join (interiors intersect, each pair once):
         # cell equi-join candidates -> exact numpy predicate; the DuckDB
@@ -8062,6 +8087,45 @@ SELECT image_id,
        ROUND(MIN(eq), 6) AS px_min,
        ROUND(MAX(eq), 6) AS px_max
 FROM px JOIN lut USING (v) GROUP BY image_id
+"""
+
+    # histogram-matching twin: both global CDFs from the pixel formulas,
+    # LUT = smallest present reference value with cdf_ref*n_src >=
+    # cdf_src*n_ref (HUGEINT cross-multiplication — exact at any corpus
+    # size), stats of the remapped source pixels
+    _tclv = "((x*7 + y*11 + i*13 + j*17) % 21)"
+    o["mm_hist_match"] = f"""
+WITH spx AS (
+  SELECT 'tcl_year/' || lower(lpad(hex(CAST({CB} AS BIGINT) + x * {YW} + y), 16, '0')) AS image_id,
+         {_tclv} AS v
+  FROM generate_series({X0}, {X0 + NX - 1}) tx(x),
+       generate_series({Y0}, {Y0 + NY - 1}) ty(y),
+       generate_series(0, {GRID.chunk_px - 1}) ti(i),
+       generate_series(0, {GRID.chunk_px - 1}) tj(j)
+),
+rpx AS (
+  SELECT {_ttcv} AS v
+  FROM generate_series({X0}, {X0 + NX - 1}) tx(x),
+       generate_series({Y0}, {Y0 + NY - 1}) ty(y),
+       generate_series(0, {GRID.chunk_px - 1}) ti(i),
+       generate_series(0, {GRID.chunk_px - 1}) tj(j)
+),
+sh AS (SELECT v, COUNT(*) AS c FROM spx GROUP BY v),
+scdf AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM sh),
+rh AS (SELECT v, COUNT(*) AS c FROM rpx GROUP BY v),
+rcdf AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM rh),
+p AS (SELECT (SELECT SUM(c) FROM sh) AS ns, (SELECT SUM(c) FROM rh) AS nr),
+lut AS (
+  SELECT s.v, MIN(r.v) AS u
+  FROM scdf s, rcdf r, p
+  WHERE CAST(r.cum AS HUGEINT) * p.ns >= CAST(s.cum AS HUGEINT) * p.nr
+  GROUP BY s.v
+)
+SELECT image_id,
+       ROUND(AVG(u), 6) AS px_mean,
+       ROUND(MIN(u), 6) AS px_min,
+       ROUND(MAX(u), 6) AS px_max
+FROM spx JOIN lut USING (v) GROUP BY image_id
 """
 
     _pp_rows = ", ".join(

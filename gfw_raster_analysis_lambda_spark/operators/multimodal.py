@@ -1099,3 +1099,82 @@ def otsu_threshold(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
         run, "image_id string, otsu_t int, n_fg long, sum_fg long"
     )
+
+
+def match_tiles_global(
+    images: DataFrame,
+    hist_src: "list[int]",
+    hist_ref: "list[int]",
+) -> DataFrame:
+    """CORPUS-wide histogram MATCHING: remap every source tile so the
+    global source pixel distribution tracks a REFERENCE corpus's — the
+    cross-sensor radiometric-normalization step (harmonize Landsat-like
+    and Sentinel-like layers before mosaicking or change detection),
+    where :func:`equalize_tiles_global` normalizes to uniform, this
+    normalizes to an arbitrary measured target.
+
+    LUT rule (the classic integer CDF-matching): ``lut[v]`` = the
+    smallest reference value ``u`` PRESENT in the reference histogram
+    with ``cdf_ref(u)/n_ref >= cdf_src(v)/n_src``, evaluated by Python-
+    int cross-multiplication ``cdf_ref[u]*n_src >= cdf_src[v]*n_ref`` —
+    at 10^12-image scale the product overflows int64, and a float
+    quotient could flip ties, so exact big-ints are the only faithful
+    comparison (the DuckDB twin uses HUGEINT for the same reason).
+
+    Same two-pass scale shape as global equalization: two 256-long
+    histograms reach the driver (:func:`global_histogram` per corpus),
+    the 256-entry LUT rides the kernel closure, and the apply is an
+    embarrassingly parallel Arrow pass — zero shuffle."""
+    cs = 0
+    cum_src = []
+    for c in hist_src:
+        cs += int(c)
+        cum_src.append(cs)
+    n_src = cs
+    cr = 0
+    ref_steps = []  # (value, cum) at present reference values only
+    for v, c in enumerate(hist_ref):
+        cr += int(c)
+        if c > 0:
+            ref_steps.append((v, cr))
+    n_ref = cr
+    if n_src == 0 or n_ref == 0:
+        raise ValueError("empty source or reference histogram")
+    lut = np.zeros(256, dtype=np.uint8)
+    k = 0
+    for v in range(256):
+        target = cum_src[v] * n_ref
+        while k < len(ref_steps) and ref_steps[k][1] * n_src < target:
+            k += 1
+        # k never overruns: cdf_ref(max) * n_src = n_ref * n_src >= target
+        lut[v] = ref_steps[min(k, len(ref_steps) - 1)][0]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode_tile(
+                    bytes(r.bytes), int(r.w), int(r.h), str(r.fmt)
+                )
+                if arr.dtype != np.uint8:
+                    raise ValueError(
+                        f"match_tiles_global is defined over uint8 tiles; "
+                        f"{r.image_id} decodes to {arr.dtype}"
+                    )
+                m = lut[arr]
+                rows.append(
+                    (
+                        r.image_id, codecs.encode_tile(m, "raw_u8"),
+                        int(r.w), int(r.h), "raw_u8", r.caption,
+                        codecs.phash64(m.astype(np.float64)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"],
+            )
+
+    return images.mapInPandas(
+        run,
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )

@@ -1735,3 +1735,69 @@ def test_otsu_bimodal_tiebreak_and_constant(spark):
     }
     assert got["t/0"] == (10, 128, 128 * 200)
     assert got["t/1"] == (-1, 0, 0)
+
+
+def test_hist_match_lut_matches_bruteforce_fraction(spark):
+    from fractions import Fraction
+
+    from gfw_raster_analysis_lambda_spark.functions.codecs import decode_tile
+    from gfw_raster_analysis_lambda_spark.operators import multimodal
+
+    rng = np.random.default_rng(5)
+    src_tiles = [
+        rng.integers(0, 60, (16, 16)).astype(np.uint8) for _ in range(4)
+    ]
+    ref_tiles = [
+        (rng.integers(0, 128, (16, 16)) * 2).astype(np.uint8) for _ in range(3)
+    ]
+    hs = np.zeros(256, dtype=np.int64)
+    for a in src_tiles:
+        hs += np.bincount(a.ravel(), minlength=256)
+    hr = np.zeros(256, dtype=np.int64)
+    for a in ref_tiles:
+        hr += np.bincount(a.ravel(), minlength=256)
+    # brute-force exact LUT: smallest PRESENT ref value whose normalized
+    # CDF reaches the source's, compared as Fractions (independent of the
+    # engine's cross-multiplied two-pointer)
+    cs, cr = hs.cumsum(), hr.cumsum()
+    ns, nr = int(cs[-1]), int(cr[-1])
+    expect_lut = {}
+    for v in range(256):
+        t = Fraction(int(cs[v]), ns)
+        for u in range(256):
+            if hr[u] > 0 and Fraction(int(cr[u]), nr) >= t:
+                expect_lut[v] = u
+                break
+    corpus = _otsu_corpus(spark, src_tiles)  # reuse the raw-u8 builder
+    corpus = corpus.withColumn("caption", F.lit("c")).withColumn(
+        "phash", F.lit(0).cast("long")
+    )
+    out = multimodal.match_tiles_global(
+        corpus, [int(c) for c in hs], [int(c) for c in hr]
+    )
+    got = {r["image_id"]: r for r in out.collect()}
+    for k, a in enumerate(src_tiles):
+        dec = decode_tile(bytes(got[f"t/{k}"]["bytes"]), 16, 16, "raw_u8")
+        expect = np.vectorize(lambda v: expect_lut[int(v)])(a)
+        assert (dec == expect).all()
+
+
+def test_hist_match_to_self_is_identity_on_present_values(spark):
+    from gfw_raster_analysis_lambda_spark.functions.codecs import decode_tile
+    from gfw_raster_analysis_lambda_spark.operators import multimodal
+
+    rng = np.random.default_rng(9)
+    tiles = [rng.integers(0, 256, (16, 16)).astype(np.uint8) for _ in range(3)]
+    h = np.zeros(256, dtype=np.int64)
+    for a in tiles:
+        h += np.bincount(a.ravel(), minlength=256)
+    corpus = _otsu_corpus(spark, tiles).withColumn(
+        "caption", F.lit("c")
+    ).withColumn("phash", F.lit(0).cast("long"))
+    out = multimodal.match_tiles_global(
+        corpus, [int(c) for c in h], [int(c) for c in h]
+    )
+    for r in out.collect():
+        k = int(r["image_id"].split("/")[1])
+        dec = decode_tile(bytes(r["bytes"]), 16, 16, "raw_u8")
+        assert (dec == tiles[k]).all()
