@@ -2926,6 +2926,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return focal.hotspot_stats(tiles, t=2)
     q["focal_hotspots"] = focal_hotspots
 
+    def focal_emerging_hotspots(spark, sf_dir):
+        # emerging hot-spot analysis (the ArcGIS space-time-cube product
+        # shape): Gi* hot-pixel counts per cell at FIVE epochs, then the
+        # Mann-Kendall S trend of each cell's hot_px series — hotspot
+        # intensifying (S>0), diminishing (S<0), or stable. Pure
+        # composition of two verified operators (focal.hotspot_stats x
+        # trends.mann_kendall); the epoch corpus is synthesized
+        # executor-side with an epoch-dependent drift term so trends
+        # genuinely differ by cell. Everything stays integer (hot
+        # counts, sign sums), so the twin replays all five Gi* passes
+        # in HUGEINT and the pair-sign join exactly.
+        import pandas as _pd
+
+        from gfw_raster_analysis_lambda_spark.operators import focal, trends
+
+        n_epochs = 5
+        cb, yw = GRID.index << 54, 1 << 27
+
+        def synth(batches):
+            import numpy as np
+
+            from gfw_raster_analysis_lambda_spark.functions.codecs import (
+                encode_tile,
+            )
+
+            for pdf in batches:
+                rows = []
+                for k in pdf["id"].astype(int):
+                    e, t = divmod(int(k), NX * NY)
+                    x, y = X0 + t // NY, Y0 + t % NY
+                    i, j = np.meshgrid(
+                        np.arange(64), np.arange(64), indexing="ij"
+                    )
+                    arr = (
+                        (x * 7 + y * 11 + i * 13 + j * 17 + e * (i + j)) % 21
+                    ).astype(np.uint8)
+                    rows.append(
+                        (e, cb + x * yw + y, encode_tile(arr, "raw_u8"),
+                         64, 64, "raw_u8")
+                    )
+                yield _pd.DataFrame(
+                    rows,
+                    columns=["epoch", "cell_id", "bytes", "w", "h", "fmt"],
+                )
+
+        corpus = spark.range(n_epochs * NX * NY).repartition(8).mapInPandas(
+            synth,
+            "epoch int, cell_id long, bytes binary, w int, h int, fmt string",
+        ).cache()
+        per_epoch = None
+        for e in range(n_epochs):
+            hs = focal.hotspot_stats(
+                corpus.filter(F.col("epoch") == e)
+                .select("cell_id", "bytes", "w", "h", "fmt"),
+                t=2,
+            ).withColumn("epoch", F.lit(e))
+            per_epoch = hs if per_epoch is None else per_epoch.unionByName(hs)
+        return trends.mann_kendall(per_epoch, "epoch", "hot_px", ["cell_id"])
+    q["focal_emerging_hotspots"] = focal_emerging_hotspots
+
     def focal_lisa(spark, sf_dir):
         # Anselin LISA quadrant counts: both classifying signs
         # (centered value, spatial lag) are exact int64 products —
@@ -7385,6 +7445,61 @@ SELECT CAST({CB} AS BIGINT) + CAST({X0} + gx // 64 AS BIGINT) * {YW} + ({Y0} + g
        CAST(SUM(hot) AS BIGINT) AS hot_px,
        CAST(SUM(cold) AS BIGINT) AS cold_px
 FROM f GROUP BY 1
+"""
+
+    # emerging-hotspots twin: five Gi* passes (same HUGEINT squared
+    # inequality as focal_hotspots, epoch-drifted pixel formula), then
+    # the Mann-Kendall pair-sign join over each cell's hot_px series
+    def _ev_at(gxe: str, gye: str, e: int) -> str:
+        return (
+            f"(({X0} + ({gxe})//64)*7 + ({Y0} + ({gye})//64)*11 "
+            f"+ (({gye})%64)*13 + (({gxe})%64)*17 "
+            f"+ {e}*((({gye})%64) + (({gxe})%64))) % 21"
+        )
+
+    _eh_ctes = [
+        f"px AS (SELECT gx, gy FROM generate_series(0, {GX}) a(gx), "
+        f"generate_series(0, {GY}) b(gy))",
+        "off AS (SELECT dx, dy FROM generate_series(-1, 1) a(dx), "
+        "generate_series(-1, 1) b(dy))",
+    ]
+    _eh_sel = []
+    for _e in range(5):
+        _vv = _ev_at("gx", "gy", _e)
+        _vw = _ev_at("px.gx+dx", "px.gy+dy", _e)
+        _eh_ctes.append(
+            f"g{_e} AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
+            f"CAST(SUM({_vv}) AS HUGEINT) AS s1, "
+            f"CAST(SUM(({_vv}) * ({_vv})) AS HUGEINT) AS s2 FROM px)"
+        )
+        _eh_ctes.append(
+            f"w{_e} AS (SELECT px.gx, px.gy, "
+            f"CAST(SUM({_vw}) AS HUGEINT) AS wsum, "
+            f"CAST(COUNT(*) AS HUGEINT) AS wn "
+            f"FROM px, off WHERE px.gx + dx BETWEEN 0 AND {GX} "
+            f"AND px.gy + dy BETWEEN 0 AND {GY} GROUP BY px.gx, px.gy)"
+        )
+        _eh_ctes.append(
+            f"h{_e} AS (SELECT "
+            f"CAST({CB} AS BIGINT) + CAST({X0} + gx // 64 AS BIGINT) * {YW} "
+            f"+ ({Y0} + gy // 64) AS cell_id, "
+            f"SUM(CASE WHEN (n * wsum - s1 * wn) > 0 "
+            f"AND (n * wsum - s1 * wn) * (n * wsum - s1 * wn) * (n - 1) "
+            f">= 4 * (n * s2 - s1 * s1) * (n * wn - wn * wn) "
+            f"THEN 1 ELSE 0 END) AS hot_px "
+            f"FROM w{_e}, g{_e} GROUP BY 1)"
+        )
+        _eh_sel.append(f"SELECT {_e} AS epoch, cell_id, hot_px FROM h{_e}")
+    _eh_union = " UNION ALL ".join(_eh_sel)
+    o["focal_emerging_hotspots"] = f"""
+WITH {', '.join(_eh_ctes)},
+hp AS ({_eh_union})
+SELECT a.cell_id,
+       CAST(SUM(CASE WHEN b.hot_px > a.hot_px THEN 1
+                     WHEN b.hot_px < a.hot_px THEN -1 ELSE 0 END) AS BIGINT) AS s,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM hp a JOIN hp b ON a.cell_id = b.cell_id AND a.epoch < b.epoch
+GROUP BY 1
 """
 
     # LISA twin: center EXCLUDED from the weights (w_ii = 0); both

@@ -1801,3 +1801,18 @@ def test_hist_match_to_self_is_identity_on_present_values(spark):
         k = int(r["image_id"].split("/")[1])
         dec = decode_tile(bytes(r["bytes"]), 16, 16, "raw_u8")
         assert (dec == tiles[k]).all()
+
+
+def test_emerging_hotspots_composition_invariants(spark):
+    # the composition gate's invariants: one row per fixture cell, the
+    # full C(5,2) pair count everywhere, S bounded by it, and a genuine
+    # mix of trend signs induced by the epoch drift term
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["focal_emerging_hotspots"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 16
+    assert all(r["n_pairs"] == 10 for r in rows)
+    assert all(-10 <= r["s"] <= 10 for r in rows)
+    assert any(r["s"] != 0 for r in rows)
