@@ -211,6 +211,47 @@ def cluster_by_zorder(
     return out.sortWithinPartitions("__z").drop("__z")
 
 
+def cluster_by_hilbert(
+    df: DataFrame,
+    grid: G.Grid,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    order: int = 12,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """:func:`cluster_by_zorder`'s Hilbert sibling: range-partition and
+    sort on the Hilbert code of the point's grid cell. Same write-path
+    mechanics (one range Exchange + per-partition sort, disjoint file
+    key ranges for parquet min/max pruning), strictly better locality:
+    consecutive Hilbert codes are always 4-adjacent cells, so a bbox
+    probe's hit set fragments into fewer code runs than under Morton's
+    quadrant seams (locality measured head-to-head in
+    tests/test_spatial_ops.py)."""
+    td = grid.tile_deg
+    xs = (
+        f"CAST(GREATEST(0, LEAST(FLOOR(({lon_col} + 180) / {td!r}), "
+        f"{grid.nx - 1})) AS BIGINT)"
+    )
+    ys = (
+        f"CAST(GREATEST(0, LEAST(FLOOR((90 - {lat_col}) / {td!r}), "
+        f"{grid.ny - 1})) AS BIGINT)"
+    )
+    if max(grid.nx, grid.ny) > (1 << order):
+        raise ValueError(f"order {order} cannot index a {grid.nx}x{grid.ny} grid")
+    keyed = hilbert_index(
+        df.selectExpr("*", f"{xs} AS __hx", f"{ys} AS __hy"),
+        order,
+        x_col="__hx",
+        y_col="__hy",
+        keep=df.columns,
+    ).withColumnRenamed("hilbert", "__h")
+    if n_partitions is not None:
+        out = keyed.repartitionByRange(n_partitions, "__h")
+    else:
+        out = keyed.repartitionByRange("__h")
+    return out.sortWithinPartitions("__h").drop("__h")
+
+
 def hilbert_rounds(order: int) -> list[tuple[list[str], list[str]]]:
     """Per-round SQL expression pairs for the Hilbert xy→d walk
     (Hilbert 1891; the iterative rotate-and-reflect form popularized by

@@ -1519,3 +1519,66 @@ def test_convex_hull_degenerate_groups(spark):
     assert (got[1]["n_hull"], got[1]["area2"]) == (2, 0)
     assert (got[2]["n_hull"], got[2]["area2"]) == (2, 0)
     assert got[2]["sum_hx"] == 0 + 5 and got[2]["sum_hy"] == 0 + 10
+
+
+def test_cluster_by_hilbert_layout_and_locality_beats_morton(spark):
+    # same harness as the zorder layout test: disjoint sorted partition
+    # ranges, plus the head-to-head locality claim — on average over
+    # seeded bbox probes, Hilbert order fragments the hit set into no
+    # more row groups than Morton (and strictly fewer in total)
+    grid = fixtures.GRID
+    pts = [
+        (i, 10.0 + (i * 13 % 512) / 64.0, 20.0 + (i * 29 % 512) / 64.0)
+        for i in range(4096)
+    ]
+    df = spark.createDataFrame(pts, "image_id long, lon double, lat double")
+    out = spatial_join.cluster_by_hilbert(df, grid, n_partitions=16)
+    assert out.columns == ["image_id", "lon", "lat"]
+
+    pdf = df.toPandas()
+    x = np.floor((pdf["lon"].to_numpy() + 180.0) / grid.tile_deg).astype(np.int64)
+    y = np.floor((90.0 - pdf["lat"].to_numpy()) / grid.tile_deg).astype(np.int64)
+    h = np.array(
+        [_hilbert_xy2d_ref(12, int(a), int(b)) for a, b in zip(x, y)],
+        dtype=np.int64,
+    )
+    z = _morton_np(x, y)
+    rng = np.random.default_rng(7)
+    B = 64
+
+    def groups_touched(key: np.ndarray) -> float:
+        order = np.argsort(key, kind="stable")
+        grp = np.empty(len(key), dtype=np.int64)
+        grp[order] = np.arange(len(key)) // B
+        tot = 0
+        for _ in range(50):
+            cx = rng.integers(x.min(), x.max() - 3)
+            cy = rng.integers(y.min(), y.max() - 3)
+            hit = (x >= cx) & (x < cx + 4) & (y >= cy) & (y < cy + 4)
+            tot += len(np.unique(grp[hit]))
+        return tot / 50.0
+
+    g_h = groups_touched(h)
+    g_z = groups_touched(z)
+    assert g_h <= g_z, (g_h, g_z)
+
+    # the engine layout matches the reference code order: partition
+    # ranges disjoint and sorted on the re-derived hilbert key
+    rows = (
+        out.withColumn("part", F.spark_partition_id())
+        .toPandas()
+    )
+    xx = np.floor((rows["lon"].to_numpy() + 180.0) / grid.tile_deg).astype(np.int64)
+    yy = np.floor((90.0 - rows["lat"].to_numpy()) / grid.tile_deg).astype(np.int64)
+    hh = np.array(
+        [_hilbert_xy2d_ref(12, int(a), int(b)) for a, b in zip(xx, yy)],
+        dtype=np.int64,
+    )
+    ranges = []
+    for part, idx in rows.groupby("part", sort=True).groups.items():
+        k = hh[np.asarray(idx)]
+        assert np.all(np.diff(k) >= 0), f"partition {part} not sorted"
+        ranges.append((k.min(), k.max()))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "partition hilbert-ranges overlap"
