@@ -3367,6 +3367,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sampling.reservoir_sample(docs, 5, strata_col="lang")
     q["sample_reservoir"] = sample_reservoir
 
+    def curate_skyline(spark, sf_dir):
+        # per-lang Pareto frontier (Börzsönyi et al. 2001): the docs no
+        # other doc beats on BOTH objectives (shorter AND higher
+        # quality) — multi-objective curation without a weighted score.
+        # Two-phase mergeable kernel: per-batch local frontiers in one
+        # shuffle-free Arrow scan, exact frontier after one grouped
+        # shuffle of the O(frontier) candidates (operators/skyline.py).
+        from gfw_raster_analysis_lambda_spark.operators import skyline
+        from gfw_raster_analysis_lambda_spark.operators.text import quality_score
+
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars", quality_score(F.col("text")).alias("quality")
+        )
+        return skyline.skyline_2d(docs, ["lang"], "n_chars", "quality")
+    q["curate_skyline"] = curate_skyline
+
     def sample_weighted(spark, sf_dir):
         # Poisson sampling, inclusion probability ~ document length
         # (sampling.weighted_sample): one IEEE multiply + the md5
@@ -6778,6 +6794,22 @@ r AS (
   FROM s
 )
 SELECT doc_id, lang, quality, CAST(rank AS INT) AS rank FROM r WHERE rank <= 8
+"""
+
+    # skyline twin: textbook NOT-EXISTS dominance (a doc survives iff no
+    # same-lang doc is <= on chars, >= on quality, and strictly better
+    # on at least one) — independent of the engine's sort-scan kernel
+    o["curate_skyline"] = f"""
+WITH s AS (
+  SELECT doc_id, lang, n_chars, {_QUALITY_EXPR} AS quality FROM documents
+)
+SELECT r.doc_id, r.lang, r.n_chars, r.quality FROM s r
+WHERE NOT EXISTS (
+  SELECT 1 FROM s d
+  WHERE d.lang = r.lang
+    AND d.n_chars <= r.n_chars AND d.quality >= r.quality
+    AND (d.n_chars < r.n_chars OR d.quality > r.quality)
+)
 """
 
     o["text_pack_bins"] = """

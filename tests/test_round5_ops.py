@@ -1816,3 +1816,52 @@ def test_emerging_hotspots_composition_invariants(spark):
     assert all(r["n_pairs"] == 10 for r in rows)
     assert all(-10 <= r["s"] <= 10 for r in rows)
     assert any(r["s"] != 0 for r in rows)
+
+
+def test_skyline_matches_bruteforce_dominance_oracle(spark):
+    # independent O(n^2) dominance check, tie-heavy integer objectives,
+    # many Arrow batches so phase-1 local frontiers actually fire
+    from gfw_raster_analysis_lambda_spark.operators.skyline import skyline_2d
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (i, "g%d" % (i % 3), int(rng.randint(0, 40)), float(rng.randint(0, 25)))
+        for i in range(400)
+    ]
+    rows += [  # exact duplicate points: mutually non-dominating, all kept
+        (400, "g0", -1, 30.0),
+        (401, "g0", -1, 30.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, g string, cost int, score double"
+    ).repartition(7)
+    got = {r["id"] for r in skyline_2d(df, ["g"], "cost", "score").collect()}
+
+    byg = {}
+    for i, g, c, s in rows:
+        byg.setdefault(g, []).append((i, c, s))
+    want = {
+        i
+        for pts in byg.values()
+        for i, c, s in pts
+        if not any(
+            c2 <= c and s2 >= s and (c2 < c or s2 > s) for _, c2, s2 in pts
+        )
+    }
+    assert got == want and 400 in got and 401 in got
+
+
+def test_skyline_excludes_null_objectives_and_single_shuffle(spark):
+    from gfw_raster_analysis_lambda_spark.operators.skyline import skyline_2d
+
+    df = spark.createDataFrame(
+        [(1, "a", 5, 1.0), (2, "a", None, 9.0), (3, "a", 1, None),
+         (4, "a", 9, 9.0)],
+        "id long, g string, cost int, score double",
+    )
+    out = skyline_2d(df, ["g"], "cost", "score")
+    assert {r["id"] for r in out.collect()} == {1, 4}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE echoes both plans
+    # phase 1 is shuffle-free; the only Exchange is the grouped phase 2
+    assert final.count("Exchange hashpartitioning") == 1, plan
