@@ -3844,6 +3844,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["text_paragraph_dedup"] = text_paragraph_dedup
 
+    def text_exact_substr(spark, sf_dir):
+        # ExactSubstr dedup (Lee et al. 2022) at CHARACTER grain over the
+        # real documents table: every maximal span whose every 40-char
+        # window repeats somewhere in the corpus is cut, except at the
+        # globally-first occurrence (lowest doc, pos). The twin re-derives
+        # window ranking, span merging, and the segment-cut reassembly
+        # relationally; md5 of the cleaned text pins the cut exactly.
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        out = text.exact_substring_dedup(
+            docs.select("doc_id", "text"), min_len=40
+        )
+        return out.select(
+            "doc_id", "n_chars", "removed_chars", "n_spans",
+            F.md5("text_clean").alias("clean_md5"),
+        )
+    q["text_exact_substr"] = text_exact_substr
+
     def sim_ivf_pq(spark, sf_dir):
         # IVF-PQ: the production ANN composition — IVF coarse pruning
         # (probe 4/16 buckets) picks WHICH vectors to score, PQ ADC
@@ -8520,6 +8537,60 @@ SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, avg_nll,
        CAST(NTILE(3) OVER (
          ORDER BY avg_nll ASC NULLS LAST, doc_id ASC) AS INT) AS bucket
 FROM fl
+"""
+
+    o["text_exact_substr"] = """
+WITH occ AS (
+  SELECT doc_id, u.pos, substr(text, u.pos, 40) AS gram
+  FROM documents,
+       UNNEST(generate_series(1, length(text) - 39)) AS u(pos)
+  WHERE length(text) >= 40
+),
+r AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+         COUNT(*) OVER (PARTITION BY gram) AS cnt
+  FROM occ
+),
+rem AS (SELECT doc_id, pos FROM r WHERE cnt >= 2 AND rn > 1),
+lagged AS (
+  SELECT doc_id, pos,
+         LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM rem
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > 40 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM lagged
+),
+spans AS (
+  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 40 AS e
+  FROM isl GROUP BY doc_id, island
+),
+segs AS (
+  SELECT doc_id, s, e,
+         COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS ks
+  FROM spans
+),
+head AS (
+  SELECT doc_id,
+         string_agg(substr(d2.text, segs.ks, segs.s - segs.ks), '' ORDER BY segs.s)
+           AS head_txt,
+         MAX(segs.e) AS last_e,
+         COUNT(*) AS n_spans,
+         SUM(segs.e - segs.s) AS removed_chars
+  FROM segs JOIN documents d2 USING (doc_id)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_chars,
+       CAST(COALESCE(h.removed_chars, 0) AS BIGINT) AS removed_chars,
+       CAST(COALESCE(h.n_spans, 0) AS BIGINT) AS n_spans,
+       md5(CASE WHEN h.doc_id IS NULL THEN d.text
+                ELSE COALESCE(h.head_txt, '') || substr(d.text, h.last_e) END)
+         AS clean_md5
+FROM documents d LEFT JOIN head h ON d.doc_id = h.doc_id
 """
 
     o["text_paragraph_dedup"] = """

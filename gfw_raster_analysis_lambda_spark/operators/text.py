@@ -1052,3 +1052,158 @@ def paragraph_dedup(
             .alias("n_dropped"),
         )
     )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    min_len: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key_on_hash: bool = False,
+) -> DataFrame:
+    """ExactSubstr duplicated-span detection at CHARACTER grain (the Lee
+    et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better" semantics): every maximal span whose every ``min_len``-char
+    window occurs at least twice in the corpus is reported, EXCEPT at
+    the globally first occurrence of each window — first = lowest
+    (doc id, position) — so exactly one copy of every duplicated string
+    survives a downstream cut.
+
+    Returns one row per maximal removable span: (id, span_start 1-based,
+    span_end exclusive, span_len). Two removable windows whose starts
+    differ by at most ``min_len`` merge into one span (overlapping or
+    exactly adjacent coverage is one contiguous duplicated region).
+
+    Scale shape (the suffix-array replacement): one in-row transform
+    expands each doc into its L-char window starts (rows = chars, no
+    text replication — the window string is materialized per row), ONE
+    shuffle keyed by the window to rank occurrences, one narrow
+    per-doc window pass to merge positions into maximal spans. At
+    100 TB pass ``key_on_hash=True``: the occurrence ranking keys on
+    ``xxhash64(window)`` (8-byte shuffle key instead of L chars; a
+    collision can only cause an over-removal and is ~2^-64 per pair),
+    which is also the published trick for suffix-array-free ExactSubstr
+    in relational engines. The fixture gate runs with raw keys so the
+    DuckDB twin is definitionally exact.
+    """
+    from pyspark.sql import Window
+
+    L = int(min_len)
+    if L < 2:
+        raise ValueError("min_len must be >= 2")
+    m = F.length(F.col(text_col)) - F.lit(L - 1)
+    win_t = "array<struct<pos:int,gram:string>>"
+    occ = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.when(
+                    m > 0,
+                    F.transform(
+                        F.sequence(F.lit(1), m),
+                        lambda p: F.struct(
+                            p.cast("int").alias("pos"),
+                            F.col(text_col).substr(p, F.lit(L)).alias("gram"),
+                        ),
+                    ),
+                ).otherwise(F.lit(None).cast(win_t))
+            ).alias("o"),
+        )
+        .select(F.col(id_col), F.col("o.pos").alias("pos"), F.col("o.gram").alias("gram"))
+    )
+    key = F.xxhash64("gram").alias("k") if key_on_hash else F.col("gram").alias("k")
+    occ = occ.select(id_col, "pos", key)
+    wg = Window.partitionBy("k").orderBy(id_col, "pos")
+    wc = Window.partitionBy("k")
+    removable = (
+        occ.withColumn("__rn", F.row_number().over(wg))
+        .withColumn("__cnt", F.count(F.lit(1)).over(wc))
+        .filter((F.col("__cnt") >= 2) & (F.col("__rn") > 1))
+        .select(id_col, "pos")
+    )
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    isl = (
+        removable.withColumn("__prev", F.lag("pos").over(wd))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__prev").isNull() | (F.col("pos") - F.col("__prev") > L), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__island",
+            F.sum("__new").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        isl.groupBy(id_col, "__island")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + F.lit(L)).cast("int").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_len"),
+        )
+    )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    min_len: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key_on_hash: bool = False,
+) -> DataFrame:
+    """Cut every removable span found by :func:`exact_substring_spans`
+    out of its document, keeping the globally-first occurrence of every
+    duplicated string — the full ExactSubstr dedup pass. Returns
+    (id, text_clean, n_chars, removed_chars, n_spans); documents with
+    nothing duplicated pass through byte-identical.
+
+    The cut itself is one Catalyst projection: the per-doc span list
+    (already maximal and non-overlapping by construction) folds over the
+    original text with ``F.aggregate``, concatenating the kept segments
+    between spans — no Python, no second pass over the corpus.
+    """
+    spans = exact_substring_spans(
+        df, min_len=min_len, id_col=id_col, text_col=text_col,
+        key_on_hash=key_on_hash,
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("__spans"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_len").alias("removed_chars"),
+    )
+    joined = df.join(per_doc, id_col, "left")
+    txt = F.col(text_col)
+    acc_t = "struct<txt:string,nxt:int>"
+    init = F.struct(F.lit("").alias("txt"), F.lit(1).cast("int").alias("nxt"))
+    folded = F.aggregate(
+        F.coalesce("__spans", F.array().cast("array<struct<span_start:int,span_end:int>>")),
+        init.cast(acc_t),
+        lambda acc, s: F.struct(
+            F.concat(
+                acc["txt"],
+                txt.substr(acc["nxt"], F.greatest(s["span_start"] - acc["nxt"], F.lit(0))),
+            ).alias("txt"),
+            s["span_end"].alias("nxt"),
+        ),
+        lambda acc: F.concat(
+            acc["txt"],
+            txt.substr(
+                acc["nxt"], F.greatest(F.length(txt) - acc["nxt"] + 1, F.lit(0))
+            ),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        folded.alias("text_clean"),
+        F.length(txt).cast("long").alias("n_chars"),
+        F.coalesce("removed_chars", F.lit(0)).cast("long").alias("removed_chars"),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+    )
