@@ -1684,6 +1684,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["mm_quality_signals"] = mm_quality_signals
 
+    def mm_template_match(spark, sf_dir):
+        # NCC template matching (watermark/logo detection): the 8x8
+        # template is tile (X0+1, Y0+2)'s ttc block at (5, 9), so that
+        # tile must report best_ncc = 1.0 at exactly (5, 9) and every
+        # other tile reports its own deterministic best. Integer-exact
+        # up to one sqrt+divide of int64s (correctly rounded in both
+        # engines); the twin re-derives window sums, cross terms, and
+        # the row-major argmax tie-break over the formula pixels.
+        import numpy as np
+
+        from gfw_raster_analysis_lambda_spark.operators import multimodal
+
+        images, _, _ = _fixture(spark)
+        u, v = np.mgrid[0:8, 0:8]
+        x1, y1 = X0 + 1, Y0 + 2
+        i0, j0 = 5 + u, 9 + v
+        tpl = np.where(
+            (x1 + y1 + i0 + j0) % 7 == 0, 255,
+            (x1 * 5 + y1 * 13 + i0 * 11 + j0 * 3) % 128,
+        ).astype(np.uint8)
+        return multimodal.template_match(
+            images.filter(F.col("layer") == "ttc_percent"), tpl, min_ncc=0.8
+        )
+    q["mm_template_match"] = mm_template_match
+
     def spatial_distance_band(spark, sf_dir):
         # distance-band spatial self-join (epsilon-neighborhood / range
         # join): candidates from a (2r+1)^2 neighbor-cell equi-join,
@@ -8537,6 +8562,56 @@ SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, avg_nll,
        CAST(NTILE(3) OVER (
          ORDER BY avg_nll ASC NULLS LAST, doc_id ASC) AS INT) AS bucket
 FROM fl
+"""
+
+    _x1, _y1 = X0 + 1, Y0 + 2
+    _ttcpx = (
+        f"(CASE WHEN (c.x + c.y + (pi.i + tpl.u) + (pj.j + tpl.v)) % 7 = 0 THEN 255 "
+        f"ELSE (c.x*5 + c.y*13 + (pi.i + tpl.u)*11 + (pj.j + tpl.v)*3) % 128 END)"
+    )
+    o["mm_template_match"] = f"""
+WITH tpl AS (
+  SELECT u.u, v.v,
+         (CASE WHEN ({_x1} + {_y1} + (5 + u.u) + (9 + v.v)) % 7 = 0 THEN 255
+               ELSE ({_x1}*5 + {_y1}*13 + (5 + u.u)*11 + (9 + v.v)*3) % 128 END) AS t
+  FROM generate_series(0, 7) u(u), generate_series(0, 7) v(v)
+),
+ta AS (SELECT SUM(t) AS st, SUM(t*t) AS st2 FROM tpl),
+cells AS (
+  SELECT gx.x AS x, gy.y AS y
+  FROM generate_series({X0}, {X0 + 3}) gx(x), generate_series({Y0}, {Y0 + 3}) gy(y)
+),
+nb AS (
+  SELECT c.x, c.y, pi.i AS pi, pj.j AS pj, tpl.t, {_ttcpx} AS px
+  FROM cells c, generate_series(0, 56) pi(i), generate_series(0, 56) pj(j), tpl
+),
+win AS (
+  SELECT x, y, pi, pj,
+         SUM(px) AS s1, SUM(px*px) AS s2, SUM(t*px) AS cx
+  FROM nb GROUP BY 1, 2, 3, 4
+),
+ncc AS (
+  SELECT x, y, pi, pj,
+         CASE WHEN 64*s2 - s1*s1 > 0 THEN
+           CAST(64*cx - ta.st*s1 AS DOUBLE)
+           / sqrt(CAST((64*ta.st2 - ta.st*ta.st) * (64*s2 - s1*s1) AS DOUBLE))
+         END AS ncc
+  FROM win, ta
+),
+best AS (
+  SELECT x, y, pi, pj, ncc,
+         ROW_NUMBER() OVER (PARTITION BY x, y ORDER BY ncc DESC NULLS LAST, pi, pj) AS rn
+  FROM ncc
+),
+nm AS (
+  SELECT x, y, SUM(CASE WHEN ncc >= 0.8 THEN 1 ELSE 0 END) AS n_match
+  FROM ncc GROUP BY 1, 2
+)
+SELECT printf('ttc_percent/%016x', {CB} + b.x * {YW} + b.y) AS image_id,
+       ROUND(b.ncc, 6) AS best_ncc,
+       CAST(b.pi AS INT) AS best_i, CAST(b.pj AS INT) AS best_j,
+       CAST(nm.n_match AS BIGINT) AS n_match
+FROM best b JOIN nm USING (x, y) WHERE b.rn = 1
 """
 
     o["text_exact_substr"] = """

@@ -1178,3 +1178,112 @@ def match_tiles_global(
         run,
         "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
     )
+
+
+def template_match(
+    images: DataFrame,
+    template: np.ndarray,
+    min_ncc: float = 0.8,
+) -> DataFrame:
+    """Normalized cross-correlation template matching per tile — the
+    watermark / logo / boilerplate-graphic detector for an image corpus
+    (the visual analogue of the text pipeline's boilerplate scrub).
+    Returns (image_id, best_ncc, best_i, best_j, n_match): the best
+    match position (row-major tie-break), its NCC score rounded to 6,
+    and how many window positions score ``>= min_ncc``.
+
+    NCC is brightness/contrast-invariant (zero-mean, unit-norm on both
+    sides), so re-encoded or gamma-shifted copies of the watermark still
+    hit. Everything up to the final sqrt is INTEGER: window sums S1/S2
+    come from an int64 integral image, the cross term from one shifted
+    multiply-add per template cell, and
+    ``ncc = (n*C - sumT*S1) / sqrt(varT * (n*S2 - S1^2))``
+    is evaluated as exact-int64 numerator / correctly-rounded
+    sqrt+divide — bit-identical in numpy and the DuckDB twin. Flat
+    windows (zero variance) have no defined NCC and are excluded.
+
+    Zero shuffle: one Arrow pass, O(images) output rows. int64 bounds
+    require ``template.size <= 215`` (varT*varI <= n^4*255^4 < 2^63);
+    match bigger marks against :mod:`pyramid` overviews instead — at
+    10^12 images you want the coarse-level prefilter anyway.
+    """
+    t = np.asarray(template)
+    if t.ndim != 2:
+        raise ValueError("template must be 2-D")
+    if t.size > 215:
+        raise ValueError(
+            "template.size > 215 overflows the exact-int64 NCC bound; "
+            "match large templates on pyramid overview levels"
+        )
+    t = t.astype(np.int64)
+    th, tw = t.shape
+    n = int(t.size)
+    sum_t = int(t.sum())
+    sum_t2 = int((t * t).sum())
+    var_t = n * sum_t2 - sum_t * sum_t
+    if var_t <= 0:
+        raise ValueError("flat template has no defined NCC")
+    thr = float(min_ncc)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def _r6(x: float) -> float:
+            return float(np.floor(x * 1e6 + 0.5) / 1e6)
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode_tile(bytes(r.bytes), int(r.w), int(r.h), str(r.fmt))
+                if arr.dtype != np.uint8:
+                    raise ValueError(
+                        f"template_match is defined over uint8 tiles; "
+                        f"{r.image_id} decodes to {arr.dtype}"
+                    )
+                h, w = arr.shape
+                if h < th or w < tw:
+                    rows.append((r.image_id, None, None, None, 0))
+                    continue
+                v = arr.astype(np.int64)
+                ii = np.zeros((h + 1, w + 1), dtype=np.int64)
+                np.cumsum(np.cumsum(v, axis=0), axis=1, out=ii[1:, 1:])
+                ii2 = np.zeros((h + 1, w + 1), dtype=np.int64)
+                np.cumsum(np.cumsum(v * v, axis=0), axis=1, out=ii2[1:, 1:])
+                oh, ow = h - th + 1, w - tw + 1
+
+                def wsum(m):
+                    return (
+                        m[th:, tw:][:oh, :ow] - m[:oh, tw : tw + ow]
+                        - m[th : th + oh, :ow] + m[:oh, :ow]
+                    )
+
+                s1 = wsum(ii)
+                s2 = wsum(ii2)
+                c = np.zeros((oh, ow), dtype=np.int64)
+                for u in range(th):
+                    for vv in range(tw):
+                        if t[u, vv]:
+                            c += t[u, vv] * v[u : u + oh, vv : vv + ow]
+                cov = n * c - sum_t * s1
+                var_i = n * s2 - s1 * s1
+                ok = var_i > 0
+                ncc = np.full((oh, ow), -np.inf)
+                ncc[ok] = cov[ok].astype(np.float64) / np.sqrt(
+                    (var_t * var_i[ok]).astype(np.float64)
+                )
+                flat = np.argmax(ncc)  # row-major first max = (i, j) tie-break
+                bi, bj = int(flat // ow), int(flat % ow)
+                if not ok[bi, bj]:
+                    rows.append((r.image_id, None, None, None, 0))
+                    continue
+                rows.append((
+                    r.image_id, _r6(float(ncc[bi, bj])), bi, bj,
+                    int((ncc >= thr).sum()),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "best_ncc", "best_i", "best_j", "n_match"],
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        run,
+        "image_id string, best_ncc double, best_i int, best_j int, n_match long",
+    )
