@@ -1709,6 +1709,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["mm_template_match"] = mm_template_match
 
+    def mm_ssim(spark, sf_dir):
+        # SSIM codec/augmentation QA: ttc tiles vs their 32-level
+        # quantized degrade (v - v%32). Integer-scaled factors keep every
+        # block's SSIM bit-identical to the DuckDB twin; the degrade is
+        # a real second decode->requantize->encode pass through the
+        # engine, the twin quantizes the closed-form pixels.
+        import pandas as _pd
+
+        from gfw_raster_analysis_lambda_spark.functions import codecs as _codecs
+        from gfw_raster_analysis_lambda_spark.operators import multimodal
+
+        images, _, _ = _fixture(spark)
+        ttc = images.filter(F.col("layer") == "ttc_percent")
+
+        def degrade(batches):
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    arr = _codecs.decode_tile(
+                        bytes(r.bytes), int(r.w), int(r.h), str(r.fmt)
+                    )
+                    q8 = (arr - arr % 32).astype("uint8")
+                    rows.append((
+                        r.image_id, _codecs.encode_tile(q8, "raw_u8"),
+                        int(r.w), int(r.h), "raw_u8",
+                    ))
+                yield _pd.DataFrame(
+                    rows, columns=["image_id", "bytes", "w", "h", "fmt"]
+                )
+
+        deg = ttc.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+            degrade, "image_id string, bytes binary, w int, h int, fmt string"
+        )
+        return multimodal.ssim_pairs(ttc, deg, block=8, threshold=0.9)
+    q["mm_ssim"] = mm_ssim
+
     def spatial_distance_band(spark, sf_dir):
         # distance-band spatial self-join (epsilon-neighborhood / range
         # join): candidates from a (2r+1)^2 neighbor-cell equi-join,
@@ -8612,6 +8648,48 @@ SELECT printf('ttc_percent/%016x', {CB} + b.x * {YW} + b.y) AS image_id,
        CAST(b.pi AS INT) AS best_i, CAST(b.pj AS INT) AS best_j,
        CAST(nm.n_match AS BIGINT) AS n_match
 FROM best b JOIN nm USING (x, y) WHERE b.rn = 1
+"""
+
+    _ttcb = (
+        "(CASE WHEN (c.x + c.y + (bi.b*8 + u.u) + (bj.b*8 + v.v)) % 7 = 0 THEN 255 "
+        "ELSE (c.x*5 + c.y*13 + (bi.b*8 + u.u)*11 + (bj.b*8 + v.v)*3) % 128 END)"
+    )
+    o["mm_ssim"] = f"""
+WITH cells AS (
+  SELECT gx.x AS x, gy.y AS y
+  FROM generate_series({X0}, {X0 + 3}) gx(x), generate_series({Y0}, {Y0 + 3}) gy(y)
+),
+px AS (
+  SELECT c.x, c.y, bi.b AS bi, bj.b AS bj,
+         {_ttcb} AS pa, {_ttcb} - ({_ttcb} % 32) AS pb
+  FROM cells c, generate_series(0, 7) bi(b), generate_series(0, 7) bj(b),
+       generate_series(0, 7) u(u), generate_series(0, 7) v(v)
+),
+blk AS (
+  SELECT x, y, bi, bj,
+         SUM(pa) AS s1x, SUM(pb) AS s1y,
+         SUM(pa*pa) AS s2x, SUM(pb*pb) AS s2y, SUM(pa*pb) AS sxy
+  FROM px GROUP BY 1, 2, 3, 4
+),
+fac AS (
+  SELECT x, y,
+         20000*s1x*s1y + CAST(65025 AS BIGINT)*4096 AS f1,
+         20000*(64*sxy - s1x*s1y) + CAST(585225 AS BIGINT)*4096 AS f2,
+         10000*(s1x*s1x + s1y*s1y) + CAST(65025 AS BIGINT)*4096 AS g1,
+         10000*(64*s2x - s1x*s1x + 64*s2y - s1y*s1y) + CAST(585225 AS BIGINT)*4096 AS g2
+  FROM blk
+),
+ss AS (
+  SELECT x, y,
+         (CAST(f1 AS DOUBLE) * CAST(f2 AS DOUBLE))
+         / (CAST(g1 AS DOUBLE) * CAST(g2 AS DOUBLE)) AS ssim
+  FROM fac
+)
+SELECT printf('ttc_percent/%016x', {CB} + x * {YW} + y) AS image_id,
+       CAST(COUNT(*) AS INT) AS n_blocks,
+       ROUND(MIN(ssim), 6) AS min_ssim,
+       CAST(SUM(CASE WHEN ssim < 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+FROM ss GROUP BY 1
 """
 
     o["text_exact_substr"] = """

@@ -1287,3 +1287,105 @@ def template_match(
         run,
         "image_id string, best_ncc double, best_i int, best_j int, n_match long",
     )
+
+
+def ssim_pairs(
+    a: DataFrame,
+    b: DataFrame,
+    block: int = 8,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Structural similarity (Wang et al. 2004 SSIM, 8x8 non-overlapping
+    blocks) between two co-registered uint8 image tables joined on
+    image_id — the perceptual QA metric for codec/augmentation
+    pipelines (PSNR sees noise, SSIM sees structure).
+
+    Per block, SSIM = ((2 mx my + C1)(2 cov + C2)) /
+    ((mx^2+my^2+C1)(sx^2+sy^2+C2)) with the standard C1=(0.01*255)^2,
+    C2=(0.03*255)^2. Scaled by 10^4 * n^2 both constants are INTEGER
+    (65025, 585225), so all four factors are exact int64 (each
+    <= ~5.3e12 for 8x8 blocks); the final value is
+    (F1 as double * F2) / (G1 as double * G2) — every conversion exact
+    (< 2^53) and every multiply/divide correctly rounded, hence
+    bit-identical in numpy and the DuckDB twin. Identical blocks score
+    exactly 1.0.
+
+    Output per image: (image_id, n_blocks, min_ssim rounded 6,
+    n_low = blocks scoring < threshold). One equi-join shuffle on
+    image_id, one Arrow pass; O(images) output. Ragged edges (tile not
+    a multiple of ``block``) are cropped — blocks are whole or skipped.
+    """
+    if block < 2 or block > 16:
+        raise ValueError("block must be in [2, 16] for exact-int64 factors")
+    n = block * block
+    c1n2, c2n2 = 65025 * n * n, 585225 * n * n
+    thr = float(threshold)
+
+    ab = a.select(
+        "image_id", F.col("bytes").alias("__ba"), F.col("w").alias("__wa"),
+        F.col("h").alias("__ha"), F.col("fmt").alias("__fa"),
+    ).join(
+        b.select(
+            "image_id", F.col("bytes").alias("__bb"), F.col("w").alias("__wb"),
+            F.col("h").alias("__hb"), F.col("fmt").alias("__fb"),
+        ),
+        "image_id",
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def _r6(x: float) -> float:
+            return float(np.floor(x * 1e6 + 0.5) / 1e6)
+
+        for pdf in batches:
+            rows = []
+            for iid, ba, wa, ha, fa, bb, wb, hb, fb in zip(
+                pdf["image_id"], pdf["__ba"], pdf["__wa"], pdf["__ha"],
+                pdf["__fa"], pdf["__bb"], pdf["__wb"], pdf["__hb"], pdf["__fb"],
+            ):
+                xa = codecs.decode_tile(bytes(ba), int(wa), int(ha), str(fa))
+                xb = codecs.decode_tile(bytes(bb), int(wb), int(hb), str(fb))
+                if xa.shape != xb.shape:
+                    raise ValueError(
+                        f"ssim_pairs shapes differ for {iid}: "
+                        f"{xa.shape} vs {xb.shape}"
+                    )
+                if xa.dtype != np.uint8 or xb.dtype != np.uint8:
+                    raise ValueError("ssim_pairs is defined over uint8 tiles")
+                h, w = xa.shape
+                bh, bw = h // block, w // block
+                if bh == 0 or bw == 0:
+                    rows.append((iid, 0, None, 0))
+                    continue
+                va = (
+                    xa[: bh * block, : bw * block]
+                    .astype(np.int64)
+                    .reshape(bh, block, bw, block)
+                )
+                vb = (
+                    xb[: bh * block, : bw * block]
+                    .astype(np.int64)
+                    .reshape(bh, block, bw, block)
+                )
+                s1x = va.sum(axis=(1, 3))
+                s1y = vb.sum(axis=(1, 3))
+                s2x = (va * va).sum(axis=(1, 3))
+                s2y = (vb * vb).sum(axis=(1, 3))
+                sxy = (va * vb).sum(axis=(1, 3))
+                f1 = 20000 * s1x * s1y + c1n2
+                f2 = 20000 * (n * sxy - s1x * s1y) + c2n2
+                g1 = 10000 * (s1x * s1x + s1y * s1y) + c1n2
+                g2 = 10000 * (n * s2x - s1x * s1x + n * s2y - s1y * s1y) + c2n2
+                ssim = (f1.astype(np.float64) * f2.astype(np.float64)) / (
+                    g1.astype(np.float64) * g2.astype(np.float64)
+                )
+                rows.append((
+                    iid, int(ssim.size),
+                    _r6(float(ssim.min())), int((ssim < thr).sum()),
+                ))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "n_blocks", "min_ssim", "n_low"]
+            )
+
+    return ab.mapInPandas(
+        run, "image_id string, n_blocks int, min_ssim double, n_low long"
+    )
