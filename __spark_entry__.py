@@ -3922,6 +3922,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["text_exact_substr"] = text_exact_substr
 
+    def text_suffix_ranks(spark, sf_dir):
+        # distributed suffix-array construction (Manber-Myers prefix
+        # doubling, capped at 64 chars so the twin is one DENSE_RANK
+        # over substr): every global dense rank runs range-partitioned
+        # (functions/ranking.py), never a single-partition window.
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        out = text.suffix_ranks(docs.select("doc_id", "text"), max_prefix=64)
+        return out.select(
+            "doc_id", F.col("pos").cast("int").alias("pos"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    q["text_suffix_ranks"] = text_suffix_ranks
+
     def sim_ivf_pq(spark, sf_dir):
         # IVF-PQ: the production ANN composition — IVF coarse pruning
         # (probe 4/16 buckets) picks WHICH vectors to score, PQ ADC
@@ -8690,6 +8703,14 @@ SELECT printf('ttc_percent/%016x', {CB} + x * {YW} + y) AS image_id,
        ROUND(MIN(ssim), 6) AS min_ssim,
        CAST(SUM(CASE WHEN ssim < 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
 FROM ss GROUP BY 1
+"""
+
+    o["text_suffix_ranks"] = """
+SELECT doc_id,
+       CAST(u.pos AS INT) AS pos,
+       CAST(DENSE_RANK() OVER (ORDER BY substr(text, u.pos, 64)) AS BIGINT) AS rank
+FROM documents, UNNEST(generate_series(1, length(text))) AS u(pos)
+WHERE length(text) > 0
 """
 
     o["text_exact_substr"] = """

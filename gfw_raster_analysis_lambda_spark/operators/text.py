@@ -1207,3 +1207,78 @@ def exact_substring_dedup(
         F.coalesce("removed_chars", F.lit(0)).cast("long").alias("removed_chars"),
         F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
     )
+
+
+def suffix_ranks(
+    df: DataFrame,
+    max_prefix: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed suffix-array construction by PREFIX DOUBLING
+    (Manber–Myers 1990), capped at ``max_prefix`` characters: returns
+    (id, pos 1-based, rank) where ``rank`` is the 1-based DENSE rank of
+    every corpus suffix under lexicographic order of its first
+    ``max_prefix`` chars — the index structure behind suffix-array
+    ExactSubstr dedup, longest-repeated-substring mining, and BWT.
+
+    Round k upgrades 2^k-prefix ranks to 2^(k+1)-prefix ranks with ONE
+    equi-join (each suffix fetches the rank of the suffix 2^k ahead in
+    the SAME document; a missing continuation — suffix shorter than the
+    window — sorts first via a -1 sentinel, exactly the
+    shorter-string-is-a-prefix rule) and ONE global dense rank, which
+    runs distributed (range-partitioned local ranks + O(partitions)
+    offsets, :func:`..functions.ranking.distributed_dense_rank`) — never
+    a single-partition window. ceil(log2(max_prefix)) rounds total, with
+    an early exit once every suffix holds a distinct rank (the corpus'
+    duplicated-prefix depth, usually << the cap). Rows shuffled per
+    round are (id, pos, rank, rank2) — narrow and O(corpus chars).
+
+    The cap makes the result independently verifiable: rank ==
+    DENSE_RANK() OVER (ORDER BY substr(text, pos, max_prefix)) — the
+    DuckDB twin — while uncapped construction continues the same loop
+    to log(longest doc) rounds.
+    """
+    from ..functions.ranking import distributed_dense_rank
+
+    p = int(max_prefix)
+    if p < 2 or (p & (p - 1)) != 0:
+        raise ValueError("max_prefix must be a power of two >= 2")
+    t = F.col(text_col)
+    # sequence(1, 0) is DESCENDING in Spark — an empty doc must yield no
+    # suffixes, not positions [1, 0]
+    occ = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.length(t) > 0,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t)),
+                    lambda q: F.struct(
+                        q.cast("int").alias("pos"),
+                        F.ascii(t.substr(q, F.lit(1))).cast("long").alias("r"),
+                    ),
+                ),
+            ).otherwise(F.lit(None).cast("array<struct<pos:int,r:long>>"))
+        ).alias("o"),
+    ).select(F.col(id_col), F.col("o.pos").alias("pos"), F.col("o.r").alias("r"))
+    total = occ.count()
+    step = 1
+    while step < p:
+        nxt = occ.select(
+            F.col(id_col), (F.col("pos") - step).alias("pos"),
+            F.col("r").alias("r2"),
+        ).filter(F.col("pos") >= 1)
+        j = (
+            occ.join(nxt, [id_col, "pos"], "left")
+            .withColumn("r2", F.coalesce("r2", F.lit(-1)).cast("long"))
+        )
+        occ = distributed_dense_rank(j, ["r", "r2"], out="__nr").select(
+            id_col, "pos", F.col("__nr").alias("r")
+        )
+        step *= 2
+        if step < p:
+            occ = occ.localCheckpoint(eager=True)  # truncate join lineage
+            if occ.agg(F.max("r")).collect()[0][0] == total:
+                break  # all suffixes distinct: further rounds are no-ops
+    return occ.select(id_col, "pos", F.col("r").alias("rank"))

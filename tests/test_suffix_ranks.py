@@ -1,0 +1,75 @@
+"""Prefix-doubling suffix ranks + the distributed dense-rank primitive."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from gfw_raster_analysis_lambda_spark.functions.ranking import (
+    distributed_dense_rank,
+)
+from gfw_raster_analysis_lambda_spark.operators.text import suffix_ranks
+
+
+def _oracle(docs, p):
+    sufs = sorted(
+        {(d, i + 1): t[i : i + p] for d, t in docs for i in range(len(t))}.items(),
+        key=lambda kv: kv[1],
+    )
+    rank, prev, exp = 0, None, {}
+    for k, s in sufs:
+        if s != prev:
+            rank += 1
+            prev = s
+        exp[k] = rank
+    return exp
+
+
+def test_suffix_ranks_match_bruteforce(spark):
+    docs = [(0, "banana"), (1, "bandana"), (2, "an"), (3, ""), (4, "banana")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.doc_id, r.pos): r.rank
+           for r in suffix_ranks(df, max_prefix=8).collect()}
+    assert got == _oracle(docs, 8)
+
+
+def test_cap_truncates_comparison(spark):
+    # differ only after the cap -> identical ranks at max_prefix=4
+    docs = [(0, "abcdX"), (1, "abcdY")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.doc_id, r.pos): r.rank
+           for r in suffix_ranks(df, max_prefix=4).collect()}
+    assert got == _oracle(docs, 4)
+    assert got[(0, 1)] == got[(1, 1)]   # 'abcd' == 'abcd' under the cap
+
+
+def test_early_exit_is_lossless(spark):
+    # all suffixes distinct after 2 chars: early exit must equal full run
+    docs = [(0, "abcdefgh"), (1, "ponmlqrs")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.doc_id, r.pos): r.rank
+           for r in suffix_ranks(df, max_prefix=64).collect()}
+    assert got == _oracle(docs, 64)
+
+
+def test_power_of_two_guard(spark):
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        suffix_ranks(df, max_prefix=48)
+
+
+def test_distributed_dense_rank_matches_window(spark):
+    rows = [(i % 7, (i * 13) % 5) for i in range(500)]
+    df = spark.createDataFrame(rows, "a int, b int")
+    got = distributed_dense_rank(df, ["a", "b"], out="r")
+    w = Window.orderBy("a", "b")
+    exp = df.withColumn("r", F.dense_rank().over(w).cast("long"))
+    assert (
+        got.groupBy("a", "b", "r").count().orderBy("a", "b").collect()
+        == exp.groupBy("a", "b", "r").count().orderBy("a", "b").collect()
+    )
+
+
+def test_distributed_dense_rank_rejects_nulls(spark):
+    df = spark.createDataFrame([(1,), (None,)], "a int")
+    with pytest.raises(ValueError):
+        distributed_dense_rank(df, ["a"])
