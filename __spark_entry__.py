@@ -302,7 +302,14 @@ def _rotate_for_driver_coverage(
         "sim_ivf_pq_recall", "sim_sq8_recall",
         "sim_ivf_pq_residual", "sim_ivf_pq_residual_recall",
     )
-    rank = {k: i for i, k in enumerate(mandated)}
+    # Second pin tier: gates registered AFTER the last full local
+    # check_entry sweep of the registry — the code with the fewest
+    # independent eyes — so they always land in the driver window.
+    newest = (
+        "text_exact_substr", "text_suffix_ranks",
+        "mm_template_match", "mm_ssim",
+    )
+    rank = {k: i for i, k in enumerate(mandated + newest)}
     reg_pos = {k: i for i, k in enumerate(q)}
     max_rnd = max(last.values(), default=0)
 
@@ -312,8 +319,18 @@ def _rotate_for_driver_coverage(
             return 1.5  # never driver-verified: after ≥2-round-stale, before 1-round
         return float(max_rnd - lv)
 
+    # Never-verified entries tie-break NEWEST-first: the youngest
+    # registrations have had the fewest independent eyes (older
+    # never-verified blocks at least survived earlier full local
+    # check_entry sweeps), so driver slots go to the newest code first.
     order = sorted(
-        q, key=lambda k: (0 if k in rank else 1, rank.get(k, 0), -staleness(k), reg_pos[k])
+        q,
+        key=lambda k: (
+            0 if k in rank else 1,
+            rank.get(k, 0),
+            -staleness(k),
+            -reg_pos[k] if staleness(k) == 1.5 else reg_pos[k],
+        ),
     )
     return {k: q[k] for k in order}
 
