@@ -306,7 +306,7 @@ def _rotate_for_driver_coverage(
     # check_entry sweep of the registry — the code with the fewest
     # independent eyes — so they always land in the driver window.
     newest = (
-        "text_exact_substr", "text_suffix_ranks",
+        "text_exact_substr", "text_suffix_ranks", "text_repeated_substr",
         "mm_template_match", "mm_ssim",
     )
     rank = {k: i for i, k in enumerate(mandated + newest)}
@@ -3951,6 +3951,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("rank").cast("long").alias("rank"),
         )
     q["text_suffix_ranks"] = text_suffix_ranks
+
+    def text_repeated_substr(spark, sf_dir):
+        # longest-repeated-substring mining via the suffix array: per doc
+        # the longest substring occurring >= 2x in the corpus (capped 64)
+        # + suffixes starting a >=40-char repeat. LCP walked down the
+        # prefix-doubling tables (never a string compare); the twin sorts
+        # suffix strings directly and computes neighbor LCPs by substr
+        # equality — two entirely different routes to the same numbers.
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return text.repeated_substring_stats(
+            docs.select("doc_id", "text"), max_prefix=64, min_len=40
+        )
+    q["text_repeated_substr"] = text_repeated_substr
 
     def sim_ivf_pq(spark, sf_dir):
         # IVF-PQ: the production ANN composition — IVF coarse pruning
@@ -8728,6 +8741,47 @@ SELECT doc_id,
        CAST(DENSE_RANK() OVER (ORDER BY substr(text, u.pos, 64)) AS BIGINT) AS rank
 FROM documents, UNNEST(generate_series(1, length(text))) AS u(pos)
 WHERE length(text) > 0
+"""
+
+    o["text_repeated_substr"] = """
+WITH s AS (
+  SELECT doc_id, u.pos, substr(text, u.pos, 64) AS g
+  FROM documents, UNNEST(generate_series(1, length(text))) AS u(pos)
+  WHERE length(text) > 0
+),
+o AS (
+  SELECT doc_id, pos, g,
+         LAG(g)  OVER (ORDER BY g, doc_id, pos) AS pg,
+         LEAD(g) OVER (ORDER BY g, doc_id, pos) AS ng
+  FROM s
+),
+lp AS (
+  SELECT doc_id, pos, MAX(k.k) AS v
+  FROM o, UNNEST(generate_series(1, 64)) AS k(k)
+  WHERE pg IS NOT NULL AND k.k <= LEAST(length(g), length(pg))
+        AND substr(g, 1, k.k) = substr(pg, 1, k.k)
+  GROUP BY doc_id, pos
+),
+ln AS (
+  SELECT doc_id, pos, MAX(k.k) AS v
+  FROM o, UNNEST(generate_series(1, 64)) AS k(k)
+  WHERE ng IS NOT NULL AND k.k <= LEAST(length(g), length(ng))
+        AND substr(g, 1, k.k) = substr(ng, 1, k.k)
+  GROUP BY doc_id, pos
+),
+l AS (
+  SELECT o.doc_id, o.pos,
+         GREATEST(COALESCE(lp.v, 0), COALESCE(ln.v, 0)) AS rep
+  FROM o LEFT JOIN lp USING (doc_id, pos) LEFT JOIN ln USING (doc_id, pos)
+),
+a AS (
+  SELECT doc_id, MAX(rep) AS max_rep,
+         SUM(CASE WHEN rep >= 40 THEN 1 ELSE 0 END) AS n_rep
+  FROM l GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(a.max_rep, 0) AS INT) AS max_rep,
+       CAST(COALESCE(a.n_rep, 0) AS BIGINT) AS n_rep
+FROM documents d LEFT JOIN a USING (doc_id)
 """
 
     o["text_exact_substr"] = """

@@ -1209,14 +1209,20 @@ def exact_substring_dedup(
     )
 
 
-def suffix_ranks(
+def _suffix_rank_tables(
     df: DataFrame,
     max_prefix: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Distributed suffix-array construction by PREFIX DOUBLING
-    (Manber–Myers 1990), capped at ``max_prefix`` characters: returns
+    """Internal prefix-doubling core: returns ``(final, tables)`` —
+    the final rank frame plus the rank-by-s-prefix table for every
+    power-of-two cap s (the doubling tables the LCP computation in
+    :func:`repeated_substring_stats` walks). Public surface:
+    :func:`suffix_ranks`.
+
+    Distributed suffix-array construction by PREFIX DOUBLING
+    (Manber–Myers 1990), capped at ``max_prefix`` characters: computes
     (id, pos 1-based, rank) where ``rank`` is the 1-based DENSE rank of
     every corpus suffix under lexicographic order of its first
     ``max_prefix`` chars — the index structure behind suffix-array
@@ -1264,6 +1270,7 @@ def suffix_ranks(
     ).select(F.col(id_col), F.col("o.pos").alias("pos"), F.col("o.r").alias("r"))
     total = occ.count()
     step = 1
+    tables: "dict[int, DataFrame]" = {1: occ}
     while step < p:
         nxt = occ.select(
             F.col(id_col), (F.col("pos") - step).alias("pos"),
@@ -1277,8 +1284,147 @@ def suffix_ranks(
             id_col, "pos", F.col("__nr").alias("r")
         )
         step *= 2
-        if step < p:
-            occ = occ.localCheckpoint(eager=True)  # truncate join lineage
-            if occ.agg(F.max("r")).collect()[0][0] == total:
-                break  # all suffixes distinct: further rounds are no-ops
-    return occ.select(id_col, "pos", F.col("r").alias("rank"))
+        occ = occ.localCheckpoint(eager=True)  # truncate join lineage
+        tables[step] = occ
+        if step < p and occ.agg(F.max("r")).collect()[0][0] == total:
+            break  # all suffixes distinct: further rounds are no-ops
+    # an early exit leaves the higher caps unmaterialized; all-distinct
+    # ranks are equivalent for every larger cap (equality is always
+    # false there), so the exit table stands in for them
+    sfill = step
+    while sfill < p:
+        sfill *= 2
+        tables[sfill] = occ
+    return occ, tables
+
+
+def suffix_ranks(
+    df: DataFrame,
+    max_prefix: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Capped suffix-array ranks: (id, pos 1-based, rank) — see
+    :func:`_suffix_rank_tables` for the distributed prefix-doubling
+    construction and its verification contract (rank ==
+    ``DENSE_RANK() OVER (ORDER BY substr(text, pos, max_prefix))``)."""
+    final, _ = _suffix_rank_tables(
+        df, max_prefix=max_prefix, id_col=id_col, text_col=text_col
+    )
+    return final.select(id_col, "pos", F.col("r").alias("rank"))
+
+
+def repeated_substring_stats(
+    df: DataFrame,
+    max_prefix: int = 64,
+    min_len: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Longest-repeated-substring mining via the suffix array — per
+    document: ``max_rep`` = length of its longest substring that occurs
+    at least twice in the corpus (capped at ``max_prefix``), and
+    ``n_rep`` = how many of its suffixes start a repeat of length >=
+    ``min_len``. The suffix-array route to the ExactSubstr signal: a doc
+    has a >=L duplicated span exactly when max_rep >= L.
+
+    Classic SA/LCP decomposition, all distributed: suffixes sharing a
+    capped rank (tie groups) repeat for >= max_prefix chars by
+    construction; for adjacent DISTINCT ranks the LCP of one
+    representative pair per rank boundary is walked down the
+    prefix-doubling tables (Manber-Myers: for s = cap/2..1, if the
+    rank-by-s tables agree at offset lcp, lcp += s) — log(cap) rounds of
+    two O(ranks)-row equi-joins, never a string comparison. A suffix's
+    repeat length is max(LCP to its SA predecessor, LCP to its SA
+    successor), which group-level adjacency computes exactly (tie
+    members hit the cap; group leaders see the neighboring group's
+    shared prefix).
+    """
+    p = int(max_prefix)
+    final, tables = _suffix_rank_tables(
+        df, max_prefix=p, id_col=id_col, text_col=text_col
+    )
+    grp = final.groupBy("r").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__rep"),
+        F.count(F.lit(1)).alias("__sz"),
+    )
+    reps = grp.select(
+        F.col("r"),
+        F.col("__rep")[id_col].alias("__ida"),
+        F.col("__rep")["pos"].alias("__posa"),
+        "__sz",
+    ).localCheckpoint(eager=True)
+    # pair rank r with rank r-1's representative
+    pairs = reps.select("r", "__ida", "__posa").join(
+        reps.select(
+            (F.col("r") + 1).alias("r"),
+            F.col("__ida").alias("__idb"),
+            F.col("__posa").alias("__posb"),
+        ),
+        "r",
+    ).withColumn("__lcp", F.lit(0))
+    s = p // 2
+    while s >= 1:
+        tab = tables[s]
+        ta = tab.select(
+            F.col(id_col).alias("__ida"), F.col("pos").alias("__pa"),
+            F.col("r").alias("__ra"),
+        )
+        tb = tab.select(
+            F.col(id_col).alias("__idb"), F.col("pos").alias("__pb"),
+            F.col("r").alias("__rb"),
+        )
+        pairs = (
+            pairs.withColumn("__pa", F.col("__posa") + F.col("__lcp"))
+            .withColumn("__pb", F.col("__posb") + F.col("__lcp"))
+            .join(ta, ["__ida", "__pa"], "left")
+            .join(tb, ["__idb", "__pb"], "left")
+            .withColumn(
+                "__lcp",
+                F.col("__lcp")
+                + F.when(
+                    F.col("__ra").isNotNull()
+                    & (F.col("__ra") == F.col("__rb")),
+                    F.lit(s),
+                ).otherwise(F.lit(0)),
+            )
+            .drop("__pa", "__pb", "__ra", "__rb")
+        )
+        pairs = pairs.localCheckpoint(eager=True)
+        s //= 2
+    # lcp_prev for rank r; lcp_next for rank r is pairs at r+1
+    lcp_prev = pairs.select("r", F.col("__lcp").alias("__lp"))
+    lcp_next = pairs.select((F.col("r") - 1).alias("r"), F.col("__lcp").alias("__ln"))
+    # a tie group proves its members share their whole CAPPED prefix —
+    # which is the full (shorter-than-cap) suffix when the doc ends
+    # early, so the repeat length is min(cap, remaining chars), not cap
+    lens = df.select(F.col(id_col), F.length(F.col(text_col)).alias("__len"))
+    per_suffix = (
+        final.join(F.broadcast(grp.select("r", "__sz")), "r")
+        .join(lcp_prev, "r", "left")
+        .join(lcp_next, "r", "left")
+        .join(lens, id_col)
+        .select(
+            F.col(id_col),
+            F.greatest(
+                F.when(
+                    F.col("__sz") >= 2,
+                    F.least(F.lit(p), F.col("__len") - F.col("pos") + 1),
+                ).otherwise(F.lit(0)),
+                F.coalesce("__lp", F.lit(0)),
+                F.coalesce("__ln", F.lit(0)),
+            ).alias("__rep"),
+        )
+    )
+    agg = per_suffix.groupBy(id_col).agg(
+        F.max("__rep").cast("int").alias("max_rep"),
+        F.sum((F.col("__rep") >= min_len).cast("long")).alias("n_rep"),
+    )
+    return (
+        df.select(id_col).join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("max_rep", F.lit(0)).cast("int").alias("max_rep"),
+            F.coalesce("n_rep", F.lit(0)).cast("long").alias("n_rep"),
+        )
+    )
