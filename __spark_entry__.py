@@ -307,6 +307,7 @@ def _rotate_for_driver_coverage(
     # independent eyes — so they always land in the driver window.
     newest = (
         "text_exact_substr", "text_suffix_ranks", "text_repeated_substr",
+        "sample_dsir",
         "mm_template_match", "mm_ssim",
     )
     rank = {k: i for i, k in enumerate(mandated + newest)}
@@ -3964,6 +3965,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs.select("doc_id", "text"), max_prefix=64, min_len=40
         )
     q["text_repeated_substr"] = text_repeated_substr
+
+    def sample_dsir(spark, sf_dir):
+        # DSIR importance resampling (Xie et al. 2023): hashed
+        # unigram+bigram log-likelihood-ratio weights between a small
+        # trusted target slice and the raw pile, integer micro-nat
+        # document scores (order-independent sums). The twin re-derives
+        # the ENTIRE model: features, md5 buckets, both count tables,
+        # the smoothed ratio, and every document's score.
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id", "text", "source")
+        target = docs.filter(F.col("source").isin("src18", "src6"))
+        w = text.dsir_weights(docs, target, n_buckets=1024)
+        return text.dsir_scores(docs, w, n_buckets=1024)
+    q["sample_dsir"] = sample_dsir
 
     def sim_ivf_pq(spark, sf_dir):
         # IVF-PQ: the production ANN composition — IVF coarse pruning
@@ -8741,6 +8757,54 @@ SELECT doc_id,
        CAST(DENSE_RANK() OVER (ORDER BY substr(text, u.pos, 64)) AS BIGINT) AS rank
 FROM documents, UNNEST(generate_series(1, length(text))) AS u(pos)
 WHERE length(text) > 0
+"""
+
+    o["sample_dsir"] = """
+WITH tk AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+uni AS (SELECT doc_id, source, u.t AS f FROM tk, UNNEST(toks) AS u(t)),
+bi AS (
+  SELECT doc_id, source, toks[g.i] || toks[g.i + 1] AS f
+  FROM tk, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+),
+feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+fb AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5('dsir:' || f), 1, 12)) AS BIGINT) % 1024
+           AS bucket
+  FROM feats
+),
+tgt AS (
+  SELECT bucket, COUNT(*) AS ct FROM fb
+  WHERE source IN ('src18', 'src6') GROUP BY 1
+),
+rawc AS (SELECT bucket, COUNT(*) AS cq FROM fb GROUP BY 1),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM fb WHERE source IN ('src18', 'src6')) AS nt,
+         (SELECT COUNT(*) FROM fb) AS nq
+),
+wts AS (
+  SELECT COALESCE(tgt.bucket, rawc.bucket) AS bucket,
+         CAST(ROUND(
+           ln((CAST(COALESCE(ct, 0) + 1 AS DOUBLE) * CAST(nq + 1024 AS DOUBLE))
+              / (CAST(COALESCE(cq, 0) + 1 AS DOUBLE) * CAST(nt + 1024 AS DOUBLE)))
+           * 1e6) AS BIGINT) AS w_micro
+  FROM tgt FULL JOIN rawc ON tgt.bucket = rawc.bucket, tot
+),
+s AS (
+  SELECT fb.doc_id, COUNT(*) AS n_feats,
+         CAST(SUM(w_micro) AS BIGINT) AS score_micro
+  FROM fb JOIN wts USING (bucket) GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(s.n_feats, 0) AS n_feats,
+       COALESCE(s.score_micro, 0) AS score_micro,
+       ROUND(COALESCE(s.score_micro, 0) / 1e6, 6) AS score
+FROM documents d LEFT JOIN s USING (doc_id)
 """
 
     o["text_repeated_substr"] = """

@@ -1428,3 +1428,132 @@ def repeated_substring_stats(
             F.coalesce("n_rep", F.lit(0)).cast("long").alias("n_rep"),
         )
     )
+
+
+def _dsir_bucket(t: Column, n_buckets: int, salt: str) -> Column:
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(salt), t)), 1, 12), 16, 10
+    ).cast("long")
+    return (h % n_buckets).cast("int")
+
+
+def _dsir_features(text_col: str):
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                "", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hashed unigram+bigram
+    features, per-bucket log-likelihood ratio between the TARGET
+    distribution (the small trusted corpus you want more of) and the
+    RAW distribution (the pile you are selecting from), add-1 smoothed:
+
+        w(b) = ln( (ct[b]+1)*(Nq+B) / ((cq[b]+1)*(Nt+B)) )
+
+    quantized to integer MICRO-nats (one ln of an exact int64 rational,
+    one multiply, one half-away round -- the identical double sequence
+    in the DuckDB twin), so document scores are order-independent
+    integer sums. Returns (bucket, w_micro). Both count aggregations are
+    plain explode+groupBy over O(corpus tokens) narrow rows; the weight
+    table is O(n_buckets) -- a broadcastable model like the
+    fastText-style classifier's (:func:`quality_classifier_score`)."""
+    feats = _dsir_features(text_col)
+
+    def counts(df: DataFrame) -> DataFrame:
+        # one corpus scan: explode -> hash -> groupBy; repartition first
+        # so the md5-heavy projection parallelizes even off a one-file
+        # read. The O(n_buckets) result is checkpointed — totals and the
+        # ratio read IT, never the corpus again.
+        par = df.sparkSession.sparkContext.defaultParallelism
+        return (
+            df.repartition(par)
+            .select(F.explode(feats).alias("__f"))
+            .select(_dsir_bucket(F.col("__f"), n_buckets, salt).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint(eager=True)
+        )
+    ct, cq = counts(target), counts(raw)
+    nt = ct.agg(F.sum("c")).collect()[0][0] or 0
+    nq = cq.agg(F.sum("c")).collect()[0][0] or 0
+    b = int(n_buckets)
+    joined = (
+        ct.withColumnRenamed("c", "ct")
+        .join(cq.withColumnRenamed("c", "cq"), "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("cq", F.lit(0)).alias("cq"),
+        )
+    )
+    ratio = (
+        (F.col("ct") + 1).cast("double") * F.lit(float(nq + b))
+    ) / ((F.col("cq") + 1).cast("double") * F.lit(float(nt + b)))
+    return joined.select(
+        "bucket",
+        F.round(F.log(ratio) * F.lit(1e6)).cast("long").alias("w_micro"),
+    )
+
+
+def dsir_scores(
+    df: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "dsir",
+) -> DataFrame:
+    """Score every document under a DSIR weight table: score = sum of
+    w_micro over its hashed unigram+bigram features -- documents shaped
+    like the target corpus score high, generic pile text scores ~0,
+    anti-target text negative. One broadcast map literal + one Catalyst
+    higher-order aggregate per doc: zero shuffle, zero Python, the
+    corpus scanned once (same plan as the hashed classifier). Returns
+    (id, n_feats, score_micro, score); integer micro-nat sums make the
+    result bit-identical however the corpus is partitioned."""
+    feats = _dsir_features(text_col)
+    wmap = weights.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.col("bucket").cast("int").alias("k"),
+                    F.col("w_micro").cast("long").alias("v"),
+                )
+            )
+        ).alias("__wmap")
+    )
+    score = F.aggregate(
+        feats,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.coalesce(
+            F.element_at(F.col("__wmap"), _dsir_bucket(t, n_buckets, salt)),
+            F.lit(0).cast("long"),
+        ),
+    )
+    return df.crossJoin(F.broadcast(wmap)).select(
+        F.col(id_col),
+        F.size(feats).cast("long").alias("n_feats"),
+        score.alias("score_micro"),
+        F.round(score / F.lit(1e6), 6).alias("score"),
+    )
