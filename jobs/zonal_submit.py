@@ -35,7 +35,12 @@ def main() -> None:
     ap.add_argument("--sql", required=True)
     ap.add_argument("--env", required=True, help="layer catalog JSON path")
     ap.add_argument("--grid", default="4/1024")
-    ap.add_argument("--output", required=True)
+    ap.add_argument("--output", default=None)
+    ap.add_argument("--bench-runs", type=int, default=0,
+                    help="benchmark mode: run the query this many timed "
+                         "times (plus one warmup) through the noop sink and "
+                         "print one JSON line of in-job wall seconds instead "
+                         "of writing --output")
     ap.add_argument("--format", default="parquet", choices=["parquet", "csv", "json"])
     ap.add_argument("--strategy", default=None,
                     choices=["auto", "cell", "colocated", "aoi_cell"])
@@ -43,6 +48,8 @@ def main() -> None:
     ap.add_argument("--csv-output", default=None,
                     help="also write a CSV copy (reference %%.5f float format)")
     args = ap.parse_args()
+    if not args.output and not args.bench_runs:
+        ap.error("--output is required unless --bench-runs is set")
 
     # imports resolve from --py-files on executors and driver alike
     from pyspark.sql import SparkSession
@@ -65,6 +72,31 @@ def main() -> None:
     strategy = args.strategy
     if strategy in (None, "auto"):
         strategy = "colocated" if images_cell_sorted(args.images) else "cell"
+
+    if args.bench_runs:
+        # Deployment-shape scaling evidence (north rule: the SAME job via
+        # spark-submit --py-files at two cluster sizes). In-job wall time
+        # only — JVM boot and corpus prep are outside the timed window, as
+        # they would be on a long-lived cluster.
+        import json
+        import time
+
+        secs = []
+        for _ in range(args.bench_runs + 1):  # first run = warmup, not kept
+            t0 = time.perf_counter()
+            zonal_statistics(
+                spark, images, aoi, args.sql, env, args.grid, strategy=strategy
+            ).write.format("noop").mode("overwrite").save()
+            secs.append(round(time.perf_counter() - t0, 3))
+        print(json.dumps({
+            "bench": "zonal_submit",
+            "master": spark.sparkContext.master,
+            "strategy": strategy,
+            "runs": secs[1:],
+            "warmup": secs[0],
+            "best_seconds": min(secs[1:]),
+        }))
+        return
 
     if args.checkpoint_dir:
         query = parse_raster_sql(args.sql, env)
