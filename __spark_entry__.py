@@ -40,6 +40,7 @@ from gfw_raster_analysis_lambda_spark.api import zonal_statistics  # noqa: E402
 from gfw_raster_analysis_lambda_spark.functions import geodesy  # noqa: E402
 from gfw_raster_analysis_lambda_spark.functions import grid as _G  # noqa: E402
 from gfw_raster_analysis_lambda_spark.operators import (  # noqa: E402
+    costdist,
     dedup,
     focal,
     knn,
@@ -47,6 +48,7 @@ from gfw_raster_analysis_lambda_spark.operators import (  # noqa: E402
     sampling,
     similarity,
     text,
+    viewshed,
 )
 from gfw_raster_analysis_lambda_spark.sources import fixtures  # noqa: E402
 from gfw_raster_analysis_lambda_spark.sources.images import with_derived_keys  # noqa: E402
@@ -306,6 +308,7 @@ def _rotate_for_driver_coverage(
     # check_entry sweep of the registry — the code with the fewest
     # independent eyes — so they always land in the driver window.
     newest = (
+        "focal_viewshed", "focal_cost_distance",
         "text_exact_substr", "text_suffix_ranks", "text_repeated_substr",
         "sample_dsir",
         "mm_template_match", "mm_ssim",
@@ -3980,6 +3983,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         w = text.dsir_weights(docs, target, n_buckets=1024)
         return text.dsir_scores(docs, w, n_buckets=1024)
     q["sample_dsir"] = sample_dsir
+
+    def focal_viewshed(spark, sf_dir):
+        # R3 viewshed (line-of-sight) expressed RELATIONALLY: one
+        # partition-pruned decode of the radius disc, DDA sample
+        # explosion + lattice arithmetic entirely in whole-stage
+        # codegen, broadcast elevation lookup, map-side-combined
+        # per-target verdicts. Cross-multiplied integer slope compare —
+        # no float angles — so the twin (same DDA over the closed-form
+        # surface) is hash-exact. DEM = ttc_percent (losslessly stored;
+        # its NoData-255 spikes double as scattered towers, a genuinely
+        # occluding field). operators/viewshed.py
+        images, _, _ = _fixture(spark)
+        tiles = images.filter(F.col("layer") == "ttc_percent")
+        return viewshed.viewshed_zonal(
+            tiles, (X0 * 64 + 96, Y0 * 64 + 96), tower=400, radius=80
+        )
+    q["focal_viewshed"] = focal_viewshed
+
+    def focal_cost_distance(spark, sf_dir):
+        # least-cost accumulation (r.cost): bulk-synchronous Δ-wave —
+        # per-tile exact Dijkstra, O(perimeter) arrival rows between
+        # frontier tiles only, budget-pruned before the shuffle,
+        # raw_i64 distance state per touched cell. The twin is a
+        # recursive-CTE Bellman relaxation over the closed-form cost
+        # surface; everything int64. operators/costdist.py
+        images, _, _ = _fixture(spark)
+        tiles = images.filter(F.col("layer") == "tcd_threshold")
+        return costdist.cost_distance_zonal(
+            tiles,
+            [(X0 * 64 + 40, Y0 * 64 + 40), (X0 * 64 + 200, Y0 * 64 + 130)],
+            budget=90,
+            cost_offset=1,
+        )
+    q["focal_cost_distance"] = focal_cost_distance
 
     def sim_ivf_pq(spark, sf_dir):
         # IVF-PQ: the production ANN composition — IVF coarse pruning
@@ -8805,6 +8842,90 @@ SELECT d.doc_id,
        COALESCE(s.score_micro, 0) AS score_micro,
        ROUND(COALESCE(s.score_micro, 0) / 1e6, 6) AS score
 FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+    # viewshed twin: the same R3/DDA definition over the closed-form
+    # ttc_percent surface — integer lattice samples, cross-multiplied
+    # slope compare, so it hash-matches the engine bit-for-bit
+    # (validated against an independent vectorized-numpy oracle in
+    # tests/test_viewshed_costdist.py)
+    _vs_ox, _vs_oy, _vs_tower, _vs_r = 96, 96, 400, 80
+
+    def _photo_at(gxe: str, gye: str) -> str:
+        # ttc_percent closed form, incl. the 255 NoData spikes
+        return (
+            f"(CASE WHEN ({X0} + ({gxe})//64 + {Y0} + ({gye})//64 "
+            f"+ ({gye})%64 + ({gxe})%64) % 7 = 0 THEN 255 "
+            f"ELSE (({X0} + ({gxe})//64)*5 + ({Y0} + ({gye})//64)*13 "
+            f"+ (({gye})%64)*11 + (({gxe})%64)*3) % 128 END)"
+        )
+
+    _vs_zo = int(
+        fixtures.tile_array("ttc_percent", X0 + _vs_ox // 64, Y0 + _vs_oy // 64)[
+            _vs_oy % 64, _vs_ox % 64
+        ]
+    ) + _vs_tower
+    _vs_zk = _photo_at(
+        f"{_vs_ox} + CAST(sign(px.gx - {_vs_ox}) AS BIGINT) * ((2*k*adx + n) // (2*n))",
+        f"{_vs_oy} + CAST(sign(px.gy - {_vs_oy}) AS BIGINT) * ((2*k*ady + n) // (2*n))",
+    )
+    o["focal_viewshed"] = f"""
+WITH px AS (
+  SELECT gx, gy,
+         abs(gx - {_vs_ox}) AS adx, abs(gy - {_vs_oy}) AS ady,
+         greatest(abs(gx - {_vs_ox}), abs(gy - {_vs_oy})) AS n,
+         {_photo_at('gx', 'gy')} AS zt
+  FROM generate_series({_vs_ox - _vs_r}, {_vs_ox + _vs_r}) a(gx),
+       generate_series({_vs_oy - _vs_r}, {_vs_oy + _vs_r}) b(gy)
+  WHERE gx BETWEEN 0 AND {GX} AND gy BETWEEN 0 AND {GY}
+),
+far AS (
+  SELECT px.gx, px.gy, px.zt,
+         MAX(CASE WHEN ({_vs_zk} - {_vs_zo}) * n > (px.zt - {_vs_zo}) * k
+             THEN 1 ELSE 0 END) AS blocked
+  FROM px, generate_series(1, {2 * _vs_r - 1}) s(k)
+  WHERE px.n >= 2 AND k < px.n
+  GROUP BY 1, 2, 3
+),
+verdicts AS (
+  SELECT gx, gy, zt, 1 AS visible FROM px WHERE n <= 1
+  UNION ALL
+  SELECT gx, gy, zt, 1 - blocked FROM far
+)
+SELECT CAST({CB} AS BIGINT) + CAST({X0} + gx // 64 AS BIGINT) * {YW} + ({Y0} + gy // 64) AS cell_id,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(visible) AS BIGINT) AS n_visible,
+       CAST(SUM(zt * visible) AS BIGINT) AS vis_sum
+FROM verdicts GROUP BY 1
+"""
+
+    # cost-distance twin: recursive-CTE Bellman relaxation — UNION
+    # dedups (gx, gy, dist) states, the budget cap bounds the state
+    # space, MIN per pixel afterwards; validated against an independent
+    # whole-world Dijkstra in tests/test_viewshed_costdist.py
+    def _tcdcost_at(gxe: str, gye: str) -> str:
+        return (
+            f"(1 + (({X0} + ({gxe})//64)*3 + ({Y0} + ({gye})//64)*5 "
+            f"+ (({gye})%64)*7 + (({gxe})%64)*11) % 8)"
+        )
+
+    o["focal_cost_distance"] = f"""
+WITH RECURSIVE d(gx, gy, dist) AS (
+    SELECT * FROM (VALUES (40, 40, 0), (200, 130, 0)) v(gx, gy, dist)
+  UNION
+    SELECT d.gx + o.dx, d.gy + o.dy,
+           d.dist + {_tcdcost_at('d.gx + o.dx', 'd.gy + o.dy')}
+    FROM d, (SELECT a.dx, b.dy FROM generate_series(-1,1) a(dx),
+             generate_series(-1,1) b(dy) WHERE NOT (a.dx = 0 AND b.dy = 0)) o
+    WHERE d.gx + o.dx BETWEEN 0 AND {GX} AND d.gy + o.dy BETWEEN 0 AND {GY}
+      AND d.dist + {_tcdcost_at('d.gx + o.dx', 'd.gy + o.dy')} <= 90
+),
+m AS (SELECT gx, gy, MIN(dist) AS dist FROM d GROUP BY 1, 2)
+SELECT CAST({CB} AS BIGINT) + CAST({X0} + gx // 64 AS BIGINT) * {YW} + ({Y0} + gy // 64) AS cell_id,
+       CAST(COUNT(*) AS BIGINT) AS n_reached,
+       CAST(SUM(dist) AS BIGINT) AS dist_sum,
+       CAST(MAX(dist) AS BIGINT) AS dist_max
+FROM m GROUP BY 1
 """
 
     o["text_repeated_substr"] = """

@@ -1,0 +1,306 @@
+"""Cost-distance (least-cost accumulation) over the tiled cost surface —
+the ``r.cost`` / ArcGIS "Cost Distance" product: the minimum accumulated
+cost from any seed pixel to every pixel, capped at a traversal
+``budget``. Out of the reference's reach for the same reason as the
+focal family (reference raster_analysis/query_executor.py analyzes one
+tile at a time; a least-cost path wanders across many).
+
+Semantics (integer-exact): moving onto 8-neighbor pixel ``q`` costs
+``cost(q) = dem(q) + cost_offset`` (the offset lets 0-valued rasters be
+traversable; effective step cost must be >= 1 or the operator raises).
+``dist(seed) = 0``; ``dist(p) = min over paths`` of the summed entering
+costs, and only pixels with ``dist <= budget`` are reported. All int64,
+so the DuckDB twin — a recursive-CTE Bellman relaxation over the
+closed-form fixture surface — hash-matches bit-for-bit.
+
+Scale shape — **halo-widened bulk-synchronous Δ-wave** (Δ-stepping with
+Δ = one tile), and the halo width is the whole point:
+
+1. **One-time cost-halo build.** Each tile's cost array is padded with
+   the ``halo``-px edge strips of its 8 neighbors via the focal
+   family's strip exchange (operators/focal.py `_halo_parts` — encoded
+   centers + raw strips, ~1% of naive replication). Built once,
+   localCheckpoint-ed; it is the loop's constant left side.
+2. **Per-round exact Dijkstra on tile+halo.** A least-cost path that
+   weaves up to ``halo`` px into a neighbor and back resolves WITHIN
+   the round. A naive 1-px ring exchange needs a round per weave — on
+   the fixture corpus that is a ~25-round convergence tail; with an
+   8-px halo the same wave settles in a handful of rounds. (The classic
+   trade-off: halo width buys rounds with memory — pad overhead is
+   (1+2r/T)^2, 13% at r=8 on 64-px tiles, 0.6% on 512-px.)
+3. **Halo arrivals, never pixel payloads.** An improved tile emits each
+   REACHED halo pixel as ``(owner cell, pixel, dist - cost)`` — the
+   entering-arrival form, so the owner re-derives the identical dist —
+   O(frontier x halo-perimeter) tiny rows per round, budget-pruned
+   before the shuffle. Only tiles that actually improved emit, so the
+   wave dies exactly at the fixpoint.
+4. **Frontier-only work.** The cogroup joins the pad frame to the
+   arrival cells, so settled tiles outside the wavefront ship zero
+   bytes in later rounds; state is one ``raw_i64`` distance tile per
+   touched cell, lineage-truncated every round (the components-engine
+   pattern, operators/components.py:110).
+
+A 100-TB corpus is untouched outside the budget disc: seeds determine
+the initial frontier, and the wave only ever expands through tiles it
+reaches (partition-pruned by construction, not by filter)."""
+
+from __future__ import annotations
+
+import heapq
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import codecs
+from ..functions import grid as G
+from . import focal
+
+_PX_PACK = 1 << 31  # packed global pixel id, shared with the focal family
+_ARR_SCHEMA = "cell long, node long, d long"
+_STATE_SCHEMA = "cell_id long, bytes binary, w int, h int, fmt string"
+_OFFS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
+_INF = np.iinfo(np.int64).max // 4
+
+
+def _pad_dijkstra(cost: np.ndarray, dist: np.ndarray, seeds: list[int]) -> None:
+    """Exact relaxation over the padded grid from the seed flat indices
+    (dist already set there); mutates ``dist`` in place. Cells with
+    ``cost >= _INF`` (missing neighbors / corpus edge) are impassable."""
+    ph, pw = cost.shape
+    heap = [(int(dist.flat[f]), f) for f in seeds]
+    heapq.heapify(heap)
+    flat = dist.ravel()
+    cflat = cost.ravel()
+    while heap:
+        d, f = heapq.heappop(heap)
+        if d > flat[f]:
+            continue
+        i, j = divmod(f, pw)
+        for dx, dy in _OFFS:
+            ni, nj = i + dy, j + dx
+            if 0 <= ni < ph and 0 <= nj < pw:
+                nf = ni * pw + nj
+                c = cflat[nf]
+                if c >= _INF:
+                    continue
+                nd = d + int(c)
+                if nd < flat[nf]:
+                    flat[nf] = nd
+                    heapq.heappush(heap, (nd, nf))
+
+
+def _cost_pads(tiles: DataFrame, halo: int, cost_offset: int) -> DataFrame:
+    """One-time padded-cost state: per tile, the (h+2r)x(w+2r) int64
+    entering-cost array (neighbor strips filled in, missing cells
+    impassable at ``_INF``), encoded raw_i64. Raises (in the kernel) if
+    any effective step cost is < 1."""
+    r = int(halo)
+    off = int(cost_offset)
+    parts = focal._halo_parts(tiles, r)
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "cell_id": pd.Series(dtype="int64"), "bytes": pd.Series(dtype="object"),
+            "w": pd.Series(dtype="int32"), "h": pd.Series(dtype="int32"),
+            "fmt": pd.Series(dtype="object"),
+        })
+        got = focal._build_pad(pdf, r, -1)
+        if got is None:
+            return empty
+        cell, h, w, pad = got
+        cost = pad.astype(np.int64)
+        missing = cost < 0
+        cost += off
+        if int(cost[~missing].min(initial=1)) < 1:
+            raise ValueError("effective step cost must be >= 1 (raise cost_offset)")
+        cost[missing] = _INF
+        return pd.DataFrame({
+            "cell_id": [int(cell)],
+            "bytes": [codecs.encode_tile(cost, "raw_i64")],
+            "w": [np.int32(w)], "h": [np.int32(h)], "fmt": ["raw_i64"],
+        })
+
+    return (
+        parts.groupBy("target_cell")
+        .applyInPandas(lambda pdf: assemble(pdf), _STATE_SCHEMA)
+        .localCheckpoint(eager=True)
+    )
+
+
+def cost_distance_state(
+    tiles: DataFrame,
+    seeds: list[tuple[int, int]],
+    budget: int,
+    cost_offset: int = 0,
+    halo: int = 8,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Run the Δ-wave to fixpoint; returns the distance-state frame
+    (``cell_id, bytes, w, h, fmt='raw_i64'``) holding, per touched tile,
+    the exact least-cost distance of every pixel (unreached / beyond-
+    budget pixels hold the ``_INF`` sentinel). ``seeds`` are absolute
+    global pixels (gx, gy)."""
+    spark = tiles.sparkSession
+    b = int(budget)
+    r = int(halo)
+    pads = _cost_pads(tiles, r, cost_offset)
+
+    head = pads.select("w", "h", "cell_id").first()
+    if head is None:
+        raise ValueError("empty tile frame")
+    tw, th = int(head["w"]), int(head["h"])
+    grid = G.grid_of_cell(int(head["cell_id"]))
+
+    arr_rows = []
+    for gx, gy in seeds:
+        cell = int(G.cell_from_xy(grid, int(gx) // tw, int(gy) // th))
+        arr_rows.append((cell, int(gx) * _PX_PACK + int(gy), -1))
+    # seed arrivals carry d = -1: the kernel's entering rule d + cost(q)
+    # would double-charge the seed pixel, so it special-cases d == -1 to
+    # dist(seed) = 0
+    arrivals = spark.createDataFrame(arr_rows, _ARR_SCHEMA).localCheckpoint(eager=True)
+
+    state = spark.createDataFrame([], _STATE_SCHEMA)
+
+    def relax(tile_pdf: pd.DataFrame, arr_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "cell_id": pd.Series(dtype="int64"), "bytes": pd.Series(dtype="object"),
+            "a_cell": pd.Series(dtype="int64"), "a_node": pd.Series(dtype="int64"),
+            "a_d": pd.Series(dtype="int64"),
+        })
+        if len(tile_pdf) == 0 or len(arr_pdf) == 0:
+            return empty
+        row = tile_pdf.iloc[0]
+        cell = int(row["cell_id"])
+        w, h = int(row["w"]), int(row["h"])
+        pw, ph = w + 2 * r, h + 2 * r
+        cost = codecs.decode_tile(bytes(row["bytes"]), pw, ph, "raw_i64")
+        dist = np.full((ph, pw), _INF, dtype=np.int64)
+        if row["s_bytes"] is not None:
+            dist[r:r + h, r:r + w] = codecs.decode_tile(
+                bytes(row["s_bytes"]), w, h, "raw_i64")
+        tx, ty = G.cell_to_xy(cell)
+        gx0, gy0 = int(tx) * w - r, int(ty) * h - r  # pad-frame origin
+        seeds_local: list[int] = []
+        for node, d in zip(arr_pdf["node"].to_numpy(np.int64),
+                           arr_pdf["d"].to_numpy(np.int64)):
+            j = int(node // _PX_PACK) - gx0
+            i = int(node % _PX_PACK) - gy0
+            nd = 0 if d < 0 else int(d) + int(cost[i, j])
+            if nd <= b and nd < dist[i, j]:
+                dist[i, j] = nd
+                seeds_local.append(i * pw + j)
+        if not seeds_local:
+            return empty
+        _pad_dijkstra(cost, dist, seeds_local)
+        out = {
+            "cell_id": [cell],
+            "bytes": [codecs.encode_tile(
+                np.ascontiguousarray(dist[r:r + h, r:r + w]), "raw_i64")],
+            "a_cell": [-1], "a_node": [-1], "a_d": [-1],
+        }
+        # every REACHED halo pixel -> entering-arrival for its owner
+        halo_mask = np.ones((ph, pw), dtype=bool)
+        halo_mask[r:r + h, r:r + w] = False
+        hit = halo_mask & (dist <= b) & (cost < _INF)
+        yb = G._Y_BITS
+        ii, jj = np.nonzero(hit)
+        for i, j in zip(ii.tolist(), jj.tolist()):
+            ngx, ngy = gx0 + j, gy0 + i
+            ncell = cell + ((ngx // w - int(tx)) << yb) + (ngy // h - int(ty))
+            out["cell_id"].append(-1)
+            out["bytes"].append(None)
+            out["a_cell"].append(ncell)
+            out["a_node"].append(ngx * _PX_PACK + ngy)
+            out["a_d"].append(int(dist[i, j]) - int(cost[i, j]))
+        return pd.DataFrame(out)
+
+    mixed_schema = "cell_id long, bytes binary, a_cell long, a_node long, a_d long"
+
+    for rnd in range(int(max_rounds)):
+        # frontier-only: settled tiles outside the wave ship zero bytes
+        frontier = arrivals.select("cell").distinct()
+        tiles_state = (
+            pads.join(frontier, pads["cell_id"] == frontier["cell"], "inner")
+            .drop("cell")
+            .join(
+                state.select(
+                    F.col("cell_id").alias("s_cell"), F.col("bytes").alias("s_bytes")
+                ),
+                F.col("cell_id") == F.col("s_cell"),
+                "left",
+            )
+            .drop("s_cell")
+        )
+        mixed = (
+            tiles_state.groupBy("cell_id")
+            .cogroup(arrivals.groupBy("cell"))
+            .applyInPandas(lambda left, right: relax(left, right), mixed_schema)
+            .localCheckpoint(eager=True)
+        )
+        new_state = mixed.filter(F.col("cell_id") >= 0).select(
+            "cell_id", "bytes",
+            F.lit(tw).cast("int").alias("w"), F.lit(th).cast("int").alias("h"),
+            F.lit("raw_i64").alias("fmt"),
+        )
+        state = (
+            state.join(new_state.select(F.col("cell_id").alias("n_cell")),
+                       state["cell_id"] == F.col("n_cell"), "left_anti")
+            .unionByName(new_state)
+            .localCheckpoint(eager=True)
+        )
+        arrivals = (
+            mixed.filter(F.col("a_cell") >= 0)
+            .groupBy(F.col("a_cell").alias("cell"), F.col("a_node").alias("node"))
+            .agg(F.min("a_d").alias("d"))
+        )
+        n_arr = arrivals.count()
+        if os.environ.get("COSTDIST_DEBUG"):
+            import sys
+
+            print(f"[costdist] round={rnd + 1} arrivals={n_arr}",
+                  file=sys.stderr, flush=True)
+        if n_arr == 0:
+            break
+        arrivals = arrivals.localCheckpoint(eager=True)
+    return state
+
+
+def cost_distance_zonal(
+    tiles: DataFrame,
+    seeds: list[tuple[int, int]],
+    budget: int,
+    cost_offset: int = 0,
+    halo: int = 8,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Per-cell rollup of the cost-distance field: ``(cell_id,
+    n_reached, dist_sum, dist_max)`` over pixels with ``dist <= budget``
+    — the gate-friendly product (tiles with zero reached pixels are
+    absent, matching the twin's GROUP BY)."""
+    b = int(budget)
+    state = cost_distance_state(tiles, seeds, b, cost_offset, halo, max_rounds)
+
+    def rollup(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"cell_id": [], "n_reached": [], "dist_sum": [], "dist_max": []}
+            for cell, data, w, h, fmt in zip(
+                pdf["cell_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                dist = codecs.decode_tile(bytes(data), int(w), int(h), fmt)
+                hit = dist[dist <= b]
+                if hit.size == 0:
+                    continue
+                rows["cell_id"].append(int(cell))
+                rows["n_reached"].append(int(hit.size))
+                rows["dist_sum"].append(int(hit.sum()))
+                rows["dist_max"].append(int(hit.max()))
+            yield pd.DataFrame(rows)
+
+    return state.mapInPandas(
+        rollup, "cell_id long, n_reached long, dist_sum long, dist_max long"
+    )

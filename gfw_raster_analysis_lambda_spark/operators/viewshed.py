@@ -1,0 +1,204 @@
+"""Viewshed (line-of-sight visibility) over the tiled integer DEM — the
+classic ``r.viewshed`` / ArcGIS "Viewshed" product the reference cannot
+express (reference raster_analysis/query_executor.py windows one tile at
+a time; a sight line crosses many).
+
+Semantics (R3, integer-exact): an observer stands at global pixel
+``(ox, oy)`` with eye elevation ``z_o = dem(ox, oy) + tower``. A target
+pixel ``t`` within Chebyshev radius ``R`` is VISIBLE iff no sampled
+point of the sight line rises above the ray from the eye to the
+target's surface. The sight line is the uniform DDA with
+``N = max(|tx-ox|, |ty-oy|)`` steps; sample ``k`` (``1 <= k < N``) is
+the round-half-up lattice point
+
+    x_k = ox + sgn(dx) * ((2*k*|dx| + N) // (2*N))      (y_k alike)
+
+and it BLOCKS the target iff  ``(z_k - z_o) * N > (z_t - z_o) * k`` —
+the slope comparison cross-multiplied so everything stays int64 (no
+float angles, no epsilon): the DuckDB twin hash-matches bit-for-bit.
+Targets at ``N <= 1`` (the observer and its 8 neighbors) are visible by
+definition. Grazing rays (equality) do NOT block, matching GRASS's
+"target visible when exactly on the horizon" convention.
+
+Scale shape — this is the exact R3 algorithm expressed RELATIONALLY so
+Catalyst parallelizes its O(px * R) inherent work instead of a driver
+loop hand-walking rays:
+
+1. **Partition-pruned decode.** Only tiles whose pixel bbox intersects
+   the radius disc are decoded (a cell-id bit-arithmetic filter BEFORE
+   the Arrow decode pass) — on a 100-TB corpus the viewshed of one
+   tower touches O(R^2 / tile_px^2) tiles, not the corpus.
+2. **One pixel frame, reused.** The decoded (gx, gy, z) frame serves as
+   target side AND sample-lookup side; it is localCheckpoint-ed so the
+   decode runs once.
+3. **Samples stay JVM-side.** The k-explosion (`sequence(1, N-1)`) and
+   the DDA lattice arithmetic are Catalyst expressions inside
+   whole-stage codegen — no Python in the O(px * R) hot path.
+4. **Broadcast-or-shuffle lookup.** The sample -> elevation join
+   broadcasts the pixel frame when the radius disc is small enough
+   (probed RELATIONALLY with one count, the `_probe_aoi_batch`
+   pattern), else hash-joins on the lattice coordinate.
+5. **Map-side combined verdicts.** The per-target `max(blocked)` is a
+   partial-aggregatable groupBy: O(px * R) sample rows reduce to
+   O(px) verdicts before the final O(cells) zonal rollup.
+
+The sector-sweep R2 variant (shared boundary rays + segmented
+prefix-max) is the approximation ladder above this exact baseline; R3
+with a radius cap is what the oracle can certify bit-exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import codecs
+from ..functions import grid as G
+
+_PX_SCHEMA = "gx long, gy long, z long"
+
+# broadcast the sample->elevation lookup side below this many pixels
+# (64 B/row in Arrow => ~64 MB at the bound, comfortably under a 1-GB
+# driver broadcast budget)
+_BROADCAST_PX_BOUND = 1_000_000
+
+
+def _pixels(tiles: DataFrame, x_lo: int, x_hi: int, y_lo: int, y_hi: int) -> DataFrame:
+    """Decode tiles to (gx, gy, z) pixel rows, AFTER a cell-id
+    bit-arithmetic prune to tiles intersecting the global-pixel bbox
+    [x_lo, x_hi] x [y_lo, y_hi]. Global pixel coords are absolute:
+    ``gx = cell_x * w + j``, ``gy = cell_y * h + i`` (matches the
+    focal family's packing)."""
+    yb, xym = G._Y_BITS, G._XY_MASK
+    cx = F.shiftrightunsigned(F.col("cell_id"), yb).bitwiseAND(F.lit(xym))
+    cy = F.col("cell_id").bitwiseAND(F.lit(xym))
+    pruned = tiles.filter(
+        ((cx + 1) * F.col("w") > F.lit(x_lo)) & (cx * F.col("w") <= F.lit(x_hi))
+        & ((cy + 1) * F.col("h") > F.lit(y_lo)) & (cy * F.col("h") <= F.lit(y_hi))
+    ).select("cell_id", "bytes", "w", "h", "fmt")
+
+    def decode(batches):
+        for pdf in batches:
+            frames = []
+            for cell, data, w, h, fmt in zip(
+                pdf["cell_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                w, h = int(w), int(h)
+                arr = codecs.decode_tile(bytes(data), w, h, fmt).astype(np.int64)
+                tx, ty = G.cell_to_xy(int(cell))
+                jj, ii = np.meshgrid(np.arange(w), np.arange(h))
+                frames.append(pd.DataFrame({
+                    "gx": (int(tx) * w + jj).ravel().astype(np.int64),
+                    "gy": (int(ty) * h + ii).ravel().astype(np.int64),
+                    "z": arr.ravel(),
+                }))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return pruned.mapInPandas(decode, _PX_SCHEMA)
+
+
+def viewshed_zonal(
+    tiles: DataFrame,
+    observer: tuple[int, int],
+    tower: int = 0,
+    radius: int = 128,
+) -> DataFrame:
+    """Per-cell viewshed rollup: for every tile within ``radius`` of the
+    observer, how many of its pixels see the eye — ``(cell_id, n_px,
+    n_visible, vis_sum)`` with ``vis_sum`` the summed DEM of the visible
+    pixels (all int64, hash-exact vs the DuckDB twin).
+
+    ``observer`` is the absolute global pixel (ox, oy); ``tower`` is
+    added to the surface elevation under the eye. Raises if the
+    observer pixel is outside the (pruned) corpus. A sample landing on
+    a MISSING pixel (corpus edge / missing tile — reference S2
+    semantics) never blocks: the lookup is a left join and the null
+    comparison falls through to "not blocked"."""
+    ox, oy = int(observer[0]), int(observer[1])
+    r = int(radius)
+    px = _pixels(tiles, ox - r, ox + r, oy - r, oy + r).localCheckpoint(eager=True)
+
+    obs = px.filter((F.col("gx") == ox) & (F.col("gy") == oy)).collect()
+    if not obs:
+        raise ValueError(f"observer pixel ({ox}, {oy}) not in corpus")
+    z_o = int(obs[0]["z"]) + int(tower)
+
+    targets = (
+        px.withColumn("adx", F.abs(F.col("gx") - F.lit(ox)))
+        .withColumn("ady", F.abs(F.col("gy") - F.lit(oy)))
+        .filter((F.col("adx") <= r) & (F.col("ady") <= r))
+        .withColumn("n", F.greatest("adx", "ady"))
+    )
+
+    # near field (N <= 1): visible by definition — no samples to check
+    near = targets.filter(F.col("n") <= 1).select(
+        "gx", "gy", "z", F.lit(1).alias("visible")
+    )
+
+    # far field: explode DDA steps k in [1, N-1]; ALL lattice arithmetic
+    # on non-negative ints so `div` (truncating) == floor on both engines
+    far = targets.filter(F.col("n") >= 2)
+    samples = (
+        far.select(
+            "gx", "gy", "z", "n", "adx", "ady",
+            F.signum(F.col("gx") - F.lit(ox)).cast("long").alias("sgx"),
+            F.signum(F.col("gy") - F.lit(oy)).cast("long").alias("sgy"),
+            F.explode(F.sequence(F.lit(1), F.col("n") - 1)).alias("k"),
+        )
+        .select(
+            "gx", "gy", "z", "n", "k",
+            (F.lit(ox) + F.col("sgx")
+             * F.expr("(2*k*adx + n) div (2*n)")).alias("sx"),
+            (F.lit(oy) + F.col("sgy")
+             * F.expr("(2*k*ady + n) div (2*n)")).alias("sy"),
+        )
+    )
+
+    lookup = px.select(
+        F.col("gx").alias("sx"), F.col("gy").alias("sy"), F.col("z").alias("zk")
+    )
+    # relational probe, not a guess: broadcast the disc when it is small
+    if px.count() <= _BROADCAST_PX_BOUND:
+        lookup = F.broadcast(lookup)
+
+    far_verdict = (
+        samples.join(lookup, ["sx", "sy"], "left")
+        .groupBy("gx", "gy", "z")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("zk") - F.lit(z_o)) * F.col("n")
+                    > (F.col("z") - F.lit(z_o)) * F.col("k"),
+                    1,
+                ).otherwise(0)
+            ).alias("blocked")
+        )
+        .select("gx", "gy", "z", (1 - F.col("blocked")).alias("visible"))
+    )
+
+    verdicts = near.unionByName(far_verdict)
+    # cell-id back-derivation: tile size and grid index ride the
+    # (single-grid) input frame — one tiny first() probe
+    head = tiles.select(
+        "w", "h",
+        F.shiftrightunsigned("cell_id", G._X_BITS + G._Y_BITS).alias("g"),
+    ).first()
+    tw, th, gidx = int(head["w"]), int(head["h"]), int(head["g"])
+    cell_expr = (
+        F.lit(gidx << (G._X_BITS + G._Y_BITS))
+        + F.expr(f"(gx div {tw})") * F.lit(1 << G._Y_BITS)
+        + F.expr(f"(gy div {th})")
+    ).alias("cell_id")
+
+    return (
+        verdicts.select(cell_expr, "z", "visible")
+        .groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_px"),
+            F.sum("visible").cast("long").alias("n_visible"),
+            F.sum(F.col("z") * F.col("visible")).cast("long").alias("vis_sum"),
+        )
+    )
