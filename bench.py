@@ -160,6 +160,36 @@ def bench_queries(spark):
         )
     q["focal_stats"] = focal_stats_bench
 
+    def focal_viewshed_bench():
+        # R3 viewshed over the 256-px-tile DEM: radius-256 disc =
+        # ~263k targets x ~128 DDA samples = ~34M codegen sample rows
+        # through one broadcast lookup join; partition-pruned decode
+        # (the 2304-cell corpus contributes only the 9 disc tiles)
+        from gfw_raster_analysis_lambda_spark.operators import viewshed
+
+        ox = (BX0 + BNX // 2) * BGRID.chunk_px + 17
+        oy = (BY0 + BNY // 2) * BGRID.chunk_px + 23
+        return viewshed.viewshed_zonal(
+            images.filter(F.col("layer") == "tcl_year"),
+            (ox, oy), tower=12, radius=256,
+        )
+    q["focal_viewshed"] = focal_viewshed_bench
+
+    def focal_cost_distance_bench():
+        # budget-capped least-cost wave (halo-widened BSP Dijkstra):
+        # two seeds, the wave crosses several 256-px tile boundaries;
+        # frontier-only rounds, O(halo-perimeter) arrival rows each
+        from gfw_raster_analysis_lambda_spark.operators import costdist
+
+        sx = (BX0 + BNX // 2) * BGRID.chunk_px
+        sy = (BY0 + BNY // 2) * BGRID.chunk_px
+        return costdist.cost_distance_zonal(
+            images.filter(F.col("layer") == "tcd_threshold"),
+            [(sx + 40, sy + 40), (sx + 300, sy + 200)],
+            budget=600, cost_offset=1,
+        )
+    q["focal_cost_distance"] = focal_cost_distance_bench
+
     def knn_phash_bench():
         from pyspark.sql import Window
 
