@@ -308,7 +308,7 @@ def _rotate_for_driver_coverage(
     # check_entry sweep of the registry — the code with the fewest
     # independent eyes — so they always land in the driver window.
     newest = (
-        "focal_viewshed", "focal_cost_distance",
+        "focal_viewshed", "focal_cost_distance", "focal_cost_corridor",
         "text_exact_substr", "text_suffix_ranks", "text_repeated_substr",
         "sample_dsir",
         "mm_template_match", "mm_ssim",
@@ -4017,6 +4017,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             cost_offset=1,
         )
     q["focal_cost_distance"] = focal_cost_distance
+
+    def focal_cost_corridor(spark, sf_dir):
+        # least-cost CORRIDOR between two seed sets (ArcGIS Corridor):
+        # two halo-widened waves + one cell-keyed cogroup scoring
+        # dA + dB - cost, one tiny min agg for the optimal path cost,
+        # slack-band membership per cell. The identity dA+dB-cost =
+        # path cost on optimal-path pixels keeps everything int64; the
+        # twin composes the same two recursive-CTE Bellman fields.
+        images, _, _ = _fixture(spark)
+        tiles = images.filter(F.col("layer") == "tcd_threshold")
+        return costdist.cost_corridor_zonal(
+            tiles,
+            [(X0 * 64 + 40, Y0 * 64 + 40)],
+            [(X0 * 64 + 90, Y0 * 64 + 65)],
+            budget=160, slack=8, cost_offset=1,
+        )
+    q["focal_cost_corridor"] = focal_cost_corridor
 
     def sim_ivf_pq(spark, sf_dir):
         # IVF-PQ: the production ANN composition — IVF coarse pruning
@@ -8926,6 +8943,42 @@ SELECT CAST({CB} AS BIGINT) + CAST({X0} + gx // 64 AS BIGINT) * {YW} + ({Y0} + g
        CAST(SUM(dist) AS BIGINT) AS dist_sum,
        CAST(MAX(dist) AS BIGINT) AS dist_max
 FROM m GROUP BY 1
+"""
+
+    # corridor twin: TWO of the same Bellman fields joined per pixel,
+    # scored dA + dB - cost (the meeting-pixel double-charge removed, so
+    # the minimum IS the optimal A->B path cost), slack-band membership
+    # rolled up per cell; validated vs a composed whole-world-Dijkstra
+    # numpy oracle in tests/test_viewshed_costdist.py
+    def _cd_wave(name: str, seeds: list, budget: int) -> str:
+        vals = ", ".join(f"({sx}, {sy}, 0)" for sx, sy in seeds)
+        return f"""
+{name}0(gx, gy, dist) AS (
+    SELECT * FROM (VALUES {vals}) v(gx, gy, dist)
+  UNION
+    SELECT d.gx + o.dx, d.gy + o.dy,
+           d.dist + {_tcdcost_at('d.gx + o.dx', 'd.gy + o.dy')}
+    FROM {name}0 d, (SELECT a.dx, b.dy FROM generate_series(-1,1) a(dx),
+         generate_series(-1,1) b(dy) WHERE NOT (a.dx = 0 AND b.dy = 0)) o
+    WHERE d.gx + o.dx BETWEEN 0 AND {GX} AND d.gy + o.dy BETWEEN 0 AND {GY}
+      AND d.dist + {_tcdcost_at('d.gx + o.dx', 'd.gy + o.dy')} <= {budget}
+),
+{name} AS (SELECT gx, gy, MIN(dist) AS dist FROM {name}0 GROUP BY 1, 2)"""
+
+    o["focal_cost_corridor"] = f"""
+WITH RECURSIVE {_cd_wave('cda', [(40, 40)], 160)},
+{_cd_wave('cdb', [(90, 65)], 160)},
+j AS (
+  SELECT cda.gx, cda.gy,
+         cda.dist + cdb.dist - {_tcdcost_at('cda.gx', 'cda.gy')} AS v
+  FROM cda JOIN cdb ON cda.gx = cdb.gx AND cda.gy = cdb.gy
+),
+best AS (SELECT MIN(v) AS m FROM j)
+SELECT CAST({CB} AS BIGINT) + CAST({X0} + gx // 64 AS BIGINT) * {YW} + ({Y0} + gy // 64) AS cell_id,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       CAST(SUM(CASE WHEN v <= best.m + 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_corridor,
+       CAST(MIN(v) - best.m AS BIGINT) AS slack_min
+FROM j, best GROUP BY 1, best.m
 """
 
     o["text_repeated_substr"] = """

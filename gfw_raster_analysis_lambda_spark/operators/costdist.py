@@ -304,3 +304,113 @@ def cost_distance_zonal(
     return state.mapInPandas(
         rollup, "cell_id long, n_reached long, dist_sum long, dist_max long"
     )
+
+
+def cost_corridor_zonal(
+    tiles: DataFrame,
+    seeds_a: list[tuple[int, int]],
+    seeds_b: list[tuple[int, int]],
+    budget: int,
+    slack: int = 0,
+    cost_offset: int = 0,
+    halo: int = 8,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Least-cost CORRIDOR between two seed sets (the ArcGIS "Corridor"
+    product / circuitscape's deterministic core): a pixel p lies in the
+    corridor iff ``dA(p) + dB(p) - cost(p) <= best + slack``, where
+    dA/dB are the budget-capped cost-distance fields from each seed set
+    and ``best = min_p (dA + dB - cost)`` is the optimal A->B path cost
+    (the ``- cost(p)`` removes the double-charge of the meeting pixel,
+    so ``best`` equals the true least-cost path cost and the slack=0
+    corridor is exactly the set of pixels on SOME optimal path).
+
+    Composition, not new machinery: TWO halo-widened waves (each
+    pruned to its own budget disc), one cell-keyed cogroup of the two
+    raw_i64 state frames with the cost pads, a broadcast of the single
+    scalar ``best`` (computed by a tiny two-stage min agg), and one
+    rollup pass. Returned per cell: ``n_corridor`` (pixels within
+    slack), ``slack_min`` = min over the cell's jointly-reached pixels
+    of (dA+dB-cost) - best (0 exactly where an optimal path crosses),
+    plus ``n_scored`` (pixels where both fields are <= budget — the
+    joint-reachable support).
+    All int64; the DuckDB twin composes the same two recursive-CTE
+    Bellman fields."""
+    b = int(budget)
+    sa = cost_distance_state(tiles, seeds_a, b, cost_offset, halo, max_rounds)
+    sb = cost_distance_state(tiles, seeds_b, b, cost_offset, halo, max_rounds)
+    pads = _cost_pads(tiles, 0, cost_offset)  # r=0: just the offset cost tile
+
+    def score(tile_pdf: pd.DataFrame, other_pdf: pd.DataFrame) -> pd.DataFrame:
+        # stage 1: per-cell (dA + dB - cost) plane, kept as state rows
+        empty = pd.DataFrame({
+            "cell_id": pd.Series(dtype="int64"), "bytes": pd.Series(dtype="object"),
+            "w": pd.Series(dtype="int32"), "h": pd.Series(dtype="int32"),
+            "fmt": pd.Series(dtype="object"),
+        })
+        if len(tile_pdf) == 0 or len(other_pdf) == 0:
+            return empty
+        ra = tile_pdf.iloc[0]
+        rb = other_pdf.iloc[0]
+        w, h = int(ra["w"]), int(ra["h"])
+        da = codecs.decode_tile(bytes(ra["s_bytes"]), w, h, "raw_i64")
+        db = codecs.decode_tile(bytes(rb["bytes"]), w, h, "raw_i64")
+        cost = codecs.decode_tile(bytes(ra["bytes"]), w, h, "raw_i64")
+        joint = (da <= b) & (db <= b)
+        plane = np.full((h, w), _INF, dtype=np.int64)
+        plane[joint] = da[joint] + db[joint] - cost[joint]
+        if not joint.any():
+            return empty
+        return pd.DataFrame({
+            "cell_id": [int(ra["cell_id"])],
+            "bytes": [codecs.encode_tile(plane, "raw_i64")],
+            "w": [np.int32(w)], "h": [np.int32(h)], "fmt": ["raw_i64"],
+        })
+
+    ab = pads.join(
+        sa.select(F.col("cell_id").alias("s_cell"), F.col("bytes").alias("s_bytes")),
+        pads["cell_id"] == F.col("s_cell"), "inner",
+    ).drop("s_cell")
+    planes = (
+        ab.groupBy("cell_id")
+        .cogroup(sb.groupBy("cell_id"))
+        .applyInPandas(lambda left, right: score(left, right), _STATE_SCHEMA)
+        .localCheckpoint(eager=True)
+    )
+
+    def plane_min(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = [
+                int(codecs.decode_tile(bytes(d), int(w), int(h), f).min())
+                for d, w, h, f in zip(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])
+            ]
+            yield pd.DataFrame({"m": vals or [int(_INF)]})
+
+    best_row = (
+        planes.mapInPandas(plane_min, "m long").agg(F.min("m").alias("m")).first()
+    )
+    if best_row is None or best_row["m"] is None or int(best_row["m"]) >= _INF:
+        return planes.sparkSession.createDataFrame(
+            [], "cell_id long, n_scored long, n_corridor long, slack_min long"
+        )
+    best = int(best_row["m"])
+    cut = best + int(slack)
+
+    def rollup(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"cell_id": [], "n_scored": [], "n_corridor": [], "slack_min": []}
+            for cell, d, w, h, f in zip(
+                pdf["cell_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                plane = codecs.decode_tile(bytes(d), int(w), int(h), f)
+                scored = plane < _INF
+                corr = plane <= cut
+                rows["cell_id"].append(int(cell))
+                rows["n_scored"].append(int(scored.sum()))
+                rows["n_corridor"].append(int(corr.sum()))
+                rows["slack_min"].append(int(plane.min()) - best)
+            yield pd.DataFrame(rows)
+
+    return planes.mapInPandas(
+        rollup, "cell_id long, n_scored long, n_corridor long, slack_min long"
+    )

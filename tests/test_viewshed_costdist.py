@@ -173,3 +173,49 @@ def test_cost_distance_rejects_zero_cost(spark):
             _tiles(spark, "tcd_threshold"), [(GX0 + 40, GY0 + 40)], 30,
             cost_offset=0,
         ).collect()
+
+
+def test_cost_corridor_matches_composed_dijkstra(spark):
+    cost = _world("tcd_threshold") + 1
+    A, B, budget, slack = [(40, 40)], [(90, 65)], 160, 8
+    da = _dijkstra_oracle(cost, A, budget)
+    db = _dijkstra_oracle(cost, B, budget)
+    INF = 1 << 60
+    joint = (da >= 0) & (db >= 0)
+    plane = np.where(joint, da + db - cost, INF)
+    best = int(plane.min())
+    assert best < INF
+    cut = best + slack
+
+    got = costdist.cost_corridor_zonal(
+        _tiles(spark, "tcd_threshold"),
+        [(GX0 + x, GY0 + y) for x, y in A],
+        [(GX0 + x, GY0 + y) for x, y in B],
+        budget, slack=slack, cost_offset=1,
+    ).collect()
+    got_map = {r["cell_id"]: (r["n_scored"], r["n_corridor"], r["slack_min"])
+               for r in got}
+
+    exp_map = {}
+    for ty in range(Y0, Y0 + NY):
+        for tx in range(X0, X0 + NX):
+            sl = plane[(ty - Y0) * TILE:(ty - Y0 + 1) * TILE,
+                       (tx - X0) * TILE:(tx - X0 + 1) * TILE]
+            sc = sl < INF
+            if not sc.any():
+                continue
+            exp_map[int(G.cell_from_xy(fixtures.GRID, tx, ty))] = (
+                int(sc.sum()), int((sl <= cut).sum()), int(sl.min()) - best,
+            )
+    assert got_map == exp_map
+    # an optimal path must actually cross a tile boundary
+    assert len(exp_map) >= 2 and any(v[2] == 0 for v in exp_map.values())
+
+
+def test_cost_corridor_disjoint_discs_empty(spark):
+    out = costdist.cost_corridor_zonal(
+        _tiles(spark, "tcd_threshold"),
+        [(GX0 + 5, GY0 + 5)], [(GX0 + 250, GY0 + 250)],
+        budget=40, cost_offset=1,
+    ).collect()
+    assert out == []
