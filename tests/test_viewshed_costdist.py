@@ -219,3 +219,94 @@ def test_cost_corridor_disjoint_discs_empty(spark):
         budget=40, cost_offset=1,
     ).collect()
     assert out == []
+
+
+def _drop_tile(tiles, tx, ty):
+    cell = int(G.cell_from_xy(fixtures.GRID, tx, ty))
+    return tiles.filter(F.col("cell_id") != cell)
+
+
+def test_viewshed_missing_tile_never_blocks(spark):
+    # drop the tile north-east of the observer: its pixels vanish from
+    # the targets AND any ray sample landing there must never block
+    dem = _world("ttc_percent").astype(np.int64)
+    hole = (X0 + 2, Y0 + 1)
+    ox_rel, oy_rel, tower, radius = 96, 96, 400, 80
+    z_o = int(dem[oy_rel, ox_rel]) + tower
+
+    hole_sl = (slice((hole[1] - Y0) * TILE, (hole[1] - Y0 + 1) * TILE),
+               slice((hole[0] - X0) * TILE, (hole[0] - X0 + 1) * TILE))
+    dem_h = dem.copy()
+    dem_h[hole_sl] = -(1 << 40)  # sentinel: never blocks in the oracle
+    vis, in_r = _viewshed_oracle(dem_h, ox_rel, oy_rel, tower, radius)
+
+    got = viewshed.viewshed_zonal(
+        _drop_tile(_tiles(spark, "ttc_percent"), *hole),
+        (GX0 + ox_rel, GY0 + oy_rel), tower, radius,
+    ).collect()
+    got_map = {r["cell_id"]: (r["n_px"], r["n_visible"], r["vis_sum"]) for r in got}
+
+    exp_map = {}
+    for ty in range(Y0, Y0 + NY):
+        for tx in range(X0, X0 + NX):
+            if (tx, ty) == hole:
+                continue  # no tile -> no targets
+            sl = (slice((ty - Y0) * TILE, (ty - Y0 + 1) * TILE),
+                  slice((tx - X0) * TILE, (tx - X0 + 1) * TILE))
+            m = in_r[sl]
+            if not m.any():
+                continue
+            v = vis[sl] & m
+            exp_map[int(G.cell_from_xy(fixtures.GRID, tx, ty))] = (
+                int(m.sum()), int(v.sum()), int(dem[sl][v].sum()),
+            )
+    assert got_map == exp_map
+    # removing an occluder must only ever ADD visibility (outside the
+    # hole itself, whose sentinel targets are meaningless)
+    vis_full, _ = _viewshed_oracle(dem, ox_rel, oy_rel, tower, radius)
+    outside = in_r.copy()
+    outside[hole_sl] = False
+    assert (vis & outside).sum() >= (vis_full & outside).sum()
+    assert (vis_full[outside] & ~vis[outside]).sum() == 0
+
+
+def test_cost_distance_missing_tile_impassable(spark):
+    # hole between the seed and the far side: the wave must route AROUND
+    cost = _world("tcd_threshold") + 1
+    hole = (X0 + 1, Y0 + 0)
+    hole_sl = (slice(0, TILE), slice(TILE, 2 * TILE))
+    cost_h = cost.astype(np.int64).copy()
+    cost_h[hole_sl] = 1 << 50  # impassable in the oracle
+    seeds_rel = [(40, 20)]
+    budget = 400
+    exp_dist = _dijkstra_oracle(cost_h, seeds_rel, budget)
+    exp_dist[hole_sl] = -1  # no tile -> no output pixels
+
+    got = costdist.cost_distance_zonal(
+        _drop_tile(_tiles(spark, "tcd_threshold"), *hole),
+        [(GX0 + sx, GY0 + sy) for sx, sy in seeds_rel],
+        budget, cost_offset=1,
+    ).collect()
+    got_map = {r["cell_id"]: (r["n_reached"], r["dist_sum"], r["dist_max"])
+               for r in got}
+
+    exp_map = {}
+    for ty in range(Y0, Y0 + NY):
+        for tx in range(X0, X0 + NX):
+            sl = exp_dist[(ty - Y0) * TILE:(ty - Y0 + 1) * TILE,
+                          (tx - X0) * TILE:(tx - X0 + 1) * TILE]
+            hit = sl[sl >= 0]
+            if hit.size == 0:
+                continue
+            exp_map[int(G.cell_from_xy(fixtures.GRID, tx, ty))] = (
+                int(hit.size), int(hit.sum()), int(hit.max()),
+            )
+    assert got_map == exp_map
+    # blocking a region can never SHORTEN any path, and must genuinely
+    # lengthen (or cut off) at least one
+    free = _dijkstra_oracle(cost.astype(np.int64), seeds_rel, budget)
+    both = (exp_dist >= 0) & (free >= 0)
+    assert (exp_dist[both] >= free[both]).all()
+    lost = (free >= 0) & (exp_dist < 0)
+    lost[hole_sl] = False
+    assert (exp_dist[both] > free[both]).any() or lost.any()
