@@ -309,6 +309,7 @@ def _rotate_for_driver_coverage(
     # independent eyes — so they always land in the driver window.
     newest = (
         "focal_viewshed", "focal_cost_distance", "focal_cost_corridor",
+        "focal_openness",
         "text_exact_substr", "text_suffix_ranks", "text_repeated_substr",
         "sample_dsir",
         "mm_template_match", "mm_ssim",
@@ -4034,6 +4035,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             budget=160, slack=8, cost_offset=1,
         )
     q["focal_cost_corridor"] = focal_cost_corridor
+
+    def focal_openness(spark, sf_dir):
+        # topographic openness / sky-view factor (Yokoyama 2002): per
+        # pixel, how many of 8 compass directions have NO sample within
+        # 8 steps rising above slope 1/2 — cardinal dz*2 > k, diagonal
+        # squared (dz^2*4 > 2k^2) so the sqrt(2) step length stays
+        # integer-exact. Pure focal-family plan: one halo-strip
+        # Exchange, one Arrow kernel of 8x8 shifted-slice compares.
+        images, _, _ = _fixture(spark)
+        tiles = images.filter(F.col("layer") == "ttc_percent")
+        return viewshed.openness_zonal(tiles, radius=8, slope_num=1, slope_den=2)
+    q["focal_openness"] = focal_openness
 
     def sim_ivf_pq(spark, sf_dir):
         # IVF-PQ: the production ANN composition — IVF coarse pruning
@@ -8979,6 +8992,38 @@ SELECT CAST({CB} AS BIGINT) + CAST({X0} + gx // 64 AS BIGINT) * {YW} + ({Y0} + g
        CAST(SUM(CASE WHEN v <= best.m + 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_corridor,
        CAST(MIN(v) - best.m AS BIGINT) AS slack_min
 FROM j, best GROUP BY 1, best.m
+"""
+
+    # openness twin: the same 8-direction bounded-horizon test over the
+    # closed-form surface — cardinal cross-multiplied, diagonal squared
+    # (sqrt(2) step length eliminated); out-of-world samples never close
+    # a direction, matching the engine's halo sentinel
+    _op_zs = _photo_at("p.gx + k*d.dx", "p.gy + k*d.dy")
+    _op_zp = _photo_at("p.gx", "p.gy")
+    o["focal_openness"] = f"""
+WITH px AS (
+  SELECT gx, gy FROM generate_series(0, {GX}) a(gx), generate_series(0, {GY}) b(gy)
+),
+dirs(dx, dy) AS (VALUES (1,0),(-1,0),(0,1),(0,-1),(1,1),(1,-1),(-1,1),(-1,-1)),
+hits AS (
+  SELECT p.gx, p.gy, d.dx, d.dy,
+    MAX(CASE WHEN p.gx + k*d.dx BETWEEN 0 AND {GX}
+              AND p.gy + k*d.dy BETWEEN 0 AND {GY}
+              AND (CASE WHEN d.dx <> 0 AND d.dy <> 0
+                   THEN ({_op_zs}) > ({_op_zp})
+                        AND (({_op_zs}) - ({_op_zp})) * (({_op_zs}) - ({_op_zp})) * 4 > 2 * k * k
+                   ELSE (({_op_zs}) - ({_op_zp})) * 2 > k END)
+         THEN 1 ELSE 0 END) AS closed
+  FROM px p, dirs d, generate_series(1, 8) s(k)
+  GROUP BY 1, 2, 3, 4
+),
+od AS (SELECT gx, gy, SUM(1 - closed) AS open FROM hits GROUP BY 1, 2)
+SELECT CAST({CB} AS BIGINT) + CAST({X0} + gx // 64 AS BIGINT) * {YW} + ({Y0} + gy // 64) AS cell_id,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(open) AS BIGINT) AS open_sum,
+       CAST(SUM(CASE WHEN open = 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_fully_open,
+       CAST(SUM(CASE WHEN open = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_closed
+FROM od GROUP BY 1
 """
 
     o["text_repeated_substr"] = """

@@ -212,3 +212,85 @@ def viewshed_zonal(
             F.sum(F.col("z") * F.col("visible")).cast("long").alias("vis_sum"),
         )
     )
+
+
+def openness_zonal(
+    tiles: DataFrame,
+    radius: int = 8,
+    slope_num: int = 1,
+    slope_den: int = 2,
+) -> DataFrame:
+    """Topographic openness (Yokoyama et al. 2002) / sky-view factor —
+    the bounded-horizon companion of the viewshed: for every pixel,
+    how many of its 8 compass directions are OPEN, i.e. contain no
+    sample within ``radius`` steps whose upward slope from the pixel
+    exceeds ``slope_num/slope_den`` (the horizon-angle threshold).
+    Solar-exposure / frost-pocket / terrain-shading screening at
+    corpus scale.
+
+    Integer-exact by construction: cardinal directions test
+    ``dz * den > num * k``; diagonal steps cover k*sqrt(2), so the
+    comparison is squared — ``dz > 0 AND dz^2 * den^2 > 2 * num^2 *
+    k^2`` — and stays in int64 (dz <= 2^16 for uint16 DEMs). Samples
+    beyond the corpus edge / on missing tiles never close a direction
+    (reference S2 semantics, same convention as the viewshed).
+
+    Scale shape: a pure focal-family operator — the one halo-strip
+    Exchange (``radius``-px edges, operators/focal.py `_halo_parts`),
+    one Arrow kernel of 8 x radius shifted-slice comparisons (no
+    per-pixel Python), O(cells) output. Returned per cell: ``n_px``,
+    ``open_sum`` (sum of per-pixel open-direction counts, 0..8 each),
+    ``n_fully_open`` (pixels with all 8 open), ``n_closed`` (pixels
+    with none). The DuckDB twin evaluates the same comparisons over
+    the closed-form surface."""
+    from . import focal
+
+    r = int(radius)
+    if not (1 <= r <= focal._MAX_RADIUS):
+        raise ValueError(f"radius must be in [1, {focal._MAX_RADIUS}]")
+    tn, td = int(slope_num), int(slope_den)
+    if tn < 0 or td <= 0:
+        raise ValueError("slope threshold must be a non-negative rational")
+    out_schema = (
+        "cell_id long, n_px long, open_sum long, n_fully_open long, "
+        "n_closed long"
+    )
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        built = focal._build_pad(pdf, r, -1)
+        if built is None:
+            return pd.DataFrame({
+                c: pd.Series(dtype="int64")
+                for c in ("cell_id", "n_px", "open_sum", "n_fully_open",
+                          "n_closed")
+            })
+        cell, h, w, pad = built
+        z = pad.astype(np.int64)
+        valid = pad >= 0
+        center = z[r:r + h, r:r + w]
+        open_dirs = np.zeros((h, w), dtype=np.int64)
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1),
+                       (1, 1), (1, -1), (-1, 1), (-1, -1)):
+            diag = dx != 0 and dy != 0
+            closed = np.zeros((h, w), dtype=bool)
+            for k in range(1, r + 1):
+                zs = z[r + k * dy:r + k * dy + h, r + k * dx:r + k * dx + w]
+                ok = valid[r + k * dy:r + k * dy + h, r + k * dx:r + k * dx + w]
+                dz = zs - center
+                if diag:
+                    hit = ok & (dz > 0) & (dz * dz * (td * td) > 2 * (tn * tn) * (k * k))
+                else:
+                    hit = ok & (dz * td > tn * k)
+                closed |= hit
+            open_dirs += ~closed
+        return pd.DataFrame({
+            "cell_id": [int(cell)],
+            "n_px": [int(h * w)],
+            "open_sum": [int(open_dirs.sum())],
+            "n_fully_open": [int((open_dirs == 8).sum())],
+            "n_closed": [int((open_dirs == 0).sum())],
+        })
+
+    return focal._halo_parts(tiles, r).groupBy("target_cell").applyInPandas(
+        assemble, out_schema
+    )

@@ -310,3 +310,55 @@ def test_cost_distance_missing_tile_impassable(spark):
     lost = (free >= 0) & (exp_dist < 0)
     lost[hole_sl] = False
     assert (exp_dist[both] > free[both]).any() or lost.any()
+
+
+def test_openness_matches_bruteforce(spark):
+    dem = _world("ttc_percent")
+    L, tn, td = 8, 1, 2
+    H, W = dem.shape
+    open_dirs = np.zeros((H, W), dtype=np.int64)
+    for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1),
+                   (1, 1), (1, -1), (-1, 1), (-1, -1)):
+        diag = dx and dy
+        closed = np.zeros((H, W), dtype=bool)
+        for k in range(1, L + 1):
+            ys, xs = np.arange(H) + k * dy, np.arange(W) + k * dx
+            ok = np.outer((ys >= 0) & (ys < H), (xs >= 0) & (xs < W))
+            zs = dem[np.clip(ys, 0, H - 1)[:, None], np.clip(xs, 0, W - 1)[None, :]]
+            dz = zs - dem
+            if diag:
+                hit = ok & (dz > 0) & (dz * dz * td * td > 2 * tn * tn * k * k)
+            else:
+                hit = ok & (dz * td > tn * k)
+            closed |= hit
+        open_dirs += ~closed
+
+    got = viewshed.openness_zonal(
+        _tiles(spark, "ttc_percent"), radius=L, slope_num=tn, slope_den=td
+    ).collect()
+    got_map = {r["cell_id"]: (r["n_px"], r["open_sum"], r["n_fully_open"],
+                              r["n_closed"]) for r in got}
+
+    exp_map = {}
+    for ty in range(Y0, Y0 + NY):
+        for tx in range(X0, X0 + NX):
+            sl = open_dirs[(ty - Y0) * TILE:(ty - Y0 + 1) * TILE,
+                           (tx - X0) * TILE:(tx - X0 + 1) * TILE]
+            exp_map[int(G.cell_from_xy(fixtures.GRID, tx, ty))] = (
+                TILE * TILE, int(sl.sum()), int((sl == 8).sum()),
+                int((sl == 0).sum()),
+            )
+    assert got_map == exp_map
+    # the threshold must produce a non-trivial mix
+    total = sum(v[1] for v in exp_map.values())
+    assert 0 < total < 8 * TILE * TILE * NX * NY
+
+
+def test_openness_rejects_bad_params(spark):
+    tiles = _tiles(spark, "ttc_percent")
+    with pytest.raises(ValueError):
+        viewshed.openness_zonal(tiles, radius=0)
+    with pytest.raises(ValueError):
+        viewshed.openness_zonal(tiles, radius=99)
+    with pytest.raises(ValueError):
+        viewshed.openness_zonal(tiles, slope_den=0)
