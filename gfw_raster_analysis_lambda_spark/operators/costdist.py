@@ -159,6 +159,14 @@ def cost_distance_state(
     for gx, gy in seeds:
         cell = int(G.cell_from_xy(grid, int(gx) // tw, int(gy) // th))
         arr_rows.append((cell, int(gx) * _PX_PACK + int(gy), -1))
+    # fail loudly if every seed misses the corpus (a silent empty field
+    # is indistinguishable from "nothing within budget" downstream)
+    seed_cells = {c for c, _, _ in arr_rows}
+    hit = pads.filter(F.col("cell_id").isin(*seed_cells)).count()
+    if hit == 0:
+        raise ValueError(
+            f"none of the {len(seeds)} seed pixels land on an existing tile"
+        )
     # seed arrivals carry d = -1: the kernel's entering rule d + cost(q)
     # would double-charge the seed pixel, so it special-cases d == -1 to
     # dist(seed) = 0
@@ -267,6 +275,15 @@ def cost_distance_state(
         if n_arr == 0:
             break
         arrivals = arrivals.localCheckpoint(eager=True)
+    else:
+        # NEVER return a silently-partial field: hitting the round cap
+        # with live arrivals means some distances are still upper
+        # bounds, and a truncated cost surface looks exactly like a
+        # converged one downstream
+        raise RuntimeError(
+            f"cost-distance wave did not converge in {max_rounds} rounds "
+            f"({n_arr} live arrivals); raise max_rounds or halo"
+        )
     return state
 
 

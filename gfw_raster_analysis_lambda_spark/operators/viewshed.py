@@ -129,6 +129,10 @@ def viewshed_zonal(
     comparison falls through to "not blocked"."""
     ox, oy = int(observer[0]), int(observer[1])
     r = int(radius)
+    if not (1 <= r <= 4096):
+        # O(px * R) samples: beyond a few thousand px of radius you want
+        # a pyramid level under the viewshed, not a bigger disc
+        raise ValueError("radius must be in [1, 4096]")
     px = _pixels(tiles, ox - r, ox + r, oy - r, oy + r).localCheckpoint(eager=True)
 
     obs = px.filter((F.col("gx") == ox) & (F.col("gy") == oy)).collect()

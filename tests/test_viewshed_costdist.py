@@ -362,3 +362,17 @@ def test_openness_rejects_bad_params(spark):
         viewshed.openness_zonal(tiles, radius=99)
     with pytest.raises(ValueError):
         viewshed.openness_zonal(tiles, slope_den=0)
+
+
+def test_cost_distance_rejects_offcorpus_seeds_and_viewshed_radius(spark):
+    tiles = _tiles(spark, "tcd_threshold")
+    with pytest.raises(ValueError):
+        costdist.cost_distance_zonal(tiles, [(0, 0)], 30, cost_offset=1)
+    with pytest.raises(ValueError):
+        viewshed.viewshed_zonal(
+            _tiles(spark, "ttc_percent"), (GX0 + 96, GY0 + 96), 10, 0
+        )
+    with pytest.raises(ValueError):
+        viewshed.viewshed_zonal(
+            _tiles(spark, "ttc_percent"), (GX0 + 96, GY0 + 96), 10, 5000
+        )
