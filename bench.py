@@ -190,6 +190,17 @@ def bench_queries(spark):
         )
     q["focal_cost_distance"] = focal_cost_distance_bench
 
+    def focal_openness_bench():
+        # sky-view factor over the whole 2304-tile DEM: radius-8 halo
+        # strips (8x wider than focal_stats), one Exchange, 64
+        # shifted-slice integer compares per tile
+        from gfw_raster_analysis_lambda_spark.operators import viewshed
+
+        return viewshed.openness_zonal(
+            images.filter(F.col("layer") == "tcl_year"), radius=8,
+        )
+    q["focal_openness"] = focal_openness_bench
+
     def knn_phash_bench():
         from pyspark.sql import Window
 
