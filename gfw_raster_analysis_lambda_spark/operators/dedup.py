@@ -33,33 +33,41 @@ def tokens(df: DataFrame, id_col: str, text_col: str, distinct: bool = True) -> 
     """(id, token) pairs, lowercased whitespace tokens. ``distinct=False``
     skips the dedup shuffle for consumers whose aggregate is
     duplicate-insensitive (MIN for minhash)."""
-    t = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
-        )
+    arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    if distinct:
+        # per-document dedup inside the array expression: (id, token)
+        # distinct == array_distinct within the doc, so the global
+        # distinct's full shuffle of every token row disappears (guide
+        # §2.4 — remove shuffles outright)
+        arr = F.array_distinct(arr)
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(arr).alias("tok"))
         .filter(F.col("tok") != "")
     )
-    return t.distinct() if distinct else t
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document (positional window over
-    the token array, JVM-side)."""
+    the token array, JVM-side). Per-document distinctness is established
+    INSIDE the array expression (``array_distinct``) — bit-identical to a
+    global (id, shingle) ``.distinct()`` since the id rides every row,
+    but with zero shuffle (guide §2.4): the old global distinct
+    re-shuffled every shingle of the corpus before any consumer saw it."""
     arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     return (
         df.select(F.col(id_col).alias("id"), arr.alias("toks"))
         .select(
             "id",
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
-                    lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
+                        lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
+                    )
                 )
             ).alias("shingle"),
         )
         .filter(F.length("shingle") > 0)
-        .distinct()
     )
 
 
@@ -131,12 +139,38 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, n_hashes: int 
     return t.groupBy("id").agg(*aggs)
 
 
+def _band_keys(bands: int, rows_per_band: int) -> list:
+    """Band-key columns over a minhash signature row (mh0..mh{n-1}).
+
+    The band IDENTITY is "the tuple of the band's minhashes"; any
+    injective encoding of that tuple yields the same bucket equalities.
+    With ``rows_per_band <= 2`` the two sub-2^31 mins pack exactly into
+    one int64 (``mh_a << 31 | mh_b``) — a collision-FREE key that joins
+    and compares as a single long instead of a 32-char md5 string (the
+    md5 form is kept for wider bands, and stays the DuckDB oracle's
+    formulation either way — equal tuples, equal keys, in both)."""
+    if rows_per_band == 1:
+        return [F.col(f"mh{b}").alias(f"bk{b}") for b in range(bands)]
+    if rows_per_band == 2:
+        return [
+            (F.shiftleft(F.col(f"mh{2 * b}"), 31) + F.col(f"mh{2 * b + 1}")).alias(f"bk{b}")
+            for b in range(bands)
+        ]
+    return [
+        F.md5(F.concat_ws(",", *[
+            F.col(f"mh{b * rows_per_band + j}").cast("string")
+            for j in range(rows_per_band)
+        ])).alias(f"bk{b}")
+        for b in range(bands)
+    ]
+
+
 def minhash_lsh_candidates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     n_hashes: int = 8, bands: int = 4, max_pairs: int | None = None,
+    salts: int = 32,
 ) -> DataFrame:
-    """Candidate pairs (a < b) sharing at least one LSH band: band key =
-    md5 of the band's concatenated minhashes (fixed hash order).
+    """Candidate pairs (a < b) sharing at least one LSH band.
 
     Each pair is emitted EXACTLY ONCE — at its first matching band — by a
     join-side filter over the full band-key vector (both sides carry all
@@ -146,10 +180,23 @@ def minhash_lsh_candidates(
     entire O(pairs) output (measured 73% of this query's wall time at
     sf0.1: 9.8M pair rows).
 
-    The output is inherently O(pairs): a duplicate-saturated corpus (one
-    hot bucket of B near-identical docs) materializes B(B-1)/2 rows. This
-    operator is the DIAGNOSTIC path — production dedup goes through the
-    O(docs) :func:`minhash_dedup_keepers` / cluster closure. ``max_pairs``
+    Physical shape (r6): the signature frame is computed ONCE and
+    localCheckpoint-ed (a self-join would otherwise re-run the whole
+    tokenize+minhash lineage on both sides), band keys are packed int64s
+    when ``n_hashes/bands <= 2`` (see :func:`_band_keys`), and the
+    self-join is SALTED: the right side carries ``pmod(xxhash64(id),
+    salts)``, the left side replicates each row ``salts`` ways, and the
+    salt joins as a third equi-key. A duplicate-saturated bucket of B
+    docs (sf1 corpus: B = 31k in one band bucket, ~2.1e9 combos) is one
+    sort-merge key group — ONE task — without the salt; with it the
+    bucket's combo space splits into ``salts`` even slices (AQE skew
+    handling cannot split a single key, guide §2.5, so the salt is the
+    only lever). Replication cost is O(docs x bands x salts) tiny rows.
+
+    The output is inherently O(pairs): a duplicate-saturated corpus
+    materializes B(B-1)/2 rows per hot bucket. This operator is the
+    DIAGNOSTIC path — production dedup goes through the O(docs)
+    :func:`minhash_dedup_keepers` / cluster closure. ``max_pairs``
     is the un-OOM-able guard for the diagnostic path: before any pair is
     materialized, one cheap bucket-size aggregation (O(docs x bands)
     rows) upper-bounds the pair count as sum nb*(nb-1)/2 over buckets
@@ -158,14 +205,9 @@ def minhash_lsh_candidates(
     numbers instead of shuffling an unbounded pair set."""
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n_hashes)
-    keys = [
-        F.md5(F.concat_ws(",", *[
-            F.col(f"mh{b * rows_per_band + j}").cast("string")
-            for j in range(rows_per_band)
-        ])).alias(f"bk{b}")
-        for b in range(bands)
-    ]
-    keyed = sig.select("id", *keys)
+    keyed = sig.select("id", *_band_keys(bands, rows_per_band)).localCheckpoint(
+        eager=True
+    )
     band_structs = [
         F.struct(F.lit(b).alias("band"), F.col(f"bk{b}").alias("band_key"))
         for b in range(bands)
@@ -193,11 +235,17 @@ def minhash_lsh_candidates(
                 "minhash_dedup_keepers / minhash_dedup_clusters paths for "
                 "duplicate-saturated corpora, or raise max_pairs"
             )
-    left = banded.alias("l")
-    right = banded.alias("r")
+    s = int(salts)
+    left = banded.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
+    ).alias("l")
+    right = banded.withColumn(
+        "salt", F.pmod(F.xxhash64("id"), F.lit(s)).cast("int")
+    ).alias("r")
     cond = (
         (F.col("l.band") == F.col("r.band"))
         & (F.col("l.band_key") == F.col("r.band_key"))
+        & (F.col("l.salt") == F.col("r.salt"))
         & (F.col("l.id") < F.col("r.id"))
     )
     for b in range(bands - 1):
@@ -220,21 +268,7 @@ def minhash_dedup_keepers(
     from minhash_lsh_candidates — output stays O(docs) no matter how
     duplicated the corpus is. keeper = min id over the doc's buckets (one
     union-find hop; iterate for full transitive closure if needed)."""
-    rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n_hashes)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws(",", *[
-                F.col(f"mh{b * rows_per_band + j}").cast("string")
-                for j in range(rows_per_band)
-            ])).alias("band_key"),
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select("id", F.explode(F.array(*band_structs)).alias("bk")).select(
-        "id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
-    )
+    banded = _banded_checkpointed(df, id_col, text_col, n_hashes, bands)
     buckets = (
         banded.groupBy("band", "band_key")
         .agg(F.min("id").alias("keeper"), F.count(F.lit(1)).alias("n"))
@@ -245,6 +279,27 @@ def minhash_dedup_keepers(
         .groupBy("id")
         .agg(F.min("keeper").alias("keeper"))
         .filter(F.col("id") != F.col("keeper"))
+    )
+
+
+def _banded_checkpointed(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int, bands: int,
+) -> DataFrame:
+    """(id, band, band_key) with the signature stage localCheckpoint-ed:
+    keepers/clusters consume the banded frame on BOTH sides of a
+    join (bucket aggregate + member join), and without the checkpoint
+    each side re-executes the whole tokenize+minhash lineage (guide §5:
+    cut lineage when an intermediate is reused). O(docs) rows, eager."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes)
+    keys = _band_keys(bands, rows_per_band)
+    keyed = sig.select("id", *keys).localCheckpoint(eager=True)
+    band_structs = [
+        F.struct(F.lit(b).alias("band"), F.col(f"bk{b}").alias("band_key"))
+        for b in range(bands)
+    ]
+    return keyed.select("id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
 
 
@@ -651,41 +706,47 @@ def minhash_dedup_clusters(
     appear; singletons are their own (absent) cluster."""
     from .components import hash_to_min
 
-    rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n_hashes)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws(",", *[
-                F.col(f"mh{b * rows_per_band + j}").cast("string")
-                for j in range(rows_per_band)
-            ])).alias("band_key"),
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select("id", F.explode(F.array(*band_structs)).alias("bk")).select(
-        "id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
-    )
+    banded = _banded_checkpointed(df, id_col, text_col, n_hashes, bands)
     hubs = (
         banded.groupBy("band", "band_key")
         .agg(F.min("id").alias("hub"), F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1)
     )
-    # star edges bucket-member <-> bucket-min, both directions
+    # star attachments bucket-member -> bucket-min (hub)
     star = (
         banded.join(hubs, ["band", "band_key"])
-        .filter(F.col("id") != F.col("hub"))
         .select("id", "hub")
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    edges = star.select(F.col("id").alias("a"), F.col("hub").alias("b")).unionByName(
-        star.select(F.col("hub").alias("a"), F.col("id").alias("b"))
+    # Closure over the HUB graph only (r6): two hubs are connected iff a
+    # doc sits in both buckets, and because every hub is the MIN id of
+    # its bucket, the min id reachable in a component equals the min HUB
+    # id — so the iterative hash_to_min loop runs over O(buckets) hub
+    # nodes (hundreds) instead of O(docs) member nodes, with identical
+    # labels. Docs then inherit their hubs' component in one join. The
+    # member graph's label for doc d was min-reachable-id(d); every hub
+    # of d is in the same component, so min over its hubs' components is
+    # exactly that label.
+    # NOTE: identity rows (id == hub) stay in the join input — a hub can
+    # itself be the shared member linking its own bucket to another
+    hub_edges = (
+        star.alias("x").join(star.alias("y"), "id")
+        .select(F.col("x.hub").alias("a"), F.col("y.hub").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
     )
-    nodes = star.select(F.col("id")).unionByName(
-        star.select(F.col("hub").alias("id"))
-    ).distinct()
-    out = hash_to_min(nodes, edges, max_iter=max_iter)
-    return out.select(F.col("id"), F.col("component").alias("cluster"))
+    hub_nodes = star.select(F.col("hub").alias("id")).distinct()
+    comp = hash_to_min(hub_nodes, hub_edges, max_iter=max_iter)
+    out = (
+        star.join(comp.withColumnRenamed("id", "hub"), "hub")
+        .groupBy("id")
+        .agg(F.min("component").alias("cluster"))
+    )
+    # singleton-bucket members never appear (hubs require n > 1), and
+    # hubs themselves carry their own star row (id == hub), so the node
+    # set matches the member-graph closure exactly
+    return out.select("id", "cluster")
 
 
 def phash_dedup_clusters(
@@ -736,6 +797,26 @@ def phash_dedup_clusters(
 
 
 def semantic_dedup_keepers(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.92,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup keeper set — DEFAULT entry point. Since r6 this
+    delegates to :func:`semantic_dedup_keepers_fast` (one numpy Gram
+    matmul per bucket; ~20-58x cheaper at datascale sf1 and bit-identical
+    — asserted by ``test_semantic_dedup_fast_matches_relational`` and the
+    shared DuckDB gate). The per-pair relational formulation survives as
+    :func:`semantic_dedup_keepers_rel`, the DuckDB-shaped oracle twin."""
+    return semantic_dedup_keepers_fast(
+        emb, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters,
+        threshold=threshold, centroids=centroids,
+    )
+
+
+def semantic_dedup_keepers_rel(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

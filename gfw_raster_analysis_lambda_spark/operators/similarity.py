@@ -35,19 +35,85 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_kernel_queries: int = 10_000,
 ) -> DataFrame:
-    """Exact top-k by cosine per query (ties broken on id)."""
-    q = F.broadcast(
-        queries.select(F.col("query_id"), F.col(vec_col).alias("qv"))
-    )
-    scored = (
-        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .crossJoin(q)
-        .withColumn(
-            "cosine",
-            F.round(_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv"))), 6),
+    """Exact top-k by cosine per query (ties broken on id).
+
+    The raw scores come from ONE Arrow kernel pass over the corpus
+    (queries ride the closure): per batch, a strict left-to-right
+    accumulation over the vector components — the IDENTICAL IEEE-754
+    operation order as the Catalyst ``aggregate(zip_with(...))`` HOF it
+    replaces, so every double is bit-for-bit the same — while the ~25
+    us/row interpreted-lambda overhead of the HOF path disappears
+    (guide §4.2: batch the Python boundary, vectorize inside). Rounding
+    (F.round) and the windowed top-k stay in Spark, unchanged. Falls
+    back to the relational crossJoin when the query set exceeds
+    ``max_kernel_queries`` (closure-shipping bound, same role as the
+    broadcast bound it had before)."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(F.col("query_id"), F.col(vec_col).alias("qv")).limit(
+        max_kernel_queries + 1
+    ).collect()
+    if len(qrows) > max_kernel_queries:
+        q = F.broadcast(
+            queries.select(F.col("query_id"), F.col(vec_col).alias("qv"))
         )
-    )
+        scored = (
+            emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            .crossJoin(q)
+            .withColumn(
+                "cosine",
+                F.round(
+                    _dot(F.col("v"), F.col("qv"))
+                    / (_norm(F.col("v")) * _norm(F.col("qv"))), 6
+                ),
+            )
+        )
+    else:
+        qids = [r["query_id"] for r in qrows]
+        qmat = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in qrows]) \
+            if qrows else np.zeros((0, 0))
+        id_type = dict(emb.dtypes)[id_col]
+        qid_type = dict(queries.dtypes)["query_id"]
+
+        def _ltr_dot(a: "np.ndarray", b: "np.ndarray") -> "np.ndarray":
+            # strict left-to-right accumulation per row: bit-identical to
+            # aggregate(zip_with(a, b, x*y), 0.0, acc + v)
+            acc = np.zeros(a.shape[0], dtype=np.float64)
+            for i in range(a.shape[1]):
+                acc += a[:, i] * b[i]
+            return acc
+
+        def scan(batches):
+            qn = np.zeros(len(qids), dtype=np.float64)
+            for t in range(len(qids)):
+                qn[t] = np.sqrt(_ltr_dot(qmat[t:t + 1], qmat[t])[0])
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                vn = np.zeros(v.shape[0], dtype=np.float64)
+                acc = np.zeros(v.shape[0], dtype=np.float64)
+                for i in range(v.shape[1]):
+                    acc += v[:, i] * v[:, i]
+                vn = np.sqrt(acc)
+                n = v.shape[0]
+                out_id = np.repeat(np.arange(n), len(qids))
+                frames = {
+                    "id": pdf[id_col].to_numpy()[out_id],
+                    "query_id": np.tile(np.asarray(qids), n),
+                    "raw": np.empty(n * len(qids), dtype=np.float64),
+                }
+                raw = frames["raw"].reshape(n, len(qids))
+                for t in range(len(qids)):
+                    raw[:, t] = _ltr_dot(v, qmat[t]) / (vn * qn[t])
+                yield pd.DataFrame(frames)
+
+        scored = emb.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+            scan, f"id {id_type}, query_id {qid_type}, raw double"
+        ).withColumn("cosine", F.round(F.col("raw"), 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -73,32 +139,50 @@ def lsh_buckets(
 ) -> DataFrame:
     """(id, bucket): sign-bit bucket of each vector under n_planes
     md5-seeded hyperplanes. Fully relational: posexplode components ->
-    join nothing (signs are expressions) -> sum per plane -> bit pack.
-    ``plane_offset`` selects an independent plane set (probe table t uses
-    planes ``t*n_planes .. (t+1)*n_planes - 1``)."""
+    per-plane conditional sums in ONE groupBy -> bit pack. The sign
+    matrix is (plane, component)-indexed CONSTANTS, so it is computed
+    once at PLAN TIME and embedded as literal arrays (``element_at`` on
+    the exploded component index) instead of an md5 expression per
+    (row, plane, component) — and folding the per-plane explode into n
+    aggregate expressions removes one full Exchange and shrinks the
+    remaining one from N x dims x planes rows to N x dims (guide §2.3/
+    §2.4). ``plane_offset`` selects an independent plane set (probe
+    table t uses planes ``t*n_planes .. (t+1)*n_planes - 1``)."""
+    import hashlib
+
+    head = emb.agg(F.max(F.size(F.col(vec_col))).alias("d")).first()
+    if head is None or head["d"] is None:
+        return (
+            emb.select(F.col(id_col).alias("id"), F.lit(0).cast("long").alias("bucket"))
+            .filter(F.lit(False))
+        )
+    dims = int(head["d"])
     comp = emb.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.col(vec_col)).alias("c", "x"),
     )
-    per_plane = (
-        comp.select(
-            "id", "c", "x",
-            F.explode(
-                F.sequence(F.lit(plane_offset), F.lit(plane_offset + n_planes - 1))
-            ).alias("p"),
+    dots = []
+    for p in range(n_planes):
+        signs = [
+            float((int(hashlib.md5(
+                f"{p + plane_offset}_{c}".encode()
+            ).hexdigest()[:4], 16) % 2) * 2 - 1)
+            for c in range(dims)
+        ]
+        dots.append(
+            F.sum(
+                F.col("x").cast("double")
+                * F.element_at(F.array(*[F.lit(s) for s in signs]), F.col("c") + 1)
+            ).alias(f"dot{p}")
         )
-        .withColumn("contrib", F.col("x").cast("double") * _plane_sign(F.col("p"), F.col("c")))
-        .groupBy("id", "p")
-        .agg(F.sum("contrib").alias("dot"))
-    )
-    return per_plane.groupBy("id").agg(
-        F.sum(
-            F.when(
-                F.col("dot") > 0,
-                F.expr(f"cast(pow(2, p - {plane_offset}) as bigint)"),
-            ).otherwise(F.lit(0))
-        ).alias("bucket")
-    )
+    agg = comp.groupBy("id").agg(*dots)
+    bucket = None
+    for p in range(n_planes):
+        term = F.when(
+            F.col(f"dot{p}") > 0, F.lit(int(1 << p)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        bucket = term if bucket is None else bucket + term
+    return agg.select("id", bucket.cast("long").alias("bucket"))
 
 
 def lsh_buckets_fast(

@@ -31,27 +31,36 @@ def whitespace_token_count(text: Column) -> Column:
 
 
 def bpe_token_count(text: Column) -> Column:
-    """Count of BPE-ish tokens via regexp extraction (JVM-side)."""
-    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
+    """Count of BPE-ish tokens (JVM-side). ``regexp_count`` counts the
+    same non-overlapping matches as ``size(regexp_extract_all(...))``
+    without materializing the match array (guide §1.2 step 2 — per-task
+    work): one regex scan, zero allocations per match."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RE)).cast("int")
 
 
 def marker_count(text: Column, word: str) -> Column:
     """Occurrences of a word with word boundaries."""
-    return F.size(F.regexp_extract_all(F.lower(text), F.lit(rf"\b{word}\b"), 0))
+    return F.regexp_count(F.lower(text), F.lit(rf"\b{word}\b")).cast("int")
+
+
+def _lang_score(text: Column, words: "list[str]") -> Column:
+    """Summed marker counts for one language in ONE regex scan: the
+    markers are disjoint whole words, so the count of the alternation
+    ``\\b(w1|w2|w3)\\b`` equals the sum of the per-word counts — 1 scan
+    of the text instead of len(words)."""
+    alt = "|".join(words)
+    return F.regexp_count(F.lower(text), F.lit(rf"\b(?:{alt})\b")).cast("int")
 
 
 def lang_id(text: Column) -> Column:
     """Argmax of marker-stopword counts; deterministic tie-break by the
     fixed language order; 'und' (undetermined) when no marker hits."""
-    scores = [
-        sum((marker_count(text, w) for w in words), F.lit(0)).alias(lang)
-        for lang, words in LANG_MARKERS.items()
-    ]
+    scores = [_lang_score(text, words) for _, words in LANG_MARKERS.items()]
     best = F.greatest(*scores)
     out = F.lit("und")
     # reversed so the FIRST language wins ties (nested CASE evaluation)
-    for lang, words in reversed(LANG_MARKERS.items()):
-        score = sum((marker_count(text, w) for w in words), F.lit(0))
+    for (lang, _), score in zip(reversed(LANG_MARKERS.items()),
+                                reversed(scores)):
         out = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(out)
     return out
 
@@ -60,10 +69,12 @@ def quality_score(text: Column) -> Column:
     """Deterministic [0, 1] quality heuristic:
     0.4 * length_score + 0.3 * alpha_ratio + 0.3 * (1 - punct_ratio),
     where length_score saturates at 1000 chars. Rounded to 6 decimals so
-    cross-engine float comparison is exact."""
+    cross-engine float comparison is exact. Character-class counts via
+    ``regexp_count`` (== length of the regexp_replace complement, minus
+    the intermediate string build)."""
     n = F.length(text).cast("double")
-    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("double")
-    punct = F.length(F.regexp_replace(text, r"[^.,!?;:]", "")).cast("double")
+    alpha = F.regexp_count(text, F.lit(r"[A-Za-z]")).cast("double")
+    punct = F.regexp_count(text, F.lit(r"[.,!?;:]")).cast("double")
     length_score = F.least(n / F.lit(1000.0), F.lit(1.0))
     alpha_ratio = alpha / F.greatest(n, F.lit(1.0))
     punct_ratio = punct / F.greatest(n, F.lit(1.0))

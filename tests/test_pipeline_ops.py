@@ -1201,7 +1201,7 @@ def test_chunk_documents_known_case(spark):
 
 
 def test_semantic_dedup_fast_matches_relational(spark, emb):
-    rel = dedup.semantic_dedup_keepers(
+    rel = dedup.semantic_dedup_keepers_rel(
         emb, n_clusters=8, threshold=0.3
     ).orderBy("id").collect()
     fast = dedup.semantic_dedup_keepers_fast(
