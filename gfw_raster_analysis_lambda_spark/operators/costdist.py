@@ -93,6 +93,32 @@ def _pad_dijkstra(cost: np.ndarray, dist: np.ndarray, seeds: list[int]) -> None:
                     heapq.heappush(heap, (nd, nf))
 
 
+def _prune_tiles_bbox(
+    tiles: DataFrame, seeds: "list[tuple[int, int]]", margin: int,
+    tw: int, th: int,
+) -> DataFrame:
+    """Keep only tiles whose cell intersects the seeds' global-pixel
+    bbox dilated by ``margin`` px — a pure cell-id bit-arithmetic filter
+    (pushable; no decode). Exact, not heuristic: callers pass a margin
+    that upper-bounds the wave's reach (see cost_distance_state)."""
+    gxs = [int(gx) for gx, _ in seeds]
+    gys = [int(gy) for _, gy in seeds]
+    if not gxs:
+        return tiles
+    m = int(margin)
+    cx_lo = (min(gxs) - m) // tw
+    cx_hi = (max(gxs) + m) // tw
+    cy_lo = (min(gys) - m) // th
+    cy_hi = (max(gys) + m) // th
+    yb, xym = G._Y_BITS, G._XY_MASK
+    cx = F.shiftrightunsigned(F.col("cell_id"), yb).bitwiseAND(F.lit(xym))
+    cy = F.col("cell_id").bitwiseAND(F.lit(xym))
+    return tiles.filter(
+        (cx >= F.lit(cx_lo)) & (cx <= F.lit(cx_hi))
+        & (cy >= F.lit(cy_lo)) & (cy <= F.lit(cy_hi))
+    )
+
+
 def _cost_pads(tiles: DataFrame, halo: int, cost_offset: int) -> DataFrame:
     """One-time padded-cost state: per tile, the (h+2r)x(w+2r) int64
     entering-cost array (neighbor strips filled in, missing cells
@@ -144,28 +170,57 @@ def cost_distance_state(
     the exact least-cost distance of every pixel (unreached / beyond-
     budget pixels hold the ``_INF`` sentinel). ``seeds`` are absolute
     global pixels (gx, gy)."""
+    if int(max_rounds) < 1:
+        raise ValueError("max_rounds must be >= 1")
     spark = tiles.sparkSession
     b = int(budget)
     r = int(halo)
-    pads = _cost_pads(tiles, r, cost_offset)
 
-    head = pads.select("w", "h", "cell_id").first()
+    head = tiles.select("w", "h", "cell_id").first()
     if head is None:
         raise ValueError("empty tile frame")
     tw, th = int(head["w"]), int(head["h"])
     grid = G.grid_of_cell(int(head["cell_id"]))
+
+    # Budget-disc tile prune BEFORE the pad build (guide §1.2 step 1 —
+    # don't compute things you throw away): every step enters a pixel
+    # costing >= 1 (enforced in the pad kernel), so a reached pixel is
+    # within Chebyshev distance ``budget`` of a seed, and pad strips
+    # reach ``halo`` px further. Tiles outside the seed bbox dilated by
+    # budget + halo can never contribute — on the bench corpus this
+    # collapses the one-time pad build from 2304 decoded tiles to the
+    # ~the budget disc's tiles; on a 100-TB corpus it is the difference
+    # between touching the disc and touching the corpus.
+    tiles = _prune_tiles_bbox(tiles, seeds, b + r, tw, th)
+    pads = _cost_pads(tiles, r, cost_offset)
 
     arr_rows = []
     for gx, gy in seeds:
         cell = int(G.cell_from_xy(grid, int(gx) // tw, int(gy) // th))
         arr_rows.append((cell, int(gx) * _PX_PACK + int(gy), -1))
     # fail loudly if every seed misses the corpus (a silent empty field
-    # is indistinguishable from "nothing within budget" downstream)
+    # is indistinguishable from "nothing within budget" downstream);
+    # with a MIXED seed list the missing seeds would silently vanish in
+    # the cogroup, so name them in a warning at least
     seed_cells = {c for c, _, _ in arr_rows}
-    hit = pads.filter(F.col("cell_id").isin(*seed_cells)).count()
-    if hit == 0:
+    present = {
+        int(row["cell_id"])
+        for row in pads.filter(F.col("cell_id").isin(*seed_cells))
+        .select("cell_id").collect()
+    }
+    if not present:
         raise ValueError(
             f"none of the {len(seeds)} seed pixels land on an existing tile"
+        )
+    if len(present) < len(seed_cells):
+        import warnings
+
+        dropped = sorted(seed_cells - present)
+        warnings.warn(
+            f"{len(dropped)} seed cell(s) have no stored tile and are "
+            f"ignored: {dropped[:8]}{'...' if len(dropped) > 8 else ''}",
+            RuntimeWarning,
+            stacklevel=2,
         )
     # seed arrivals carry d = -1: the kernel's entering rule d + cost(q)
     # would double-charge the seed pixel, so it special-cases d == -1 to
@@ -261,10 +316,14 @@ def cost_distance_state(
             .unionByName(new_state)
             .localCheckpoint(eager=True)
         )
+        # checkpoint FIRST, count the materialized partitions after: the
+        # old order (count, then eager checkpoint) executed the arrival
+        # aggregation twice per round as two separate jobs
         arrivals = (
             mixed.filter(F.col("a_cell") >= 0)
             .groupBy(F.col("a_cell").alias("cell"), F.col("a_node").alias("node"))
             .agg(F.min("a_d").alias("d"))
+            .localCheckpoint(eager=True)
         )
         n_arr = arrivals.count()
         if os.environ.get("COSTDIST_DEBUG"):
@@ -274,7 +333,6 @@ def cost_distance_state(
                   file=sys.stderr, flush=True)
         if n_arr == 0:
             break
-        arrivals = arrivals.localCheckpoint(eager=True)
     else:
         # NEVER return a silently-partial field: hitting the round cap
         # with live arrivals means some distances are still upper
@@ -337,10 +395,13 @@ def cost_corridor_zonal(
     product / circuitscape's deterministic core): a pixel p lies in the
     corridor iff ``dA(p) + dB(p) - cost(p) <= best + slack``, where
     dA/dB are the budget-capped cost-distance fields from each seed set
-    and ``best = min_p (dA + dB - cost)`` is the optimal A->B path cost
-    (the ``- cost(p)`` removes the double-charge of the meeting pixel,
-    so ``best`` equals the true least-cost path cost and the slack=0
-    corridor is exactly the set of pixels on SOME optimal path).
+    and ``best = min_p (dA + dB - cost)`` (the ``- cost(p)`` removes the
+    double-charge of the meeting pixel). ``best`` is the summed entering
+    cost of the INTERMEDIATE pixels of the optimal A->B path — it
+    excludes the destination endpoint's own entering cost (path A,q,B
+    scores cost(q), not cost(q)+cost(B)); the engine, the DuckDB twin
+    and the tests all share this identity, and the slack=0 corridor is
+    exactly the set of pixels on SOME optimal path under it.
 
     Composition, not new machinery: TWO halo-widened waves (each
     pruned to its own budget disc), one cell-keyed cogroup of the two
@@ -356,7 +417,14 @@ def cost_corridor_zonal(
     b = int(budget)
     sa = cost_distance_state(tiles, seeds_a, b, cost_offset, halo, max_rounds)
     sb = cost_distance_state(tiles, seeds_b, b, cost_offset, halo, max_rounds)
-    pads = _cost_pads(tiles, 0, cost_offset)  # r=0: just the offset cost tile
+    # r=0: just the offset cost tile; joint pixels need dA <= b, so only
+    # tiles inside seed-set A's budget bbox can ever score (same exact
+    # bound as the wave prune)
+    head = tiles.select("w", "h").first()
+    scored_tiles = _prune_tiles_bbox(
+        tiles, seeds_a, b, int(head["w"]), int(head["h"])
+    )
+    pads = _cost_pads(scored_tiles, 0, cost_offset)
 
     def score(tile_pdf: pd.DataFrame, other_pdf: pd.DataFrame) -> pd.DataFrame:
         # stage 1: per-cell (dA + dB - cost) plane, kept as state rows

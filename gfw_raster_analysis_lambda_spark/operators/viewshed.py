@@ -153,8 +153,15 @@ def viewshed_zonal(
     )
 
     # far field: explode DDA steps k in [1, N-1]; ALL lattice arithmetic
-    # on non-negative ints so `div` (truncating) == floor on both engines
-    far = targets.filter(F.col("n") >= 2)
+    # on non-negative ints so `div` (truncating) == floor on both engines.
+    # The target frame inherits the pruned scan's partitioning — a
+    # handful of disc tiles, so the O(px * R) explosion would run on 1-9
+    # tasks; spread the (tiny, pre-explosion) target rows round-robin
+    # first so the explode+join+partial-agg stage uses every core
+    # (guide §2.5 input skew: repartition after the pruned read)
+    far = targets.filter(F.col("n") >= 2).repartition(
+        tiles.sparkSession.sparkContext.defaultParallelism
+    )
     samples = (
         far.select(
             "gx", "gy", "z", "n", "adx", "ady",
