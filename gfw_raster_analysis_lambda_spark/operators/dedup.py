@@ -21,6 +21,23 @@ from pyspark.sql import functions as F
 # shared primitives
 # ---------------------------------------------------------------------------
 
+def spread_input(df: DataFrame) -> DataFrame:
+    """Round-robin the input across the cluster when the scan is
+    narrower than the core count (guide §2.5, input skew): a small
+    COMPRESSED parquet table (one file, one row group) arrives as ONE
+    scan task, which serializes every explode/regex/kernel pipeline
+    built on it — the few-MB shuffle is orders of magnitude cheaper
+    than the serial stage it prevents. No-op whenever the source is
+    already at least core-parallel (a 100-TB scan has thousands of
+    splits, so this never fires at scale)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        nparts = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.repartition(target) if nparts < target else df
+
+
 def token_hash(seed: Column, token: Column) -> Column:
     """Deterministic 60-bit hash of (seed, token) via md5 — identical in
     Spark and DuckDB."""
@@ -41,7 +58,8 @@ def tokens(df: DataFrame, id_col: str, text_col: str, distinct: bool = True) -> 
         # §2.4 — remove shuffles outright)
         arr = F.array_distinct(arr)
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(arr).alias("tok"))
+        spread_input(df)
+        .select(F.col(id_col).alias("id"), F.explode(arr).alias("tok"))
         .filter(F.col("tok") != "")
     )
 
@@ -55,7 +73,8 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     re-shuffled every shingle of the corpus before any consumer saw it."""
     arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     return (
-        df.select(F.col(id_col).alias("id"), arr.alias("toks"))
+        spread_input(df)
+        .select(F.col(id_col).alias("id"), arr.alias("toks"))
         .select(
             "id",
             F.explode(
@@ -204,10 +223,16 @@ def minhash_lsh_candidates(
     real output), and past the bound the call fails fast with the probe
     numbers instead of shuffling an unbounded pair set."""
     rows_per_band = n_hashes // bands
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sig = minhash_signatures(df, id_col, text_col, n_hashes)
-    keyed = sig.select("id", *_band_keys(bands, rows_per_band)).localCheckpoint(
-        eager=True
-    )
+    # round-robin BEFORE the checkpoint: AQE coalesces the signature
+    # groupBy's output to ~1 partition (50k rows is byte-tiny), and a
+    # 1-partition checkpoint would serialize both of the join's map
+    # stages; explicit repartition is exempt from AQE coalescing
+    keyed = sig.select("id", *_band_keys(bands, rows_per_band)).repartition(
+        n_part
+    ).localCheckpoint(eager=True)
     band_structs = [
         F.struct(F.lit(b).alias("band"), F.col(f"bk{b}").alias("band_key"))
         for b in range(bands)
@@ -236,12 +261,23 @@ def minhash_lsh_candidates(
                 "duplicate-saturated corpora, or raise max_pairs"
             )
     s = int(salts)
+    # explicit hash repartition on the 3 equi-keys: it satisfies the
+    # join's distribution requirement (no second Exchange) and — being
+    # user-specified — is exempt from AQE partition coalescing, which
+    # would otherwise merge the byte-tiny map outputs into a couple of
+    # reduce partitions and serialize the O(pairs) join output (the
+    # join's input bytes say nothing about its output rows)
+    # 4x the shuffle-partition count: the hot (band, bucket, salt) work
+    # units number bands x salts (128 at the defaults) and hash-collide
+    # at 1x — finer granularity keeps the pair-heavy groups one-per-task
+    # (scale-adaptive: follows spark.sql.shuffle.partitions, no constant)
+    join_parts = 4 * n_part
     left = banded.withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
-    ).alias("l")
+    ).repartition(join_parts, "band", "band_key", "salt").alias("l")
     right = banded.withColumn(
         "salt", F.pmod(F.xxhash64("id"), F.lit(s)).cast("int")
-    ).alias("r")
+    ).repartition(join_parts, "band", "band_key", "salt").alias("r")
     cond = (
         (F.col("l.band") == F.col("r.band"))
         & (F.col("l.band_key") == F.col("r.band_key"))

@@ -94,9 +94,14 @@ def fingerprint64(text: Column) -> Column:
 
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One row per document with every text statistic — the composed
-    text-analysis operator."""
+    text-analysis operator. The input is spread across cores first
+    (:func:`..dedup.spread_input`): the projection is regex-bound, and a
+    one-file compressed corpus otherwise evaluates it in a single scan
+    task."""
+    from .dedup import spread_input
+
     t = F.col(text_col)
-    return df.select(
+    return spread_input(df).select(
         F.col(id_col),
         whitespace_token_count(t).alias("n_tokens_ws"),
         bpe_token_count(t).alias("n_tokens_bpe"),
@@ -557,7 +562,9 @@ def repetition_signals(
         n_words > 0,
         F.lit(1.0) - F.size(F.array_distinct(words)).cast("double") / n_words.cast("double"),
     ).otherwise(F.lit(0.0))
-    return df.select(
+    from .dedup import spread_input
+
+    return spread_input(df).select(
         F.col(id_col),
         n_lines.alias("n_lines"),
         n_words.alias("n_words"),
