@@ -94,10 +94,25 @@ def hash_to_min(
         prop = edges.join(labels, edges.a == labels.id).select(
             F.col("b").alias("id"), "component"
         )
+        # carry the previous label through the min-combine (tagged with
+        # src so only the labels row supplies it): the changed-count can
+        # then be read off the checkpointed frame with a metadata-cheap
+        # filter+count instead of the old per-round join-with-old-labels
+        # job (one fewer shuffle join per round)
         new = (
-            labels.select("id", "component").unionByName(prop)
+            labels.select(
+                "id", "component", F.col("component").alias("__old")
+            )
+            .unionByName(prop.select(
+                "id", "component", F.lit(None).cast(
+                    dict(labels.dtypes)["component"]
+                ).alias("__old"),
+            ))
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min("__old").alias("__old"),
+            )
         )
         if shortcut:
             # pointer jumping: component <- component's own component
@@ -105,20 +120,15 @@ def hash_to_min(
                 F.col("id").alias("component"), F.col("component").alias("c2")
             )
             new = new.join(hop, "component", "left").select(
-                "id", F.coalesce("c2", "component").alias("component")
+                "id", F.coalesce("c2", "component").alias("component"), "__old"
             )
         # localCheckpoint truncates lineage: without it each round's plan
         # embeds every previous round and Catalyst analysis time grows
         # superlinearly with the iteration count
         new = new.localCheckpoint(eager=True)
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        changed = new.filter(F.col("component") != F.col("__old")).count()
         labels.unpersist()
-        labels = new
+        labels = new.select("id", "component")
         if changed == 0:
             break
     edges.unpersist()

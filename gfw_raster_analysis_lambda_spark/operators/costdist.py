@@ -95,7 +95,7 @@ def _pad_dijkstra(cost: np.ndarray, dist: np.ndarray, seeds: list[int]) -> None:
 
 def _prune_tiles_bbox(
     tiles: DataFrame, seeds: "list[tuple[int, int]]", margin: int,
-    tw: int, th: int,
+    tw: int, th: int, grid=None,
 ) -> DataFrame:
     """Keep only tiles whose cell intersects the seeds' global-pixel
     bbox dilated by ``margin`` px — a pure cell-id bit-arithmetic filter
@@ -106,17 +106,26 @@ def _prune_tiles_bbox(
     if not gxs:
         return tiles
     m = int(margin)
-    cx_lo = (min(gxs) - m) // tw
+    cx_lo = max((min(gxs) - m) // tw, 0)
     cx_hi = (max(gxs) + m) // tw
-    cy_lo = (min(gys) - m) // th
+    cy_lo = max((min(gys) - m) // th, 0)
     cy_hi = (max(gys) + m) // th
     yb, xym = G._Y_BITS, G._XY_MASK
     cx = F.shiftrightunsigned(F.col("cell_id"), yb).bitwiseAND(F.lit(xym))
     cy = F.col("cell_id").bitwiseAND(F.lit(xym))
-    return tiles.filter(
+    bbox = (
         (cx >= F.lit(cx_lo)) & (cx <= F.lit(cx_hi))
         & (cy >= F.lit(cy_lo)) & (cy <= F.lit(cy_hi))
     )
+    # coarse cell_id BETWEEN envelope of the bbox: unlike the exact bit
+    # filter it is a plain range predicate on a stored column, so it
+    # pushes to the (cell-sorted) parquet scan and prunes row groups;
+    # the exact rectangle filter above still applies after the scan
+    if grid is not None:
+        lo = int(G.cell_from_xy(grid, cx_lo, cy_lo))
+        hi = int(G.cell_from_xy(grid, cx_hi, cy_hi))
+        bbox = F.col("cell_id").between(F.lit(lo), F.lit(hi)) & bbox
+    return tiles.filter(bbox)
 
 
 def _cost_pads(tiles: DataFrame, halo: int, cost_offset: int) -> DataFrame:
@@ -191,7 +200,7 @@ def cost_distance_state(
     # collapses the one-time pad build from 2304 decoded tiles to the
     # ~the budget disc's tiles; on a 100-TB corpus it is the difference
     # between touching the disc and touching the corpus.
-    tiles = _prune_tiles_bbox(tiles, seeds, b + r, tw, th)
+    tiles = _prune_tiles_bbox(tiles, seeds, b + r, tw, th, grid)
     pads = _cost_pads(tiles, r, cost_offset)
 
     arr_rows = []
@@ -284,6 +293,12 @@ def cost_distance_state(
 
     mixed_schema = "cell_id long, bytes binary, a_cell long, a_node long, a_d long"
 
+    # explicit keyed repartition before the cogroup: the frontier is a
+    # handful of byte-tiny rows, so AQE would coalesce the cogroup's
+    # shuffle to ONE task and run every tile's Dijkstra serially; a
+    # user repartition is AQE-exempt and satisfies the cogroup's
+    # distribution, keeping one relax kernel per core available
+    n_relax = spark.sparkContext.defaultParallelism
     for rnd in range(int(max_rounds)):
         # frontier-only: settled tiles outside the wave ship zero bytes
         frontier = arrivals.select("cell").distinct()
@@ -298,10 +313,11 @@ def cost_distance_state(
                 "left",
             )
             .drop("s_cell")
+            .repartition(n_relax, "cell_id")
         )
         mixed = (
             tiles_state.groupBy("cell_id")
-            .cogroup(arrivals.groupBy("cell"))
+            .cogroup(arrivals.repartition(n_relax, "cell").groupBy("cell"))
             .applyInPandas(lambda left, right: relax(left, right), mixed_schema)
             .localCheckpoint(eager=True)
         )
