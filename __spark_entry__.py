@@ -284,6 +284,8 @@ def _rotate_for_driver_coverage(
 
     here = os.path.dirname(os.path.abspath(__file__))
     last: dict[str, int] = {}
+    failed_ever: set[str] = set()
+    failed_rounds: dict[str, int] = {}
     for path in _glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = _re.search(r"_r(\d+)\.json$", path)
         if not m:
@@ -294,27 +296,32 @@ def _rotate_for_driver_coverage(
                 recorded = _json.load(f)
         except (OSError, ValueError):
             continue
-        for k in recorded:
-            last[k] = max(last.get(k, -1), rnd)
-    # Gates the round-4 verdict explicitly asked to see in the official
-    # r05 artifact (asks #1 and #3): the r02-era ANN trio and the new
-    # retrieval-QUALITY gates. They sort ahead of everything else.
-    mandated = (
-        "sim_ann_ivf", "sim_ann_lsh_multiprobe", "sim_ann_ivf_kmeans",
-        "sim_ivf_pq_recall", "sim_sq8_recall",
-        "sim_ivf_pq_residual", "sim_ivf_pq_residual_recall",
-    )
-    # Second pin tier: gates registered AFTER the last full local
-    # check_entry sweep of the registry — the code with the fewest
-    # independent eyes — so they always land in the driver window.
-    newest = (
-        "focal_viewshed", "focal_cost_distance", "focal_cost_corridor",
-        "focal_openness",
-        "text_exact_substr", "text_suffix_ranks", "text_repeated_substr",
-        "sample_dsir",
-        "mm_template_match", "mm_ssim",
-    )
-    rank = {k: i for i, k in enumerate(mandated + newest)}
+        for k, row in recorded.items():
+            # a row only counts as VERIFIED when it actually passed:
+            # rows+schema+hash all matched and no error. The r5 bug
+            # counted mere presence, so the five r5-FAILED gates rotated
+            # OUT of the window as if freshly green (r5 verdict item 1).
+            ok = (
+                isinstance(row, dict)
+                and row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("hash_match") is True
+                and not row.get("err")
+            )
+            if ok:
+                last[k] = max(last.get(k, -1), rnd)
+            else:
+                failed_rounds[k] = max(failed_rounds.get(k, -1), rnd)
+    # a FAILED row with no later green row marks the query most-stale:
+    # it must re-enter the window until an official green exists
+    for k, rnd in failed_rounds.items():
+        if last.get(k, -1) < rnd:
+            failed_ever.add(k)
+    # Tier 0 — FAILED rows with no later green: the only red rows on the
+    # official record, they sort ahead of everything until a green
+    # driver row exists (r5 verdict ask #1). The r4-era pin tiers are
+    # retired: every pinned gate earned its green r05 row, so plain
+    # staleness rotation covers them now.
     reg_pos = {k: i for i, k in enumerate(q)}
     max_rnd = max(last.values(), default=0)
 
@@ -331,8 +338,7 @@ def _rotate_for_driver_coverage(
     order = sorted(
         q,
         key=lambda k: (
-            0 if k in rank else 1,
-            rank.get(k, 0),
+            0 if k in failed_ever else 1,
             -staleness(k),
             -reg_pos[k] if staleness(k) == 1.5 else reg_pos[k],
         ),
@@ -3545,7 +3551,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # six sums from the pixel formula in exact integer SQL
         images, _aoi, _env = _fixture(spark)
         ttc = images.filter(F.col("layer") == "ttc_percent")
-        return multimodal.tile_moments(ttc, no_data=255)
+        # deterministic output order (r5 ask #2: the driver hash-flagged
+        # this row once; row SET and oracle are unchanged)
+        return multimodal.tile_moments(ttc, no_data=255).orderBy("image_id")
     q["mm_tile_moments"] = mm_tile_moments
 
     def spatial_adaptive_cells(spark, sf_dir):
@@ -3573,7 +3581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return adaptive_cell_cover(
             pts, ["4/512", "4/1024", "4/2048"], max_count=6
-        )
+        ).orderBy("cell_id")
     q["spatial_adaptive_cells"] = spatial_adaptive_cells
 
     def zonal_buffer_rings(spark, sf_dir):
@@ -3609,7 +3617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return j.groupBy("aoi_id", "ring").agg(
             F.sum("m00").alias("px_sum"),
             F.count("*").alias("n_tiles"),
-        )
+        ).orderBy("aoi_id", "ring")
     q["zonal_buffer_rings"] = zonal_buffer_rings
 
     def spatial_geom_props(spark, sf_dir):
@@ -3645,7 +3653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).withColumn("xi", F.col("tcl_year").cast("long") - 2000)
         t = trends.ols_trend(series, "xi", "loss_ha", ["aoi_id"])
         mk = trends.mann_kendall(series, "xi", "loss_ha", ["aoi_id"])
-        return t.join(mk, "aoi_id")
+        return t.join(mk, "aoi_id").orderBy("aoi_id")
     q["zonal_trend_tcl"] = zonal_trend_tcl
 
     def zonal_trend_theilsen(spark, sf_dir):
@@ -3673,7 +3681,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # twin replays every chip window over the pixel formula
         images, _aoi, _env = _fixture(spark)
         ttc = images.filter(F.col("layer") == "ttc_percent")
-        return multimodal.chip_tiles_stats(ttc, chip_px=32, stride=16)
+        return multimodal.chip_tiles_stats(
+            ttc, chip_px=32, stride=16
+        ).orderBy("image_id", "chip_i", "chip_j")
     q["mm_chip_stats"] = mm_chip_stats
 
     def sample_embedding_decontaminate(spark, sf_dir):
