@@ -67,19 +67,33 @@ _PX_SCHEMA = "gx long, gy long, z long"
 _BROADCAST_PX_BOUND = 4_000_000
 
 
-def _pixels(tiles: DataFrame, x_lo: int, x_hi: int, y_lo: int, y_hi: int) -> DataFrame:
+def _pixels(
+    tiles: DataFrame, x_lo: int, x_hi: int, y_lo: int, y_hi: int,
+    tile_wh: "tuple[int, int, int] | None" = None,
+) -> DataFrame:
     """Decode tiles to (gx, gy, z) pixel rows, AFTER a cell-id
     bit-arithmetic prune to tiles intersecting the global-pixel bbox
     [x_lo, x_hi] x [y_lo, y_hi]. Global pixel coords are absolute:
     ``gx = cell_x * w + j``, ``gy = cell_y * h + i`` (matches the
-    focal family's packing)."""
-    yb, xym = G._Y_BITS, G._XY_MASK
+    focal family's packing). ``tile_wh`` = (w, h, grid_index) when the
+    caller already probed the (single-size) tile shape: it enables a
+    cell_id BETWEEN envelope that pushes to the cell-sorted parquet
+    scan (row-group pruning) — the exact bit filter alone reads and
+    post-filters the whole layer."""
+    yb, xb, xym = G._Y_BITS, G._X_BITS, G._XY_MASK
     cx = F.shiftrightunsigned(F.col("cell_id"), yb).bitwiseAND(F.lit(xym))
     cy = F.col("cell_id").bitwiseAND(F.lit(xym))
-    pruned = tiles.filter(
+    cond = (
         ((cx + 1) * F.col("w") > F.lit(x_lo)) & (cx * F.col("w") <= F.lit(x_hi))
         & ((cy + 1) * F.col("h") > F.lit(y_lo)) & (cy * F.col("h") <= F.lit(y_hi))
-    ).select("cell_id", "bytes", "w", "h", "fmt")
+    )
+    if tile_wh is not None:
+        tw, th, gidx = (int(v) for v in tile_wh)
+        base = gidx << (xb + yb)
+        lo = base + (max(x_lo // tw, 0) << yb) + max(y_lo // th, 0)
+        hi = base + (max(x_hi // tw, 0) << yb) + max(y_hi // th, 0)
+        cond = F.col("cell_id").between(F.lit(lo), F.lit(hi)) & cond
+    pruned = tiles.filter(cond).select("cell_id", "bytes", "w", "h", "fmt")
 
     def decode(batches):
         for pdf in batches:
@@ -133,12 +147,32 @@ def viewshed_zonal(
         # O(px * R) samples: beyond a few thousand px of radius you want
         # a pyramid level under the viewshed, not a bigger disc
         raise ValueError("radius must be in [1, 4096]")
-    px = _pixels(tiles, ox - r, ox + r, oy - r, oy + r).localCheckpoint(eager=True)
-
-    obs = px.filter((F.col("gx") == ox) & (F.col("gy") == oy)).collect()
-    if not obs:
+    # one tiny probe up front: tile shape + grid index feed the pushable
+    # scan envelope in _pixels AND the cell-id back-derivation at the
+    # end (this used to be two separate probe jobs)
+    head = tiles.select(
+        "w", "h",
+        F.shiftrightunsigned("cell_id", G._X_BITS + G._Y_BITS).alias("g"),
+    ).first()
+    if head is None:
         raise ValueError(f"observer pixel ({ox}, {oy}) not in corpus")
-    z_o = int(obs[0]["z"]) + int(tower)
+    tw, th, gidx = int(head["w"]), int(head["h"]), int(head["g"])
+    px = _pixels(
+        tiles, ox - r, ox + r, oy - r, oy + r, tile_wh=(tw, th, gidx)
+    ).localCheckpoint(eager=True)
+
+    # one aggregate serves the observer-elevation lookup AND the
+    # broadcast-bound count probe (two jobs before)
+    stats = px.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(
+            F.when((F.col("gx") == ox) & (F.col("gy") == oy), F.col("z"))
+        ).alias("zo"),
+    ).first()
+    if stats is None or stats["zo"] is None:
+        raise ValueError(f"observer pixel ({ox}, {oy}) not in corpus")
+    z_o = int(stats["zo"]) + int(tower)
+    n_disc_px = int(stats["n"])
 
     targets = (
         px.withColumn("adx", F.abs(F.col("gx") - F.lit(ox)))
@@ -182,7 +216,7 @@ def viewshed_zonal(
         F.col("gx").alias("sx"), F.col("gy").alias("sy"), F.col("z").alias("zk")
     )
     # relational probe, not a guess: broadcast the disc when it is small
-    if px.count() <= _BROADCAST_PX_BOUND:
+    if n_disc_px <= _BROADCAST_PX_BOUND:
         lookup = F.broadcast(lookup)
 
     far_verdict = (
@@ -201,13 +235,7 @@ def viewshed_zonal(
     )
 
     verdicts = near.unionByName(far_verdict)
-    # cell-id back-derivation: tile size and grid index ride the
-    # (single-grid) input frame — one tiny first() probe
-    head = tiles.select(
-        "w", "h",
-        F.shiftrightunsigned("cell_id", G._X_BITS + G._Y_BITS).alias("g"),
-    ).first()
-    tw, th, gidx = int(head["w"]), int(head["h"]), int(head["g"])
+    # cell-id back-derivation from the single up-front probe
     cell_expr = (
         F.lit(gidx << (G._X_BITS + G._Y_BITS))
         + F.expr(f"(gx div {tw})") * F.lit(1 << G._Y_BITS)
