@@ -32,6 +32,11 @@ def spread_input(df: DataFrame) -> DataFrame:
     splits, so this never fires at scale)."""
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
+        # only storage-backed inputs have the narrow-scan problem; a
+        # driver-local relation (tests, tiny literals) keeps its plan
+        # untouched so shuffle-free operator contracts stay assertable
+        if "LocalRelation" in df._jdf.queryExecution().optimizedPlan().toString():
+            return df
         nparts = df.rdd.getNumPartitions()
     except Exception:
         return df
