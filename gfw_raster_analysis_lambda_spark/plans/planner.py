@@ -826,24 +826,29 @@ class ZonalResultSet(dict):
         the same cached partial frame, so running them from a thread pool
         overlaps their (small) shuffles instead of paying them serially —
         the batch-request wall time drops by roughly (n_queries - 1) x
-        finalize-latency. The shared partials are forced FIRST with one
-        count() so concurrent jobs never race to build the cache (a
-        not-yet-materialized persisted frame can be computed twice under
-        concurrent actions). ``writer`` defaults to a noop-format write
-        (materialize-only); pass e.g. ``lambda df: df.write.parquet(...)``
-        to land results."""
-        if self._partials is not None:
-            self._partials.count()
+        finalize-latency. The FIRST member runs alone: its action builds
+        the shared partial cache as a side effect (one kernel pass,
+        pipelined straight into that member's aggregation — cheaper than
+        the separate count() pass this used to spend, r6), and only then
+        do the remaining members run concurrently, so nothing ever races
+        to build a not-yet-materialized persisted frame (which can be
+        computed twice under concurrent actions). ``writer`` defaults to
+        a noop-format write (materialize-only); pass e.g.
+        ``lambda df: df.write.parquet(...)`` to land results."""
         w = writer or (
             lambda df: df.write.format("noop").mode("overwrite").save()
         )
-        if parallel and len(self) > 1:
+        vals = list(self.values())
+        if parallel and len(vals) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=min(len(self), 8)) as ex:
-                list(ex.map(w, self.values()))
+            first = 1 if self._partials is not None else 0
+            if first:
+                w(vals[0])
+            with ThreadPoolExecutor(max_workers=min(len(vals), 8)) as ex:
+                list(ex.map(w, vals[first:]))
         else:
-            for df in self.values():
+            for df in vals:
                 w(df)
 
     def close(self) -> None:
