@@ -376,3 +376,54 @@ def test_cost_distance_rejects_offcorpus_seeds_and_viewshed_radius(spark):
         viewshed.viewshed_zonal(
             _tiles(spark, "ttc_percent"), (GX0 + 96, GY0 + 96), 10, 5000
         )
+
+
+def test_pad_dial_matches_heap_kernel_on_budget_region():
+    """The Dial bucket kernel must compute the identical label function
+    as the reference heap kernel on every pixel with dist <= budget, and
+    leave _INF beyond it — across wall densities, cost ranges, seed
+    patterns (interior points, edge strips, pre-existing state), and the
+    fixture's own modular cost surface."""
+    rng = np.random.default_rng(42)
+    INF = costdist._INF
+
+    def modular(ph, pw):
+        jj, ii = np.meshgrid(np.arange(pw), np.arange(ph))
+        return ((ii * 7 + jj * 11) % 8 + 1).astype(np.int64)
+
+    cases = []
+    for trial in range(6):
+        ph, pw = int(rng.integers(40, 90)), int(rng.integers(40, 90))
+        cost = rng.integers(1, int(rng.choice([3, 10, 60])),
+                            size=(ph, pw)).astype(np.int64)
+        cost[rng.random((ph, pw)) < rng.choice([0.0, 0.03, 0.1])] = INF
+        cases.append((cost, int(rng.integers(30, 400))))
+    cases.append((modular(72, 72), 300))
+
+    for cost, budget in cases:
+        ph, pw = cost.shape
+        dist0 = np.full((ph, pw), INF, dtype=np.int64)
+        seeds = []
+        for _ in range(4):
+            i, j = int(rng.integers(0, ph)), int(rng.integers(0, pw))
+            if cost[i, j] < INF:
+                dist0[i, j] = int(rng.integers(0, budget // 2 + 1))
+                seeds.append(i * pw + j)
+        if not seeds:
+            continue
+        # pre-existing state that blocks but does not propagate
+        pi, pj = ph // 3, pw // 3
+        dist0[pi:pi + 8, pj:pj + 8] = np.minimum(
+            dist0[pi:pi + 8, pj:pj + 8],
+            rng.integers(budget // 2, budget + 50, size=(8, 8)),
+        )
+        d_heap = dist0.copy()
+        costdist._pad_dijkstra(cost, d_heap, seeds)
+        d_dial = dist0.copy()
+        costdist._pad_dial(cost, d_dial, seeds, budget)
+        # dial accepts exactly the <= budget labels; everywhere else it
+        # leaves the initial state (pre-existing label or _INF) untouched
+        capped = np.where(d_heap <= budget, d_heap, dist0)
+        assert np.array_equal(d_dial, capped), (
+            f"dial != capped heap on {cost.shape} budget={budget}"
+        )
