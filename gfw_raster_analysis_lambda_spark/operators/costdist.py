@@ -326,8 +326,8 @@ def cost_distance_state(
         )
     # seed arrivals carry d = -1: the kernel's entering rule d + cost(q)
     # would double-charge the seed pixel, so it special-cases d == -1 to
-    # dist(seed) = 0
-    arrivals = spark.createDataFrame(arr_rows, _ARR_SCHEMA).localCheckpoint(eager=True)
+    # dist(seed) = 0. A literal local relation needs no checkpoint job.
+    arrivals = spark.createDataFrame(arr_rows, _ARR_SCHEMA)
 
     state = spark.createDataFrame([], _STATE_SCHEMA)
 
